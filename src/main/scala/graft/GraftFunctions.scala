@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+import graft.expr.{NfkcNormalize, RollingHash64, SimHash64}
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Spark 4 no longer exposes a public Expression→Column constructor, so the
+  * supported path is: register an expression builder in the session's
+  * FunctionRegistry, then build columns with `call_function`. Registration
+  * is idempotent and cheap; `Tables.load` calls it so every query entry
+  * point gets the functions without extra ceremony.
+  */
+object GraftFunctions {
+  private val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "nfkc" -> (exprs => NfkcNormalize(exprs.head)),
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "rolling_hash64" -> (exprs => RollingHash64(exprs.head)),
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  /** NFKC Unicode normalization (reference: handlers/kazakhstan.py:163). */
+  def nfkc(c: Column): Column = call_function("nfkc", c)
+
+  /** 64-bit SimHash of an array<string> token column. */
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Order-sensitive 64-bit polynomial fingerprint of a string. */
+  def rollingHash64(c: Column): Column = call_function("rolling_hash64", c)
+}

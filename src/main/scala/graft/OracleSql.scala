@@ -1,0 +1,377 @@
+package graft
+
+/** DuckDB-dialect oracle SQL, one statement per entry in
+  * [[SparkEntry.queries]] (omissions = approximate operators that get the
+  * driver's rows-only check: minhash-LSH, simhash, ANN-LSH).
+  *
+  * Dialect porting rules applied throughout (Java regex → RE2):
+  *  - every regexp_replace carries the 'g' flag (Spark replaces all
+  *    occurrences; DuckDB defaults to first-only);
+  *  - `(?U)\w` has no RE2 equivalent → both sides spell the class
+  *    explicitly as `[\p{L}\p{N}_]`;
+  *  - lookaround (`(?<=\d)\s+(?=\d)`, `(См\.)\s*(?=\S)`) is unsupported in
+  *    RE2 → capture-group consume-and-restore rewrites, applied twice
+  *    where a single pass could leave alternating matches behind;
+  *  - integer aggregates are CAST to BIGINT (DuckDB widens int sums to
+  *    INT128; Spark uses long) so result schemas line up;
+  *  - regexp_count ≙ len(regexp_extract_all(...)).
+  */
+object OracleSql {
+
+  /** Mirror of SparkEntry.registryView / registryViewSql. */
+  private val registry =
+    """registry AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 0 THEN 'Name: footer'
+      |         WHEN doc_id % 3 = 0 THEN '№' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '/ТЗ'
+      |         ELSE '' END AS reg_num,
+      |    CASE WHEN doc_id % 11 = 0 THEN text || ' исключен' ELSE text END AS text,
+      |    source
+      |  FROM documents)""".stripMargin
+
+  private val exclusionRegex =
+    """(?:^|[^а-я])и\s*с\s*к\s*л\s*ю\s*ч\s*е\s*н(?:$|[^а-я])"""
+
+  private val newRecordRegex = """^(№?\d{4,})(/ТЗ.*)?"""
+
+  /** Dedup/fingerprint text normalization (Dedup.normalizeText). */
+  private def norm(c: String): String =
+    s"""trim(regexp_replace(regexp_replace(lower(coalesce($c, '')), '[^\\p{L}\\p{N}_\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"""
+
+  /** TextAnalysis.langScore as RE2 count. */
+  private def langScore(c: String, words: Seq[String]): String =
+    s"""CAST(len(regexp_extract_all(lower(coalesce($c, '')), '${words.mkString("\\b(", "|", ")\\b")}')) AS BIGINT)"""
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "un")
+  private val stopEs = Seq("el", "los", "las", "y", "es", "un")
+  private val stopAll = (stopEn ++ stopDe ++ stopFr ++ stopEs).distinct
+
+  val all: Map[String, String] = Map(
+
+    "q_trim_all" ->
+      """SELECT doc_id, trim(text) AS text, trim(lang) AS lang, trim(source) AS source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_clean_cells" ->
+      """SELECT doc_id, regexp_replace(trim(coalesce(text, '')), '\s+', ' ', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_regnum_normalize" ->
+      """WITH messy AS (
+        |  SELECT doc_id,
+        |    '№ ' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' — ' || CAST(n_chars AS VARCHAR)
+        |      || ' / ТЗ . См.' || CAST(n_chars AS VARCHAR) AS raw
+        |  FROM documents)
+        |SELECT doc_id, raw,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |       regexp_replace(trim(coalesce(raw, '')),
+        |    '^№\s*', '', 'g'),
+        |    '\s*См\.\s*', ' См. ', 'g'),
+        |    '\s*[–—]\s*', '-', 'g'),
+        |    '\s*-\s*', '-', 'g'),
+        |    '\s*/\s*', '/', 'g'),
+        |    '\s*\.\s*', '.', 'g'),
+        |    '(\d)\s+(\d)', '\1\2', 'g'),
+        |    '(\d)\s+(\d)', '\1\2', 'g'),
+        |    '(См\.)\s*(\S)', '\1 \2', 'g'),
+        |    '-{2,}', '-', 'g'),
+        |    '\s+', ' ', 'g')) AS reg_num
+        |FROM messy ORDER BY doc_id""".stripMargin,
+
+    "q_exclusion_flag" ->
+      s"""WITH $registry
+         |SELECT doc_id,
+         |  CASE WHEN regexp_matches(replace(lower(concat_ws(' ', reg_num, text)), 'ё', 'е'),
+         |       '$exclusionRegex') THEN 'Да' ELSE 'Нет' END AS excluded
+         |FROM registry ORDER BY doc_id""".stripMargin,
+
+    "q_new_record_flag" ->
+      s"""WITH $registry
+         |SELECT doc_id, reg_num,
+         |  CAST(CASE WHEN regexp_matches(trim(coalesce(reg_num, '')), '$newRecordRegex')
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_new
+         |FROM registry ORDER BY doc_id""".stripMargin,
+
+    "q_row_concat" ->
+      """SELECT doc_id,
+        |  concat_ws(' ', CAST(doc_id AS VARCHAR), text, lang, source, CAST(n_chars AS VARCHAR)) AS row_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_cast_all_string" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(text AS VARCHAR) AS text,
+        |  CAST(lang AS VARCHAR) AS lang, CAST(source AS VARCHAR) AS source,
+        |  CAST(n_chars AS VARCHAR) AS n_chars
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    "q_slice_offset" ->
+      """WITH indexed AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS _idx, doc_id, text FROM documents)
+        |SELECT _idx, doc_id, text FROM indexed WHERE _idx >= 2 ORDER BY doc_id""".stripMargin,
+
+    "q_sanitize_prompt" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text || ' 123 ,,, .' || CAST(n_chars AS VARCHAR) AS x FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(
+        |      str_split(trim(regexp_replace(regexp_replace(x, '\d+', '', 'g'), '\s+', ' ', 'g')), ' '),
+        |      t -> NOT regexp_matches(t, '^[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]+$') AND t <> ''), ' ') AS kept
+        |  FROM raw)
+        |SELECT doc_id,
+        |  CASE WHEN length(kept) > 200 THEN substr(kept, 1, 200) || '...' ELSE kept END AS prompt
+        |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q_merge_continued" ->
+      s"""WITH $registry,
+         |indexed AS (
+         |  SELECT *, row_number() OVER (ORDER BY doc_id) - 1 AS _idx FROM registry),
+         |kept AS (
+         |  SELECT * FROM indexed
+         |  WHERE NOT starts_with(trim(coalesce(CAST(reg_num AS VARCHAR), '')), 'Name:')),
+         |flagged AS (
+         |  SELECT *,
+         |    CAST(sum(CASE WHEN regexp_matches(trim(coalesce(reg_num, '')), '$newRecordRegex')
+         |             THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY _idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS record_id
+         |  FROM kept)
+         |SELECT record_id,
+         |  coalesce(string_agg(trim(coalesce(reg_num, '')), ' ' ORDER BY _idx)
+         |    FILTER (WHERE trim(coalesce(reg_num, '')) <> ''), '') AS reg_num,
+         |  coalesce(string_agg(trim(coalesce(text, '')), ' ' ORDER BY _idx)
+         |    FILTER (WHERE trim(coalesce(text, '')) <> ''), '') AS text
+         |FROM flagged GROUP BY record_id ORDER BY record_id""".stripMargin,
+
+    "q_positional_join" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, row_number() OVER (ORDER BY doc_id) - 1 AS _idx FROM documents),
+        |img AS (
+        |  SELECT vec_id AS excel_row, label AS img_order,
+        |    'data:image/png;base64,' || md5(CAST(vec_id AS VARCHAR)) AS b64
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |per_row AS (
+        |  SELECT excel_row - 2 - 1 AS _target,
+        |    string_agg(b64, ' ' ORDER BY img_order, b64) AS img
+        |  FROM img GROUP BY 1)
+        |SELECT b._idx, b.doc_id, coalesce(p.img, '') AS image
+        |FROM base b LEFT JOIN per_row p ON b._idx = p._target
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_enrich_pipeline" ->
+      s"""WITH $registry,
+         |reg AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN doc_id % 5 = 0 THEN '' ELSE split_part(text, ' ', 1) END AS brand,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'data:image/png;base64,' || md5(text) ELSE '' END AS image
+         |  FROM registry),
+         |flags AS (
+         |  SELECT *,
+         |    regexp_matches(
+         |      replace(lower(concat_ws(' ', CAST(doc_id AS VARCHAR), text, brand, image)), 'ё', 'е'),
+         |      '$exclusionRegex') AS excl
+         |  FROM reg),
+         |b1 AS (
+         |  SELECT *,
+         |    CASE WHEN NOT excl AND brand = '' AND image <> ''
+         |         THEN 'OCR-' || substr(md5(image), 1, 8) || ' (RECOG)'
+         |         ELSE brand END AS brand1
+         |  FROM flags),
+         |b2 AS (
+         |  SELECT *, trim(regexp_replace(brand1, ' \\(RECOG\\)', '', 'g')) AS plain,
+         |    (NOT excl AND trim(brand1) <> '') AS fires
+         |  FROM b1)
+         |SELECT doc_id, brand1 AS brand,
+         |  CASE WHEN fires THEN upper(plain) || ', ' || lower(plain) END AS brand_en,
+         |  CASE WHEN fires THEN plain || '-ру' || ', ' || reverse(plain) END AS brand_ru,
+         |  CASE WHEN excl THEN 'Да' ELSE 'Нет' END AS excluded
+         |FROM b2 ORDER BY doc_id""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_broadcast_dims" ->
+      """SELECT p_brand, s_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_name ORDER BY p_brand, s_name""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+        |FROM ranked WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_events_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessions AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT event_id, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT md5(${norm("text")}) AS content_hash,
+         |  min(doc_id) AS canonical_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc, list_distinct(CASE WHEN len(t) >= 3
+         |    THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]
+         |    ELSE [array_to_string(t, ' ')] END) AS shs
+         |  FROM toks),
+         |ex AS (SELECT doc, unnest(shs) AS s FROM sh),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+         |common AS (
+         |  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
+         |  FROM common
+         |  JOIN sizes za ON id_a = za.doc
+         |  JOIN sizes zb ON id_b = zb.doc)
+         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+         |FROM scored WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_brute_force" ->
+      """WITH qz AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM qz),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i])) AS DOUBLE)
+        |      / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS DOUBLE))
+        |       * sqrt(CAST(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i])) AS DOUBLE))) AS cosine
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    ${langScore("text", stopEn)} AS s_en,
+         |    ${langScore("text", stopDe)} AS s_de,
+         |    ${langScore("text", stopFr)} AS s_fr,
+         |    ${langScore("text", stopEs)} AS s_es
+         |  FROM documents),
+         |b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s)
+         |SELECT doc_id,
+         |  CASE WHEN best <= 0 THEN 'und'
+         |       WHEN s_en = best THEN 'en'
+         |       WHEN s_de = best THEN 'de'
+         |       WHEN s_fr = best THEN 'fr'
+         |       WHEN s_es = best THEN 'es'
+         |       ELSE 'und' END AS pred_lang
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(length(coalesce(text, '')) AS DOUBLE) AS nc,
+         |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len(str_split_regex(trim(coalesce(text, '')), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(coalesce(text, ''), '[^\\p{L}\\d\\s]')) AS BIGINT) AS n_punct,
+         |    ${langScore("text", stopAll)} AS n_stop
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_tokens, n_punct,
+         |    CASE WHEN n_tokens > 0 THEN nc / n_tokens ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN nc > 0 THEN CAST(n_punct AS DOUBLE) / nc ELSE 1.0 END AS punct_ratio,
+         |    CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio
+         |  FROM m)
+         |SELECT doc_id, n_tokens, n_punct,
+         |  round(((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |       ELSE len(str_split_regex(trim(coalesce(text, '')), '\s+')) END AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(coalesce(text, ''), '\p{L}+|\d+|[^\p{L}\d\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(${norm("text")}) AS fp_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

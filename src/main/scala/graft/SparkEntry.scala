@@ -1,13 +1,433 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.enrich.Enrichment
+import graft.ops.{JoinOps, MergeOps, ShapeOps, TextOps}
+import graft.sim.Similarity
+import graft.streaming.StreamingOps
+import graft.text.TextAnalysis
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the beyond-reference pipeline capabilities), each with a
+  * DuckDB-runnable ANSI-SQL oracle where the operator is SQL-expressible.
+  *
+  * Conventions shared by every query/oracle pair:
+  *  - result column names are aliased identically on both sides (the
+  *    driver's compare sorts columns by name);
+  *  - every result ends in a deterministic ORDER BY (ASC NULLS FIRST on
+  *    both sides) so row-order-sensitive comparison also passes;
+  *  - double aggregates are rounded to fixed decimals on both sides —
+  *    Spark and DuckDB sum floats in different orders, rounding removes
+  *    last-ulp divergence;
+  *  - float-vector similarity uses integer-quantized dot products
+  *    (Similarity.quantize) which are exact in both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Flagship query on sf=0.001 — the §7.3 "registry normalize-and-merge"
+    * slice: index → clean cells → exclusion flag → record-start flag →
+    * continuation merge, all in one plan. Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    qMergeContinued(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Synthetic registry view over `documents`: deterministic key/text
+    * columns exercising the reference's registry semantics (record starts,
+    * continuations, "Name:" artifacts, excluded rows) derived purely from
+    * doc_id so Spark and DuckDB construct identical inputs.
+    */
+  private def registryView(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(
+      col("doc_id"),
+      when(col("doc_id") % 17 === 0, lit("Name: footer"))
+        .when(col("doc_id") % 3 === 0,
+          concat(lit("№"), lpad(col("doc_id").cast("string"), 4, "0"), lit("/ТЗ")))
+        .otherwise(lit("")).as("reg_num"),
+      when(col("doc_id") % 11 === 0, concat(col("text"), lit(" исключен")))
+        .otherwise(col("text")).as("text"),
+      col("source"))
+  }
+
+  private val registryViewSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 17 = 0 THEN 'Name: footer'
+      |       WHEN doc_id % 3 = 0 THEN '№' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '/ТЗ'
+      |       ELSE '' END AS reg_num,
+      |  CASE WHEN doc_id % 11 = 0 THEN text || ' исключен' ELSE text END AS text,
+      |  source
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------- reference text kernel
+
+  /** T1 — trim every string column. */
+  private def qTrimAll(s: SparkSession, dir: String): DataFrame =
+    TextOps.trimAll(t(s, dir, "documents"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** T3 — clean_cell over document text. */
+  private def qCleanCells(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.cleanCell(col("text")).as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** T4 — reg-number normalization over synthetically-messied inputs. */
+  private def qRegnumNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("№ "), lpad(col("doc_id").cast("string"), 4, "0"),
+        lit(" — "), col("n_chars").cast("string"),
+        lit(" / ТЗ . См."), col("n_chars").cast("string")).as("raw"))
+    messy.select(col("doc_id"), col("raw"),
+        TextOps.normalizeRegNum(col("raw")).as("reg_num"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F1 — exclusion flag over the whole-row text. */
+  private def qExclusionFlag(s: SparkSession, dir: String): DataFrame =
+    registryView(s, dir)
+      .select(col("doc_id"),
+        when(TextOps.isExcluded(TextOps.rowConcat(Seq(col("reg_num"), col("text")))),
+          "Да").otherwise("Нет").as("excluded"))
+      .orderBy(col("doc_id"))
+
+  /** F2 — new-record flag. */
+  private def qNewRecordFlag(s: SparkSession, dir: String): DataFrame =
+    registryView(s, dir)
+      .select(col("doc_id"), col("reg_num"),
+        TextOps.isNewRecord(col("reg_num")).cast("long").as("is_new"))
+      .orderBy(col("doc_id"))
+
+  /** T9 — whole-row concat (concat_ws semantics: nulls skipped). */
+  private def qRowConcat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.rowConcat(Seq(col("doc_id").cast("string"), col("text"),
+          col("lang"), col("source"), col("n_chars").cast("string"))).as("row_text"))
+      .orderBy(col("doc_id"))
+
+  /** P8 — cast all columns to string (long/string table → portable). */
+  private def qCastAllString(s: SparkSession, dir: String): DataFrame =
+    TextOps.castAllToString(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** P2 — ordered slice: drop the first 2 rows in doc_id order. */
+  private def qSliceOffset(s: SparkSession, dir: String): DataFrame = {
+    val indexed = ShapeOps.withIndex(t(s, dir, "documents"), col("doc_id"))
+    ShapeOps.sliceFrom(indexed, 2)
+      .select(col("_idx"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** T5 — prompt sanitization. */
+  private def qSanitizePrompt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.sanitizePrompt(
+          concat(col("text"), lit(" 123 ,,, ."), col("n_chars").cast("string")), 200)
+          .as("prompt"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------- order-sensitive operators
+
+  /** A1 — continuation-row merge (the flagship §7.3 slice). */
+  private def qMergeContinued(s: SparkSession, dir: String): DataFrame = {
+    val indexed = ShapeOps.withIndex(registryView(s, dir), col("doc_id"))
+    MergeOps.continuationMerge(indexed, keyCol = "reg_num",
+        valueCols = Seq("reg_num", "text"))
+      .select(col("record_id"), col("reg_num"), col("text"))
+      .orderBy(col("record_id"))
+  }
+
+  /** J1 — positional image↔row join with ROW_OFFSET=2. */
+  private def qPositionalJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = ShapeOps.withIndex(
+      t(s, dir, "documents").select(col("doc_id"), col("source")), col("doc_id"))
+    // image side derived from embeddings: every 7th vec anchors an image at
+    // excel_row = vec_id (multiple images per row when vec_id%21==0).
+    val images = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("excel_row"), col("label").as("img_order"),
+        concat(lit("data:image/png;base64,"), md5(col("vec_id").cast("string"))).as("b64"))
+    JoinOps.attachImages(base, images, rowCol = "excel_row", payloadCol = "b64",
+        imageOrderCol = "img_order", rowOffset = 2)
+      .select(col("_idx"), col("doc_id"), col("Изображение").as("image"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L4 — enrichment decision tree as one plan (stub provider). */
+  private def qEnrichPipeline(s: SparkSession, dir: String): DataFrame = {
+    val reg = registryView(s, dir).select(
+      col("doc_id"),
+      col("text"),
+      // brand: empty for doc_id%5==0 (OCR candidates), else first token
+      when(col("doc_id") % 5 === 0, lit(""))
+        .otherwise(split(col("text"), " ").getItem(0)).as("brand"),
+      // image present for doc_id%2==0
+      when(col("doc_id") % 2 === 0,
+        concat(lit("data:image/png;base64,"), md5(col("text"))))
+        .otherwise(lit("")).as("image"))
+    Enrichment.process(reg, brandCol = "brand", imageCol = "image")
+      .select(col("doc_id"), col("brand"),
+        col(s"`${Enrichment.EnglishCol}`").as("brand_en"),
+        col(s"`${Enrichment.RussianCol}`").as("brand_ru"),
+        col(Enrichment.ExcludedCol).as("excluded"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------ relational capability
+
+  /** TPC-H Q1-style pricing summary: partial-agg-friendly hash aggregation. */
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Customer×orders×lineitem join → revenue per market segment. */
+  private def qJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Small-dimension broadcast join: lineitem ⋈ part ⋈ supplier. */
+  private def qBroadcastDims(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val su = t(s, dir, "supplier")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("s_name"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("p_brand"), col("s_name"))
+  }
+
+  /** ROLLUP over region→nation customer account balances. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Top-3 orders per customer (window top-k with deterministic tiebreak). */
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** DISTINCT projection. */
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  /** Anti join — customers with no high-value order (NOT EXISTS). The
+    * threshold keeps both sides non-degenerate on the synthetic data.
+    */
+  private def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Semi join — parts with at least one bulk lineitem (EXISTS). */
+  private def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+    p.join(l, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Running per-customer order-value sum (partitioned window). */
+  private def qRunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // ------------------------------------------------------- event analytics
+
+  /** Tumbling-window aggregation (batch form of the streaming plan). */
+  private def qEventsTumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      // window_start as a formatted string: engine-portable (DuckDB results
+      // are tz-naive, Spark parquet timestamps are tz-aware UTC).
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Gap-based sessionization per user (30-minute inactivity gap). */
+  private def qEventsSessionize(s: SparkSession, dir: String): DataFrame =
+    MergeOps.sessionize(t(s, dir, "events"), "user_id", "ts", gapSeconds = 1800)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Regex field extraction from the JSON-ish props string. */
+  private def qEventsProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  // ------------------------------------------------------ dedup capability
+
+  /** Exact dedup groups (hash-groupBy on normalized content). */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
+  /** Exact n-gram Jaccard near-dup pairs (inverted-index join). */
+  private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
+    * the ScalaTest spec verifies planted duplicates are found).
+    */
+  private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (native fingerprint expression — rows-only). */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ------------------------------------------------- similarity capability
+
+  /** Brute-force quantized-cosine top-5 for 10 query vectors. */
+  private def qAnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k (scale path — rows-only check; the
+    * spec measures recall against brute force).
+    */
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5, nPlanes = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------- text analysis
+
+  /** Language ID via stopword profiles. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Quality-score bundle. */
+  private def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWhitespace(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting (whitespace + BPE-ish regex). */
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWhitespace(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprints (md5 — oracle-checked; rolling-hash64 native
+    * expression is covered by its spec).
+    */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy(col("doc_id"))
+
+  // --------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trim_all" -> (qTrimAll _),
+    "q_clean_cells" -> (qCleanCells _),
+    "q_regnum_normalize" -> (qRegnumNormalize _),
+    "q_exclusion_flag" -> (qExclusionFlag _),
+    "q_new_record_flag" -> (qNewRecordFlag _),
+    "q_row_concat" -> (qRowConcat _),
+    "q_cast_all_string" -> (qCastAllString _),
+    "q_slice_offset" -> (qSliceOffset _),
+    "q_sanitize_prompt" -> (qSanitizePrompt _),
+    "q_merge_continued" -> (qMergeContinued _),
+    "q_positional_join" -> (qPositionalJoin _),
+    "q_enrich_pipeline" -> (qEnrichPipeline _),
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q_join_revenue" -> (qJoinRevenue _),
+    "q_broadcast_dims" -> (qBroadcastDims _),
+    "q_rollup" -> (qRollup _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_distinct" -> (qDistinct _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_running_sum" -> (qRunningSum _),
+    "q_events_tumbling" -> (qEventsTumbling _),
+    "q_events_sessionize" -> (qEventsSessionize _),
+    "q_events_props" -> (qEventsProps _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_ann_brute_force" -> (qAnnBruteForce _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

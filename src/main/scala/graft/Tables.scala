@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet test tables (TESTDATA.md).
+  *
+  * All engine queries read through here: parquet scans get Catalyst's
+  * filter pushdown + column pruning for free, and graft's native functions
+  * are registered on first touch of a session.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // The events table carries TIMESTAMP(NANOS) — Spark 4 has no nanosecond
+    // timestamp type, so read nanos as long and convert to microseconds
+    // here (integer `div`, not double division: ns-epoch values overflow a
+    // double's 53-bit mantissa).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}

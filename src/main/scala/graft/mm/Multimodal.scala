@@ -1,0 +1,95 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per partition.
+  *
+  * The reference smuggles images through base64 data-URL strings
+  * (handlers/base.py:241-272, utils/gpt.py:54-70); the engine keeps
+  * payloads binary (no base64 inflation through shuffles) and converts at
+  * the edges with the base64/unbase64 built-ins.
+  *
+  * The actual media decode is environment-dependent (no imaging libs in
+  * this container), so [[MediaDecoder]] is a pluggable trait with a
+  * deterministic fake; the Spark-side contract — schema, batch iteration,
+  * partition-local decoder instantiation — is real and tested.
+  */
+object Multimodal {
+
+  /** data:image/...;base64,xxx string → (mime, payload binary). */
+  def fromDataUrl(df: DataFrame, dataUrlCol: String): DataFrame =
+    df.withColumn("mime",
+        regexp_extract(col(dataUrlCol), "^data:([^;]+);base64,", 1))
+      .withColumn("payload",
+        unbase64(regexp_replace(col(dataUrlCol), "^data:[^;]+;base64,", "")))
+
+  /** (mime, payload) → data URL string, reference encoding
+    * (utils/gpt.py:54-70).
+    */
+  def toDataUrl(df: DataFrame, mimeCol: String, payloadCol: String,
+      outputCol: String = "data_url"): DataFrame =
+    df.withColumn(outputCol,
+      concat(lit("data:"), col(mimeCol), lit(";base64,"),
+        // base64() may wrap output with \r\n line breaks per RFC 2045 in
+        // some configurations; chunked encoding is normalized away.
+        regexp_replace(base64(col(payloadCol)), "[\\r\\n]", "")))
+
+  /** Decoder contract: bytes → fixed-size feature vector + dimensions.
+    * Instantiated once per partition (model/codec init amortized).
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaFeatures
+  }
+  final case class MediaFeatures(width: Int, height: Int, features: Array[Float])
+
+  /** Deterministic fake decoder: derives pseudo-dimensions and a feature
+    * vector from the payload bytes. Stands in for a real image/audio codec,
+    * which is not available in this environment.
+    */
+  class FakeDecoder(featureDim: Int = 8) extends MediaDecoder {
+    override def decode(payload: Array[Byte]): MediaFeatures = {
+      val h = graft.expr.SimHash64.fnv1a64(payload)
+      val w = (math.abs(h) % 1920 + 1).toInt
+      val ht = (math.abs(h >> 16) % 1080 + 1).toInt
+      val feats = Array.tabulate(featureDim) { i =>
+        (((h >>> (i * 8)) & 0xff).toFloat / 255.0f)
+      }
+      MediaFeatures(w, ht, feats)
+    }
+  }
+
+  /** Per-partition feature extraction over a binary payload column. The
+    * decoder is created once per partition — the pattern a real model
+    * inference step needs (load weights once, stream the partition).
+    */
+  def extractFeatures(
+      df: DataFrame,
+      payloadCol: String,
+      decoder: () => MediaDecoder,
+      featureDim: Int = 8): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("features", ArrayType(FloatType), nullable = true)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+
+    df.mapPartitions { rows =>
+      val d = decoder()
+      rows.map { row =>
+        val payload = row.getAs[Array[Byte]](payloadIdx)
+        if (payload == null) Row.fromSeq(row.toSeq ++ Seq(null, null, null))
+        else {
+          val f = d.decode(payload)
+          Row.fromSeq(row.toSeq ++ Seq(f.width, f.height, f.features.toSeq))
+        }
+      }
+    }
+  }
+}

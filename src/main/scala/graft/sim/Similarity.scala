@@ -1,0 +1,110 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — brute-force
+  * cosine top-k as the exact baseline, and a random-hyperplane LSH variant
+  * as the scale path (Charikar 2002). Beyond-reference capability per the
+  * project brief.
+  */
+object Similarity {
+
+  /** Sequential-order double dot product via zip_with + aggregate — the
+    * fold is left-to-right, so results are bit-stable across runs and
+    * engines that evaluate in index order.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Quantize a float vector to integers (`round(x*scale)` as long).
+    * Integer dot products are exact and order-independent, which makes
+    * similarity rankings deterministic across engines — used by the
+    * oracle-checked queries; full float cosine is available above.
+    */
+  def quantize(a: Column, scale: Int = 1000): Column =
+    transform(a, x => round(x.cast("double") * scale).cast("long"))
+
+  def quantizedDot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def quantizedCosine(qa: Column, qb: Column): Column =
+    quantizedDot(qa, qb).cast("double") /
+      (sqrt(quantizedDot(qa, qa).cast("double")) * sqrt(quantizedDot(qb, qb).cast("double")))
+
+  /** Exact brute-force top-k: broadcast the (small) query set against the
+    * corpus, rank per query with a deterministic tiebreak. The corpus side
+    * is never shuffled before the ranking aggregation; at 1000 executors
+    * this is a map-side broadcast join + per-query top-k.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,   // (idCol, vecCol)
+      queries: DataFrame,  // (queryIdCol, vecCol)
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      quantScale: Int = 1000): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      quantize(col(vecCol), quantScale).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol), quantScale).as("cv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", quantizedCosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes (driver-side, seeded). */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH bucket key: bit i set iff dot(vec, plane_i) > 0. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
+    * sign-bit key; candidates come only from the query's bucket, then are
+    * ranked exactly. Equi-join on the bucket key → shuffle volume is
+    * per-bucket, not corpus × queries. Recall is tuned via nPlanes (fewer
+    * planes = bigger buckets = higher recall, more compute).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      nPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol)).as("cv"), lshBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"), lshBucket(col(vecCol), planes).as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", quantizedCosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All built-ins (one
+  * native expression for the rolling hash) → whole-stage codegen, and each
+  * op is expressible in ANSI SQL for oracle checking.
+  */
+object TextAnalysis {
+
+  /** Stopword profiles per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic and fully declarative: one regexp_count per
+    * language over the lowercased text.
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"),
+  )
+
+  def langScore(c: Column, words: Seq[String]): Column =
+    regexp_count(lower(coalesce(c, lit(""))),
+      lit(words.mkString("\\b(", "|", ")\\b")))
+
+  /** Predicted language = highest stopword score, ties broken by profile
+    * order, "und" (undetermined) when no profile matches at all.
+    */
+  def langId(c: Column): Column = {
+    val scores = StopwordProfiles.map { case (lang, words) => lang -> langScore(c, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, s)) =>
+      acc.when(s === best, lang)
+    }.otherwise("und")
+  }
+
+  /** Whitespace token count ("" → 0). */
+  def tokenCountWhitespace(c: Column): Column = {
+    val t = trim(coalesce(c, lit("")))
+    when(t === "", 0).otherwise(size(split(t, "\\s+")))
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric symbols each count as one token — a cheap proxy for
+    * subword tokenizer cost, computable as one regexp_count.
+    */
+  def tokenCountBpe(c: Column): Column =
+    regexp_count(coalesce(c, lit("")), lit("\\p{L}+|\\d+|[^\\p{L}\\d\\s]"))
+
+  /** Quality-signal bundle (length / punctuation ratio / stopword ratio /
+    * mean word length), composed into a 0..1-ish score. Heuristics follow
+    * the C4/Gopher-style quality filter families.
+    */
+  def punctCount(c: Column): Column =
+    regexp_count(coalesce(c, lit("")), lit("[^\\p{L}\\d\\s]"))
+
+  def stopwordCount(c: Column): Column =
+    langScore(c, StopwordProfiles.flatMap(_._2).distinct)
+
+  def qualityScore(c: Column): Column = {
+    val nChars = length(coalesce(c, lit(""))).cast("double")
+    val nTokens = tokenCountWhitespace(c).cast("double")
+    val meanWordLen = when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0, punctCount(c).cast("double") / nChars).otherwise(lit(1.0))
+    val stopRatio = when(nTokens > 0, stopwordCount(c).cast("double") / nTokens).otherwise(lit(0.0))
+    // in-range components: reasonable length, low punctuation, some stopwords
+    val lenOk = when(nTokens >= 10 && nTokens <= 1000, lit(1.0)).otherwise(lit(0.0))
+    val wordLenOk = when(meanWordLen >= 3.0 && meanWordLen <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(stopRatio >= 0.05, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk + wordLenOk + punctOk + stopOk) / 4.0, 2)
+  }
+
+  /** Content fingerprint: md5 of the dedup-normalized text (engine-portable,
+    * oracle-checkable).
+    */
+  def fingerprintMd5(c: Column): Column =
+    md5(graft.dedup.Dedup.normalizeText(c))
+
+  /** Order-sensitive 64-bit rolling-hash fingerprint (native expression). */
+  def fingerprintRolling(c: Column): Column =
+    GraftFunctions.rollingHash64(graft.dedup.Dedup.normalizeText(c))
+}
