@@ -77,11 +77,18 @@ object Similarity {
       when(dot(vec, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed approximate top-k: corpus and queries are bucketed by
-    * sign-bit key; candidates come only from the query's bucket, then are
-    * ranked exactly. Equi-join on the bucket key → shuffle volume is
-    * per-bucket, not corpus × queries. Recall is tuned via nPlanes (fewer
-    * planes = bigger buckets = higher recall, more compute).
+  /** LSH-bucketed approximate top-k with multi-probe: corpus vectors land
+    * in one sign-bit bucket; each query probes its own bucket plus every
+    * bucket at Hamming distance 1 (flip one plane's bit) — the standard
+    * multi-probe trick (Lv et al., VLDB'07) that recovers most of the
+    * recall lost to near-boundary vectors without growing the corpus-side
+    * index. Candidates are then ranked exactly.
+    *
+    * Scale shape: the corpus side is bucketed once (equi-join key), the
+    * probe side is |queries| × (nPlanes+1) rows — still tiny and
+    * broadcastable. Shuffle volume stays per-bucket, never corpus×queries.
+    * Recall/cost is tuned via nPlanes (fewer planes = bigger buckets =
+    * higher recall, more compute).
     */
   def lshTopK(
       corpus: DataFrame,
@@ -96,8 +103,12 @@ object Similarity {
     val planes = hyperplanes(dim, nPlanes, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("cv"), lshBucket(col(vecCol), planes).as("bucket"))
+    val probes = array(
+      (lshBucket(col(vecCol), planes) +:
+        (0 until nPlanes).map(i =>
+          lshBucket(col(vecCol), planes).bitwiseXOR(lit(1L << i)))): _*)
     val q = queries.select(col(queryIdCol).as("query_id"),
-      quantize(col(vecCol)).as("qv"), lshBucket(col(vecCol), planes).as("qbucket"))
+        quantize(col(vecCol)).as("qv"), explode(probes).as("qbucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q),

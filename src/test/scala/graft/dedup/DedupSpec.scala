@@ -1,0 +1,83 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup family specs with planted duplicates — the approximate members
+  * (MinHash+LSH, SimHash) have no SQL oracle, so recall on planted pairs
+  * is their correctness gate.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+    "into the deep green forest where tall trees grow beside the cold river"
+  private val nearDup = base.replace("cold", "warm")          // 1-word edit
+  private val exactDup = base
+  private val distinct1 = "completely different content about spark query engines " +
+    "processing massive distributed datasets with columnar storage and codegen"
+  private val distinct2 = "astronomy observations reveal distant galaxies spinning " +
+    "through dark matter halos emitting faint radio signals across space"
+
+  private def corpus = Seq(
+    (0L, base), (1L, exactDup), (2L, nearDup), (3L, distinct1), (4L, distinct2))
+    .toDF("doc_id", "text")
+
+  test("exactGroups groups identical normalized content") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text")
+    assert(g.count() == 4) // base==exactDup collapse
+    val dupGroup = g.filter(col("n_copies") === 2).collect()
+    assert(dupGroup.length == 1 && dupGroup(0).getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("exactGroups normalization ignores case/punct/whitespace") {
+    val df = Seq((0L, "Hello, World!"), (1L, "hello   world")).toDF("doc_id", "text")
+    assert(Dedup.exactGroups(df, "doc_id", "text").count() == 1)
+  }
+
+  test("ngramJaccardPairs finds exact and near duplicates, not distinct docs") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", shingleN = 3, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))   // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 2L)))   // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLshPairs recalls planted duplicates") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash signature: identical sets → identical signatures") {
+    val df = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 16).as("sig"))
+    val sigs = df.select("sig").as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhashPairs: near dups within hamming budget, distinct docs outside") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))   // identical → hamming 0
+    assert(pairs.contains((0L, 2L)))   // near dup → small hamming
+    assert(!pairs.contains((3L, 4L)))  // unrelated docs far apart
+  }
+
+  test("shingles: short texts collapse to whole-text shingle") {
+    val r = Seq("one two").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].collect()(0)
+    assert(r == Seq("one two"))
+  }
+
+  test("shingles are distinct") {
+    val r = Seq("a b a b a b a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 2).as("s")).as[Seq[String]].collect()(0)
+    assert(r.distinct == r)
+    assert(r.toSet == Set("a b", "b a"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.enrich
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** L4 enrichment decision tree (utils/gpt.py:180-462) — both the pure-plan
+  * form and the mapPartitions service form, against the same fixtures.
+  */
+class EnrichmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, brand, image, note) covering the four decision-tree branches
+  private def fixtures = Seq(
+    (1L, "Nike", "", "plain brand, no image"),
+    (2L, "", "data:image/png;base64,AAAA", "empty brand + image → OCR"),
+    (3L, "", "", "nothing → no enrichment"),
+    (4L, "Товар исключен", "", "excluded row skips all enrichment"))
+    .toDF("id", "brand", "image", "note")
+
+  test("pure-plan enrichment: branch semantics") {
+    val r = Enrichment.process(fixtures, "brand", "image")
+      .orderBy("id").collect()
+
+    // 1: brand enrichment fires
+    assert(r(0).getAs[String]("brand") == "Nike")
+    assert(r(0).getAs[String](Enrichment.EnglishCol) == "NIKE, nike")
+    assert(r(0).getAs[String](Enrichment.ExcludedCol) == "Нет")
+
+    // 2: OCR fires, result tagged, then enrichment on OCR text
+    val b2 = r(1).getAs[String]("brand")
+    assert(b2.startsWith("OCR-") && b2.endsWith(" (RECOG)"))
+    assert(r(1).getAs[String](Enrichment.EnglishCol) != null)
+
+    // 3: nothing fires
+    assert(r(2).getAs[String]("brand") == "")
+    assert(r(2).isNullAt(r(2).fieldIndex(Enrichment.EnglishCol)))
+    assert(r(2).getAs[String](Enrichment.ExcludedCol) == "Нет")
+
+    // 4: excluded — no OCR, no variants, flag set
+    assert(r(3).getAs[String]("brand") == "Товар исключен")
+    assert(r(3).isNullAt(r(3).fieldIndex(Enrichment.EnglishCol)))
+    assert(r(3).getAs[String](Enrichment.ExcludedCol) == "Да")
+  }
+
+  test("service enrichment: same branch semantics via mapPartitions") {
+    val r = ServiceEnrichment.process(fixtures, "brand", "image", new StubLlmClient)
+      .orderBy("id").collect()
+    assert(r(0).getAs[String](Enrichment.EnglishCol) == "NIKE, nike")
+    assert(r(1).getAs[String]("brand").endsWith(" (RECOG)"))
+    assert(r(2).isNullAt(r(2).fieldIndex(Enrichment.EnglishCol)))
+    assert(r(3).getAs[String](Enrichment.ExcludedCol) == "Да")
+    assert(r(3).isNullAt(r(3).fieldIndex(Enrichment.EnglishCol)))
+  }
+
+  test("excluded detection uses the whole row text, not just the brand column") {
+    val df = Seq((1L, "Nike", "", "примечание: исключен из реестра"))
+      .toDF("id", "brand", "image", "note")
+    val r = Enrichment.process(df, "brand", "image").collect()(0)
+    assert(r.getAs[String](Enrichment.ExcludedCol) == "Да")
+  }
+}

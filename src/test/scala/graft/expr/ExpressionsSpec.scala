@@ -1,0 +1,79 @@
+package graft.expr
+
+import graft.{GraftFunctions, SparkSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions: interpreted-vs-codegen agreement, nulls,
+  * and algebraic properties.
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nfkc normalizes compatibility characters") {
+    val r = Seq("ﬁ ① ㎞", "plain").toDF("x")
+      .select(GraftFunctions.nfkc(col("x")).as("n")).as[String].collect()
+    assert(r(0) == "fi 1 km")
+    assert(r(1) == "plain")
+  }
+
+  test("nfkc null propagates") {
+    val r = Seq[(Integer, String)]((1, null)).toDF("id", "x")
+      .select(GraftFunctions.nfkc(col("x")).as("n")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("nfkc matches java.text.Normalizer directly") {
+    val inputs = Seq("ﬁle", "Ａｂｃ１２３", "é", "ﷺ", "")
+    val viaSpark = inputs.toDF("x")
+      .select(GraftFunctions.nfkc(col("x")).as("n")).as[String].collect()
+    val viaJava = inputs.map(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+    assert(viaSpark.toSeq == viaJava)
+  }
+
+  test("simhash64: identical token arrays → identical fingerprints") {
+    val toks = Seq("alpha", "beta", "gamma")
+    assert(SimHash64.computeStrings(toks) == SimHash64.computeStrings(toks))
+  }
+
+  test("simhash64: near token sets → small hamming; disjoint → large") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val a = (1 to 40).map(i => s"tok$i")
+    val b = a.updated(5, "changed")
+    val c = (1 to 40).map(i => s"other$i")
+    val hNear = ham(SimHash64.computeStrings(a), SimHash64.computeStrings(b))
+    val hFar = ham(SimHash64.computeStrings(a), SimHash64.computeStrings(c))
+    assert(hNear < hFar, s"near=$hNear far=$hFar")
+    assert(hNear <= 16)
+  }
+
+  test("simhash64 via column API agrees with direct computation") {
+    val toks = Seq("x", "y", "z")
+    val viaCol = Seq(toks).toDF("t")
+      .select(GraftFunctions.simhash64(col("t")).as("h")).as[Long].collect()(0)
+    assert(viaCol == SimHash64.computeStrings(toks))
+  }
+
+  test("rolling_hash64 is order-sensitive, unlike bag hashes") {
+    val ab = RollingHash64.compute(UTF8String.fromString("ab"))
+    val ba = RollingHash64.compute(UTF8String.fromString("ba"))
+    assert(ab != ba)
+  }
+
+  test("rolling_hash64 column API agrees with direct computation") {
+    val viaCol = Seq("hello world").toDF("x")
+      .select(GraftFunctions.rollingHash64(col("x")).as("h")).as[Long].collect()(0)
+    assert(viaCol == RollingHash64.compute(UTF8String.fromString("hello world")))
+  }
+
+  test("expressions survive codegen in a wide projection") {
+    // Many-column projection forces whole-stage codegen through the exprs.
+    val df = graft.Tables.load(spark, sf001, "documents").limit(50)
+    val r = df.select(
+      GraftFunctions.nfkc(col("text")).as("a"),
+      GraftFunctions.rollingHash64(col("text")).as("b"),
+      GraftFunctions.simhash64(split(col("text"), " ")).as("c"))
+    assert(r.count() == 50)
+  }
+}

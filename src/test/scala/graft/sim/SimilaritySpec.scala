@@ -1,0 +1,61 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot and cosine basics") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+                 (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val r = df.select(Similarity.cosine(col("a"), col("b")).as("c")).as[Double].collect()
+    assert(math.abs(r(0) - 1.0) < 1e-9)
+    assert(math.abs(r(1)) < 1e-9)
+  }
+
+  test("quantized cosine identifies identical and orthogonal vectors") {
+    val df = Seq((Seq(0.5f, 0.25f), Seq(0.5f, 0.25f))).toDF("a", "b")
+      .select(Similarity.quantize(col("a")).as("qa"), Similarity.quantize(col("b")).as("qb"))
+    val r = df.select(Similarity.quantizedCosine(col("qa"), col("qb")).as("c")).as[Double].collect()
+    assert(math.abs(r(0) - 1.0) < 1e-9)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors, excluding self") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val r = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5)
+    val rows = r.collect()
+    assert(rows.length == 15)                        // 3 queries × 5
+    assert(!rows.exists(x => x.getAs[Long]("query_id") == x.getAs[Long]("neighbor_id")))
+    // ranks are 1..5 per query and cosine non-increasing with rank
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK achieves reasonable recall@5 vs brute force") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id",
+        k = 5, nPlanes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall@5 too low: $recall")
+  }
+
+  test("lsh buckets are deterministic across invocations") {
+    val planes = Similarity.hyperplanes(4, 8)
+    assert(planes == Similarity.hyperplanes(4, 8))
+    val df = Seq(Seq(0.1f, -0.2f, 0.3f, -0.4f)).toDF("v")
+    val b1 = df.select(Similarity.lshBucket(col("v"), planes).as("b")).as[Long].collect()(0)
+    val b2 = df.select(Similarity.lshBucket(col("v"), planes).as("b")).as[Long].collect()(0)
+    assert(b1 == b2)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId picks the profile with most stopword hits") {
+    val r = Seq(
+      "the cat and the dog of the house is in a tree",
+      "der hund und die katze ist ein tier",
+      "le chat et la maison est un lieu",
+      "xyzzy qwerty")
+      .toDF("text").select(TextAnalysis.langId(col("text")).as("l")).as[String].collect()
+    assert(r.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("token counting: whitespace and BPE-ish") {
+    val df = Seq(("two words", ""), ("don't stop, now!", "x")).toDF("a", "b")
+    val r = df.select(
+      TextAnalysis.tokenCountWhitespace(col("a")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("a")).as("bpe")).collect()
+    assert(r(0).getAs[Int]("ws") == 2 && r(0).getAs[Int]("bpe") == 2)
+    // don ' t stop , now ! → 7 BPE-ish tokens
+    assert(r(1).getAs[Int]("ws") == 3 && r(1).getAs[Int]("bpe") == 7)
+    // empty string → 0 tokens
+    val z = Seq("").toDF("a").select(TextAnalysis.tokenCountWhitespace(col("a")).as("ws"))
+      .as[Int].collect()(0)
+    assert(z == 0)
+  }
+
+  test("quality score components bound the score to [0,1]") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running ahead",
+      "!!!! ???? ....",
+      "")
+    val r = texts.toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q")).as[Double].collect()
+    assert(r.forall(q => q >= 0.0 && q <= 1.0))
+    assert(r(0) > r(1)) // clean prose beats punctuation soup
+  }
+
+  test("fingerprints: md5 is content-normalized, rolling hash is order-sensitive") {
+    val df = Seq(("Hello,  World", "hello world"), ("world hello", "world hello"))
+      .toDF("a", "b")
+    val md5s = df.select(
+      TextAnalysis.fingerprintMd5(col("a")).as("fa"),
+      TextAnalysis.fingerprintMd5(col("b")).as("fb")).collect()
+    assert(md5s(0).getString(0) == md5s(0).getString(1)) // normalization collapses
+    val rolls = df.select(
+      TextAnalysis.fingerprintRolling(col("a")).as("ra"),
+      TextAnalysis.fingerprintRolling(col("b")).as("rb")).collect()
+    assert(rolls(0).getLong(0) != rolls(1).getLong(0)) // order matters
+  }
+}
