@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.expr.{NfkcNormalize, RollingHash64, SimHash64}
+import graft.expr.{NfkcNormalize, RollingHash64, SimHash64, WordShingles}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -19,6 +19,12 @@ object GraftFunctions {
     "nfkc" -> (exprs => NfkcNormalize(exprs.head)),
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "rolling_hash64" -> (exprs => RollingHash64(exprs.head)),
+    "word_shingles" -> (exprs => exprs match {
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+        WordShingles(c, n)
+      case _ => throw new IllegalArgumentException(
+        "word_shingles(stringCol, intLiteral)")
+    }),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -36,4 +42,8 @@ object GraftFunctions {
 
   /** Order-sensitive 64-bit polynomial fingerprint of a string. */
   def rollingHash64(c: Column): Column = call_function("rolling_hash64", c)
+
+  /** Distinct word n-gram shingles of a pre-normalized string. */
+  def wordShingles(c: Column, n: Int): Column =
+    call_function("word_shingles", c, org.apache.spark.sql.functions.lit(n))
 }

@@ -28,16 +28,12 @@ object Dedup {
   def tokensOf(c: Column): Column = split(normalizeText(c), " ")
 
   /** Word n-gram shingles (distinct). Texts shorter than n words collapse
-    * to a single whole-text shingle.
+    * to a single whole-text shingle. Native single-pass expression — the
+    * equivalent HOF chain (transform/slice/array_join) evaluates
+    * interpreted and dominates dedup runtime at corpus scale.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokensOf(c)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-        .otherwise(array(array_join(toks, " "))))
-  }
+  def shingles(c: Column, n: Int): Column =
+    GraftFunctions.wordShingles(normalizeText(c), n)
 
   /** Exact dedup via hash-groupBy on normalized text: one output row per
     * distinct content, keeping the smallest id as canonical. Map-side
@@ -50,13 +46,40 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signature: `numHashes` independent min-hashes over the shingle
-    * set. Implemented with the xxhash64 built-in seeded per permutation —
-    * pure codegen, no UDF.
+    * set. Implemented with the xxhash64 built-in seeded per permutation.
+    *
+    * NOTE: array-level form — convenient for small frames and property
+    * tests, but `transform`/`array_min` are higher-order functions that
+    * Spark evaluates interpreted (no codegen). The corpus-scale path is
+    * [[minhashSignatures]], which hashes each shingle once and folds the
+    * permutations inside codegen'd aggregates.
     */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shinglesCol, s => xxhash64(lit(i), s)))
     }: _*)
+
+  /** Corpus-scale MinHash: `(doc, shingle-array)` → `(doc, sig array)`.
+    * One codegen'd xxhash64 over the shingle string, then numHashes
+    * re-hashes of that long (xxhash64 seeded per permutation — hashing a
+    * fixed-width long is far cheaper than hashing the string itself, and
+    * avoids ANSI overflow semantics an affine a·x+b family would hit) as
+    * min-aggregates over the exploded rows. Everything stays inside
+    * whole-stage codegen, and the shuffle carries the narrow (doc, hash)
+    * pair instead of shingle text.
+    */
+  def minhashSignatures(sets: DataFrame, docCol: String, shCol: String,
+      numHashes: Int): DataFrame = {
+    val ex = sets.select(col(docCol), explode(col(shCol)).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("h"))).as(s"_m$i")
+    }
+    ex.groupBy(col(docCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(docCol),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
 
   /** MinHash+LSH candidate pairs: signatures are cut into `bands` bands of
     * `numHashes/bands` rows; documents sharing any band hash become
@@ -80,17 +103,22 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
 
-    val withSig = df
+    // Persisted: the shingle/signature frames feed banding AND both sides
+    // of the verification join — recomputing them three times dominates
+    // runtime otherwise.
+    val sets = df
       .select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist()
+    val sigs = minhashSignatures(sets, "doc", "sh", numHashes)
 
     val bandKeys = array((0 until bands).map { b =>
       struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bk"))
     }: _*)
 
-    val banded = withSig
+    val banded = sigs
       .select(col("doc"), explode(bandKeys).as("k"))
       .select(col("doc"), col("k.band").as("band"), col("k.bk").as("bk"))
+      .persist()
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -99,7 +127,6 @@ object Dedup {
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
 
-    val sets = withSig.select(col("doc"), col("sh"))
     candidates
       .join(sets.as("sa"), col("id_a") === col("sa.doc"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc"))
@@ -144,10 +171,20 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Direct n-gram Jaccard pairs via a shingle inverted index (no hashing
-    * approximation): explode shingles, count shared shingles per pair, and
-    * compute |A∩B| / (|A| + |B| - |A∩B|). Exact and fully SQL-expressible,
-    * so it serves as the oracle-checked member of the dedup family.
+  /** Exact n-gram Jaccard pairs with prefix filtering (AllPairs — Bayardo
+    * et al., WWW'07): each document indexes only its `|A| - ⌈t·|A|⌉ + 1`
+    * globally-rarest shingles; a pair with J(A,B) ≥ t must have some shared
+    * shingle inside the smaller-id side's prefix (its suffix holds only
+    * ⌈t·|A|⌉-1 < |A∩B| elements), so joining index-prefix × full-probe
+    * loses nothing. Candidates are then verified with the exact
+    * intersection, making the output identical to the naive all-pairs
+    * join — which is what the DuckDB oracle runs.
+    *
+    * Scale: the candidate join is prefix×full instead of full×full —
+    * frequent "stop shingles" are exactly the ones prefix filtering drops,
+    * which is what keeps hot-key blowup bounded at corpus scale. The
+    * shingle-set frame is persisted because the plan consumes it three
+    * times (prefix build, probe side, verification).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -155,21 +192,32 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), shingleN)).as("s"))
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val sets = df.select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .persist()
+    val ex = sets.select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
 
-    val common = sh.as("a").join(sh.as("b"),
+    // Global rarest-first total order on shingles: (frequency, shingle).
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("f"), col("s"))
+    val prefix = ex.join(freq, "s")
+      .withColumn("r", row_number().over(byRarity))
+      .filter(col("r") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
+      .select(col("doc"), col("s"))
+
+    val candidates = prefix.as("a")
+      .join(ex.select(col("doc"), col("s")).as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
 
-    common
-      .join(sizes.as("za"), col("id_a") === col("za.doc"))
-      .join(sizes.as("zb"), col("id_b") === col("zb.doc"))
+    candidates
+      .join(sets.select(col("doc").as("id_a"), col("sh").as("sha"), col("n_sh").as("na")), "id_a")
+      .join(sets.select(col("doc").as("id_b"), col("sh").as("shb"), col("n_sh").as("nb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("za.n_sh") + col("zb.n_sh") - col("n_common")).cast("double"))
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -103,12 +103,15 @@ object Similarity {
     val planes = hyperplanes(dim, nPlanes, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("cv"), lshBucket(col(vecCol), planes).as("bucket"))
+    // Compute the bucket once, derive the hamming-1 probes by XOR on the
+    // materialized column — re-expanding the plane dot products per probe
+    // multiplies the expression tree nPlanes-fold for no gain.
     val probes = array(
-      (lshBucket(col(vecCol), planes) +:
-        (0 until nPlanes).map(i =>
-          lshBucket(col(vecCol), planes).bitwiseXOR(lit(1L << i)))): _*)
+      (col("qb0") +: (0 until nPlanes).map(i =>
+        col("qb0").bitwiseXOR(lit(1L << i)))): _*)
     val q = queries.select(col(queryIdCol).as("query_id"),
-        quantize(col(vecCol)).as("qv"), explode(probes).as("qbucket"))
+        quantize(col(vecCol)).as("qv"), lshBucket(col(vecCol), planes).as("qb0"))
+      .select(col("query_id"), col("qv"), explode(probes).as("qbucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q),
