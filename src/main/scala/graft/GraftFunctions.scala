@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.expr.{NfkcNormalize, RollingHash64, SimHash64, WordShingles}
+import graft.expr.{DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -19,6 +19,7 @@ object GraftFunctions {
     "nfkc" -> (exprs => NfkcNormalize(exprs.head)),
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "rolling_hash64" -> (exprs => RollingHash64(exprs.head)),
+    "dot_i64" -> (exprs => DotI64(exprs(0), exprs(1))),
     "word_shingles" -> (exprs => exprs match {
       case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
         WordShingles(c, n)
@@ -46,4 +47,7 @@ object GraftFunctions {
   /** Distinct word n-gram shingles of a pre-normalized string. */
   def wordShingles(c: Column, n: Int): Column =
     call_function("word_shingles", c, org.apache.spark.sql.functions.lit(n))
+
+  /** Integer dot product of two array<bigint> vectors. */
+  def dotI64(a: Column, b: Column): Column = call_function("dot_i64", a, b)
 }

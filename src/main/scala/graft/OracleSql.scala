@@ -323,6 +323,47 @@ object OracleSql {
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "q_dedup_embedding" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) AS DOUBLE)
+        |      / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])) AS DOUBLE))
+        |       * sqrt(CAST(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])) AS DOUBLE))) AS cosine
+        |  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine
+        |FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_orderkey, 1) OVER w AS prev_ok,
+        |  lead(o_orderkey, 1) OVER w AS next_ok,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_union_shapes" ->
+      """SELECT doc_id, coalesce(text, '') AS text, coalesce(lang, '') AS lang,
+        |  side, coalesce(source, '') AS source
+        |FROM (
+        |  SELECT doc_id, text, lang, 'a' AS side, CAST(NULL AS VARCHAR) AS source
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'b', source
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |ORDER BY side, doc_id""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH s AS (
          |  SELECT doc_id,

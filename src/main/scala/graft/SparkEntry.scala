@@ -357,6 +357,92 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs (exact, quantized). */
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // --------------------------------------------- additional relational ops
+
+  /** Exact DISTINCT aggregation: distinct suppliers/parts per return flag. */
+  private def qCountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Window-function bundle: lag/lead/rank/dense_rank/ntile in one pass. */
+  private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+        lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** S7 — ragged union-by-name with string backfill (multi-table concat). */
+  private def qUnionShapes(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val a = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), lit("a").as("side"))
+    val b = d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), lit("b").as("side"))
+    ShapeOps.unionAll(Seq(a, b))
+      .orderBy(col("side"), col("doc_id"))
+  }
+
+  // ----------------------------------- rows-only queries (no SQL oracle)
+
+  /** T2 — clean_text incl. NFKC (no DuckDB NFKC → rows-only; semantics
+    * pinned by TextOpsSpec fixtures).
+    */
+  private def qCleanText(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.cleanText(concat(col("text"), lit(" ﬁ№①"))).as("clean"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal plumbing: binary payloads → per-partition feature
+    * extraction (mapPartitions — rows-only; semantics in MultimodalSpec).
+    */
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    mm.Multimodal.extractFeatures(withPayload, "payload",
+        () => new mm.Multimodal.FakeDecoder(8))
+      .select(col("doc_id"), col("width"), col("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L1-L3 service path: enrichment via per-partition client calls
+    * (mapPartitions — rows-only; semantics in EnrichmentSpec).
+    */
+  private def qServiceEnrich(s: SparkSession, dir: String): DataFrame = {
+    val reg = registryView(s, dir).select(
+      col("doc_id"), col("text"),
+      when(col("doc_id") % 5 === 0, lit(""))
+        .otherwise(split(col("text"), " ").getItem(0)).as("brand"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("data:image/png;base64,"), md5(col("text"))))
+        .otherwise(lit("")).as("image"))
+    enrich.ServiceEnrichment.process(reg, "brand", "image",
+        new enrich.StubLlmClient)
+      .select(col("doc_id"), col("brand"),
+        col(s"`${Enrichment.EnglishCol}`").as("brand_en"),
+        col(Enrichment.ExcludedCol).as("excluded"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- text analysis
 
   /** Language ID via stopword profiles. */
@@ -423,6 +509,13 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ann_brute_force" -> (qAnnBruteForce _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_count_distinct" -> (qCountDistinct _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_union_shapes" -> (qUnionShapes _),
+    "q_clean_text" -> (qCleanText _),
+    "q_multimodal_features" -> (qMultimodalFeatures _),
+    "q_service_enrich" -> (qServiceEnrich _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),

@@ -30,8 +30,11 @@ object Similarity {
   def quantize(a: Column, scale: Int = 1000): Column =
     transform(a, x => round(x.cast("double") * scale).cast("long"))
 
+  /** Native codegen'd integer dot — the HOF form (aggregate over zip_with)
+    * evaluates interpreted and dominates the |corpus|×|queries| hot loop.
+    */
   def quantizedDot(qa: Column, qb: Column): Column =
-    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.GraftFunctions.dotI64(qa, qb)
 
   def quantizedCosine(qa: Column, qb: Column): Column =
     quantizedDot(qa, qb).cast("double") /
@@ -62,6 +65,30 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs whose
+    * quantized cosine meets the threshold. Exact — the dedup-family member
+    * for embedding columns, oracle-checkable because quantized arithmetic
+    * is bit-stable across engines.
+    *
+    * Scale shape: |corpus|² dot products is the exact-answer lower bound;
+    * here the right side is broadcast (vectors are narrow after
+    * quantization) so the left side never shuffles, and the dot is a
+    * native codegen'd expression. When approximate recall is acceptable at
+    * corpus scale, [[lshTopK]]'s sign-bucket join is the prefilter path.
+    */
+  def cosinePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      quantScale: Int = 1000): DataFrame = {
+    val q = corpus.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
+    q.as("a").join(broadcast(q.as("b")), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        quantizedCosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Deterministic random hyperplanes (driver-side, seeded). */

@@ -50,6 +50,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall@5 too low: $recall")
   }
 
+  test("dot_i64 native expression agrees with the HOF formulation") {
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L, 6L))).toDF("a", "b")
+    val native = df.select(graft.GraftFunctions.dotI64(col("a"), col("b")).as("d"))
+      .as[Long].collect()(0)
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        .as("d")).as[Long].collect()(0)
+    assert(native == 32L && hof == native)
+  }
+
+  test("cosinePairs finds high-cosine pairs symmetrically and exactly") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f)),   // near 1
+      (3L, Seq(0.0f, 1.0f, 0.0f)))    // orthogonal to 1
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(df, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val planes = Similarity.hyperplanes(4, 8)
     assert(planes == Similarity.hyperplanes(4, 8))
