@@ -364,6 +364,14 @@ object OracleSql {
         |  FROM documents WHERE doc_id % 2 = 1)
         |ORDER BY side, doc_id""".stripMargin,
 
+    "q_data_url" ->
+      """SELECT doc_id, 'data:image/png;base64,' || to_base64(CAST(text AS BLOB)) AS data_url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT doc_id, text AS text_rt, lang AS lang_rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH s AS (
          |  SELECT doc_id,

@@ -401,6 +401,32 @@ object SparkEntry {
       .orderBy(col("side"), col("doc_id"))
   }
 
+  /** T7 — binary payload → base64 data-URL (reference smuggles images as
+    * data-URL strings, utils/gpt.py:54-70; here encode is a plan edge op).
+    */
+  private def qDataUrl(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = t(s, dir, "documents")
+      .select(col("doc_id"), lit("image/png").as("mime"),
+        col("text").cast("binary").as("payload"))
+    mm.Multimodal.toDataUrl(withPayload, "mime", "payload")
+      .select(col("doc_id"), col("data_url"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** L3 — row-correction plumbing: row → JSON → map<string,string> →
+    * re-projected columns (utils/gpt.py:344-381). The stub correction is
+    * the identity, so the oracle checks the roundtrip is lossless.
+    */
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rowJson = to_json(struct(col("text").as("text"), col("lang").as("lang")))
+    t(s, dir, "documents")
+      .withColumn("corrected", enrich.StubProvider.correctRow(rowJson))
+      .select(col("doc_id"),
+        col("corrected").getItem("text").as("text_rt"),
+        col("corrected").getItem("lang").as("lang_rt"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------- rows-only queries (no SQL oracle)
 
   /** T2 — clean_text incl. NFKC (no DuckDB NFKC → rows-only; semantics
@@ -513,6 +539,8 @@ object SparkEntry {
     "q_count_distinct" -> (qCountDistinct _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_union_shapes" -> (qUnionShapes _),
+    "q_data_url" -> (qDataUrl _),
+    "q_json_roundtrip" -> (qJsonRoundtrip _),
     "q_clean_text" -> (qCleanText _),
     "q_multimodal_features" -> (qMultimodalFeatures _),
     "q_service_enrich" -> (qServiceEnrich _),

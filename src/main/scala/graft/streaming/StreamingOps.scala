@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
 
 /** Windowed event aggregation — one definition serving both batch and
   * Structured Streaming (the transformations are identical; only the
@@ -38,4 +41,61 @@ object StreamingOps {
   def streamingTumblingAgg(events: DataFrame, width: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
     tumblingAgg(events.withWatermark("ts", watermark), width)
+
+  // ------------------------------------------- custom state (gap sessions)
+
+  final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** Streaming gap-based sessionization via flatMapGroupsWithState — the
+    * stateful analog of [[graft.ops.MergeOps.sessionize]]: per-user state
+    * holds the open session; an event past the gap (or state timeout at
+    * watermark) closes and emits it. State is per-key and bounded by the
+    * watermark-driven timeout, so the operator runs indefinitely on an
+    * unbounded stream.
+    */
+  def streamingSessionize(
+      events: Dataset[SessionInput],
+      gapSeconds: Long,
+      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def closeState(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, new Timestamp(s.start), s.n, s.sum)
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(closeState(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += closeState(userId, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+        })
+  }
 }

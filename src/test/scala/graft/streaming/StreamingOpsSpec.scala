@@ -48,6 +48,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sessionize via flatMapGroupsWithState closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.SessionInput]
+    val sessions = StreamingOps.streamingSessionize(
+      mem.toDS(), gapSeconds = 1800, watermarkDelay = "0 seconds")
+    val query = sessions.writeStream
+      .format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        StreamingOps.SessionInput(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+        StreamingOps.SessionInput(1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0))
+      query.processAllAvailable()
+      // Session 1 still open. An event past the gap closes it:
+      mem.addData(
+        StreamingOps.SessionInput(1L, Timestamp.valueOf("2024-01-01 02:00:00"), 4.0))
+      query.processAllAvailable()
+      val out = spark.sql("select * from stream_sessions").collect()
+      assert(out.length == 1)
+      assert(out(0).getAs[Long]("n_events") == 2)
+      assert(out(0).getAs[Double]("session_value") == 3.0)
+      assert(out(0).getAs[Timestamp]("session_start") ==
+        Timestamp.valueOf("2024-01-01 00:00:00"))
+    } finally query.stop()
+  }
+
   test("sliding windows assign events to overlapping windows") {
     val ev = Seq(("2024-01-01 10:07:00", "click", 1.0))
       .toDF("ts_s", "event_type", "value")
