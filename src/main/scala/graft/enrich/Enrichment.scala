@@ -65,22 +65,22 @@ object Enrichment {
       descriptionCol: Option[String] = None,
       provider: EnrichmentProvider = StubProvider): DataFrame = {
 
-    val rowCols = df.columns.toIndexedSeq.map(c => col(c).cast("string"))
+    val rowCols = df.columns.toIndexedSeq.map(c => graft.Cols.q(c).cast("string"))
     val excluded = TextOps.isExcluded(TextOps.rowConcat(rowCols))
 
-    val brand0 = coalesce(col(brandCol), lit(""))
-    val image = coalesce(col(imageCol), lit(""))
+    val brand0 = coalesce(graft.Cols.q(brandCol), lit(""))
+    val image = coalesce(graft.Cols.q(imageCol), lit(""))
 
     // Step 2: conditional OCR — empty brand + present image, and not excluded
     // (excluded rows `continue` before reaching OCR in the reference).
     val ocrFires = !excluded && brand0 === "" && image =!= ""
-    val brand1 = when(ocrFires, TextOps.addRecogTag(provider.ocr(col(imageCol))))
+    val brand1 = when(ocrFires, TextOps.addRecogTag(provider.ocr(graft.Cols.q(imageCol))))
       .otherwise(brand0)
 
     // Step 3: conditional brand variants on the updated brand value.
     val enrichFires = !excluded && trim(brand1) =!= ""
     val plainBrand = TextOps.stripRecogTag(brand1)
-    val desc = descriptionCol.map(c => col(c)).getOrElse(lit(null).cast("string"))
+    val desc = descriptionCol.map(c => graft.Cols.q(c)).getOrElse(lit(null).cast("string"))
     val variants = provider.brandVariants(plainBrand, desc)
 
     df.withColumn(brandCol, brand1)

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.Cols
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -25,20 +27,20 @@ object JoinOps {
       outputCol: String = "Изображение"): DataFrame = {
 
     val perRow = images
-      .withColumn("_target", col(rowCol).cast("long") - rowOffset - 1)
+      .withColumn("_target", Cols.q(rowCol).cast("long") - rowOffset - 1)
       .groupBy(col("_target"))
       .agg(
         // deterministic multi-image order via (order, payload) struct sort
         array_join(
           transform(
-            array_sort(collect_list(struct(col(imageOrderCol).as("o"),
-              col(payloadCol).as("v")))),
+            array_sort(collect_list(struct(Cols.q(imageOrderCol).as("o"),
+              Cols.q(payloadCol).as("v")))),
             s => s.getField("v")),
           " ").as(outputCol))
 
     df.join(broadcast(perRow), col(ShapeOps.IndexCol) === col("_target"), "left")
       .drop("_target")
-      .withColumn(outputCol, coalesce(col(outputCol), lit("")))
+      .withColumn(outputCol, coalesce(Cols.q(outputCol), lit("")))
   }
 
   /** The reference's anchor-snap heuristic (handlers/base.py:233-239):

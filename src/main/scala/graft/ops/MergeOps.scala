@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.Cols
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,20 +32,20 @@ object MergeOps {
       partitionBy: Seq[String] = Nil,
       valueCols: Seq[String] = Nil): DataFrame = {
 
-    val key = trim(coalesce(col(keyCol).cast("string"), lit("")))
+    val key = trim(coalesce(Cols.q(keyCol).cast("string"), lit("")))
     // F3 — "Name:" artifact rows are dropped before any merging
     // (kyrgyzstan.py:193-194).
     val kept = df.filter(!key.startsWith("Name:"))
 
     val w =
       if (partitionBy.isEmpty)
-        Window.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Window.orderBy(Cols.q(orderCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else
-        Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderCol))
+        Window.partitionBy(partitionBy.map(Cols.q): _*).orderBy(Cols.q(orderCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val flagged = kept.withColumn(
-      "_gid", sum(TextOps.isNewRecord(col(keyCol)).cast("long")).over(w))
+      "_gid", sum(TextOps.isNewRecord(Cols.q(keyCol)).cast("long")).over(w))
 
     val targets =
       if (valueCols.nonEmpty) valueCols
@@ -57,17 +59,17 @@ object MergeOps {
       array_join(
         filter(
           transform(
-            array_sort(collect_list(struct(col(orderCol).as("o"),
-              trim(coalesce(col(c).cast("string"), lit(""))).as("v")))),
+            array_sort(collect_list(struct(Cols.q(orderCol).as("o"),
+              trim(coalesce(Cols.q(c).cast("string"), lit(""))).as("v")))),
             s => s.getField("v")),
           v => v =!= ""),
         " ").as(c)
     }
 
-    val groupCols = partitionBy.map(col) :+ col("_gid")
+    val groupCols = partitionBy.map(Cols.q) :+ col("_gid")
     flagged
       .groupBy(groupCols: _*)
-      .agg(min(col(orderCol)).as(orderCol), aggs: _*)
+      .agg(min(Cols.q(orderCol)).as(orderCol), aggs: _*)
       .withColumnRenamed("_gid", "record_id")
   }
 
@@ -81,11 +83,11 @@ object MergeOps {
       entityCol: String,
       tsCol: String,
       gapSeconds: Long): DataFrame = {
-    val byEntity = Window.partitionBy(col(entityCol)).orderBy(col(tsCol))
-    val prevTs = lag(col(tsCol), 1).over(byEntity)
+    val byEntity = Window.partitionBy(Cols.q(entityCol)).orderBy(Cols.q(tsCol))
+    val prevTs = lag(Cols.q(tsCol), 1).over(byEntity)
     val newSession = when(
       prevTs.isNull ||
-        (unix_timestamp(col(tsCol)) - unix_timestamp(prevTs)) > gapSeconds, 1L)
+        (unix_timestamp(Cols.q(tsCol)) - unix_timestamp(prevTs)) > gapSeconds, 1L)
       .otherwise(0L)
     df.withColumn("_new_session", newSession)
       .withColumn("session_id",

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.Cols
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,7 +42,7 @@ object ShapeOps {
     */
   def promoteHeader(df: DataFrame): DataFrame = {
     val dataCols = df.columns.filter(_ != IndexCol)
-    val first = df.orderBy(col(IndexCol)).select(dataCols.map(col).toIndexedSeq: _*).limit(1).collect()(0)
+    val first = df.orderBy(col(IndexCol)).select(dataCols.map(Cols.q).toIndexedSeq: _*).limit(1).collect()(0)
     val names = dataCols.indices.map { i =>
       Option(first.get(i)).map(_.toString).getOrElse("UNKNOWN")
     }
@@ -98,8 +100,8 @@ object ShapeOps {
     val unioned = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
     val filled = unioned.schema.fields.map { f =>
       if (f.dataType == org.apache.spark.sql.types.StringType)
-        coalesce(col(f.name), lit("")).as(f.name)
-      else col(f.name)
+        coalesce(Cols.q(f.name), lit("")).as(f.name)
+      else Cols.q(f.name)
     }
     unioned.select(filled.toIndexedSeq: _*)
   }

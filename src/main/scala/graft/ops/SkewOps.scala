@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.Cols
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -28,12 +30,12 @@ object SkewOps {
     // Deterministic salt: hash of all big-side columns, not rand() —
     // keeps the operator reproducible (oracle-comparable) run to run.
     val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(big.columns.map(Cols.q).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
     val saltSeq = explode(array((0 until saltFactor).map(lit): _*))
     val smallSalted = small.withColumn("_salt", saltSeq)
     bigSalted.join(smallSalted,
         bigSalted("_salt") === smallSalted("_salt") &&
-          col(bigKey) === col(smallKey), joinType)
+          Cols.q(bigKey) === Cols.q(smallKey), joinType)
       .drop("_salt")
   }
 
@@ -49,9 +51,9 @@ object SkewOps {
       valueCol: String,
       saltFactor: Int = 8): DataFrame =
     df.withColumn("_salt",
-        pmod(xxhash64(col(valueCol)), lit(saltFactor)).cast("int"))
-      .groupBy(col(keyCol), col("_salt"))
-      .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
-      .groupBy(col(keyCol))
+        pmod(xxhash64(Cols.q(valueCol)), lit(saltFactor)).cast("int"))
+      .groupBy(Cols.q(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(Cols.q(valueCol)).as("_s"))
+      .groupBy(Cols.q(keyCol))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("sum"))
 }

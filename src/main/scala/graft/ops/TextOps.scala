@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.Cols
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
@@ -14,7 +16,7 @@ object TextOps {
   /** T1 — trim every string column (reference: handlers/belarus.py:118-119). */
   def trimAll(df: DataFrame): DataFrame = {
     val projected = df.schema.fields.map { f =>
-      if (f.dataType == StringType) trim(col(f.name)).as(f.name) else col(f.name)
+      if (f.dataType == StringType) trim(Cols.q(f.name)).as(f.name) else Cols.q(f.name)
     }
     df.select(projected.toIndexedSeq: _*)
   }
@@ -91,7 +93,7 @@ object TextOps {
     */
   def cleanTextAll(df: DataFrame): DataFrame = {
     val projected = df.schema.fields.map { f =>
-      if (f.dataType == StringType) cleanText(col(f.name)).as(f.name) else col(f.name)
+      if (f.dataType == StringType) cleanText(Cols.q(f.name)).as(f.name) else Cols.q(f.name)
     }
     df.select(projected.toIndexedSeq: _*)
   }
@@ -119,5 +121,5 @@ object TextOps {
 
   /** P8 — cast every column to string (handlers/kyrgyzstan.py:273-281). */
   def castAllToString(df: DataFrame): DataFrame =
-    df.select(df.columns.toIndexedSeq.map(c => col(c).cast(StringType).as(c)): _*)
+    df.select(df.columns.toIndexedSeq.map(c => Cols.q(c).cast(StringType).as(c)): _*)
 }
