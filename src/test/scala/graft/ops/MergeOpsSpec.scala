@@ -62,6 +62,18 @@ class MergeOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq("a b", "x y"))
   }
 
+  test("OrderedConcat aggregator matches the plan-level ordered concat") {
+    // shuffled partitions: merge() must still produce index order
+    val ds = spark.createDataset(
+      Seq((2L, "c"), (0L, "a"), (1L, "b"), (3L, ""), (4L, "d")))(
+      org.apache.spark.sql.Encoders.product[(Long, String)])
+      .repartition(3)
+    val out = ds.groupByKey(_ => 0)(org.apache.spark.sql.Encoders.scalaInt)
+      .agg(OrderedConcat.column)
+      .collect()
+    assert(out.head._2 == "a b c d")
+  }
+
   test("sessionize splits on gap > threshold") {
     val ev = Seq(
       (1L, "2024-01-01 00:00:00", 1.0),

@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StageSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-stage").toString
+
+  test("parquet roundtrip preserves schema and rows") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val p = tmp() + "/docs"
+    Stage.writeParquet(docs, p)
+    val back = Stage.readParquet(spark, p)
+    assert(back.schema == docs.schema)
+    assert(back.count() == docs.count())
+  }
+
+  test("partitioned write enables partition pruning (no full scan)") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val p = tmp() + "/docs_by_lang"
+    Stage.writePartitioned(docs, p, Seq("lang"))
+
+    val pruned = Stage.readParquet(spark, p).filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"expected partition filters in scan:\n$scan")
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(pruned.count() == expected)
+  }
+
+  test("csv and jsonl roundtrips") {
+    val df = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "lang", "source").limit(50)
+    val base = tmp()
+    Stage.writeCsv(df, base + "/csv")
+    Stage.writeJsonl(df, base + "/jsonl")
+    assert(Stage.readCsv(spark, base + "/csv").count() == 50)
+    val j = Stage.readJsonl(spark, base + "/jsonl")
+    assert(j.count() == 50)
+    assert(j.columns.toSet == Set("doc_id", "lang", "source"))
+  }
+}
