@@ -276,6 +276,14 @@ object OracleSql {
       """SELECT event_id, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q_asof_join" ->
+      """SELECT l.event_id, r.event_id AS purchase_event,
+        |  round(r.value, 2) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+
     "q_dedup_exact" ->
       s"""SELECT md5(${norm("text")}) AS content_hash,
          |  min(doc_id) AS canonical_id, count(*) AS n_copies

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.enrich.Enrichment
-import graft.ops.{JoinOps, MergeOps, ShapeOps, TextOps}
+import graft.ops.{AsOfJoin, JoinOps, MergeOps, ShapeOps, TextOps}
 import graft.sim.Similarity
 import graft.streaming.StreamingOps
 import graft.text.TextAnalysis
@@ -309,6 +309,27 @@ object SparkEntry {
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
       .orderBy(col("event_id"))
 
+  /** As-of backward join: each click matched to the user's latest prior
+    * (or simultaneous) purchase — Spark-missing operator composed as
+    * tagged-union + ordered window (AsOfJoin), oracled by DuckDB's native
+    * ASOF JOIN.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_event"), col("value").as("purchase_value"))
+    AsOfJoin.backward(clicks, purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTs = "ts", rightTs = "p_ts",
+        valueCols = Seq("purchase_event", "purchase_value"))
+      .select(col("event_id"), col("purchase_event"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------ dedup capability
 
   /** Exact dedup groups (hash-groupBy on normalized content). */
@@ -529,6 +550,7 @@ object SparkEntry {
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_props" -> (qEventsProps _),
+    "q_asof_join" -> (qAsofJoin _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("backward as-of: latest right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3"))   // key 2: no right rows before
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0),
+      (1L, ts("2024-01-01 13:00:00"), 30.0),   // after both left rows
+      (2L, ts("2024-01-01 09:30:00"), 99.0))   // after key-2's left row
+      .toDF("rk", "rt", "rv")
+
+    val out = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .orderBy("tag").collect()
+    assert(out(0).getAs[Double]("rv") == 10.0)   // l1 ← 09:30
+    assert(out(1).getAs[Double]("rv") == 20.0)   // l2 ← 11:00
+    assert(out(2).isNullAt(out(2).fieldIndex("rv")))  // l3 ← nothing
+  }
+
+  test("equal timestamps match inclusively (right at t == left t)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 7.0)).toDF("rk", "rt", "rv")
+    val out = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("rv")).collect()
+    assert(out(0).getAs[Double]("rv") == 7.0)
+  }
+
+  test("plan shuffles once by key — no range/cross join") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("rk", "rt", "rv")
+    val plan = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"as-of join must not plan a cross join:\n$plan")
+  }
+}
