@@ -284,6 +284,13 @@ object OracleSql {
         |  ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
 
+    "q_range_join" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice
+        |FROM lineitem JOIN part
+        |  ON l_extendedprice >= p_retailprice - 1
+        | AND l_extendedprice <= p_retailprice + 1
+        |ORDER BY l_orderkey, l_linenumber, p_partkey""".stripMargin,
+
     "q_dedup_exact" ->
       s"""SELECT md5(${norm("text")}) AS content_hash,
          |  min(doc_id) AS canonical_id, count(*) AS n_copies

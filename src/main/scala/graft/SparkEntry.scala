@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.enrich.Enrichment
-import graft.ops.{AsOfJoin, JoinOps, MergeOps, ShapeOps, TextOps}
+import graft.ops.{AsOfJoin, JoinOps, MergeOps, RangeJoin, ShapeOps, TextOps}
 import graft.sim.Similarity
 import graft.streaming.StreamingOps
 import graft.text.TextAnalysis
@@ -330,6 +330,23 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Range join: lineitem prices inside ±1 bands around part retail
+    * prices — bin-bucketed candidates + exact bound verification
+    * (RangeJoin), oracled by DuckDB's plain inequality join.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val points = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val bands = t(s, dir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice") - 1).as("lo"), (col("p_retailprice") + 1).as("hi"))
+    RangeJoin.pointInInterval(points, bands, "l_extendedprice", "lo", "hi",
+        binWidth = 2.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+  }
+
   // ------------------------------------------------------ dedup capability
 
   /** Exact dedup groups (hash-groupBy on normalized content). */
@@ -551,6 +568,7 @@ object SparkEntry {
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_props" -> (qEventsProps _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
