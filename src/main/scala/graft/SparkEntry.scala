@@ -395,6 +395,17 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-cell approximate top-k (the other scale path — rows-only; the
+    * spec measures recall against brute force).
+    */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id",
+        k = 5, nCells = 16, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact, quantized). */
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -575,6 +586,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ann_brute_force" -> (qAnnBruteForce _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_window_funcs" -> (qWindowFuncs _),

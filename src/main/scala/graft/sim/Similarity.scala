@@ -91,6 +91,94 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  // ------------------------------------------------------------ IVF path
+
+  /** IVF (inverted-file) coarse quantizer: deterministic seed centroids
+    * (every |corpus|/k-th vector by id), refined with `iters` Lloyd
+    * iterations, all as DataFrame ops — assignment is a broadcast join
+    * against the (tiny) centroid table + per-vector argmin, means are one
+    * hash aggregation per iteration. Returns (cid, cvec) quantized.
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      quantScale: Int = 1000): DataFrame = {
+    val q = corpus.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
+    val n = q.count()
+    val stride = math.max(1L, n / k)
+    var centroids = q.filter(pmod(col("id"), lit(stride)) === 0)
+      .limit(k)
+      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cid"), col("v").as("cv"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignToNearest(q, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("mx"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("ps"))
+        .select(col("cid"),
+          transform(col("ps"), p => round(p.getField("mx")).cast("long")).as("cv"))
+    }
+    centroids
+  }
+
+  /** Nearest centroid per vector: broadcast the centroid table, score with
+    * the native dot-derived cosine, argmin via max_by on (similarity).
+    */
+  private def assignToNearest(q: DataFrame, centroids: DataFrame): DataFrame =
+    q.join(broadcast(centroids))
+      .withColumn("sim", quantizedCosine(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
+        first(col("v")).as("v"))
+
+  /** IVF approximate top-k: corpus vectors are indexed by nearest
+    * centroid; each query probes its `nprobe` nearest cells and ranks
+    * candidates exactly. Candidate volume ≈ |corpus|·nprobe/k — the
+    * classic recall/cost dial. All joins are equi-joins on the cell id;
+    * the centroid table is broadcast everywhere.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nprobe: Int = 4,
+      quantScale: Int = 1000): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, quantScale = quantScale)
+      .persist()
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantize(col(vecCol), quantScale).as("cv0"))
+    val indexed = assignToNearest(
+        c.select(col("neighbor_id").as("id"), col("cv0").as("v")), cents)
+      .select(col("id").as("neighbor_id"), col("cid"), col("v").as("cv0"))
+
+    val probeRank = Window.partitionBy(col("query_id")).orderBy(col("psim").desc, col("cid"))
+    val qProbes = queries
+      .select(col(queryIdCol).as("query_id"), quantize(col(vecCol), quantScale).as("qv"))
+      .join(broadcast(cents))
+      .withColumn("psim", quantizedCosine(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(probeRank))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    indexed.join(broadcast(qProbes),
+        indexed("cid") === qProbes("cid") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", quantizedCosine(col("qv"), col("cv0")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Deterministic random hyperplanes (driver-side, seeded). */
   def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

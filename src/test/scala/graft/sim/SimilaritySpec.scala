@@ -71,6 +71,28 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ivfTopK achieves reasonable recall@5 vs brute force") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id",
+        k = 5, nCells = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
+  }
+
+  test("ivf centroids are deterministic and cover all cells probed") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val c1 = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8)
+      .orderBy("cid").collect().map(_.toSeq)
+    val c2 = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8)
+      .orderBy("cid").collect().map(_.toSeq)
+    assert(c1.toSeq == c2.toSeq)
+    assert(c1.length == 8)
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val planes = Similarity.hyperplanes(4, 8)
     assert(planes == Similarity.hyperplanes(4, 8))
