@@ -221,6 +221,25 @@ object OracleSql {
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
 
+    "q_cube" ->
+      """SELECT r_name, c_mktsegment, round(sum(c_acctbal), 2) AS sum_bal, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, c_mktsegment)
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "q_explode_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS toks FROM documents WHERE doc_id < 100),
+        |e AS (
+        |  SELECT doc_id,
+        |    unnest([{'pos': CAST(i - 1 AS BIGINT), 'token': toks[i]}
+        |            FOR i IN generate_series(1, len(toks))]) AS s
+        |  FROM t)
+        |SELECT doc_id, s.pos AS pos, s.token AS token
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
+
     "q_topk_per_group" ->
       """WITH ranked AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

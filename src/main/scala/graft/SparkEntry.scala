@@ -234,6 +234,30 @@ object SparkEntry {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** CUBE over region × market segment (full grouping-sets family with
+    * qRollup).
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** Generator surface (T8 inverse): posexplode of the token split —
+    * one row per (doc, position, token).
+    */
+  private def qExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** Top-3 orders per customer (window top-k with deterministic tiebreak). */
   private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -570,6 +594,8 @@ object SparkEntry {
     "q_join_revenue" -> (qJoinRevenue _),
     "q_broadcast_dims" -> (qBroadcastDims _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_explode_tokens" -> (qExplodeTokens _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_distinct" -> (qDistinct _),
     "q_anti_join" -> (qAntiJoin _),
