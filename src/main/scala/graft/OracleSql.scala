@@ -197,6 +197,18 @@ object OracleSql {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_date
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
     "q_join_revenue" ->
       """SELECT c_mktsegment,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

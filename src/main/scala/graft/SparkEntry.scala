@@ -210,6 +210,24 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** TPC-H Q3-style shipping priority: date-filtered 3-way join → top-10
+    * by revenue (filters push to the parquet scans; limit after window-free
+    * global sort is AQE-planned as TakeOrderedAndProject).
+    */
+  private def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-01-01"
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") >= lit(cutoff).cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** Small-dimension broadcast join: lineitem ⋈ part ⋈ supplier. */
   private def qBroadcastDims(s: SparkSession, dir: String): DataFrame = {
     val l = t(s, dir, "lineitem")
@@ -591,6 +609,7 @@ object SparkEntry {
     "q_positional_join" -> (qPositionalJoin _),
     "q_enrich_pipeline" -> (qEnrichPipeline _),
     "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
     "q_join_revenue" -> (qJoinRevenue _),
     "q_broadcast_dims" -> (qBroadcastDims _),
     "q_rollup" -> (qRollup _),

@@ -1,0 +1,83 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.enrich.Enrichment
+import graft.ops.{AsOfJoin, MergeOps, RangeJoin, ShapeOps}
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: empty frames, all-null columns, and
+  * single-row groups must flow through every operator without throwing —
+  * at corpus scale some partition is always empty or pathological.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    Seq((0L, "x")).toDF("doc_id", "text").schema)
+
+  test("dedup family on an empty corpus returns empty, not an error") {
+    assert(Dedup.exactGroups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLshPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("dedup tolerates null and empty texts") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "   "), (4L, "real text here"))
+      .toDF("doc_id", "text")
+    // nulls/empties normalize to "" and form one exact group
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.filter(col("n_copies") === 3).count() == 1)
+    // pair ops must not throw on empty shingle content
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+    Dedup.simhashPairs(docs, "doc_id", "text").collect()
+  }
+
+  test("continuation merge of a single row and of no record-starts") {
+    val single = ShapeOps.withIndex(Seq((0L, "1234/ТЗ", "only")).toDF("ord", "reg", "txt"),
+      col("ord"))
+    assert(MergeOps.continuationMerge(single, "reg", valueCols = Seq("txt")).count() == 1)
+
+    val noStarts = ShapeOps.withIndex(
+      Seq((0L, "", "a"), (1L, "", "b")).toDF("ord", "reg", "txt"), col("ord"))
+    val merged = MergeOps.continuationMerge(noStarts, "reg", valueCols = Seq("txt"))
+      .select("txt").as[String].collect()
+    assert(merged.toSeq == Seq("a b"))  // one leading-orphan record
+  }
+
+  test("as-of join with empty right side leaves all left rows unmatched") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "l"))
+      .toDF("k", "t", "tag")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("rk", "rt", "rv")
+    val out = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("rv")).collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("rv")))
+  }
+
+  test("range join with no overlapping intervals returns empty") {
+    val points = Seq((1L, 5.0)).toDF("pid", "p")
+    val intervals = Seq((1L, 100.0, 200.0)).toDF("iid", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 10.0).count() == 0)
+  }
+
+  test("enrichment of an empty frame keeps the output schema") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq((1L, "b", "i")).toDF("id", "brand", "image").schema)
+    val out = Enrichment.process(empty, "brand", "image")
+    assert(out.columns.contains(Enrichment.ExcludedCol))
+    assert(out.count() == 0)
+  }
+
+  test("similarity search with k larger than the corpus") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", "vec_id", k = 10)
+    assert(out.count() == 2) // each query gets the only other vector
+  }
+
+  test("withIndex on empty input and promoteHeader rejection path") {
+    val emptyIndexed = ShapeOps.withIndex(emptyDocs, col("doc_id"))
+    assert(ShapeOps.sliceFrom(emptyIndexed, 2).count() == 0)
+  }
+}
