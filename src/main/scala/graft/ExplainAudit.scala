@@ -1,0 +1,24 @@
+package graft
+// Plan-audit generator for PLANS.md (kept in-tree so each round can
+// regenerate after operator changes).
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val interesting = Seq("q3_shipping_priority", "q_broadcast_dims",
+      "q_merge_continued", "q_positional_join", "q_asof_join",
+      "q_range_join", "q_dedup_ngram_jaccard", "q_ann_brute_force")
+    interesting.foreach { name =>
+      println(s"########## $name")
+      println(SparkEntry.queries(name)(spark, d)
+        .queryExecution.explainString(FormattedMode))
+    }
+    spark.stop()
+  }
+}
