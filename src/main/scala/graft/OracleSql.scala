@@ -144,6 +144,28 @@ object OracleSql {
          |    FILTER (WHERE trim(coalesce(text, '')) <> ''), '') AS text
          |FROM flagged GROUP BY record_id ORDER BY record_id""".stripMargin,
 
+    "q_merge_partitioned" ->
+      s"""WITH $registry,
+         |indexed AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS _idx
+         |  FROM registry),
+         |kept AS (
+         |  SELECT * FROM indexed
+         |  WHERE NOT starts_with(trim(coalesce(CAST(reg_num AS VARCHAR), '')), 'Name:')),
+         |flagged AS (
+         |  SELECT *,
+         |    CAST(sum(CASE WHEN regexp_matches(trim(coalesce(reg_num, '')), '$newRecordRegex')
+         |             THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY source ORDER BY _idx
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS record_id
+         |  FROM kept)
+         |SELECT source, record_id,
+         |  coalesce(string_agg(trim(coalesce(reg_num, '')), ' ' ORDER BY _idx)
+         |    FILTER (WHERE trim(coalesce(reg_num, '')) <> ''), '') AS reg_num,
+         |  coalesce(string_agg(trim(coalesce(text, '')), ' ' ORDER BY _idx)
+         |    FILTER (WHERE trim(coalesce(text, '')) <> ''), '') AS text
+         |FROM flagged GROUP BY source, record_id ORDER BY source, record_id""".stripMargin,
+
     "q_positional_join" ->
       """WITH base AS (
         |  SELECT doc_id, source, row_number() OVER (ORDER BY doc_id) - 1 AS _idx FROM documents),

@@ -148,6 +148,20 @@ object SparkEntry {
       .orderBy(col("record_id"))
   }
 
+  /** A1 at scale — the partitioned continuation merge: order is
+    * per-source, so the window and aggregation hash-partition by source
+    * and parallelize (this is the 100 TB shape; q_merge_continued is the
+    * single-registry parity case).
+    */
+  private def qMergePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val indexed = ShapeOps.withIndex(registryView(s, dir),
+      col("doc_id"), partitionBy = Seq(col("source")))
+    MergeOps.continuationMerge(indexed, keyCol = "reg_num",
+        partitionBy = Seq("source"), valueCols = Seq("reg_num", "text"))
+      .select(col("source"), col("record_id"), col("reg_num"), col("text"))
+      .orderBy(col("source"), col("record_id"))
+  }
+
   /** J1 — positional image↔row join with ROW_OFFSET=2. */
   private def qPositionalJoin(s: SparkSession, dir: String): DataFrame = {
     val base = ShapeOps.withIndex(
@@ -606,6 +620,7 @@ object SparkEntry {
     "q_slice_offset" -> (qSliceOffset _),
     "q_sanitize_prompt" -> (qSanitizePrompt _),
     "q_merge_continued" -> (qMergeContinued _),
+    "q_merge_partitioned" -> (qMergePartitioned _),
     "q_positional_join" -> (qPositionalJoin _),
     "q_enrich_pipeline" -> (qEnrichPipeline _),
     "q1_pricing_summary" -> (q1PricingSummary _),
