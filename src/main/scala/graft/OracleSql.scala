@@ -305,6 +305,36 @@ object OracleSql {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      OVER w AS DOUBLE)
+        |    / (count(*) OVER w * 100.0), 3) AS mavg3
+        |FROM orders WHERE o_custkey % 20 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  qv[1] AS first_q, qv[-1] AS last_q,
+        |  list_min(qv) AS min_q, list_max(qv) AS max_q
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "q_events_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

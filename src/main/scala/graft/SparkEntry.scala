@@ -338,6 +338,55 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Sliding row-frame aggregates: 3-row centered moving average per
+    * customer order history.
+    */
+  private def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-1, 1)
+    // Averaged in exact integer cents: a double `avg` lands on .005
+    // rounding boundaries differently per engine (last-ulp divergence).
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    t(s, dir, "orders")
+      .filter(col("o_custkey") % 20 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(cents).over(w) / (count(lit(1)).over(w) * lit(100.0)), 3).as("mavg3"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Exact interpolated percentiles per group (median + p90). */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(median(col("l_quantity")), 4).as("med_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** JSON-path extraction from the props payload (proper JSON parse, vs
+    * q_events_props' regex form).
+    */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+
+  /** Array-function surface over embeddings (size/first/last/min/max of
+    * the quantized vector).
+    */
+  private def qArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val qv = Similarity.quantize(col("embedding"))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(qv, 1).as("first_q"),
+        element_at(qv, -1).as("last_q"),
+        array_min(qv).as("min_q"),
+        array_max(qv).as("max_q"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------- event analytics
 
   /** Tumbling-window aggregation (batch form of the streaming plan). */
@@ -635,6 +684,10 @@ object SparkEntry {
     "q_anti_join" -> (qAntiJoin _),
     "q_semi_join" -> (qSemiJoin _),
     "q_running_sum" -> (qRunningSum _),
+    "q_moving_avg" -> (qMovingAvg _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_array_funcs" -> (qArrayFuncs _),
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_props" -> (qEventsProps _),
