@@ -387,6 +387,30 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** PIVOT — event counts per user, one column per event type (explicit
+    * value list keeps the schema static, the scalable form — value
+    * discovery would need an extra pass).
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** UNPIVOT/melt — wide lineitem measures to long (key, value) rows. */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
   // ------------------------------------------------------- event analytics
 
   /** Tumbling-window aggregation (batch form of the streaming plan). */
@@ -688,6 +712,8 @@ object SparkEntry {
     "q_percentiles" -> (qPercentiles _),
     "q_json_extract" -> (qJsonExtract _),
     "q_array_funcs" -> (qArrayFuncs _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_props" -> (qEventsProps _),
