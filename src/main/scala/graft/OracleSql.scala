@@ -357,6 +357,13 @@ object OracleSql {
         |  FROM lineitem WHERE l_orderkey < 100)
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
+    "q_sql_text" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS total_value, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     "q_events_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

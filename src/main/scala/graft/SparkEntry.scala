@@ -411,6 +411,22 @@ object SparkEntry {
         "measure", "value")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
 
+  /** SQL-text front end: the same engine through `spark.sql` over
+    * registered temp views (queries and SQL share one Catalyst plan
+    * space — the oracle is almost the identical statement).
+    */
+  private def qSqlText(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("v_customer")
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    t(s, dir, "nation").createOrReplaceTempView("v_nation")
+    s.sql("""
+      SELECT n_name, round(sum(o_totalprice), 2) AS total_value, count(*) AS n_orders
+      FROM v_orders
+      JOIN v_customer ON o_custkey = c_custkey
+      JOIN v_nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")
+  }
+
   // ------------------------------------------------------- event analytics
 
   /** Tumbling-window aggregation (batch form of the streaming plan). */
@@ -714,6 +730,7 @@ object SparkEntry {
     "q_array_funcs" -> (qArrayFuncs _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
+    "q_sql_text" -> (qSqlText _),
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_props" -> (qEventsProps _),
