@@ -20,7 +20,11 @@ object Bench {
       // count() alone lets Catalyst prune the projections under test.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop blocks persisted inside operators (dedup/similarity reuse
+      // frames) so queries don't inherit each other's storage pressure.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
