@@ -204,11 +204,18 @@ object Dedup {
     val prefix = ex.join(freq, "s")
       .withColumn("r", row_number().over(byRarity))
       .filter(col("r") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
-      .select(col("doc"), col("s"))
+      .select(col("doc"), col("n_sh"), col("s"))
 
+    // Length filter (AllPairs): J(A,B) ≥ t implies t·|A| ≤ |B| ≤ |A|/t.
+    // Encoded in exact integer arithmetic with tLo = floor(t·1e6)/1e6 ≤ t,
+    // so the predicate is implied by the Jaccard bound (never over-prunes)
+    // and floating-point boundary cases can't drop a true pair.
+    val tLo6 = math.floor(threshold * 1e6).toLong
     val candidates = prefix.as("a")
-      .join(ex.select(col("doc"), col("s")).as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .join(ex.select(col("doc"), col("n_sh"), col("s")).as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
+          col("b.n_sh") * 1000000L >= lit(tLo6) * col("a.n_sh") &&
+          col("a.n_sh") * 1000000L >= lit(tLo6) * col("b.n_sh"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
 

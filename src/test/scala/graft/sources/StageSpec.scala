@@ -30,6 +30,23 @@ class StageSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("malformed jsonl rows surface in _corrupt_record instead of failing the scan") {
+    val dir = tmp()
+    java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "data.jsonl"),
+      """{"id": 1, "v": "ok"}
+        |{not json at all
+        |{"id": 2, "v": "also ok"}
+        |""".stripMargin)
+    val df = spark.read
+      .schema("id LONG, v STRING, _corrupt_record STRING")
+      .json(dir).cache()  // PERMISSIVE (default): bad rows isolated, scan succeeds
+    try {
+      assert(df.count() == 3)
+      assert(df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull).count() == 1)
+      assert(df.filter(org.apache.spark.sql.functions.col("v").isNotNull).count() == 2)
+    } finally df.unpersist()
+  }
+
   test("csv and jsonl roundtrips") {
     val df = graft.Tables.load(spark, sf001, "documents")
       .select("doc_id", "lang", "source").limit(50)
