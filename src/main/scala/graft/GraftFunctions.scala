@@ -28,10 +28,16 @@ object GraftFunctions {
     }),
   )
 
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    if (registered.add(spark)) {
+      val registry = spark.sessionState.functionRegistry
+      builders.foreach { case (name, builder) =>
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
   }
 

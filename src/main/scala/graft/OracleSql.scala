@@ -42,6 +42,30 @@ object OracleSql {
   private def langScore(c: String, words: Seq[String]): String =
     s"""CAST(len(regexp_extract_all(lower(coalesce($c, '')), '${words.mkString("\\b(", "|", ")\\b")}')) AS BIGINT)"""
 
+  /** Shared CTE chain computing exact n-gram Jaccard scores (the naive
+    * all-pairs form — the engine's prefix-filtered version must equal it).
+    */
+  private def ngramCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc, list_distinct(CASE WHEN len(t) >= 3
+       |    THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]
+       |    ELSE [array_to_string(t, ' ')] END) AS shs
+       |  FROM toks),
+       |ex AS (SELECT doc, unnest(shs) AS s FROM sh),
+       |sizes AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+       |common AS (
+       |  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
+       |  FROM common
+       |  JOIN sizes za ON id_a = za.doc
+       |  JOIN sizes zb ON id_b = zb.doc)""".stripMargin
+
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
   private val stopFr = Seq("le", "la", "les", "et", "est", "un")
@@ -409,27 +433,23 @@ object OracleSql {
          |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t FROM documents),
-         |sh AS (
-         |  SELECT doc, list_distinct(CASE WHEN len(t) >= 3
-         |    THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]
-         |    ELSE [array_to_string(t, ' ')] END) AS shs
-         |  FROM toks),
-         |ex AS (SELECT doc, unnest(shs) AS s FROM sh),
-         |sizes AS (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
-         |common AS (
-         |  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT id_a, id_b,
-         |    CAST(n_common AS DOUBLE) / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
-         |  FROM common
-         |  JOIN sizes za ON id_a = za.doc
-         |  JOIN sizes zb ON id_b = zb.doc)
+      s"""WITH $ngramCtes
          |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         |SELECT u AS doc, least(u, min(v)) AS cluster_id
+         |FROM reach GROUP BY u ORDER BY doc""".stripMargin,
 
     "q_ann_brute_force" ->
       """WITH qz AS (

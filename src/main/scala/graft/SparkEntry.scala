@@ -506,6 +506,17 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Duplicate clustering: connected components over the exact near-dup
+    * pair graph; cluster_id = component minimum (oracle: DuckDB recursive
+    * CTE transitive closure).
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+    Dedup.connectedComponents(pairs)
+      .orderBy(col("doc"))
+  }
+
   /** MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
     * the ScalaTest spec verifies planted duplicates are found).
     */
@@ -738,6 +749,7 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ann_brute_force" -> (qAnnBruteForce _),

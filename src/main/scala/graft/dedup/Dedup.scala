@@ -171,6 +171,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair graph — the final
+    * corpus-dedup step: every document in a component gets the component's
+    * minimum id as `cluster_id`, so "keep one per cluster" is a groupBy.
+    *
+    * Min-label propagation: labels start as own id; each round every node
+    * takes the min of its label and its neighbors' labels. A label needs
+    * `diameter` rounds to cross a component, and near-dup components are
+    * overwhelmingly tiny cliques/short chains, so a fixed small round
+    * count converges; at web scale swap in the large-star/small-star
+    * variant (Kiveris et al. 2014) — same join shape, fewer rounds.
+    */
+  def connectedComponents(pairs: DataFrame, iters: Int = 8): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .withColumn("label", col("doc"))
+    (0 until iters).foreach { _ =>
+      val neighborMin = edges
+        .join(labels, edges("v") === labels("doc"))
+        .groupBy(col("u")).agg(min(col("label")).as("nmin"))
+      labels = labels
+        .join(neighborMin, labels("doc") === neighborMin("u"), "left")
+        .select(col("doc"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // cut the growing lineage each round — iterative plans otherwise
+      // re-derive all prior rounds at every action
+      labels = labels.localCheckpoint(eager = false)
+    }
+    labels.select(col("doc"), col("label").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard pairs with prefix filtering (AllPairs — Bayardo
     * et al., WWW'07): each document indexes only its `|A| - ⌈t·|A|⌉ + 1`
     * globally-rarest shingles; a pair with J(A,B) ≥ t must have some shared

@@ -68,6 +68,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))  // unrelated docs far apart
   }
 
+  test("connectedComponents: chains collapse to one cluster with min label") {
+    // a-b, b-c chain plus an isolated pair d-e
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents on planted corpus groups exact+near dups together") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.6)
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(0L) == 0L && cc(1L) == 0L && cc(2L) == 0L)
+    assert(!cc.contains(3L) && !cc.contains(4L)) // distinct docs form no pairs
+  }
+
   test("shingles: short texts collapse to whole-text shingle") {
     val r = Seq("one two").toDF("text")
       .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].collect()(0)
