@@ -519,6 +519,24 @@ object OracleSql {
       """SELECT doc_id, text AS text_rt, lang AS lang_rt
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_dedup_corpus" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |losers AS (
+         |  SELECT u AS doc FROM reach GROUP BY u
+         |  HAVING least(u, min(v)) <> u)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT doc FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH s AS (
          |  SELECT doc_id,

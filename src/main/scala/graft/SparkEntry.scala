@@ -517,6 +517,12 @@ object SparkEntry {
       .orderBy(col("doc"))
   }
 
+  /** The deduplicated corpus: cluster representatives + unique docs. */
+  private def qDedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.deduplicate(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
   /** MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
     * the ScalaTest spec verifies planted duplicates are found).
     */
@@ -750,6 +756,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_corpus" -> (qDedupCorpus _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ann_brute_force" -> (qAnnBruteForce _),

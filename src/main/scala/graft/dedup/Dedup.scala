@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.GraftFunctions
+import graft.{Cols, GraftFunctions}
 
 /** Deduplication operators for large-scale text corpora — exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard. (Beyond-reference capability
@@ -200,6 +200,25 @@ object Dedup {
       labels = labels.localCheckpoint(eager = false)
     }
     labels.select(col("doc"), col("label").as("cluster_id"))
+  }
+
+  /** The end-user dedup operator: the corpus with near-duplicates removed
+    * — keeps every document that is its own cluster representative
+    * (cluster minimum) and every document in no near-dup pair at all.
+    * Composition of [[ngramJaccardPairs]] + [[connectedComponents]] + an
+    * anti join, so the whole thing is one lazy plan chain.
+    */
+  def deduplicate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleN, threshold)
+    val losers = connectedComponents(pairs)
+      .filter(col("doc") =!= col("cluster_id"))
+      .select(col("doc"))
+    df.join(losers, Cols.q(idCol) === losers("doc"), "left_anti")
   }
 
   /** Exact n-gram Jaccard pairs with prefix filtering (AllPairs — Bayardo

@@ -84,6 +84,12 @@ class DedupSpec extends SparkSpec {
     assert(!cc.contains(3L) && !cc.contains(4L)) // distinct docs form no pairs
   }
 
+  test("deduplicate keeps one representative per cluster plus unique docs") {
+    val kept = Dedup.deduplicate(corpus, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L, 4L)) // 0 represents {0,1,2}; 3,4 unique
+  }
+
   test("shingles: short texts collapse to whole-text shingle") {
     val r = Seq("one two").toDF("text")
       .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].collect()(0)
