@@ -181,8 +181,11 @@ object Dedup {
     * overwhelmingly tiny cliques/short chains, so a fixed small round
     * count converges; at web scale swap in the large-star/small-star
     * variant (Kiveris et al. 2014) — same join shape, fewer rounds.
+    * Default 4 rounds covers diameter-4 components — near-dup clusters
+    * are cliques/short chains, and each round is a full Spark job tier,
+    * so rounds are the dominant cost, not data volume.
     */
-  def connectedComponents(pairs: DataFrame, iters: Int = 8): DataFrame = {
+  def connectedComponents(pairs: DataFrame, iters: Int = 4): DataFrame = {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .persist()
