@@ -18,18 +18,26 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column —
       // count() alone lets Catalyst prune the projections under test.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop blocks persisted inside operators (dedup/similarity reuse
       // frames) so queries don't inherit each other's storage pressure.
       spark.catalog.clearCache()
-      name -> dt
+      // A crashed query must not look like a fast one: report -1.
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

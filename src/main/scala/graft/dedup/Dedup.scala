@@ -103,12 +103,15 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
 
-    // Persisted: the shingle/signature frames feed banding AND both sides
-    // of the verification join — recomputing them three times dominates
-    // runtime otherwise.
+    // Materialized once (lazy localCheckpoint): the shingle/signature
+    // frames feed banding AND both sides of the verification join —
+    // recomputing them three times dominates runtime otherwise. Unlike
+    // persist(), checkpoint blocks are released by the ContextCleaner when
+    // the frames are garbage-collected, so long-lived sessions don't leak
+    // storage memory across calls.
     val sets = df
       .select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
-      .persist()
+      .localCheckpoint(eager = false)
     val sigs = minhashSignatures(sets, "doc", "sh", numHashes)
 
     val bandKeys = array((0 until bands).map { b =>
@@ -118,7 +121,7 @@ object Dedup {
     val banded = sigs
       .select(col("doc"), explode(bandKeys).as("k"))
       .select(col("doc"), col("k.band").as("band"), col("k.bk").as("bk"))
-      .persist()
+      .localCheckpoint(eager = false)
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -175,41 +178,114 @@ object Dedup {
     * corpus-dedup step: every document in a component gets the component's
     * minimum id as `cluster_id`, so "keep one per cluster" is a groupBy.
     *
-    * Min-label propagation: labels start as own id; each round every node
-    * takes the min of its label and its neighbors' labels. A label needs
-    * `diameter` rounds to cross a component, and near-dup components are
-    * overwhelmingly tiny cliques/short chains, so a fixed small round
-    * count converges; at web scale swap in the large-star/small-star
-    * variant (Kiveris et al. 2014) — same join shape, fewer rounds.
-    * Default 4 rounds covers diameter-4 components — near-dup clusters
-    * are cliques/short chains, and each round is a full Spark job tier,
-    * so rounds are the dominant cost, not data volume.
+    * Exact (true transitive closure) at every scale, via a two-path hybrid:
+    *
+    *  - **Local path** (edge count ≤ `localEdgeLimit`): collect the edge
+    *    list and run union-find on the driver. Near-dup graphs are orders
+    *    of magnitude smaller than the corpus (the expensive part — pair
+    *    generation — stays fully distributed), so even a 100 TB corpus
+    *    with a few million duplicate pairs resolves here in one pass.
+    *    This mirrors how Spark itself collects broadcast-join sides: small
+    *    relative to the driver, bounded by an explicit limit.
+    *  - **Distributed path** (bigger graphs): min-label propagation
+    *    iterated to a **fixpoint** — each round every node takes the min
+    *    of its own and its neighbors' labels; the loop stops when a round
+    *    changes zero labels (checked with a per-round count against the
+    *    previous labels), so components of any diameter converge.
+    *    `maxIters` is a runaway bound only, set far above any plausible
+    *    near-dup component diameter.
+    *
+    * The edge frame is materialized once (`localCheckpoint`), so the
+    * upstream pair pipeline runs exactly once and the blocks are released
+    * by the ContextCleaner when the result is no longer referenced —
+    * callers don't need to clearCache().
     */
-  def connectedComponents(pairs: DataFrame, iters: Int = 4): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist()
-    var labels = edges.select(col("u").as("doc")).distinct()
-      .withColumn("label", col("doc"))
-    (0 until iters).foreach { _ =>
-      val neighborMin = edges
-        .join(labels, edges("v") === labels("doc"))
-        .groupBy(col("u")).agg(min(col("label")).as("nmin"))
-      labels = labels
-        .join(neighborMin, labels("doc") === neighborMin("u"), "left")
-        .select(col("doc"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // cut the growing lineage each round — iterative plans otherwise
-      // re-derive all prior rounds at every action
-      labels = labels.localCheckpoint(eager = false)
+  def connectedComponents(
+      pairs: DataFrame,
+      localEdgeLimit: Long = 8000000L,
+      maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
+    val directed = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .localCheckpoint() // eager: pair pipeline runs once; blocks GC-cleaned
+    val edgeCount = directed.count()
+
+    if (edgeCount <= localEdgeLimit) {
+      val ord = idOrdering(idType)
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      directed.collect().foreach { row =>
+        val u = row.get(0)
+        val v = row.get(1)
+        parent.getOrElseUpdate(u, u)
+        parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          if (ord.lt(ru, rv)) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val out = parent.keys.toSeq.map(d => org.apache.spark.sql.Row(d, find(d)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out, math.max(1, out.size / 1000000)),
+        schema)
+    } else {
+      val edges = directed
+        .union(directed.select(col("v").as("u"), col("u").as("v")))
+      var labels = edges.select(col("u").as("doc")).distinct()
+        .withColumn("label", col("doc"))
+        .localCheckpoint()
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < maxIters) {
+        val neighborMin = edges
+          .join(labels, edges("v") === labels("doc"))
+          .groupBy(col("u")).agg(min(col("label")).as("nmin"))
+        // eager checkpoint both cuts the per-round lineage (iterative plans
+        // otherwise re-derive all prior rounds at every action) and
+        // materializes the round so the convergence count is one cheap scan
+        val next = labels
+          .join(neighborMin, labels("doc") === neighborMin("u"), "left")
+          .select(col("doc"), col("label").as("_prev"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .localCheckpoint()
+        changed = next.filter(col("label") =!= col("_prev")).count()
+        labels = next.select(col("doc"), col("label"))
+        round += 1
+      }
+      labels.select(col("doc"), col("label").as("cluster_id"))
     }
-    labels.select(col("doc"), col("label").as("cluster_id"))
+  }
+
+  /** Total order used to pick the minimum id as a component's label. */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
+      case FloatType | DoubleType =>
+        Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue)
+      case StringType => Ordering.by((x: Any) => x.asInstanceOf[String])
+      case other => throw new IllegalArgumentException(
+        s"connectedComponents: unsupported id type $other")
+    }
   }
 
   /** The end-user dedup operator: the corpus with near-duplicates removed
     * — keeps every document that is its own cluster representative
     * (cluster minimum) and every document in no near-dup pair at all.
     * Composition of [[ngramJaccardPairs]] + [[connectedComponents]] + an
-    * anti join, so the whole thing is one lazy plan chain.
+    * anti join. Note [[connectedComponents]] materializes the (small) pair
+    * graph eagerly; the corpus-side anti join stays lazy and fully
+    * distributed.
     */
   def deduplicate(
       df: DataFrame,
@@ -236,8 +312,9 @@ object Dedup {
     * Scale: the candidate join is prefix×full instead of full×full —
     * frequent "stop shingles" are exactly the ones prefix filtering drops,
     * which is what keeps hot-key blowup bounded at corpus scale. The
-    * shingle-set frame is persisted because the plan consumes it three
-    * times (prefix build, probe side, verification).
+    * shingle-set frame is materialized once (lazy localCheckpoint, blocks
+    * GC-released) because the plan consumes it three times (prefix build,
+    * probe side, verification).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -247,7 +324,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val sets = df.select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .persist()
+      .localCheckpoint(eager = false)
     val ex = sets.select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
 
     // Global rarest-first total order on shingles: (frequency, shingle).

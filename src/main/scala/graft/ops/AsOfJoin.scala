@@ -27,6 +27,15 @@ object AsOfJoin {
 
   /** @param valueCols right-side columns to carry to matched left rows
     *                   (must not collide with left column names)
+    *
+    * The matched right row travels as ONE struct column (`_rv`), and a
+    * single `last(_rv, ignoreNulls = true)` picks it — so all value
+    * columns come atomically from the same right row even when some of
+    * its fields are null (per-column `last(ignoreNulls)` would stitch
+    * non-null values from different rows). The struct also serves as the
+    * deterministic tiebreak: right rows with equal (key, ts) sort by
+    * `_rv` ascending, so the greatest struct wins, independent of
+    * partitioning or arrival order.
     */
   def backward(
       left: DataFrame,
@@ -41,31 +50,34 @@ object AsOfJoin {
     require(valueCols.forall(!leftCols.contains(_)),
       s"right value columns collide with left: ${valueCols.intersect(leftCols)}")
 
+    val rvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)).toArray)
+
     val leftTagged = left
       .withColumn("_k", Cols.q(leftKey))
       .withColumn("_t", Cols.q(leftTs))
       .withColumn("_side", lit(1))
       .select((Seq(col("_k"), col("_t"), col("_side")) ++
-        leftCols.map(Cols.q) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+        leftCols.map(Cols.q) :+
+        lit(null).cast(rvType).as("_rv")): _*)
 
     val rightTagged = right
       .withColumn("_k", Cols.q(rightKey))
       .withColumn("_t", Cols.q(rightTs))
       .withColumn("_side", lit(0))
       .select((Seq(col("_k"), col("_t"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(Cols.q)): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(c => Cols.q(c).as(c)): _*).as("_rv")): _*)
 
-    // Right (side=0) sorts before left (side=1) at equal t → inclusive ≤.
-    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"))
+    // Right (side=0) sorts before left (side=1) at equal t → inclusive ≤;
+    // _rv breaks ties among right rows at the same (key, t).
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"), col("_rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = valueCols.foldLeft(leftTagged.unionByName(rightTagged)) {
-      case (df, c) => df.withColumn(c, last(Cols.q(c), ignoreNulls = true).over(w))
-    }
-
-    matched.filter(col("_side") === 1)
-      .select((leftCols ++ valueCols).map(Cols.q): _*)
+    leftTagged.unionByName(rightTagged)
+      .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select((leftCols.map(Cols.q) ++
+        valueCols.map(c => col("_rv").getField(c).as(c))): _*)
   }
 }

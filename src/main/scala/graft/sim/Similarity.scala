@@ -109,9 +109,13 @@ object Similarity {
     val q = corpus.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
     val n = q.count()
     val stride = math.max(1L, n / k)
+    // row_number over a constant partition: the frame is k rows (post-
+    // limit), so the single-partition window is intentional — partitionBy
+    // a literal rather than tripping WindowExec's missing-partition warning.
     var centroids = q.filter(pmod(col("id"), lit(stride)) === 0)
       .limit(k)
-      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cid"), col("v").as("cv"))
+      .select((row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("id"))) - 1).as("cid"), col("v").as("cv"))
     (0 until iters).foreach { _ =>
       val assigned = assignToNearest(q, centroids)
       centroids = assigned
@@ -152,8 +156,11 @@ object Similarity {
       nCells: Int = 16,
       nprobe: Int = 4,
       quantScale: Int = 1000): DataFrame = {
+    // Lazy localCheckpoint, not persist: the tiny centroid table is reused
+    // across three joins; checkpoint blocks are GC-released when the result
+    // is dropped, so library callers don't leak storage memory.
     val cents = ivfCentroids(corpus, idCol, vecCol, nCells, quantScale = quantScale)
-      .persist()
+      .localCheckpoint(eager = false)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol), quantScale).as("cv0"))
     val indexed = assignToNearest(
@@ -213,9 +220,16 @@ object Similarity {
       queryIdCol: String,
       k: Int,
       nPlanes: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(dim, nPlanes, seed)
+      seed: Long = 42L,
+      dim: Int = 0): DataFrame = {
+    // dim must match the embedding width: a mismatched hyperplane length
+    // makes zip_with pad with nulls, every plane dot goes null, and all
+    // vectors silently collapse into bucket 0 (full brute force). Derive
+    // it from the data unless the caller pins it.
+    val planeDim =
+      if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(1)
+    val planes = hyperplanes(planeDim, nPlanes, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("cv"), lshBucket(col(vecCol), planes).as("bucket"))
     // Compute the bucket once, derive the hamming-1 probes by XOR on the

@@ -76,6 +76,34 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents converges on long chains (diameter > 4)") {
+    // 12-node drift chain: the old fixed-4-round propagation could not
+    // carry the min label across it; exact closure must.
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 12 && cc.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents distributed path matches local path") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (10L, 11L), (12L, 11L)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connectedComponents string ids use string ordering for the label") {
+    val pairs = Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("connectedComponents on planted corpus groups exact+near dups together") {
     val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.6)
     val cc = Dedup.connectedComponents(pairs)

@@ -35,6 +35,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).getAs[Double]("rv") == 7.0)
   }
 
+  test("null value fields come atomically from the latest right row") {
+    // The latest matching right row carries (null, "b2") — BOTH values must
+    // come from it; per-column last(ignoreNulls) would resurrect a1 from
+    // the older row and stitch a frankenstein (a1, b2) row.
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option("a1"), Option("b1")),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[String], Option("b2")))
+      .toDF("rk", "rt", "va", "vb")
+    val out = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("va", "vb"))
+      .collect()(0)
+    assert(out.isNullAt(out.fieldIndex("va")))
+    assert(out.getAs[String]("vb") == "b2")
+  }
+
+  test("duplicate right timestamps break ties deterministically (max struct)") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 5.0),
+      (1L, ts("2024-01-01 11:00:00"), 9.0),
+      (1L, ts("2024-01-01 11:00:00"), 1.0))
+      .toDF("rk", "rt", "rv")
+    // Repartition shuffles arrival order; the winner must stay stable.
+    (1 to 3).foreach { n =>
+      val out = AsOfJoin.backward(
+        left, right.repartition(n), "k", "rk", "t", "rt", Seq("rv")).collect()(0)
+      assert(out.getAs[Double]("rv") == 9.0)
+    }
+  }
+
   test("plan shuffles once by key — no range/cross join") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "tag")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("rk", "rt", "rv")
