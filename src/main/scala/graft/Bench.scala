@@ -34,7 +34,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val anyFailed = results.values.exists(_ < 0)
+    // A run with failures must not report a comparable total — a crashing
+    // build would otherwise rank faster than a slower all-pass one.
+    val total =
+      if (anyFailed) "null"
+      else if (results.nonEmpty) results.values.sum.toString
+      else "0.0"
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")

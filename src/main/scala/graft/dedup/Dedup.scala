@@ -103,15 +103,18 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
 
-    // Materialized once (lazy localCheckpoint): the shingle/signature
-    // frames feed banding AND both sides of the verification join —
-    // recomputing them three times dominates runtime otherwise. Unlike
-    // persist(), checkpoint blocks are released by the ContextCleaner when
-    // the frames are garbage-collected, so long-lived sessions don't leak
-    // storage memory across calls.
+    // Materialized once (lazy persist): the shingle/signature frames feed
+    // banding AND both sides of the verification join — recomputing them
+    // three times dominates runtime otherwise. persist() (not
+    // localCheckpoint) keeps the lineage, so lost executor blocks (node
+    // failure, dynamic allocation) recompute instead of failing the job —
+    // the fault-tolerance property that matters at 100 TB. The blocks are
+    // registered in the CacheManager: callers that loop over many corpora
+    // should release them with spark.catalog.clearCache() between calls
+    // (the Bench harness does exactly that).
     val sets = df
       .select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
-      .localCheckpoint(eager = false)
+      .persist()
     val sigs = minhashSignatures(sets, "doc", "sh", numHashes)
 
     val bandKeys = array((0 until bands).map { b =>
@@ -121,7 +124,7 @@ object Dedup {
     val banded = sigs
       .select(col("doc"), explode(bandKeys).as("k"))
       .select(col("doc"), col("k.band").as("band"), col("k.bk").as("bk"))
-      .localCheckpoint(eager = false)
+      .persist()
 
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -177,37 +180,47 @@ object Dedup {
   /** Connected components over a near-duplicate pair graph — the final
     * corpus-dedup step: every document in a component gets the component's
     * minimum id as `cluster_id`, so "keep one per cluster" is a groupBy.
+    * Null ids are rejected up front (a null endpoint has no identity under
+    * join/ordering semantics and would silently detach its edge).
     *
     * Exact (true transitive closure) at every scale, via a two-path hybrid:
     *
-    *  - **Local path** (edge count ≤ `localEdgeLimit`): collect the edge
-    *    list and run union-find on the driver. Near-dup graphs are orders
-    *    of magnitude smaller than the corpus (the expensive part — pair
-    *    generation — stays fully distributed), so even a 100 TB corpus
-    *    with a few million duplicate pairs resolves here in one pass.
-    *    This mirrors how Spark itself collects broadcast-join sides: small
-    *    relative to the driver, bounded by an explicit limit.
-    *  - **Distributed path** (bigger graphs): min-label propagation
-    *    iterated to a **fixpoint** — each round every node takes the min
-    *    of its own and its neighbors' labels; the loop stops when a round
-    *    changes zero labels (checked with a per-round count against the
-    *    previous labels), so components of any diameter converge.
-    *    `maxIters` is a runaway bound only, set far above any plausible
-    *    near-dup component diameter.
+    *  - **Local path** (edge count ≤ `localEdgeLimit`): stream the edge
+    *    list to the driver (`toLocalIterator` — one partition in memory at
+    *    a time, never the whole frame) and run union-find. Near-dup graphs
+    *    are orders of magnitude smaller than the corpus (the expensive
+    *    part — pair generation — stays fully distributed), so even a
+    *    100 TB corpus with ~a million duplicate pairs resolves here in one
+    *    pass. The default limit is sized for a default 1g driver (~tens of
+    *    MB of boxed entries); raise it in step with driver memory, the
+    *    same contract as spark.sql.autoBroadcastJoinThreshold.
+    *  - **Distributed path** (bigger graphs): min-label propagation with
+    *    **pointer jumping** iterated to a fixpoint. Each round every node
+    *    takes the min of its own and its neighbors' labels, then labels
+    *    are shortcut through one level of indirection (label ← label's
+    *    label), which halves the remaining chain length — convergence in
+    *    O(log diameter) rounds instead of O(diameter), so even degenerate
+    *    path-shaped components (diameter ≫ maxIters is plausible in drift
+    *    chains) converge well inside the bound. The loop stops when a
+    *    round changes zero labels; if `maxIters` is exhausted first the
+    *    operator THROWS rather than return silently-wrong labels.
     *
-    * The edge frame is materialized once (`localCheckpoint`), so the
-    * upstream pair pipeline runs exactly once and the blocks are released
-    * by the ContextCleaner when the result is no longer referenced —
-    * callers don't need to clearCache().
+    * Materialization uses persist() (not localCheckpoint): lineage is
+    * kept, so lost executor blocks recompute instead of failing the job.
+    * Each round unpersists the previous round's frame once the new one is
+    * materialized; the final labels frame stays cached until the caller
+    * releases it (clearCache between corpora, as Bench does).
     */
   def connectedComponents(
       pairs: DataFrame,
-      localEdgeLimit: Long = 8000000L,
+      localEdgeLimit: Long = 1000000L,
       maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema("id_a").dataType
-    val directed = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .localCheckpoint() // eager: pair pipeline runs once; blocks GC-cleaned
+    val directed = pairs
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .persist() // pair pipeline runs once; released below / by clearCache
     val edgeCount = directed.count()
 
     if (edgeCount <= localEdgeLimit) {
@@ -220,7 +233,9 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      directed.collect().foreach { row =>
+      // Partition-at-a-time streaming: peak driver footprint is the
+      // union-find map (nodes), not the edge frame.
+      directed.toLocalIterator().forEachRemaining { row =>
         val u = row.get(0)
         val v = row.get(1)
         parent.getOrElseUpdate(u, u)
@@ -230,7 +245,11 @@ object Dedup {
           if (ord.lt(ru, rv)) parent(rv) = ru else parent(ru) = rv
         }
       }
-      val out = parent.keys.toSeq.map(d => org.apache.spark.sql.Row(d, find(d)))
+      directed.unpersist(blocking = false)
+      // One Row per node (not per edge) — the only full driver-side
+      // materialization, bounded by localEdgeLimit.
+      val out = parent.keysIterator
+        .map(d => org.apache.spark.sql.Row(d, find(d))).toSeq
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc", idType),
         org.apache.spark.sql.types.StructField("cluster_id", idType)))
@@ -238,29 +257,58 @@ object Dedup {
         spark.sparkContext.parallelize(out, math.max(1, out.size / 1000000)),
         schema)
     } else {
+      // Iterative plans need their LOGICAL PLAN truncated each round (the
+      // pointer-jumping self-join would otherwise double the plan tree
+      // per round — exponential analysis cost), but NOT their lineage:
+      // snap() persists the round at the RDD level and rebuilds the
+      // DataFrame over that RDD, so the plan is a constant-size LogicalRDD
+      // while lost blocks still recompute through RDD lineage instead of
+      // failing the job (the fault-tolerance property localCheckpoint
+      // gives up).
+      def snap(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+        val r = df.rdd
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (spark.createDataFrame(r, df.schema), r)
+      }
       val edges = directed
         .union(directed.select(col("v").as("u"), col("u").as("v")))
-      var labels = edges.select(col("u").as("doc")).distinct()
-        .withColumn("label", col("doc"))
-        .localCheckpoint()
+        .persist()
+      var (labels, labelsRdd) = snap(
+        edges.select(col("u").as("doc")).distinct().withColumn("label", col("doc")))
       var changed = 1L
       var round = 0
       while (changed > 0 && round < maxIters) {
         val neighborMin = edges
           .join(labels, edges("v") === labels("doc"))
           .groupBy(col("u")).agg(min(col("label")).as("nmin"))
-        // eager checkpoint both cuts the per-round lineage (iterative plans
-        // otherwise re-derive all prior rounds at every action) and
-        // materializes the round so the convergence count is one cheap scan
-        val next = labels
+        val (prop, propRdd) = snap(labels
           .join(neighborMin, labels("doc") === neighborMin("u"), "left")
           .select(col("doc"), col("label").as("_prev"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .localCheckpoint()
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("_l1")))
+        // Pointer jumping: shortcut each label through its own current
+        // label (labels are node ids, so the lookup is a self-join). This
+        // is what turns O(diameter) convergence into O(log diameter).
+        val (next, nextRdd) = snap(prop.as("x")
+          .join(prop.select(col("doc").as("_ld"), col("_l1").as("_ll")).as("y"),
+            col("x._l1") === col("y._ld"), "left")
+          .select(col("x.doc").as("doc"), col("x._prev").as("_prev"),
+            least(col("x._l1"), coalesce(col("_ll"), col("x._l1"))).as("label")))
+        // The count materializes the round (so the convergence check is one
+        // cheap cached scan) before the previous round's blocks are dropped.
         changed = next.filter(col("label") =!= col("_prev")).count()
+        propRdd.unpersist(blocking = false)
+        labelsRdd.unpersist(blocking = false)
         labels = next.select(col("doc"), col("label"))
+        labelsRdd = nextRdd
         round += 1
       }
+      edges.unpersist(blocking = false)
+      directed.unpersist(blocking = false)
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge after $maxIters rounds " +
+            s"($changed labels still changing) — cluster labels would be " +
+            "wrong; raise maxIters")
       labels.select(col("doc"), col("label").as("cluster_id"))
     }
   }
@@ -312,9 +360,10 @@ object Dedup {
     * Scale: the candidate join is prefix×full instead of full×full —
     * frequent "stop shingles" are exactly the ones prefix filtering drops,
     * which is what keeps hot-key blowup bounded at corpus scale. The
-    * shingle-set frame is materialized once (lazy localCheckpoint, blocks
-    * GC-released) because the plan consumes it three times (prefix build,
-    * probe side, verification).
+    * shingle-set frame is materialized once (lazy persist — lineage kept
+    * for fault tolerance; release via clearCache between corpora) because
+    * the plan consumes it three times (prefix build, probe side,
+    * verification).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -324,7 +373,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val sets = df.select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .localCheckpoint(eager = false)
+      .persist()
     val ex = sets.select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
 
     // Global rarest-first total order on shingles: (frequency, shingle).

@@ -32,10 +32,13 @@ object AsOfJoin {
     * single `last(_rv, ignoreNulls = true)` picks it — so all value
     * columns come atomically from the same right row even when some of
     * its fields are null (per-column `last(ignoreNulls)` would stitch
-    * non-null values from different rows). The struct also serves as the
-    * deterministic tiebreak: right rows with equal (key, ts) sort by
-    * `_rv` ascending, so the greatest struct wins, independent of
-    * partitioning or arrival order.
+    * non-null values from different rows). Ties among right rows at the
+    * same (key, ts) break on a separate `_tb` sort key built from the
+    * ORDERABLE value columns only (a struct can carry MapType and friends
+    * but can't sort by them); when no value column is orderable, `_tb`
+    * falls back to a stable content hash of the row (`xxhash64(to_json)`),
+    * so the winner is deterministic regardless of partitioning or arrival
+    * order and non-orderable payloads still pass analysis.
     */
   def backward(
       left: DataFrame,
@@ -53,7 +56,17 @@ object AsOfJoin {
     val rvType = org.apache.spark.sql.types.StructType(
       valueCols.map(c => right.schema(c)).toArray)
 
-    val leftTagged = left
+    // Tiebreak key: only the orderable value columns may enter a sort key
+    // (MapType etc. fail analysis); with none orderable, a content hash of
+    // the row keeps the winner deterministic.
+    val orderableCols = valueCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType))
+    val rightTb: org.apache.spark.sql.Column =
+      if (orderableCols.nonEmpty) struct(orderableCols.map(c => Cols.q(c).as(c)): _*)
+      else xxhash64(to_json(struct(valueCols.map(c => Cols.q(c).as(c)): _*)))
+
+    val leftTagged0 = left
       .withColumn("_k", Cols.q(leftKey))
       .withColumn("_t", Cols.q(leftTs))
       .withColumn("_side", lit(1))
@@ -67,11 +80,15 @@ object AsOfJoin {
       .withColumn("_side", lit(0))
       .select((Seq(col("_k"), col("_t"), col("_side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(valueCols.map(c => Cols.q(c).as(c)): _*).as("_rv")): _*)
+        struct(valueCols.map(c => Cols.q(c).as(c)): _*).as("_rv") :+
+        rightTb.as("_tb")): _*)
+
+    val leftTagged = leftTagged0
+      .withColumn("_tb", lit(null).cast(rightTagged.schema("_tb").dataType))
 
     // Right (side=0) sorts before left (side=1) at equal t → inclusive ≤;
-    // _rv breaks ties among right rows at the same (key, t).
-    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"), col("_rv"))
+    // _tb breaks ties among right rows at the same (key, t).
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     leftTagged.unionByName(rightTagged)

@@ -156,11 +156,11 @@ object Similarity {
       nCells: Int = 16,
       nprobe: Int = 4,
       quantScale: Int = 1000): DataFrame = {
-    // Lazy localCheckpoint, not persist: the tiny centroid table is reused
-    // across three joins; checkpoint blocks are GC-released when the result
-    // is dropped, so library callers don't leak storage memory.
+    // Lazy persist: the tiny centroid table is reused across three joins.
+    // persist keeps lineage (lost blocks recompute, not fail); callers
+    // looping over corpora release blocks with clearCache, as Bench does.
     val cents = ivfCentroids(corpus, idCol, vecCol, nCells, quantScale = quantScale)
-      .localCheckpoint(eager = false)
+      .persist()
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol), quantScale).as("cv0"))
     val indexed = assignToNearest(

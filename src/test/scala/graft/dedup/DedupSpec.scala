@@ -97,6 +97,32 @@ class DedupSpec extends SparkSpec {
       6L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("connectedComponents distributed path converges on a 40-node chain in O(log d) rounds") {
+    // Pointer jumping must carry the min label across a diameter-39 path
+    // well inside 10 rounds (plain propagation would need 39).
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, localEdgeLimit = 0L, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 40 && cc.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents throws instead of returning non-converged labels") {
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, localEdgeLimit = 0L, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents rejects null endpoints instead of NPE/detaching edges") {
+    val pairs = Seq(
+      (Option(1L), Option(2L)), (Option.empty[Long], Option(3L)), (Option(4L), Option.empty[Long]))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L)) // null-endpoint edges dropped entirely
+  }
+
   test("connectedComponents string ids use string ordering for the label") {
     val pairs = Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs)

@@ -65,6 +65,44 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("non-orderable value columns (MapType) pass analysis and arrive intact") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Map("a" -> 1)),
+      (1L, ts("2024-01-01 11:00:00"), Map("b" -> 2)))
+      .toDF("rk", "rt", "props")
+    val out = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("props"))
+      .collect()(0)
+    assert(out.getAs[Map[String, Int]]("props") == Map("b" -> 2))
+  }
+
+  test("map-only ties still break deterministically (content-hash tiebreak)") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), Map("x" -> 1)),
+      (1L, ts("2024-01-01 11:00:00"), Map("y" -> 2)))
+      .toDF("rk", "rt", "props")
+    val winners = (1 to 3).map { n =>
+      AsOfJoin.backward(left, right.repartition(n), "k", "rk", "t", "rt", Seq("props"))
+        .collect()(0).getAs[Map[String, Int]]("props")
+    }
+    assert(winners.distinct.size == 1)
+  }
+
+  test("mixed orderable + map values: tiebreak uses the orderable columns") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 5.0, Map("lo" -> 1)),
+      (1L, ts("2024-01-01 11:00:00"), 9.0, Map("hi" -> 2)))
+      .toDF("rk", "rt", "rv", "props")
+    (1 to 3).foreach { n =>
+      val out = AsOfJoin.backward(
+        left, right.repartition(n), "k", "rk", "t", "rt", Seq("rv", "props")).collect()(0)
+      assert(out.getAs[Double]("rv") == 9.0)
+      assert(out.getAs[Map[String, Int]]("props") == Map("hi" -> 2))
+    }
+  }
+
   test("plan shuffles once by key — no range/cross join") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "tag")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("rk", "rt", "rv")
