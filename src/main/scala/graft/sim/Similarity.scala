@@ -40,6 +40,19 @@ object Similarity {
     quantizedDot(qa, qb).cast("double") /
       (sqrt(quantizedDot(qa, qa).cast("double")) * sqrt(quantizedDot(qb, qb).cast("double")))
 
+  /** Euclidean norm of a quantized vector — precompute ONCE per vector
+    * before any pairwise stage: quantizedCosine recomputes both self-dots
+    * for every pair, which triples the dot-product work inside O(n²) or
+    * |corpus|×|queries| loops. Same doubles, same rounding, so results
+    * are bit-identical to the inline form.
+    */
+  def quantizedNorm(qa: Column): Column =
+    sqrt(quantizedDot(qa, qa).cast("double"))
+
+  /** Cosine from a precomputed dot and per-side norms. */
+  def cosineFromNorms(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb.cast("double") / (normA * normB)
+
   /** Exact brute-force top-k: broadcast the (small) query set against the
     * corpus, rank per query with a deterministic tiebreak. The corpus side
     * is never shuffled before the ranking aggregation; at 1000 executors
@@ -55,10 +68,13 @@ object Similarity {
       quantScale: Int = 1000): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"),
       quantize(col(vecCol), quantScale).as("qv"))
+      .withColumn("qn", quantizedNorm(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol), quantScale).as("cv"))
+      .withColumn("cn", quantizedNorm(col("cv")))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", quantizedCosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        cosineFromNorms(quantizedDot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -85,19 +101,58 @@ object Similarity {
       threshold: Double,
       quantScale: Int = 1000): DataFrame = {
     val q = corpus.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
+      .withColumn("nrm", quantizedNorm(col("v")))
     q.as("a").join(broadcast(q.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        quantizedCosine(col("a.v"), col("b.v")).as("cosine"))
+        cosineFromNorms(quantizedDot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
   // ------------------------------------------------------------ IVF path
 
-  /** IVF (inverted-file) coarse quantizer: deterministic seed centroids
-    * (every |corpus|/k-th vector by id), refined with `iters` Lloyd
-    * iterations, all as DataFrame ops — assignment is a broadcast join
-    * against the (tiny) centroid table + per-vector argmin, means are one
-    * hash aggregation per iteration. Returns (cid, cvec) quantized.
+  /** IVF (inverted-file) coarse quantizer, driver-resident (the shape
+    * MLlib KMeans uses): deterministic seed centroids (every |corpus|/k-th
+    * vector by id), refined with `iters` Lloyd iterations. The k×dim
+    * centroid table is a few KB — it lives on the driver and enters each
+    * plan as LITERALS, so Lloyd assignment is a pure projection (no join,
+    * no shuffle, stays in whole-stage codegen) and each iteration costs
+    * exactly one hash aggregation for the means. Same driver-residency
+    * contract as a broadcast-join side.
+    */
+  def ivfCentroidsLocal(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      quantScale: Int = 1000): Seq[(Int, IndexedSeq[Long])] = {
+    val q = corpus.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
+    val n = q.count()
+    val stride = math.max(1L, n / k)
+    var cents: Seq[(Int, IndexedSeq[Long])] =
+      q.filter(pmod(col("id"), lit(stride)) === 0)
+        .orderBy(col("id")).limit(k)
+        .select(col("v")).collect().toIndexedSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Long](0).toIndexedSeq) }
+    (0 until iters).foreach { _ =>
+      val assigned = q
+        .withColumn("_vn", quantizedNorm(col("v")))
+        .select(nearestCid(col("v"), col("_vn"), cents).as("cid"), col("v"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("mx"))
+        .collect() // k×dim rows — a few KB
+      cents = means.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(r => math.round(r.getDouble(2))).toIndexedSeq)
+      }
+    }
+    cents
+  }
+
+  /** DataFrame view of [[ivfCentroidsLocal]] (cid, cv) for callers that
+    * want the centroid table as a relation.
     */
   def ivfCentroids(
       corpus: DataFrame,
@@ -106,45 +161,35 @@ object Similarity {
       k: Int,
       iters: Int = 2,
       quantScale: Int = 1000): DataFrame = {
-    val q = corpus.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
-    val n = q.count()
-    val stride = math.max(1L, n / k)
-    // row_number over a constant partition: the frame is k rows (post-
-    // limit), so the single-partition window is intentional — partitionBy
-    // a literal rather than tripping WindowExec's missing-partition warning.
-    var centroids = q.filter(pmod(col("id"), lit(stride)) === 0)
-      .limit(k)
-      .select((row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("id"))) - 1).as("cid"), col("v").as("cv"))
-    (0 until iters).foreach { _ =>
-      val assigned = assignToNearest(q, centroids)
-      centroids = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x")).as("mx"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mx")))).as("ps"))
-        .select(col("cid"),
-          transform(col("ps"), p => round(p.getField("mx")).cast("long")).as("cv"))
-    }
-    centroids
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.types._
+    val rows = ivfCentroidsLocal(corpus, idCol, vecCol, k, iters, quantScale)
+      .map { case (cid, cv) => org.apache.spark.sql.Row(cid, cv) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("cid", IntegerType, nullable = false),
+        StructField("cv", ArrayType(LongType)))))
   }
 
-  /** Nearest centroid per vector: broadcast the centroid table, score with
-    * the native dot-derived cosine, argmin via max_by on (similarity).
+  /** Nearest centroid id as a literal expression: max of (sim, -cid, cid)
+    * structs — highest cosine wins, ties to the lowest cid. `vn` is the
+    * caller's precomputed vector norm (compute it once, not per centroid).
     */
-  private def assignToNearest(q: DataFrame, centroids: DataFrame): DataFrame =
-    q.join(broadcast(centroids))
-      .withColumn("sim", quantizedCosine(col("v"), col("cv")))
-      .groupBy(col("id"))
-      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
-        first(col("v")).as("v"))
+  private def nearestCid(v: Column, vn: Column, cents: Seq[(Int, IndexedSeq[Long])]): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+      struct(
+        cosineFromNorms(quantizedDot(v, array(cv.map(lit): _*)), vn, lit(cn)).as("s"),
+        lit(-cid).as("nc"), lit(cid).as("cid"))
+    }
+    array_max(array(scored: _*)).getField("cid")
+  }
 
   /** IVF approximate top-k: corpus vectors are indexed by nearest
-    * centroid; each query probes its `nprobe` nearest cells and ranks
+    * centroid (a projection against the driver-resident centroid
+    * literals); each query probes its `nprobe` nearest cells and ranks
     * candidates exactly. Candidate volume ≈ |corpus|·nprobe/k — the
-    * classic recall/cost dial. All joins are equi-joins on the cell id;
-    * the centroid table is broadcast everywhere.
+    * classic recall/cost dial. The only join is the candidate equi-join
+    * on the cell id, with the tiny probe side broadcast.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -156,31 +201,35 @@ object Similarity {
       nCells: Int = 16,
       nprobe: Int = 4,
       quantScale: Int = 1000): DataFrame = {
-    // Lazy persist: the tiny centroid table is reused across three joins.
-    // persist keeps lineage (lost blocks recompute, not fail); callers
-    // looping over corpora release blocks with clearCache, as Bench does.
-    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, quantScale = quantScale)
-      .persist()
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      quantize(col(vecCol), quantScale).as("cv0"))
-    val indexed = assignToNearest(
-        c.select(col("neighbor_id").as("id"), col("cv0").as("v")), cents)
-      .select(col("id").as("neighbor_id"), col("cid"), col("v").as("cv0"))
+    val cents = ivfCentroidsLocal(corpus, idCol, vecCol, nCells, quantScale = quantScale)
+    val indexed = corpus
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol), quantScale).as("cv0"))
+      .withColumn("cn0", quantizedNorm(col("cv0")))
+      .withColumn("cid", nearestCid(col("cv0"), col("cn0"), cents))
 
-    val probeRank = Window.partitionBy(col("query_id")).orderBy(col("psim").desc, col("cid"))
+    // Top-nprobe cells per query, sorted by (psim desc, cid asc) — the
+    // probe ranking is an array sort over nCells literal scores, not a
+    // join + window.
+    def probeArr(qv: Column, qn: Column) = array(cents.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+      struct(
+        (-cosineFromNorms(quantizedDot(qv, array(cv.map(lit): _*)), qn, lit(cn))).as("np"),
+        lit(cid).as("cid"))
+    }: _*)
     val qProbes = queries
       .select(col(queryIdCol).as("query_id"), quantize(col(vecCol), quantScale).as("qv"))
-      .join(broadcast(cents))
-      .withColumn("psim", quantizedCosine(col("qv"), col("cv")))
-      .withColumn("pr", row_number().over(probeRank))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid"))
+      .withColumn("qn", quantizedNorm(col("qv")))
+      .withColumn("probe",
+        explode(slice(array_sort(probeArr(col("qv"), col("qn"))), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("qn"), col("probe.cid").as("cid"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    indexed.join(broadcast(qProbes),
+    indexed
+      .join(broadcast(qProbes),
         indexed("cid") === qProbes("cid") && col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", quantizedCosine(col("qv"), col("cv0")))
+      .withColumn("cosine",
+        cosineFromNorms(quantizedDot(col("qv"), col("cv0")), col("qn"), col("cn0")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
@@ -232,6 +281,7 @@ object Similarity {
     val planes = hyperplanes(planeDim, nPlanes, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       quantize(col(vecCol)).as("cv"), lshBucket(col(vecCol), planes).as("bucket"))
+      .withColumn("cn", quantizedNorm(col("cv")))
     // Compute the bucket once, derive the hamming-1 probes by XOR on the
     // materialized column — re-expanding the plane dot products per probe
     // multiplies the expression tree nPlanes-fold for no gain.
@@ -240,12 +290,14 @@ object Similarity {
         col("qb0").bitwiseXOR(lit(1L << i)))): _*)
     val q = queries.select(col(queryIdCol).as("query_id"),
         quantize(col(vecCol)).as("qv"), lshBucket(col(vecCol), planes).as("qb0"))
-      .select(col("query_id"), col("qv"), explode(probes).as("qbucket"))
+      .withColumn("qn", quantizedNorm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"), explode(probes).as("qbucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.join(broadcast(q),
         col("bucket") === col("qbucket") && col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", quantizedCosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        cosineFromNorms(quantizedDot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
