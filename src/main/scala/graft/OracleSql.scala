@@ -587,5 +587,61 @@ object OracleSql {
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(${norm("text")}) AS fp_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // TF-IDF: ranking and output both use the 4-decimal-rounded score so
+    // a last-ulp ln() difference between libm implementations can't flip
+    // the order or the value.
+    "q_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, unnest(str_split(${norm("text")}, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks WHERE term <> '' GROUP BY doc, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc, tf.term AS term, tf,
+         |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+         |SELECT doc, term, rank, tfidf FROM (
+         |  SELECT doc, term, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY doc ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 3 ORDER BY doc, rank""".stripMargin,
+
+    // Bigram document frequency: list_distinct mirrors word_shingles'
+    // per-document distinctness; docs under n tokens are excluded on both
+    // sides (the engine filters size(tokens) >= 2).
+    "q_ngram_freq" ->
+      s"""WITH d AS (
+         |  SELECT lang, str_split(${norm("text")}, ' ') AS toks FROM documents),
+         |bg AS (
+         |  SELECT lang AS grp,
+         |    unnest(list_distinct([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])) AS ngram
+         |  FROM d WHERE len(toks) >= 2),
+         |cnt AS (
+         |  SELECT grp, ngram, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM bg GROUP BY grp, ngram)
+         |SELECT grp, ngram, rank, n_docs FROM (
+         |  SELECT grp, ngram, n_docs,
+         |    CAST(row_number() OVER (PARTITION BY grp ORDER BY n_docs DESC, ngram) AS BIGINT) AS rank
+         |  FROM cnt) r
+         |WHERE rank <= 10 ORDER BY grp, rank""".stripMargin,
+
+    // Salted join must be result-identical to the plain equi-join.
+    "q_salted_join" ->
+      """SELECT s_nationkey, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "q_asof_forward" ->
+      """SELECT l.event_id, r.event_id AS next_purchase,
+        |  round(r.value, 2) AS next_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts >= l.ts
+        |ORDER BY l.event_id""".stripMargin,
   )
 }

@@ -713,6 +713,52 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF top-3 terms per document (two hash aggs over the token
+    * stream + per-doc top-k window; ranking on the rounded score for
+    * cross-engine stability).
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc"), col("rank"))
+
+  /** Word-bigram document frequency per language, top-10 per group —
+    * the corpus n-gram statistic behind contamination/boilerplate checks.
+    */
+  private def qNgramFreq(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramDocFreq(t(s, dir, "documents"), "lang", "text", n = 2, k = 10)
+      .orderBy(col("grp"), col("rank"))
+
+  /** Skew-salted join (SkewOps): result must equal the plain equi-join —
+    * only the partitioning changes. Oracle is the unsalted SQL join.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    ops.SkewOps.saltedJoin(
+        t(s, dir, "lineitem"), t(s, dir, "supplier"),
+        bigKey = "l_suppkey", smallKey = "s_suppkey", saltFactor = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("s_nationkey"))
+
+  /** Forward as-of join: each click's NEXT purchase at-or-after it, per
+    * user (oracle: DuckDB native ASOF with r.ts >= l.ts).
+    */
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("next_purchase"), col("value").as("next_value"))
+    AsOfJoin.forward(clicks, purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTs = "ts", rightTs = "p_ts",
+        valueCols = Seq("next_purchase", "next_value"))
+      .select(col("event_id"), col("next_purchase"),
+        round(col("next_value"), 2).as("next_value"))
+      .orderBy(col("event_id"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -775,6 +821,10 @@ object SparkEntry {
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_tfidf" -> (qTfidf _),
+    "q_ngram_freq" -> (qNgramFreq _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "q_asof_forward" -> (qAsofForward _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions
@@ -84,4 +85,54 @@ object TextAnalysis {
   /** Order-sensitive 64-bit rolling-hash fingerprint (native expression). */
   def fingerprintRolling(c: Column): Column =
     GraftFunctions.rollingHash64(graft.dedup.Dedup.normalizeText(c))
+
+  /** TF-IDF top-k terms per document: tf = term occurrences in the doc,
+    * df = documents containing the term, idf = ln((N+1)/(df+1)), ranked
+    * by the ROUNDED score (4 decimals) then term — rounding first makes
+    * the ranking bit-stable across engines (ln may differ in the last
+    * ulp between libm implementations; 4-decimal rounding absorbs it on
+    * both the sort key and the output).
+    *
+    * Scale shape: two hash aggregations over the exploded token stream
+    * (map-side partials apply) + one scalar N broadcast + a per-doc
+    * top-k window. The token explode is the dominant shuffle; everything
+    * downstream is narrow (doc, term, counts).
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"),
+        explode(graft.dedup.Dedup.tokensOf(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+    val w = Window.partitionBy(col("doc")).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc"), col("term"), col("rank"), col("tfidf"))
+  }
+
+  /** Word n-gram document frequency per group: in how many documents of
+    * each group does each n-gram appear (shingles are distinct per doc),
+    * top-k per group by (count desc, n-gram asc). The corpus-level n-gram
+    * statistic behind contamination checks and boilerplate detection.
+    */
+  def ngramDocFreq(
+      df: DataFrame, groupCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+    val grams = df
+      .filter(size(graft.dedup.Dedup.tokensOf(col(textCol))) >= n)
+      .select(col(groupCol).as("grp"),
+        explode(graft.dedup.Dedup.shingles(col(textCol), n)).as("ngram"))
+    val counts = grams.groupBy(col("grp"), col("ngram")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("n_docs").desc, col("ngram"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp"), col("ngram"), col("rank"), col("n_docs"))
+  }
 }

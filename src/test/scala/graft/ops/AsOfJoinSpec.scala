@@ -103,6 +103,38 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of: earliest right row at-or-after each left row, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:30:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3"))   // key 2: no right rows after
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),   // before both left rows
+      (1L, ts("2024-01-01 11:00:00"), 20.0),
+      (1L, ts("2024-01-01 13:00:00"), 30.0),
+      (2L, ts("2024-01-01 08:30:00"), 99.0))   // before key-2's left row
+      .toDF("rk", "rt", "rv")
+    val out = AsOfJoin.forward(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .orderBy("tag").collect()
+    assert(out(0).getAs[Double]("rv") == 20.0)   // l1 → 11:00
+    assert(out(1).getAs[Double]("rv") == 30.0)   // l2 → 13:00
+    assert(out(2).isNullAt(out(2).fieldIndex("rv")))  // l3 → nothing after
+  }
+
+  test("forward as-of matches inclusively and breaks ties on smallest value") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7.0),
+      (1L, ts("2024-01-01 10:00:00"), 3.0))
+      .toDF("rk", "rt", "rv")
+    (1 to 3).foreach { n =>
+      val out = AsOfJoin.forward(
+        left, right.repartition(n), "k", "rk", "t", "rt", Seq("rv")).collect()(0)
+      assert(out.getAs[Double]("rv") == 3.0) // inclusive ≥, smallest _tb wins
+    }
+  }
+
   test("plan shuffles once by key — no range/cross join") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "tag")
     val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("rk", "rt", "rv")

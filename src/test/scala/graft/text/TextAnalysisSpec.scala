@@ -41,6 +41,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0) > r(1)) // clean prose beats punctuation soup
   }
 
+  test("tfIdfTopTerms: doc-specific terms outrank corpus-wide terms") {
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common common yak"),
+      (3L, "common common common"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in every doc → idf ln(4/4)=0; the rare term wins.
+    assert(top(1L) == "zebra" && top(2L) == "yak")
+    // doc 3 has only zero-idf terms; rank 1 still exists deterministically
+    assert(top(3L) == "common")
+  }
+
+  test("tfIdfTopTerms respects k and ranks ties by term") {
+    val docs = Seq((1L, "b a"), (2L, "c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("doc") === 1L).orderBy(col("rank")).collect()
+    assert(rows.length == 2)
+    // same tf, same df → same score; alphabetical tiebreak
+    assert(rows(0).getString(1) == "a" && rows(1).getString(1) == "b")
+  }
+
+  test("ngramDocFreq counts each bigram once per doc, tops per group") {
+    val docs = Seq(
+      (1L, "en", "big data big data"),     // 'big data' twice, counted once
+      (2L, "en", "big data pipelines"),
+      (3L, "en", "small stuff"),
+      (4L, "de", "single"))                 // under 2 tokens → excluded
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.ngramDocFreq(docs, "lang", "text", n = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val en = out.filter(_._1 == "en")
+    assert(en.head == (("en", "big data", 1L, 2L))) // 2 docs, not 3 occurrences
+    assert(!out.exists(_._1 == "de")) // 1-token doc contributes nothing
+  }
+
   test("fingerprints: md5 is content-normalized, rolling hash is order-sensitive") {
     val df = Seq(("Hello,  World", "hello world"), ("world hello", "world hello"))
       .toDF("a", "b")
