@@ -13,7 +13,9 @@ object ExplainAudit {
     val d = "/root/testdata/sf0.01"
     val interesting = Seq("q3_shipping_priority", "q_broadcast_dims",
       "q_merge_continued", "q_positional_join", "q_asof_join",
-      "q_range_join", "q_dedup_ngram_jaccard", "q_ann_brute_force")
+      "q_asof_forward", "q_range_join", "q_dedup_ngram_jaccard",
+      "q_ann_brute_force", "q_ann_ivf", "q_tfidf", "q_ngram_freq",
+      "q_salted_join")
     interesting.foreach { name =>
       println(s"########## $name")
       println(SparkEntry.queries(name)(spark, d)
