@@ -42,6 +42,22 @@ object StreamingOps {
       watermark: String = "2 hours"): DataFrame =
     tumblingAgg(events.withWatermark("ts", watermark), width)
 
+  /** Streaming exact dedup: first occurrence per key wins; duplicate
+    * arrivals within the watermark horizon are dropped and the key state
+    * is GC'd once the watermark passes — the streaming member of the
+    * dedup family ([[graft.dedup.Dedup.exactGroups]] is the batch form).
+    * State is |distinct keys within the horizon|, not |stream|, which is
+    * what lets it run forever on an unbounded stream.
+    */
+  def streamingDedup(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   // ------------------------------------------- custom state (gap sessions)
 
   final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)

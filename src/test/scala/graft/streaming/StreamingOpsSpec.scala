@@ -74,6 +74,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingOps.streamingDedup(
+      mem.toDF().toDF("ts", "event_id", "payload"),
+      keyCols = Seq("event_id"), watermarkDelay = "1 hour")
+    val query = deduped.writeStream
+      .format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "first"),
+        (Timestamp.valueOf("2024-01-01 10:00:05"), 1L, "dup-in-batch"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "other"))
+      query.processAllAvailable()
+      mem.addData( // same key again, next micro-batch, inside the horizon
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "dup-across-batch"))
+      query.processAllAvailable()
+      val out = spark.sql("select event_id, payload from stream_dedup").collect()
+      assert(out.length == 2)
+      assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+      assert(out.find(_.getLong(0) == 1L).get.getString(1) == "first")
+    } finally query.stop()
+  }
+
   test("sliding windows assign events to overlapping windows") {
     val ev = Seq(("2024-01-01 10:07:00", "click", 1.0))
       .toDF("ts_s", "event_type", "value")
