@@ -643,5 +643,17 @@ object OracleSql {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND r.ts >= l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // Frame indices are pure byte arithmetic over the UTF-8 payload:
+    // ceil(bytes/32) frames, every 4th kept (FakeFrameSampler contract).
+    "q_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, nf)) AS frame_idx FROM d)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -740,6 +740,21 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .orderBy(col("s_nationkey"))
 
+  /** Frame sampling: documents-as-video payloads fan out to every 4th
+    * 32-byte "frame" (FakeFrameSampler). The kept frame indices are pure
+    * byte arithmetic — ceil(octet_length/32) frames, every 4th — so the
+    * generator fan-out itself is oracle-checkable even though the frame
+    * payload decode is stubbed.
+    */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    mm.Multimodal.sampleFrames(withPayload, "payload",
+        () => new mm.Multimodal.FakeFrameSampler(frameSize = 32, everyNth = 4))
+      .select(col("doc_id"), col("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Forward as-of join: each click's NEXT purchase at-or-after it, per
     * user (oracle: DuckDB native ASOF with r.ts >= l.ts).
     */
@@ -825,6 +840,7 @@ object SparkEntry {
     "q_ngram_freq" -> (qNgramFreq _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_asof_forward" -> (qAsofForward _),
+    "q_frame_sample" -> (qFrameSample _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -92,4 +92,99 @@ object Multimodal {
       }
     }
   }
+
+  /** Resizer contract: payload → payload at target dimensions. A real
+    * implementation wraps an imaging codec; the fake is deterministic so
+    * the distributed plumbing (schema, null passthrough, partition-local
+    * instantiation) is testable offline.
+    */
+  trait MediaResizer extends Serializable {
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte]
+  }
+
+  /** Deterministic fake: stamps an 8-byte WxH header and truncates/pads
+    * the payload proportionally to the pixel-count ratio.
+    */
+  class FakeResizer extends MediaResizer {
+    override def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val header = java.nio.ByteBuffer.allocate(8).putInt(width).putInt(height).array()
+      val n = math.max(1, math.min(payload.length, (width.toLong * height / 1024).toInt))
+      header ++ payload.take(n)
+    }
+  }
+
+  /** Per-partition resize of a binary payload column → `resized` column.
+    * Null payloads pass through as null; the resizer is instantiated once
+    * per partition (codec init amortized across the batch — the same
+    * batch shape a vectorized/Arrow UDF would get).
+    */
+  def resizeMedia(
+      df: DataFrame,
+      payloadCol: String,
+      width: Int,
+      height: Int,
+      resizer: () => MediaResizer): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("resized", BinaryType, nullable = true))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+
+    df.mapPartitions { rows =>
+      val r = resizer()
+      rows.map { row =>
+        val payload = row.getAs[Array[Byte]](payloadIdx)
+        val out = if (payload == null) null else r.resize(payload, width, height)
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }
+  }
+
+  /** Frame-sampler contract: video payload → sampled (frame index, frame
+    * payload) pairs.
+    */
+  trait FrameSampler extends Serializable {
+    def sample(payload: Array[Byte]): Iterator[(Long, Array[Byte])]
+  }
+
+  /** Deterministic fake: treats each `frameSize`-byte chunk as a frame and
+    * keeps every `everyNth` one.
+    */
+  class FakeFrameSampler(frameSize: Int = 16, everyNth: Int = 2) extends FrameSampler {
+    override def sample(payload: Array[Byte]): Iterator[(Long, Array[Byte])] =
+      payload.grouped(frameSize).zipWithIndex.collect {
+        case (chunk, i) if i % everyNth == 0 => (i.toLong, chunk)
+      }
+  }
+
+  /** Per-partition frame sampling: one video row fans out to one row per
+    * sampled frame (`frame_idx`, `frame`) — the generator-shaped member of
+    * the multimodal family (rows with null payloads produce no frames).
+    * Downstream each frame is an ordinary binary payload for
+    * [[extractFeatures]] / [[resizeMedia]].
+    */
+  def sampleFrames(
+      df: DataFrame,
+      payloadCol: String,
+      sampler: () => FrameSampler): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+
+    df.mapPartitions { rows =>
+      val s = sampler()
+      rows.flatMap { row =>
+        val payload = row.getAs[Array[Byte]](payloadIdx)
+        if (payload == null) Iterator.empty
+        else s.sample(payload).map { case (i, frame) =>
+          Row.fromSeq(row.toSeq ++ Seq(i, frame))
+        }
+      }
+    }
+  }
 }

@@ -38,4 +38,31 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0).getAs[scala.collection.Seq[Float]]("features").toSeq ==
       r(0).getAs[scala.collection.Seq[Float]]("features").toSeq)
   }
+
+  test("resizeMedia stamps target dimensions, passes nulls through") {
+    val df = Seq(
+      (1L, Array.tabulate[Byte](100)(_.toByte)),
+      (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload").repartition(2)
+    val r = Multimodal.resizeMedia(df, "payload", 64, 32, () => new Multimodal.FakeResizer)
+      .orderBy("id").collect()
+    val resized = r(0).getAs[Array[Byte]]("resized")
+    val bb = java.nio.ByteBuffer.wrap(resized)
+    assert(bb.getInt == 64 && bb.getInt == 32)
+    assert(resized.length > 8 && resized.length <= 108)
+    assert(r(1).isNullAt(r(1).fieldIndex("resized")))
+  }
+
+  test("sampleFrames fans one video row out to every n-th frame") {
+    val video = Array.tabulate[Byte](64)(_.toByte) // 4 chunks of 16
+    val df = Seq((1L, video), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val r = Multimodal.sampleFrames(df, "payload",
+        () => new Multimodal.FakeFrameSampler(frameSize = 16, everyNth = 2))
+      .orderBy("id", "frame_idx").collect()
+    assert(r.length == 2) // frames 0 and 2 of row 1; null row contributes none
+    assert(r.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 2L))
+    assert(r(0).getAs[Array[Byte]]("frame").toSeq == video.slice(0, 16).toSeq)
+    assert(r.forall(_.getAs[Long]("id") == 1L))
+  }
 }
