@@ -20,8 +20,12 @@ import graft.expr.{DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // Whole-operator extension: the as-of join planner strategy
+    // (graft.plans.AsOfJoinNode → AsOfJoinExec).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

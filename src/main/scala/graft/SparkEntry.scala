@@ -455,9 +455,11 @@ object SparkEntry {
       .orderBy(col("event_id"))
 
   /** As-of backward join: each click matched to the user's latest prior
-    * (or simultaneous) purchase — Spark-missing operator composed as
-    * tagged-union + ordered window (AsOfJoin), oracled by DuckDB's native
-    * ASOF JOIN.
+    * (or simultaneous) purchase — Spark-missing operator as a custom
+    * physical plan (graft.plans.AsOfJoinExec: co-partitioned sort-merge
+    * scan), oracled by DuckDB's native ASOF JOIN. The union+window
+    * composition (AsOfJoin.backward) answers identically —
+    * differential-tested in AsOfJoinSpec.
     */
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -466,7 +468,7 @@ object SparkEntry {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_event"), col("value").as("purchase_value"))
-    AsOfJoin.backward(clicks, purchases,
+    AsOfJoin.backwardMerge(clicks, purchases,
         leftKey = "user_id", rightKey = "p_user",
         leftTs = "ts", rightTs = "p_ts",
         valueCols = Seq("purchase_event", "purchase_value"))
@@ -756,7 +758,8 @@ object SparkEntry {
   }
 
   /** Forward as-of join: each click's NEXT purchase at-or-after it, per
-    * user (oracle: DuckDB native ASOF with r.ts >= l.ts).
+    * user (oracle: DuckDB native ASOF with r.ts >= l.ts) — physical
+    * AsOfJoinExec, forward scan direction.
     */
   private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
@@ -765,7 +768,7 @@ object SparkEntry {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("next_purchase"), col("value").as("next_value"))
-    AsOfJoin.forward(clicks, purchases,
+    AsOfJoin.forwardMerge(clicks, purchases,
         leftKey = "user_id", rightKey = "p_user",
         leftTs = "ts", rightTs = "p_ts",
         valueCols = Seq("next_purchase", "next_value"))

@@ -26,6 +26,91 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Latest right row at-or-before each left row, per key — physical
+    * sort-merge operator (graft.plans.AsOfJoinExec): co-partitioned
+    * exchanges + per-partition two-pointer merge, no union/window. Same
+    * semantics as [[backward]] (differential-tested).
+    */
+  def backwardMerge(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame =
+    merged(left, right, leftKey, rightKey, leftTs, rightTs, valueCols, forward = false)
+
+  /** Earliest right row at-or-after each left row, per key — physical
+    * sort-merge operator; same semantics as [[forward]].
+    */
+  def forwardMerge(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame =
+    merged(left, right, leftKey, rightKey, leftTs, rightTs, valueCols, forward = true)
+
+  /** Builds the custom logical node and hands it to Catalyst. The right
+    * side is re-projected through fresh aliases so its attribute ids can
+    * never collide with the left side's (both sides often derive from the
+    * same source frame — a self-as-of); ties among right rows at one
+    * (key, ts) break on the orderable value columns, or a row content hash
+    * when none are orderable, mirroring the window form's `_tb`.
+    */
+  private def merged(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    require(valueCols.forall(!leftCols.contains(_)),
+      s"right value columns collide with left: ${valueCols.intersect(leftCols)}")
+
+    val spark = left.sparkSession
+    org.apache.spark.sql.GraftSqlBridge.ensureStrategy(spark, graft.plans.AsOfJoinStrategy)
+
+    val orderableCols = valueCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType))
+    val tbCol = "_graft_asof_tb"
+    // Fresh aliases = fresh attribute ids on every right column.
+    val realiased = right.select(right.columns.toIndexedSeq.map(c => Cols.q(c).as(c)): _*)
+    val rightPrepped =
+      if (orderableCols.nonEmpty) realiased
+      else realiased.withColumn(tbCol,
+        xxhash64(to_json(struct(valueCols.map(c => Cols.q(c).as(c)): _*))))
+
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightPrepped.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String): org.apache.spark.sql.catalyst.expressions.Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+
+    val tieBreak =
+      if (orderableCols.nonEmpty) orderableCols.map(c => attr(rPlan, c))
+      else Seq(attr(rPlan, tbCol))
+
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      leftKeys = Seq(attr(lPlan, leftKey)),
+      rightKeys = Seq(attr(rPlan, rightKey)),
+      leftTs = attr(lPlan, leftTs),
+      rightTs = attr(rPlan, rightTs),
+      rightValues = valueCols.map(c => attr(rPlan, c)),
+      rightTieBreak = tieBreak,
+      forward = forward)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
+  }
+
   /** Latest right row at-or-before each left row, per key. */
   def backward(
       left: DataFrame,

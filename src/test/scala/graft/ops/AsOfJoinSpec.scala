@@ -143,4 +143,100 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"as-of join must not plan a cross join:\n$plan")
   }
+
+  // ------------------------- physical merge operator (AsOfJoinExec) -------
+
+  test("merge operator plans AsOfJoinExec with no window") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("rk", "rt", "rv")
+    val plan = AsOfJoin.backwardMerge(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected AsOfJoinExec in plan:\n$plan")
+    assert(!plan.contains("Window"), s"merge form must not plan a window:\n$plan")
+  }
+
+  test("merge == window on randomized data, both directions, across partitionings") {
+    // Dense key/ts space on purpose: lots of equal-timestamp ties, keys with
+    // empty sides, and null timestamps — every divergence mode the merge
+    // scan could have.
+    val rnd = new scala.util.Random(42)
+    val leftRows = (1 to 400).map { i =>
+      (rnd.nextInt(12).toLong, if (rnd.nextInt(40) == 0) null
+        else ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(4) * 15}%02d:00"), s"l$i")
+    }
+    val rightRows = (1 to 300).map { i =>
+      (rnd.nextInt(14).toLong, if (rnd.nextInt(40) == 0) null
+        else ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(4) * 15}%02d:00"),
+        rnd.nextInt(50).toDouble, s"r$i")
+    }
+    val left = leftRows.toDF("k", "t", "tag")
+    val right = rightRows.toDF("rk", "rt", "rv", "rtag")
+
+    for (parts <- Seq(1, 3, 7); fwd <- Seq(false, true)) {
+      val l = left.repartition(parts)
+      val r = right.repartition(math.max(1, 8 - parts))
+      val (viaWindow, viaMerge) =
+        if (fwd)
+          (AsOfJoin.forward(l, r, "k", "rk", "t", "rt", Seq("rv", "rtag")),
+            AsOfJoin.forwardMerge(l, r, "k", "rk", "t", "rt", Seq("rv", "rtag")))
+        else
+          (AsOfJoin.backward(l, r, "k", "rk", "t", "rt", Seq("rv", "rtag")),
+            AsOfJoin.backwardMerge(l, r, "k", "rk", "t", "rt", Seq("rv", "rtag")))
+      val a = viaWindow.orderBy("tag").collect().map(_.toString).toSeq
+      val b = viaMerge.orderBy("tag").collect().map(_.toString).toSeq
+      assert(a == b, s"merge/window divergence (forward=$fwd, parts=$parts)")
+    }
+  }
+
+  test("merge operator: unmatched keys, inclusive equality, atomic null fields") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "eq"),
+      (2L, ts("2024-01-01 09:00:00"), "none"),
+      (3L, ts("2024-01-01 12:00:00"), "atomic"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option("a"), Option("x")),
+      (3L, ts("2024-01-01 10:00:00"), Option("a1"), Option("b1")),
+      (3L, ts("2024-01-01 11:00:00"), Option.empty[String], Option("b2")),
+      (4L, ts("2024-01-01 08:00:00"), Option("zz"), Option("zz")))
+      .toDF("rk", "rt", "va", "vb")
+    val out = AsOfJoin.backwardMerge(left, right, "k", "rk", "t", "rt", Seq("va", "vb"))
+      .orderBy("tag").collect().map(r => r.getAs[String]("tag") -> r).toMap
+    assert(out("eq").getAs[String]("va") == "a")       // inclusive t == rt
+    assert(out("none").isNullAt(out("none").fieldIndex("va")))
+    assert(out("atomic").isNullAt(out("atomic").fieldIndex("va")))
+    assert(out("atomic").getAs[String]("vb") == "b2")  // both from the 11:00 row
+  }
+
+  test("merge operator handles map-typed values via content-hash tiebreak") {
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), Map("x" -> 1)),
+      (1L, ts("2024-01-01 11:00:00"), Map("y" -> 2)))
+      .toDF("rk", "rt", "props")
+    val winners = (1 to 3).map { n =>
+      AsOfJoin.backwardMerge(left, right.repartition(n), "k", "rk", "t", "rt", Seq("props"))
+        .collect()(0).getAs[Map[String, Int]]("props")
+    }
+    assert(winners.distinct.size == 1)
+    // And the merge winner equals the window winner.
+    val viaWindow = AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("props"))
+      .collect()(0).getAs[Map[String, Int]]("props")
+    assert(winners.head == viaWindow)
+  }
+
+  test("merge operator works on a self-as-of (shared attribute lineage)") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (1L, ts("2024-01-01 10:30:00"), "purchase", 9.99),
+      (1L, ts("2024-01-01 11:00:00"), "click", 0.0))
+      .toDF("user", "t", "kind", "value")
+    val clicks = ev.filter($"kind" === "click").select($"user", $"t", $"kind")
+    val purchases = ev.filter($"kind" === "purchase")
+      .select($"user".as("pu"), $"t".as("pt"), $"value".as("pv"))
+    val out = AsOfJoin.backwardMerge(clicks, purchases, "user", "pu", "t", "pt", Seq("pv"))
+      .orderBy("t").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("pv")))   // 10:00 click: none before
+    assert(out(1).getAs[Double]("pv") == 9.99)         // 11:00 click ← 10:30
+  }
 }
