@@ -636,6 +636,65 @@ object OracleSql {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
+    // Same regex chain and order as TextAnalysis.redactPii (all RE2-safe).
+    "q_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com, call +7 916 ' ||
+        |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+        |    '-12-34, visit https://svc' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.org/d/' || CAST(doc_id AS VARCHAR) ||
+        |    ' from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.42' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q_url_extract" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'see https://a' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/x/' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' and http://b' || CAST(doc_id % 4 AS VARCHAR) ||
+        |           '.example.org/?q=' || CAST(doc_id AS VARCHAR)
+        |      ELSE '' END || ' end' AS text
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://\S+')) AS url
+        |  FROM planted)
+        |SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+        |FROM urls ORDER BY doc_id, url""".stripMargin,
+
+    // Hex→int spelled as strpos arithmetic (DuckDB has no conv(x, 16, 10));
+    // the Spark side reads the same leading 4 md5 hex chars.
+    "q_hash_split" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |b AS (SELECT doc_id,
+        |  ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+        |   (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+        |   (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+        |   (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 100 AS bucket
+        |  FROM h)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH $ngramCtes,
+         |bench AS (SELECT doc, s FROM ex WHERE doc % 97 = 0)
+         |SELECT c.doc AS doc_id, b.doc AS bench_doc,
+         |  CAST(count(*) AS BIGINT) AS n_common
+         |FROM ex c JOIN bench b ON c.s = b.s AND c.doc != b.doc
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_id, bench_doc""".stripMargin,
+
     "q_asof_forward" ->
       """SELECT l.event_id, r.event_id AS next_purchase,
         |  round(r.value, 2) AS next_value

@@ -730,6 +730,64 @@ object SparkEntry {
     TextAnalysis.ngramDocFreq(t(s, dir, "documents"), "lang", "text", n = 2, k = 10)
       .orderBy(col("grp"), col("rank"))
 
+  /** PII redaction over planted contacts: URL/email/IP/phone placeholders
+    * (typed tags, RE2-safe regex chain, URL-before-email ordering).
+    */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.redactPii(concat(
+          col("text"),
+          lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com, call +7 916 "),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-12-34, visit https://svc"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/d/"), col("doc_id").cast("string"),
+          lit(" from 10.1."), (col("doc_id") % 256).cast("string"), lit(".42")))
+          .as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** URL inventory: one row per planted URL with its host (generator
+    * fan-out of regexp_extract_all; the per-domain weighting pass).
+    */
+  private def qUrlExtract(s: SparkSession, dir: String): DataFrame = {
+    val withUrls = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("see https://a"), (col("doc_id") % 5).cast("string"),
+        lit(".example.com/x/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" and http://b"), (col("doc_id") % 4).cast("string"),
+            lit(".example.org/?q="), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        lit(" end")).as("text"))
+    TextAnalysis.extractUrls(withUrls, "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("url"), col("domain"))
+      .orderBy(col("doc_id"), col("url"))
+  }
+
+  /** Deterministic held-out split by content hash (md5 hex → bucket →
+    * train/val/test) — stable under re-ordering and re-iding, uniform
+    * under any key distribution.
+    */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.hashBucket(col("doc_id"), 100).as("bucket"),
+        TextAnalysis.hashSplit(col("doc_id"), 80, 10).as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark-contamination pairs: corpus docs sharing >= 2 distinct
+    * word trigrams with the benchmark slice (doc_id % 97), self-pairs
+    * excluded — the decontamination pass over pretraining corpora.
+    */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    TextAnalysis.ngramOverlap(docs, bench, "doc_id", "doc_id", "text",
+        n = 3, minCommon = 2)
+      .select(col("doc").as("doc_id"), col("bench_doc"), col("n_common"))
+      .orderBy(col("doc_id"), col("bench_doc"))
+  }
+
   /** Skew-salted join (SkewOps): result must equal the plain equi-join —
     * only the partitioning changes. Oracle is the unsalted SQL join.
     */
@@ -841,6 +899,10 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_tfidf" -> (qTfidf _),
     "q_ngram_freq" -> (qNgramFreq _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_url_extract" -> (qUrlExtract _),
+    "q_hash_split" -> (qHashSplit _),
+    "q_contamination" -> (qContamination _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_asof_forward" -> (qAsofForward _),
     "q_frame_sample" -> (qFrameSample _),

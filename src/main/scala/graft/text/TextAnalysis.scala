@@ -117,6 +117,85 @@ object TextAnalysis {
       .select(col("doc"), col("term"), col("rank"), col("tfidf"))
   }
 
+  // ------------------------------------------------------------ PII / URLs
+
+  /** PII redaction for training corpora: URLs, emails, IPv4 addresses and
+    * phone-like digit runs are replaced with typed placeholder tags, in
+    * that order (URLs first so an address inside a URL can't be half-eaten;
+    * IPs before phones so a phone pattern can't swallow dotted quads).
+    * Every pattern is RE2-compatible — no lookaround, explicit classes —
+    * so the DuckDB oracle runs the exact same regexes.
+    */
+  val UrlRegex = "https?://\\S+"
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Regex = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRegex = "\\+?\\d[\\d\\s().-]{7,}\\d"
+
+  def redactPii(c: Column): Column = {
+    val s0 = coalesce(c, lit(""))
+    val s1 = regexp_replace(s0, UrlRegex, "<URL>")
+    val s2 = regexp_replace(s1, EmailRegex, "<EMAIL>")
+    val s3 = regexp_replace(s2, Ipv4Regex, "<IP>")
+    regexp_replace(s3, PhoneRegex, "<PHONE>")
+  }
+
+  /** One row per URL found in the text, with its host: the inventory pass
+    * behind per-domain corpus filtering/weighting. Generator fan-out of
+    * regexp_extract_all — no UDF.
+    */
+  def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(regexp_extract_all(coalesce(col(textCol), lit("")), lit(UrlRegex), lit(0)))
+          .as("url"))
+      .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+
+  // ----------------------------------------------------- dataset splitting
+
+  /** Stable content-hash bucket in [0, nBuckets): first 4 hex chars of
+    * md5 → integer. Hash-based (not id-modulo) so the assignment survives
+    * re-ids/re-ordering and stays uniform under any key distribution; both
+    * engines compute it from the same md5 hex text, so it is
+    * oracle-checkable (DuckDB spells hex→int as strpos arithmetic).
+    */
+  def hashBucket(c: Column, nBuckets: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % nBuckets
+
+  /** Deterministic train/validation/test assignment by content hash —
+    * the held-out-split operator every training pipeline needs. Percent
+    * points out of 100.
+    */
+  def hashSplit(c: Column, trainPct: Int, valPct: Int): Column = {
+    require(trainPct + valPct <= 100, "train+val must leave room for test")
+    val b = hashBucket(c, 100)
+    when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
+  }
+
+  // ------------------------------------------------- contamination checking
+
+  /** Benchmark-contamination pairs: corpus documents sharing at least
+    * `minCommon` distinct word n-grams with a benchmark document (self
+    * pairs excluded). The shape is the standard decontamination pass over
+    * pretraining corpora (n-gram collision against eval sets).
+    *
+    * Scale: benchmark sets are tiny next to the corpus, so the shingle
+    * join is hash-partitioned with the benchmark side broadcast-eligible;
+    * the corpus side streams through explode → join → partial count.
+    */
+  def ngramOverlap(
+      corpus: DataFrame, bench: DataFrame,
+      corpusId: String, benchId: String,
+      textCol: String, n: Int, minCommon: Long): DataFrame = {
+    def shingled(df: DataFrame, idCol: String, as: String) = df
+      .select(col(idCol).as(as),
+        explode(graft.dedup.Dedup.shingles(col(textCol), n)).as("s"))
+    val c = shingled(corpus, corpusId, "doc")
+    val b = shingled(bench, benchId, "bench_doc")
+    c.join(b, c("s") === b("s") && c("doc") =!= b("bench_doc"))
+      .groupBy(col("doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+
   /** Word n-gram document frequency per group: in how many documents of
     * each group does each n-gram appear (shingles are distinct per doc),
     * top-k per group by (count desc, n-gram asc). The corpus-level n-gram

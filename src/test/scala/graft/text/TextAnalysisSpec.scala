@@ -78,6 +78,62 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.exists(_._1 == "de")) // 1-token doc contributes nothing
   }
 
+  test("redactPii replaces URL, email, IP, and phone with typed tags") {
+    val df = Seq(
+      "mail me at jane.doe+spam@corp.example.co.uk today",
+      "see https://a.example.com/p?x=1&u=bob@x.y then stop",
+      "server 192.168.10.255 port open",
+      "call +7 (916) 123-45-67 now",
+      "clean text with numbers 42 and 2024 intact").toDF("t")
+    val out = df.select(TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    // URL redaction runs first, so the embedded email never half-matches.
+    assert(out(1) == "see <URL> then stop")
+    assert(out(2) == "server <IP> port open")
+    assert(out(3) == "call <PHONE> now")
+    assert(out(4) == "clean text with numbers 42 and 2024 intact")
+  }
+
+  test("extractUrls yields one row per URL with its host") {
+    val df = Seq((1L, "x https://a.example.com/p and http://b.org/q?z=1 y"),
+      (2L, "no urls here")).toDF("id", "t")
+    val out = TextAnalysis.extractUrls(df, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSet == Set(
+      (1L, "https://a.example.com/p", "a.example.com"),
+      (1L, "http://b.org/q?z=1", "b.org")))
+  }
+
+  test("hashBucket is stable, in-range, and roughly uniform; split fractions hold") {
+    val df = spark.range(2000).select(col("id"))
+    val buckets = df.select(TextAnalysis.hashBucket(col("id"), 100).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 100))
+    // Deterministic: same input → same bucket on a second evaluation.
+    val again = df.select(TextAnalysis.hashBucket(col("id"), 100).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.sameElements(again))
+    val splits = df.select(TextAnalysis.hashSplit(col("id"), 80, 10).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 docs at 80/10/10: allow generous slack, catch gross skew.
+    assert(splits("train") > 1500 && splits("train") < 1700, splits)
+    assert(splits("val") > 120 && splits("val") < 280, splits)
+    assert(splits("test") > 120 && splits("test") < 280, splits)
+  }
+
+  test("ngramOverlap finds planted contamination and excludes self-pairs") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "intro text the quick brown fox jumps away"), // shares 3 trigrams
+      (2L, "totally unrelated content about databases"),
+      (100L, "the quick brown fox jumps over the lazy dog")) // the bench doc itself
+      .toDF("id", "text")
+    val out = TextAnalysis.ngramOverlap(corpus, bench, "id", "id", "text", n = 3, minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == Set((1L, 100L, 3L)))
+  }
+
   test("fingerprints: md5 is content-normalized, rolling hash is order-sensitive") {
     val df = Seq(("Hello,  World", "hello world"), ("world hello", "world hello"))
       .toDF("a", "b")
