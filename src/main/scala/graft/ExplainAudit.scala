@@ -15,7 +15,8 @@ object ExplainAudit {
       "q_merge_continued", "q_positional_join", "q_asof_join",
       "q_asof_forward", "q_range_join", "q_dedup_ngram_jaccard",
       "q_ann_brute_force", "q_ann_ivf", "q_tfidf", "q_ngram_freq",
-      "q_salted_join")
+      "q_salted_join", "q_contamination", "q_approx_distinct",
+      "q_pii_redact", "q_hash_split")
     interesting.foreach { name =>
       println(s"########## $name")
       println(SparkEntry.queries(name)(spark, d)

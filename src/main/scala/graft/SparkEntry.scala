@@ -682,6 +682,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Mergeable HLL distinct-count sketches: per-(flag, status) estimates
+    * plus per-flag totals obtained by MERGING the finer sketches — the
+    * composable cardinality pattern that replaces exact count-distinct at
+    * scale (rows-only: estimates are DataSketches-specific and shift
+    * within the error bounds with the partial-merge tree, so no DuckDB
+    * oracle; SketchesSpec pins the bounds instead).
+    */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    sketch.Sketches.rollupDistinct(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus", "l_suppkey")
+      .orderBy(col("l_returnflag"), col("l_linestatus").asc_nulls_first)
+
   // ------------------------------------------------------- text analysis
 
   /** Language ID via stopword profiles. */
@@ -899,6 +911,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_tfidf" -> (qTfidf _),
     "q_ngram_freq" -> (qNgramFreq _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_url_extract" -> (qUrlExtract _),
     "q_hash_split" -> (qHashSplit _),

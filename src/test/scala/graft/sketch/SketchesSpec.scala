@@ -1,0 +1,49 @@
+package graft.sketch
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = (1 to 5000).map { i =>
+    (if (i % 2 == 0) "a" else "b", s"sub${i % 4}", s"v${i % 1237}")
+  }.toDF("grp", "sub", "v")
+
+  test("approxDistinct lands within HLL error bounds of the exact count") {
+    val exact = df.groupBy("grp").agg(countDistinct($"v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Sketches.approxDistinct(df, Seq("grp"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, n) <- exact) {
+      val a = approx(g).toDouble
+      assert(math.abs(a - n) / n < 0.05, s"group $g: approx $a vs exact $n")
+    }
+  }
+
+  test("estimates stay within error bounds across partitionings") {
+    // NOT bit-stable: the partial-merge tree picks HIP vs composite
+    // estimators, so partitioning shifts estimates a little. The contract
+    // is the error bound, and that the spread is far tighter than it.
+    val exact = df.select($"v").distinct().count().toDouble
+    val runs = Seq(1, 3, 13).map { p =>
+      Sketches.approxDistinct(df.repartition(p), Seq("grp"), "v")
+        .orderBy("grp").collect().map(_.getLong(1)).toSeq
+    }
+    for (r <- runs; e <- r) assert(math.abs(e - exact) / exact < 0.05, runs)
+    val spread = runs.flatten.max - runs.flatten.min
+    assert(spread < exact * 0.02, s"spread $spread too wide: $runs")
+  }
+
+  test("rollupDistinct: merged coarse estimate tracks the direct estimate") {
+    val out = Sketches.rollupDistinct(df, "grp", "sub", "v")
+    val merged = out.filter($"sub".isNull)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val direct = Sketches.approxDistinct(df, Seq("grp"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, d) <- direct) // merge loses nothing beyond estimator jitter
+      assert(math.abs(merged(g) - d).toDouble / d < 0.02, s"$g: ${merged(g)} vs $d")
+    // grp is i%2 parity and sub is i%4, so only 2 subs occur per group.
+    assert(out.filter($"sub".isNotNull).count() == 4)
+  }
+}
