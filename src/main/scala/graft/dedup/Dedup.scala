@@ -234,8 +234,12 @@ object Dedup {
         r
       }
       // Partition-at-a-time streaming: peak driver footprint is the
-      // union-find map (nodes), not the edge frame.
-      directed.toLocalIterator().forEachRemaining { row =>
+      // union-find map (nodes), not the edge frame. toLocalIterator runs
+      // one sequential job PER PARTITION — coalesce the (≤ localEdgeLimit,
+      // already-cached) edges first so the scheduling cost is a handful of
+      // jobs, not one per shuffle partition (measured: 16-22 s stalls at
+      // 32 partitions, ~2 s coalesced).
+      directed.coalesce(8).toLocalIterator().forEachRemaining { row =>
         val u = row.get(0)
         val v = row.get(1)
         parent.getOrElseUpdate(u, u)
