@@ -23,8 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     // Whole-operator extension: the as-of join planner strategy
-    // (graft.plans.AsOfJoinNode → AsOfJoinExec).
+    // (graft.plans.AsOfJoinNode → AsOfJoinExec) plus the optimizer rule
+    // pushing left-side filters through the node.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
   }
 }
 

@@ -636,6 +636,67 @@ object OracleSql {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
+    "q_intersect_except" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |low AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT o_custkey, 'both' AS op FROM (SELECT * FROM urgent INTERSECT SELECT * FROM low)
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS op FROM (SELECT * FROM urgent EXCEPT SELECT * FROM low)
+        |ORDER BY op, o_custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT r_name, c_mktsegment,
+        |  round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS sum_bal,
+        |  count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), ())
+        |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    // Spark weekday (0=Mon) + 1 == DuckDB isodow (1=Mon); last_day via
+    // date string for cross-engine type parity.
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_since,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT a.p_partkey, a.p_name, b.p_name AS next_name,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |WHERE a.p_partkey <= 200 AND b.p_partkey <= 200
+        |  AND levenshtein(a.p_name, b.p_name) <= 25
+        |ORDER BY a.p_partkey""".stripMargin,
+
+    // + 0.0 canonicalizes IEEE -0.0 (mirrors the Spark side).
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 3) + 0.0 AS sd_qty,
+        |  round(var_samp(l_quantity), 3) + 0.0 AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 3) + 0.0 AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_array_hof" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT vec_id,
+        |  CAST(len(list_filter(qv, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sum_sq,
+        |  CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS max_abs
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     // Same regex chain and order as TextAnalysis.redactPii (all RE2-safe).
     "q_pii_redact" ->
       """WITH planted AS (

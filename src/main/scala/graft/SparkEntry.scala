@@ -427,6 +427,99 @@ object SparkEntry {
       GROUP BY n_name ORDER BY n_name""")
   }
 
+  /** Set operations: INTERSECT (customers with both urgent and low-priority
+    * orders) and EXCEPT (urgent but never low), tagged into one result.
+    */
+  private def qIntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val low = o.filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_custkey")).distinct()
+    urgent.intersect(low).withColumn("op", lit("both"))
+      .unionByName(urgent.except(low).withColumn("op", lit("urgent_only")))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  /** Explicit GROUPING SETS (the general grouping-sets family member next
+    * to rollup/cube): (region, segment), (region), and grand total.
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("c_mktsegment")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("c_mktsegment"))
+      .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"), count(lit(1)).as("n_cust"))
+      .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** Date/time function surface: parts extraction, ISO weekday, day diff
+    * from an epoch date, last day of month (strings for portability).
+    */
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long")
+          .as("days_since"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  /** Fuzzy matching via edit distance: each part against its successor —
+    * levenshtein is the standard fuzzy-dedup primitive for short fields
+    * (names/brands) where shingle methods are too coarse.
+    */
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"), col("p_name"))
+    val nextP = p.select((col("p_partkey") - 1).as("pk"), col("p_name").as("next_name"))
+    p.join(nextP, col("p_partkey") === col("pk"))
+      .select(col("p_partkey"), col("p_name"), col("next_name"),
+        levenshtein(col("p_name"), col("next_name")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 25)
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Statistical aggregate surface: sample stddev/variance, correlation,
+    * sample covariance per return flag (definition-identical in DuckDB;
+    * rounded to absorb summation-order ulp drift).
+    */
+  private def qStatsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        // + 0.0 canonicalizes IEEE negative zero (round can yield -0.0 from
+        // a tiny negative statistic, and -0.0 vs 0.0 breaks value compare).
+        (round(stddev_samp(col("l_quantity")), 3) + 0.0).as("sd_qty"),
+        (round(var_samp(col("l_quantity")), 3) + 0.0).as("var_qty"),
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 3) + 0.0).as("corr_qp"),
+        (round(covar_samp(col("l_quantity"), col("l_discount")), 3) + 0.0).as("cov_qd"))
+      .orderBy(col("l_returnflag"))
+
+  /** Higher-order-function surface over array columns: filter / transform /
+    * aggregate lambdas (documented interpreted-eval caveat — the hot-loop
+    * paths use native expressions instead; this query is the API-surface
+    * demo on a bounded slice).
+    */
+  private def qArrayHof(s: SparkSession, dir: String): DataFrame = {
+    val qv = Similarity.quantize(col("embedding"))
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        size(filter(qv, x => x > 0)).cast("long").as("n_pos"),
+        aggregate(qv, lit(0L), (acc, x) => acc + x * x).as("sum_sq"),
+        array_max(transform(qv, x => abs(x))).as("max_abs"))
+      .orderBy(col("vec_id"))
+  }
+
   // ------------------------------------------------------- event analytics
 
   /** Tumbling-window aggregation (batch form of the streaming plan). */
@@ -911,6 +1004,12 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_tfidf" -> (qTfidf _),
     "q_ngram_freq" -> (qNgramFreq _),
+    "q_intersect_except" -> (qIntersectExcept _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_stats_agg" -> (qStatsAgg _),
+    "q_array_hof" -> (qArrayHof _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_url_extract" -> (qUrlExtract _),

@@ -76,6 +76,7 @@ object AsOfJoin {
 
     val spark = left.sparkSession
     org.apache.spark.sql.GraftSqlBridge.ensureStrategy(spark, graft.plans.AsOfJoinStrategy)
+    org.apache.spark.sql.GraftSqlBridge.ensureOptimizerRule(spark, graft.plans.AsOfJoinFilterPushdown)
 
     val orderableCols = valueCols.filter(c =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering

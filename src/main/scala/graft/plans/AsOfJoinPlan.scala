@@ -74,6 +74,36 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: push left-side filters through the as-of node. Catalyst's
+  * own PushDownPredicate stops at unknown nodes, so without this rule a
+  * `asof(...).filter(left_col = x)` evaluates AFTER the join and the
+  * predicate never reaches the left scan. Each as-of output row derives
+  * from exactly ONE left row (left-outer shape), so any deterministic
+  * predicate over left attributes commutes with the join. Right-side or
+  * mixed predicates are left in place — filtering right rows changes which
+  * candidate matches, and value columns are null-extended.
+  */
+object AsOfJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val leftOut = j.left.outputSet
+      val (push, keep) = splitConjunctivePredicates(cond).partition { p =>
+        p.deterministic && p.references.subsetOf(leftOut)
+      }
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(
+          org.apache.spark.sql.catalyst.expressions.And), j.left))
+        keep.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],

@@ -25,4 +25,13 @@ object GraftSqlBridge {
     if (!exp.extraStrategies.contains(s))
       exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Same, for an extra optimizer rule. */
+  def ensureOptimizerRule(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
+    if (!exp.extraOptimizations.contains(r))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
 }

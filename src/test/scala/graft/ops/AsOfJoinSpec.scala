@@ -225,6 +225,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(winners.head == viaWindow)
   }
 
+  test("left-side filters push through the as-of node (optimizer rule)") {
+    val dir = java.nio.file.Files.createTempDirectory("asof_pushdown").toString
+    Seq((1L, ts("2024-01-01 10:00:00"), "keep"), (2L, ts("2024-01-01 10:00:00"), "drop"))
+      .toDF("k", "t", "tag").write.mode("overwrite").parquet(s"$dir/left")
+    val left = spark.read.parquet(s"$dir/left")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("rk", "rt", "rv")
+
+    val filtered = AsOfJoin.backwardMerge(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .filter($"tag" === "keep")
+    val physical = filtered.queryExecution.executedPlan.toString
+    // The predicate must reach the parquet scan below the custom node —
+    // Catalyst's own pushdown stops at unknown nodes; our rule carries it.
+    assert(physical.contains("PushedFilters: [IsNotNull(tag), EqualTo(tag,keep)]"),
+      s"left filter did not reach the scan:\n$physical")
+    val rows = filtered.collect()
+    assert(rows.map(_.getAs[String]("tag")).toSeq == Seq("keep"))
+    assert(rows(0).getAs[Double]("rv") == 1.0)
+
+    // Mixed predicate: the left conjunct pushes, the value conjunct stays
+    // above (filtering right-derived columns must not change matching).
+    val mixed = AsOfJoin.backwardMerge(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .filter($"tag" === "keep" && $"rv".isNull)
+    assert(mixed.count() == 0) // rv=1.0 for the kept row — filtered above the join
+    val mixedPlan = mixed.queryExecution.executedPlan.toString
+    assert(mixedPlan.contains("EqualTo(tag,keep)"), s"pushable conjunct lost:\n$mixedPlan")
+  }
+
   test("merge operator works on a self-as-of (shared attribute lineage)") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "click", 0.0),
