@@ -393,6 +393,19 @@ object OracleSql {
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // The STREAMING tumbling agg (MemoryStream replay) must equal the
+    // batch aggregation — same statement as q_events_tumbling.
+    "q_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Streaming exact dedup keeps one row per key: the surviving key set
+    // is the DISTINCT key set.
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "q_events_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

@@ -547,6 +547,69 @@ object SparkEntry {
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
       .orderBy(col("event_id"))
 
+  /** Structured Streaming under the correctness gate: the events table is
+    * replayed through a MemoryStream in micro-batches into the SAME
+    * watermarked tumbling-agg plan the batch query uses; the finished
+    * stream must hash-match the DuckDB batch oracle. Collect here is the
+    * harness feeding the source (bounded replay), not an operator.
+    */
+  private def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = t(s, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingOps.streamingTumblingAgg(
+      mem.toDF().toDF("ts", "event_type", "value"), width = "1 hour", watermark = "2 hours")
+    val sink = "q_stream_tumbling_sink"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(2000, rows.length / 8 + 1))
+        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+    } finally q.stop()
+    s.table(sink)
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Streaming exact dedup under the correctness gate: one surviving row
+    * per (user, event-type) key across micro-batches
+    * (dropDuplicatesWithinWatermark with a horizon beyond the replay).
+    * Output carries only the key columns — which PHYSICAL duplicate
+    * survives within a micro-batch is shuffle-order-dependent, the key
+    * set is not.
+    */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = t(s, dir, "events")
+      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val deduped = StreamingOps.streamingDedup(
+      mem.toDF().toDF("ts", "event_id", "user_id", "event_type"),
+      keyCols = Seq("user_id", "event_type"), watermarkDelay = "365 days")
+    val sink = "q_stream_dedup_sink"
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(2000, rows.length / 8 + 1))
+        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+    } finally q.stop()
+    s.table(sink)
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** As-of backward join: each click matched to the user's latest prior
     * (or simultaneous) purchase — Spark-missing operator as a custom
     * physical plan (graft.plans.AsOfJoinExec: co-partitioned sort-merge
@@ -978,6 +1041,8 @@ object SparkEntry {
     "q_events_tumbling" -> (qEventsTumbling _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_props" -> (qEventsProps _),
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_dedup_exact" -> (qDedupExact _),
