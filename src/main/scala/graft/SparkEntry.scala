@@ -566,10 +566,17 @@ object SparkEntry {
     val agg = StreamingOps.streamingTumblingAgg(
       mem.toDF().toDF("ts", "event_type", "value"), width = "1 hour", watermark = "2 hours")
     val sink = "q_stream_tumbling_sink"
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
+    // State-store task count is pinned at query start from
+    // spark.sql.shuffle.partitions; 8 is plenty for the replay and keeps
+    // per-micro-batch overhead (32 state commits/batch otherwise) low.
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
     try {
-      rows.grouped(math.max(2000, rows.length / 8 + 1))
+      rows.grouped(math.max(2000, rows.length / 4 + 1))
         .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
     } finally q.stop()
     s.table(sink)
@@ -599,10 +606,14 @@ object SparkEntry {
       mem.toDF().toDF("ts", "event_id", "user_id", "event_type"),
       keyCols = Seq("user_id", "event_type"), watermarkDelay = "365 days")
     val sink = "q_stream_dedup_sink"
-    val q = deduped.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
     try {
-      rows.grouped(math.max(2000, rows.length / 8 + 1))
+      rows.grouped(math.max(2000, rows.length / 4 + 1))
         .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
     } finally q.stop()
     s.table(sink)

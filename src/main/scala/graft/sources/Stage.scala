@@ -42,4 +42,28 @@ object Stage {
 
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Small-file compaction — the table-maintenance job every long-lived
+    * 100 TB dataset needs: streaming/incremental writers fragment a
+    * directory into thousands of KB-sized files, and scan cost then pays
+    * per-file open/footer overhead instead of sequential IO. Rewrites the
+    * input at ~`targetRecordsPerFile` rows per file (one count to size the
+    * repartition — a maintenance-job cost, not a query-path cost).
+    * Returns the file count written.
+    */
+  def compact(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetRecordsPerFile: Long): Int = {
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val files = math.max(1, math.ceil(n.toDouble / targetRecordsPerFile).toInt)
+    df.repartition(files).write.mode("overwrite").parquet(outPath)
+    files
+  }
 }

@@ -80,4 +80,33 @@ class EdgeCasesSpec extends SparkSpec {
     val emptyIndexed = ShapeOps.withIndex(emptyDocs, col("doc_id"))
     assert(ShapeOps.sliceFrom(emptyIndexed, 2).count() == 0)
   }
+
+  test("physical as-of merge with an empty right side leaves lefts unmatched") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val left = Seq((1L, ts, "l")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts, 1.0)).toDF("rk", "rt", "rv").filter($"rk" < 0)
+    val out = AsOfJoin.backwardMerge(left, right, "k", "rk", "t", "rt", Seq("rv"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("rv")))
+    // And an empty LEFT side yields an empty (not failing) result.
+    val out2 = AsOfJoin.forwardMerge(
+      left.filter($"k" < 0), left.select($"k".as("rk"), $"t".as("rt"), $"tag".as("rtag")),
+      "k", "rk", "t", "rt", Seq("rtag"))
+    assert(out2.count() == 0)
+  }
+
+  test("corpus-hygiene ops tolerate null text and empty benchmark sets") {
+    val nulls = Seq((1L, null: String), (2L, "a b c")).toDF("id", "text")
+    val red = nulls.select(graft.text.TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(_.getString(0))
+    assert(red.toSet == Set("", "a b c")) // null → "" (coalesced), never NPE
+    assert(graft.text.TextAnalysis.extractUrls(nulls, "id", "text").count() == 0)
+    val emptyBench = nulls.filter($"id" < 0)
+    assert(graft.text.TextAnalysis
+      .ngramOverlap(nulls, emptyBench, "id", "id", "text", 3, 1).count() == 0)
+    // Split boundaries: 0% val and 100% train both legal.
+    val all = nulls.select(graft.text.TextAnalysis.hashSplit($"id", 100, 0).as("s"))
+      .collect().map(_.getString(0))
+    assert(all.forall(_ == "train"))
+  }
 }

@@ -58,4 +58,29 @@ class StageSpec extends SparkSpec {
     assert(j.count() == 50)
     assert(j.columns.toSet == Set("doc_id", "lang", "source"))
   }
+
+  test("orc roundtrip preserves schema and rows") {
+    val df = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text", "lang").limit(40)
+    val dir = tmp() + "/orc"
+    Stage.writeOrc(df, dir)
+    val back = Stage.readOrc(spark, dir)
+    assert(back.count() == 40)
+    assert(back.schema == df.schema)
+  }
+
+  test("compact rewrites a fragmented directory into sized files, content-identical") {
+    val df = graft.Tables.load(spark, sf001, "documents").select("doc_id", "text")
+    val base = tmp()
+    df.repartition(64).write.parquet(base + "/fragmented") // 64 tiny files
+    val written = Stage.compact(spark, base + "/fragmented", base + "/compacted",
+      targetRecordsPerFile = 200)
+    assert(written == math.ceil(df.count() / 200.0).toInt)
+    val files = new java.io.File(base + "/compacted").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == written, s"expected $written data files, found $files")
+    val a = spark.read.parquet(base + "/fragmented").orderBy("doc_id").collect()
+    val b = spark.read.parquet(base + "/compacted").orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
 }
