@@ -39,7 +39,31 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String]): DataFrame =
-    merged(left, right, leftKey, rightKey, leftTs, rightTs, valueCols, forward = false)
+    merged(left, right, Seq(leftKey), Seq(rightKey), leftTs, rightTs, valueCols, forward = false)
+
+  /** Composite-key backward as-of (e.g. (exchange, symbol) time series) —
+    * the physical operator clusters and sorts on all key columns.
+    */
+  def backwardMergeKeys(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame =
+    merged(left, right, leftKeys, rightKeys, leftTs, rightTs, valueCols, forward = false)
+
+  /** Composite-key forward as-of. */
+  def forwardMergeKeys(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame =
+    merged(left, right, leftKeys, rightKeys, leftTs, rightTs, valueCols, forward = true)
 
   /** Earliest right row at-or-after each left row, per key — physical
     * sort-merge operator; same semantics as [[forward]].
@@ -52,7 +76,7 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String]): DataFrame =
-    merged(left, right, leftKey, rightKey, leftTs, rightTs, valueCols, forward = true)
+    merged(left, right, Seq(leftKey), Seq(rightKey), leftTs, rightTs, valueCols, forward = true)
 
   /** Builds the custom logical node and hands it to Catalyst. The right
     * side is re-projected through fresh aliases so its attribute ids can
@@ -64,12 +88,14 @@ object AsOfJoin {
   private def merged(
       left: DataFrame,
       right: DataFrame,
-      leftKey: String,
-      rightKey: String,
+      leftKeysIn: Seq[String],
+      rightKeysIn: Seq[String],
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String],
       forward: Boolean): DataFrame = {
+    require(leftKeysIn.length == rightKeysIn.length && leftKeysIn.nonEmpty,
+      "as-of needs one or more key pairs")
     val leftCols = left.columns.toIndexedSeq
     require(valueCols.forall(!leftCols.contains(_)),
       s"right value columns collide with left: ${valueCols.intersect(leftCols)}")
@@ -102,8 +128,8 @@ object AsOfJoin {
 
     val node = graft.plans.AsOfJoinNode(
       lPlan, rPlan,
-      leftKeys = Seq(attr(lPlan, leftKey)),
-      rightKeys = Seq(attr(rPlan, rightKey)),
+      leftKeys = leftKeysIn.map(k => attr(lPlan, k)),
+      rightKeys = rightKeysIn.map(k => attr(rPlan, k)),
       leftTs = attr(lPlan, leftTs),
       rightTs = attr(rPlan, rightTs),
       rightValues = valueCols.map(c => attr(rPlan, c)),

@@ -69,6 +69,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: redactPii is idempotent (placeholders contain no PII patterns)") {
+    val piiText: Gen[String] = for {
+      parts <- Gen.listOfN(6, Gen.oneOf(
+        "hi", "a@b.co", "x 10.0.0.1 y", "http://e.org/p?q=1", "+7 916 123-45-67",
+        "user.name+x@mail.example.org", "192.168.1.255", "plain 2024 text",
+        "https://a.b/c a@b.c"))
+    } yield parts.mkString(" ")
+    val xs = samplesOf(piiText)
+    val out = xs.toDF("x")
+      .select(graft.text.TextAnalysis.redactPii(col("x")).as("r1"))
+      .select(col("r1"), graft.text.TextAnalysis.redactPii(col("r1")).as("r2"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'"))
+  }
+
+  test("property: hashSplit partitions every row into exactly one split, stable across evals") {
+    val ids = (0L until 3000L).toDF("id")
+    val s1 = ids.select(graft.text.TextAnalysis.hashSplit(col("id"), 70, 20).as("s"))
+      .collect().map(_.getString(0))
+    val s2 = ids.select(graft.text.TextAnalysis.hashSplit(col("id"), 70, 20).as("s"))
+      .collect().map(_.getString(0))
+    assert(s1.sameElements(s2))
+    assert(s1.forall(Set("train", "val", "test")))
+    // bucket identity: split is a pure function of the bucket
+    val both = ids.select(
+      graft.text.TextAnalysis.hashBucket(col("id"), 100).as("b"),
+      graft.text.TextAnalysis.hashSplit(col("id"), 70, 20).as("s")).collect()
+    both.foreach { r =>
+      val expect = if (r.getLong(0) < 70) "train" else if (r.getLong(0) < 90) "val" else "test"
+      assert(r.getString(1) == expect)
+    }
+  }
+
   test("property: exclusion flag invariant under case and ё/е spelling") {
     val phrases = Seq("товар исключен", "ТОВАР ИСКЛЮЧЕН", "товар исключЁн — нет",
       "исключение", "обычная запись")

@@ -252,6 +252,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(mixedPlan.contains("EqualTo(tag,keep)"), s"pushable conjunct lost:\n$mixedPlan")
   }
 
+  test("composite-key merge matches the single-key form over a fused key") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map { i =>
+      (rnd.nextInt(3).toLong, s"s${rnd.nextInt(4)}",
+        ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), s"l$i")
+    }.toDF("ex", "sym", "t", "tag")
+    val right = (1 to 150).map { i =>
+      (rnd.nextInt(3).toLong, s"s${rnd.nextInt(4)}",
+        ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i.toDouble)
+    }.toDF("rex", "rsym", "rt", "price")
+
+    val composite = AsOfJoin.backwardMergeKeys(left, right,
+      Seq("ex", "sym"), Seq("rex", "rsym"), "t", "rt", Seq("price"))
+      .orderBy("tag").collect().map(_.toString).toSeq
+    // Reference: fuse the key pair into one string column, single-key path.
+    val lf = left.withColumn("k", concat_ws(" ", $"ex", $"sym"))
+    val rf = right.withColumn("rk", concat_ws(" ", $"rex", $"rsym"))
+    val fused = AsOfJoin.backwardMerge(lf, rf, "k", "rk", "t", "rt", Seq("price"))
+      .select(left.columns.map(col) :+ col("price"): _*)
+      .orderBy("tag").collect().map(_.toString).toSeq
+    assert(composite == fused)
+  }
+
   test("merge operator works on a self-as-of (shared attribute lineage)") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "click", 0.0),
