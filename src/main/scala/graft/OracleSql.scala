@@ -649,6 +649,27 @@ object OracleSql {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
+    // Aligned unnests zip in DuckDB: (seg, pos) pairs stay in step.
+    "q_dedup_paragraphs" ->
+      s"""WITH segs AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(coalesce(text, ''), '\\.\\s+')) AS seg,
+         |    unnest(range(0, len(string_split_regex(coalesce(text, ''), '\\.\\s+')))) AS pos
+         |  FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, pos, seg, md5(${norm("seg")}) AS k
+         |  FROM segs WHERE trim(seg) != ''),
+         |firsts AS (
+         |  SELECT doc_id, pos, seg,
+         |    row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+         |  FROM keyed),
+         |agg AS (
+         |  SELECT doc_id, string_agg(seg, '. ' ORDER BY pos) AS dedup_text
+         |  FROM firsts WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.dedup_text, '') AS dedup_text
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_intersect_except" ->
       """WITH urgent AS (
         |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),

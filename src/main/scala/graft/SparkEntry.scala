@@ -692,6 +692,15 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Paragraph-level exact dedup: sentence segments deduped globally by
+    * normalized content, first (doc, position) occurrence wins, documents
+    * reconstructed in order (the C4/Dolma sub-document dedup pass).
+    */
+  private def qDedupParagraphs(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupParagraphs(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("dedup_text"))
+      .orderBy(col("doc_id"))
+
   /** MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
     * the ScalaTest spec verifies planted duplicates are found).
     */
@@ -1060,6 +1069,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_corpus" -> (qDedupCorpus _),
+    "q_dedup_paragraphs" -> (qDedupParagraphs _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ann_brute_force" -> (qAnnBruteForce _),

@@ -352,6 +352,47 @@ object Dedup {
     df.join(losers, Cols.q(idCol) === losers("doc"), "left_anti")
   }
 
+  /** Paragraph-level exact dedup — the sub-document granularity training
+    * pipelines actually dedup at (C4/Dolma style): boilerplate repeats
+    * across documents that are globally unique as wholes. Splits each text
+    * on `sepRegex`, keeps only the GLOBALLY FIRST occurrence of each
+    * normalized segment (first = smallest (doc, position), so a document's
+    * own internal repeats dedup too), and reconstructs each document from
+    * its surviving segments in original order. Documents whose segments
+    * are all duplicates come back with empty text, not dropped — the
+    * caller decides the drop policy.
+    *
+    * Scale: one explode (segments ≈ rows × segments/doc), one window over
+    * the normalized-segment hash (hash-partitioned — segment cardinality,
+    * no global order), one groupBy(doc) to reassemble. The shuffle carries
+    * segment text once; md5 keys keep the window narrow.
+    */
+  def dedupParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String = "\\.\\s+",
+      joiner: String = ". "): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("doc"),
+        posexplode(split(coalesce(col(textCol), lit("")), sepRegex))
+          .as(Seq("pos", "seg")))
+      .withColumn("k", md5(normalizeText(col("seg"))))
+      .filter(trim(col("seg")) =!= "")
+    val firstWins = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("doc"), col("pos"))
+    val kept = segs
+      .withColumn("rn", row_number().over(firstWins))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), joiner).as("dedup_text"))
+    df.select(col(idCol).as("doc"))
+      .join(kept, "doc", "left")
+      .select(col("doc"), coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** Exact n-gram Jaccard pairs with prefix filtering (AllPairs — Bayardo
     * et al., WWW'07): each document indexes only its `|A| - ⌈t·|A|⌉ + 1`
     * globally-rarest shingles; a pair with J(A,B) ≥ t must have some shared

@@ -156,4 +156,19 @@ class DedupSpec extends SparkSpec {
     assert(r.distinct == r)
     assert(r.toSet == Set("a b", "b a"))
   }
+
+  test("paragraph dedup: first occurrence wins globally, order preserved, all-dup docs emptied") {
+    val docs = Seq(
+      (1L, "Unique intro. Shared boilerplate here. Closing line"),
+      (2L, "Another opening. Shared boilerplate here. Fresh ending"),
+      (3L, "Shared boilerplate here"),                // nothing survives
+      (4L, "Repeat me. Repeat me. After the repeat")) // internal repeat dedups
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Unique intro. Shared boilerplate here. Closing line")
+    assert(out(2L) == "Another opening. Fresh ending") // boilerplate went to doc 1
+    assert(out(3L) == "")                              // kept as a row, text emptied
+    assert(out(4L) == "Repeat me. After the repeat")
+  }
 }
