@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan contracts for flagship queries — the properties PLANS.md
+  * documents, asserted so a future change that silently loses a pushdown,
+  * broadcast, or the custom operator fails CI instead of only showing up
+  * as a bench regression. Plans are built at sf0.001 (plan shape is
+  * scale-independent; AQE's initial plan is what's asserted).
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q3: segment filter reaches the customer scan; dims broadcast; top-k is TakeOrdered") {
+    val p = planOf("q3_shipping_priority")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("star joins broadcast their dimensions — no sort-merge join") {
+    for (q <- Seq("q_join_revenue", "q_broadcast_dims")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin"), s"$q planned a sort-merge join")
+    }
+  }
+
+  test("as-of queries run the custom physical operator, not a window") {
+    for (q <- Seq("q_asof_join", "q_asof_forward")) {
+      val p = planOf(q)
+      assert(p.contains("AsOfJoin"), s"$q lost AsOfJoinExec:\n${p.take(1500)}")
+      assert(!p.contains("Window"), s"$q regressed to the window form")
+    }
+  }
+
+  test("partitioned continuation merge hash-partitions by source (no global window)") {
+    val p = planOf("q_merge_partitioned")
+    assert(p.contains("hashpartitioning(source"), p.take(2000))
+  }
+
+  test("contamination broadcasts the benchmark side") {
+    val p = planOf("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pure-projection hygiene queries shuffle only for the output sort") {
+    for (q <- Seq("q_pii_redact", "q_hash_split")) {
+      val p = planOf(q)
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q should be scan→project→sort, saw $exchanges exchanges:\n${p.take(1500)}")
+    }
+  }
+
+  test("dedup candidate generation never plans a cross join") {
+    for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q planned a quadratic join:\n${p.take(1500)}")
+    }
+  }
+}
