@@ -621,6 +621,55 @@ object SparkEntry {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Custom stateful streaming under the correctness gate: gap
+    * sessionization via flatMapGroupsWithState, replayed in event-time
+    * order. The watermark delay equals the gap, which provably prevents
+    * any mid-replay timeout from closing a session the fold would
+    * continue (ordered replay ⇒ when a user's next in-gap event arrives,
+    * the global max ts can't yet be lastTs + gap + delay). Two sentinel
+    * batches push the watermark past everything so open sessions flush
+    * through the event-time timeout before the sink is read.
+    */
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val gap = 1800L
+    val rows = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("user_id"))
+      .collect()
+      .map(r => StreamingOps.SessionInput(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val maxTs = rows.map(_.ts.getTime).max
+    val mem = MemoryStream[StreamingOps.SessionInput]
+    val sessions = StreamingOps.streamingSessionize(
+      mem.toDS(), gapSeconds = gap, watermarkDelay = "30 minutes")
+    val sink = "q_stream_sessionize_sink"
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    try {
+      rows.grouped(math.max(2000, rows.length / 4 + 1))
+        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+      // Sentinels: first advances the watermark past every open session's
+      // timeout, the second triggers the batch in which those timeouts fire.
+      Seq(1, 2).foreach { i =>
+        mem.addData(StreamingOps.SessionInput(-1L,
+          new java.sql.Timestamp(maxTs + (gap + 3600 * i) * 1000), 0.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), round(col("session_value"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** As-of backward join: each click matched to the user's latest prior
     * (or simultaneous) purchase — Spark-missing operator as a custom
     * physical plan (graft.plans.AsOfJoinExec: co-partitioned sort-merge
@@ -1063,6 +1112,7 @@ object SparkEntry {
     "q_events_props" -> (qEventsProps _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_sessionize" -> (qStreamSessionize _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_dedup_exact" -> (qDedupExact _),

@@ -128,7 +128,11 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastTs <= gapSeconds * 1000 =>
+                // Gap test at floor-second granularity — the exact batch
+                // semantics (MergeOps.sessionize compares unix_timestamp,
+                // which truncates to seconds), so streaming and batch
+                // sessionization agree on sub-second boundary events.
+                case Some(s) if t / 1000 - s.lastTs / 1000 <= gapSeconds =>
                   cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed += closeState(userId, s)
