@@ -652,15 +652,19 @@ object SparkEntry {
         .outputMode("append").start()
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     try {
-      rows.grouped(math.max(2000, rows.length / 4 + 1))
-        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
-      // Sentinels: first advances the watermark past every open session's
-      // timeout, the second triggers the batch in which those timeouts fire.
-      Seq(1, 2).foreach { i =>
-        mem.addData(StreamingOps.SessionInput(-1L,
-          new java.sql.Timestamp(maxTs + (gap + 3600 * i) * 1000), 0.0))
-        q.processAllAvailable()
-      }
+      // Three micro-batches: two data halves (state spans the boundary),
+      // with a first sentinel riding the second half to advance the
+      // watermark past every open session's timeout, then one sentinel
+      // batch in which those timeouts fire and flush.
+      def sentinel(i: Int) = StreamingOps.SessionInput(-1L,
+        new java.sql.Timestamp(maxTs + (gap + 3600L * i) * 1000), 0.0)
+      val half = rows.length / 2 + 1
+      mem.addData(rows.take(half).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData((rows.drop(half) :+ sentinel(1)).toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(sentinel(2))
+      q.processAllAvailable()
     } finally q.stop()
     s.table(sink)
       .filter(col("user_id") =!= -1L)
