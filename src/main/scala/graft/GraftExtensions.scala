@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expr.{DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles}
+import graft.expr.{DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles, ZOrder2}
 
 /** Spark extensions entry point — the deployment-grade way to install
   * graft's native expressions into every session of a cluster:
@@ -49,6 +49,9 @@ object GraftExtensions {
     (FunctionIdentifier("dot_i64"),
       info("dot_i64", "dot_i64(array<bigint>, array<bigint>) - integer dot product."),
       (exprs: Seq[Expression]) => DotI64(exprs(0), exprs(1))),
+    (FunctionIdentifier("z_order2"),
+      info("z_order2", "z_order2(bigint, bigint) - 64-bit Morton (Z-order) key."),
+      (exprs: Seq[Expression]) => ZOrder2(exprs(0), exprs(1))),
     (FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(str, n) - distinct word n-gram shingles."),
       (exprs: Seq[Expression]) => exprs match {

@@ -49,6 +49,35 @@ object Stage {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** ZORDER-style layout pass: min-max scale two numeric columns to 21-bit
+    * coordinates, key rows by their Morton interleave (`z_order2` native
+    * expression), then range-partition AND sort by that key before
+    * writing. Rows end up clustered in BOTH dimensions inside each Parquet
+    * row group, so min/max statistics prune scans for predicates on EITHER
+    * column — a lexicographic sort only skips on its leading column. The
+    * min/max pre-pass is one tiny aggregate (4 scalars to the driver).
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      partitions: Int = 0): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.GraftFunctions.register(df.sparkSession) // z_order2 resolution
+    val Array(minA, maxA, minB, maxB) = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val bits = (1 << 21) - 1
+    def scale(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else round((col(c).cast("double") - lo) / (hi - lo) * bits).cast("long")
+    val keyed = df.withColumn("_z",
+      graft.GraftFunctions.zOrder2(scale(colA, minA, maxA), scale(colB, minB, maxB)))
+    val sized = if (partitions > 0) keyed.repartitionByRange(partitions, col("_z"))
+      else keyed.repartitionByRange(col("_z"))
+    sized.sortWithinPartitions(col("_z")).drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction — the table-maintenance job every long-lived
     * 100 TB dataset needs: streaming/incremental writers fragment a
     * directory into thousands of KB-sized files, and scan cost then pays

@@ -76,4 +76,30 @@ class ExpressionsSpec extends SparkSpec {
       GraftFunctions.simhash64(split(col("text"), " ")).as("c"))
     assert(r.count() == 50)
   }
+
+  test("z_order2 interleaves bits exactly and is null-intolerant") {
+    val rows = Seq((3L, 0L), (0L, 3L), (1L, 1L), (0xFFFFFFFFL, 0L))
+      .toDF("a", "b")
+      .select(GraftFunctions.zOrder2(col("a"), col("b")).as("z"))
+      .as[Long].collect()
+    assert(rows(0) == 0x5L)          // a bits at even positions: 0b0101
+    assert(rows(1) == 0xAL)          // b bits at odd positions:  0b1010
+    assert(rows(2) == 0x3L)          // 1,1 → 0b11
+    assert(rows(3) == 0x5555555555555555L) // full 32-bit a spreads to evens
+    val n = Seq((Option.empty[Long], Option(1L))).toDF("a", "b")
+      .select(GraftFunctions.zOrder2(col("a"), col("b")).as("z")).collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("z_order2 orders quadrants: low-low before high-high for every point pair") {
+    // All points with both coords < 2^20 must z-sort before any point with
+    // both coords >= 2^20 (the curve visits the low quadrant first).
+    val rnd = new scala.util.Random(11)
+    val lo = (1 to 50).map(_ => (rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    val hi = (1 to 50).map(_ =>
+      ((1 << 20) + rnd.nextInt(1 << 20).toLong, (1 << 20) + rnd.nextInt(1 << 20).toLong))
+    val z = (lo ++ hi).toDF("a", "b")
+      .select(GraftFunctions.zOrder2(col("a"), col("b")).as("z")).as[Long].collect()
+    assert(z.take(50).max < z.drop(50).min)
+  }
 }

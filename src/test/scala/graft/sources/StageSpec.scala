@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class StageSpec extends SparkSpec {
+  import spark.implicits._
 
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-stage").toString
@@ -67,6 +68,31 @@ class StageSpec extends SparkSpec {
     val back = Stage.readOrc(spark, dir)
     assert(back.count() == 40)
     assert(back.schema == df.schema)
+  }
+
+  test("z-ordered layout skips files for predicates on BOTH dimensions") {
+    // 64×64 grid; written z-ordered across 16 range partitions, a point
+    // predicate on either column should touch a minority of files, and the
+    // data must round-trip exactly.
+    val pts = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong, a * 64L + b))
+      .toDF("a", "b", "payload")
+    val dir = tmp() + "/zorder"
+    Stage.writeZOrdered(pts, dir, "a", "b", partitions = 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 64 * 64)
+    assert(back.orderBy("payload").collect().map(_.getLong(2)).toSeq == (0L until 4096L))
+    // File-level min/max selectivity: collect per-file ranges for both
+    // columns; a z-layout bounds both, a lexicographic sort only the first.
+    import org.apache.spark.sql.functions._
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("a").as("la"), max("a").as("ha"), min("b").as("lb"), max("b").as("hb"))
+      .collect()
+    val nFiles = ranges.length
+    def touched(p: org.apache.spark.sql.Row => Boolean) = ranges.count(p)
+    val hitA = touched(r => r.getLong(1) <= 5 && 5 <= r.getLong(2))  // a = 5
+    val hitB = touched(r => r.getLong(3) <= 5 && 5 <= r.getLong(4))  // b = 5
+    assert(hitA < nFiles / 2, s"a=5 touched $hitA of $nFiles files")
+    assert(hitB < nFiles / 2, s"b=5 touched $hitB of $nFiles files")
   }
 
   test("compact rewrites a fragmented directory into sized files, content-identical") {
