@@ -750,6 +750,51 @@ object OracleSql {
         |  CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS max_abs
         |FROM q ORDER BY vec_id""".stripMargin,
 
+    // The whole corpus pipeline: dedup → quality >= 0.5 → redact → split.
+    "q_corpus_pipeline" ->
+      s"""WITH canon AS (
+         |  SELECT min(doc_id) AS keep FROM documents GROUP BY md5(${norm("text")})),
+         |kept AS (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN canon c ON d.doc_id = c.keep),
+         |m AS (
+         |  SELECT doc_id, text,
+         |    CAST(length(coalesce(text, '')) AS DOUBLE) AS nc,
+         |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len(str_split_regex(trim(coalesce(text, '')), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(coalesce(text, ''), '[^\\p{L}\\d\\s]')) AS BIGINT) AS n_punct,
+         |    ${langScore("text", stopAll)} AS n_stop
+         |  FROM kept),
+         |r AS (
+         |  SELECT doc_id, text,
+         |    round(((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END)
+         |         + (CASE WHEN (CASE WHEN n_tokens > 0 THEN nc / n_tokens ELSE 0.0 END) >= 3.0
+         |                  AND (CASE WHEN n_tokens > 0 THEN nc / n_tokens ELSE 0.0 END) <= 12.0
+         |                THEN 1.0 ELSE 0.0 END)
+         |         + (CASE WHEN (CASE WHEN nc > 0 THEN CAST(n_punct AS DOUBLE) / nc ELSE 1.0 END) <= 0.2
+         |                THEN 1.0 ELSE 0.0 END)
+         |         + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
+         |                THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality
+         |  FROM m),
+         |h AS (
+         |  SELECT doc_id, quality, text, md5(CAST(doc_id AS VARCHAR)) AS hx FROM r
+         |  WHERE quality >= 0.5),
+         |b AS (
+         |  SELECT doc_id, quality, text,
+         |    ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+         |     (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+         |     (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+         |     (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 100 AS bucket
+         |  FROM h)
+         |SELECT doc_id, quality,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+         |    'https?://\\S+', '<URL>', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS clean_text,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
     // Same regex chain and order as TextAnalysis.redactPii (all RE2-safe).
     "q_pii_redact" ->
       """WITH planted AS (

@@ -1029,6 +1029,27 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("bench_doc"))
   }
 
+  /** The end-to-end corpus pipeline as ONE Catalyst plan — exact dedup
+    * (keep canonical per normalized content) → quality filter → PII
+    * redaction → deterministic train/val/test split. The composition every
+    * training-data pipeline runs, and Catalyst sees it whole: the dedup
+    * join, the quality projection, and the regex chain fuse into one
+    * optimized plan rather than four materialized passes.
+    */
+  private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val canon = Dedup.exactGroups(docs, "doc_id", "text")
+      .select(col("canonical_id").as("keep"))
+    val kept = docs.join(canon, col("doc_id") === col("keep")).drop("keep")
+    kept
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), col("quality"),
+        TextAnalysis.redactPii(col("text")).as("clean_text"),
+        TextAnalysis.hashSplit(col("doc_id"), 90, 5).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Skew-salted join (SkewOps): result must equal the plain equi-join —
     * only the partitioning changes. Oracle is the unsalted SQL join.
     */
@@ -1151,6 +1172,7 @@ object SparkEntry {
     "q_stats_agg" -> (qStatsAgg _),
     "q_array_hof" -> (qArrayHof _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_url_extract" -> (qUrlExtract _),
     "q_hash_split" -> (qHashSplit _),
