@@ -62,10 +62,17 @@ object Stage {
       partitions: Int = 0): Unit = {
     import org.apache.spark.sql.functions._
     graft.GraftFunctions.register(df.sparkSession) // z_order2 resolution
-    val Array(minA, maxA, minB, maxB) = df.agg(
+    val bounds = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+      .collect()(0)
+    // Empty input or an all-null column: no curve to build — plain write.
+    if ((0 until 4).exists(bounds.isNullAt)) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val Seq(minA, maxA, minB, maxB) =
+      (0 until 4).map(bounds.getDouble)
     val bits = (1 << 21) - 1
     def scale(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)

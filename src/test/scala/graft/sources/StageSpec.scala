@@ -95,6 +95,17 @@ class StageSpec extends SparkSpec {
     assert(hitB < nFiles / 2, s"b=5 touched $hitB of $nFiles files")
   }
 
+  test("writeZOrdered degrades to a plain write on empty or all-null input") {
+    val dir = tmp()
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    Stage.writeZOrdered(empty, dir + "/empty", "a", "b")
+    assert(spark.read.parquet(dir + "/empty").count() == 0)
+    val nulls = Seq((Option.empty[Long], Option(1L)), (Option.empty[Long], Option(2L)))
+      .toDF("a", "b")
+    Stage.writeZOrdered(nulls, dir + "/nulls", "a", "b")
+    assert(spark.read.parquet(dir + "/nulls").count() == 2)
+  }
+
   test("compact rewrites a fragmented directory into sized files, content-identical") {
     val df = graft.Tables.load(spark, sf001, "documents").select("doc_id", "text")
     val base = tmp()
