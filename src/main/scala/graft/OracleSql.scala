@@ -676,7 +676,8 @@ object OracleSql {
          |    unnest(range(0, len(string_split_regex(coalesce(text, ''), '\\.\\s+')))) AS pos
          |  FROM documents),
          |keyed AS (
-         |  SELECT doc_id, pos, seg, md5(${norm("seg")}) AS k
+         |  SELECT doc_id, pos, seg,
+         |    md5(CASE WHEN ${norm("seg")} = '' THEN seg ELSE ${norm("seg")} END) AS k
          |  FROM segs WHERE trim(seg) != ''),
          |firsts AS (
          |  SELECT doc_id, pos, seg,
@@ -845,12 +846,21 @@ object OracleSql {
         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // Own shingle chain with the >= n token guard (the shared ngramCtes
+    // collapses sub-n texts to a whole-text shingle, which is exact-dup
+    // territory, not n-gram overlap — ngramOverlap filters them out).
     "q_contamination" ->
-      s"""WITH $ngramCtes,
-         |bench AS (SELECT doc, s FROM ex WHERE doc % 97 = 0)
+      s"""WITH ctoks AS (
+         |  SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t FROM documents),
+         |csh AS (
+         |  SELECT doc, list_distinct(
+         |    [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS shs
+         |  FROM ctoks WHERE len(t) >= 3),
+         |cex AS (SELECT doc, unnest(shs) AS s FROM csh),
+         |bench AS (SELECT doc, s FROM cex WHERE doc % 97 = 0)
          |SELECT c.doc AS doc_id, b.doc AS bench_doc,
          |  CAST(count(*) AS BIGINT) AS n_common
-         |FROM ex c JOIN bench b ON c.s = b.s AND c.doc != b.doc
+         |FROM cex c JOIN bench b ON c.s = b.s AND c.doc != b.doc
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_id, bench_doc""".stripMargin,
 

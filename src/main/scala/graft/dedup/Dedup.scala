@@ -313,7 +313,14 @@ object Dedup {
           s"connectedComponents did not converge after $maxIters rounds " +
             s"($changed labels still changing) — cluster labels would be " +
             "wrong; raise maxIters")
-      labels.select(col("doc"), col("label").as("cluster_id"))
+      // Hand the result over as a DATASET-level cache: spark.catalog
+      // .clearCache() (the documented release mechanism) only clears
+      // CacheManager entries, not raw RDD persists — so materialize into
+      // the CacheManager and drop the final round's RDD blocks here.
+      val out = labels.select(col("doc"), col("label").as("cluster_id")).persist()
+      out.count()
+      labelsRdd.unpersist(blocking = false)
+      out
     }
   }
 
@@ -377,7 +384,11 @@ object Dedup {
       .select(col(idCol).as("doc"),
         posexplode(split(coalesce(col(textCol), lit("")), sepRegex))
           .as(Seq("pos", "seg")))
-      .withColumn("k", md5(normalizeText(col("seg"))))
+      // Dedup key = normalized content; segments that normalize to ""
+      // (punctuation/symbol-only) key on their RAW text instead — they
+      // would otherwise all share md5("") and delete each other.
+      .withColumn("k", md5(when(normalizeText(col("seg")) === "", col("seg"))
+        .otherwise(normalizeText(col("seg")))))
       .filter(trim(col("seg")) =!= "")
     val firstWins = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("doc"), col("pos"))

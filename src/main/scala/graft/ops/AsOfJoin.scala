@@ -108,12 +108,13 @@ object AsOfJoin {
       org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(right.schema(c).dataType))
     val tbCol = "_graft_asof_tb"
-    // Fresh aliases = fresh attribute ids on every right column.
+    // Fresh aliases = fresh attribute ids on every right column. The
+    // content hash is always appended as the final tiebreak (same rule as
+    // the window form): rows tied on every orderable value column but
+    // differing in non-orderable ones stay deterministic.
     val realiased = right.select(right.columns.toIndexedSeq.map(c => Cols.q(c).as(c)): _*)
-    val rightPrepped =
-      if (orderableCols.nonEmpty) realiased
-      else realiased.withColumn(tbCol,
-        xxhash64(to_json(struct(valueCols.map(c => Cols.q(c).as(c)): _*))))
+    val rightPrepped = realiased.withColumn(tbCol,
+      xxhash64(to_json(struct(valueCols.map(c => Cols.q(c).as(c)): _*))))
 
     val lPlan = left.queryExecution.analyzed
     val rPlan = rightPrepped.queryExecution.analyzed
@@ -123,8 +124,7 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
 
     val tieBreak =
-      if (orderableCols.nonEmpty) orderableCols.map(c => attr(rPlan, c))
-      else Seq(attr(rPlan, tbCol))
+      orderableCols.map(c => attr(rPlan, c)) :+ attr(rPlan, tbCol)
 
     val node = graft.plans.AsOfJoinNode(
       lPlan, rPlan,
@@ -168,13 +168,13 @@ object AsOfJoin {
     * value columns come atomically from the same right row even when some
     * of its fields are null (per-column picks would stitch non-null values
     * from different rows). Ties among right rows at the same (key, ts)
-    * break on a separate `_tb` sort key built from the ORDERABLE value
-    * columns only (a struct can carry MapType and friends but can't sort
-    * by them); when no value column is orderable, `_tb` falls back to a
-    * stable content hash of the row (`xxhash64(to_json)`), so the winner
-    * is deterministic regardless of partitioning or arrival order and
-    * non-orderable payloads still pass analysis. Backward keeps the
-    * greatest `_tb` at a tied timestamp, forward the smallest.
+    * break on a separate `_tb` sort key: the ORDERABLE value columns (a
+    * struct can carry MapType and friends but can't sort by them) followed
+    * ALWAYS by a stable content hash of the full value row
+    * (`xxhash64(to_json)`) — so the winner is deterministic regardless of
+    * partitioning or arrival order even when rows tie on every orderable
+    * column but differ in non-orderable ones. Backward keeps the greatest
+    * `_tb` at a tied timestamp, forward the smallest.
     */
   private def asof(
       left: DataFrame,
@@ -196,9 +196,12 @@ object AsOfJoin {
     val orderableCols = valueCols.filter(c =>
       org.apache.spark.sql.catalyst.expressions.RowOrdering
         .isOrderable(right.schema(c).dataType))
+    // The content hash is ALWAYS the final tiebreak component: rows tied on
+    // every orderable value column but differing in non-orderable ones
+    // (maps) would otherwise pick an arrival-order-dependent winner.
+    val contentHash = xxhash64(to_json(struct(valueCols.map(c => Cols.q(c).as(c)): _*)))
     val rightTb: org.apache.spark.sql.Column =
-      if (orderableCols.nonEmpty) struct(orderableCols.map(c => Cols.q(c).as(c)): _*)
-      else xxhash64(to_json(struct(valueCols.map(c => Cols.q(c).as(c)): _*)))
+      struct((orderableCols.map(c => Cols.q(c).as(c)) :+ contentHash.as("_h")): _*)
 
     // Inclusive semantics via side ordering: the right row at an equal
     // timestamp must land inside the left row's frame — before it for

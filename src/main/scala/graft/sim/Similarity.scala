@@ -130,12 +130,16 @@ object Similarity {
     val q = corpus.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
     val n = q.count()
     val stride = math.max(1L, n / k)
-    var cents: Seq[(Int, IndexedSeq[Long])] =
-      q.filter(pmod(col("id"), lit(stride)) === 0)
-        .orderBy(col("id")).limit(k)
-        .select(col("v")).collect().toIndexedSeq.zipWithIndex
-        .map { case (r, i) => (i, r.getSeq[Long](0).toIndexedSeq) }
-    (0 until iters).foreach { _ =>
+    def seedFrom(df: DataFrame): Seq[(Int, IndexedSeq[Long])] = df
+      .orderBy(col("id")).limit(k)
+      .select(col("v")).collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](0).toIndexedSeq) }
+    var cents = seedFrom(q.filter(pmod(col("id"), lit(stride)) === 0))
+    // Id spacing can miss the stride entirely (e.g. all-odd ids): fall
+    // back to the first k vectors; an empty corpus yields Nil and skips
+    // Lloyd (callers return empty results).
+    if (cents.isEmpty) cents = seedFrom(q)
+    (0 until iters).foreach { _ => if (cents.nonEmpty) {
       val assigned = q
         .withColumn("_vn", quantizedNorm(col("v")))
         .select(nearestCid(col("v"), col("_vn"), cents).as("cid"), col("v"))
@@ -147,7 +151,7 @@ object Similarity {
       cents = means.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
         (cid, rows.sortBy(_.getInt(1)).map(r => math.round(r.getDouble(2))).toIndexedSeq)
       }
-    }
+    }}
     cents
   }
 
@@ -202,6 +206,16 @@ object Similarity {
       nprobe: Int = 4,
       quantScale: Int = 1000): DataFrame = {
     val cents = ivfCentroidsLocal(corpus, idCol, vecCol, nCells, quantScale = quantScale)
+    if (cents.isEmpty) { // empty corpus: no cells, no neighbors
+      val spark = corpus.sparkSession
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", queries.schema(queryIdCol).dataType),
+          StructField("neighbor_id", corpus.schema(idCol).dataType),
+          StructField("rank", LongType), StructField("cosine", DoubleType))))
+    }
     val indexed = corpus
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol), quantScale).as("cv0"))
       .withColumn("cn0", quantizedNorm(col("cv0")))

@@ -40,13 +40,15 @@ object Sketches {
   def rollupDistinct(
       df: DataFrame, groupCol: String, subCol: String, valueCol: String,
       lgK: Int = 12): DataFrame = {
+    val subType = df.schema(subCol).dataType
     val fine = df.groupBy(col(groupCol), col(subCol))
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sk"))
     val coarse = fine.groupBy(col(groupCol))
       .agg(hll_union_agg(col("sk")).as("sk"))
-      .select(col(groupCol), lit(null).cast("string").as(subCol),
+      // Null at the subgroup's NATIVE type, so callers keep typed joins.
+      .select(col(groupCol), lit(null).cast(subType).as(subCol),
         hll_sketch_estimate(col("sk")).as("approx_distinct"))
-    fine.select(col(groupCol), col(subCol).cast("string").as(subCol),
+    fine.select(col(groupCol), col(subCol),
         hll_sketch_estimate(col("sk")).as("approx_distinct"))
       .unionByName(coarse)
   }

@@ -185,7 +185,11 @@ object TextAnalysis {
       corpus: DataFrame, bench: DataFrame,
       corpusId: String, benchId: String,
       textCol: String, n: Int, minCommon: Long): DataFrame = {
+    // Same sub-n guard as ngramDocFreq: texts shorter than n words have no
+    // n-grams (Dedup.shingles would collapse them to a whole-text shingle,
+    // and a whole-text match is exact-dup territory, not n-gram overlap).
     def shingled(df: DataFrame, idCol: String, as: String) = df
+      .filter(size(graft.dedup.Dedup.tokensOf(col(textCol))) >= n)
       .select(col(idCol).as(as),
         explode(graft.dedup.Dedup.shingles(col(textCol), n)).as("s"))
     val c = shingled(corpus, corpusId, "doc")

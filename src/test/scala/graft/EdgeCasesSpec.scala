@@ -95,6 +95,19 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out2.count() == 0)
   }
 
+  test("IVF survives id spacings that miss the centroid stride, and empty corpora") {
+    // 10 vectors, all ids ODD: stride-based seeding selects nothing and
+    // must fall back to the first k vectors instead of failing analysis.
+    val odd = (0 until 10).map(i => (2L * i + 1, Seq(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(odd, odd.limit(2), "vec_id", "embedding", "vec_id",
+      k = 3, nCells = 5, nprobe = 5)
+    assert(out.count() > 0)
+    val empty = odd.filter($"vec_id" < 0)
+    assert(Similarity.ivfTopK(empty, odd.limit(1), "vec_id", "embedding", "vec_id",
+      k = 3, nCells = 5, nprobe = 2).count() == 0)
+  }
+
   test("corpus-hygiene ops tolerate null text and empty benchmark sets") {
     val nulls = Seq((1L, null: String), (2L, "a b c")).toDF("id", "text")
     val red = nulls.select(graft.text.TextAnalysis.redactPii($"text").as("r"))

@@ -171,4 +171,15 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == "")                              // kept as a row, text emptied
     assert(out(4L) == "Repeat me. After the repeat")
   }
+
+  test("paragraph dedup keys punctuation-only segments by raw text, not by empty norm") {
+    val docs = Seq(
+      (1L, "Start. !!!. Mid"),
+      (2L, "Other. ???. End")) // "???" must NOT be deleted as a dup of "!!!"
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Start. !!!. Mid")
+    assert(out(2L) == "Other. ???. End")
+  }
 }

@@ -208,6 +208,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("atomic").getAs[String]("vb") == "b2")  // both from the 11:00 row
   }
 
+  test("ties on every orderable column with differing maps stay deterministic") {
+    // rv ties exactly; only the map differs — the content-hash tail of the
+    // tiebreak must pick one stable winner, identically in both forms.
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 5.0, Map("a" -> 1)),
+      (1L, ts("2024-01-01 11:00:00"), 5.0, Map("b" -> 2)))
+      .toDF("rk", "rt", "rv", "props")
+    val winners = for (n <- 1 to 3; useMerge <- Seq(false, true)) yield {
+      val r = right.repartition(n)
+      val out =
+        if (useMerge) AsOfJoin.backwardMerge(left, r, "k", "rk", "t", "rt", Seq("rv", "props"))
+        else AsOfJoin.backward(left, r, "k", "rk", "t", "rt", Seq("rv", "props"))
+      out.collect()(0).getAs[Map[String, Int]]("props")
+    }
+    assert(winners.distinct.size == 1, s"unstable winners: $winners")
+  }
+
   test("merge operator handles map-typed values via content-hash tiebreak") {
     val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "t", "tag")
     val right = Seq(

@@ -134,6 +134,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 100L, 3L)))
   }
 
+  test("ngramOverlap ignores sub-n-word texts (no whole-text collapse matches)") {
+    val bench = Seq((100L, "two words")).toDF("id", "text")
+    val corpus = Seq((1L, "two words"), (2L, "two words exactly here")).toDF("id", "text")
+    // "two words" < 3 tokens: its collapse shingle is exact-dup territory,
+    // not an n-gram — must not be reported as trigram contamination.
+    assert(TextAnalysis.ngramOverlap(corpus, bench, "id", "id", "text", 3, 1).count() == 0)
+  }
+
   test("fingerprints: md5 is content-normalized, rolling hash is order-sensitive") {
     val df = Seq(("Hello,  World", "hello world"), ("world hello", "world hello"))
       .toDF("a", "b")
