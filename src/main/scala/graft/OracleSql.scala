@@ -874,6 +874,13 @@ object OracleSql {
 
     // Frame indices are pure byte arithmetic over the UTF-8 payload:
     // ceil(bytes/32) frames, every 4th kept (FakeFrameSampler contract).
+    // Duration = bytes / bytesPerMs (FakeAudioDecoder contract).
+    "q_audio_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) // 4 AS BIGINT) AS duration_ms,
+        |  CAST(16000 AS BIGINT) AS sample_rate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -1077,6 +1077,21 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Audio feature plumbing: per-partition decode to (duration_ms,
+    * sample_rate, envelope). Duration/sample-rate are pure byte arithmetic
+    * under the FakeAudioDecoder contract → oracle-checkable; the envelope
+    * (byte-level) is pinned by MultimodalSpec.
+    */
+  private def qAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    mm.Multimodal.extractAudioFeatures(withPayload, "payload",
+        () => new mm.Multimodal.FakeAudioDecoder(bytesPerMs = 4, windows = 8))
+      .select(col("doc_id"), col("duration_ms"),
+        col("sample_rate").cast("long").as("sample_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Forward as-of join: each click's NEXT purchase at-or-after it, per
     * user (oracle: DuckDB native ASOF with r.ts >= l.ts) — physical
     * AsOfJoinExec, forward scan direction.
@@ -1180,6 +1195,7 @@ object SparkEntry {
     "q_salted_join" -> (qSaltedJoin _),
     "q_asof_forward" -> (qAsofForward _),
     "q_frame_sample" -> (qFrameSample _),
+    "q_audio_features" -> (qAudioFeatures _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

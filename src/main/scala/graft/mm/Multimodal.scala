@@ -187,4 +187,64 @@ object Multimodal {
       }
     }
   }
+
+  // ----------------------------------------------------------------- audio
+
+  /** Audio decoder contract: bytes → (duration, sample rate, per-window
+    * loudness envelope). A real implementation wraps an audio codec
+    * (javax.sound / ffmpeg bindings); absent in this container, so the
+    * fake derives deterministic values from the payload — the Spark-side
+    * plumbing (schema, null passthrough, partition-local codec init,
+    * envelope as array column) is the real, tested part.
+    */
+  trait AudioDecoder extends Serializable {
+    def decode(payload: Array[Byte]): AudioFeatures
+  }
+  final case class AudioFeatures(
+      durationMs: Long, sampleRate: Int, envelope: Array[Float])
+
+  /** Deterministic fake: duration from byte length at a nominal bitrate,
+    * envelope = mean absolute byte value per fixed-size window.
+    */
+  class FakeAudioDecoder(
+      bytesPerMs: Int = 4, windows: Int = 8) extends AudioDecoder {
+    override def decode(payload: Array[Byte]): AudioFeatures = {
+      val dur = payload.length.toLong / math.max(1, bytesPerMs)
+      val win = math.max(1, payload.length / windows)
+      val env = payload.grouped(win).take(windows).map { chunk =>
+        chunk.map(b => math.abs(b.toInt)).sum.toFloat / chunk.length / 128f
+      }.toArray
+      AudioFeatures(dur, 16000, env)
+    }
+  }
+
+  /** Per-partition audio feature extraction — same decode shape as
+    * [[extractFeatures]] with audio-typed outputs (duration_ms,
+    * sample_rate, envelope).
+    */
+  def extractAudioFeatures(
+      df: DataFrame,
+      payloadCol: String,
+      decoder: () => AudioDecoder): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("envelope", ArrayType(FloatType), nullable = true)))
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+
+    df.mapPartitions { rows =>
+      val d = decoder()
+      rows.map { row =>
+        val payload = row.getAs[Array[Byte]](payloadIdx)
+        if (payload == null) Row.fromSeq(row.toSeq ++ Seq(null, null, null))
+        else {
+          val f = d.decode(payload)
+          Row.fromSeq(row.toSeq ++ Seq(f.durationMs, f.sampleRate, f.envelope.toSeq))
+        }
+      }
+    }
+  }
 }

@@ -65,4 +65,18 @@ class MultimodalSpec extends SparkSpec {
     assert(r(0).getAs[Array[Byte]]("frame").toSeq == video.slice(0, 16).toSeq)
     assert(r.forall(_.getAs[Long]("id") == 1L))
   }
+
+  test("audio features: duration from byte length, bounded envelope, null passthrough") {
+    val audio = Array.tabulate[Byte](80)(i => (i * 3).toByte) // 20 ms at 4 B/ms
+    val df = Seq((1L, audio), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val r = Multimodal.extractAudioFeatures(df, "payload",
+        () => new Multimodal.FakeAudioDecoder(bytesPerMs = 4, windows = 8))
+      .orderBy("id").collect()
+    assert(r(0).getAs[Long]("duration_ms") == 20L)
+    assert(r(0).getAs[Int]("sample_rate") == 16000)
+    val env = r(0).getAs[scala.collection.Seq[Float]]("envelope")
+    assert(env.length == 8 && env.forall(v => v >= 0f && v <= 1f))
+    assert(r(1).isNullAt(r(1).fieldIndex("duration_ms")))
+  }
 }
