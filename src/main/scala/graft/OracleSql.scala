@@ -690,6 +690,25 @@ object OracleSql {
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    "q_latest_snapshot" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS as_of, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, as_of, o_totalprice
+        |FROM ranked WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    // DuckDB has no width_bucket: spelled as the equivalent arithmetic
+    // (bucket i covers [lo + (i-1)·w, lo + i·w), 0 below, count+1 above).
+    "q_histogram" ->
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+        |       WHEN o_totalprice >= 600000 THEN 13
+        |       ELSE floor(o_totalprice / 50000) + 1 END AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_intersect_except" ->
       """WITH urgent AS (
         |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),

@@ -355,6 +355,34 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Latest-snapshot (SCD/upsert) view: treating orders as change events
+    * per customer, keep only each key's most recent record — the
+    * batch-materialized form of MERGE-style upserts, deterministic
+    * tiebreak on the business key.
+    */
+  private def qLatestSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("as_of"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Equi-width histogram of order values (width_bucket binning) — the
+    * distribution profile pass run before setting quality thresholds.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12))
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
   /** Exact interpolated percentiles per group (median + p90). */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -1142,6 +1170,8 @@ object SparkEntry {
     "q_running_sum" -> (qRunningSum _),
     "q_moving_avg" -> (qMovingAvg _),
     "q_percentiles" -> (qPercentiles _),
+    "q_latest_snapshot" -> (qLatestSnapshot _),
+    "q_histogram" -> (qHistogram _),
     "q_json_extract" -> (qJsonExtract _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_pivot" -> (qPivot _),
