@@ -43,7 +43,10 @@ object Bench {
       else "0.0"
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Field order matters: the driver keeps only the tail of stdout, so the
+    // headline total (and failure list) must come AFTER the long per-query
+    // map or a truncated capture loses them (this cost round 3 its total).
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total}""")
     spark.stop()
   }
 }

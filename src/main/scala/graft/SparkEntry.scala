@@ -568,6 +568,61 @@ object SparkEntry {
         round(sum(col("value")), 2).as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
 
+  /** Sliding-window counts (10-minute windows every 5 minutes — each event
+    * lands in exactly two): the overlapping-window member of the windowed
+    * aggregation family, oracled by a DuckDB bucket-expansion query.
+    */
+  private def qEventsSliding(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.slidingAgg(t(s, dir, "events"),
+        width = "10 minutes", slide = "5 minutes")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Stream-stream interval join under the correctness gate: purchases in
+    * the hour before each click, replayed through two MemoryStreams. The
+    * watermark horizon exceeds the replay span so nothing is late-dropped
+    * and the finished stream must equal the batch range-join oracle; on a
+    * live stream the same plan's state is bounded by lookback + watermark.
+    */
+  private def qStreamInterval(s: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = t(s, dir, "events")
+    def side(typ: String) = ev.filter(col("event_type") === typ)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val joined = StreamingOps.streamingIntervalJoin(
+        clicks.toDF().toDF("click_id", "user_id", "ts"),
+        purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
+        leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
+        lookback = "1 hour", watermarkDelay = "365 days")
+      .select(col("click_id"), col("purchase_id"),
+        round(col("amount"), 2).as("amount"))
+    val sink = "q_stream_interval_sink"
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    try {
+      side("purchase").toLocalIterator().asScala
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+        .grouped(4000)
+        .foreach(b => { purchases.addData(b.toSeq: _*); q.processAllAvailable() })
+      side("click").toLocalIterator().asScala
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+        .grouped(4000)
+        .foreach(b => { clicks.addData(b.toSeq: _*); q.processAllAvailable() })
+    } finally q.stop()
+    s.table(sink).orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Regex field extraction from the JSON-ish props string. */
   private def qEventsProps(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -578,17 +633,20 @@ object SparkEntry {
   /** Structured Streaming under the correctness gate: the events table is
     * replayed through a MemoryStream in micro-batches into the SAME
     * watermarked tumbling-agg plan the batch query uses; the finished
-    * stream must hash-match the DuckDB batch oracle. Collect here is the
-    * harness feeding the source (bounded replay), not an operator.
+    * stream must hash-match the DuckDB batch oracle. The replay feed is
+    * the harness, not an operator — `toLocalIterator` keeps the driver
+    * footprint at ONE partition of the sorted table, not the table.
     */
   private def qStreamTumbling(s: SparkSession, dir: String): DataFrame = {
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
+    import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val rows = t(s, dir, "events")
+    val src = t(s, dir, "events")
       .select(col("ts"), col("event_type"), col("value"))
       .orderBy(col("ts"), col("event_type"))
-      .collect()
+    val n = src.count()
+    val rows = src.toLocalIterator().asScala
       .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
     val agg = StreamingOps.streamingTumblingAgg(
@@ -604,7 +662,7 @@ object SparkEntry {
         .outputMode("complete").start()
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     try {
-      rows.grouped(math.max(2000, rows.length / 4 + 1))
+      rows.grouped(math.max(2000, (n / 4 + 1).toInt))
         .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
     } finally q.stop()
     s.table(sink)
@@ -623,11 +681,13 @@ object SparkEntry {
   private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
+    import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val rows = t(s, dir, "events")
+    val src = t(s, dir, "events")
       .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
-      .collect()
+    val n = src.count()
+    val rows = src.toLocalIterator().asScala
       .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val mem = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
     val deduped = StreamingOps.streamingDedup(
@@ -641,7 +701,7 @@ object SparkEntry {
         .outputMode("append").start()
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     try {
-      rows.grouped(math.max(2000, rows.length / 4 + 1))
+      rows.grouped(math.max(2000, (n / 4 + 1).toInt))
         .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
     } finally q.stop()
     s.table(sink)
@@ -661,14 +721,20 @@ object SparkEntry {
   private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
+    import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val gap = 1800L
-    val rows = t(s, dir, "events")
+    val src = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("value"))
       .orderBy(col("ts"), col("user_id"))
-      .collect()
+    // One aggregate pass for the replay plan (count → batch split, max ts
+    // → sentinel placement); rows then stream through the driver one
+    // partition at a time.
+    val stats = src.agg(count(lit(1)).as("n"), max(col("ts")).as("mx")).head()
+    val n = stats.getLong(0)
+    val maxTs = stats.getTimestamp(1).getTime
+    val rows = src.toLocalIterator().asScala
       .map(r => StreamingOps.SessionInput(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
-    val maxTs = rows.map(_.ts.getTime).max
     val mem = MemoryStream[StreamingOps.SessionInput]
     val sessions = StreamingOps.streamingSessionize(
       mem.toDS(), gapSeconds = gap, watermarkDelay = "30 minutes")
@@ -686,10 +752,12 @@ object SparkEntry {
       // batch in which those timeouts fire and flush.
       def sentinel(i: Int) = StreamingOps.SessionInput(-1L,
         new java.sql.Timestamp(maxTs + (gap + 3600L * i) * 1000), 0.0)
-      val half = rows.length / 2 + 1
-      mem.addData(rows.take(half).toSeq: _*)
+      val half = (n / 2 + 1).toInt
+      val chunks = rows.grouped(half)
+      mem.addData(chunks.next().toSeq: _*)
       q.processAllAvailable()
-      mem.addData((rows.drop(half) :+ sentinel(1)).toSeq: _*)
+      val second = if (chunks.hasNext) chunks.next() else Seq.empty
+      mem.addData((second :+ sentinel(1)).toSeq: _*)
       q.processAllAvailable()
       mem.addData(sentinel(2))
       q.processAllAvailable()
@@ -824,6 +892,18 @@ object SparkEntry {
     val queries = emb.filter(col("vec_id") < 10)
     Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id",
         k = 5, nCells = 16, nprobe = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF broadcast-join form at a scale-representative cell count — the
+    * large-nCells path where centroids are a relation, not literals
+    * (rows-only; recall vs brute force pinned in SimilaritySpec).
+    */
+  private def qAnnIvfJoined(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.ivfTopKJoined(emb, queries, "vec_id", "embedding", "vec_id",
+        k = 5, nCells = 64, nprobe = 16)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1195,6 +1275,7 @@ object SparkEntry {
     "q_ann_brute_force" -> (qAnnBruteForce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_joined" -> (qAnnIvfJoined _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_window_funcs" -> (qWindowFuncs _),

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,30 +83,137 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (id_a < id_b) pairs whose
-    * quantized cosine meets the threshold. Exact — the dedup-family member
-    * for embedding columns, oracle-checkable because quantized arithmetic
-    * is bit-stable across engines.
+  /** Embedding-cosine near-duplicate pairs — exact output, bucketed plan.
     *
-    * Scale shape: |corpus|² dot products is the exact-answer lower bound;
-    * here the right side is broadcast (vectors are narrow after
-    * quantization) so the left side never shuffles, and the dot is a
-    * native codegen'd expression. When approximate recall is acceptable at
-    * corpus scale, [[lshTopK]]'s sign-bucket join is the prefilter path.
+    * Emits every (id_a < id_b) pair whose quantized cosine meets
+    * `threshold`, identical to the naive all-pairs join (which is what the
+    * DuckDB oracle runs), but the plan never broadcasts or cross-joins the
+    * corpus. Candidate pruning is a metric-space ball cover — the triangle
+    * inequality on ANGULAR distance (the ball-tree/IVF bound):
+    *
+    *   vectors are assigned to their nearest of `nCells` pivots; for cells
+    *   i, j with assignment radii r_i, r_j (max angle to the pivot), any
+    *   pair (a∈i, b∈j) satisfies angle(a,b) ≥ angle(c_i,c_j) − r_i − r_j,
+    *   so cell pairs with angle(c_i,c_j) > r_i + r_j + acos(threshold)
+    *   cannot hold a qualifying pair and are pruned EXACTLY. Pruning power
+    *   depends on how clustered the corpus is; correctness does not.
+    *
+    * Scale shape: per-row work is one nearest-pivot projection; the pair
+    * stage is an equi-join on the surviving (cell_a, cell_b) key,
+    * shuffle-partitioned and sort-merge (spill-safe — pinned via hint so
+    * small-SF stats can never flip it back to a corpus broadcast). Each
+    * row is replicated once per surviving partner cell. Worst case
+    * (uniform corpus + low threshold) degrades to a DISTRIBUTED all-pairs
+    * — the exact-answer lower bound — never a driver/executor-memory
+    * broadcast, and AQE's skew-join split handles hot same-cell buckets.
     */
   def cosinePairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      quantScale: Int = 1000): DataFrame = {
+      quantScale: Int = 1000,
+      nCells: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val q = corpus.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
       .withColumn("nrm", quantizedNorm(col("v")))
-    q.as("a").join(broadcast(q.as("b")), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineFromNorms(quantizedDot(col("a.v"), col("b.v")),
-          col("a.nrm"), col("b.nrm")).as("cosine"))
+    val cents = ivfCentroidsLocal(corpus, idCol, vecCol, nCells, iters = 1, quantScale)
+    if (cents.isEmpty) // empty corpus: typed empty result
+      return q.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
+    val assigned = (
+      if (cents.size <= LiteralAssignMaxCells) assignCellsLit(q, "v", "nrm", cents)
+      else assignCellsJoined(q, Seq("id"), "v", "nrm", centroidsDF(spark, cents)))
+      .select(col("id"), col("v"), col("nrm"), col("cid"), col("cang"))
+      .persist() // consumed by the radii agg and both pair-join sides
+    // Per-cell assignment radius: nCells scalars to the driver (same
+    // driver-residency contract as the centroid means).
+    val radii = assigned.groupBy(col("cid")).agg(max(col("cang")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val theta = math.acos(math.min(1.0, math.max(-1.0, threshold)))
+    val eps = 1e-6 // slack only ADDS candidates — exactness is one-sided
+    val centMap = cents.toMap
+    def angleBetween(a: IndexedSeq[Long], b: IndexedSeq[Long]): Double = {
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0.0 || nb == 0.0) 0.0 // undefined direction: never prune
+      else {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum / (na * nb)
+        math.acos(math.min(1.0, math.max(-1.0, d)))
+      }
+    }
+    // Surviving unordered cell pairs (i ≤ j): nCells² driver-side doubles.
+    val liveCells = radii.keys.toSeq.sorted
+    val candPairs = for {
+      i <- liveCells; j <- liveCells if i <= j
+      if angleBetween(centMap(i), centMap(j)) <= radii(i) + radii(j) + theta + eps
+    } yield (i, j)
+    val pairsDF = candPairs.toDF("pi", "pj")
+    // Each unordered row pair lands in exactly one cell pair, so the join
+    // below sees it once: cross-cell via (cell_a, cell_b) orientation,
+    // same-cell deduped by id order; ids are re-ordered on output.
+    val aSide = assigned
+      .select(col("id").as("ida"), col("v").as("va"), col("nrm").as("na"), col("cid"))
+      .join(broadcast(pairsDF), col("cid") === col("pi")).drop("cid")
+    val bSide = assigned
+      .select(col("id").as("idb"), col("v").as("vb"), col("nrm").as("nb"),
+        col("cid").as("cidb"))
+      .join(broadcast(pairsDF.select(col("pi").as("qi"), col("pj").as("qj"))),
+        col("cidb") === col("qj")).drop("cidb")
+    aSide.hint("merge").join(bSide,
+        col("pi") === col("qi") && col("pj") === col("qj") &&
+          (col("pi") < col("pj") || col("ida") < col("idb")))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        cosineFromNorms(quantizedDot(col("va"), col("vb")),
+          col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Past this pivot count, codegen'd literal unrolling risks blowing JVM
+    * method limits — assignment switches to the broadcast-relation path.
+    */
+  private[sim] val LiteralAssignMaxCells = 32
+
+  /** Literal-path cell assignment: one projection, no join, no shuffle —
+    * for small pivot counts (codegen unrolls one struct per pivot). Adds
+    * `cid` (nearest pivot) and `cang` (angle to it; zero-norm vectors get
+    * the conservative π so downstream pruning never drops them).
+    */
+  private[sim] def assignCellsLit(df: DataFrame, vCol: String, vnCol: String,
+      cents: Seq[(Int, IndexedSeq[Long])]): DataFrame =
+    df.withColumn("_m", nearestCell(col(vCol), col(vnCol), cents))
+      .withColumn("cid", col("_m").getField("cid"))
+      .withColumn("cang", acos(least(lit(1.0),
+        greatest(lit(-1.0), nanvl(col("_m").getField("s"), lit(-2.0))))))
+      .drop("_m")
+
+  /** Join-path cell assignment — the large-k scale path: the pivot table
+    * enters the plan as a broadcast RELATION (BroadcastHashJoin on a
+    * constant key) instead of unrolled literals, so the cell count is
+    * bounded by broadcast size, not JVM codegen method limits. Costs one
+    * shuffle (the per-key argmax aggregation — map-side partials shrink
+    * the k-fold expansion back to |df| rows before it moves).
+    */
+  private[sim] def assignCellsJoined(df: DataFrame, keyCols: Seq[String],
+      vCol: String, vnCol: String, cents: DataFrame): DataFrame = {
+    val c = cents.select(col("cid").as("_acid"), col("cv").as("_acv"))
+      .withColumn("_acn", quantizedNorm(col("_acv")))
+      .withColumn("_aone", lit(1))
+    val carried = df.columns.toIndexedSeq.filterNot(keyCols.contains)
+    df.withColumn("_aone", lit(1))
+      .join(broadcast(c), "_aone")
+      .withColumn("_as", nanvl(cosineFromNorms(quantizedDot(col(vCol), col("_acv")),
+        col(vnCol), col("_acn")), lit(-2.0)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(col("_as").as("s"), (-col("_acid")).as("nc"),
+        col("_acid").as("cid"))).as("_m"),
+        carried.map(cn => first(col(cn)).as(cn)): _*)
+      .select((keyCols ++ carried).map(col) :+
+        col("_m").getField("cid").as("cid") :+
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          col("_m").getField("s")))).as("cang"): _*)
   }
 
   // ------------------------------------------------------------ IVF path
@@ -140,9 +247,16 @@ object Similarity {
     // Lloyd (callers return empty results).
     if (cents.isEmpty) cents = seedFrom(q)
     (0 until iters).foreach { _ => if (cents.nonEmpty) {
-      val assigned = q
-        .withColumn("_vn", quantizedNorm(col("v")))
-        .select(nearestCid(col("v"), col("_vn"), cents).as("cid"), col("v"))
+      val qn = q.withColumn("_vn", quantizedNorm(col("v")))
+      // Lloyd assignment: literal projection for small k, broadcast-join
+      // argmax past the codegen ceiling — same switch as the public paths.
+      val assigned =
+        if (cents.size <= LiteralAssignMaxCells)
+          qn.select(nearestCid(col("v"), col("_vn"), cents).as("cid"), col("v"))
+        else
+          assignCellsJoined(qn, Seq("id"), "v", "_vn",
+            centroidsDF(corpus.sparkSession, cents))
+            .select(col("cid"), col("v"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -155,6 +269,17 @@ object Similarity {
     cents
   }
 
+  /** (cid, cv) single-partition relation for a driver-resident centroid
+    * seq — the broadcastable form the join-path assignment consumes.
+    */
+  def centroidsDF(spark: SparkSession, cents: Seq[(Int, IndexedSeq[Long])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = cents.map { case (cid, cv) => Row(cid, cv) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("cid", IntegerType, nullable = false),
+        StructField("cv", ArrayType(LongType)))))
+  }
+
   /** DataFrame view of [[ivfCentroidsLocal]] (cid, cv) for callers that
     * want the centroid table as a relation.
     */
@@ -164,29 +289,26 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int = 2,
-      quantScale: Int = 1000): DataFrame = {
-    val spark = corpus.sparkSession
-    import org.apache.spark.sql.types._
-    val rows = ivfCentroidsLocal(corpus, idCol, vecCol, k, iters, quantScale)
-      .map { case (cid, cv) => org.apache.spark.sql.Row(cid, cv) }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(StructField("cid", IntegerType, nullable = false),
-        StructField("cv", ArrayType(LongType)))))
-  }
+      quantScale: Int = 1000): DataFrame =
+    centroidsDF(corpus.sparkSession,
+      ivfCentroidsLocal(corpus, idCol, vecCol, k, iters, quantScale))
 
-  /** Nearest centroid id as a literal expression: max of (sim, -cid, cid)
-    * structs — highest cosine wins, ties to the lowest cid. `vn` is the
+  /** Nearest-centroid (sim, -cid, cid) struct as a literal expression: max
+    * picks the highest cosine, ties to the lowest cid. `vn` is the
     * caller's precomputed vector norm (compute it once, not per centroid).
     */
-  private def nearestCid(v: Column, vn: Column, cents: Seq[(Int, IndexedSeq[Long])]): Column = {
+  private def nearestCell(v: Column, vn: Column, cents: Seq[(Int, IndexedSeq[Long])]): Column = {
     val scored = cents.map { case (cid, cv) =>
       val cn = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
       struct(
         cosineFromNorms(quantizedDot(v, array(cv.map(lit): _*)), vn, lit(cn)).as("s"),
         lit(-cid).as("nc"), lit(cid).as("cid"))
     }
-    array_max(array(scored: _*)).getField("cid")
+    array_max(array(scored: _*))
   }
+
+  private def nearestCid(v: Column, vn: Column, cents: Seq[(Int, IndexedSeq[Long])]): Column =
+    nearestCell(v, vn, cents).getField("cid")
 
   /** IVF approximate top-k: corpus vectors are indexed by nearest
     * centroid (a projection against the driver-resident centroid
@@ -237,6 +359,70 @@ object Similarity {
         explode(slice(array_sort(probeArr(col("qv"), col("qn"))), 1, nprobe)))
       .select(col("query_id"), col("qv"), col("qn"), col("probe.cid").as("cid"))
 
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    indexed
+      .join(broadcast(qProbes),
+        indexed("cid") === qProbes("cid") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineFromNorms(quantizedDot(col("qv"), col("cv0")), col("qn"), col("cn0")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** IVF approximate top-k, broadcast-join form — the large-nCells scale
+    * path: corpus assignment and query probing score against the (cid, cv)
+    * RELATION (a BroadcastHashJoin) instead of per-centroid literals,
+    * which cap out against JVM codegen method limits past a few hundred
+    * cells. Candidate shape is identical to [[ivfTopK]]: the only
+    * corpus-side join is the equi-join on the probed cell id with the tiny
+    * probe side broadcast, so candidate volume stays |corpus|·nprobe/k.
+    */
+  def ivfTopKJoined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      nCells: Int = 64,
+      nprobe: Int = 8,
+      quantScale: Int = 1000): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = ivfCentroidsLocal(corpus, idCol, vecCol, nCells, quantScale = quantScale)
+    if (cents.isEmpty) { // empty corpus: no cells, no neighbors
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("query_id", queries.schema(queryIdCol).dataType),
+          StructField("neighbor_id", corpus.schema(idCol).dataType),
+          StructField("rank", LongType), StructField("cosine", DoubleType))))
+    }
+    val cdf = centroidsDF(spark, cents)
+    val indexed = assignCellsJoined(
+      corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol), quantScale).as("cv0"))
+        .withColumn("cn0", quantizedNorm(col("cv0"))),
+      Seq("neighbor_id"), "cv0", "cn0", cdf).drop("cang")
+    // Probe ranking: score every (query, cell) against the broadcast
+    // centroid relation, keep each query's nprobe best cells (sim desc,
+    // ties to the lowest cid — same order as the literal path).
+    val c = cdf.select(col("cid").as("pcid"), col("cv").as("pcv"))
+      .withColumn("pcn", quantizedNorm(col("pcv")))
+      .withColumn("_one", lit(1))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("pcid"))
+    val qProbes = queries
+      .select(col(queryIdCol).as("query_id"), quantize(col(vecCol), quantScale).as("qv"))
+      .withColumn("qn", quantizedNorm(col("qv")))
+      .withColumn("_one", lit(1))
+      .join(broadcast(c), "_one")
+      .withColumn("psim", nanvl(cosineFromNorms(quantizedDot(col("qv"), col("pcv")),
+        col("qn"), col("pcn")), lit(-2.0)))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("pcid").as("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     indexed

@@ -62,4 +62,48 @@ class PlanContractSpec extends SparkSpec {
         s"$q planned a quadratic join:\n${p.take(1500)}")
     }
   }
+
+  test("q_dedup_embedding: no quadratic join, no corpus broadcast") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("q_dedup_embedding")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"quadratic join:\n${p.take(1500)}")
+    // Every broadcast build side must be a tiny local relation (the cell
+    // pair table) — never a subtree that reads the corpus parquet.
+    val sp = df.queryExecution.sparkPlan
+    sp.collect { case j: BroadcastHashJoinExec => j }.foreach { j =>
+      val build = if (j.buildSide == BuildLeft) j.left else j.right
+      assert(!build.collectLeaves().exists(_.isInstanceOf[FileSourceScanExec]),
+        s"corpus broadcast detected:\n${build.treeString.take(800)}")
+    }
+    // The pair stage itself must be a shuffled (spill-safe) join.
+    assert(sp.find(n => n.nodeName.contains("SortMergeJoin")).isDefined,
+      s"pair join is not sort-merge:\n${sp.treeString.take(1500)}")
+  }
+
+  test("q_ann_ivf_joined broadcasts only the centroid/probe relations, never the corpus") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val df = SparkEntry.queries("q_ann_ivf_joined")(spark, dir)
+    val sp = df.queryExecution.sparkPlan
+    assert(!sp.toString.contains("CartesianProduct"))
+    // Centroid scoring folds its constant key into a BroadcastNestedLoop
+    // against the k-row local relation — fine; what must NEVER happen is a
+    // broadcast build side that reads the corpus parquet. The one
+    // exception is the query-probe side (explicitly filtered tiny).
+    val builds = sp.collect {
+      case j: BroadcastHashJoinExec => if (j.buildSide == BuildLeft) j.left else j.right
+      case j: BroadcastNestedLoopJoinExec => if (j.buildSide == BuildLeft) j.left else j.right
+    }
+    assert(builds.nonEmpty, sp.treeString.take(1000))
+    builds.foreach { b =>
+      val scans = b.collectLeaves().collect { case f: FileSourceScanExec => f }
+      assert(scans.forall(_.toString.contains("LessThan(vec_id,10)")) || scans.isEmpty,
+        s"corpus broadcast detected:\n${b.treeString.take(1000)}")
+    }
+  }
 }

@@ -71,6 +71,74 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("cosinePairs (bucketed) equals the naive all-pairs join on real embeddings") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    // Naive reference: quantized all-pairs cross join (what the DuckDB
+    // oracle runs) — fine at spec scale, never in the operator.
+    val q = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.quantizedNorm(col("v")))
+    val naive = q.as("a").crossJoin(q.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosineFromNorms(
+          Similarity.quantizedDot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive,
+      s"missing=${(naive diff bucketed).take(5)} extra=${(bucketed diff naive).take(5)}")
+    assert(naive.nonEmpty) // the comparison must not pass vacuously
+  }
+
+  test("cosinePairs pruning bound holds at a high threshold too") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val naive = {
+      val q = emb.select(col("vec_id").as("id"),
+        Similarity.quantize(col("embedding")).as("v"))
+        .withColumn("nrm", Similarity.quantizedNorm(col("v")))
+      q.as("a").crossJoin(q.as("b")).filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          Similarity.cosineFromNorms(
+            Similarity.quantizedDot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")).as("cosine"))
+        .filter(col("cosine") >= 0.75)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    val bucketed = Similarity.cosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.75, nCells = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+  }
+
+  test("ivfTopKJoined matches ivfTopK recall at 64 cells (join-path assignment)") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopKJoined(emb, queries, "vec_id", "embedding", "vec_id",
+        k = 5, nCells = 64, nprobe = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"joined-IVF recall@5 too low: $recall")
+  }
+
+  test("literal and joined assignment agree cell-for-cell") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings").limit(100)
+    val cents = Similarity.ivfCentroidsLocal(emb, "vec_id", "embedding", k = 8)
+    val q = emb.select(col("vec_id").as("id"),
+      Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.quantizedNorm(col("v")))
+    val litPath = Similarity.assignCellsLit(q, "v", "nrm", cents)
+      .select(col("id"), col("cid")).as[(Long, Int)].collect().toMap
+    val joinPath = Similarity.assignCellsJoined(q, Seq("id"), "v", "nrm",
+        Similarity.centroidsDF(spark, cents))
+      .select(col("id"), col("cid")).as[(Long, Int)].collect().toMap
+    assert(litPath == joinPath)
+  }
+
   test("ivfTopK achieves reasonable recall@5 vs brute force") {
     val emb = graft.Tables.load(spark, sf001, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
