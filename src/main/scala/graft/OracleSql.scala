@@ -400,6 +400,31 @@ object OracleSql {
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Sliding windows (10 min wide, 5 min slide): every event lands in
+    // exactly two epoch-aligned buckets — expand via a 2-row VALUES join.
+    // make_timestamp(µs) keeps the arithmetic on the naive UTC clock,
+    // matching Spark's epoch-aligned window() under the UTC session TZ.
+    "q_events_sliding" ->
+      """WITH w AS (
+        |  SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) * 300
+        |                         - o.k * 300) * 1000000) AS ws,
+        |         event_type
+        |  FROM events, (VALUES (0), (1)) o(k))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The replayed stream-stream interval join (nothing late-dropped, so
+    // the finished stream equals the batch range join).
+    "q_stream_interval" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  round(p.value, 2) AS amount
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
     // Streaming exact dedup keeps one row per key: the surviving key set
     // is the DISTINCT key set.
     "q_stream_dedup" ->
@@ -816,10 +841,14 @@ object OracleSql {
          |FROM b ORDER BY doc_id""".stripMargin,
 
     // Same regex chain and order as TextAnalysis.redactPii (all RE2-safe).
+    // text is coalesced to '' on BOTH sides (Spark side does the same) so
+    // the pair stays equivalent if the generator ever emits null text —
+    // || would otherwise null the whole planted string here while
+    // redactPii's internal coalesce yields ''.
     "q_pii_redact" ->
       """WITH planted AS (
         |  SELECT doc_id,
-        |    text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+        |    coalesce(text, '') || ' Contact user' || CAST(doc_id AS VARCHAR) ||
         |    '@mail.example.com, call +7 916 ' ||
         |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
         |    '-12-34, visit https://svc' || CAST(doc_id % 7 AS VARCHAR) ||
@@ -894,10 +923,14 @@ object OracleSql {
     // Frame indices are pure byte arithmetic over the UTF-8 payload:
     // ceil(bytes/32) frames, every 4th kept (FakeFrameSampler contract).
     // Duration = bytes / bytesPerMs (FakeAudioDecoder contract).
+    // sample_rate is NULL-guarded to mirror the engine, which returns
+    // NULL features for NULL payloads (duration already NULL-propagates
+    // through octet_length(encode(NULL))).
     "q_audio_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) // 4 AS BIGINT) AS duration_ms,
-        |  CAST(16000 AS BIGINT) AS sample_rate
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE CAST(16000 AS BIGINT) END AS sample_rate
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample" ->

@@ -1000,8 +1000,9 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** L1-L3 service path: enrichment via per-partition client calls
-    * (mapPartitions — rows-only; semantics in EnrichmentSpec).
+  /** L1-L3 service path: enrichment + row correction via per-partition
+    * client calls (mapPartitions — rows-only; semantics incl. the
+    * correction fallback contract in EnrichmentSpec).
     */
   private def qServiceEnrich(s: SparkSession, dir: String): DataFrame = {
     val reg = registryView(s, dir).select(
@@ -1012,7 +1013,7 @@ object SparkEntry {
         concat(lit("data:image/png;base64,"), md5(col("text"))))
         .otherwise(lit("")).as("image"))
     enrich.ServiceEnrichment.process(reg, "brand", "image",
-        new enrich.StubLlmClient)
+        new enrich.StubLlmClient, correction = true)
       .select(col("doc_id"), col("brand"),
         col(s"`${Enrichment.EnglishCol}`").as("brand_en"),
         col(Enrichment.ExcludedCol).as("excluded"))
@@ -1086,7 +1087,7 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"),
         TextAnalysis.redactPii(concat(
-          col("text"),
+          coalesce(col("text"), lit("")),
           lit(" Contact user"), col("doc_id").cast("string"),
           lit("@mail.example.com, call +7 916 "),
           lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
@@ -1258,11 +1259,13 @@ object SparkEntry {
     "q_unpivot" -> (qUnpivot _),
     "q_sql_text" -> (qSqlText _),
     "q_events_tumbling" -> (qEventsTumbling _),
+    "q_events_sliding" -> (qEventsSliding _),
     "q_events_sessionize" -> (qEventsSessionize _),
     "q_events_props" -> (qEventsProps _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_sessionize" -> (qStreamSessionize _),
+    "q_stream_interval" -> (qStreamInterval _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_dedup_exact" -> (qDedupExact _),

@@ -369,10 +369,14 @@ object Dedup {
     * are all duplicates come back with empty text, not dropped — the
     * caller decides the drop policy.
     *
-    * Scale: one explode (segments ≈ rows × segments/doc), one window over
-    * the normalized-segment hash (hash-partitioned — segment cardinality,
-    * no global order), one groupBy(doc) to reassemble. The shuffle carries
-    * segment text once; md5 keys keep the window narrow.
+    * Scale: one explode (segments ≈ rows × segments/doc), one hash
+    * aggregation over the normalized-segment key to elect each segment's
+    * first occurrence, one equi-join to keep winners, one groupBy(doc) to
+    * reassemble. The winner election is min(struct(doc, pos)) — a real
+    * aggregate with map-side partials — NOT row_number over a window: a
+    * boilerplate segment repeated 10⁹ times would land every copy on one
+    * window reducer, while partial aggregation collapses it to one row
+    * per map task before anything moves.
     */
   def dedupParagraphs(
       df: DataFrame,
@@ -390,11 +394,13 @@ object Dedup {
       .withColumn("k", md5(when(normalizeText(col("seg")) === "", col("seg"))
         .otherwise(normalizeText(col("seg")))))
       .filter(trim(col("seg")) =!= "")
-    val firstWins = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k")).orderBy(col("doc"), col("pos"))
+    // Globally-first occurrence per key: min over the (doc, pos) total
+    // order — lexicographic struct min ≡ ORDER BY doc, pos LIMIT 1.
+    val winners = segs.groupBy(col("k"))
+      .agg(min(struct(col("doc"), col("pos"))).as("w"))
+      .select(col("k"), col("w.doc").as("doc"), col("w.pos").as("pos"))
     val kept = segs
-      .withColumn("rn", row_number().over(firstWins))
-      .filter(col("rn") === 1)
+      .join(winners, Seq("k", "doc", "pos"))
       .groupBy(col("doc"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("seg")))),

@@ -90,4 +90,24 @@ object Enrichment {
         when(enrichFires, TextOps.joinSamples(variants.getField("russian_samples"))))
       .withColumn(ExcludedCol, when(excluded, "Да").otherwise("Нет"))
   }
+
+  /** L3 — row correction over the whole frame, column form (reference
+    * step 5, utils/gpt.py:451-458): each row is serialized to a JSON
+    * object of stringified cells (null→"", the reference's `str(v or "")`),
+    * corrected by the provider into a field→value map, and re-projected.
+    * Per-field coalesce implements fall-back-to-original: a null/missing
+    * corrected field keeps the original stringified value, and an entirely
+    * failed correction (null map) keeps the whole row. Output is
+    * all-string, like the reference's processed_rows.
+    */
+  def correctRows(
+      df: DataFrame,
+      provider: EnrichmentProvider = StubProvider): DataFrame = {
+    val cols = df.columns.toIndexedSeq
+    val asStr = (c: String) => coalesce(graft.Cols.q(c).cast("string"), lit(""))
+    val rowJson = to_json(struct(cols.map(c => asStr(c).as(c)): _*))
+    val corrected = provider.correctRow(rowJson)
+    df.select(cols.map(c =>
+      coalesce(element_at(corrected, c), asStr(c)).as(c)): _*)
+  }
 }

@@ -44,6 +44,9 @@ class RetryingLlmClient(
 
   override def brandSamples(prompt: String): (Seq[String], Seq[String]) =
     withRetry(inner.brandSamples(prompt))
+
+  override def correctRow(row: Map[String, String]): Option[Map[String, String]] =
+    withRetry(inner.correctRow(row))
 }
 
 object RetryingLlmClient {

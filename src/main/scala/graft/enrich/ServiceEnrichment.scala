@@ -21,10 +21,19 @@ trait LlmClient extends Serializable {
   def recognizeImage(imagePayload: String): Option[String]
   /** returns (english_samples, russian_samples) */
   def brandSamples(prompt: String): (Seq[String], Seq[String])
+  /** L3 — corrected row as a field→value map; None (or a raised error,
+    * after the client's own retry policy) means the caller keeps the
+    * original row stringified with null→"" — the reference's
+    * fall-back-to-original contract (utils/gpt.py:451-458).
+    */
+  def correctRow(row: Map[String, String]): Option[Map[String, String]]
 }
 
 /** Deterministic offline double, keyed by input content — stands in for the
-  * remote model in tests (FIXTURES.md §B.8).
+  * remote model in tests (FIXTURES.md §B.8). `correctRow` is the identity
+  * on the stringified row, mirroring [[StubProvider.correctRow]]'s JSON
+  * roundtrip so the column path and the service path stay differentially
+  * comparable.
   */
 class StubLlmClient extends LlmClient {
   override def recognizeImage(imagePayload: String): Option[String] =
@@ -33,24 +42,39 @@ class StubLlmClient extends LlmClient {
 
   override def brandSamples(prompt: String): (Seq[String], Seq[String]) =
     (Seq(prompt.toUpperCase, prompt.toLowerCase), Seq(prompt + "-ру"))
+
+  override def correctRow(row: Map[String, String]): Option[Map[String, String]] =
+    Some(row)
 }
 
 object ServiceEnrichment {
 
   /** Same decision tree as [[Enrichment.process]], but with the effectful
-    * steps executed per partition against `client`.
+    * steps executed per partition against `client`. With
+    * `correction = true` each enriched row additionally passes through
+    * `client.correctRow` (reference step 5, utils/gpt.py:451-458): every
+    * cell is stringified with null→"" (the output schema becomes
+    * all-string, as the reference's `str(v or "")` does), a returned map
+    * replaces the row field-by-field, and a None/raised correction keeps
+    * the original stringified values.
     */
   def process(
       df: DataFrame,
       brandCol: String,
       imageCol: String,
-      client: LlmClient): DataFrame = {
+      client: LlmClient,
+      correction: Boolean = false): DataFrame = {
 
     val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields ++ Seq(
+    val enrichedFields = inSchema.fields ++ Seq(
       StructField(Enrichment.EnglishCol, StringType, nullable = true),
       StructField(Enrichment.RussianCol, StringType, nullable = true),
-      StructField(Enrichment.ExcludedCol, StringType, nullable = false)))
+      StructField(Enrichment.ExcludedCol, StringType, nullable = false))
+    val outSchema =
+      if (correction)
+        StructType(enrichedFields.map(f => StructField(f.name, StringType, nullable = true)))
+      else StructType(enrichedFields)
+    val fieldNames = enrichedFields.map(_.name).toIndexedSeq
 
     val brandIdx = inSchema.fieldIndex(brandCol)
     val imageIdx = inSchema.fieldIndex(imageCol)
@@ -69,8 +93,8 @@ object ServiceEnrichment {
         val brand0 = Option(row.getAs[String](brandIdx)).getOrElse("")
         val image = Option(row.getAs[String](imageIdx)).getOrElse("")
 
-        if (excluded) {
-          Row.fromSeq(row.toSeq ++ Seq(null, null, "Да"))
+        val enriched: Seq[Any] = if (excluded) {
+          row.toSeq ++ Seq(null, null, "Да")
         } else {
           val brand1 =
             if (brand0.isEmpty && image.nonEmpty)
@@ -82,7 +106,22 @@ object ServiceEnrichment {
             else (Nil, Nil)
           val enCell = if (brand1.trim.nonEmpty) en.mkString(", ") else null
           val ruCell = if (brand1.trim.nonEmpty) ru.mkString(", ") else null
-          Row.fromSeq(row.toSeq.updated(brandIdx, brand1) ++ Seq(enCell, ruCell, "Нет"))
+          row.toSeq.updated(brandIdx, brand1) ++ Seq(enCell, ruCell, "Нет")
+        }
+
+        if (!correction) Row.fromSeq(enriched)
+        else {
+          val asStr = enriched.map(v => Option(v).map(_.toString).getOrElse(""))
+          val original = fieldNames.zip(asStr).toMap
+          val corrected =
+            try client.correctRow(original)
+            catch { case scala.util.control.NonFatal(_) => None }
+          Row.fromSeq(corrected match {
+            // Field-wise fallback: a corrected map missing a column keeps
+            // that column's original value rather than nulling it.
+            case Some(m) => fieldNames.map(n => m.getOrElse(n, original(n)))
+            case None    => asStr
+          })
         }
       }
     }

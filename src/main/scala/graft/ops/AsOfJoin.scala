@@ -112,7 +112,14 @@ object AsOfJoin {
     // content hash is always appended as the final tiebreak (same rule as
     // the window form): rows tied on every orderable value column but
     // differing in non-orderable ones stay deterministic.
-    val realiased = right.select(right.columns.toIndexedSeq.map(c => Cols.q(c).as(c)): _*)
+    // NULL join keys never match (SQL equi-join / DuckDB ASOF semantics):
+    // null-key right rows are dropped from the match side; null-key left
+    // rows then find no partner group and pass through unmatched. Without
+    // this the merge ordering would treat null as an ordinary smallest key
+    // and pair null with null. Pinned in AsOfJoinSpec.
+    val realiased = right
+      .select(right.columns.toIndexedSeq.map(c => Cols.q(c).as(c)): _*)
+      .filter(rightKeysIn.map(k => Cols.q(k).isNotNull).reduce(_ && _))
     val rightPrepped = realiased.withColumn(tbCol,
       xxhash64(to_json(struct(valueCols.map(c => Cols.q(c).as(c)): _*))))
 
@@ -217,7 +224,12 @@ object AsOfJoin {
         leftCols.map(Cols.q) :+
         lit(null).cast(rvType).as("_rv")): _*)
 
+    // NULL keys never match (SQL semantics): drop null-key right rows —
+    // the window partitions nulls into one group, so a null-key left row
+    // would otherwise pick up a null-key right row. Left null-key rows
+    // stay, find an empty frame, and come back unmatched.
     val rightTagged = right
+      .filter(Cols.q(rightKey).isNotNull)
       .withColumn("_k", Cols.q(rightKey))
       .withColumn("_t", Cols.q(rightTs))
       .withColumn("_side", lit(rightSide))

@@ -35,7 +35,11 @@ object Sketches {
     * per-group totals by MERGING the subgroup sketches — the reusable
     *-aggregate shape (daily sketches → monthly totals) that makes
     * sketches the right answer at scale. Returns (group, subgroup level
-    * with estimate) unioned with (group, NULL, merged estimate).
+    * with estimate, is_total=false) unioned with (group, NULL, merged
+    * estimate, is_total=true). The explicit `is_total` marker — not the
+    * NULL subgroup — identifies rollup rows: input data whose subgroup
+    * VALUE is null would otherwise be indistinguishable from the total
+    * (the same reason SQL has grouping_id()).
     */
   def rollupDistinct(
       df: DataFrame, groupCol: String, subCol: String, valueCol: String,
@@ -47,9 +51,11 @@ object Sketches {
       .agg(hll_union_agg(col("sk")).as("sk"))
       // Null at the subgroup's NATIVE type, so callers keep typed joins.
       .select(col(groupCol), lit(null).cast(subType).as(subCol),
-        hll_sketch_estimate(col("sk")).as("approx_distinct"))
+        hll_sketch_estimate(col("sk")).as("approx_distinct"),
+        lit(true).as("is_total"))
     fine.select(col(groupCol), col(subCol),
-        hll_sketch_estimate(col("sk")).as("approx_distinct"))
+        hll_sketch_estimate(col("sk")).as("approx_distinct"),
+        lit(false).as("is_total"))
       .unionByName(coarse)
   }
 }

@@ -58,6 +58,28 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: right rows within `lookback` BEFORE each
+    * left row (inclusive both ends), same key. On streaming inputs both
+    * sides are watermarked, so the state store retains only rows inside
+    * the interval + watermark horizon — bounded memory on an unbounded
+    * pair of streams; on batch inputs the watermark is a no-op and this is
+    * a plain range-condition equi-join, which is what lets ONE definition
+    * serve both the replayed query and its DuckDB oracle.
+    */
+  def streamingIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      lookback: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    left.withWatermark(leftTs, watermarkDelay)
+      .join(right.withWatermark(rightTs, watermarkDelay),
+        expr(s"$rightKey = $leftKey AND " +
+          s"$rightTs BETWEEN $leftTs - INTERVAL $lookback AND $leftTs"))
+
   // ------------------------------------------- custom state (gap sessions)
 
   final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)

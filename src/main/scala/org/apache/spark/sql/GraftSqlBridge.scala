@@ -18,20 +18,25 @@ object GraftSqlBridge {
   /** Idempotently install a planner strategy into an existing session
     * (the programmatic counterpart of `spark.sql.extensions`, which is
     * fixed at first-session creation and can't help sessions the driver
-    * harness already built).
+    * harness already built). The check-then-append is synchronized on the
+    * session: two threads building as-of frames concurrently would
+    * otherwise race and install the strategy twice (harmless output,
+    * double planning work).
     */
-  def ensureStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
-  }
+  def ensureStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit =
+    spark.synchronized {
+      val exp = spark.asInstanceOf[ClassicSparkSession].experimental
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
 
   /** Same, for an extra optimizer rule. */
   def ensureOptimizerRule(
       spark: SparkSession,
-      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
-    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
-    if (!exp.extraOptimizations.contains(r))
-      exp.extraOptimizations = exp.extraOptimizations :+ r
-  }
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit =
+    spark.synchronized {
+      val exp = spark.asInstanceOf[ClassicSparkSession].experimental
+      if (!exp.extraOptimizations.contains(r))
+        exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
 }

@@ -52,6 +52,35 @@ class EnrichmentSpec extends SparkSpec {
     assert(r(3).isNullAt(r(3).fieldIndex(Enrichment.EnglishCol)))
   }
 
+  test("row correction: stub column path and service path agree (L3 differential)") {
+    // Same service enrichment on both sides; what differs is the L3 step:
+    // column-path JSON-roundtrip correction vs in-partition correctRow
+    // with correction=true. Both must produce the same all-string rows
+    // (null→"" stringification, fall-back-to-original).
+    val client = new StubLlmClient
+    val viaPlan = Enrichment.correctRows(
+        ServiceEnrichment.process(fixtures, "brand", "image", client))
+      .orderBy("id").collect().map(_.toSeq)
+    val viaService = ServiceEnrichment.process(fixtures, "brand", "image",
+        client, correction = true)
+      .orderBy("id").collect().map(_.toSeq)
+    assert(viaPlan.toSeq == viaService.toSeq)
+    // Correction output is all-string with nulls flattened to "".
+    assert(viaService.flatten.forall(v => v != null && v.isInstanceOf[String]))
+  }
+
+  test("failed service correction falls back to the original stringified row") {
+    val failing = new StubLlmClient {
+      override def correctRow(row: Map[String, String]) = None
+    }
+    val out = ServiceEnrichment.process(fixtures, "brand", "image",
+        failing, correction = true)
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("brand") == "Nike")            // original survives
+    assert(out(0).getAs[String](Enrichment.EnglishCol) == "NIKE, nike")
+    assert(out(2).getAs[String](Enrichment.EnglishCol) == "")  // null → ""
+  }
+
   test("excluded detection uses the whole row text, not just the brand column") {
     val df = Seq((1L, "Nike", "", "примечание: исключен из реестра"))
       .toDF("id", "brand", "image", "note")

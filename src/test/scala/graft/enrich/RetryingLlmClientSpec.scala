@@ -16,6 +16,8 @@ class RetryingLlmClientSpec extends AnyFunSuite {
     }
     override def brandSamples(p: String): (Seq[String], Seq[String]) =
       (Seq(p), Seq(p))
+    override def correctRow(row: Map[String, String]): Option[Map[String, String]] =
+      Some(row)
   }
 
   test("retries transient failures with exponential backoff, then succeeds") {
@@ -42,6 +44,7 @@ class RetryingLlmClientSpec extends AnyFunSuite {
         calls += 1; throw new IllegalArgumentException("bad input")
       }
       override def brandSamples(p: String) = (Nil, Nil)
+      override def correctRow(row: Map[String, String]) = Some(row)
     }, sleep = _ => ())
     intercept[IllegalArgumentException](client.recognizeImage("img"))
   }

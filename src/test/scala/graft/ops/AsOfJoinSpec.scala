@@ -28,6 +28,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("rv")))  // l3 ← nothing
   }
 
+  test("null join keys never match, in both forms (SQL/ASOF semantics)") {
+    val left = Seq(
+      (Option(1L), ts("2024-01-01 10:00:00"), "l1"),
+      (Option.empty[Long], ts("2024-01-01 10:00:00"), "lnull"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Option(1L), ts("2024-01-01 09:00:00"), 10.0),
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 99.0)) // must never match
+      .toDF("rk", "rt", "rv")
+    for (out <- Seq(
+        AsOfJoin.backward(left, right, "k", "rk", "t", "rt", Seq("rv")),
+        AsOfJoin.backwardMerge(left, right, "k", "rk", "t", "rt", Seq("rv")))) {
+      val rows = out.orderBy("tag").collect()
+      assert(rows.length == 2) // null-key left row is kept, unmatched
+      assert(rows(0).getAs[Double]("rv") == 10.0)              // l1 ← 09:00
+      assert(rows(1).isNullAt(rows(1).fieldIndex("rv")),
+        s"null-key left row matched a null-key right row: ${rows(1)}")
+    }
+  }
+
   test("equal timestamps match inclusively (right at t == left t)") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("k", "t", "tag")
     val right = Seq((1L, ts("2024-01-01 10:00:00"), 7.0)).toDF("rk", "rt", "rv")

@@ -37,13 +37,16 @@ class SketchesSpec extends SparkSpec {
 
   test("rollupDistinct: merged coarse estimate tracks the direct estimate") {
     val out = Sketches.rollupDistinct(df, "grp", "sub", "v")
-    val merged = out.filter($"sub".isNull)
+    val merged = out.filter($"is_total")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     val direct = Sketches.approxDistinct(df, Seq("grp"), "v")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     for ((g, d) <- direct) // merge loses nothing beyond estimator jitter
       assert(math.abs(merged(g) - d).toDouble / d < 0.02, s"$g: ${merged(g)} vs $d")
     // grp is i%2 parity and sub is i%4, so only 2 subs occur per group.
-    assert(out.filter($"sub".isNotNull).count() == 4)
+    assert(out.filter(!$"is_total").count() == 4)
+    // The marker — not a NULL subgroup — identifies rollup rows, so a
+    // genuinely-null subgroup VALUE in the input stays distinguishable.
+    assert(out.filter($"is_total").collect().forall(_.isNullAt(1)))
   }
 }
