@@ -14,7 +14,8 @@ object ExplainAudit {
     val interesting = Seq("q3_shipping_priority", "q_broadcast_dims",
       "q_merge_continued", "q_positional_join", "q_asof_join",
       "q_asof_forward", "q_range_join", "q_dedup_ngram_jaccard",
-      "q_ann_brute_force", "q_ann_ivf", "q_tfidf", "q_ngram_freq",
+      "q_ann_brute_force", "q_ann_ivf", "q_ann_ivf_joined",
+      "q_dedup_embedding", "q_tfidf", "q_ngram_freq",
       "q_salted_join", "q_contamination", "q_approx_distinct",
       "q_pii_redact", "q_hash_split")
     interesting.foreach { name =>

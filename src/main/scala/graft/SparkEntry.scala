@@ -611,14 +611,22 @@ object SparkEntry {
         .outputMode("append").start()
       finally s.conf.set("spark.sql.shuffle.partitions", saved)
     try {
-      side("purchase").toLocalIterator().asScala
-        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
-        .grouped(4000)
-        .foreach(b => { purchases.addData(b.toSeq: _*); q.processAllAvailable() })
-      side("click").toLocalIterator().asScala
-        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
-        .grouped(4000)
-        .foreach(b => { clicks.addData(b.toSeq: _*); q.processAllAvailable() })
+      // One micro-batch per side — the join is still genuinely stateful
+      // ACROSS batches (every click matches purchases buffered from the
+      // earlier batch); StreamStreamJoinSpec covers fine-grained
+      // incremental arrival. More batches here only multiply state-store
+      // commit cycles on the replay harness.
+      def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
+          add: Seq[T] => Unit): Unit =
+        side(typ).toLocalIterator().asScala.map(conv)
+          .grouped(1 << 20)
+          .foreach(b => { add(b.toSeq); q.processAllAvailable() })
+      replay("purchase",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
+        b => purchases.addData(b: _*))
+      replay("click",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
+        b => clicks.addData(b: _*))
     } finally q.stop()
     s.table(sink).orderBy(col("click_id"), col("purchase_id"))
   }
