@@ -1025,7 +1025,9 @@ object SparkEntry {
       .select(col("doc_id"), col("brand"),
         col(s"`${Enrichment.EnglishCol}`").as("brand_en"),
         col(Enrichment.ExcludedCol).as("excluded"))
-      .orderBy(col("doc_id"))
+      // Correction stringifies everything — order numerically, not
+      // lexicographically ("10" < "2").
+      .orderBy(col("doc_id").cast("long"))
   }
 
   /** Mergeable HLL distinct-count sketches: per-(flag, status) estimates

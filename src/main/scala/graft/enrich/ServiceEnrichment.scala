@@ -59,11 +59,22 @@ object ServiceEnrichment {
     * the original stringified values.
     */
   def process(
-      df: DataFrame,
+      df0: DataFrame,
       brandCol: String,
       imageCol: String,
       client: LlmClient,
       correction: Boolean = false): DataFrame = {
+
+    // Under correction, stringify IN THE PLAN (SQL cast + coalesce '') so
+    // cell rendering matches Enrichment.correctRows exactly — JVM
+    // toString diverges from cast('string') for timestamps, arrays, etc.
+    val df =
+      if (correction)
+        df0.select(df0.columns.toIndexedSeq.map(c =>
+          org.apache.spark.sql.functions.coalesce(
+            graft.Cols.q(c).cast(StringType),
+            org.apache.spark.sql.functions.lit("")).as(c)): _*)
+      else df0
 
     val inSchema = df.schema
     val enrichedFields = inSchema.fields ++ Seq(
@@ -117,10 +128,13 @@ object ServiceEnrichment {
             try client.correctRow(original)
             catch { case scala.util.control.NonFatal(_) => None }
           Row.fromSeq(corrected match {
-            // Field-wise fallback: a corrected map missing a column keeps
-            // that column's original value rather than nulling it.
-            case Some(m) => fieldNames.map(n => m.getOrElse(n, original(n)))
-            case None    => asStr
+            // Field-wise fallback: a corrected map missing a column — or
+            // carrying an explicit null for it — keeps that column's
+            // original value, preserving the all-string/null→"" contract
+            // (same per-field coalesce as Enrichment.correctRows).
+            case Some(m) =>
+              fieldNames.map(n => Option(m.getOrElse(n, null)).getOrElse(original(n)))
+            case None => asStr
           })
         }
       }

@@ -19,8 +19,15 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine of zero-norm input is NULL, not an error: ANSI mode (on in
+    * this engine) turns the 0-divisor into DIVIDE_BY_ZERO otherwise. A
+    * NULL cosine ranks last under desc ordering and fails every
+    * threshold filter — zero vectors match nothing, crash nothing.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
 
   /** Quantize a float vector to integers (`round(x*scale)` as long).
     * Integer dot products are exact and order-independent, which makes
@@ -36,9 +43,11 @@ object Similarity {
   def quantizedDot(qa: Column, qb: Column): Column =
     graft.GraftFunctions.dotI64(qa, qb)
 
-  def quantizedCosine(qa: Column, qb: Column): Column =
-    quantizedDot(qa, qb).cast("double") /
-      (sqrt(quantizedDot(qa, qa).cast("double")) * sqrt(quantizedDot(qb, qb).cast("double")))
+  def quantizedCosine(qa: Column, qb: Column): Column = {
+    val denom = sqrt(quantizedDot(qa, qa).cast("double")) *
+      sqrt(quantizedDot(qb, qb).cast("double"))
+    when(denom =!= 0.0, quantizedDot(qa, qb).cast("double") / denom)
+  }
 
   /** Euclidean norm of a quantized vector — precompute ONCE per vector
     * before any pairwise stage: quantizedCosine recomputes both self-dots
@@ -49,9 +58,13 @@ object Similarity {
   def quantizedNorm(qa: Column): Column =
     sqrt(quantizedDot(qa, qa).cast("double"))
 
-  /** Cosine from a precomputed dot and per-side norms. */
-  def cosineFromNorms(dotAb: Column, normA: Column, normB: Column): Column =
-    dotAb.cast("double") / (normA * normB)
+  /** Cosine from a precomputed dot and per-side norms (NULL on zero-norm
+    * input — see [[cosine]]; ANSI-safe).
+    */
+  def cosineFromNorms(dotAb: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
+    when(denom =!= 0.0, dotAb.cast("double") / denom)
+  }
 
   /** Exact brute-force top-k: broadcast the (small) query set against the
     * corpus, rank per query with a deterministic tiebreak. The corpus side
@@ -124,13 +137,20 @@ object Similarity {
         lit(0.0).as("cosine")).limit(0)
     val assigned = (
       if (cents.size <= LiteralAssignMaxCells) assignCellsLit(q, "v", "nrm", cents)
-      else assignCellsJoined(q, Seq("id"), "v", "nrm", centroidsDF(spark, cents)))
+      else assignCellsJoined(q, "v", "nrm", centroidsDF(spark, cents)))
       .select(col("id"), col("v"), col("nrm"), col("cid"), col("cang"))
-      .persist() // consumed by the radii agg and both pair-join sides
+      // Consumed by the radii agg and both pair-join sides. Lazy persist,
+      // lineage kept; release via clearCache between corpora — the same
+      // contract as Dedup.ngramJaccardPairs' shingle frame.
+      .persist()
     // Per-cell assignment radius: nCells scalars to the driver (same
-    // driver-residency contract as the centroid means).
+    // driver-residency contract as the centroid means). A cell whose
+    // rows ALL have null vectors aggregates a null radius — those rows
+    // can never reach the threshold (null cosine filters out), so the
+    // cell is simply dropped from the candidate cover.
     val radii = assigned.groupBy(col("cid")).agg(max(col("cang")).as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .collect().flatMap(r =>
+        if (r.isNullAt(1)) None else Some(r.getInt(0) -> r.getDouble(1))).toMap
     val theta = math.acos(math.min(1.0, math.max(-1.0, threshold)))
     val eps = 1e-6 // slack only ADDS candidates — exactness is one-sided
     val centMap = cents.toMap
@@ -186,31 +206,37 @@ object Similarity {
     df.withColumn("_m", nearestCell(col(vCol), col(vnCol), cents))
       .withColumn("cid", col("_m").getField("cid"))
       .withColumn("cang", acos(least(lit(1.0),
-        greatest(lit(-1.0), nanvl(col("_m").getField("s"), lit(-2.0))))))
+        greatest(lit(-1.0),
+          coalesce(nanvl(col("_m").getField("s"), lit(-2.0)), lit(-2.0))))))
       .drop("_m")
 
   /** Join-path cell assignment — the large-k scale path: the pivot table
     * enters the plan as a broadcast RELATION (BroadcastHashJoin on a
     * constant key) instead of unrolled literals, so the cell count is
     * bounded by broadcast size, not JVM codegen method limits. Costs one
-    * shuffle (the per-key argmax aggregation — map-side partials shrink
-    * the k-fold expansion back to |df| rows before it moves).
+    * shuffle (the per-row argmax aggregation — map-side partials shrink
+    * the k-fold expansion back to |df| rows before it moves). Rows are
+    * keyed by a transient per-row uid, NOT a caller column, so duplicate
+    * or null ids collapse nothing — every input row gets its own
+    * assignment, exactly like the literal path.
     */
-  private[sim] def assignCellsJoined(df: DataFrame, keyCols: Seq[String],
+  private[sim] def assignCellsJoined(df: DataFrame,
       vCol: String, vnCol: String, cents: DataFrame): DataFrame = {
     val c = cents.select(col("cid").as("_acid"), col("cv").as("_acv"))
       .withColumn("_acn", quantizedNorm(col("_acv")))
       .withColumn("_aone", lit(1))
-    val carried = df.columns.toIndexedSeq.filterNot(keyCols.contains)
-    df.withColumn("_aone", lit(1))
+    val carried = df.columns.toIndexedSeq
+    df.withColumn("_auid", monotonically_increasing_id())
+      .withColumn("_aone", lit(1))
       .join(broadcast(c), "_aone")
-      .withColumn("_as", nanvl(cosineFromNorms(quantizedDot(col(vCol), col("_acv")),
-        col(vnCol), col("_acn")), lit(-2.0)))
-      .groupBy(keyCols.map(col): _*)
+      .withColumn("_as", coalesce(nanvl(
+        cosineFromNorms(quantizedDot(col(vCol), col("_acv")),
+          col(vnCol), col("_acn")), lit(-2.0)), lit(-2.0)))
+      .groupBy(col("_auid"))
       .agg(max(struct(col("_as").as("s"), (-col("_acid")).as("nc"),
         col("_acid").as("cid"))).as("_m"),
         carried.map(cn => first(col(cn)).as(cn)): _*)
-      .select((keyCols ++ carried).map(col) :+
+      .select(carried.map(col) :+
         col("_m").getField("cid").as("cid") :+
         acos(least(lit(1.0), greatest(lit(-1.0),
           col("_m").getField("s")))).as("cang"): _*)
@@ -254,7 +280,7 @@ object Similarity {
         if (cents.size <= LiteralAssignMaxCells)
           qn.select(nearestCid(col("v"), col("_vn"), cents).as("cid"), col("v"))
         else
-          assignCellsJoined(qn, Seq("id"), "v", "_vn",
+          assignCellsJoined(qn, "v", "_vn",
             centroidsDF(corpus.sparkSession, cents))
             .select(col("cid"), col("v"))
       val means = assigned
@@ -300,8 +326,15 @@ object Similarity {
   private def nearestCell(v: Column, vn: Column, cents: Seq[(Int, IndexedSeq[Long])]): Column = {
     val scored = cents.map { case (cid, cv) =>
       val cn = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
+      // Guarded score: a zero-norm vector or centroid yields NULL cosine
+      // (ANSI-safe division), mapped to -2.0 so degenerate entries sort
+      // LAST — never capturing rows — and the literal path stays
+      // cell-for-cell identical to the join path's -2.0 mapping. nanvl
+      // additionally catches any NaN that slips through.
       struct(
-        cosineFromNorms(quantizedDot(v, array(cv.map(lit): _*)), vn, lit(cn)).as("s"),
+        coalesce(nanvl(
+          cosineFromNorms(quantizedDot(v, array(cv.map(lit): _*)), vn, lit(cn)),
+          lit(-2.0)), lit(-2.0)).as("s"),
         lit(-cid).as("nc"), lit(cid).as("cid"))
     }
     array_max(array(scored: _*))
@@ -349,7 +382,9 @@ object Similarity {
     def probeArr(qv: Column, qn: Column) = array(cents.map { case (cid, cv) =>
       val cn = math.sqrt(cv.map(x => x.toDouble * x.toDouble).sum)
       struct(
-        (-cosineFromNorms(quantizedDot(qv, array(cv.map(lit): _*)), qn, lit(cn))).as("np"),
+        (-coalesce(nanvl(
+          cosineFromNorms(quantizedDot(qv, array(cv.map(lit): _*)), qn, lit(cn)),
+          lit(-2.0)), lit(-2.0))).as("np"),
         lit(cid).as("cid"))
     }: _*)
     val qProbes = queries
@@ -404,7 +439,7 @@ object Similarity {
     val indexed = assignCellsJoined(
       corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol), quantScale).as("cv0"))
         .withColumn("cn0", quantizedNorm(col("cv0"))),
-      Seq("neighbor_id"), "cv0", "cn0", cdf).drop("cang")
+      "cv0", "cn0", cdf).drop("cang")
     // Probe ranking: score every (query, cell) against the broadcast
     // centroid relation, keep each query's nprobe best cells (sim desc,
     // ties to the lowest cid — same order as the literal path).
@@ -418,8 +453,9 @@ object Similarity {
       .withColumn("qn", quantizedNorm(col("qv")))
       .withColumn("_one", lit(1))
       .join(broadcast(c), "_one")
-      .withColumn("psim", nanvl(cosineFromNorms(quantizedDot(col("qv"), col("pcv")),
-        col("qn"), col("pcn")), lit(-2.0)))
+      .withColumn("psim", coalesce(nanvl(
+        cosineFromNorms(quantizedDot(col("qv"), col("pcv")),
+          col("qn"), col("pcn")), lit(-2.0)), lit(-2.0)))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("qn"), col("pcid").as("cid"))

@@ -56,12 +56,18 @@ class EnrichmentSpec extends SparkSpec {
     // Same service enrichment on both sides; what differs is the L3 step:
     // column-path JSON-roundtrip correction vs in-partition correctRow
     // with correction=true. Both must produce the same all-string rows
-    // (null→"" stringification, fall-back-to-original).
+    // (null→"" stringification, fall-back-to-original). The typed extras
+    // (timestamp, double) pin that the service path stringifies via SQL
+    // cast, not JVM toString ("2024-01-01 10:00:00" vs "...10:00:00.0").
+    val typed = fixtures
+      .withColumn("seen_at",
+        to_timestamp(lit("2024-01-01 10:00:00"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("score", col("id").cast("double") / 2)
     val client = new StubLlmClient
     val viaPlan = Enrichment.correctRows(
-        ServiceEnrichment.process(fixtures, "brand", "image", client))
+        ServiceEnrichment.process(typed, "brand", "image", client))
       .orderBy("id").collect().map(_.toSeq)
-    val viaService = ServiceEnrichment.process(fixtures, "brand", "image",
+    val viaService = ServiceEnrichment.process(typed, "brand", "image",
         client, correction = true)
       .orderBy("id").collect().map(_.toSeq)
     assert(viaPlan.toSeq == viaService.toSeq)
@@ -73,6 +79,16 @@ class EnrichmentSpec extends SparkSpec {
     val failing = new StubLlmClient {
       override def correctRow(row: Map[String, String]) = None
     }
+    // Explicit null VALUES in a returned map must also fall back per-field.
+    val nullish = new StubLlmClient {
+      override def correctRow(row: Map[String, String]) =
+        Some(row.map { case (k, _) => k -> (null: String) })
+    }
+    val viaNullMap = ServiceEnrichment.process(fixtures, "brand", "image",
+        nullish, correction = true)
+      .orderBy("id").collect()
+    assert(viaNullMap(0).getAs[String]("brand") == "Nike")
+    assert(viaNullMap.flatMap(_.toSeq).forall(_ != null))
     val out = ServiceEnrichment.process(fixtures, "brand", "image",
         failing, correction = true)
       .orderBy("id").collect()

@@ -125,6 +125,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"joined-IVF recall@5 too low: $recall")
   }
 
+  test("zero-norm vectors neither crash nor capture the corpus (NaN guard)") {
+    // Vector 9 quantizes to all-zero: its cosine vs anything is NaN.
+    // Without the nanvl guard a NaN score sorts greatest and a degenerate
+    // pivot would swallow every row; the pairs answer must stay exactly
+    // the naive one computed over the well-formed vectors.
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (9L, Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(df, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    val topk = Similarity.ivfTopK(df, df.filter(col("vec_id") === 1), "vec_id",
+      "embedding", "vec_id", k = 2, nCells = 2, nprobe = 2)
+    assert(topk.count() > 0) // degenerate pivot must not crash probing
+  }
+
+  test("joined assignment preserves duplicate and null ids row-for-row") {
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+        (2L, Seq(1.0f, 1.0f)))
+      .toDF("id", "embedding")
+    val q = df.select(col("id"), Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.quantizedNorm(col("v")))
+    val cents = Similarity.ivfCentroidsLocal(df, "id", "embedding", k = 2)
+    val assigned = Similarity.assignCellsJoined(q, "v", "nrm",
+      Similarity.centroidsDF(spark, cents))
+    assert(assigned.count() == 3) // duplicate-id rows must not collapse
+  }
+
   test("literal and joined assignment agree cell-for-cell") {
     val emb = graft.Tables.load(spark, sf001, "embeddings").limit(100)
     val cents = Similarity.ivfCentroidsLocal(emb, "vec_id", "embedding", k = 8)
@@ -133,7 +164,7 @@ class SimilaritySpec extends SparkSpec {
       .withColumn("nrm", Similarity.quantizedNorm(col("v")))
     val litPath = Similarity.assignCellsLit(q, "v", "nrm", cents)
       .select(col("id"), col("cid")).as[(Long, Int)].collect().toMap
-    val joinPath = Similarity.assignCellsJoined(q, Seq("id"), "v", "nrm",
+    val joinPath = Similarity.assignCellsJoined(q, "v", "nrm",
         Similarity.centroidsDF(spark, cents))
       .select(col("id"), col("cid")).as[(Long, Int)].collect().toMap
     assert(litPath == joinPath)
