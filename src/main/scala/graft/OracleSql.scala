@@ -66,6 +66,16 @@ object OracleSql {
        |  JOIN sizes za ON id_a = za.doc
        |  JOIN sizes zb ON id_b = zb.doc)""".stripMargin
 
+  /** First-4-hex-chars md5 → int (CorpusAssembly.seededBucket /
+    * TextAnalysis.hashBucket); DuckDB has no conv(x, 16, 10) so it is
+    * spelled as strpos arithmetic over the hex column named by `hx`.
+    */
+  private def hex4(hx: String): String =
+    s"""((strpos('0123456789abcdef', substr($hx, 1, 1)) - 1) * 4096 +
+       | (strpos('0123456789abcdef', substr($hx, 2, 1)) - 1) * 256 +
+       | (strpos('0123456789abcdef', substr($hx, 3, 1)) - 1) * 16 +
+       | (strpos('0123456789abcdef', substr($hx, 4, 1)) - 1))""".stripMargin
+
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
   private val stopFr = Seq("le", "la", "les", "et", "est", "un")
@@ -932,6 +942,64 @@ object OracleSql {
         |  CASE WHEN text IS NULL THEN NULL
         |       ELSE CAST(16000 AS BIGINT) END AS sample_rate
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Corpus assembly: seeded md5 shard/order arithmetic mirrors
+    // CorpusAssembly.seededBucket/seededKey exactly (same "seed:key"
+    // string through md5, same leading-4-hex-chars bucket).
+    "q_shuffle_shards" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |b AS (SELECT doc_id, hx, ${hex4("hx")} % 8 AS shard FROM h)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM b ORDER BY shard, pos""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text, md5('pack0:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |b AS (SELECT doc_id, hx, ${hex4("hx")} % 8 AS shard,
+         |  CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |       ELSE len(str_split_regex(trim(coalesce(text, '')), '\\s+')) END
+         |    AS n_tokens
+         |  FROM h),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |  FROM b)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(start // 512 AS BIGINT) AS seq_id,
+         |  CAST(start % 512 AS BIGINT) AS seq_pos,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, md5('mix0:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang, ${hex4("hx")} % 10000 AS bucket FROM h)
+         |SELECT doc_id, lang FROM b
+         |WHERE bucket < CASE WHEN lang = 'en' THEN 5000
+         |                    WHEN lang = 'de' THEN 10000 ELSE 2500 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(str_split(${norm("text")}, ' ')) AS token FROM documents),
+         |counts AS (
+         |  SELECT token, count(*) AS n FROM toks WHERE token != '' GROUP BY token),
+         |total AS (SELECT sum(n) AS tot FROM counts),
+         |top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 50)
+         |SELECT
+         |  CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+         |  token, CAST(n AS BIGINT) AS n,
+         |  round(CAST(sum(n) OVER (ORDER BY n DESC, token
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / tot, 6) AS coverage
+         |FROM top, total
+         |ORDER BY rank""".stripMargin,
 
     "q_frame_sample" ->
       """WITH d AS (

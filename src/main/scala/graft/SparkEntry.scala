@@ -9,7 +9,7 @@ import graft.enrich.Enrichment
 import graft.ops.{AsOfJoin, JoinOps, MergeOps, RangeJoin, ShapeOps, TextOps}
 import graft.sim.Similarity
 import graft.streaming.StreamingOps
-import graft.text.TextAnalysis
+import graft.text.{CorpusAssembly, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the beyond-reference pipeline capabilities), each with a
@@ -1231,6 +1231,50 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Deterministic corpus shuffle into shards: seeded content-hash shard +
+    * intra-shard hash-order position — reproducible epoch permutation with
+    * no global sort (parallelism = nShards at any corpus size).
+    */
+  private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.shuffleShards(
+        t(s, dir, "documents").select(col("doc_id")),
+        "doc_id", nShards = 8, seed = "epoch0")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  /** Token-budget sequence packing (concat-then-chunk): each document's
+    * start offset in its shard's deterministic stream decides its training
+    * sequence. The per-shard running sum is the only stateful step and it
+    * streams (rows-frame window) — no global order anywhere.
+    */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", budgetTokens = 512, nShards = 8, seed = "pack0")
+      .select(col("doc_id"), col("shard"), col("seq_id"), col("seq_pos"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified deterministic sampling: per-language keep fractions via
+    * seeded content hash — a pure filter (no shuffle), same survivors on
+    * any cluster layout.
+    */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.sampleStratified(
+        t(s, dir, "documents"),
+        "lang", "doc_id",
+        fractions = Map("en" -> 0.5, "de" -> 1.0),
+        defaultFraction = 0.25, seed = "mix0")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Vocabulary coverage: top-k normalized tokens with cumulative fraction
+    * of all token occurrences covered (vocab-size / boilerplate statistic).
+    */
+  private def qVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.vocabCoverage(t(s, dir, "documents"), "text", k = 50)
+      .orderBy(col("rank"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1320,6 +1364,10 @@ object SparkEntry {
     "q_asof_forward" -> (qAsofForward _),
     "q_frame_sample" -> (qFrameSample _),
     "q_audio_features" -> (qAudioFeatures _),
+    "q_shuffle_shards" -> (qShuffleShards _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_vocab_coverage" -> (qVocabCoverage _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the last mile of a training-data pipeline:
+  * deterministic shuffling into shards, packing documents into
+  * token-budget training sequences, stratified down/up-sampling, and
+  * vocabulary coverage statistics.
+  *
+  * Everything here is content-hash driven (md5 over a seeded key), never
+  * RNG driven: the same corpus + seed produces the same shards, sequences
+  * and samples on any cluster size, any partitioning, any engine — which
+  * is what makes these ops both reproducible at 100 TB and oracle-checkable
+  * against DuckDB (the hex→int arithmetic mirrors
+  * [[TextAnalysis.hashBucket]]).
+  *
+  * Scale shape: no global ordering anywhere. Shard assignment is a pure
+  * projection; intra-shard positions/cumsums are windows PARTITIONED BY
+  * shard, so parallelism = nShards and no single reducer ever sees more
+  * than corpus/nShards rows. Stratified sampling is a pure filter (no
+  * shuffle at all). Vocabulary coverage aggregates with map-side partials
+  * and only ever windows over the k surviving rows.
+  */
+object CorpusAssembly {
+
+  /** Seeded 16-bit content hash in [0, nBuckets): md5 over "seed:key".
+    * Same first-4-hex-chars arithmetic as [[TextAnalysis.hashBucket]];
+    * the seed makes independent shuffles/samples of the same corpus
+    * uncorrelated.
+    */
+  def seededBucket(c: Column, seed: String, nBuckets: Int): Column =
+    conv(substring(md5(concat(lit(seed + ":"), c.cast("string"))), 1, 4), 16, 10)
+      .cast("long") % nBuckets
+
+  /** Full seeded md5 hex — the intra-shard sort key. */
+  def seededKey(c: Column, seed: String): Column =
+    md5(concat(lit(seed + ":"), c.cast("string")))
+
+  /** Deterministic corpus shuffle: every document gets a (shard, pos)
+    * address — shard by seeded content hash, position by seeded-hash order
+    * within the shard (ties broken by the id itself). This is the standard
+    * distributed shuffle for training data: global RNG orderings don't
+    * scale (one sort over 100 TB) and aren't reproducible; hash-sharding +
+    * intra-shard hash order is both, and re-seeding gives a fresh epoch
+    * permutation.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_sk"), col(idCol))
+    df.withColumn("shard", seededBucket(col(idCol), seed, nShards))
+      .withColumn("_sk", seededKey(col(idCol), seed))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_sk")
+  }
+
+  /** Pack documents into token-budget training sequences (the
+    * concat-then-chunk style): documents are laid out in deterministic
+    * shuffled order within each shard, token offsets accumulate, and a
+    * document belongs to sequence floor(start_offset / budget) — i.e.
+    * sequences are formed by concatenating the shard's document stream
+    * and cutting every `budgetTokens` tokens, with each document assigned
+    * to the sequence where it starts.
+    *
+    * Output: (id, shard, seq_id, seq_pos, n_tokens). Token counts use the
+    * whitespace tokenizer ([[TextAnalysis.tokenCountWhitespace]]).
+    *
+    * Scale: the only shuffle is the hash-partition by shard; the running
+    * sum is a per-shard window (rows unbounded-preceding to 1-preceding),
+    * so memory per task is O(1) streaming state and parallelism is
+    * nShards. No global sort, no driver participation.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, nShards: Int, seed: String): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val order = Window.partitionBy(col("shard"))
+      .orderBy(col("_sk"), col(idCol))
+    val cumBefore = sum(col("n_tokens"))
+      .over(order.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("shard", seededBucket(col(idCol), seed, nShards))
+      .withColumn("_sk", seededKey(col(idCol), seed))
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCountWhitespace(col(textCol)).cast("long"))
+      .withColumn("_start", coalesce(cumBefore, lit(0L)))
+      .withColumn("seq_id", floor(col("_start") / budgetTokens))
+      .withColumn("seq_pos", (col("_start") % budgetTokens).cast("long"))
+      .drop("_sk", "_start")
+  }
+
+  /** Stratified deterministic sampling: keep a per-stratum fraction of
+    * rows, chosen by seeded content hash — the corpus-mixing operator
+    * (downsample boilerplate-heavy strata, keep rare languages whole).
+    * fractions maps stratum value → keep fraction in [0,1]; strata not
+    * listed keep `defaultFraction`. Purely a filter: no shuffle, no
+    * state, trivially scale-free, and the same rows survive regardless
+    * of cluster layout.
+    *
+    * Resolution is 1/10000 (the 16-bit seeded bucket mod 10000): a
+    * fraction of 0.8537 keeps buckets 0..8536.
+    */
+  def sampleStratified(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double,
+      seed: String): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val b = seededBucket(col(idCol), seed, 10000)
+    def cut(f: Double): Column = lit(math.round(f * 10000).toLong)
+    val keep = fractions.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, f)) => acc.when(col(strataCol) === stratum, cut(f))
+    }.otherwise(cut(defaultFraction))
+    df.filter(b < keep)
+  }
+
+  /** Vocabulary coverage: the k most frequent normalized tokens with
+    * their corpus counts and the cumulative fraction of all token
+    * occurrences they cover — the statistic behind vocab-size choices
+    * ("how many types cover 95% of tokens?") and boilerplate detection.
+    *
+    * Scale: one exploded hash-aggregation (map-side partials), a scalar
+    * total broadcast back, and a TakeOrdered of k rows; the cumulative
+    * window runs over those k rows only, never the full vocabulary.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(
+        explode(graft.dedup.Dedup.tokensOf(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.select(sum(col("n")).as("_total"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(k)
+    // k rows from here on: the single-partition window is intentional.
+    val w = Window.partitionBy(lit(1)).orderBy(col("n").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("coverage",
+        round(sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double") / col("_total"), 6))
+      .select(col("rank"), col("token"), col("n"), col("coverage"))
+  }
+}
