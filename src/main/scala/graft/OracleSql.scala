@@ -487,6 +487,16 @@ object OracleSql {
         |  ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
 
+    // Same native ASOF oracle as q_asof_join: the bucketed engine path
+    // must be indistinguishable from the direct one.
+    "q_asof_bucketed" ->
+      """SELECT l.event_id, r.event_id AS purchase_event,
+        |  round(r.value, 2) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
+
     "q_range_join" ->
       """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice
         |FROM lineitem JOIN part

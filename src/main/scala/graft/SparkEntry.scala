@@ -801,6 +801,27 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** The skew-proof bucketed as-of (hour-wide time buckets + boundary
+    * carry-in): must answer exactly like q_asof_join — same DuckDB native
+    * ASOF oracle — while its exchanges shard each hot key across buckets.
+    */
+  private def qAsofBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_event"), col("value").as("purchase_value"))
+    AsOfJoin.backwardMergeBucketed(clicks, purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTs = "ts", rightTs = "p_ts",
+        valueCols = Seq("purchase_event", "purchase_value"),
+        tsBucket = c => floor(unix_micros(c) / (3600L * 1000000L)))
+      .select(col("event_id"), col("purchase_event"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join: lineitem prices inside ±1 bands around part retail
     * prices — bin-bucketed candidates + exact bound verification
     * (RangeJoin), oracled by DuckDB's plain inequality join.
@@ -1321,6 +1342,7 @@ object SparkEntry {
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_interval" -> (qStreamInterval _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_bucketed" -> (qAsofBucketed _),
     "q_range_join" -> (qRangeJoin _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),

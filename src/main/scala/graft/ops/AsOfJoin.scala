@@ -145,6 +145,139 @@ object AsOfJoin {
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
   }
 
+  /** Skew-proof backward as-of: identical semantics to [[backwardMerge]],
+    * but partitioned by (key, time-bucket) instead of key alone — the
+    * answer for the one scale gap of the physical operator: AQE's
+    * skew-split cannot subdivide a custom exec node, so a pathological hot
+    * key (one device emitting 10⁹ readings) serializes into a single task
+    * under [[backwardMerge]]. Here the hot key's timeline is cut into
+    * buckets (`tsBucket` must be monotone non-decreasing in ts — e.g.
+    * `floor(unix_micros(ts) / width)`), each bucket merges independently,
+    * and exactness across cuts is restored by carry-in rows: for every
+    * (key, left-bucket), the single best match from all STRICTLY EARLIER
+    * buckets (per-bucket argmax, then a bucket-level running pick — both
+    * operate on per-bucket aggregates, so their cost is rows/bucketWidth,
+    * not rows).
+    *
+    * Parallelism becomes keys × buckets-touched; the extra cost is one
+    * aggregation over the right side and a bucket-granularity window.
+    * Differential-tested against [[backwardMerge]] (AsOfJoinSpec) and the
+    * DuckDB native ASOF oracle (q_asof_bucketed).
+    *
+    * Null timestamps: rows with a null ts land in the null bucket and
+    * never match (unlike the direct forms, where a null right ts sorts as
+    * the smallest value) — for time-series data a null timestamp is a
+    * data defect, so the bucketed forms treat it as unmatched rather than
+    * "before everything".
+    */
+  def backwardMergeBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      tsBucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    bucketed(left, right, leftKey, rightKey, leftTs, rightTs, valueCols,
+      tsBucket, forward = false)
+
+  /** Skew-proof forward as-of — see [[backwardMergeBucketed]]; carry-in
+    * rows come from strictly LATER buckets (per-bucket argmin).
+    */
+  def forwardMergeBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      tsBucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
+    bucketed(left, right, leftKey, rightKey, leftTs, rightTs, valueCols,
+      tsBucket, forward = true)
+
+  private def bucketed(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      tsBucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      forward: Boolean): DataFrame = {
+    val lb = "_graft_asof_lb"
+    val rb = "_graft_asof_rb"
+    require(!(valueCols :+ leftKey :+ leftTs).exists(Seq(lb, rb).contains),
+      "reserved bucket column name in use")
+
+    val leftB = left.withColumn(lb, tsBucket(Cols.q(leftTs)))
+    // Same null-key rule as the direct forms: null-key right rows never
+    // match; winners/carry inherit the filter.
+    val rightB = right.filter(Cols.q(rightKey).isNotNull)
+      .withColumn(rb, tsBucket(Cols.q(rightTs)))
+
+    // Per-(key, bucket) boundary winner: the row the merge would keep if
+    // the bucket were scanned to its edge — argmax (backward) / argmin
+    // (forward) of (ts, orderable values, content hash), the exact
+    // tiebreak rule of the merge exec and the window form.
+    val orderableCols = valueCols.filter(c =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(right.schema(c).dataType))
+    val contentHash = xxhash64(to_json(struct(valueCols.map(c => Cols.q(c).as(c)): _*)))
+    val ord = struct((Cols.q(rightTs).as("_ts") +:
+      orderableCols.map(c => Cols.q(c).as(c)) :+ contentHash.as("_h")): _*)
+    val payload = struct((Cols.q(rightTs).as("_ts") +:
+      valueCols.map(c => Cols.q(c).as(c))): _*)
+    val pickWinner = if (forward) min_by(payload, ord) else max_by(payload, ord)
+    val winners = rightB
+      .groupBy(Cols.q(rightKey).as("_k"), col(rb).as("_b"))
+      .agg(pickWinner.as("_w"))
+
+    // Bucket-level carry: for each (key, bucket) the LEFT side touches,
+    // the winner of the nearest earlier (backward) / later (forward)
+    // non-empty right bucket. One window over per-bucket aggregates. Side
+    // ordering keeps the same-bucket winner OUT of the frame: backward
+    // sorts the left marker before the winner at an equal bucket and looks
+    // strictly back; forward sorts it after and looks strictly ahead.
+    val needs = leftB.filter(Cols.q(leftKey).isNotNull)
+      .select(Cols.q(leftKey).as("_k"), col(lb).as("_b")).distinct()
+    val wType = winners.schema("_w").dataType
+    val (leftSide, winnerSide) = if (forward) (1, 0) else (0, 1)
+    val tagged = winners.withColumn("_side", lit(winnerSide))
+      .unionByName(needs
+        .withColumn("_w", lit(null).cast(wType))
+        .withColumn("_side", lit(leftSide)))
+    val orderedB = Window.partitionBy(col("_k")).orderBy(col("_b"), col("_side"))
+    val pickCarry =
+      if (forward)
+        first(col("_w"), ignoreNulls = true)
+          .over(orderedB.rowsBetween(1, Window.unboundedFollowing))
+      else
+        last(col("_w"), ignoreNulls = true)
+          .over(orderedB.rowsBetween(Window.unboundedPreceding, -1))
+    val carry = tagged
+      .withColumn("_cw", pickCarry)
+      .filter(col("_side") === leftSide && col("_cw").isNotNull)
+      .select(col("_k"), col("_b"), col("_cw"))
+
+    // Re-expand carries to right-shaped rows addressed to the left bucket
+    // (their real ts keeps them at the correct end of the bucket's scan
+    // order: earlier-bucket ts sorts before every in-bucket row backward,
+    // later-bucket ts after every in-bucket row forward).
+    val rightShape = rightB.select((Seq(Cols.q(rightKey), col(rb), Cols.q(rightTs)) ++
+      valueCols.map(Cols.q)): _*)
+    val carryRows = carry.select((Seq(
+      col("_k").as(rightKey), col("_b").as(rb),
+      col("_cw").getField("_ts").as(rightTs)) ++
+      valueCols.map(c => col("_cw").getField(c).as(c))): _*)
+
+    merged(leftB, rightShape.unionByName(carryRows),
+        Seq(leftKey, lb), Seq(rightKey, rb), leftTs, rightTs, valueCols, forward)
+      .drop(lb)
+  }
+
   /** Latest right row at-or-before each left row, per key. */
   def backward(
       left: DataFrame,

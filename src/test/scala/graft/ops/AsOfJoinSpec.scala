@@ -327,4 +327,73 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).isNullAt(out(0).fieldIndex("pv")))   // 10:00 click: none before
     assert(out(1).getAs[Double]("pv") == 9.99)         // 11:00 click ← 10:30
   }
+
+  test("bucketed as-of equals the direct merge at every bucket width, both directions") {
+    val ev = graft.Tables.load(spark, sf001, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pt"),
+        $"event_id".as("pe"), $"value".as("pv"))
+    // Widths chosen to force the interesting regimes: 1 s (almost every
+    // match crosses a bucket edge → carry-dominated), 1 h (mixed), 10 y
+    // (single bucket → pure in-bucket path).
+    for (widthUs <- Seq(1000000L, 3600L * 1000000L, 315360000L * 1000000L)) {
+      val bucket = (c: org.apache.spark.sql.Column) =>
+        floor(unix_micros(c) / widthUs)
+      val direct = AsOfJoin.backwardMerge(clicks, purchases,
+          "user_id", "pu", "ts", "pt", Seq("pe", "pv"))
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      val bucketed = AsOfJoin.backwardMergeBucketed(clicks, purchases,
+          "user_id", "pu", "ts", "pt", Seq("pe", "pv"), bucket)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(bucketed == direct, s"backward diverged at width $widthUs µs")
+      val directF = AsOfJoin.forwardMerge(clicks, purchases,
+          "user_id", "pu", "ts", "pt", Seq("pe", "pv"))
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      val bucketedF = AsOfJoin.forwardMergeBucketed(clicks, purchases,
+          "user_id", "pu", "ts", "pt", Seq("pe", "pv"), bucket)
+        .orderBy("event_id").collect().map(_.toSeq).toSeq
+      assert(bucketedF == directF, s"forward diverged at width $widthUs µs")
+    }
+  }
+
+  test("bucketed carry-in: a left bucket with no in-bucket right rows still matches") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "early"),  // bucket of 10:00, right row in 09:5x bucket
+      (1L, ts("2024-01-01 12:00:05"), "late"))   // two empty buckets back to 09:5x
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:59:00"), 42.0)).toDF("rk", "rt", "rv")
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      floor(unix_micros(c) / (60L * 1000000L)) // 1-minute buckets
+    val out = AsOfJoin.backwardMergeBucketed(left, right,
+        "k", "rk", "t", "rt", Seq("rv"), bucket)
+      .orderBy("tag").collect()
+    assert(out.forall(_.getAs[Double]("rv") == 42.0))
+    // Forward: the carry must come from a LATER bucket.
+    val outF = AsOfJoin.forwardMergeBucketed(
+        Seq((1L, ts("2024-01-01 09:00:00"), "l")).toDF("k", "t", "tag"),
+        right, "k", "rk", "t", "rt", Seq("rv"), bucket)
+      .collect()
+    assert(outF(0).getAs[Double]("rv") == 42.0)
+  }
+
+  test("bucketed as-of plans a bucket-sharded exchange (skew contract)") {
+    val ev = graft.Tables.load(spark, sf001, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pt"), $"event_id".as("pe"))
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      floor(unix_micros(c) / (3600L * 1000000L))
+    val plan = AsOfJoin.backwardMergeBucketed(clicks, purchases,
+        "user_id", "pu", "ts", "pt", Seq("pe"), bucket)
+      .queryExecution.executedPlan.toString
+    // The final merge's exchanges must cluster on BOTH the key and the
+    // bucket column — that composite is what breaks up a hot key.
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n${plan.take(1500)}")
+    assert("hashpartitioning\\(user_id#\\d+L?, _graft_asof_lb".r
+        .findFirstIn(plan).isDefined,
+      s"left exchange not sharded by (key, bucket):\n${plan.take(3000)}")
+  }
 }
