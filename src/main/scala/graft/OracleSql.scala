@@ -995,6 +995,39 @@ object OracleSql {
          |                    WHEN lang = 'de' THEN 10000 ELSE 2500 END
          |ORDER BY doc_id""".stripMargin,
 
+    // Bigram multiset (NOT the distinct shingle chain) — list slice
+    // t[i:i+1] is the 2-token window; flag by integer cross-multiply.
+    "q_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, str_split(${norm("text")}, ' ') AS t FROM documents),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t) - 1)] AS gs
+         |  FROM toks WHERE len(t) >= 2),
+         |g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+         |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |m AS (SELECT doc_id, sum(cnt) AS total, count(*) AS nd, max(cnt) AS top
+         |  FROM c GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(m.total, 0) AS BIGINT) AS n2_total,
+         |  CAST(coalesce(m.nd, 0) AS BIGINT) AS n2_distinct,
+         |  CAST(coalesce(m.top, 0) AS BIGINT) AS n2_top,
+         |  (coalesce(m.top, 0) * 5 > coalesce(m.total, 0) OR
+         |   (coalesce(m.total, 0) - coalesce(m.nd, 0)) * 2 > coalesce(m.total, 0))
+         |    AS is_repetitive
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_cap_strata" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |h AS (SELECT doc_id, lang, md5('cap0:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |b AS (SELECT h.doc_id, h.lang, ${hex4("hx")} % 10000 AS bucket, n.n
+         |  FROM h JOIN n USING (lang))
+         |SELECT doc_id, lang FROM b
+         |WHERE bucket < least(10000, CAST(floor(100 * 10000.0 / n) AS BIGINT))
+         |ORDER BY doc_id""".stripMargin,
+
     "q_vocab_coverage" ->
       s"""WITH toks AS (
          |  SELECT unnest(str_split(${norm("text")}, ' ')) AS token FROM documents),

@@ -1289,6 +1289,24 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Within-document repetition metrics (Gopher-style filter): bigram
+    * total/distinct/top counts + integer-exact repetitiveness flag.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("n2_total"), col("n2_distinct"),
+        col("n2_top"), col("is_repetitive"))
+      .orderBy(col("doc_id"))
+
+  /** Hash-proportional stratum cap: no language exceeds ≈100 docs; strata
+    * already under the cap pass whole (cutoff derived from actual counts).
+    */
+  private def qCapStrata(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.capStrata(t(s, dir, "documents"), "lang", "doc_id",
+        cap = 100, seed = "cap0")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Vocabulary coverage: top-k normalized tokens with cumulative fraction
     * of all token occurrences covered (vocab-size / boilerplate statistic).
     */
@@ -1390,6 +1408,8 @@ object SparkEntry {
     "q_pack_sequences" -> (qPackSequences _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_repetition" -> (qRepetition _),
+    "q_cap_strata" -> (qCapStrata _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -113,6 +113,29 @@ object CorpusAssembly {
     df.filter(b < keep)
   }
 
+  /** Cap every stratum at ≈`cap` rows, hash-proportionally: each stratum's
+    * keep-cutoff is derived from its actual size (`cap·10000 / n_s`
+    * buckets out of 10000), so oversized strata downsample toward the cap
+    * and strata at-or-under the cap pass whole. The "no source dominates
+    * the mixture" operator. Deterministic (seeded content hash — same
+    * survivors on any layout) and approximate by design: expected kept
+    * count is ~cap with binomial jitter; an exact-count cap would need a
+    * per-stratum ordering (window) this op deliberately avoids.
+    *
+    * Scale: one count aggregate (map-side partials, |strata| rows)
+    * broadcast back onto a pure filter — the corpus itself never shuffles.
+    */
+  def capStrata(df: DataFrame, strataCol: String, idCol: String,
+      cap: Long, seed: String): DataFrame = {
+    require(cap >= 0, "cap must be non-negative")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val cutoff = least(lit(10000L),
+      floor(lit(cap * 10000.0) / col("_n")).cast("long"))
+    df.join(broadcast(counts), Seq(strataCol))
+      .filter(seededBucket(col(idCol), seed, 10000) < cutoff)
+      .drop("_n")
+  }
+
   /** Vocabulary coverage: the k most frequent normalized tokens with
     * their corpus counts and the cumulative fraction of all token
     * occurrences they cover — the statistic behind vocab-size choices

@@ -200,6 +200,45 @@ object TextAnalysis {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** Gopher-style repetition metrics per document: total word-bigram
+    * occurrences, distinct bigrams, the top bigram's occurrence count, and
+    * a repetitiveness flag (top bigram > 20% of occurrences OR repeated
+    * occurrences > 50%) — the within-document repetition filter
+    * (Rae et al. '21 §A1.3) that exact/near dedup can't see. The flag is
+    * computed by INTEGER cross-multiplication (`5·top > total`), not a
+    * float ratio, so it is bit-identical across engines.
+    *
+    * Documents with fewer than 2 tokens have no bigrams: counts 0, flag
+    * false. Scale shape: index-explode → two hash aggregations with
+    * map-side partials; everything is codegen (element_at over the token
+    * array, no HOF lambdas).
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = 2
+    val grams = df
+      .select(col(idCol).as("doc"), graft.dedup.Dedup.tokensOf(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col("doc"),
+        concat_ws(" ", (0 until n).map(j => element_at(col("t"), col("i") + j)): _*)
+          .as("g"))
+    val perGram = grams.groupBy(col("doc"), col("g")).agg(count(lit(1)).as("cnt"))
+    val perDoc = perGram.groupBy(col("doc")).agg(
+      sum(col("cnt")).as("n2_total"),
+      count(lit(1)).as("n2_distinct"),
+      max(col("cnt")).as("n2_top"))
+    df.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n2_total"), lit(0L)).as("n2_total"),
+        coalesce(col("n2_distinct"), lit(0L)).as("n2_distinct"),
+        coalesce(col("n2_top"), lit(0L)).as("n2_top"))
+      .withColumn("is_repetitive",
+        col("n2_top") * 5 > col("n2_total") ||
+          (col("n2_total") - col("n2_distinct")) * 2 > col("n2_total"))
+  }
+
   /** Word n-gram document frequency per group: in how many documents of
     * each group does each n-gram appear (shingles are distinct per doc),
     * top-k per group by (count desc, n-gram asc). The corpus-level n-gram

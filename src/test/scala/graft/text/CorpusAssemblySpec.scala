@@ -99,6 +99,36 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(cov.last <= 1.0 && cov.head > 0.0)
   }
 
+  test("capStrata: oversized strata shrink toward the cap, small ones pass whole") {
+    val d = docs // sf0.001 lang counts are small; build a skewed frame
+    val skew = d.select(col("doc_id"), lit("big").as("grp"))
+      .union(d.limit(5).select((col("doc_id") + 1000000).as("doc_id"), lit("small").as("grp")))
+    val out = CorpusAssembly.capStrata(skew, "grp", "doc_id", cap = 20, seed = "c0")
+    val kept = out.groupBy("grp").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 5) // under the cap: untouched
+    val big = kept.getOrElse("big", 0L)
+    val total = skew.filter(col("grp") === "big").count()
+    assert(big < total, "oversized stratum was not downsampled")
+    assert(big > 5 && big < 60, s"kept $big of $total, expected ~20 with jitter")
+  }
+
+  test("repetitionMetrics: counts and flag on constructed texts") {
+    val d = Seq(
+      (1L, "a b a b a b"),        // grams: ab,ba,ab,ba,ab → total 5, distinct 2, top 3
+      (2L, "a b c d e f g h i j k"), // 10 distinct grams, no repeats: top 1/10 <= 20%
+      (3L, "solo"),               // < 2 tokens: zero grams
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(d, "doc_id", "text")
+      .orderBy("doc").collect()
+    assert(m(0).getLong(1) == 5 && m(0).getLong(2) == 2 && m(0).getLong(3) == 3)
+    assert(m(0).getBoolean(4))   // 3*5 > 5 and repeats 3*2 > 5
+    assert(m(1).getLong(1) == 10 && m(1).getLong(2) == 10 && !m(1).getBoolean(4))
+    assert(m(2).getLong(1) == 0 && !m(2).getBoolean(4))
+    assert(m(3).getLong(1) == 0 && !m(3).getBoolean(4))
+  }
+
   test("vocabCoverage: k >= vocabulary size covers everything") {
     val tiny = Seq((1L, "aa bb aa"), (2L, "bb cc")).toDF("doc_id", "text")
     val rows = CorpusAssembly.vocabCoverage(tiny, "text", k = 10)
