@@ -17,7 +17,10 @@ object ExplainAudit {
       "q_ann_brute_force", "q_ann_ivf", "q_ann_ivf_joined",
       "q_dedup_embedding", "q_tfidf", "q_ngram_freq",
       "q_salted_join", "q_contamination", "q_approx_distinct",
-      "q_pii_redact", "q_hash_split")
+      "q_pii_redact", "q_hash_split",
+      "q_asof_bucketed", "q_shuffle_shards", "q_pack_sequences",
+      "q_sample_stratified", "q_cap_strata", "q_vocab_coverage",
+      "q_repetition")
     interesting.foreach { name =>
       println(s"########## $name")
       println(SparkEntry.queries(name)(spark, d)

@@ -149,7 +149,11 @@ object CorpusAssembly {
     val toks = df.select(
         explode(graft.dedup.Dedup.tokensOf(col(textCol))).as("token"))
       .filter(col("token") =!= "")
-    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    // Persisted: both the top-k branch and the total branch read it, and
+    // without a materialization point each would re-explode the corpus —
+    // at 100 TB that doubles the dominant cost. |vocabulary| rows only;
+    // lazy persist, lineage kept (same contract as cosinePairs' frame).
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("n")).persist()
     val total = counts.select(sum(col("n")).as("_total"))
     val top = counts.orderBy(col("n").desc, col("token")).limit(k)
     // k rows from here on: the single-partition window is intentional.
