@@ -355,6 +355,32 @@ object OracleSql {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // Binned-quantile sketch: identical double arithmetic on both sides —
+    // q is CAST to DOUBLE (a DuckDB decimal literal would make q*n exact
+    // and flip ceil() against Spark's double product).
+    "q_binned_quantiles" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |b AS (SELECT g, least(255, greatest(0,
+        |    CAST(floor((x - 900.0) / ((105000.0 - 900.0) / 256)) AS BIGINT))) AS bin
+        |  FROM v),
+        |h AS (SELECT g, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |c AS (SELECT g, bin, cnt,
+        |  sum(cnt) OVER (PARTITION BY g ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(cnt) OVER (PARTITION BY g) AS n
+        |  FROM h),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+        |t AS (SELECT c.*, qs.q,
+        |  greatest(1, CAST(ceil(qs.q * c.n) AS BIGINT)) AS target
+        |  FROM c, qs)
+        |SELECT g AS l_returnflag, q,
+        |  round(900.0 + ((105000.0 - 900.0) / 256) *
+        |    (bin + (target - (cum - cnt)) * 1.0 / cnt), 4) AS quantile_est
+        |FROM t WHERE cum >= target AND cum - cnt < target
+        |ORDER BY l_returnflag, q""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

@@ -391,6 +391,18 @@ object SparkEntry {
         round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Mergeable binned-quantile sketch: fixed-bin histogram (bin counts
+    * add across partitions/time — the HLL composition law, but
+    * deterministic) + rank interpolation. Error ≤ one bin width; the
+    * estimate itself is bit-stable, hence a full hash oracle (vs
+    * approx_percentile's rows-only check).
+    */
+  private def qBinnedQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.sketch.Sketches.binnedQuantiles(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        lo = 900.0, hi = 105000.0, nBins = 256, qs = Seq(0.5, 0.9, 0.99))
+      .orderBy(col("l_returnflag"), col("q"))
+
   /** JSON-path extraction from the props payload (proper JSON parse, vs
     * q_events_props' regex form).
     */
@@ -1410,6 +1422,7 @@ object SparkEntry {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_repetition" -> (qRepetition _),
     "q_cap_strata" -> (qCapStrata _),
+    "q_binned_quantiles" -> (qBinnedQuantiles _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

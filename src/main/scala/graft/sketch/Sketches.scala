@@ -58,4 +58,64 @@ object Sketches {
         lit(false).as("is_total"))
       .unionByName(coarse)
   }
+
+  /** Fixed-bin histogram of `valueCol` per group over caller-fixed bounds
+    * [lo, hi): bin counts, nothing else — which makes it the MERGEABLE
+    * quantile sketch: histograms for finer groups (days, sources,
+    * partitions) add bin-wise into coarser ones with no rescan, the same
+    * composition law as the HLL rollup above. Unlike t-digest/KLL the
+    * state is deterministic — independent of partitioning and merge
+    * order — so quantile estimates from it are bit-stable and
+    * oracle-checkable. Values outside [lo, hi) clamp into the edge bins.
+    */
+  def binnedHistogram(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(hi > lo && nBins > 0, "need hi > lo and nBins > 0")
+    val w = (hi - lo) / nBins
+    val raw = floor((col(valueCol).cast("double") - lo) / w).cast("long")
+    val bin = least(lit(nBins - 1L), greatest(lit(0L), raw))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[binnedHistogram]]: for each requested q,
+    * the bin containing rank ceil(q·N) with linear interpolation inside
+    * it — error bounded by one bin width. Deterministic arithmetic over
+    * integer ranks ⇒ reproducible across engines (the DuckDB oracle runs
+    * the identical formula).
+    *
+    * Scale shape: the histogram aggregation (map-side partials, ≤
+    * groups×nBins rows move) is the only pass over the data; ranking runs
+    * on the tiny histogram — a per-group cumulative window over ≤ nBins
+    * rows — and quantile probes are a broadcast cross join against a
+    * |qs|-row literal relation.
+    */
+  def binnedQuantiles(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, nBins: Int, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val w = (hi - lo) / nBins
+    val hist = binnedHistogram(df, groupCols, valueCol, lo, hi, nBins)
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val cum = sum(col("cnt")).over(byGroup.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = qs.toDF("q")
+    hist
+      .withColumn("cum", cum)
+      .withColumn("n", sum(col("cnt")).over(byGroup))
+      .crossJoin(broadcast(qdf))
+      .withColumn("target", greatest(lit(1L), ceil(col("q") * col("n"))))
+      .filter(col("cum") >= col("target") &&
+        col("cum") - col("cnt") < col("target"))
+      .select((groupCols.map(col) :+ col("q") :+
+        round(lit(lo) + lit(w) * (col("bin") +
+          (col("target") - (col("cum") - col("cnt"))).cast("double") / col("cnt")),
+          4).as("quantile_est")): _*)
+  }
 }

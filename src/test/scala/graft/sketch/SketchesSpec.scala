@@ -49,4 +49,48 @@ class SketchesSpec extends SparkSpec {
     // genuinely-null subgroup VALUE in the input stays distinguishable.
     assert(out.filter($"is_total").collect().forall(_.isNullAt(1)))
   }
+
+  private val vals = (1 to 4000).map { i =>
+    (if (i % 2 == 0) "a" else "b", s"sub${i % 4}", (i % 997) * 0.1)
+  }.toDF("grp", "sub", "x")
+
+  test("binnedHistogram is exactly mergeable: fine bins add into coarse bins") {
+    val fine = Sketches.binnedHistogram(vals, Seq("grp", "sub"), "x", 0.0, 100.0, 64)
+      .groupBy("grp", "bin").agg(sum($"cnt").as("cnt"))
+    val coarse = Sketches.binnedHistogram(vals, Seq("grp"), "x", 0.0, 100.0, 64)
+    val merged = fine.orderBy("grp", "bin").collect().map(_.toSeq).toSeq
+    val direct = coarse.orderBy("grp", "bin").collect().map(_.toSeq).toSeq
+    assert(merged == direct) // bit-exact, not approximately equal
+  }
+
+  test("binnedQuantiles: within one bin width of the exact quantile, bit-stable") {
+    val bw = 100.0 / 64
+    val est = Sketches.binnedQuantiles(vals, Seq("grp"), "x", 0.0, 100.0, 64,
+        Seq(0.5, 0.9)).orderBy("grp", "q")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = vals.groupBy("grp")
+      .agg(percentile($"x", lit(0.5)).as("p50"), percentile($"x", lit(0.9)).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((g, (p50, p90)) <- exact) {
+      assert(math.abs(est((g, 0.5)) - p50) <= bw, s"$g p50: ${est((g, 0.5))} vs $p50")
+      assert(math.abs(est((g, 0.9)) - p90) <= bw, s"$g p90: ${est((g, 0.9))} vs $p90")
+    }
+    // Deterministic under any partitioning — the property HLL can't give.
+    val re = Sketches.binnedQuantiles(vals.repartition(13), Seq("grp"), "x",
+        0.0, 100.0, 64, Seq(0.5, 0.9)).orderBy("grp", "q")
+      .collect().map(_.toSeq).toSeq
+    val orig = Sketches.binnedQuantiles(vals, Seq("grp"), "x",
+        0.0, 100.0, 64, Seq(0.5, 0.9)).orderBy("grp", "q")
+      .collect().map(_.toSeq).toSeq
+    assert(re == orig)
+  }
+
+  test("binnedQuantiles clamps out-of-range values into edge bins") {
+    val d = Seq(("g", -50.0), ("g", 0.5), ("g", 2.0), ("g", 999.0))
+      .toDF("grp", "x")
+    val h = Sketches.binnedHistogram(d, Seq("grp"), "x", 0.0, 10.0, 10)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(h(0L) == 2) // -50 clamps into bin 0 alongside 0.5
+    assert(h(9L) == 1) // 999 clamps into the top bin
+  }
 }
