@@ -1011,6 +1011,50 @@ object OracleSql {
          |  CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // Chunking: stride 48 = 64 − 16; DuckDB list slice t[a:b] is
+    // inclusive where Spark's slice(t, start, len) is (start, length).
+    "q_chunk_docs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, str_split(${norm("text")}, ' ') AS t FROM documents),
+         |n AS (SELECT doc_id, t,
+         |  1 + CAST(floor((greatest(len(t) - 64, 0) + 47) / 48.0) AS BIGINT) AS nc
+         |  FROM toks),
+         |c AS (SELECT doc_id, t,
+         |  unnest(generate_series(0, nc - 1)) AS chunk_idx FROM n)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+         |    AS chunk_text,
+         |  CAST(CASE
+         |    WHEN array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') = ''
+         |    THEN 0
+         |    ELSE len(str_split(
+         |      array_to_string(t[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '), ' '))
+         |    END AS BIGINT) AS chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Pack CTEs replicated from q_pack_sequences; ties at one seq_pos
+    // (zero-token docs) break on the text itself, matching the engine's
+    // struct sort.
+    "q_pack_materialize" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text, md5('pack0:' || CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |b AS (SELECT doc_id, text, hx, ${hex4("hx")} % 8 AS shard,
+         |  CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |       ELSE len(str_split_regex(trim(coalesce(text, '')), '\\s+')) END
+         |    AS n_tokens
+         |  FROM h),
+         |c AS (SELECT doc_id, text, shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |  FROM b)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(start // 512 AS BIGINT) AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  string_agg(text, ' <|doc|> ' ORDER BY start % 512, text) AS seq_text
+         |FROM c GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
+
     "q_sample_stratified" ->
       s"""WITH h AS (
          |  SELECT doc_id, lang, md5('mix0:' || CAST(doc_id AS VARCHAR)) AS hx

@@ -1288,6 +1288,31 @@ object SparkEntry {
         col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Context-window chunking: overlapping 64-token windows, stride 48 —
+    * pure generator fan-out, zero shuffle.
+    */
+  private def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.chunkDocuments(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 64, overlap = 16)
+      .select(col("doc").as("doc_id"), col("chunk_idx"), col("chunk_text"),
+        col("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Packed-sequence materialization: the (shard, seq) text streams that
+    * actually feed a trainer, concatenated in stream order with a
+    * separator token.
+    */
+  private def qPackMaterialize(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.materializeSequences(
+        CorpusAssembly.packSequences(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", budgetTokens = 512, nShards = 8, seed = "pack0"),
+        "text")
+      .select(col("shard"), col("seq_id"), col("n_docs"), col("n_tokens"),
+        col("seq_text"))
+      .orderBy(col("shard"), col("seq_id"))
+
   /** Stratified deterministic sampling: per-language keep fractions via
     * seeded content hash — a pure filter (no shuffle), same survivors on
     * any cluster layout.
@@ -1423,6 +1448,8 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_cap_strata" -> (qCapStrata _),
     "q_binned_quantiles" -> (qBinnedQuantiles _),
+    "q_chunk_docs" -> (qChunkDocs _),
+    "q_pack_materialize" -> (qPackMaterialize _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -113,6 +113,57 @@ object CorpusAssembly {
     df.filter(b < keep)
   }
 
+  /** Split documents into overlapping token-window chunks (the
+    * context-window chunking behind RAG indexing and long-doc training):
+    * chunk i covers tokens [i·stride, i·stride + chunkTokens), stride =
+    * chunkTokens − overlap, and the last chunk is the final full-or-short
+    * window that reaches the end of the document. Pure per-row generator
+    * fan-out (explode over a sequence of starts + array slice/join) — no
+    * shuffle at all, linear at any corpus size.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need chunkTokens > 0 and 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = graft.dedup.Dedup.tokensOf(col(textCol))
+    // Number of chunks: 1 + ceil(max(0, nTok - chunkTokens) / stride),
+    // in integer arithmetic; empty docs still yield one (empty) chunk.
+    val nTok = size(toks)
+    val nChunks = lit(1) +
+      floor((greatest(nTok - chunkTokens, lit(0)) + stride - 1) / stride).cast("int")
+    df.select(col(idCol).as("doc"), toks.as("_t"), nChunks.as("_nc"))
+      .select(col("doc"), col("_t"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("chunk_idx"))
+      .select(col("doc"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("_t"), col("chunk_idx") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+      .withColumn("chunk_tokens",
+        when(col("chunk_text") === "", 0L)
+          .otherwise(size(split(col("chunk_text"), " ")).cast("long")))
+  }
+
+  /** Materialize the packed training sequences of [[packSequences]] as
+    * text: documents of one (shard, seq_id) concatenate in stream order
+    * with a separator token. Group payload is one sequence (≤ budget
+    * tokens + one straddling doc) — KBs however large the corpus; the
+    * aggregation is the standard order-structural
+    * `array_sort(collect_list(struct(pos, text)))` shape (same as the
+    * continuation merge), so no window over raw rows and full map-side
+    * combine.
+    */
+  def materializeSequences(packed: DataFrame, textCol: String,
+      separator: String = " <|doc|> "): DataFrame =
+    packed
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seq_pos"), col(textCol)))),
+            e => e.getField(textCol)),
+          separator).as("seq_text"))
+
   /** Cap every stratum at ≈`cap` rows, hash-proportionally: each stratum's
     * keep-cutoff is derived from its actual size (`cap·10000 / n_s`
     * buckets out of 10000), so oversized strata downsample toward the cap

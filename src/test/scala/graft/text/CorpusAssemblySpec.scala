@@ -99,6 +99,56 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(cov.last <= 1.0 && cov.head > 0.0)
   }
 
+  test("chunkDocuments: windows tile with the configured overlap and cover every token") {
+    val d = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+      (2L, "a b c"),                                   // shorter than one chunk
+      (3L, ""))                                        // empty: one empty chunk
+      .toDF("doc_id", "text")
+    val out = CorpusAssembly.chunkDocuments(d, "doc_id", "text",
+        chunkTokens = 10, overlap = 4)
+      .orderBy("doc", "chunk_idx").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    // stride 6: starts 0,6,...; last start covers token 100 → ceil((100-10)/6)+1 = 16
+    assert(doc1.length == 16)
+    assert(doc1.head.getString(2).startsWith("w1 w2 "))
+    assert(doc1.forall(_.getLong(3) <= 10))
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = doc1(0).getString(2).split(" ")
+    val c1 = doc1(1).getString(2).split(" ")
+    assert(c0.takeRight(4).toSeq == c1.take(4).toSeq)
+    // full coverage: the union of chunk tokens is the document
+    assert(doc1.flatMap(_.getString(2).split(" ")).distinct.length == 100)
+    val doc2 = out.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2.head.getString(2) == "a b c" &&
+      doc2.head.getLong(3) == 3)
+    val doc3 = out.filter(_.getLong(0) == 3L)
+    assert(doc3.length == 1 && doc3.head.getString(2) == "" &&
+      doc3.head.getLong(3) == 0)
+  }
+
+  test("materializeSequences: docs concatenate in stream order within the budget") {
+    val d = Seq.tabulate(30)(i => (i.toLong, Seq.fill(40)(s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = CorpusAssembly.packSequences(d, "doc_id", "text",
+      budgetTokens = 100, nShards = 2, seed = "m")
+    val seqs = CorpusAssembly.materializeSequences(packed, "text")
+      .orderBy("shard", "seq_id").collect()
+    // Every doc is 40 tokens → docs per sequence is 2 or 3 (start offsets
+    // 0,40,80 land in seq 0; 120,160 in seq 1; ...).
+    assert(seqs.map(_.getLong(2)).forall(n => n >= 1 && n <= 3))
+    assert(seqs.map(_.getLong(3)).sum == 30L * 40)     // token totals conserved
+    assert(seqs.map(_.getLong(2)).sum == 30L)          // every doc in exactly one seq
+    // Stream order: within a sequence the separator-joined text matches
+    // the packed rows sorted by seq_pos.
+    val first = seqs.head
+    val expect = packed
+      .filter(col("shard") === first.getLong(0) && col("seq_id") === first.getLong(1))
+      .orderBy("seq_pos").select("text").collect().map(_.getString(0))
+      .mkString(" <|doc|> ")
+    assert(first.getString(4) == expect)
+  }
+
   test("capStrata: oversized strata shrink toward the cap, small ones pass whole") {
     val d = docs // sf0.001 lang counts are small; build a skewed frame
     val skew = d.select(col("doc_id"), lit("big").as("grp"))
