@@ -1011,6 +1011,32 @@ object OracleSql {
          |  CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    // BM25: same left-associative double arithmetic as the engine; each
+    // term's contribution is quantized to integer micro-units before the
+    // per-doc sum (float sums are order-dependent in the last ulp).
+    "q_bm25" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t FROM documents),
+         |lens AS (SELECT doc, CAST(len(t) AS DOUBLE) AS dl FROM docs),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+         |  FROM lens),
+         |tf AS (SELECT doc, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc, unnest(t) AS term FROM docs)
+         |  WHERE term IN ('spark', 'window', 'join', 'vector')
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT tf.doc,
+         |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf.tf * 2.2 /
+         |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+         |  FROM tf JOIN dfq USING (term) JOIN lens ON tf.doc = lens.doc, stats),
+         |s AS (SELECT doc,
+         |  round(sum(CAST(round(w * 1000000.0) AS BIGINT)) / 1000000.0, 4) AS score
+         |  FROM w GROUP BY 1),
+         |topk AS (SELECT doc, score FROM s ORDER BY score DESC, doc LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank,
+         |  doc AS doc_id, score
+         |FROM topk ORDER BY rank""".stripMargin,
+
     // Chunking: stride 48 = 64 − 16; DuckDB list slice t[a:b] is
     // inclusive where Spark's slice(t, start, len) is (start, length).
     "q_chunk_docs" ->

@@ -1288,6 +1288,16 @@ object SparkEntry {
         col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** BM25 keyword retrieval over the documents table — the lexical
+    * counterpart to the ANN queries; ranking uses the 4-decimal-rounded
+    * score (TF-IDF rule) and order-free integer micro-unit sums.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        query = "spark window join vector", k = 20)
+      .select(col("rank"), col("doc").as("doc_id"), col("score"))
+      .orderBy(col("rank"))
+
   /** Context-window chunking: overlapping 64-token windows, stride 48 —
     * pure generator fan-out, zero shuffle.
     */
@@ -1450,6 +1460,7 @@ object SparkEntry {
     "q_binned_quantiles" -> (qBinnedQuantiles _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
+    "q_bm25" -> (qBm25 _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

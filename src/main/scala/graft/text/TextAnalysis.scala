@@ -117,6 +117,57 @@ object TextAnalysis {
       .select(col("doc"), col("term"), col("rank"), col("tfidf"))
   }
 
+  /** BM25 keyword retrieval (Robertson/Spärck Jones; k1/b are the standard
+    * Okapi constants): score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * over the query's distinct normalized terms, idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    * Returns the top-k documents by (rounded score desc, doc asc) — the
+    * ranking and the emitted score both use the 4-decimal-rounded value so
+    * last-ulp ln() differences can't flip an order across engines (the
+    * TF-IDF ranking rule).
+    *
+    * Scale shape: term stats come from one exploded hash-agg filtered to
+    * the query's terms (so the shuffle carries |queryTerms|·|matching
+    * docs| rows, not the corpus vocabulary); N and avgdl are a 1-row
+    * broadcast; the final ranking is a TakeOrdered of per-doc sums.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      query: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val queryTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(queryTerms.nonEmpty, "empty query")
+    val docs = df.select(col(idCol).as("doc"),
+      graft.dedup.Dedup.tokensOf(col(textCol)).as("_t"))
+    val lens = docs.select(col("doc"), size(col("_t")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc"), explode(col("_t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(broadcast(docFreq), "term")
+      .join(lens, "doc")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      // Quantize each term's contribution to integer micro-units before
+      // summing: float sums are partition-order-dependent in the last
+      // ulp; long sums are exact and order-free, so the score is
+      // bit-stable across engines and partitionings.
+      .withColumn("w6", round(col("w") * 1e6).cast("long"))
+      .groupBy(col("doc"))
+      .agg(round(sum(col("w6")) / 1e6, 4).as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(lit(1))
+          .orderBy(col("score").desc, col("doc"))).cast("long"))
+      .select(col("rank"), col("doc"), col("score"))
+  }
+
   // ------------------------------------------------------------ PII / URLs
 
   /** PII redaction for training corpora: URLs, emails, IPv4 addresses and

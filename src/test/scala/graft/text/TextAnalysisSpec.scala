@@ -64,6 +64,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(0).getString(1) == "a" && rows(1).getString(1) == "b")
   }
 
+  test("bm25TopK ranks exact-match-heavy docs first; scores positive and bounded") {
+    val d = Seq(
+      (1L, "spark spark spark join"),            // heavy on two query terms
+      (2L, "spark join window vector extra pad"),// all four terms once
+      (3L, "nothing relevant here at all"),
+      (4L, "window"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, "doc_id", "text",
+        "spark join window vector", k = 10)
+      .orderBy("rank").collect()
+    assert(out.length == 3)                      // doc 3 matches nothing
+    assert(out.head.getLong(1) == 2L)            // coverage beats term-stuffing
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L, 4L))
+    assert(out.forall(_.getDouble(2) > 0))
+    // ranks are 1..n in score order
+    assert(out.map(_.getLong(0)).toSeq == (1L to 3L))
+    val scores = out.map(_.getDouble(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("ngramDocFreq counts each bigram once per doc, tops per group") {
     val docs = Seq(
       (1L, "en", "big data big data"),     // 'big data' twice, counted once
