@@ -106,4 +106,32 @@ class PlanContractSpec extends SparkSpec {
         s"corpus broadcast detected:\n${b.treeString.take(1000)}")
     }
   }
+
+  test("corpus-assembly plans: no global-order windows, sampling/chunking shuffle-free") {
+    // Shards/packing: the work window partitions by shard — never an
+    // empty partitionBy (which would drag the corpus to one reducer).
+    for (q <- Seq("q_shuffle_shards", "q_pack_sequences")) {
+      val p = planOf(q)
+      assert(p.contains("hashpartitioning(shard"),
+        s"$q window not sharded:\n${p.take(2000)}")
+    }
+    // Sampling is a pure filter: its ONLY exchange is the test-contract
+    // ORDER BY (a range partitioning), no hash shuffle anywhere.
+    val ps = planOf("q_sample_stratified")
+    assert(!ps.contains("hashpartitioning"), ps.take(2000))
+    // Chunking is generator fan-out: same — no hash shuffle.
+    val pc = planOf("q_chunk_docs")
+    assert(!pc.contains("hashpartitioning"), pc.take(2000))
+    // Stratum caps broadcast the count relation, never shuffle the corpus
+    // for the join itself.
+    val pk = planOf("q_cap_strata")
+    assert(pk.contains("BroadcastHashJoin"), pk.take(2000))
+  }
+
+  test("bucketed as-of shards its exchanges on (key, time-bucket)") {
+    val p = planOf("q_asof_bucketed")
+    assert(p.contains("AsOfJoin"), p.take(1500))
+    assert("hashpartitioning\\(user_id#\\d+L?, _graft_asof_lb".r
+      .findFirstIn(p).isDefined, p.take(3000))
+  }
 }
