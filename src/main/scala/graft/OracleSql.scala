@@ -554,6 +554,56 @@ object OracleSql {
          |SELECT u AS doc, least(u, min(v)) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc""".stripMargin,
 
+    // Cluster labels from the shared recursive CTE; quality replicated
+    // from q_quality_score; representative = row_number 1 by
+    // (quality DESC, doc) per cluster — the engine's min_by struct rule.
+    "q_dedup_best_rep" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (SELECT u AS doc, least(u, min(v)) AS cluster
+         |  FROM reach GROUP BY u),
+         |qm AS (
+         |  SELECT doc_id,
+         |    CAST(length(coalesce(text, '')) AS DOUBLE) AS nc,
+         |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len(str_split_regex(trim(coalesce(text, '')), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(coalesce(text, ''), '[^\\p{L}\\d\\s]')) AS BIGINT) AS n_punct,
+         |    ${langScore("text", stopAll)} AS n_stop
+         |  FROM documents),
+         |qr AS (
+         |  SELECT doc_id,
+         |    round(((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END)
+         |         + (CASE WHEN (CASE WHEN n_tokens > 0 THEN nc / n_tokens ELSE 0.0 END) >= 3.0
+         |                  AND (CASE WHEN n_tokens > 0 THEN nc / n_tokens ELSE 0.0 END) <= 12.0
+         |             THEN 1.0 ELSE 0.0 END)
+         |         + (CASE WHEN (CASE WHEN nc > 0 THEN CAST(n_punct AS DOUBLE) / nc ELSE 1.0 END) <= 0.2
+         |             THEN 1.0 ELSE 0.0 END)
+         |         + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
+         |             THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality
+         |  FROM qm),
+         |wc AS (
+         |  SELECT qr.doc_id AS doc, coalesce(l.cluster, qr.doc_id) AS cluster,
+         |    qr.quality
+         |  FROM qr LEFT JOIN labels l ON qr.doc_id = l.doc),
+         |reps AS (
+         |  SELECT cluster, doc AS rep_doc FROM (
+         |    SELECT cluster, doc,
+         |      row_number() OVER (PARTITION BY cluster
+         |        ORDER BY quality DESC, doc) AS rk
+         |    FROM wc) WHERE rk = 1)
+         |SELECT wc.doc AS doc_id, wc.cluster, wc.quality, r.rep_doc,
+         |  wc.doc = r.rep_doc AS is_rep
+         |FROM wc JOIN reps r USING (cluster)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_ann_brute_force" ->
       """WITH qz AS (
         |  SELECT vec_id, list_transform(embedding,

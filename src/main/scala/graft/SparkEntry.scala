@@ -1288,6 +1288,17 @@ object SparkEntry {
         col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Quality-aware canonical selection: every doc mapped to its near-dup
+    * cluster and the cluster's best member (highest quality, ties to the
+    * smallest id) — production keep-policy vs keep-smallest-id.
+    */
+  private def qDedupBestRep(s: SparkSession, dir: String): DataFrame =
+    Dedup.bestRepresentatives(t(s, dir, "documents"), "doc_id", "text",
+        TextAnalysis.qualityScore, shingleN = 3, threshold = 0.8)
+      .select(col("doc").as("doc_id"), col("cluster"), col("quality"),
+        col("rep_doc"), col("is_rep"))
+      .orderBy(col("doc_id"))
+
   /** BM25 keyword retrieval over the documents table — the lexical
     * counterpart to the ANN queries; ranking uses the 4-decimal-rounded
     * score (TF-IDF rule) and order-free integer micro-unit sums.
@@ -1461,6 +1472,7 @@ object SparkEntry {
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),
+    "q_dedup_best_rep" -> (qDedupBestRep _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -359,6 +359,40 @@ object Dedup {
     df.join(losers, Cols.q(idCol) === losers("doc"), "left_anti")
   }
 
+  /** Quality-aware canonical selection: map every document to its
+    * near-dup cluster and the cluster's BEST member (highest `quality`,
+    * ties to the smallest id) — what production dedup actually keeps,
+    * versus [[deduplicate]]'s keep-the-smallest-id rule. Documents in no
+    * pair are their own singleton cluster and representative.
+    *
+    * `quality` maps the text column to an orderable score (typically
+    * [[graft.text.TextAnalysis.qualityScore]]). The representative
+    * election is a min_by aggregate (map-side partials), not a window —
+    * a 10⁹-member boilerplate cluster collapses per map task.
+    */
+  def bestRepresentatives(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      quality: Column => Column,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleN, threshold)
+    val labels = connectedComponents(pairs) // (doc, cluster_id) — paired docs only
+    val scored = df.select(Cols.q(idCol).as("doc"),
+      quality(Cols.q(textCol)).as("q"))
+    val withCluster = scored
+      .join(labels, Seq("doc"), "left")
+      .withColumn("cluster", coalesce(col("cluster_id"), col("doc")))
+      .drop("cluster_id")
+    val reps = withCluster.groupBy(col("cluster"))
+      .agg(min_by(col("doc"), struct((-col("q")).as("nq"), col("doc")))
+        .as("rep_doc"))
+    withCluster.join(reps, "cluster")
+      .select(col("doc"), col("cluster"), col("q").as("quality"),
+        col("rep_doc"), (col("doc") === col("rep_doc")).as("is_rep"))
+  }
+
   /** Paragraph-level exact dedup — the sub-document granularity training
     * pipelines actually dedup at (C4/Dolma style): boilerplate repeats
     * across documents that are globally unique as wholes. Splits each text

@@ -144,6 +144,33 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L)) // 0 represents {0,1,2}; 3,4 unique
   }
 
+  test("bestRepresentatives: highest quality wins the cluster, not the smallest id") {
+    // Give doc 2 (the near-dup) a higher score than docs 0/1 by keying
+    // quality off a side map instead of real text quality: quality(text)
+    // here = length of text, and the near-dup is padded to be longest.
+    val padded = Seq(
+      (0L, base), (1L, exactDup),
+      (2L, nearDup + " extra extra extra extra"), // still a near-dup at t=0.6, now longest
+      (3L, distinct1), (4L, distinct2))
+      .toDF("doc_id", "text")
+    val out = Dedup.bestRepresentatives(padded, "doc_id", "text",
+        t => length(t).cast("double"), threshold = 0.6)
+      .orderBy("doc").collect()
+    val byDoc = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(3), r.getBoolean(4))).toMap
+    // {0,1,2} cluster: labeled by min id (0) but represented by doc 2.
+    assert(byDoc(0L)._1 == 0L && byDoc(0L)._2 == 2L && !byDoc(0L)._3)
+    assert(byDoc(1L)._2 == 2L && !byDoc(1L)._3)
+    assert(byDoc(2L)._2 == 2L && byDoc(2L)._3)
+    // Singletons represent themselves.
+    assert(byDoc(3L) == ((3L, 3L, true)) && byDoc(4L) == ((4L, 4L, true)))
+    // Equal quality ties back to the smallest id.
+    val tied = Dedup.bestRepresentatives(corpus, "doc_id", "text",
+        _ => lit(1.0), threshold = 0.6)
+      .filter(col("cluster") === 0L).select("rep_doc").as[Long].collect().toSet
+    assert(tied == Set(0L))
+  }
+
   test("shingles: short texts collapse to whole-text shingle") {
     val r = Seq("one two").toDF("text")
       .select(Dedup.shingles(col("text"), 3).as("s")).as[Seq[String]].collect()(0)
