@@ -14,7 +14,10 @@ object Bench {
     // whichever query happens to run first.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Fixed name order: Map iteration order shifts when entries are added,
+    // which silently reshuffles which queries pay residual warm-up — sorted
+    // execution keeps per-query timings comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column —
       // count() alone lets Catalyst prune the projections under test.
@@ -34,12 +37,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val anyFailed = results.values.exists(_ < 0)
+    val anyFailed = results.exists(_._2 < 0)
     // A run with failures must not report a comparable total — a crashing
     // build would otherwise rank faster than a slower all-pass one.
     val total =
       if (anyFailed) "null"
-      else if (results.nonEmpty) results.values.sum.toString
+      else if (results.nonEmpty) results.map(_._2).sum.toString
       else "0.0"
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
