@@ -554,6 +554,14 @@ object OracleSql {
          |SELECT u AS doc, least(u, min(v)) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc""".stripMargin,
 
+    "q_dedup_against" ->
+      s"""WITH refk AS (
+         |  SELECT DISTINCT md5(${norm("text")}) AS k
+         |  FROM documents WHERE doc_id % 7 = 0)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE md5(${norm("d.text")}) NOT IN (SELECT k FROM refk)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Cluster labels from the shared recursive CTE; quality replicated
     // from q_quality_score; representative = row_number 1 by
     // (quality DESC, doc) per cluster — the engine's min_by struct rule.

@@ -1288,6 +1288,18 @@ object SparkEntry {
         col("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Cross-corpus exact dedup: the fresh corpus anti-joined against an
+    * existing reference set on the normalized-content key (incremental
+    * ingest against the standing training set).
+    */
+  private def qDedupAgainst(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val existing = docs.filter(col("doc_id") % 7 === 0).select(col("text"))
+    Dedup.dedupAgainst(docs, existing, "text", "text")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-aware canonical selection: every doc mapped to its near-dup
     * cluster and the cluster's best member (highest quality, ties to the
     * smallest id) — production keep-policy vs keep-smallest-id.
@@ -1473,6 +1485,7 @@ object SparkEntry {
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),
     "q_dedup_best_rep" -> (qDedupBestRep _),
+    "q_dedup_against" -> (qDedupAgainst _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

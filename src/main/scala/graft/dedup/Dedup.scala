@@ -359,6 +359,25 @@ object Dedup {
     df.join(losers, Cols.q(idCol) === losers("doc"), "left_anti")
   }
 
+  /** Cross-corpus exact dedup: drop documents whose normalized content
+    * already exists in a reference corpus — deduping a fresh crawl
+    * against the standing training set, the incremental-ingest
+    * counterpart of [[exactGroups]]. Anti-join on the md5 content key:
+    * the reference side shrinks to distinct 32-byte keys (broadcastable
+    * for reference sets up to ~10⁸ docs; beyond that it is a shuffled
+    * anti-join on the key, never on the text).
+    */
+  def dedupAgainst(
+      df: DataFrame, reference: DataFrame,
+      textCol: String, refTextCol: String): DataFrame = {
+    val refKeys = reference
+      .select(md5(normalizeText(Cols.q(refTextCol))).as("_graft_ref_key"))
+      .distinct()
+    df.join(refKeys,
+      md5(normalizeText(Cols.q(textCol))) === col("_graft_ref_key"),
+      "left_anti")
+  }
+
   /** Quality-aware canonical selection: map every document to its
     * near-dup cluster and the cluster's BEST member (highest `quality`,
     * ties to the smallest id) — what production dedup actually keeps,

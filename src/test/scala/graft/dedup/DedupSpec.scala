@@ -144,6 +144,18 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L)) // 0 represents {0,1,2}; 3,4 unique
   }
 
+  test("dedupAgainst drops content present in the reference, normalization-aware") {
+    val fresh = Seq(
+      (1L, "The Quick, Brown Fox!"),   // normalizes to a reference text
+      (2L, "entirely new content here"),
+      (3L, "the quick brown fox"))     // exact normalized dup of reference
+      .toDF("doc_id", "text")
+    val ref = Seq("the quick brown fox").toDF("rtext")
+    val kept = Dedup.dedupAgainst(fresh, ref, "text", "rtext")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("bestRepresentatives: highest quality wins the cluster, not the smallest id") {
     // Give doc 2 (the near-dup) a higher score than docs 0/1 by keying
     // quality off a side map instead of real text quality: quality(text)
