@@ -631,6 +631,27 @@ object OracleSql {
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // Same scoring as q_ann_brute_force with the corpus predicate-filtered
+    // BEFORE ranking (exact top-k over the filtered set).
+    "q_ann_filtered" ->
+      """WITH qz AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM qz WHERE label % 3 = 0),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i])) AS DOUBLE)
+        |      / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])) AS DOUBLE))
+        |       * sqrt(CAST(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i])) AS DOUBLE))) AS cosine
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM scored)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_dedup_embedding" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding,

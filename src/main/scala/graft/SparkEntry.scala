@@ -915,6 +915,22 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Metadata-filtered vector search: the corpus is predicate-filtered
+    * (label) BEFORE ranking, so the filter composes with scan pushdown
+    * and the top-k is exact over the filtered set — the "where" clause of
+    * vector search, which post-filtering an ANN result cannot guarantee
+    * (it can return < k rows).
+    */
+  private def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.bruteForceTopK(emb.filter(col("label") % 3 === 0), queries,
+        "vec_id", "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k (scale path — rows-only check; the
     * spec measures recall against brute force).
     */
@@ -1486,6 +1502,7 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_dedup_best_rep" -> (qDedupBestRep _),
     "q_dedup_against" -> (qDedupAgainst _),
+    "q_ann_filtered" -> (qAnnFiltered _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
