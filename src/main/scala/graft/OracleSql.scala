@@ -1037,6 +1037,40 @@ object OracleSql {
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_id, bench_doc""".stripMargin,
 
+    // Strictly-ordered funnel: each stage's first qualifying time feeds
+    // the next stage's at-or-after predicate.
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts >= s1.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts >= s2.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        |  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |ORDER BY step_idx""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (u)
+        |GROUP BY cohort, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
     "q_asof_forward" ->
       """SELECT l.event_id, r.event_id AS next_purchase,
         |  round(r.value, 2) AS next_value

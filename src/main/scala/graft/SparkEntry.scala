@@ -1260,6 +1260,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Strictly-ordered conversion funnel over the events stream:
+    * view → click → purchase, each step at-or-after the previous.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("step_idx"))
+
+  /** Cohort retention matrix: first-event-day cohorts × day offsets. */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+      .orderBy(col("cohort_day"), col("day_offset"))
+
   /** Forward as-of join: each click's NEXT purchase at-or-after it, per
     * user (oracle: DuckDB native ASOF with r.ts >= l.ts) — physical
     * AsOfJoinExec, forward scan direction.
@@ -1503,6 +1516,8 @@ object SparkEntry {
     "q_dedup_best_rep" -> (qDedupBestRep _),
     "q_dedup_against" -> (qDedupAgainst _),
     "q_ann_filtered" -> (qAnnFiltered _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel counts only strictly-ordered conversions") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      // user 2: purchase BEFORE the click — converts only to step 2
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "purchase", ts("2024-01-01 09:30:00")),
+      (2L, "click", ts("2024-01-01 10:00:00")),
+      // user 3: clicks without ever viewing — not even step 1
+      (3L, "click", ts("2024-01-01 11:00:00")),
+      // user 4: view only
+      (4L, "view", ts("2024-01-01 12:00:00")))
+      .toDF("user_id", "event_type", "t")
+    val out = EventOps.funnel(ev, "user_id", "event_type", "t",
+        Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
+  test("funnel step at the same timestamp as the previous step converts (inclusive)") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "t")
+    val out = EventOps.funnel(ev, "user_id", "event_type", "t",
+      Seq("view", "click")).orderBy("step_idx").collect()
+    assert(out(1).getLong(2) == 1L)
+  }
+
+  test("cohortRetention: offsets measured from each user's first day, one row per user-day") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 15:00:00")), // same day twice
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-02 10:00:00")), (2L, ts("2024-01-03 10:00:00")))
+      .toDF("user_id", "t")
+      .withColumn("event_type", lit("view"))
+    val out = EventOps.cohortRetention(ev, "user_id", "t")
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
+  }
+}
