@@ -114,4 +114,65 @@ class PropertiesSpec extends SparkSpec {
         s"case instability on '${r.getString(0)}'")
     }
   }
+
+  private val wordText: Gen[String] = for {
+    n <- Gen.choose(0, 60)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+  } yield ws.mkString(" ")
+
+  test("property: packSequences conserves tokens and keeps every offset under the budget") {
+    val docs = samplesOf(wordText, 120).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val packed = graft.text.CorpusAssembly.packSequences(
+      docs, "doc_id", "text", budgetTokens = 37, nShards = 3, seed = "prop")
+    val rows = packed.select("shard", "seq_id", "seq_pos", "n_tokens").collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) < 37, s"offset out of budget: $r")
+    }
+    // Token conservation: sum of packed counts == direct tokenizer sum.
+    val direct = docs.select(sum(
+      graft.text.TextAnalysis.tokenCountWhitespace(col("text")).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(3)).sum == direct)
+  }
+
+  test("property: chunkDocuments with zero overlap reassembles the exact token stream") {
+    val docs = samplesOf(wordText, 100).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val chunks = graft.text.CorpusAssembly.chunkDocuments(
+        docs, "doc_id", "text", chunkTokens = 7, overlap = 0)
+      .orderBy("doc", "chunk_idx")
+      .collect().groupBy(_.getLong(0))
+    val originals = docs.select(col("doc_id"),
+        graft.dedup.Dedup.normalizeText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((doc, rows) <- chunks) {
+      val reassembled = rows.sortBy(_.getLong(1)).map(_.getString(2))
+        .filter(_.nonEmpty).mkString(" ")
+      assert(reassembled == originals(doc),
+        s"doc $doc: '$reassembled' != '${originals(doc)}'")
+    }
+  }
+
+  test("property: seeded buckets stay in range and differ across seeds") {
+    val ids = (0L until 500L).toDF("id")
+    val b = ids.select(
+      graft.text.CorpusAssembly.seededBucket(col("id"), "s1", 7).as("b1"),
+      graft.text.CorpusAssembly.seededBucket(col("id"), "s2", 7).as("b2"))
+      .collect()
+    assert(b.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 7))
+    assert(b.exists(r => r.getLong(0) != r.getLong(1))) // seeds decorrelate
+  }
+
+  test("property: binned quantile estimates are monotone in q") {
+    val data = samplesOf(Gen.choose(0.0, 99.0), 400).zipWithIndex
+      .map { case (v, i) => ("g", v) }.toDF("grp", "x")
+    val est = graft.sketch.Sketches.binnedQuantiles(
+        data, Seq("grp"), "x", 0.0, 100.0, 32,
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy("q").collect().map(_.getDouble(2))
+    assert(est.zip(est.tail).forall { case (a, b) => a <= b },
+      s"non-monotone: ${est.toSeq}")
+  }
 }
