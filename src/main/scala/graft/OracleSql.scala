@@ -719,6 +719,49 @@ object OracleSql {
          |WHERE doc_id NOT IN (SELECT doc FROM losers)
          |ORDER BY doc_id""".stripMargin,
 
+    // Four-stage attrition over the same predicate SQL as the individual
+    // oracles (token count, quality, lang-ID, source); cumulative
+    // conjunction via conditional sums, unpivoted with VALUES.
+    "q_corpus_attrition" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len(str_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_tokens,
+         |    CAST(length(coalesce(text, '')) AS DOUBLE) AS nc,
+         |    CAST(len(regexp_extract_all(coalesce(text, ''), '[^\\p{L}\\d\\s]')) AS BIGINT) AS n_punct,
+         |    ${langScore("text", stopAll)} AS n_stop,
+         |    greatest(${langScore("text", stopEn)}, ${langScore("text", stopDe)},
+         |      ${langScore("text", stopFr)}, ${langScore("text", stopEs)}) AS best
+         |  FROM documents),
+         |p AS (
+         |  SELECT
+         |    (n_tokens >= 20) AS f1,
+         |    (round(((CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN (CASE WHEN n_tokens > 0 THEN nc / n_tokens ELSE 0.0 END) >= 3.0
+         |              AND (CASE WHEN n_tokens > 0 THEN nc / n_tokens ELSE 0.0 END) <= 12.0
+         |          THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN (CASE WHEN nc > 0 THEN CAST(n_punct AS DOUBLE) / nc ELSE 1.0 END) <= 0.2
+         |          THEN 1.0 ELSE 0.0 END)
+         |       + (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.05
+         |          THEN 1.0 ELSE 0.0 END)) / 4.0, 2) >= 0.5) AS f2,
+         |    (best > 0) AS f3,
+         |    (source != 'src0') AS f4
+         |  FROM m),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_in,
+         |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+         |    CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+         |    CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+         |  FROM p)
+         |SELECT stage_idx, stage, n_survivors, n_removed FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'min_length' AS stage,
+         |    s1 AS n_survivors, n_in - s1 AS n_removed FROM agg
+         |  UNION ALL SELECT 2, 'quality', s2, s1 - s2 FROM agg
+         |  UNION ALL SELECT 3, 'lang_known', s3, s2 - s3 FROM agg
+         |  UNION ALL SELECT 4, 'source_allowed', s4, s3 - s4 FROM agg)
+         |ORDER BY stage_idx""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH s AS (
          |  SELECT doc_id,

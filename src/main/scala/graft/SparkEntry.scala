@@ -1406,6 +1406,19 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Attrition report for a four-stage cleaning chain: ordered kill
+    * counts per filter, one scalar aggregation pass.
+    */
+  private def qCorpusAttrition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    CorpusAssembly.corpusAttrition(docs, Seq(
+        "min_length" -> (TextAnalysis.tokenCountWhitespace(col("text")) >= 20),
+        "quality" -> (TextAnalysis.qualityScore(col("text")) >= 0.5),
+        "lang_known" -> (TextAnalysis.langId(col("text")) =!= "und"),
+        "source_allowed" -> (col("source") =!= "src0")))
+      .orderBy(col("stage_idx"))
+  }
+
   /** Vocabulary coverage: top-k normalized tokens with cumulative fraction
     * of all token occurrences covered (vocab-size / boilerplate statistic).
     */
@@ -1518,6 +1531,7 @@ object SparkEntry {
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
+    "q_corpus_attrition" -> (qCorpusAttrition _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

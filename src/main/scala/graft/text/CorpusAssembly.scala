@@ -187,6 +187,34 @@ object CorpusAssembly {
       .drop("_n")
   }
 
+  /** Corpus attrition report: for an ordered chain of filter stages, how
+    * many documents survive each prefix of the chain and how many the
+    * stage removed from the previous survivors — the per-filter kill
+    * counts every cleaning pipeline publishes. ONE pass: each stage's
+    * cumulative predicate becomes a conditional sum in a single scalar
+    * aggregation (no joins, no repeated scans); the k-row unpivot happens
+    * on the aggregate.
+    */
+  def corpusAttrition(df: DataFrame,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val cums = stages.scanLeft(lit(true)) { case (acc, (_, c)) =>
+      acc && coalesce(c, lit(false))
+    }.tail
+    val aggs = (count(lit(1)).cast("long").as("_n_in")) +:
+      cums.zipWithIndex.map { case (c, i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"_s$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+      val prev = if (i == 0) col("_n_in") else col(s"_s${i - 1}")
+      one.select(lit(i + 1L).as("stage_idx"), lit(name).as("stage"),
+        col(s"_s$i").as("n_survivors"),
+        (prev - col(s"_s$i")).as("n_removed"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** Vocabulary coverage: the k most frequent normalized tokens with
     * their corpus counts and the cumulative fraction of all token
     * occurrences they cover — the statistic behind vocab-size choices

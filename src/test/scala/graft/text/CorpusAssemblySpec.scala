@@ -99,6 +99,23 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(cov.last <= 1.0 && cov.head > 0.0)
   }
 
+  test("corpusAttrition: ordered kill counts telescope; null predicate counts as fail") {
+    val d = Seq(
+      (1L, 30, "a"),   // passes all
+      (2L, 5, "a"),    // fails stage 1
+      (3L, 30, "b"),   // fails stage 2
+      (4L, 40, null.asInstanceOf[String])) // null at stage 2 = fail
+      .toDF("id", "n", "grp")
+    val out = CorpusAssembly.corpusAttrition(d, Seq(
+        "long_enough" -> (col("n") >= 10),
+        "grp_a" -> (col("grp") === "a")))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(("long_enough", 3L, 1L), ("grp_a", 1L, 2L)))
+    // survivors + removed at each stage telescopes back to the input size
+    assert(out.map(_._3).sum + out.last._2 == 4L)
+  }
+
   test("chunkDocuments: windows tile with the configured overlap and cover every token") {
     val d = Seq(
       (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
