@@ -1273,6 +1273,18 @@ object SparkEntry {
     ops.EventOps.cohortRetention(t(s, dir, "events"), "user_id", "ts")
       .orderBy(col("cohort_day"), col("day_offset"))
 
+  /** Byte-level perceptual near-dups over binary payloads (documents
+    * text as bytes — codec-free): SimHash of hex 8-byte shingles through
+    * the dedup family's pigeonhole join. Rows-only (simhash has no SQL
+    * oracle); recall pinned by MultimodalSpec.
+    */
+  private def qPayloadNearDup(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.payloadNearDups(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Forward as-of join: each click's NEXT purchase at-or-after it, per
     * user (oracle: DuckDB native ASOF with r.ts >= l.ts) — physical
     * AsOfJoinExec, forward scan direction.
@@ -1532,6 +1544,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_corpus_attrition" -> (qCorpusAttrition _),
+    "q_payload_near_dup" -> (qPayloadNearDup _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -154,10 +154,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame = {
+      chunks: Int = 4): DataFrame =
+    simhashPairsOf(
+      df.select(col(idCol).as("doc"),
+        GraftFunctions.simhash64(tokensOf(col(textCol))).as("fp")),
+      maxHamming, chunks)
+
+  /** Pigeonhole candidate join + Hamming verify over precomputed 64-bit
+    * fingerprints (`(doc, fp)` frame) — the engine behind [[simhashPairs]]
+    * and [[graft.mm.Multimodal.payloadNearDups]]: any modality that can
+    * produce a SimHash-style fingerprint gets the same bucketed
+    * (never all-pairs) candidate generation.
+    */
+  def simhashPairsOf(
+      fp: DataFrame,
+      maxHamming: Int,
+      chunks: Int): DataFrame = {
     val bitsPerChunk = 64 / chunks
-    val fp = df.select(col(idCol).as("doc"),
-      GraftFunctions.simhash64(tokensOf(col(textCol))).as("fp"))
 
     val chunkKeys = array((0 until chunks).map { c =>
       struct(lit(c).as("chunk"),

@@ -247,4 +247,26 @@ object Multimodal {
       }
     }
   }
+
+  /** Byte-level perceptual near-duplicates over binary payloads: hex the
+    * bytes, shingle 8-byte windows, SimHash, and reuse the dedup family's
+    * pigeonhole candidate join ([[graft.dedup.Dedup.simhashPairsOf]]) —
+    * the image/media analog of text SimHash dedup, operating on the raw
+    * payload so it needs no codecs (re-encoded or metadata-tweaked copies
+    * still match as long as the byte stream is mostly shared; a true
+    * pixel-level pHash would plug the same fingerprint frame in via the
+    * decoder plumbing). Stays entirely in codegen: hex/regexp/split are
+    * built-ins, shingles + simhash are native expressions.
+    */
+  def payloadNearDups(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val spacedHex = trim(regexp_replace(hex(graft.Cols.q(payloadCol)), "(..)", "$1 "))
+    val fp = df
+      .filter(graft.Cols.q(payloadCol).isNotNull)
+      .select(graft.Cols.q(idCol).as("doc"),
+        graft.GraftFunctions.simhash64(
+          graft.GraftFunctions.wordShingles(spacedHex, 8)).as("fp"))
+    graft.dedup.Dedup.simhashPairsOf(fp, maxHamming, chunks)
+  }
 }

@@ -79,4 +79,20 @@ class MultimodalSpec extends SparkSpec {
     assert(env.length == 8 && env.forall(v => v >= 0f && v <= 1f))
     assert(r(1).isNullAt(r(1).fieldIndex("duration_ms")))
   }
+
+  test("payloadNearDups: few-byte edits match, distinct payloads and nulls don't") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill[Byte](4096)(0); rnd.nextBytes(base)
+    val nearDup = base.clone(); nearDup(100) = 42; nearDup(2000) = 7 // 2-byte edit
+    val other = Array.fill[Byte](4096)(0); rnd.nextBytes(other)
+    val df = Seq(
+      (1L, base), (2L, nearDup), (3L, other), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val pairs = Multimodal.payloadNearDups(df, "id", "payload", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup payload missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"distinct payload matched: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
