@@ -261,12 +261,17 @@ object Multimodal {
   def payloadNearDups(
       df: DataFrame, idCol: String, payloadCol: String,
       maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
-    val spacedHex = trim(regexp_replace(hex(graft.Cols.q(payloadCol)), "(..)", "$1 "))
+    // Tokens are 4-byte hex groups and shingles span 2 tokens: 8-byte
+    // windows at stride 4 — 4× fewer tokens than per-byte windows for
+    // the same window width. A k-byte edit still flips at most
+    // ceil(k/4)+1 of ~len/4 windows, so small edits stay within the
+    // Hamming budget.
+    val spacedHex = trim(regexp_replace(hex(graft.Cols.q(payloadCol)), "(........)", "$1 "))
     val fp = df
       .filter(graft.Cols.q(payloadCol).isNotNull)
       .select(graft.Cols.q(idCol).as("doc"),
         graft.GraftFunctions.simhash64(
-          graft.GraftFunctions.wordShingles(spacedHex, 8)).as("fp"))
+          graft.GraftFunctions.wordShingles(spacedHex, 2)).as("fp"))
     graft.dedup.Dedup.simhashPairsOf(fp, maxHamming, chunks)
   }
 }
