@@ -1,8 +1,10 @@
 package graft
 
 /** DuckDB-dialect oracle SQL, one statement per entry in
-  * [[SparkEntry.queries]] (omissions = approximate operators that get the
-  * driver's rows-only check: minhash-LSH, simhash, ANN-LSH).
+  * [[SparkEntry.queries]] (omissions = operators that get the driver's
+  * rows-only check: the approximate family — minhash-LSH, simhash,
+  * payload near-dup, ANN-LSH/IVF, approx_distinct — plus clean_text
+  * (DuckDB has no NFKC) and the two mapPartitions paths).
   *
   * Dialect porting rules applied throughout (Java regex → RE2):
   *  - every regexp_replace carries the 'g' flag (Spark replaces all
