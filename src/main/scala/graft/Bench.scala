@@ -1,39 +1,62 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Each query is timed RUNS times and the minimum is reported: host
+    // contention (other processes on the bench box) inflates individual
+    // runs uniformly, and min-of-3 recovers the uncontended time — round 4
+    // recorded a 1.9x "slowdown" that an idle-host re-run disproved.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen/Hadoop-FS init otherwise lands on
-    // whichever query happens to run first.
+    // Untimed warm-up, two layers:
+    //  (1) a tiny count over EVERY test table — Hadoop-FS init, parquet
+    //      footer reads, and scan codegen otherwise land on whichever
+    //      query first touches that table (q1_pricing_summary sorts first
+    //      and paid lineitem's warm-up in rounds 1-4);
+    //  (2) the flagship `entry` plan, which exercises the agg/window
+    //      codegen paths end to end.
+    for (tbl <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      try spark.read.parquet(s"$sfDir/$tbl.parquet").count()
+      catch { case _: Throwable => () }
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     // Fixed name order: Map iteration order shifts when entries are added,
     // which silently reshuffles which queries pay residual warm-up — sorted
     // execution keeps per-query timings comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces full materialization of every output column —
-      // count() alone lets Catalyst prune the projections under test.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      var best = Double.MaxValue
+      var failed = false
+      var i = 0
+      while (i < runs && !failed) {
+        val t0 = System.nanoTime()
+        // noop sink forces full materialization of every output column —
+        // count() alone lets Catalyst prune the projections under test.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
           case e: Throwable =>
             System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-            false
+            // A crash on ANY run marks the query failed — an intermittent
+            // crasher must not report its fastest good run as comparable.
+            failed = true
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Drop blocks persisted inside operators (dedup/similarity reuse
-      // frames) so queries don't inherit each other's storage pressure.
-      spark.catalog.clearCache()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!failed && dt < best) best = dt
+        // Drop blocks persisted inside operators (dedup/similarity reuse
+        // frames) so runs don't inherit each other's storage pressure.
+        spark.catalog.clearCache()
+        i += 1
+      }
       // A crashed query must not look like a fast one: report -1.
-      name -> (if (ok) dt else -1.0)
+      name -> (if (failed) -1.0 else best)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
