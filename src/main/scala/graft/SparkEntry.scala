@@ -898,9 +898,15 @@ object SparkEntry {
     Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (native fingerprint expression — rows-only). */
+  /** SimHash near-dup pairs (native fingerprint expression — rows-only).
+    * chunks=8 keeps candidate generation COMPLETE for the loose hamming<=6
+    * budget (keep = 8-6 = 2 blocks per table, C(8,2)=28 tables at 16-bit
+    * keys); the old chunks=4 single-block arrangement only guaranteed
+    * recall up to hamming 3.
+    */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 6, chunks = 8)
       .orderBy(col("id_a"), col("id_b"))
 
   // ------------------------------------------------- similarity capability

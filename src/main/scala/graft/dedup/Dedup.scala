@@ -143,18 +143,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup pairs: 64-bit fingerprints; candidates must share at
-    * least one of `chunks` fingerprint chunks (pigeonhole: hamming <=
-    * chunks-1 guarantees a shared chunk), then are verified with
-    * bit_count(a^b) <= maxHamming. Chunk join = equi-join, same scale story
-    * as LSH banding.
+  /** SimHash near-dup pairs: 64-bit fingerprints; candidate pairs must agree
+    * exactly on `chunks - maxHamming` fingerprint blocks (pigeonhole — see
+    * [[simhashPairsOf]]), then are verified with bit_count(a^b) <=
+    * maxHamming. Block join = equi-join, same scale story as LSH banding.
+    * The default (maxHamming=3, chunks=6) is the classic multi-table
+    * arrangement (Manku et al., WWW'07 §3): C(6,3)=20 tables keyed on 3
+    * packed blocks (>=31-bit keys), so same-bucket candidate volume stays
+    * ~n²/2³¹ per table — near-linear well past 10⁸ documents.
     */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame =
+      chunks: Int = 6): DataFrame =
     simhashPairsOf(
       df.select(col(idCol).as("doc"),
         GraftFunctions.simhash64(tokensOf(col(textCol))).as("fp")),
@@ -165,29 +168,79 @@ object Dedup {
     * and [[graft.mm.Multimodal.payloadNearDups]]: any modality that can
     * produce a SimHash-style fingerprint gets the same bucketed
     * (never all-pairs) candidate generation.
+    *
+    * Multi-table arrangement (Manku et al., "Detecting Near-Duplicates for
+    * Web Crawling", WWW'07 §3): the 64 bits are split into `chunks` blocks
+    * of near-equal width; a pair within Hamming distance `maxHamming` has
+    * flipped bits in at most `maxHamming` blocks, so at least
+    * `keep = chunks - maxHamming` blocks match EXACTLY. Each of the
+    * C(chunks, keep) block subsets becomes one candidate table keyed on
+    * the packed subset value — an equi-join with key width = sum of the
+    * subset's block widths. Scale bound: expected same-bucket candidate
+    * pairs per table ≈ n²/2^keyBits (uniform fingerprints); widening keys
+    * (larger `chunks` for the same budget) trades explode factor
+    * C(chunks, keep) for exponentially fewer per-bucket collisions.
+    * [[simhashArrangement]] reports (tables, minKeyBits) for capacity
+    * planning.
+    *
+    * Completeness: guaranteed (every pair within the budget is a candidate
+    * in >=1 table) iff `chunks > maxHamming`. When `chunks <= maxHamming`
+    * the join degrades to single-block keys (`keep = 1`) and is a recall
+    * heuristic — complete only up to `chunks - 1` flipped bits — which
+    * some callers accept for loose budgets; verification stays exact
+    * either way, so false positives never escape.
     */
   def simhashPairsOf(
       fp: DataFrame,
       maxHamming: Int,
       chunks: Int): DataFrame = {
-    val bitsPerChunk = 64 / chunks
+    require(chunks >= 2 && chunks <= 64, s"chunks must be in [2,64], got $chunks")
+    val widths = blockWidths(chunks)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftright(col("fp"), offsets(i)) bitwiseAND lit((1L << widths(i)) - 1)
+    val keep = math.max(1, chunks - maxHamming)
 
-    val chunkKeys = array((0 until chunks).map { c =>
-      struct(lit(c).as("chunk"),
-        (shiftright(col("fp"), c * bitsPerChunk) bitwiseAND lit((1L << bitsPerChunk) - 1)).as("ck"))
-    }: _*)
+    val tableKeys = array(
+      (0 until chunks).combinations(keep).toSeq.zipWithIndex.map { case (combo, t) =>
+        val packed = combo.foldLeft(lit(0L): Column) { (acc, i) =>
+          shiftleft(acc, widths(i)) bitwiseOR block(i)
+        }
+        struct(lit(t).as("tbl"), packed.as("ck"))
+      }: _*)
 
-    val chunked = fp.select(col("doc"), col("fp"), explode(chunkKeys).as("k"))
-      .select(col("doc"), col("fp"), col("k.chunk").as("chunk"), col("k.ck").as("ck"))
+    val keyed = fp.select(col("doc"), col("fp"), explode(tableKeys).as("k"))
+      .select(col("doc"), col("fp"), col("k.tbl").as("tbl"), col("k.ck").as("ck"))
 
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.ck") === col("b.ck") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64 bits distributed over `chunks` blocks as evenly as possible
+    * (wider blocks first).
+    */
+  private def blockWidths(chunks: Int): Array[Int] =
+    Array.tabulate(chunks)(i => 64 / chunks + (if (i < 64 % chunks) 1 else 0))
+
+  /** Capacity-planning view of the pigeonhole arrangement: (number of
+    * candidate tables, minimum packed-key width in bits). Expected
+    * same-bucket candidate pairs per table ≈ n² / 2^minKeyBits for
+    * uniformly distributed fingerprints — e.g. (maxHamming=3, chunks=6)
+    * gives 20 tables at >=31-bit keys, so ~2.3M candidates per table at
+    * n=10⁸, vs ~10¹¹ for the single-16-bit-chunk arrangement.
+    */
+  def simhashArrangement(maxHamming: Int, chunks: Int): (Int, Int) = {
+    val widths = blockWidths(chunks)
+    val keep = math.max(1, chunks - maxHamming)
+    val tables = (0 until chunks).combinations(keep).size
+    val minKeyBits = widths.sorted.take(keep).sum
+    (tables, minKeyBits)
   }
 
   /** Connected components over a near-duplicate pair graph — the final

@@ -260,7 +260,7 @@ object Multimodal {
     */
   def payloadNearDups(
       df: DataFrame, idCol: String, payloadCol: String,
-      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 6): DataFrame = {
     // Tokens are 4-byte hex groups and shingles span 2 tokens: 8-byte
     // windows at stride 4 — 4× fewer tokens than per-byte windows for
     // the same window width. A k-byte edit still flips at most

@@ -68,6 +68,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))  // unrelated docs far apart
   }
 
+  test("simhash multi-block arrangement finds the same pairs as single-block") {
+    // For maxHamming=3 both arrangements are COMPLETE (chunks=4 → keep=1,
+    // guaranteed up to 3 flips; chunks=6 → keep=3 Manku tables), and the
+    // Hamming verify is exact — so the output pair sets must be identical.
+    def pairsWith(chunks: Int) =
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3, chunks = chunks)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsWith(6) == pairsWith(4))
+  }
+
+  test("simhashArrangement: multi-block keys are exponentially more selective") {
+    // Single-block arrangement (chunks=4, keep=1): 4 tables, 16-bit keys —
+    // same-bucket candidates grow ~n²/2¹⁶, quadratic past ~10⁸ docs.
+    assert(Dedup.simhashArrangement(3, 4) == ((4, 16)))
+    // Manku default (chunks=6, keep=3): 20 tables, >=31-bit keys — per-table
+    // collision probability shrinks by 2^15, candidate volume ~linear.
+    assert(Dedup.simhashArrangement(3, 6) == ((20, 31)))
+    // Loose hamming<=6 budget at chunks=8: still complete (keep=2),
+    // 28 tables at 16-bit keys.
+    assert(Dedup.simhashArrangement(6, 8) == ((28, 16)))
+    // Degenerate chunks<=maxHamming: falls back to single-block heuristic.
+    assert(Dedup.simhashArrangement(12, 4) == ((4, 16)))
+  }
+
   test("connectedComponents: chains collapse to one cluster with min label") {
     // a-b, b-c chain plus an isolated pair d-e
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
