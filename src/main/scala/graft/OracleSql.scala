@@ -147,6 +147,19 @@ object OracleSql {
         |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS _idx, doc_id, text FROM documents)
         |SELECT _idx, doc_id, text FROM indexed WHERE _idx >= 2 ORDER BY doc_id""".stripMargin,
 
+    "q_promote_header" ->
+      """WITH indexed AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) AS _idx,
+        |         CAST(doc_id AS VARCHAR) AS c1, lang AS c2, source AS c3,
+        |         CAST(n_chars AS VARCHAR) AS c4
+        |  FROM documents),
+        |framed AS (
+        |  SELECT 0 AS _idx, 'Reg No' AS c1, 'Reg No' AS c2, '' AS c3,
+        |         CAST(NULL AS VARCHAR) AS c4
+        |  UNION ALL SELECT * FROM indexed)
+        |SELECT c1 AS "Reg No", c2 AS "Reg No_1", c3 AS "Unnamed_1", c4 AS "UNKNOWN"
+        |FROM framed WHERE _idx > 0 ORDER BY CAST(c1 AS BIGINT)""".stripMargin,
+
     "q_sanitize_prompt" ->
       """WITH raw AS (
         |  SELECT doc_id, text || ' 123 ,,, .' || CAST(n_chars AS VARCHAR) AS x FROM documents),

@@ -120,6 +120,27 @@ object SparkEntry {
     TextOps.castAllToString(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** P1 — header promotion: row 0 of a synthesized frame carries the
+    * column names — including a duplicate, an empty, and a NULL cell, so
+    * the rename exercises the full reference contract (first-row values →
+    * names with null→"UNKNOWN", handlers/belarus.py:112-115; dup/empty →
+    * `_{n}`/`Unnamed_{n}` dedup, handlers/kyrgyzstan.py:256-267). The
+    * oracle can state the resulting names statically because the header
+    * row is synthesized, not data-dependent.
+    */
+  private def qPromoteHeader(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val indexed = ShapeOps.withIndex(t(s, dir, "documents"), col("doc_id"))
+    val body = indexed.select((col("_idx") + 1).as("_idx"),
+      col("doc_id").cast("string").as("c1"), col("lang").as("c2"),
+      col("source").as("c3"), col("n_chars").cast("string").as("c4"))
+    val header = Seq((0L, "Reg No", "Reg No", "", null: String))
+      .toDF("_idx", "c1", "c2", "c3", "c4")
+    ShapeOps.promoteHeader(header.unionByName(body))
+      .select(col("`Reg No`"), col("`Reg No_1`"), col("Unnamed_1"), col("UNKNOWN"))
+      .orderBy(col("`Reg No`").cast("long"))
+  }
+
   /** P2 — ordered slice: drop the first 2 rows in doc_id order. */
   private def qSliceOffset(s: SparkSession, dir: String): DataFrame = {
     val indexed = ShapeOps.withIndex(t(s, dir, "documents"), col("doc_id"))
@@ -1455,6 +1476,7 @@ object SparkEntry {
     "q_row_concat" -> (qRowConcat _),
     "q_cast_all_string" -> (qCastAllString _),
     "q_slice_offset" -> (qSliceOffset _),
+    "q_promote_header" -> (qPromoteHeader _),
     "q_sanitize_prompt" -> (qSanitizePrompt _),
     "q_merge_continued" -> (qMergeContinued _),
     "q_merge_partitioned" -> (qMergePartitioned _),
