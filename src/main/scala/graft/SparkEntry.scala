@@ -964,7 +964,10 @@ object SparkEntry {
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
-    Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5, nPlanes = 4)
+    // dim pinned to the known embedding width: skips the derive-dim
+    // head() job (one fewer driver round-trip per call).
+    Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5,
+        nPlanes = 4, dim = 64)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -974,8 +977,11 @@ object SparkEntry {
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
+    // Sampled centroid training (the 100 TB path): Lloyd passes scan half
+    // the corpus; tiny scale factors fall back to full training inside
+    // ivfCentroidsLocal when the sample is smaller than nCells.
     Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id",
-        k = 5, nCells = 16, nprobe = 4)
+        k = 5, nCells = 16, nprobe = 4, trainFraction = 0.5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -987,7 +993,7 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     Similarity.ivfTopKJoined(emb, queries, "vec_id", "embedding", "vec_id",
-        k = 5, nCells = 64, nprobe = 16)
+        k = 5, nCells = 64, nprobe = 16, trainFraction = 0.5)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -252,6 +252,14 @@ object Similarity {
     * no shuffle, stays in whole-stage codegen) and each iteration costs
     * exactly one hash aggregation for the means. Same driver-residency
     * contract as a broadcast-join side.
+    *
+    * `trainFraction` < 1 trains Lloyd on a seeded content-hash sample of
+    * the corpus (deterministic — same rows every run, uncorrelated with
+    * id order) instead of the full frame: centroid quality needs only a
+    * representative sample, so at 100 TB the 2-3 Lloyd passes scan
+    * `trainFraction` of the data rather than the whole corpus. Falls back
+    * to the full corpus when the sample is smaller than k (tiny inputs),
+    * so small scale factors keep full-quality centroids.
     */
   def ivfCentroidsLocal(
       corpus: DataFrame,
@@ -259,9 +267,18 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int = 2,
-      quantScale: Int = 1000): Seq[(Int, IndexedSeq[Long])] = {
-    val q = corpus.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
-    val n = q.count()
+      quantScale: Int = 1000,
+      trainFraction: Double = 1.0): Seq[(Int, IndexedSeq[Long])] = {
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction must be in (0,1], got $trainFraction")
+    val full = corpus.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
+    var q =
+      if (trainFraction >= 1.0) full
+      else full.filter(
+        graft.text.CorpusAssembly.seededBucket(col("id"), "ivf-train", 10000)
+          < math.round(trainFraction * 10000))
+    var n = q.count()
+    if (n < k && (q ne full)) { q = full; n = q.count() }
     val stride = math.max(1L, n / k)
     def seedFrom(df: DataFrame): Seq[(Int, IndexedSeq[Long])] = df
       .orderBy(col("id")).limit(k)
@@ -315,9 +332,10 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int = 2,
-      quantScale: Int = 1000): DataFrame =
+      quantScale: Int = 1000,
+      trainFraction: Double = 1.0): DataFrame =
     centroidsDF(corpus.sparkSession,
-      ivfCentroidsLocal(corpus, idCol, vecCol, k, iters, quantScale))
+      ivfCentroidsLocal(corpus, idCol, vecCol, k, iters, quantScale, trainFraction))
 
   /** Nearest-centroid (sim, -cid, cid) struct as a literal expression: max
     * picks the highest cosine, ties to the lowest cid. `vn` is the
@@ -359,8 +377,10 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nprobe: Int = 4,
-      quantScale: Int = 1000): DataFrame = {
-    val cents = ivfCentroidsLocal(corpus, idCol, vecCol, nCells, quantScale = quantScale)
+      quantScale: Int = 1000,
+      trainFraction: Double = 1.0): DataFrame = {
+    val cents = ivfCentroidsLocal(corpus, idCol, vecCol, nCells,
+      quantScale = quantScale, trainFraction = trainFraction)
     if (cents.isEmpty) { // empty corpus: no cells, no neighbors
       val spark = corpus.sparkSession
       import org.apache.spark.sql.types._
@@ -423,9 +443,11 @@ object Similarity {
       k: Int,
       nCells: Int = 64,
       nprobe: Int = 8,
-      quantScale: Int = 1000): DataFrame = {
+      quantScale: Int = 1000,
+      trainFraction: Double = 1.0): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = ivfCentroidsLocal(corpus, idCol, vecCol, nCells, quantScale = quantScale)
+    val cents = ivfCentroidsLocal(corpus, idCol, vecCol, nCells,
+      quantScale = quantScale, trainFraction = trainFraction)
     if (cents.isEmpty) { // empty corpus: no cells, no neighbors
       import org.apache.spark.sql.types._
       return spark.createDataFrame(

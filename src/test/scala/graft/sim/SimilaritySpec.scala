@@ -182,6 +182,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
   }
 
+  test("ivfTopK with sampled centroid training keeps recall@5") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id",
+        k = 5, nCells = 8, nprobe = 4, trainFraction = 0.5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"sampled-train IVF recall@5 too low: $recall")
+  }
+
+  test("sampled centroid training is deterministic and falls back when sample < k") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val s1 = Similarity.ivfCentroidsLocal(emb, "vec_id", "embedding", k = 8,
+      trainFraction = 0.5)
+    val s2 = Similarity.ivfCentroidsLocal(emb, "vec_id", "embedding", k = 8,
+      trainFraction = 0.5)
+    assert(s1 == s2 && s1.nonEmpty)
+    // 1% of a ~50-row frame is < k rows: the build must fall back to full
+    // training and return identical centroids to trainFraction=1.
+    val tiny = Similarity.ivfCentroidsLocal(emb.limit(20), "vec_id", "embedding",
+      k = 8, trainFraction = 0.01)
+    val fullT = Similarity.ivfCentroidsLocal(emb.limit(20), "vec_id", "embedding",
+      k = 8, trainFraction = 1.0)
+    assert(tiny == fullT)
+  }
+
   test("ivf centroids are deterministic and cover all cells probed") {
     val emb = graft.Tables.load(spark, sf001, "embeddings")
     val c1 = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8)
