@@ -15,7 +15,7 @@ object ExplainAudit {
       "q_merge_continued", "q_positional_join", "q_asof_join",
       "q_asof_forward", "q_range_join", "q_dedup_ngram_jaccard",
       "q_ann_brute_force", "q_ann_ivf", "q_ann_ivf_joined",
-      "q_dedup_embedding", "q_tfidf", "q_ngram_freq",
+      "q_dedup_simhash", "q_dedup_embedding", "q_tfidf", "q_ngram_freq",
       "q_salted_join", "q_contamination", "q_approx_distinct",
       "q_pii_redact", "q_hash_split",
       "q_asof_bucketed", "q_shuffle_shards", "q_pack_sequences",

@@ -209,7 +209,12 @@ object Dedup {
         struct(lit(t).as("tbl"), packed.as("ck"))
       }: _*)
 
-    val keyed = fp.select(col("doc"), col("fp"), explode(tableKeys).as("k"))
+    // Persist the (doc, fp) frame (16 B/row): the candidate self-join
+    // would otherwise recompute the fingerprint expression — shingling +
+    // simhash over the full text — on BOTH sides. Released by the caller
+    // via clearCache, same contract as minhashLshPairs' banded frame.
+    val fpP = fp.persist()
+    val keyed = fpP.select(col("doc"), col("fp"), explode(tableKeys).as("k"))
       .select(col("doc"), col("fp"), col("k.tbl").as("tbl"), col("k.ck").as("ck"))
 
     keyed.as("a")
