@@ -78,6 +78,22 @@ class DedupSpec extends SparkSpec {
     assert(pairsWith(6) == pairsWith(4))
   }
 
+  test("simhash completeness at a loose budget: adversarial spread needs chunks > maxHamming") {
+    // hamming-6 pair with one flipped bit inside EVERY 16-bit chunk of the
+    // chunks=4 layout (bits 0,8,16,24,32,48): single-block keying has no
+    // matching chunk left, so the pre-fix arrangement (chunks=4 at h=6,
+    // what q_dedup_simhash ran before round 5) provably misses the pair.
+    val fps = Seq((0L, 0L),
+      (1L, (1L << 0) | (1L << 8) | (1L << 16) | (1L << 24) | (1L << 32) | (1L << 48)))
+      .toDF("doc", "fp")
+    def pairs(chunks: Int) =
+      Dedup.simhashPairsOf(fps, maxHamming = 6, chunks = chunks)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs(4).isEmpty, "heuristic single-block arrangement should miss the planted pair")
+    // chunks=8 (keep=2): blocks 5 and 7 are untouched, their table matches.
+    assert(pairs(8) == Set((0L, 1L)), "complete arrangement must find it")
+  }
+
   test("simhashArrangement: multi-block keys are exponentially more selective") {
     // Single-block arrangement (chunks=4, keep=1): 4 tables, 16-bit keys —
     // same-bucket candidates grow ~n²/2¹⁶, quadratic past ~10⁸ docs.
