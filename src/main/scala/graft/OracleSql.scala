@@ -1285,6 +1285,28 @@ object OracleSql {
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Cross-doc dup bigrams: same token/gram machinery as q_repetition,
+    // plus a corpus-level gram→doc-count join.
+    "q_cross_dup_ngrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, str_split(${norm("text")}, ' ') AS t FROM documents),
+         |g0 AS (
+         |  SELECT doc_id,
+         |    [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t) - 1)] AS gs
+         |  FROM toks WHERE len(t) >= 2),
+         |g AS (SELECT doc_id, unnest(gs) AS g FROM g0),
+         |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |s AS (SELECT g, count(*) AS n_docs FROM c GROUP BY 1),
+         |m AS (SELECT c.doc_id, sum(c.cnt) AS total,
+         |        sum(CASE WHEN s.n_docs >= 2 THEN c.cnt ELSE 0 END) AS dup_occ
+         |      FROM c JOIN s USING (g) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(m.total, 0) AS BIGINT) AS ng_total,
+         |  CAST(coalesce(m.dup_occ, 0) AS BIGINT) AS ng_cross_dup,
+         |  coalesce(m.dup_occ, 0) * 2 > coalesce(m.total, 0) AS mostly_duplicated
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_cap_strata" ->
       s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          |h AS (SELECT doc_id, lang, md5('cap0:' || CAST(doc_id AS VARCHAR)) AS hx

@@ -1442,6 +1442,15 @@ object SparkEntry {
         col("n2_top"), col("is_repetitive"))
       .orderBy(col("doc_id"))
 
+  /** Cross-document duplicated-bigram stats (Dolma-style boilerplate
+    * signal): occurrences whose bigram appears in >=2 docs, integer flag.
+    */
+  private def qCrossDupNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.crossDocDupNgrams(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("ng_total"), col("ng_cross_dup"),
+        col("mostly_duplicated"))
+      .orderBy(col("doc_id"))
+
   /** Hash-proportional stratum cap: no language exceeds ≈100 docs; strata
     * already under the cap pass whole (cutoff derived from actual counts).
     */
@@ -1567,6 +1576,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_repetition" -> (qRepetition _),
+    "q_cross_dup_ngrams" -> (qCrossDupNgrams _),
     "q_cap_strata" -> (qCapStrata _),
     "q_binned_quantiles" -> (qBinnedQuantiles _),
     "q_chunk_docs" -> (qChunkDocs _),

@@ -290,6 +290,48 @@ object TextAnalysis {
           (col("n2_total") - col("n2_distinct")) * 2 > col("n2_total"))
   }
 
+  /** Cross-document duplicated n-gram stats — the corpus-level counterpart
+    * of [[repetitionMetrics]] (Dolma/Gopher quality-signal family): for
+    * each document, how many of its word-n-gram OCCURRENCES use a gram
+    * that appears in at least `minDocs` documents. High values mark
+    * boilerplate shared across the corpus (templates, headers, licence
+    * blocks) that within-document repetition cannot see and document-level
+    * dedup does not remove. The `mostly_duplicated` flag is integer
+    * cross-multiplication (`2·dup > total`), bit-identical across engines.
+    *
+    * Scale shape: index-explode → (doc, gram) hash agg with map-side
+    * partials → corpus gram stats (shuffle = |distinct grams|, not corpus
+    * size) → equi-join back on the gram (AQE-skewable; a stop-gram fans
+    * out to its document list, never a cross product) → per-doc hash agg.
+    * No windows, no corpus broadcast, no driver state.
+    */
+  def crossDocDupNgrams(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"need n >= 1 and minDocs >= 2")
+    val grams = df
+      .select(col(idCol).as("doc"), graft.dedup.Dedup.tokensOf(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col("doc"),
+        concat_ws(" ", (0 until n).map(j => element_at(col("t"), col("i") + j)): _*)
+          .as("g"))
+    val perDocGram = grams.groupBy(col("doc"), col("g")).agg(count(lit(1)).as("cnt"))
+    // One row per (gram, doc) above ⇒ count(*) here IS the document count.
+    val gramDocs = perDocGram.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    val perDoc = perDocGram.join(gramDocs, "g")
+      .groupBy(col("doc")).agg(
+        sum(col("cnt")).as("ng_total"),
+        sum(when(col("n_docs") >= minDocs, col("cnt")).otherwise(0L)).as("ng_cross_dup"))
+    df.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("ng_total"), lit(0L)).as("ng_total"),
+        coalesce(col("ng_cross_dup"), lit(0L)).as("ng_cross_dup"))
+      .withColumn("mostly_duplicated", col("ng_cross_dup") * 2 > col("ng_total"))
+  }
+
   /** Word n-gram document frequency per group: in how many documents of
     * each group does each n-gram appear (shingles are distinct per doc),
     * top-k per group by (count desc, n-gram asc). The corpus-level n-gram

@@ -162,6 +162,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.ngramOverlap(corpus, bench, "id", "id", "text", 3, 1).count() == 0)
   }
 
+  test("crossDocDupNgrams: shared boilerplate counted, unique text not, short docs zeroed") {
+    val docs = Seq(
+      (1L, "all rights reserved contact us today"), // shares 4 bigrams with doc 2
+      (2L, "all rights reserved contact us now"),
+      (3L, "completely original sentence nothing shared"),
+      (4L, "tiny")) // < 2 tokens: no bigrams at all
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.crossDocDupNgrams(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // docs 1/2: 5 bigrams each, 4 shared ("all rights","rights reserved",
+    // "reserved contact","contact us"), last bigram differs → 4/5 dup.
+    assert(out(1L) == ((5L, 4L, true)))
+    assert(out(2L) == ((5L, 4L, true)))
+    assert(out(3L) == ((4L, 0L, false)))
+    assert(out(4L) == ((0L, 0L, false)))
+  }
+
   test("fingerprints: md5 is content-normalized, rolling hash is order-sensitive") {
     val df = Seq(("Hello,  World", "hello world"), ("world hello", "world hello"))
       .toDF("a", "b")
