@@ -898,6 +898,39 @@ object OracleSql {
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Boilerplate strip: footer planted into every 3rd doc on both sides
+    // (corpus has no natural cross-doc paragraphs — same planting pattern
+    // as q_pii_redact), then the same segment/keying CTEs as
+    // q_dedup_paragraphs with df >= 3 keys removed EVERYWHERE (vs
+    // first-copy-wins above).
+    "q_strip_boilerplate" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN text || '. All rights reserved worldwide'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |segs AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(coalesce(text, ''), '\\.\\s+')) AS seg,
+         |    unnest(range(0, len(string_split_regex(coalesce(text, ''), '\\.\\s+')))) AS pos
+         |  FROM planted),
+         |keyed AS (
+         |  SELECT doc_id, pos, seg,
+         |    md5(CASE WHEN ${norm("seg")} = '' THEN seg ELSE ${norm("seg")} END) AS k
+         |  FROM segs WHERE trim(seg) != ''),
+         |boiler AS (
+         |  SELECT k FROM (SELECT k, count(DISTINCT doc_id) AS df
+         |                 FROM keyed GROUP BY k) f
+         |  WHERE df >= 3),
+         |agg AS (
+         |  SELECT doc_id, string_agg(seg, '. ' ORDER BY pos) AS clean_text
+         |  FROM keyed WHERE k NOT IN (SELECT k FROM boiler)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_latest_snapshot" ->
       """WITH ranked AS (
         |  SELECT o_custkey, o_orderkey,

@@ -912,6 +912,24 @@ object SparkEntry {
       .select(col("doc").as("doc_id"), col("dedup_text"))
       .orderBy(col("doc_id"))
 
+  /** C4-style boilerplate strip. The synthetic corpus has no naturally
+    * repeated paragraphs (exact dedup finds 0 groups at sf0.01), so —
+    * same pattern as q_pii_redact's planted PII — every 3rd document
+    * gets a shared footer paragraph planted on BOTH the engine and oracle
+    * sides; the operator must remove it from every planted doc (including
+    * the first occurrence — the policy difference vs q_dedup_paragraphs)
+    * while reassembling the untouched paragraphs byte-identically.
+    */
+  private def qStripBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").withColumn("text",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(". All rights reserved worldwide")))
+        .otherwise(col("text")))
+    Dedup.stripBoilerplate(planted, "doc_id", "text", minDocs = 3)
+      .select(col("doc").as("doc_id"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
     * the ScalaTest spec verifies planted duplicates are found).
     */
@@ -1577,6 +1595,7 @@ object SparkEntry {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_repetition" -> (qRepetition _),
     "q_cross_dup_ngrams" -> (qCrossDupNgrams _),
+    "q_strip_boilerplate" -> (qStripBoilerplate _),
     "q_cap_strata" -> (qCapStrata _),
     "q_binned_quantiles" -> (qBinnedQuantiles _),
     "q_chunk_docs" -> (qChunkDocs _),

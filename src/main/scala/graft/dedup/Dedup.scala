@@ -534,6 +534,53 @@ object Dedup {
       .select(col("doc"), coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** C4-style boilerplate removal — the policy complement of
+    * [[dedupParagraphs]]: a paragraph whose normalized content appears in
+    * at least `minDocs` DISTINCT documents is boilerplate (cookie
+    * banners, licence footers, nav text) and is removed from EVERY
+    * document — dedupParagraphs would keep the first copy, which for true
+    * boilerplate is exactly the copy you don't want. Same segmentation,
+    * normalization-keying, and order-preserving reassembly contract as
+    * dedupParagraphs (empty-normalizing segments key on raw text).
+    *
+    * Scale: segment doc-frequency is a two-level hash aggregation
+    * ((key, doc) distinct → per-key count, both with map-side partials —
+    * a segment repeated 10⁹ times collapses per map task before the
+    * shuffle); the boilerplate key set (keys with df ≥ minDocs — the
+    * FREQUENT keys, a tiny fraction of the corpus) then anti-joins
+    * against the segment stream, where Spark broadcasts it when small
+    * and degrades to a shuffled anti-join when not. No windows anywhere.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 3,
+      sepRegex: String = "\\.\\s+",
+      joiner: String = ". "): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val segs = df
+      .select(col(idCol).as("doc"),
+        posexplode(split(coalesce(col(textCol), lit("")), sepRegex))
+          .as(Seq("pos", "seg")))
+      .withColumn("k", md5(when(normalizeText(col("seg")) === "", col("seg"))
+        .otherwise(normalizeText(col("seg")))))
+      .filter(trim(col("seg")) =!= "")
+    val boiler = segs.select(col("k"), col("doc")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("k"))
+    val kept = segs
+      .join(boiler, Seq("k"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), joiner).as("clean_text"))
+    df.select(col(idCol).as("doc"))
+      .join(kept, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Exact n-gram Jaccard pairs with prefix filtering (AllPairs — Bayardo
     * et al., WWW'07): each document indexes only its `|A| - ⌈t·|A|⌉ + 1`
     * globally-rarest shingles; a pair with J(A,B) ≥ t must have some shared

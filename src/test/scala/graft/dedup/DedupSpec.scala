@@ -68,6 +68,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((3L, 4L)))  // unrelated docs far apart
   }
 
+  test("stripBoilerplate removes frequent paragraphs everywhere, keeps rare ones in order") {
+    val footer = "All rights reserved"
+    val docs = Seq(
+      (1L, s"Unique opening one. $footer. Unique closing one"),
+      (2L, s"$footer. Something only here"),
+      (3L, s"Another original thought. $footer"),
+      (4L, "No boilerplate at all. Just content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // The footer appears in 3 docs → stripped from ALL of them (including
+    // the first occurrence — the policy difference vs dedupParagraphs);
+    // surviving paragraphs keep their original order.
+    assert(out(1L) == "Unique opening one. Unique closing one")
+    assert(out(2L) == "Something only here")
+    assert(out(3L) == "Another original thought")
+    assert(out(4L) == "No boilerplate at all. Just content")
+  }
+
   test("simhash multi-block arrangement finds the same pairs as single-block") {
     // For maxHamming=3 both arrangements are COMPLETE (chunks=4 → keep=1,
     // guaranteed up to 3 flips; chunks=6 → keep=3 Manku tables), and the
