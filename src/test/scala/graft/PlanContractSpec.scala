@@ -63,6 +63,18 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("round-5 hygiene queries: aggregation-shaped, no cross join, no windows") {
+    for (q <- Seq("q_cross_dup_ngrams", "q_strip_boilerplate")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"$q planned a quadratic join:\n${p.take(1500)}")
+      // Both are hash-agg + equi-join pipelines: a Window over raw rows
+      // would put a hot gram/segment's every copy on one reducer.
+      assert(!p.contains("Window"),
+        s"$q should aggregate, not window:\n${p.take(1500)}")
+    }
+  }
+
   test("q_dedup_embedding: no quadratic join, no corpus broadcast") {
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.execution.FileSourceScanExec
