@@ -121,5 +121,13 @@ class EdgeCasesSpec extends SparkSpec {
     val all = nulls.select(graft.text.TextAnalysis.hashSplit($"id", 100, 0).as("s"))
       .collect().map(_.getString(0))
     assert(all.forall(_ == "train"))
+    // Round-5 hygiene ops: null text → zero counts / empty clean_text,
+    // never NPE, and every input doc keeps its output row.
+    val dup = graft.text.TextAnalysis.crossDocDupNgrams(nulls, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == Map(1L -> 0L, 2L -> 2L))
+    val strip = graft.dedup.Dedup.stripBoilerplate(nulls, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strip == Map(1L -> "", 2L -> "a b c"))
   }
 }
