@@ -155,6 +155,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: stripBoilerplate matches a brute-force reference on random corpora") {
+    // Docs are random sequences from a small paragraph pool (lowercase
+    // words only, so the normalization key is the content itself) —
+    // guarantees cross-doc repeats at every df level.
+    val pool = Vector("alpha beta", "gamma delta", "epsilon zeta",
+      "eta theta", "iota kappa", "lambda mu")
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf(pool)).map(_.take(4))
+    val corpus = samplesOf(docGen, 12).zipWithIndex
+      .map { case (ps, i) => (i.toLong, ps, ps.mkString(". ")) }
+    val minDocs = 2
+    val df = corpus.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.stripBoilerplate(df, "doc_id", "text", minDocs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docFreq = corpus.flatMap { case (id, ps, _) => ps.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.size }
+    corpus.foreach { case (id, ps, _) =>
+      val expected = ps.filter(p => docFreq(p) < minDocs).mkString(". ")
+      assert(out(id) == expected, s"doc $id: '${out(id)}' != '$expected' (paras $ps)")
+    }
+  }
+
+  test("property: crossDocDupNgrams matches a brute-force reference on random corpora") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docGen = Gen.listOfN(6, word).map(_.mkString(" "))
+    val corpus = samplesOf(docGen, 12).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = corpus.toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.crossDocDupNgrams(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    def bigrams(t: String): Seq[String] =
+      t.split("\\s+").toSeq.filter(_.nonEmpty).sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+    val gramDocs = corpus.flatMap { case (id, t) => bigrams(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+    corpus.foreach { case (id, t) =>
+      val gs = bigrams(t)
+      val total = gs.size.toLong
+      val dup = gs.count(g => gramDocs(g) >= 2).toLong
+      assert(out(id) == ((total, dup, dup * 2 > total)),
+        s"doc $id: ${out(id)} != ($total, $dup) for '$t'")
+    }
+  }
+
   test("property: seeded buckets stay in range and differ across seeds") {
     val ids = (0L until 500L).toDF("id")
     val b = ids.select(
