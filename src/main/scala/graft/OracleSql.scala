@@ -1340,6 +1340,29 @@ object OracleSql {
          |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Mixture report: whitespace token rule of q_token_count aggregated
+    // per source; DOUBLE casts keep DuckDB off DECIMAL inference so the
+    // rounded shares match Spark's double math.
+    "q_mixture_report" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(str_split_regex(trim(coalesce(text, '')), '\s+')) END)
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per),
+        |tgt AS (SELECT * FROM (VALUES
+        |    ('src0', CAST(0.2 AS DOUBLE)), ('src1', CAST(0.1 AS DOUBLE)),
+        |    ('src2', CAST(0.05 AS DOUBLE))) v(source, target_share))
+        |SELECT p.source, p.n_docs, p.n_tokens,
+        |  CASE WHEN total > 0 THEN round(p.n_tokens / total, 6) END AS token_share,
+        |  t.target_share,
+        |  CASE WHEN t.target_share IS NOT NULL AND p.n_tokens > 0
+        |       THEN round(t.target_share * total / p.n_tokens, 6)
+        |  END AS sample_multiplier
+        |FROM per p CROSS JOIN tot LEFT JOIN tgt t USING (source)
+        |ORDER BY p.source""".stripMargin,
+
     "q_cap_strata" ->
       s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          |h AS (SELECT doc_id, lang, md5('cap0:' || CAST(doc_id AS VARCHAR)) AS hx

@@ -1469,6 +1469,15 @@ object SparkEntry {
         col("mostly_duplicated"))
       .orderBy(col("doc_id"))
 
+  /** Domain-mixture report: per-source token shares + the sampling
+    * multipliers hitting explicit target shares for three sources
+    * (the rest report-only with NULL target).
+    */
+  private def qMixtureReport(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.mixtureReport(t(s, dir, "documents"), "source", "text",
+        Map("src0" -> 0.2, "src1" -> 0.1, "src2" -> 0.05))
+      .orderBy(col("source"))
+
   /** Hash-proportional stratum cap: no language exceeds ≈100 docs; strata
     * already under the cap pass whole (cutoff derived from actual counts).
     */
@@ -1596,6 +1605,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_cross_dup_ngrams" -> (qCrossDupNgrams _),
     "q_strip_boilerplate" -> (qStripBoilerplate _),
+    "q_mixture_report" -> (qMixtureReport _),
     "q_cap_strata" -> (qCapStrata _),
     "q_binned_quantiles" -> (qBinnedQuantiles _),
     "q_chunk_docs" -> (qChunkDocs _),

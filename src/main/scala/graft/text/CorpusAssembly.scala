@@ -215,6 +215,47 @@ object CorpusAssembly {
     rows.reduce(_ unionByName _)
   }
 
+  /** Domain-mixture report — the data-mixing step of a multi-source
+    * pretraining recipe (Pile/DoReMi family): per source, document and
+    * token counts, the source's share of corpus tokens, and the sampling
+    * multiplier that would hit `targetShares` (target share ÷ actual
+    * share — >1 means upsample/repeat epochs, <1 means downsample).
+    * Sources without a target get NULL target/multiplier (report-only
+    * rows). Token counting is the whitespace rule of
+    * [[TextAnalysis.tokenCountWhitespace]], so mixture math and per-doc
+    * token budgeting agree.
+    *
+    * Scale: ONE hash aggregation (map-side partials) down to |sources|
+    * rows; the corpus total is an aggregate of that tiny frame broadcast
+    * back. Shares round to 6 decimals for cross-engine stability; under
+    * ANSI mode every division is guarded (empty corpus ⇒ NULL shares,
+    * never DIVIDE_BY_ZERO).
+    */
+  def mixtureReport(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.text.TextAnalysis.tokenCountWhitespace(col(textCol)).cast("long"))
+          .as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("_total"))
+    val tgt = typedLit(targetShares)
+    per.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        when(col("_total") > 0,
+          round(col("n_tokens").cast("double") / col("_total"), 6)))
+      // try_element_at: ANSI element_at THROWS on a missing map key, and
+      // sources without a target are the normal report-only case.
+      .withColumn("target_share", try_element_at(tgt, col("source")))
+      .withColumn("sample_multiplier",
+        when(col("target_share").isNotNull && col("n_tokens") > 0,
+          round(col("target_share") * col("_total") / col("n_tokens"), 6)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("token_share"), col("target_share"), col("sample_multiplier"))
+  }
+
   /** Vocabulary coverage: the k most frequent normalized tokens with
     * their corpus counts and the cumulative fraction of all token
     * occurrences they cover — the statistic behind vocab-size choices

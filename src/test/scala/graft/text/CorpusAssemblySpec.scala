@@ -196,6 +196,25 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(m(3).getLong(1) == 0 && !m(3).getBoolean(4))
   }
 
+  test("mixtureReport: shares sum to 1, multipliers hit the target, no-target rows are null") {
+    val tiny = Seq(
+      (1L, "a", "one two three four"),  // 4 tokens
+      (2L, "a", "five six"),            // a: 6 tokens total
+      (3L, "b", "seven eight nine"),    // b: 3 tokens
+      (4L, "c", "ten"))                 // c: 1 token  → corpus total 10
+      .toDF("doc_id", "source", "text")
+    val m = CorpusAssembly.mixtureReport(tiny, "source", "text",
+        Map("a" -> 0.3, "b" -> 0.6))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getLong(2) == 6L && m("a").getDouble(3) == 0.6)
+    assert(m("b").getLong(2) == 3L && m("b").getDouble(3) == 0.3)
+    assert(m("c").getLong(2) == 1L && m("c").getDouble(3) == 0.1)
+    // a is over target 0.3 at share 0.6 → downsample ×0.5; b is under
+    // target 0.6 at share 0.3 → upsample ×2.
+    assert(m("a").getDouble(5) == 0.5 && m("b").getDouble(5) == 2.0)
+    assert(m("c").isNullAt(4) && m("c").isNullAt(5)) // report-only source
+  }
+
   test("vocabCoverage: k >= vocabulary size covers everything") {
     val tiny = Seq((1L, "aa bb aa"), (2L, "bb cc")).toDF("doc_id", "text")
     val rows = CorpusAssembly.vocabCoverage(tiny, "text", k = 10)
