@@ -983,9 +983,14 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     // dim pinned to the known embedding width: skips the derive-dim
-    // head() job (one fewer driver round-trip per call).
+    // head() job per call — but a silent width mismatch would collapse
+    // every vector into hyperplane bucket 0 (full brute force, no error),
+    // so verify the pin once with one cheap single-row head.
+    val dim = 64
+    val actual = emb.select(size(col("embedding"))).head().getInt(0)
+    require(actual == dim, s"embedding width $actual != pinned LSH dim $dim")
     Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5,
-        nPlanes = 4, dim = 64)
+        nPlanes = 4, dim = dim)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -195,6 +195,7 @@ object Dedup {
       maxHamming: Int,
       chunks: Int): DataFrame = {
     require(chunks >= 2 && chunks <= 64, s"chunks must be in [2,64], got $chunks")
+    requireTableBudget(maxHamming, chunks)
     val widths = blockWidths(chunks)
     val offsets = widths.scanLeft(0)(_ + _)
     def block(i: Int): Column =
@@ -241,12 +242,38 @@ object Dedup {
     * n=10⁸, vs ~10¹¹ for the single-16-bit-chunk arrangement.
     */
   def simhashArrangement(maxHamming: Int, chunks: Int): (Int, Int) = {
+    requireTableBudget(maxHamming, chunks)
     val widths = blockWidths(chunks)
     val keep = math.max(1, chunks - maxHamming)
-    val tables = (0 until chunks).combinations(keep).size
     val minKeyBits = widths.sorted.take(keep).sum
-    (tables, minKeyBits)
+    (binomial(chunks, keep).toInt, minKeyBits)
   }
+
+  /** Largest sane multi-table arrangement: beyond this the per-row key
+    * array and the table explode dominate any bucketing win.
+    */
+  val MaxSimhashTables: Long = 4096L
+
+  /** Guard against pathological (maxHamming, chunks) pairs: e.g.
+    * chunks=40, maxHamming=20 ⇒ C(40,20) ≈ 1.4e11 candidate tables, which
+    * would be materialized driver-side as a Seq (and per row as an array
+    * column) before any Spark job runs. Counted via the closed-form
+    * binomial — never by iterating the combinations.
+    */
+  private def requireTableBudget(maxHamming: Int, chunks: Int): Unit = {
+    val keep = math.max(1, chunks - maxHamming)
+    val tables = binomial(chunks, keep)
+    require(tables <= MaxSimhashTables,
+      s"simhash arrangement (maxHamming=$maxHamming, chunks=$chunks) needs " +
+        s"C($chunks,$keep)=$tables candidate tables; max $MaxSimhashTables. " +
+        "Use fewer, wider chunks (chunks close to maxHamming+1..maxHamming+3).")
+  }
+
+  /** Exact C(n,k); max n here is 64, so the value fits BigInt trivially
+    * (C(64,32) ≈ 1.8e18) and the loop runs ≤ 64 steps.
+    */
+  private def binomial(n: Int, k: Int): BigInt =
+    (0 until math.min(k, n - k)).foldLeft(BigInt(1))((acc, i) => acc * (n - i) / (i + 1))
 
   /** Connected components over a near-duplicate pair graph — the final
     * corpus-dedup step: every document in a component gets the component's

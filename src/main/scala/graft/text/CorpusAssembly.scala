@@ -236,6 +236,13 @@ object CorpusAssembly {
       sourceCol: String,
       textCol: String,
       targetShares: Map[String, Double]): DataFrame = {
+    targetShares.foreach { case (src, share) =>
+      require(share > 0.0 && share <= 1.0,
+        s"target share for '$src' must be in (0,1], got $share")
+    }
+    require(targetShares.values.sum <= 1.0 + 1e-9,
+      s"target shares sum to ${targetShares.values.sum} > 1: the targets " +
+        "cannot all be hit simultaneously")
     val per = df.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(graft.text.TextAnalysis.tokenCountWhitespace(col(textCol)).cast("long"))

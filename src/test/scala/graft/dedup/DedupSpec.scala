@@ -127,6 +127,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashArrangement(12, 4) == ((4, 16)))
   }
 
+  test("simhash table budget: pathological (maxHamming, chunks) pairs are rejected up front") {
+    // chunks=40, maxHamming=20 ⇒ C(40,20) ≈ 1.4e11 tables — the guard must
+    // reject via the closed-form count, never by enumerating combinations
+    // (an enumeration would hang; this intercept returns instantly).
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashArrangement(20, 40)
+    }
+    assert(e.getMessage.contains("candidate tables"))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsOf(Seq((0L, 0L)).toDF("doc", "fp"), 20, 40)
+    }
+    // Budget boundary: C(18,9)=48620 rejected, C(14,7)=3432 accepted.
+    intercept[IllegalArgumentException](Dedup.simhashArrangement(9, 18))
+    assert(Dedup.simhashArrangement(7, 14)._1 == 3432)
+  }
+
   test("connectedComponents: chains collapse to one cluster with min label") {
     // a-b, b-c chain plus an isolated pair d-e
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")

@@ -213,6 +213,18 @@ class CorpusAssemblySpec extends SparkSpec {
     // target 0.6 at share 0.3 → upsample ×2.
     assert(m("a").getDouble(5) == 0.5 && m("b").getDouble(5) == 2.0)
     assert(m("c").isNullAt(4) && m("c").isNullAt(5)) // report-only source
+    // Invalid targets are rejected before any job runs: out-of-range
+    // shares or a sum past 1.0 would silently yield negative/unsatisfiable
+    // multipliers otherwise.
+    intercept[IllegalArgumentException](
+      CorpusAssembly.mixtureReport(tiny, "source", "text", Map("a" -> 0.0)))
+    intercept[IllegalArgumentException](
+      CorpusAssembly.mixtureReport(tiny, "source", "text", Map("a" -> -0.2)))
+    intercept[IllegalArgumentException](
+      CorpusAssembly.mixtureReport(tiny, "source", "text", Map("a" -> 1.2)))
+    intercept[IllegalArgumentException](
+      CorpusAssembly.mixtureReport(tiny, "source", "text",
+        Map("a" -> 0.7, "b" -> 0.7)))
   }
 
   test("vocabCoverage: k >= vocabulary size covers everything") {
