@@ -46,6 +46,17 @@ object Stage {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** S4 — native XLSX scan (zip+XML parse, no POI): the reference's
+    * calamine read with `skip_rows` (handlers/belarus.py:106-110). Single
+    * workbook = driver-side parse by nature; the many-file corpus form is
+    * [[Xlsx.readFiles]].
+    */
+  def readXlsx(spark: SparkSession, bytes: Array[Byte], skipRows: Int = 0): DataFrame =
+    Xlsx.read(spark, bytes, skipRows)
+
+  def readXlsxFile(spark: SparkSession, path: String, skipRows: Int = 0): DataFrame =
+    Xlsx.read(spark, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), skipRows)
+
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
