@@ -57,6 +57,16 @@ object Stage {
   def readXlsxFile(spark: SparkSession, path: String, skipRows: Int = 0): DataFrame =
     Xlsx.read(spark, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), skipRows)
 
+  /** S7 — native DOCX multi-table concat (zip+XML parse, python-docx cell
+    * semantics; handlers/kyrgyzstan.py:239-251). Corpus form:
+    * [[Docx.readFiles]].
+    */
+  def readDocx(spark: SparkSession, bytes: Array[Byte]): DataFrame =
+    Docx.readTables(spark, bytes)
+
+  def readDocxFile(spark: SparkSession, path: String): DataFrame =
+    Docx.readTables(spark, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
