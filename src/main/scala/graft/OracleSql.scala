@@ -4,7 +4,7 @@ package graft
   * [[SparkEntry.queries]] (omissions = operators that get the driver's
   * rows-only check: the approximate family — minhash-LSH, simhash,
   * payload near-dup, ANN-LSH/IVF, approx_distinct — plus clean_text
-  * (DuckDB has no NFKC) and the two mapPartitions paths).
+  * (DuckDB has no NFKC) and the mapPartitions image decode).
   *
   * Dialect porting rules applied throughout (Java regex → RE2):
   *  - every regexp_replace carries the 'g' flag (Spark replaces all
@@ -715,6 +715,63 @@ object OracleSql {
     "q_json_roundtrip" ->
       """SELECT doc_id, text AS text_rt, lang AS lang_rt
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Deterministic multimodal projections: byte lengths, data-URL
+    // validity, magic-byte sniff — the same synthetic payload mix built
+    // blob-side in DuckDB (hex() is uppercase in both engines).
+    "q_payload_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN '\x89PNG'::BLOB || encode(text)
+        |         WHEN doc_id % 4 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+        |         ELSE encode(text) END AS payload,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'data:image/png;base64,' || md5(text)
+        |         ELSE text END AS maybe_url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |  regexp_matches(maybe_url, '^data:[^;]+;base64,') AS is_data_url,
+        |  CASE WHEN substr(hex(payload), 1, 8) = '89504E47' THEN 'png'
+        |       WHEN substr(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN substr(hex(payload), 1, 8) = '47494638' THEN 'gif'
+        |       ELSE 'unknown' END AS container
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Mirrors ServiceEnrichment.process over StubLlmClient exactly: the
+    // stub's OCR is the same md5 transform as StubProvider.ocr, the
+    // correction roundtrip is the identity, and correction stringifies
+    // every cell (null→'') — so the service path's decision tree is fully
+    // SQL-expressible. rowText joins ALL four stringified fields with a
+    // single space (concat_ws keeps empty strings, like the Scala
+    // mkString over non-null fields).
+    "q_service_enrich" ->
+      s"""WITH reg AS (
+         |  SELECT doc_id AS id,
+         |    CAST(doc_id AS VARCHAR) AS doc_id,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' исключен' ELSE text END AS text,
+         |    CASE WHEN doc_id % 5 = 0 THEN ''
+         |         ELSE split_part(CASE WHEN doc_id % 11 = 0 THEN text || ' исключен' ELSE text END, ' ', 1) END AS brand,
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN 'data:image/png;base64,' || md5(CASE WHEN doc_id % 11 = 0 THEN text || ' исключен' ELSE text END)
+         |         ELSE '' END AS image
+         |  FROM documents),
+         |flagged AS (
+         |  SELECT *,
+         |    regexp_matches(replace(lower(concat_ws(' ', doc_id, text, brand, image)), 'ё', 'е'),
+         |      '$exclusionRegex') AS excl
+         |  FROM reg),
+         |branded AS (
+         |  SELECT id, doc_id, excl,
+         |    CASE WHEN NOT excl AND brand = '' AND image <> ''
+         |         THEN 'OCR-' || substr(md5(image), 1, 8) || ' (RECOG)'
+         |         ELSE brand END AS brand
+         |  FROM flagged)
+         |SELECT doc_id, brand,
+         |  CASE WHEN NOT excl AND trim(brand) <> ''
+         |       THEN upper(trim(replace(brand, ' (RECOG)', ''))) || ', ' || lower(trim(replace(brand, ' (RECOG)', '')))
+         |       ELSE '' END AS brand_en,
+         |  CASE WHEN excl THEN 'Да' ELSE 'Нет' END AS excluded
+         |FROM branded ORDER BY id""".stripMargin,
 
     "q_dedup_corpus" ->
       s"""WITH RECURSIVE $ngramCtes,

@@ -404,12 +404,39 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bucket"))
 
-  /** Exact interpolated percentiles per group (median + p90). */
+  /** Exact interpolated percentiles per group (median + p90).
+    *
+    * SMALL-DATA VARIANT by design: exact percentile buffers every group's
+    * values on its reducer — with 3 return-flag groups at 100 TB that is
+    * billions of values per reducer (OOM). The scale twins are
+    * [[qApproxPercentile]] (mergeable t-digest sketch, bounded state) and
+    * [[qBinnedQuantiles]] (deterministic mergeable histogram, hash-
+    * oracled); see SCALE.md "Percentiles".
+    */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(round(median(col("l_quantity")), 4).as("med_qty"),
         round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** The 100 TB form of [[qPercentiles]]: `percentile_approx` keeps a
+    * bounded mergeable sketch per group (state O(accuracy), not O(rows)),
+    * so partial aggregation works and no reducer ever buffers a group's
+    * raw values. Rows-only check: the estimate is sketch-specific (exact
+    * only up to rank error ~1/accuracy), so there is no cross-engine
+    * oracle — PropertiesSpec-style bounds vs the exact form live in the
+    * spec, and the deterministic mergeable alternative (binned quantiles)
+    * is hash-oracled separately.
+    */
+  private def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity").cast("double"), lit(0.5), lit(10000))
+          .as("med_qty_est"),
+        percentile_approx(col("l_extendedprice").cast("double"), lit(0.9), lit(10000))
+          .as("p90_price_est"))
       .orderBy(col("l_returnflag"))
 
   /** Mergeable binned-quantile sketch: fixed-bin histogram (bin counts
@@ -1101,6 +1128,35 @@ object SparkEntry {
         TextOps.cleanText(concat(col("text"), lit(" ﬁ№①"))).as("clean"))
       .orderBy(col("doc_id"))
 
+  /** The deterministic 80% of the multimodal family, hash-oracled: pure
+    * projections over binary payloads — byte length, data-URL validity,
+    * magic-byte container sniff — need no decoder, so unlike
+    * [[qMultimodalFeatures]] (mapPartitions decode, rows-only) they get
+    * the full DuckDB oracle. Payload variety is synthesized by prepending
+    * real container magics to a deterministic subset of rows.
+    */
+  private def qPayloadStats(s: SparkSession, dir: String): DataFrame = {
+    val pngMagic = lit(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val jpegMagic = lit(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte))
+    val payload = when(col("doc_id") % 4 === 0, concat(pngMagic, col("text").cast("binary")))
+      .when(col("doc_id") % 4 === 1, concat(jpegMagic, col("text").cast("binary")))
+      .otherwise(col("text").cast("binary"))
+    val maybeUrl = when(col("doc_id") % 2 === 0,
+        concat(lit("data:image/png;base64,"), md5(col("text"))))
+      .otherwise(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), payload.as("payload"), maybeUrl.as("maybe_url"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("maybe_url").rlike("^data:[^;]+;base64,").as("is_data_url"),
+        when(substring(hex(col("payload")), 1, 8) === "89504E47", "png")
+          .when(substring(hex(col("payload")), 1, 6) === "FFD8FF", "jpeg")
+          .when(substring(hex(col("payload")), 1, 8) === "47494638", "gif")
+          .otherwise("unknown").as("container"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal plumbing: binary payloads → per-partition feature
     * extraction (mapPartitions — rows-only; semantics in MultimodalSpec).
     */
@@ -1114,8 +1170,11 @@ object SparkEntry {
   }
 
   /** L1-L3 service path: enrichment + row correction via per-partition
-    * client calls (mapPartitions — rows-only; semantics incl. the
-    * correction fallback contract in EnrichmentSpec).
+    * client calls (mapPartitions). Fully hash-oracled: the stub client's
+    * transforms are SQL-expressible (md5 OCR mirroring StubProvider,
+    * identity correction), so the oracle replays the whole decision tree
+    * in DuckDB — the mapPartitions execution strategy is what's engine-
+    * specific, not the semantics.
     */
   private def qServiceEnrich(s: SparkSession, dir: String): DataFrame = {
     val reg = registryView(s, dir).select(
@@ -1543,6 +1602,8 @@ object SparkEntry {
     "q_running_sum" -> (qRunningSum _),
     "q_moving_avg" -> (qMovingAvg _),
     "q_percentiles" -> (qPercentiles _),
+    "q_approx_percentile" -> (qApproxPercentile _),
+    "q_payload_stats" -> (qPayloadStats _),
     "q_latest_snapshot" -> (qLatestSnapshot _),
     "q_histogram" -> (qHistogram _),
     "q_json_extract" -> (qJsonExtract _),

@@ -30,15 +30,22 @@ trait LlmClient extends Serializable {
 }
 
 /** Deterministic offline double, keyed by input content — stands in for the
-  * remote model in tests (FIXTURES.md §B.8). `correctRow` is the identity
-  * on the stringified row, mirroring [[StubProvider.correctRow]]'s JSON
-  * roundtrip so the column path and the service path stay differentially
-  * comparable.
+  * remote model in tests (FIXTURES.md §B.8). Every method mirrors
+  * [[StubProvider]]'s column form — OCR is the same md5-keyed transform,
+  * `correctRow` the same identity roundtrip — so the column path, the
+  * service path, AND the DuckDB oracle stay differentially comparable
+  * (`q_service_enrich` is hash-checked against SQL that reproduces this
+  * stub exactly).
   */
 class StubLlmClient extends LlmClient {
   override def recognizeImage(imagePayload: String): Option[String] =
     if (imagePayload.isEmpty) None
-    else Some("OCR-" + Integer.toHexString(imagePayload.hashCode))
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(imagePayload.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      Some("OCR-" + hex.take(8))
+    }
 
   override def brandSamples(prompt: String): (Seq[String], Seq[String]) =
     (Seq(prompt.toUpperCase, prompt.toLowerCase), Seq(prompt + "-ру"))

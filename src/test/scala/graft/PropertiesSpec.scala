@@ -217,4 +217,22 @@ class PropertiesSpec extends SparkSpec {
     assert(est.zip(est.tail).forall { case (a, b) => a <= b },
       s"non-monotone: ${est.toSeq}")
   }
+
+  test("q_approx_percentile tracks the exact form within sketch error at sf0.001") {
+    // At accuracy=10000 and ~6k rows the rank error is sub-row, so the
+    // sketch must land within a tight relative band of the exact
+    // percentiles (it is only ever off by interpolation: percentile()
+    // interpolates between order statistics, percentile_approx returns a
+    // real element).
+    val exact = SparkEntry.queries("q_percentiles")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("q_approx_percentile")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, (medE, p90E)) =>
+      val (medA, p90A) = approx(flag)
+      assert(math.abs(medA - medE) / medE < 0.02, s"$flag median: $medA vs $medE")
+      assert(math.abs(p90A - p90E) / p90E < 0.02, s"$flag p90: $p90A vs $p90E")
+    }
+  }
 }
