@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** README/COVERAGE count claims drifted twice during round 5 before being
+  * caught by review; this spec turns doc drift into a CI failure by
+  * comparing every numeric claim against the actual query registry.
+  */
+class DocsConsistencySpec extends AnyFunSuite {
+
+  private def readme: String =
+    new String(Files.readAllBytes(Paths.get("README.md")), "UTF-8")
+
+  test("README query/oracle counts match SparkEntry exactly") {
+    val m = """(\d+) queries, (\d+) with DuckDB oracles""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README.md no longer states 'N queries, M with DuckDB oracles'"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"README claims ${m.group(1)} queries; SparkEntry registers ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"README claims ${m.group(2)} oracles; OracleSql carries ${SparkEntry.oracleSql.size}")
+  }
+
+  test("every oracle references a registered query (no orphaned oracles)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query is either oracled or a documented rows-only exception") {
+    // The closed list of rows-only queries, each with a structural reason:
+    // approximate candidate generation (recall-spec'd), sketch-specific
+    // estimates, NFKC (absent in DuckDB), or a mapPartitions decode.
+    val rowsOnly = Set(
+      "q_dedup_minhash_lsh", "q_dedup_simhash", "q_payload_near_dup",
+      "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_joined",
+      "q_approx_distinct", "q_approx_percentile",
+      "q_clean_text", "q_multimodal_features")
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == rowsOnly,
+      s"rows-only set drifted: unexpected=${unoracled -- rowsOnly} " +
+        s"missing=${rowsOnly -- unoracled}")
+  }
+}
