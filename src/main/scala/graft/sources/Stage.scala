@@ -57,6 +57,14 @@ object Stage {
   def readXlsxFile(spark: SparkSession, path: String, skipRows: Int = 0): DataFrame =
     Xlsx.read(spark, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), skipRows)
 
+  /** K1 — native XLSX delivery sink (the reference's `write_excel` step,
+    * main.py:40-47): a small stringified frame → workbook bytes → file.
+    * Driver-side and row-capped by design — Parquet stays the canonical
+    * distributed sink; this is the human/FTP-facing interchange artifact.
+    */
+  def writeXlsxFile(df: DataFrame, path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), Xlsx.writeBytes(df))
+
   /** S7 — native DOCX multi-table concat (zip+XML parse, python-docx cell
     * semantics; handlers/kyrgyzstan.py:239-251). Corpus form:
     * [[Docx.readFiles]].

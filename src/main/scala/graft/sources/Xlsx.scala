@@ -247,6 +247,137 @@ object Xlsx {
         col("img_order"), col("data_url"))
   }
 
+  // ---------------------------------------------------------------- writer
+
+  /** 0-based column index → "A"/"Z"/"AA" letters (inverse of [[colIndex]]). */
+  private[sources] def colLetters(idx: Int): String = {
+    var i = idx + 1
+    val sb = new StringBuilder
+    while (i > 0) {
+      val rem = (i - 1) % 26
+      sb.insert(0, ('A' + rem).toChar)
+      i = (i - 1) / 26
+    }
+    sb.toString
+  }
+
+  private def xmlEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
+        () // control chars are invalid in XML 1.0 — dropped, like calamine
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** XLSX delivery row limit (2^20) — also a guard that this DRIVER-SIDE
+    * sink is only pointed at delivery-scale frames, never a corpus.
+    */
+  val MaxWriteRows: Int = 1 << 20
+
+  /** K1 — the reference's final delivery step (`result.write_excel`,
+    * main.py:40-47) as native byte generation: a minimal valid XLSX zip
+    * (content types, rels, workbook, shared strings, one sheet). All
+    * cells are written as shared strings of the stringified frame —
+    * matching the engine's all-string registry output (P8) and making
+    * [[parseRows]] ∘ write the identity on the grid.
+    *
+    * DRIVER-SIDE by design, like the reference's single delivered file:
+    * the collect is capped at [[MaxWriteRows]] (the XLSX format limit).
+    * Distributed, scan-efficient persistence stays Parquet
+    * ([[Stage.writeParquet]]); this is the interchange format humans and
+    * the FTP delivery step consume.
+    */
+  def writeBytes(df: DataFrame, sheetName: String = "Sheet1",
+      header: Boolean = true): Array[Byte] = {
+    import org.apache.spark.sql.types.StringType
+    val strDf = df.select(df.columns.toIndexedSeq.map(c =>
+      graft.Cols.q(c).cast(StringType).as(c)): _*)
+    val rows = strDf.limit(MaxWriteRows + 1).collect()
+    require(rows.length <= MaxWriteRows,
+      s"XLSX sink is for delivery-scale frames: > $MaxWriteRows rows; use Parquet")
+    val grid: Seq[Seq[String]] =
+      (if (header) Seq(df.columns.toIndexedSeq) else Nil) ++
+        rows.toIndexedSeq.map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) null else r.getString(i)))
+
+    // shared-strings table: one entry per distinct cell text
+    val sst = scala.collection.mutable.LinkedHashMap[String, Int]()
+    grid.flatten.filter(_ != null).foreach(s => sst.getOrElseUpdate(s, sst.size))
+
+    val sheetXml = {
+      val sb = new StringBuilder
+      sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>")
+      sb.append(s"""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      grid.zipWithIndex.foreach { case (cells, r) =>
+        sb.append(s"""<row r="${r + 1}">""")
+        cells.zipWithIndex.foreach { case (v, c) =>
+          if (v != null)
+            sb.append(s"""<c r="${colLetters(c)}${r + 1}" t="s"><v>${sst(v)}</v></c>""")
+        }
+        sb.append("</row>")
+      }
+      sb.append("</sheetData></worksheet>")
+      sb.toString
+    }
+    val sstXml = {
+      val sb = new StringBuilder
+      sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>")
+      sb.append(s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${sst.size}" uniqueCount="${sst.size}">""")
+      sst.keys.foreach { s =>
+        // xml:space preserves leading/trailing whitespace through
+        // standards-compliant readers (and our own parser's _.text)
+        sb.append(s"""<si><t xml:space="preserve">${xmlEscape(s)}</t></si>""")
+      }
+      sb.append("</sst>")
+      sb.toString
+    }
+    val workbookXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        s"""<sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val workbookRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        """<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>""" +
+        "</Relationships>"
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        "</Relationships>"
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        """<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>""" +
+        "</Types>"
+
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("[Content_Types].xml", contentTypes)
+    entry("_rels/.rels", rootRels)
+    entry("xl/workbook.xml", workbookXml)
+    entry("xl/_rels/workbook.xml.rels", workbookRels)
+    entry("xl/sharedStrings.xml", sstXml)
+    entry("xl/worksheets/sheet1.xml", sheetXml)
+    zos.close()
+    bos.toByteArray
+  }
+
   /** Corpus-scale form: one task per workbook via the `binaryFile` source —
     * each file's grid lands as (`file`, `_idx`, `cells` array) with no
     * driver-side parsing; reshaping to named columns is the caller's

@@ -55,6 +55,21 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("round-6 queries: payload stats is a pure projection; approx percentile partial-aggregates") {
+    val pStats = planOf("q_payload_stats")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(pStats).size
+    assert(exchanges <= 1,
+      s"q_payload_stats should be scan→project→sort, saw $exchanges exchanges:\n${pStats.take(1500)}")
+    // the scan must prune to the two consumed columns
+    assert(!pStats.contains("lang") && !pStats.contains("source"),
+      s"q_payload_stats reads pruned-away columns:\n${pStats.take(1500)}")
+    val pApprox = planOf("q_approx_percentile")
+    // bounded-state sketch MUST partial-aggregate (map-side merge) — the
+    // whole point of the q_percentiles pairing; exact percentile cannot
+    assert(pApprox.contains("partial_percentile_approx"),
+      s"q_approx_percentile lost its partial aggregation:\n${pApprox.take(1500)}")
+  }
+
   test("dedup candidate generation never plans a cross join") {
     for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash")) {
       val p = planOf(q)

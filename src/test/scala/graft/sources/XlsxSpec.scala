@@ -197,6 +197,55 @@ class XlsxSpec extends SparkSpec {
     assert(imgs == Seq(Row(5L, 5L), Row(7L, 5L), Row(5L, 5L), Row(21L, 5L)))
   }
 
+  test("colLetters inverts colIndex across multi-letter columns") {
+    (0 until 800).foreach { i =>
+      assert(Xlsx.colIndex(Xlsx.colLetters(i) + "1") == i, s"at $i: ${Xlsx.colLetters(i)}")
+    }
+    assert(Seq(0, 25, 26, 51, 52, 701, 702).map(Xlsx.colLetters) ==
+      Seq("A", "Z", "AA", "AZ", "BA", "ZZ", "AAA"))
+  }
+
+  test("property: write → parseRows is the identity on random string grids") {
+    // \r excluded: XML 1.0 line-ending normalization folds it to \n in any
+    // compliant reader. Control chars are dropped by the writer (invalid
+    // in XML 1.0), so the generator stays in printable + \t + \n space.
+    val alphabet = ("abcXYZ аբ中é &<>\"'№/ТЗ._-" + "\t\n").toCharArray
+    val rnd = new scala.util.Random(42)
+    def randCell(): String =
+      if (rnd.nextInt(10) == 0) null
+      else if (rnd.nextInt(10) == 0) ""
+      else (0 until rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 5).foreach { trial =>
+      val nCols = 1 + rnd.nextInt(6)
+      val nRows = rnd.nextInt(8)
+      val header = (1 to nCols).map(i => s"col_$i")
+      val data = Vector.fill(nRows)(Vector.fill(nCols)(randCell()))
+      val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(data.map(Row.fromSeq(_))).asJava),
+        schema)
+      val parsed = Xlsx.parseRows(Xlsx.writeBytes(df))
+      assert(parsed == (header.toVector +: data), s"trial $trial mismatch")
+    }
+  }
+
+  test("write → read → promoteHeader restores the original frame") {
+    import spark.implicits._
+    val df = Seq(("0001/ТЗ", "Acme & Co", "a  b"), ("0002/ТЗ", "<Widget>", ""))
+      .toDF("Рег. №", "Бренд", "x")
+    val bytes = Xlsx.writeBytes(df)
+    val back = ShapeOps.promoteHeader(Xlsx.read(spark, bytes))
+    assert(back.columns.toSeq == Seq(ShapeOps.IndexCol, "Рег. №", "Бренд", "x"))
+    val rows = back.orderBy(col(ShapeOps.IndexCol))
+      .select(graft.Cols.q("Рег. №"), col("Бренд"), col("x")).collect().toSeq
+    assert(rows == Seq(Row("0001/ТЗ", "Acme & Co", "a  b"), Row("0002/ТЗ", "<Widget>", "")))
+  }
+
+  test("writeBytes caps at the XLSX row limit instead of collecting a corpus") {
+    assert(Xlsx.MaxWriteRows == (1 << 20))
+  }
+
   test("readFiles: distributed per-file parse via binaryFile source") {
     val dir = java.nio.file.Files.createTempDirectory("xlsx-corpus")
     java.nio.file.Files.write(dir.resolve("a.xlsx"), fixture)
