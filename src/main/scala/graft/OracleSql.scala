@@ -1275,6 +1275,36 @@ object OracleSql {
     // BM25: same left-associative double arithmetic as the engine; each
     // term's contribution is quantized to integer micro-units before the
     // per-doc sum (float sums are order-dependent in the last ulp).
+    // Mirrors TextAnalysis.lmBigramScore: add-one smoothed bigram LM
+    // trained on the corpus itself; per-bigram ln-probs quantized to
+    // integer micro-units before the per-doc sum (order-free, exact),
+    // identical round-half-away-from-zero semantics in both engines.
+    "q_lm_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc,
+         |    list_filter(str_split(${norm("text")}, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |words AS (SELECT doc, unnest(t) AS w FROM toks),
+         |uni AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS uc FROM words GROUP BY 1),
+         |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+         |bigrams AS (
+         |  SELECT doc,
+         |    unnest([t[i] FOR i IN generate_series(1, len(t) - 1)]) AS w1,
+         |    unnest([t[i + 1] FOR i IN generate_series(1, len(t) - 1)]) AS w2
+         |  FROM toks WHERE len(t) >= 2),
+         |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc FROM bigrams GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc,
+         |    CAST(round(ln((bc.bc + 1.0) / (uni.uc + vocab.v)) * 1e6) AS BIGINT) AS lp6
+         |  FROM bigrams JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab),
+         |scored AS (
+         |  SELECT doc, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    round(sum(lp6) / 1e6 / count(*), 6) AS lm_score
+         |  FROM per GROUP BY doc)
+         |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, s.lm_score
+         |FROM documents d LEFT JOIN scored s ON s.doc = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_bm25" ->
       s"""WITH docs AS (
          |  SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t FROM documents),

@@ -1467,6 +1467,15 @@ object SparkEntry {
         col("rep_doc"), col("is_rep"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-trained bigram LM scoring (the CCNet/KenLM perplexity-filter
+    * shape) — add-one smoothed, integer micro-unit log-prob sums so the
+    * score is bit-stable and fully hash-oracled.
+    */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmBigramScore(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("n_bigrams"), col("lm_score"))
+      .orderBy(col("doc_id"))
+
   /** BM25 keyword retrieval over the documents table — the lexical
     * counterpart to the ANN queries; ranking uses the 4-decimal-rounded
     * score (TF-IDF rule) and order-free integer micro-unit sums.
@@ -1677,6 +1686,7 @@ object SparkEntry {
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),
+    "q_lm_score" -> (qLmScore _),
     "q_dedup_best_rep" -> (qDedupBestRep _),
     "q_dedup_against" -> (qDedupAgainst _),
     "q_ann_filtered" -> (qAnnFiltered _),

@@ -332,6 +332,62 @@ object TextAnalysis {
       .withColumn("mostly_duplicated", col("ng_cross_dup") * 2 > col("ng_total"))
   }
 
+  /** Corpus-trained bigram language-model scoring — the CCNet/KenLM-style
+    * perplexity filter every large pretraining pipeline runs: documents
+    * whose token transitions are unusual under the corpus's own bigram
+    * statistics (gibberish, boilerplate soup, wrong-language fragments)
+    * score low and can be thresholded out.
+    *
+    * Model: add-one-smoothed bigram LM trained on the corpus itself.
+    *   score(doc) = mean over bigrams of ln( (c(w1,w2)+1) / (c(w1)+V) )
+    * (≙ negative cross-entropy per token; higher = more typical).
+    *
+    * Determinism: each bigram's log-prob is quantized to integer
+    * micro-units BEFORE the per-doc sum (the BM25 rule) — long sums are
+    * exact and order-free, so the score is bit-stable across engines and
+    * partitionings and gets a full DuckDB hash oracle.
+    *
+    * Scale shape: two exploded hash-aggregations (unigram + bigram counts,
+    * map-side partials, ≤|vocab|/|bigram-vocab| rows out), a 1-row vocab
+    * scalar broadcast, then equi-joins of the exploded corpus against the
+    * count relations (AQE picks broadcast vs shuffle by size) and one
+    * final per-doc aggregation. No windows, no driver loops; bigrams are
+    * produced by a zip of two array slices — a pure projection, not a
+    * self-join on positions.
+    */
+  def lmBigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      filter(graft.dedup.Dedup.tokensOf(col(textCol)), t => t =!= "").as("_t"))
+    // (doc, w1, w2) with multiplicity — zip(tokens, tokens[1:])
+    val bigrams = toks
+      .filter(size(col("_t")) >= 2)
+      .select(col("doc"),
+        slice(col("_t"), lit(1), size(col("_t")) - 1).as("a"),
+        slice(col("_t"), lit(2), size(col("_t")) - 1).as("b"))
+      .select(col("doc"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
+      .select(col("doc"), col("bg.a").as("w1"), col("bg.b").as("w2"))
+    val words = toks.select(col("doc"), explode(col("_t")).as("w"))
+    val uni = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("uc"))
+    val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+
+    val perBigram = bigrams
+      .join(big, Seq("w1", "w2"))            // every bigram has a count (≥ its own)
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp6",
+        round(log((col("bc") + lit(1.0)) / (col("uc") + col("v"))) * 1e6).cast("long"))
+    val scored = perBigram.groupBy(col("doc")).agg(
+      count(lit(1)).as("n_bigrams"),
+      round(sum(col("lp6")) / 1e6 / count(lit(1)), 6).as("lm_score"))
+    // docs with <2 tokens have no bigrams: surfaced with null score, the
+    // caller's filter policy decides (same contract as crossDocDupNgrams)
+    df.select(col(idCol).as("doc"))
+      .join(scored, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_score"))
+  }
+
   /** Word n-gram document frequency per group: in how many documents of
     * each group does each n-gram appear (shingles are distinct per doc),
     * top-k per group by (count desc, n-gram asc). The corpus-level n-gram

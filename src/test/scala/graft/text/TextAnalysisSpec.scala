@@ -180,6 +180,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, false)))
   }
 
+  test("lmBigramScore: hand-computed add-one bigram log-probs, short docs get null") {
+    // corpus: "a b a b" + "a b" + "x"
+    // unigrams: a=3 b=3 x=1 → V=3
+    // bigram counts: (a,b)=3 [two in doc 1, one in doc 2], (b,a)=1
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmBigramScore(df, "doc_id", "text")
+      .orderBy("doc").collect()
+    def lp6(bc: Long, uc: Long): Long =
+      math.round(math.log((bc + 1.0) / (uc + 3.0)) * 1e6)
+    val lpAB = lp6(3, 3) // ln(4/6)
+    val lpBA = lp6(1, 3) // ln(2/6)
+    def score(lps: Seq[Long]): Double =
+      BigDecimal(lps.sum / 1e6 / lps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getLong(1) == 3 &&
+      out(0).getDouble(2) == score(Seq(lpAB, lpBA, lpAB)))
+    assert(out(1).getLong(1) == 1 && out(1).getDouble(2) == score(Seq(lpAB)))
+    // single-token and empty docs: no bigrams → null score, count 0
+    assert(out(2).getLong(1) == 0 && out(2).isNullAt(2))
+    assert(out(3).getLong(1) == 0 && out(3).isNullAt(2))
+    // a typical doc outranks planted gibberish under the corpus LM
+    val mixed = (1L to 20L).map(i => (i, "the quick brown fox jumps")) :+
+      (99L, "zxq qvw wvz qqq zzz")
+    val scored = TextAnalysis.lmBigramScore(
+        mixed.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(1L) > scored(99L))
+  }
+
   test("fingerprints: md5 is content-normalized, rolling hash is order-sensitive") {
     val df = Seq(("Hello,  World", "hello world"), ("world hello", "world hello"))
       .toDF("a", "b")
