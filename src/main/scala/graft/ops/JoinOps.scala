@@ -38,7 +38,12 @@ object JoinOps {
             s => s.getField("v")),
           " ").as(outputCol))
 
-    df.join(broadcast(perRow), col(ShapeOps.IndexCol) === col("_target"), "left")
+    // The reference OVERWRITES the sheet's existing image column with the
+    // extracted payloads (handlers/base.py:270-272 `with_columns` on the
+    // same name); a sheet-sourced column of that name is dropped first so
+    // the join never produces an ambiguous duplicate.
+    val base = if (df.columns.contains(outputCol)) df.drop(outputCol) else df
+    base.join(broadcast(perRow), col(ShapeOps.IndexCol) === col("_target"), "left")
       .drop("_target")
       .withColumn(outputCol, coalesce(Cols.q(outputCol), lit("")))
   }
