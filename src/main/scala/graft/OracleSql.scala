@@ -1430,6 +1430,39 @@ object OracleSql {
     // Mixture report: whitespace token rule of q_token_count aggregated
     // per source; DOUBLE casts keep DuckDB off DECIMAL inference so the
     // rounded shares match Spark's double math.
+    // Mirrors CorpusAssembly.applyMixture: multiplier = share × total / n
+    // (IEEE double, same association order), floor copies + one fractional
+    // copy iff the seeded 16-bit md5 hash fraction falls under the
+    // fractional part. generate_series(0, -1) is empty, so n_copies = 0
+    // drops the row exactly like Spark's explode of an empty array.
+    "q_apply_mixture" ->
+      s"""WITH per AS (
+         |  SELECT source AS src,
+         |    CAST(sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len(str_split_regex(trim(coalesce(text, '')), '\\s+')) END)
+         |      AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per),
+         |tgt AS (SELECT * FROM (VALUES
+         |    ('src0', CAST(0.2 AS DOUBLE)), ('src1', CAST(0.01 AS DOUBLE))) v(src, share)),
+         |mults AS (
+         |  SELECT p.src, coalesce(t.share * tot.total / p.n, CAST(1.0 AS DOUBLE)) AS mult
+         |  FROM per p CROSS JOIN tot LEFT JOIN tgt t USING (src)),
+         |expanded AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(floor(m.mult) AS BIGINT) AS k,
+         |    ${hex4("md5('mix0:' || CAST(d.doc_id AS VARCHAR))")} AS h16,
+         |    m.mult - floor(m.mult) AS f
+         |  FROM documents d JOIN mults m ON d.source = m.src),
+         |counted AS (
+         |  SELECT doc_id, source,
+         |    k + (CASE WHEN CAST(h16 AS DOUBLE) < f * 65536.0 THEN 1 ELSE 0 END) AS n_copies
+         |  FROM expanded)
+         |SELECT doc_id, source,
+         |  CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+         |FROM counted
+         |ORDER BY doc_id, copy_idx""".stripMargin,
+
     "q_mixture_report" ->
       """WITH per AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

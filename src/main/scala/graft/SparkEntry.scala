@@ -1573,6 +1573,18 @@ object SparkEntry {
       .orderBy(col("stage_idx"))
   }
 
+  /** Mixture materialization: deterministic hash-resampling toward target
+    * token shares (floor copies + seeded-hash fractional copy) — the
+    * operator that turns q_mixture_report's multipliers into an actual
+    * corpus. src0 upsamples ~4×, src1 downsamples to ~0.2×, the other 18
+    * sources pass through.
+    */
+  private def qApplyMixture(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.applyMixture(t(s, dir, "documents"), "source", "text",
+        "doc_id", Map("src0" -> 0.2, "src1" -> 0.01), seed = "mix0")
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+
   /** Vocabulary coverage: top-k normalized tokens with cumulative fraction
     * of all token occurrences covered (vocab-size / boilerplate statistic).
     */
@@ -1681,6 +1693,7 @@ object SparkEntry {
     "q_cross_dup_ngrams" -> (qCrossDupNgrams _),
     "q_strip_boilerplate" -> (qStripBoilerplate _),
     "q_mixture_report" -> (qMixtureReport _),
+    "q_apply_mixture" -> (qApplyMixture _),
     "q_cap_strata" -> (qCapStrata _),
     "q_binned_quantiles" -> (qBinnedQuantiles _),
     "q_chunk_docs" -> (qChunkDocs _),

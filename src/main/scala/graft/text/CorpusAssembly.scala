@@ -236,13 +236,7 @@ object CorpusAssembly {
       sourceCol: String,
       textCol: String,
       targetShares: Map[String, Double]): DataFrame = {
-    targetShares.foreach { case (src, share) =>
-      require(share > 0.0 && share <= 1.0,
-        s"target share for '$src' must be in (0,1], got $share")
-    }
-    require(targetShares.values.sum <= 1.0 + 1e-9,
-      s"target shares sum to ${targetShares.values.sum} > 1: the targets " +
-        "cannot all be hit simultaneously")
+    validateShares(targetShares)
     val per = df.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(graft.text.TextAnalysis.tokenCountWhitespace(col(textCol)).cast("long"))
@@ -261,6 +255,65 @@ object CorpusAssembly {
           round(col("target_share") * col("_total") / col("n_tokens"), 6)))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("token_share"), col("target_share"), col("sample_multiplier"))
+  }
+
+  private def validateShares(targetShares: Map[String, Double]): Unit = {
+    targetShares.foreach { case (src, share) =>
+      require(share > 0.0 && share <= 1.0,
+        s"target share for '$src' must be in (0,1], got $share")
+    }
+    require(targetShares.values.sum <= 1.0 + 1e-9,
+      s"target shares sum to ${targetShares.values.sum} > 1: the targets " +
+        "cannot all be hit simultaneously")
+  }
+
+  /** Materialize the mixture [[mixtureReport]] only reports: every source
+    * with a target share is deterministically resampled toward
+    * `multiplier = targetShare × corpusTokens / sourceTokens` copies of
+    * each document — `floor(m)` whole copies plus one more iff the
+    * document's seeded 16-bit hash fraction falls under the fractional
+    * part (the [[seededBucket]] md5 arithmetic, so re-runs and engines
+    * agree bit-for-bit). Downsampling (m<1) keeps a hash-selected m
+    * fraction; sources without a target pass through unchanged
+    * (multiplier 1 — the report-only contract). Output adds `copy_idx`
+    * (0-based) so replicated rows stay distinct for downstream shuffling
+    * and packing.
+    *
+    * Scale: the per-source multiplier relation is |sources| rows built
+    * from one aggregation and broadcast back; the resample itself is a
+    * pure projection + generator fan-out — no extra shuffle of the
+    * corpus, no RNG state.
+    */
+  def applyMixture(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      idCol: String,
+      targetShares: Map[String, Double],
+      seed: String): DataFrame = {
+    validateShares(targetShares)
+    val per = df.groupBy(col(sourceCol).as("_src"))
+      .agg(sum(graft.text.TextAnalysis.tokenCountWhitespace(col(textCol)).cast("long"))
+        .as("_n"))
+    val total = per.agg(sum(col("_n")).as("_total"))
+    val tgt = typedLit(targetShares)
+    val mults = per.crossJoin(broadcast(total))
+      .withColumn("_mult", coalesce(
+        try_element_at(tgt, col("_src")) * col("_total") / col("_n"), lit(1.0)))
+      .select(col("_src"), col("_mult"))
+    val copies = col("_k") + col("_extra")
+    df.join(broadcast(mults), col(sourceCol) === col("_src"))
+      .withColumn("_k", floor(col("_mult")).cast("long"))
+      .withColumn("_h16", conv(substring(
+          md5(concat(lit(seed + ":"), graft.Cols.q(idCol).cast("string"))), 1, 4),
+        16, 10).cast("long"))
+      .withColumn("_extra",
+        (col("_h16").cast("double") <
+          (col("_mult") - floor(col("_mult"))) * 65536.0).cast("long"))
+      .withColumn("copy_idx",
+        explode(when(copies > 0, sequence(lit(0L), copies - 1))
+          .otherwise(array().cast("array<long>"))))
+      .drop("_src", "_mult", "_k", "_h16", "_extra")
   }
 
   /** Vocabulary coverage: the k most frequent normalized tokens with

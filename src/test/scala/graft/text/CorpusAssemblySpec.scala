@@ -213,6 +213,24 @@ class CorpusAssemblySpec extends SparkSpec {
     // target 0.6 at share 0.3 → upsample ×2.
     assert(m("a").getDouble(5) == 0.5 && m("b").getDouble(5) == 2.0)
     assert(m("c").isNullAt(4) && m("c").isNullAt(5)) // report-only source
+    // applyMixture materializes exactly what the report promises: with
+    // a=6/10 tokens targeted at 0.3 → multiplier 0.5 (each doc kept iff
+    // its hash fraction < 0.5); b=3/10 targeted at 0.6 → multiplier 2.0
+    // (exactly 2 copies each, fractional part 0); c untargeted → 1 copy.
+    val applied = CorpusAssembly.applyMixture(tiny, "source", "text", "doc_id",
+        Map("a" -> 0.3, "b" -> 0.6), seed = "s0")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(applied.getOrElse("a", 0L) <= 2, s"a must downsample: $applied")
+    assert(applied("b") == 2L, s"b multiplier is exactly 2.0: $applied")
+    assert(applied("c") == 1L, s"untargeted c passes through: $applied")
+    // copy indices are dense 0..n-1 per doc
+    val copies = CorpusAssembly.applyMixture(tiny, "source", "text", "doc_id",
+        Map("b" -> 0.6), seed = "s0")
+      .filter(col("source") === "b").select("doc_id", "copy_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(copies == Set((3L, 0L), (3L, 1L)))
+
     // Invalid targets are rejected before any job runs: out-of-range
     // shares or a sum past 1.0 would silently yield negative/unsatisfiable
     // multipliers otherwise.
