@@ -20,7 +20,9 @@ object ExplainAudit {
       "q_pii_redact", "q_hash_split",
       "q_asof_bucketed", "q_shuffle_shards", "q_pack_sequences",
       "q_sample_stratified", "q_cap_strata", "q_vocab_coverage",
-      "q_repetition")
+      "q_repetition",
+      "q_lm_score", "q_apply_mixture", "q_payload_stats",
+      "q_approx_percentile")
     interesting.foreach { name =>
       println(s"########## $name")
       println(SparkEntry.queries(name)(spark, d)

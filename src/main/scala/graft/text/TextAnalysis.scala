@@ -358,7 +358,12 @@ object TextAnalysis {
   def lmBigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       filter(graft.dedup.Dedup.tokensOf(col(textCol)), t => t =!= "").as("_t"))
-    // (doc, w1, w2) with multiplicity — zip(tokens, tokens[1:])
+    // (doc, w1, w2) with multiplicity — zip(tokens, tokens[1:]).
+    // Persisted: the frame feeds BOTH the bigram-count aggregation and
+    // the scoring join; without a materialization point the normalize +
+    // split + zip + explode chain (the CPU-dominant stage) runs twice.
+    // Lazy persist, lineage kept; released via clearCache between
+    // corpora — the same contract as minhashLshPairs' shingle frame.
     val bigrams = toks
       .filter(size(col("_t")) >= 2)
       .select(col("doc"),
@@ -366,6 +371,7 @@ object TextAnalysis {
         slice(col("_t"), lit(2), size(col("_t")) - 1).as("b"))
       .select(col("doc"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
       .select(col("doc"), col("bg.a").as("w1"), col("bg.b").as("w2"))
+      .persist()
     val words = toks.select(col("doc"), explode(col("_t")).as("w"))
     val uni = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("uc"))
     val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))

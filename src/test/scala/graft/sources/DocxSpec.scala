@@ -77,6 +77,18 @@ class DocxSpec extends SparkSpec {
       Vector("p1\np2", "a\tb\nc", "")))
   }
 
+  test("parseTables: nested tables stay out of both the table walk and cell text") {
+    // python-docx document.tables returns top-level tables only, and
+    // cell.text excludes any nested table's paragraphs — both pinned here
+    val fixture = docx(s"""<w:document xmlns:w="$w"><w:body><w:tbl>
+      |<w:tr><w:tc><w:p><w:r><w:t>outer</w:t></w:r></w:p>
+      |  <w:tbl><w:tr><w:tc><w:p><w:r><w:t>inner</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+      |</w:tc>${tc("b")}</w:tr>
+      |</w:tbl></w:body></w:document>""".stripMargin)
+    val tables = Docx.parseTables(fixture)
+    assert(tables == Vector(Vector(Vector("outer", "b"))))
+  }
+
   test("readTables: multi-table concat pads ragged rows to the global width") {
     val grid = Docx.readTables(spark, registryFixture)
       .orderBy(col(ShapeOps.IndexCol)).collect().toSeq
