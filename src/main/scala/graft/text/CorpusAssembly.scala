@@ -297,9 +297,13 @@ object CorpusAssembly {
         .as("_n"))
     val total = per.agg(sum(col("_n")).as("_total"))
     val tgt = typedLit(targetShares)
+    // try_divide: a targeted source with zero tokens can't hit any share —
+    // NULL → pass-through, never an ANSI DIVIDE_BY_ZERO (same guard as
+    // mixtureReport's token_share).
     val mults = per.crossJoin(broadcast(total))
       .withColumn("_mult", coalesce(
-        try_element_at(tgt, col("_src")) * col("_total") / col("_n"), lit(1.0)))
+        try_divide(try_element_at(tgt, col("_src")) * col("_total"), col("_n")),
+        lit(1.0)))
       .select(col("_src"), col("_mult"))
     val copies = col("_k") + col("_extra")
     df.join(broadcast(mults), col(sourceCol) === col("_src"))

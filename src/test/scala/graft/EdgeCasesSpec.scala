@@ -130,4 +130,29 @@ class EdgeCasesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(strip == Map(1L -> "", 2L -> "a b c"))
   }
+
+  test("round-6 ops tolerate empty corpora, null text, and zero-token sources") {
+    // LM scoring: empty corpus → empty output; null/short texts → null
+    // scores with zero counts, never a throw or a divide-by-zero.
+    assert(graft.text.TextAnalysis.lmBigramScore(emptyDocs, "doc_id", "text")
+      .count() == 0)
+    val nulls = Seq((1L, null: String, "a"), (2L, "x", "a"), (3L, "w w", "b"))
+      .toDF("doc_id", "text", "source")
+    val lm = graft.text.TextAnalysis.lmBigramScore(nulls, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // Mixture materialization: empty target map = identity corpus (every
+    // row exactly once, copy_idx 0); a targeted source whose token count
+    // is zero falls back to pass-through instead of dividing by zero.
+    val ident = graft.text.CorpusAssembly.applyMixture(
+      nulls, "source", "text", "doc_id", Map.empty, seed = "s")
+    assert(ident.count() == 3 &&
+      ident.select(max(col("copy_idx"))).head().getLong(0) == 0L)
+    val zeroTok = Seq((1L, null: String, "z"), (2L, "w w w", "ok"))
+      .toDF("doc_id", "text", "source")
+    val kept = graft.text.CorpusAssembly.applyMixture(
+        zeroTok, "source", "text", "doc_id", Map("z" -> 0.5), seed = "s")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
 }
