@@ -109,6 +109,42 @@ class BytePipelinesSpec extends SparkSpec {
     assert(delivered(3)(deliverable.columns.indexOf("Бренд")) == "Zenith")
   }
 
+  test("kazakhstan: XLSX bytes with skip_rows=3 → column repair + NFKC clean → enrichment") {
+    def is(s: String) = s"""<c t="inlineStr"><is><t xml:space="preserve">$s</t></is></c>"""
+    val sheet =
+      s"""<worksheet xmlns="$nsMain" xmlns:r="$nsRel"><sheetData>
+        |<row>${is("Реестр")}</row>
+        |<row>${is("за 2024")}</row>
+        |<row>${is("")}</row>
+        |<row>${is("Рег. №")}${is("Наименова ние")}${is("Цена/шт")}</row>
+        |<row>${is("junk")}${is("junk")}${is("junk")}</row>
+        |<row>${is("№0001/ТЗ")}${is("Acme ﬁne")}${is("x")}</row>
+        |</sheetData></worksheet>""".stripMargin
+    val bytes = zip(Seq(
+      "xl/workbook.xml" ->
+        (s"""<workbook xmlns="$nsMain" xmlns:r="$nsRel"><sheets>""" +
+          """<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""").getBytes(UTF_8),
+      "xl/_rels/workbook.xml.rels" ->
+        (s"""<Relationships xmlns="$nsPkgRel">""" +
+          """<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""").getBytes(UTF_8),
+      "xl/worksheets/sheet1.xml" -> sheet.getBytes(UTF_8)))
+
+    import spark.implicits._
+    val staged = Xlsx.read(spark, bytes, skipRows = 3)
+    val noImages = Seq.empty[(Long, Long, String)].toDF("excel_row", "img_order", "b64")
+    val out = RegistryPipelines.kazakhstan(staged, noImages, brandCol = "Наименование")
+    // P4 column repair: the line-broken header heals, "/" becomes " или "
+    assert(out.columns.contains("Наименование") && out.columns.contains("Цена или шт"))
+    val row = out.select(graft.Cols.q("Рег. №"), col("Наименование"),
+      graft.Cols.q(graft.enrich.Enrichment.EnglishCol)).collect()(0)
+    // T2 NFKC, faithful to the reference (kazakhstan.py:154-179): the ﬁ
+    // ligature decomposes to "fi", and № itself NFKC-decomposes to "No"
+    // with "/" outside the keep-whitelist — the reg cell really does come
+    // out as "No0001ТЗ" in the reference's Kazakhstan pipeline.
+    assert(row.getString(0) == "No0001ТЗ" && row.getString(1) == "Acme fine")
+    assert(row.getString(2) == "ACME FINE, acme fine")
+  }
+
   test("kyrgyzstan: DOCX bytes → parse → pipeline → merged enriched records") {
     def tc(s: String) = s"""<w:tc><w:p><w:r><w:t xml:space="preserve">$s</w:t></w:r></w:p></w:tc>"""
     val w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
