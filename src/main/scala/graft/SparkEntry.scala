@@ -1047,6 +1047,19 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Product-quantization ADC top-k with exact re-rank (the compression
+    * scale path: m one-byte codes per vector instead of the raw floats —
+    * rows-only; SimilaritySpec pins recall vs brute force and that
+    * re-ranked scores equal the exact cosines).
+    */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.pqTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5,
+        m = 8, ks = 16, refine = 8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact, quantized). */
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1654,6 +1667,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_joined" -> (qAnnIvfJoined _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_window_funcs" -> (qWindowFuncs _),

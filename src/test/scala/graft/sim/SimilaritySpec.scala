@@ -228,4 +228,43 @@ class SimilaritySpec extends SparkSpec {
     val b2 = df.select(Similarity.lshBucket(col("v"), planes).as("b")).as[Long].collect()(0)
     assert(b1 == b2)
   }
+
+  test("pqTopK achieves reasonable recall@5 vs brute force; re-ranked scores are exact") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val approx = Similarity.pqTopK(emb, queries, "vec_id", "embedding", "vec_id",
+        k = 5, m = 8, ks = 16, refine = 8)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val exactSet = exact.map(t => (t._1, t._2)).toSet
+    val recall = (exactSet intersect approx.map(t => (t._1, t._2)).toSet).size.toDouble /
+      exactSet.size
+    assert(recall >= 0.4, s"PQ recall@5 too low: $recall")
+    // the refine stage re-ranks with TRUE cosines: any returned pair that
+    // brute force also returned must carry the identical score
+    val exactScore = exact.map(t => (t._1, t._2) -> t._3).toMap
+    approx.foreach { case (qid, nid, c) =>
+      exactScore.get((qid, nid)).foreach(e => assert(math.abs(e - c) < 1e-12,
+        s"re-ranked score differs from exact for ($qid,$nid): $c vs $e"))
+    }
+  }
+
+  test("pqTopK on an empty corpus returns an empty typed frame") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq((0L, Seq(0f))).toDF("vec_id", "embedding").schema)
+    assert(Similarity.pqTopK(empty, empty, "vec_id", "embedding", "vec_id", k = 3)
+      .count() == 0)
+  }
+
+  test("pqTopK validates subspace and codebook parameters") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    intercept[IllegalArgumentException](
+      Similarity.pqTopK(emb, emb, "vec_id", "embedding", "vec_id", k = 3, m = 7))
+    intercept[IllegalArgumentException](
+      Similarity.pqTopK(emb, emb, "vec_id", "embedding", "vec_id", k = 3, ks = 300))
+  }
 }
