@@ -561,6 +561,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** All `m` PQ codebooks from one exploded training stream: the sampled
+    * corpus is sliced into (subspace, subvector) rows ONCE, seeds are the
+    * stride-sampled ids (shared across subspaces — slices of the same
+    * vectors), and each Lloyd iteration is ONE assignment+means
+    * aggregation over all subspaces together (groupBy (mm, cid, pos),
+    * m × ks × sub rows to the driver). Total driver round-trips:
+    * 1 count + 1 seed collect + iters collects — independent of m.
+    * Subspace cells that lose all members drop out (same contract as
+    * [[ivfCentroidsLocal]]); the dense re-index keeps codebook order the
+    * single source of truth for code values.
+    */
+  private[sim] def pqCodebooksLocal(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, sub: Int, ks: Int, iters: Int,
+      quantScale: Int, trainFraction: Double): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+    val full = corpus.select(col(idCol).as("id"),
+      quantize(col(vecCol), quantScale).as("v"))
+    var q =
+      if (trainFraction >= 1.0) full
+      else full.filter(
+        graft.text.CorpusAssembly.seededBucket(col("id"), "pq-train", 10000)
+          < math.round(trainFraction * 10000))
+    // Persisted: the training frame feeds the count, the seed pass, and
+    // every Lloyd iteration — without it the quantize projection re-runs
+    // per stage. Released via clearCache (the family-wide contract).
+    q = q.persist()
+    var n = q.count()
+    if (n < ks && (q ne full)) { q = full.persist(); n = q.count() }
+    if (n == 0) return IndexedSeq.fill(m)(IndexedSeq.empty)
+
+    def slices(df: DataFrame): DataFrame = df
+      .select(col("id"), explode(array((0 until m).map(mm =>
+        struct(lit(mm).as("mm"),
+          slice(col("v"), lit(mm * sub + 1), lit(sub)).as("sv"))): _*)).as("s"))
+      .select(col("id"), col("s.mm").as("mm"), col("s.sv").as("sv"))
+
+    def toBooks(rows: Array[Row]): IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = {
+      val byMm = rows.groupBy(_.getInt(0))
+      IndexedSeq.tabulate(m)(mm => byMm.getOrElse(mm, Array.empty[Row]).toIndexedSeq
+        .sortBy(_.getInt(1)).map(_.getSeq[Long](2).toIndexedSeq))
+    }
+
+    val stride = math.max(1L, n / ks)
+    val wSeed = Window.partitionBy(col("mm")).orderBy(col("id"))
+    def seedRows(df: DataFrame): Array[Row] = slices(df)
+      .withColumn("_rn", row_number().over(wSeed)).filter(col("_rn") <= ks)
+      .select(col("mm"), (col("_rn") - 1).as("cid"), col("sv")).collect()
+    val strided = seedRows(q.filter(pmod(col("id"), lit(stride)) === 0))
+    var books = toBooks(if (strided.nonEmpty) strided else seedRows(q))
+
+    (0 until iters).foreach { _ => if (books.exists(_.nonEmpty)) {
+      // chained per-subspace literal argmin — one expression, one pass
+      val codeExpr = (0 until m).map { mm =>
+        val scored = array(books(mm).indices.map { c =>
+          val cc2 = books(mm)(c).map(x => x.toDouble * x.toDouble).sum
+          struct(
+            (lit(cc2) - lit(2.0) *
+              graft.GraftFunctions.dotI64(col("sv"), typedLit(books(mm)(c))).cast("double"))
+              .as("s"),
+            lit(c).as("c"))
+        }: _*)
+        (mm, array_min(scored).getField("c"))
+      }.foldLeft(lit(-1): Column) { case (acc, (mm, e)) =>
+        when(col("mm") === mm, e).otherwise(acc)
+      }
+      val means = slices(q)
+        .withColumn("cid", codeExpr)
+        .select(col("mm"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("mm"), col("cid"), col("pos"))
+        .agg(avg(col("x")).as("mx"))
+        .collect() // m × ks × sub rows — a few KB
+      books = toBooks(means.groupBy(r => (r.getInt(0), r.getInt(1))).map {
+        case ((mm, cid), rows) => Row(mm, cid,
+          rows.sortBy(_.getInt(2)).map(r => math.round(r.getDouble(3))).toSeq)
+      }.toArray)
+    }}
+    books
+  }
+
   /** Product-quantization ADC top-k with exact re-ranking (Jégou et al.,
     * "Product Quantization for Nearest Neighbor Search", PAMI 2011) — the
     * third approximate scale path next to LSH buckets and IVF cells.
@@ -615,14 +694,12 @@ object Similarity {
     require(refine >= 1, s"refine must be >= 1, got $refine")
     val sub = d / m
 
-    // Per-subspace codebooks over the corpus slices (quantized longs).
-    val books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] = (0 until m).map { mm =>
-      val sliced = corpus.select(col(idCol).as("id"),
-        slice(col(vecCol), lit(mm * sub + 1), lit(sub)).as("sv"))
-      ivfCentroidsLocal(sliced, "id", "sv", ks, iters = 2,
+    // All m codebooks trained in ONE exploded pass per Lloyd stage — m
+    // separate trainings would multiply the driver round-trips (count,
+    // seed, per-iteration means) by m for identical results.
+    val books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      pqCodebooksLocal(corpus, idCol, vecCol, m, sub, ks, iters = 2,
         quantScale = quantScale, trainFraction = trainFraction)
-        .map(_._2.toIndexedSeq).toIndexedSeq
-    }
     // |c|² per code — reconstruction-norm terms AND the L2 argmin constant.
     val norms2: IndexedSeq[IndexedSeq[Double]] =
       books.map(_.map(c => c.map(x => x.toDouble * x.toDouble).sum))
