@@ -1299,7 +1299,7 @@ object OracleSql {
          |  FROM bigrams JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab),
          |scored AS (
          |  SELECT doc, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    round(sum(lp6) / 1e6 / count(*), 6) AS lm_score
+         |    CAST(floor(sum(lp6) / count(*)) AS BIGINT) / 1e6 AS lm_score
          |  FROM per GROUP BY doc)
          |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams, s.lm_score
          |FROM documents d LEFT JOIN scored s ON s.doc = d.doc_id

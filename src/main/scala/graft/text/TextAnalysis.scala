@@ -383,9 +383,15 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
       .withColumn("lp6",
         round(log((col("bc") + lit(1.0)) / (col("uc") + col("v"))) * 1e6).cast("long"))
+    // Mean as FLOORED integer micro-units, then an exact /1e6: round(x, 6)
+    // of the quotient is NOT cross-engine-stable (Spark rounds the
+    // shortest-decimal rendering via BigDecimal HALF_UP, DuckDB rounds the
+    // true binary — a half-way value can land on different sides; observed
+    // on 1 of 5000 docs at sf0.1). floor() of the bit-identical IEEE
+    // quotient is deterministic everywhere.
     val scored = perBigram.groupBy(col("doc")).agg(
       count(lit(1)).as("n_bigrams"),
-      round(sum(col("lp6")) / 1e6 / count(lit(1)), 6).as("lm_score"))
+      (floor(sum(col("lp6")) / count(lit(1))).cast("long") / 1e6).as("lm_score"))
     // docs with <2 tokens have no bigrams: surfaced with null score, the
     // caller's filter policy decides (same contract as crossDocDupNgrams)
     df.select(col(idCol).as("doc"))

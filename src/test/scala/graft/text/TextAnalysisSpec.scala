@@ -192,9 +192,10 @@ class TextAnalysisSpec extends SparkSpec {
       math.round(math.log((bc + 1.0) / (uc + 3.0)) * 1e6)
     val lpAB = lp6(3, 3) // ln(4/6)
     val lpBA = lp6(1, 3) // ln(2/6)
+    // floored-micro-unit mean — the cross-engine-stable form (no
+    // round-half boundary; see lmBigramScore scaladoc)
     def score(lps: Seq[Long]): Double =
-      BigDecimal(lps.sum / 1e6 / lps.size)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(lps.sum.toDouble / lps.size) / 1e6
     assert(out(0).getLong(1) == 3 &&
       out(0).getDouble(2) == score(Seq(lpAB, lpBA, lpAB)))
     assert(out(1).getLong(1) == 1 && out(1).getDouble(2) == score(Seq(lpAB)))
