@@ -3,8 +3,8 @@ package graft
 /** DuckDB-dialect oracle SQL, one statement per entry in
   * [[SparkEntry.queries]] (omissions = operators that get the driver's
   * rows-only check: the approximate family — minhash-LSH, simhash,
-  * payload near-dup, ANN-LSH/IVF, approx_distinct — plus clean_text
-  * (DuckDB has no NFKC) and the mapPartitions image decode).
+  * payload near-dup, ANN-LSH/IVF/PQ, SemDeDup, approx_distinct — plus
+  * clean_text (DuckDB has no NFKC) and the mapPartitions image decode).
   *
   * Dialect porting rules applied throughout (Java regex → RE2):
   *  - every regexp_replace carries the 'g' flag (Spark replaces all
@@ -874,6 +874,51 @@ object OracleSql {
          |       + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    // Character entropy: per-char ln quantized to integer micro-units
+    // before the per-doc sum, final division floored on the exact integer
+    // quotient (the lm_score determinism rules). DuckDB string indexing
+    // tx[i] is character-based like Spark's split-by-empty-pattern.
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id AS doc,
+        |    unnest([tx[i] FOR i IN generate_series(1, len(tx))]) AS ch
+        |  FROM (SELECT doc_id, coalesce(text, '') AS tx FROM documents)),
+        |perch AS (SELECT doc, ch, count(*) AS cnt FROM ch GROUP BY doc, ch),
+        |perdoc AS (
+        |  SELECT doc,
+        |    sum(cnt) AS n_chars,
+        |    count(*) AS n_distinct_chars,
+        |    max(cnt) AS top_cnt,
+        |    sum(cnt * CAST(round(ln(cnt) * 1e6) AS BIGINT)) AS a6
+        |  FROM perch GROUP BY doc)
+        |SELECT d.doc_id AS doc,
+        |  CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(p.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars,
+        |  coalesce(CAST(floor(
+        |      (p.n_chars * CAST(round(ln(p.n_chars) * 1e6) AS BIGINT) - p.a6)
+        |      / p.n_chars) AS BIGINT) / 1e6, 0.0) AS entropy_nats,
+        |  coalesce(p.top_cnt * 10 > p.n_chars * 6, false) AS low_diversity
+        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc
+        |ORDER BY doc""".stripMargin,
+
+    // Hashed-linear classifier: same first-4-hex md5 bucket as hash_split,
+    // identity bucket→weight map, exact long sum, floored micro-unit mean.
+    "q_classifier_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, unnest(str_split(${norm("text")}, ' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc, substr(md5(tok), 1, 4) AS hx FROM toks WHERE tok <> ''),
+         |w AS (SELECT doc, ${hex4("hx")} % 2001 AS w FROM h),
+         |perdoc AS (
+         |  SELECT doc, count(*) AS n_tokens, sum(w) AS w_sum FROM w GROUP BY doc)
+         |SELECT d.doc_id AS doc,
+         |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  coalesce(CAST(floor((p.w_sum * 1000000) / p.n_tokens) AS BIGINT) / 1e6,
+         |    0.0) AS score_milli,
+         |  coalesce(p.w_sum > p.n_tokens * 1000, false) AS keep
+         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc
+         |ORDER BY doc""".stripMargin,
+
     "q_token_count" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
@@ -987,6 +1032,61 @@ object OracleSql {
          |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // ExactSubstr dedup: disclaimer planted into every 5th doc on both
+    // sides; 8-token windows grouped by their md5 key, the canonical first
+    // occurrence (smallest (doc, pos)) kept via row_number, the rest
+    // island-merged (new run iff start > prev-max-end + 1) and removed.
+    // Two zipped unnests keep window position and key in lockstep.
+    "q_dedup_substring" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+         |    THEN text || ' this document is provided as is without any warranty of any kind'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |toks AS (SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t FROM planted),
+         |wins AS (
+         |  SELECT doc,
+         |    unnest(generate_series(1, len(t) - 7)) AS pos,
+         |    unnest([md5(array_to_string(t[i:i+7], ' ')) FOR i IN generate_series(1, len(t) - 7)]) AS wk
+         |  FROM toks WHERE len(t) >= 8),
+         |occ AS (
+         |  SELECT doc, pos,
+         |    count(*) OVER (PARTITION BY wk) AS cnt,
+         |    row_number() OVER (PARTITION BY wk ORDER BY doc, pos) AS rn
+         |  FROM wins),
+         |spans AS (SELECT doc, pos AS s, pos + 7 AS e FROM occ WHERE cnt > 1 AND rn > 1),
+         |isl AS (
+         |  SELECT doc, s, e,
+         |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM spans),
+         |merged AS (
+         |  SELECT doc, gid, min(s) AS s, max(e) AS e
+         |  FROM (SELECT doc, s, e,
+         |          sum(brk) OVER (PARTITION BY doc ORDER BY s) AS gid FROM isl)
+         |  GROUP BY doc, gid),
+         |stats AS (
+         |  SELECT doc, count(*) AS n_spans, sum(e - s + 1) AS n_dup FROM merged GROUP BY doc),
+         |toksep AS (
+         |  SELECT doc, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS pos FROM toks),
+         |kept AS (
+         |  SELECT tk.doc, tk.pos, tk.tok
+         |  FROM toksep tk LEFT JOIN merged m
+         |    ON tk.doc = m.doc AND tk.pos BETWEEN m.s AND m.e
+         |  WHERE m.doc IS NULL),
+         |cleaned AS (
+         |  SELECT doc, string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc)
+         |SELECT t.doc AS doc,
+         |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(st.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+         |  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+         |  coalesce(c.clean_text, '') AS clean_text
+         |FROM toks t
+         |LEFT JOIN stats st ON t.doc = st.doc
+         |LEFT JOIN cleaned c ON t.doc = c.doc
+         |ORDER BY doc""".stripMargin,
 
     "q_latest_snapshot" ->
       """WITH ranked AS (

@@ -957,6 +957,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** ExactSubstr duplicated-span removal (Lee et al. 2022 shape) over the
+    * documents corpus with a 12-token disclaimer planted into every 5th
+    * doc (the synthetic corpus has no natural cross-doc 8-token runs —
+    * same planting pattern as q_strip_boilerplate). The smallest planted
+    * doc keeps its disclaimer (canonical first occurrence); every other
+    * planted doc gets the span detected, island-merged and removed.
+    */
+  private def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"),
+          lit(" this document is provided as is without any warranty of any kind")))
+        .otherwise(col("text")))
+    Dedup.dedupSubstrings(planted, "doc_id", "text", k = 8)
+      .orderBy(col("doc"))
+  }
+
   /** MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
     * the ScalaTest spec verifies planted duplicates are found).
     */
@@ -1056,9 +1073,20 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     Similarity.pqTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5,
-        m = 8, ks = 16, refine = 8)
+        m = 8, ks = 16, refine = 8, trainFraction = 0.25)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** SemDeDup: cluster-scoped semantic dedup over the embeddings table
+    * (rows-only: k-means clustering is engine-specific; exemplar-election
+    * and recall semantics are pinned by SimilaritySpec).
+    */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 16, eps = 0.92, trainFraction = 0.5)
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        col("component"), col("keep"))
+      .orderBy(col("id"))
 
   /** Embedding-cosine near-dup pairs (exact, quantized). */
   private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -1235,6 +1263,20 @@ object SparkEntry {
         TextAnalysis.punctCount(col("text")).cast("long").as("n_punct"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
+
+  /** Character-entropy low-diversity gate (micro-nat quantized — full
+    * hash oracle).
+    */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc"))
+
+  /** fastText-shape hashed-linear quality classifier (deterministic
+    * identity weight table — full hash oracle).
+    */
+  private def qClassifierScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc"))
 
   /** Token counting (whitespace + BPE-ish regex). */
   private def qTokenCount(s: SparkSession, dir: String): DataFrame =
@@ -1669,6 +1711,7 @@ object SparkEntry {
     "q_ann_ivf_joined" -> (qAnnIvfJoined _),
     "q_ann_pq" -> (qAnnPq _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_semdedup" -> (qSemDedup _),
     "q_count_distinct" -> (qCountDistinct _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_union_shapes" -> (qUnionShapes _),
@@ -1679,6 +1722,8 @@ object SparkEntry {
     "q_service_enrich" -> (qServiceEnrich _),
     "q_lang_id" -> (qLangId _),
     "q_quality_score" -> (qQualityScore _),
+    "q_char_entropy" -> (qCharEntropy _),
+    "q_classifier_score" -> (qClassifierScore _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_tfidf" -> (qTfidf _),
@@ -1706,6 +1751,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_cross_dup_ngrams" -> (qCrossDupNgrams _),
     "q_strip_boilerplate" -> (qStripBoilerplate _),
+    "q_dedup_substring" -> (qDedupSubstring _),
     "q_mixture_report" -> (qMixtureReport _),
     "q_apply_mixture" -> (qApplyMixture _),
     "q_cap_strata" -> (qCapStrata _),

@@ -667,4 +667,85 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** ExactSubstr-style duplicated-span removal — the distributed
+    * relational form of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): any `k`-token window of the normalized text that
+    * occurs more than once in the corpus marks a duplicated span, and
+    * every occurrence except the corpus-canonical first (smallest
+    * `(doc, pos)`) is removed from its document. Overlapping and adjacent
+    * spans merge into maximal runs before removal; `clean_text` is the
+    * surviving tokens re-joined with single spaces.
+    *
+    * Output: `(doc, n_tokens, n_dup_tokens, n_spans, clean_text)` — one
+    * row per input document; documents with no duplicated span pass
+    * through with zero counts and their full normalized text.
+    *
+    * Scale shape: the reference formulation builds one giant suffix
+    * array — inherently single-node. The same span semantics here come
+    * from an explode of k-token windows keyed by md5 (narrow 32-byte
+    * shuffle keys, never the raw span text), ONE hash aggregation
+    * electing the canonical occurrence via `min(struct(doc, pos))` with
+    * map-side partials, an equi-join back on the window key that keeps
+    * only keys with multiplicity > 1, and a per-doc window pass for the
+    * island merge. Every stage shuffles on hash keys — no all-pairs, no
+    * global sort; the wide stage is the window explosion (one ~50-byte
+    * row per token).
+    */
+  def dedupSubstrings(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens, got $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc"), tokensOf(col(textCol)).as("t"))
+    // One k-token window per position, keyed by md5 of the window text.
+    // element_at over the token array is a pure codegen projection (the
+    // slice/array_join HOF chain evaluates interpreted — the shingles
+    // lesson applies here too).
+    // Persisted: the window frame feeds BOTH the key-count aggregation
+    // and the occurrence join — without a materialization point the
+    // normalize + split + explode + md5 chain (the CPU-dominant stage)
+    // runs twice (the lmBigramScore lesson). Lazy persist, lineage kept;
+    // released via clearCache between corpora.
+    val wins = toks
+      .filter(size(col("t")) >= k)
+      .select(col("doc"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (k - 1))).as("pos"))
+      .select(col("doc"), col("pos"),
+        md5(concat_ws(" ",
+          (0 until k).map(j => element_at(col("t"), col("pos") + j)): _*)).as("wk"))
+      .persist()
+    val byKey = wins.groupBy(col("wk")).agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc"), col("pos"))).as("first"))
+    val dupSpans = wins
+      .join(byKey.filter(col("cnt") > 1), "wk")
+      .filter(!(col("doc") === col("first.doc") && col("pos") === col("first.pos")))
+      .select(col("doc"), col("pos").as("s"), (col("pos") + (k - 1)).as("e"))
+    // Island merge: spans sorted by start; a span opens a new maximal run
+    // iff it begins beyond (previous running max end) + 1. (doc, s) is
+    // unique — every span has width exactly k — so the order is total.
+    val byStart = W.partitionBy(col("doc")).orderBy(col("s"))
+    val prevMaxEnd = max(col("e")).over(byStart.rowsBetween(W.unboundedPreceding, -1))
+    val islands = dupSpans
+      .withColumn("brk", when(col("s") > coalesce(prevMaxEnd, lit(-1)) + 1, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("brk")).over(byStart))
+      .groupBy(col("doc"), col("gid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val stats = islands.groupBy(col("doc")).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).cast("long").as("n_dup_tokens"),
+      sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    toks.join(stats, Seq("doc"), "left")
+      .select(col("doc"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("spans").isNull, concat_ws(" ", col("t")))
+          .otherwise(concat_ws(" ", transform(
+            filter(sequence(lit(1), size(col("t"))),
+              i => !exists(col("spans"), sp => i >= sp("s") && i <= sp("e"))),
+            i => element_at(col("t"), i))))
+          .as("clean_text"))
+  }
 }

@@ -675,11 +675,60 @@ object Similarity {
       refine: Int = 4,
       quantScale: Int = 1000,
       trainFraction: Double = 1.0,
-      dim: Int = 0): DataFrame = {
+      dim: Int = 0): DataFrame =
+    pqTopKWith(
+      pqTrain(corpus, idCol, vecCol, m = m, ks = ks, quantScale = quantScale,
+        trainFraction = trainFraction, dim = dim),
+      corpus, queries, idCol, vecCol, queryIdCol, k, refine)
+
+  /** Trained PQ codebooks — the build-once index artifact. At corpus
+    * scale codebooks are trained once per corpus snapshot and reused by
+    * every query batch (training is the dominant cost of a single
+    * [[pqTopK]] call; encode/score/re-rank are cheap per batch), so the
+    * model is a first-class value: train with [[pqTrain]], serve with
+    * [[pqTopKWith]].
+    */
+  final case class PqModel(
+      m: Int, sub: Int, ks: Int, quantScale: Int,
+      books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]) {
+    def dim: Int = m * sub
+    def isEmpty: Boolean = sub == 0 || books.forall(_.isEmpty)
+  }
+
+  /** Train the `m` PQ codebooks (sampled Lloyd, one exploded pass — see
+    * [[pqCodebooksLocal]]) and return them as a reusable [[PqModel]].
+    */
+  def pqTrain(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ks: Int = 16, iters: Int = 2, quantScale: Int = 1000,
+      trainFraction: Double = 1.0, dim: Int = 0): PqModel = {
     val d =
       if (dim > 0) dim
       else corpus.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
-    if (d == 0) { // empty corpus: no codebooks, no neighbors
+    if (d == 0) return PqModel(m, 0, ks, quantScale, IndexedSeq.fill(m)(IndexedSeq.empty))
+    require(m >= 1 && d % m == 0, s"dim $d must split evenly into $m subspaces")
+    require(ks >= 2 && ks <= 256, s"ks must be in [2,256] (one-byte codes), got $ks")
+    PqModel(m, d / m, ks, quantScale,
+      pqCodebooksLocal(corpus, idCol, vecCol, m, d / m, ks, iters,
+        quantScale = quantScale, trainFraction = trainFraction))
+  }
+
+  /** ADC top-k + exact re-rank against a pre-trained [[PqModel]] — the
+    * serving path: encode the corpus with the model's codebooks, score
+    * through query-side LUTs, re-rank the `refine × k` survivors by true
+    * quantized cosine. Same output contract as [[pqTopK]].
+    */
+  def pqTopKWith(
+      model: PqModel,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      refine: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    if (model.isEmpty) { // empty corpus: no codebooks, no neighbors
       val spark = corpus.sparkSession
       import org.apache.spark.sql.types._
       return spark.createDataFrame(
@@ -689,17 +738,10 @@ object Similarity {
           StructField("neighbor_id", corpus.schema(idCol).dataType),
           StructField("rank", LongType), StructField("cosine", DoubleType))))
     }
-    require(m >= 1 && d % m == 0, s"dim $d must split evenly into $m subspaces")
-    require(ks >= 2 && ks <= 256, s"ks must be in [2,256] (one-byte codes), got $ks")
-    require(refine >= 1, s"refine must be >= 1, got $refine")
-    val sub = d / m
-
-    // All m codebooks trained in ONE exploded pass per Lloyd stage — m
-    // separate trainings would multiply the driver round-trips (count,
-    // seed, per-iteration means) by m for identical results.
-    val books: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
-      pqCodebooksLocal(corpus, idCol, vecCol, m, sub, ks, iters = 2,
-        quantScale = quantScale, trainFraction = trainFraction)
+    val m = model.m
+    val sub = model.sub
+    val quantScale = model.quantScale
+    val books = model.books
     // |c|² per code — reconstruction-norm terms AND the L2 argmin constant.
     val norms2: IndexedSeq[IndexedSeq[Double]] =
       books.map(_.map(c => c.map(x => x.toDouble * x.toDouble).sum))
@@ -762,5 +804,72 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  // ------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup — cluster-scoped semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means the embedding space, then
+    * look for near-duplicate pairs ONLY within each cluster (cosine ≥
+    * `eps`); duplicate groups are the connected components of those
+    * edges, and each group keeps exactly one exemplar — the member with
+    * the LOWEST cosine to its cluster centroid (the paper's rule: the
+    * most peripheral member is the most informative), ties to the
+    * smallest id.
+    *
+    * Output: one row per input row — `(id, cell, centroid_cos, component,
+    * keep)`. Rows with no near-duplicate are their own component with
+    * keep = true; `component` is the group's minimum id (the
+    * connectedComponents label contract).
+    *
+    * Scale: the quadratic stage is confined to cells — a self-equi-join
+    * on the cell id, shuffle-partitioned by cell, never a corpus
+    * broadcast — which is the paper's own cost bound (expected pair work
+    * Σ_cell |cell|², ≈ n²/k under balanced clustering; raise `k` to
+    * shrink cells). Assignment is a pure codegen projection for ≤32
+    * cells (literal unroll) and a broadcast-relation argmax above (the
+    * assignCells* contract); duplicate groups run the same union-find /
+    * pointer-jumping path as the rest of the dedup family (driver-local
+    * only below 1M edges). Centroid training samples `trainFraction` of
+    * the corpus, like IVF.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 64, eps: Double = 0.95, iters: Int = 2,
+      quantScale: Int = 1000, trainFraction: Double = 1.0): DataFrame = {
+    require(eps >= -1.0 && eps <= 1.0, s"eps must be a cosine, got $eps")
+    val cents = ivfCentroidsLocal(df, idCol, vecCol, k, iters, quantScale, trainFraction)
+    val base = df.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
+      .withColumn("vn", quantizedNorm(col("v")))
+    if (cents.isEmpty)
+      return base.select(col("id"), lit(-1).as("cell"), lit(-2.0).as("centroid_cos"),
+        col("id").as("component"), lit(true).as("keep"))
+    val assigned0 =
+      if (cents.size <= LiteralAssignMaxCells) assignCellsLit(base, "v", "vn", cents)
+      else assignCellsJoined(base, "v", "vn", centroidsDF(df.sparkSession, cents))
+    // cang is the angle to the nearest centroid; cos(cang) recovers the
+    // [-1,1]-clamped similarity (degenerate -2 scores clamp to -1/π, so
+    // zero-norm vectors rank as maximally peripheral — kept, never
+    // silently preferred). Persisted: feeds both self-join sides and the
+    // final projection; released via clearCache (the family contract).
+    val assigned = assigned0.withColumn("ccos", cos(col("cang"))).persist()
+    val edges = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .withColumn("cosine", cosineFromNorms(quantizedDot(col("a.v"), col("b.v")),
+        col("a.vn"), col("b.vn")))
+      .filter(col("cosine") >= eps)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val comps = graft.dedup.Dedup.connectedComponents(edges) // (doc, cluster_id)
+    val labeled = assigned
+      .join(comps.select(col("doc").as("id"), col("cluster_id")), Seq("id"), "left")
+      .withColumn("component", coalesce(col("cluster_id"), col("id")))
+    // Exemplar per group: min(struct(ccos, id)) — lowest centroid cosine
+    // wins, ties to the smallest id. Map-side partials; no window.
+    val reps = labeled.groupBy(col("component"))
+      .agg(min(struct(col("ccos"), col("id"))).getField("id").as("rep_id"))
+    labeled.join(reps, Seq("component"))
+      .select(col("id"), col("cid").as("cell"), col("ccos").as("centroid_cos"),
+        col("component"), (col("id") === col("rep_id")).as("keep"))
   }
 }

@@ -418,4 +418,84 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col("grp"), col("ngram"), col("rank"), col("n_docs"))
   }
+
+  // ----------------------------------------- character-diversity filtering
+
+  /** Character-level Shannon entropy per document (nats) — the
+    * low-diversity gate (repeated-char padding, mojibake runs, binary
+    * junk) that token-level quality scores can't see. Uses the identity
+    * H = ln(total) − (Σ_c cnt_c·ln(cnt_c)) / total with each character's
+    * ln quantized to integer micro-units BEFORE the per-doc sum (the
+    * BM25/LM-score rule: long sums are exact and order-free) and the
+    * final division floored on the bit-identical integer quotient, so
+    * the value is bit-stable across engines/partitionings and gets a
+    * full hash oracle.
+    *
+    * Also emits a `low_diversity` flag by integer cross-multiply (top
+    * character above 60% of all characters — no float ratio). Documents
+    * with no characters report zero entropy, flag false.
+    *
+    * Scale shape: per-character explode → one (doc, char) hash
+    * aggregation with map-side partials → one narrow per-doc
+    * aggregation. No windows, no driver residency.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def qln(x: Column): Column = round(log(x.cast("double")) * 1e6).cast("long")
+    val perChar = df
+      .select(col(idCol).as("doc"),
+        explode(split(coalesce(col(textCol), lit("")), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val perDoc = perChar.groupBy(col("doc")).agg(
+      sum(col("cnt")).as("n_chars"),
+      count(lit(1)).as("n_distinct_chars"),
+      max(col("cnt")).as("top_cnt"),
+      sum(col("cnt") * qln(col("cnt"))).as("a6"))
+    val stats = perDoc.select(col("doc"), col("n_chars"), col("n_distinct_chars"),
+      (floor((col("n_chars") * qln(col("n_chars")) - col("a6")) / col("n_chars"))
+        .cast("long") / 1e6).as("entropy_nats"),
+      (col("top_cnt") * 10 > col("n_chars") * 6).as("low_diversity"))
+    df.select(col(idCol).as("doc")).join(stats, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        coalesce(col("entropy_nats"), lit(0.0)).as("entropy_nats"),
+        coalesce(col("low_diversity"), lit(false)).as("low_diversity"))
+  }
+
+  /** fastText-shape linear quality classifier over hashed bag-of-words
+    * features (the CCNet/fastText quality-classifier stage, reduced to
+    * its engine-portable arithmetic): each non-empty normalized token
+    * hashes into one of 2001 buckets ([[hashBucket]] — the hashing-trick
+    * projection) and bucket b carries weight b in milli-units, centered
+    * at 1000. A document's score is the mean token weight — emitted as
+    * floored integer micro-units over the exact long sum — and the
+    * positive label is mean > 1000, decided by integer cross-multiply
+    * (`sum > 1000·n`), never a float ratio.
+    *
+    * A production model replaces the identity bucket→weight map with a
+    * trained weight relation (dim rows, broadcast join); the plan shape —
+    * explode → hash-projection → one narrow per-doc aggregation, all
+    * codegen, map-side partials — is identical, which is what this
+    * operator pins. Token-less documents score 0 with a negative label.
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc"),
+        explode(graft.dedup.Dedup.tokensOf(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc"), hashBucket(col("tok"), 2001).as("w"))
+    val perDoc = toks.groupBy(col("doc")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("w")).as("w_sum"))
+    val scored = perDoc.select(col("doc"), col("n_tokens"),
+      (floor((col("w_sum") * 1000000L) / col("n_tokens")).cast("long") / 1e6)
+        .as("score_milli"),
+      (col("w_sum") > col("n_tokens") * 1000L).as("keep"))
+    df.select(col(idCol).as("doc")).join(scored, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score_milli"), lit(0.0)).as("score_milli"),
+        coalesce(col("keep"), lit(false)).as("keep"))
+  }
 }

@@ -34,7 +34,7 @@ class DocsConsistencySpec extends AnyFunSuite {
     // estimates, NFKC (absent in DuckDB), or a mapPartitions decode.
     val rowsOnly = Set(
       "q_dedup_minhash_lsh", "q_dedup_simhash", "q_payload_near_dup",
-      "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_joined", "q_ann_pq",
+      "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_joined", "q_ann_pq", "q_semdedup",
       "q_approx_distinct", "q_approx_percentile",
       "q_clean_text", "q_multimodal_features")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

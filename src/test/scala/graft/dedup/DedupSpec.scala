@@ -296,4 +296,57 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == "Start. !!!. Mid")
     assert(out(2L) == "Other. ???. End")
   }
+
+  // ------------------------------------------------------ dedupSubstrings
+
+  private def subRows(df: org.apache.spark.sql.DataFrame) =
+    Dedup.dedupSubstrings(df, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+
+  test("dedupSubstrings keeps the corpus-first occurrence, strips the rest") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),       // holds the canonical copy
+      (2L, "zeta alpha beta gamma delta"),  // dup windows → span removed
+      (3L, "totally unrelated words here")) // untouched
+      .toDF("doc_id", "text")
+    val out = subRows(docs)
+    // windows of doc 1: [alpha beta gamma], [beta gamma delta] — both also
+    // in doc 2 at pos 2/3 → doc 2 loses tokens 2..5.
+    assert(out(1L) == ((4L, 0L, 0L, "alpha beta gamma delta")))
+    assert(out(2L) == ((5L, 4L, 1L, "zeta")))
+    assert(out(3L) == ((4L, 0L, 0L, "totally unrelated words here")))
+  }
+
+  test("dedupSubstrings strips a within-doc self-repetition, first copy kept") {
+    val docs = Seq((7L, "one two three filler one two three")).toDF("doc_id", "text")
+    val out = subRows(docs)
+    // "one two three" at pos 1 wins; pos 5 is the dup span.
+    assert(out(7L) == ((7L, 3L, 1L, "one two three filler")))
+  }
+
+  test("dedupSubstrings merges overlapping and adjacent spans into maximal runs") {
+    val docs = Seq(
+      (1L, "a b c d e f"),                  // canonical source
+      (2L, "x a b c d e f y"))              // 4 overlapping dup windows → ONE island
+      .toDF("doc_id", "text")
+    val out = subRows(docs)
+    assert(out(2L) == ((8L, 6L, 1L, "x y")))
+  }
+
+  test("dedupSubstrings handles full coverage and short/empty docs") {
+    val docs = Seq(
+      (1L, "p q r s"),
+      (2L, "p q r s"),  // fully covered → empty clean text
+      (3L, "one two"),  // shorter than k → no windows
+      (4L, ""))         // empty text
+      .toDF("doc_id", "text")
+    val out = subRows(docs)
+    assert(out(1L) == ((4L, 0L, 0L, "p q r s")))
+    assert(out(2L) == ((4L, 4L, 1L, "")))
+    assert(out(3L) == ((2L, 0L, 0L, "one two")))
+    assert(out(4L)._4 == "")
+  }
 }

@@ -267,4 +267,52 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.pqTopK(emb, emb, "vec_id", "embedding", "vec_id", k = 3, ks = 300))
   }
+
+  test("pqTrain model is reusable: pqTopKWith equals pqTopK, serves disjoint query batches") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ks = 16)
+    assert(!model.isEmpty && model.dim == model.m * model.sub)
+    val q1 = emb.filter(col("vec_id") < 10)
+    val oneShot = Similarity.pqTopK(emb, q1, "vec_id", "embedding", "vec_id",
+        k = 5, m = 8, ks = 16, refine = 8)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val served = Similarity.pqTopKWith(model, emb, q1, "vec_id", "embedding", "vec_id",
+        k = 5, refine = 8)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(served == oneShot) // deterministic training ⇒ identical serving
+    // a second, disjoint batch runs against the SAME model (no retrain)
+    val q2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+    val batch2 = Similarity.pqTopKWith(model, emb, q2, "vec_id", "embedding", "vec_id",
+        k = 3, refine = 8)
+    assert(batch2.groupBy("query_id").count().count() == 5)
+  }
+
+  test("semanticDedup groups planted colinear near-dups, keeps one exemplar") {
+    def v(xs: Seq[Double]): Seq[Float] = xs.map(_.toFloat)
+    val base = Seq.tabulate(8)(i => math.sin(i * 1.7) + 1.5)
+    val df = Seq(
+      (1L, v(base)),
+      (2L, v(base.map(_ * 1.0001))),   // colinear → cosine 1.0 with base
+      (3L, v(base.map(_ * 0.9999))),
+      (4L, v(Seq.tabulate(8)(i => math.cos(i * 2.3) - 1.2))),
+      (5L, v(Seq.tabulate(8)(i => (if (i % 2 == 0) 1.0 else -1.0) * (i + 1)))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", k = 2, eps = 0.999)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).toSet == Set(1L)) // one group, min-id label
+    assert(Seq(1L, 2L, 3L).count(out(_)._2) == 1)           // exactly one exemplar
+    assert(out(4L) == ((4L, true)) && out(5L) == ((5L, true)))
+  }
+
+  test("semanticDedup: one row per input, every component keeps exactly one") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding", k = 8, eps = 0.9)
+    assert(out.count() == 500)
+    val bad = out.groupBy("component")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("n_keep"))
+      .filter(col("n_keep") =!= 1).count()
+    assert(bad == 0)
+  }
 }

@@ -223,4 +223,43 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.fingerprintRolling(col("b")).as("rb")).collect()
     assert(rolls(0).getLong(0) != rolls(1).getLong(0)) // order matters
   }
+
+  test("charEntropy: exact micro-nat values, diversity flag, empty/null docs") {
+    val df = Seq(
+      (1L, "aaaa"),         // one char: H = 0, top char 100% → flagged
+      (2L, "abab"),         // two equiprobable chars: H = ln 2
+      (3L, ""),             // no chars
+      (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .orderBy(col("doc")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.0, true)))
+    // qln(2)=693147, qln(4)=1386294: (4·1386294 − 2·2·693147)/4 = 693147
+    assert(out(2L) == ((4L, 2L, 0.693147, false)))
+    assert(out(3L) == ((0L, 0L, 0.0, false)))
+    assert(out(4L) == ((0L, 0L, 0.0, false)))
+  }
+
+  test("classifierScore: mean bucket weight, keep ⟺ score above center") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "Hello, WORLD!"),  // normalization applies before hashing
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(df, "doc_id", "text")
+      .orderBy(col("doc")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 == 9L && out(3L) == ((0L, 0.0, false)))
+    // single-source-of-truth check: doc 2's score is the exact mean of its
+    // two token buckets computed through the same hashBucket expression
+    val expected = Seq("hello", "world").toDF("tok")
+      .select(TextAnalysis.hashBucket(col("tok"), 2001).as("w"))
+      .collect().map(_.getLong(0))
+    assert(out(2L)._2 == math.floor(expected.sum * 1e6 / 2.0) / 1e6)
+    // keep is the integer cross-multiply of the same quantities
+    out.values.foreach { case (_, score, keep) => assert(keep == (score > 1000.0)) }
+  }
 }
