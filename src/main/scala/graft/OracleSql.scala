@@ -396,6 +396,32 @@ object OracleSql {
         |FROM t WHERE cum >= target AND cum - cnt < target
         |ORDER BY l_returnflag, q""".stripMargin,
 
+    // Count-Min sketch: deterministic seeded-md5 cells ("cm<r>:" || tok,
+    // first 4 hex → 16-bit int % w), exact counter sums, min over d rows.
+    "q_countmin" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(str_split(${norm("text")}, ' ')) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS exact_cnt FROM toks WHERE tok <> '' GROUP BY tok),
+         |probes AS (SELECT tok, exact_cnt FROM tf ORDER BY exact_cnt DESC, tok LIMIT 20),
+         |cells AS (
+         |  SELECT tok, r.r AS hrow,
+         |    ${hex4("substr(md5('cm' || r.r || ':' || tok), 1, 4)")} % 1024 AS cell
+         |  FROM (SELECT tok FROM toks WHERE tok <> '') t, range(0, 4) r(r)),
+         |counters AS (
+         |  SELECT hrow, cell, count(*) AS counter FROM cells GROUP BY hrow, cell),
+         |pc AS (
+         |  SELECT p.tok, r.r AS hrow,
+         |    ${hex4("substr(md5('cm' || r.r || ':' || p.tok), 1, 4)")} % 1024 AS cell
+         |  FROM probes p, range(0, 4) r(r)),
+         |est AS (
+         |  SELECT pc.tok, min(c.counter) AS cm_estimate
+         |  FROM pc JOIN counters c ON pc.hrow = c.hrow AND pc.cell = c.cell
+         |  GROUP BY pc.tok)
+         |SELECT p.tok AS item, CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+         |  CAST(e.cm_estimate AS BIGINT) AS cm_estimate
+         |FROM probes p JOIN est e ON p.tok = e.tok
+         |ORDER BY item""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

@@ -451,6 +451,23 @@ object SparkEntry {
         lo = 900.0, hi = 105000.0, nBins = 256, qs = Seq(0.5, 0.9, 0.99))
       .orderBy(col("l_returnflag"), col("q"))
 
+  /** Count-Min sketch token-frequency estimates for the corpus's top-20
+    * tokens, next to their exact counts (est ≥ exact by construction —
+    * deterministic seeded-md5 cells, so fully hash-oracled).
+    */
+  private def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(Dedup.tokensOf(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val sketch = graft.sketch.Sketches.countMinSketch(toks, "tok", d = 4, w = 1024)
+    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    graft.sketch.Sketches.countMinQuery(sketch, probes, "tok", d = 4, w = 1024)
+      .join(probes, col("item") === col("tok"))
+      .select(col("item"), col("exact_cnt"), col("cm_estimate"))
+      .orderBy(col("item"))
+  }
+
   /** JSON-path extraction from the props payload (proper JSON parse, vs
     * q_events_props' regex form).
     */
@@ -1756,6 +1773,7 @@ object SparkEntry {
     "q_apply_mixture" -> (qApplyMixture _),
     "q_cap_strata" -> (qCapStrata _),
     "q_binned_quantiles" -> (qBinnedQuantiles _),
+    "q_countmin" -> (qCountMin _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

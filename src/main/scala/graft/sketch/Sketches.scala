@@ -118,4 +118,53 @@ object Sketches {
           (col("target") - (col("cum") - col("cnt"))).cast("double") / col("cnt")),
           4).as("quantile_est")): _*)
   }
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan '05) as a
+    * relational aggregate: `d` hash rows × `w` columns of counters.
+    * Unlike HLL, both the sketch state and its estimates are fully
+    * DETERMINISTIC — counters are exact sums keyed by seeded-md5 cell
+    * addresses, the point estimate is the min over the d cells — so it
+    * is independent of partitioning and merge order and hash-oracles
+    * like the binned quantile sketch. Counters add cell-wise across
+    * partitions/days/sources (the mergeability law: union the relations
+    * and re-sum), and estimates only ever OVER-count (true ≤ est ≤
+    * true + εN with ε = e/w at confidence 1 − e^−d) — the heavy-hitter
+    * screen at corpus scale where an exact per-token count relation
+    * (|vocab| rows) is itself too wide to keep hot.
+    *
+    * Returns the (row, cell, counter) relation: d·w rows max, a few KB
+    * — broadcast-size regardless of input (one exploded hash
+    * aggregation with map-side partials builds it).
+    */
+  def countMinSketch(
+      df: DataFrame, itemCol: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2 && w <= 65536,
+      s"need 1 <= d and 2 <= w <= 65536 (16-bit cell hash), got d=$d w=$w")
+    df.filter(col(itemCol).isNotNull)
+      .select(posexplode(cmCells(col(itemCol), d, w)).as(Seq("row", "cell")))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("counter"))
+  }
+
+  /** Probe a [[countMinSketch]] relation for each item in `items`:
+    * min over the item's d cells (absent cells read 0 — an item never
+    * inserted estimates 0 exactly). The sketch side is broadcast-size
+    * by construction; the probe join is d rows per item.
+    */
+  def countMinQuery(
+      sketch: DataFrame, items: DataFrame, itemCol: String,
+      d: Int = 4, w: Int = 1024): DataFrame =
+    items
+      .select(col(itemCol).as("item"),
+        posexplode(cmCells(col(itemCol), d, w)).as(Seq("row", "cell")))
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy(col("item"))
+      .agg(min(coalesce(col("counter"), lit(0L))).as("cm_estimate"))
+
+  /** The d seeded cell addresses of an item — seed "cm<r>" per hash row,
+    * the same engine-portable md5 bucketing as hash_split/shuffle_shards.
+    */
+  private def cmCells(item: Column, d: Int, w: Int): Column =
+    array((0 until d).map(r =>
+      graft.text.CorpusAssembly.seededBucket(item, s"cm$r", w)): _*)
 }

@@ -93,4 +93,39 @@ class SketchesSpec extends SparkSpec {
     assert(h(0L) == 2) // -50 clamps into bin 0 alongside 0.5
     assert(h(9L) == 1) // 999 clamps into the top bin
   }
+
+  // ------------------------------------------------------------ Count-Min
+
+  private def cmItems = (1 to 100)
+    .flatMap(i => Seq.fill(i % 7 + 1)(s"tok$i")).toDF("item")
+
+  test("countMin estimates dominate exact counts; no-collision probes are exact") {
+    val sk = Sketches.countMinSketch(cmItems, "item", d = 4, w = 64)
+    val est = Sketches.countMinQuery(sk, cmItems.distinct(), "item", d = 4, w = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = cmItems.groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CMS under-counted $t: ${est(t)} < $c") }
+    // wide sketch, 3 items: all-row collisions are absent → exact counts
+    val tiny = Seq("a", "a", "b", "c", "c", "c").toDF("item")
+    val tinySk = Sketches.countMinSketch(tiny, "item", d = 4, w = 1024)
+    val tinyEst = Sketches.countMinQuery(tinySk, tiny.distinct(), "item",
+        d = 4, w = 1024)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tinyEst == Map("a" -> 2L, "b" -> 1L, "c" -> 3L))
+  }
+
+  test("countMin sketches merge cell-wise: union + re-sum equals one pass") {
+    val a = cmItems.filter(col("item") <= "tok50")
+    val b = cmItems.filter(col("item") > "tok50")
+    val merged = Sketches.countMinSketch(a, "item", d = 4, w = 64)
+      .unionByName(Sketches.countMinSketch(b, "item", d = 4, w = 64))
+      .groupBy(col("row"), col("cell"))
+      .agg(sum(col("counter")).as("counter"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Sketches.countMinSketch(cmItems, "item", d = 4, w = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == full)
+  }
 }
