@@ -422,6 +422,31 @@ object OracleSql {
          |FROM probes p JOIN est e ON p.tok = e.tok
          |ORDER BY item""".stripMargin,
 
+    // Bloom screen: 32-bit seeded addresses (two composed 16-bit md5
+    // halves) mod 2^20, packed 62 bits/word (a 63-bit shift is an
+    // out-of-range ERROR in DuckDB), bit_or words, all-kh-bits-set probe.
+    "q_bloom" ->
+      s"""WITH fps AS (
+         |  SELECT doc_id, md5(${norm("text")}) AS fp FROM documents),
+         |pbits AS (
+         |  SELECT doc_id, fp,
+         |    ((${hex4("substr(md5('bl' || r.r || 'a:' || fp), 1, 4)")} * 65536 +
+         |      ${hex4("substr(md5('bl' || r.r || 'b:' || fp), 1, 4)")}) % 1048576) AS bit
+         |  FROM fps, range(0, 4) r(r)),
+         |fwords AS (
+         |  SELECT bit // 62 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(bit % 62 AS INTEGER)) AS fmask
+         |  FROM pbits WHERE doc_id % 3 = 0 GROUP BY 1),
+         |hits AS (
+         |  SELECT p.doc_id,
+         |    CASE WHEN w.fmask IS NOT NULL AND
+         |      (w.fmask & (CAST(1 AS BIGINT) << CAST(p.bit % 62 AS INTEGER)))
+         |        = (CAST(1 AS BIGINT) << CAST(p.bit % 62 AS INTEGER))
+         |    THEN 1 ELSE 0 END AS hit
+         |  FROM pbits p LEFT JOIN fwords w ON p.bit // 62 = w.word)
+         |SELECT doc_id, sum(hit) = 4 AS maybe_member
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

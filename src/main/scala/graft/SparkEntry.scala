@@ -468,6 +468,24 @@ object SparkEntry {
       .orderBy(col("item"))
   }
 
+  /** Bloom-filter membership screen: the standing corpus (every 3rd doc)
+    * publishes a 2^20-bit filter over its content fingerprints; every
+    * document probes it. Standing docs must hit (a Bloom filter has no
+    * false negatives); others may rarely false-positive — everything is
+    * deterministic (seeded-md5 bits, bit_or words), so the query
+    * hash-oracles.
+    */
+  private def qBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+    val standing = docs.filter(col("doc_id") % 3 === 0)
+    val filter = graft.sketch.Sketches.bloomBuild(standing, "fp")
+    graft.sketch.Sketches.bloomProbe(filter, docs, "fp")
+      .join(docs, col("item") === col("fp"))
+      .select(col("doc_id"), col("maybe_member"))
+      .orderBy(col("doc_id"))
+  }
+
   /** JSON-path extraction from the props payload (proper JSON parse, vs
     * q_events_props' regex form).
     */
@@ -1774,6 +1792,7 @@ object SparkEntry {
     "q_cap_strata" -> (qCapStrata _),
     "q_binned_quantiles" -> (qBinnedQuantiles _),
     "q_countmin" -> (qCountMin _),
+    "q_bloom" -> (qBloom _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

@@ -167,4 +167,63 @@ object Sketches {
   private def cmCells(item: Column, d: Int, w: Int): Column =
     array((0 until d).map(r =>
       graft.text.CorpusAssembly.seededBucket(item, s"cm$r", w)): _*)
+
+  /** Bloom membership filter as a MERGEABLE bitmap relation (Bloom,
+    * CACM 1970): `kh` seeded bit addresses per item in an `mBits`-bit
+    * space, packed 62 bits per row — `(word, mask)` under a `bit_or`
+    * aggregation, so the relation is ≤ mBits/62 rows REGARDLESS of item
+    * count (the state bound no exact key set has). Filters built per
+    * shard/day/source merge by union + re-OR, the sketch-family law.
+    * Probes are a join on the word index (broadcast-size at the default
+    * 2²⁰ bits: 16 K rows) and an item is a member iff ALL kh of its bits
+    * are set — possibly a false positive (≈ (1 − e^(−kh·n/m))^kh), never
+    * a false negative: the standing-corpus screen that gates expensive
+    * dedup/decontamination work without shipping the corpus's key set.
+    *
+    * Deterministic end-to-end: seeded-md5 addresses (two 16-bit halves
+    * composed into a 32-bit address — the engine-portable, oracle-able
+    * form) and exact bit_or state, independent of partitioning and merge
+    * order. Words pack 62 bits, not 64: a shift into the sign bit is
+    * well-defined wrap-around in the JVM but an out-of-range ERROR in
+    * DuckDB, and 62 keeps every mask strictly positive on both engines.
+    */
+  def bloomBuild(
+      df: DataFrame, itemCol: String,
+      kh: Int = 4, mBits: Long = 1L << 20): DataFrame =
+    df.filter(col(itemCol).isNotNull)
+      .select(explode(bloomBits(col(itemCol), kh, mBits)).as("bit"))
+      .select(expr("bit div 62").as("word"),
+        expr("shiftleft(1L, cast(pmod(bit, 62) as int))").as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("mask"))
+
+  /** Probe a [[bloomBuild]] relation: `(item, maybe_member)` — true iff
+    * every one of the item's kh bits is set in the filter.
+    */
+  def bloomProbe(
+      filter: DataFrame, items: DataFrame, itemCol: String,
+      kh: Int = 4, mBits: Long = 1L << 20): DataFrame = {
+    val f = filter.select(col("word"), col("mask").as("fmask"))
+    items
+      .select(col(itemCol).as("item"),
+        explode(bloomBits(col(itemCol), kh, mBits)).as("bit"))
+      .select(col("item"), col("bit"),
+        expr("bit div 62").as("word"),
+        expr("shiftleft(1L, cast(pmod(bit, 62) as int))").as("mask"))
+      .join(broadcast(f), Seq("word"), "left")
+      .withColumn("hit",
+        col("fmask").isNotNull &&
+          col("fmask").bitwiseAND(col("mask")) === col("mask"))
+      .groupBy(col("item"))
+      .agg((sum(when(col("hit"), 1L).otherwise(0L)) === kh).as("maybe_member"))
+  }
+
+  /** kh seeded 32-bit addresses (two composed 16-bit md5 halves) mod m. */
+  private def bloomBits(item: Column, kh: Int, mBits: Long): Column = {
+    require(kh >= 1 && mBits >= 64, s"need kh >= 1 and mBits >= 64")
+    array((0 until kh).map { r =>
+      (graft.text.CorpusAssembly.seededBucket(item, s"bl${r}a", 65536) * 65536L +
+        graft.text.CorpusAssembly.seededBucket(item, s"bl${r}b", 65536)) % mBits
+    }: _*)
+  }
 }

@@ -128,4 +128,30 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(merged == full)
   }
+
+  // ---------------------------------------------------------------- Bloom
+
+  test("bloom: no false negatives, rare false positives, bounded state") {
+    val members = (1 to 50).map(i => s"member$i").toDF("item")
+    val f = Sketches.bloomBuild(members, "item")
+    assert(f.count() <= (1L << 20) / 62 + 1) // bitmap-bounded, not n-bounded
+    val inHits = Sketches.bloomProbe(f, members, "item")
+      .collect().map(_.getBoolean(1))
+    assert(inHits.forall(identity)) // every inserted item MUST hit
+    val absent = (1 to 1000).map(i => s"absent$i").toDF("item")
+    val fp = Sketches.bloomProbe(f, absent, "item")
+      .filter(col("maybe_member")).count()
+    assert(fp <= 2, s"implausible false-positive count for 50/2^20: $fp")
+  }
+
+  test("bloom filters merge word-wise: union + re-OR equals one pass") {
+    val items = (1 to 80).map(i => s"it$i").toDF("item")
+    val merged = Sketches.bloomBuild(items.filter(col("item") <= "it5"), "item")
+      .unionByName(Sketches.bloomBuild(items.filter(col("item") > "it5"), "item"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("mask"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Sketches.bloomBuild(items, "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == full)
+  }
 }
