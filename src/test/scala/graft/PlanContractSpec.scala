@@ -161,4 +161,22 @@ class PlanContractSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id#\\d+L?, _graft_asof_lb".r
       .findFirstIn(p).isDefined, p.take(3000))
   }
+
+  test("round-8 plans: substring dedup joins on the window key, sketch probes broadcast") {
+    // ExactSubstr: the occurrence join back onto the (filtered, tiny)
+    // key-count relation must never go cartesian, and the island merge
+    // must window per-doc, not globally.
+    val ps = planOf("q_dedup_substring")
+    assert(!ps.contains("CartesianProduct"), ps.take(2000))
+    assert(ps.contains("hashpartitioning(doc"), ps.take(3000))
+    // Bloom probe: the (word, mask) filter relation enters as the
+    // BROADCAST side — the corpus-side fingerprints are never shuffled
+    // for the membership join.
+    val pb = planOf("q_bloom")
+    assert(pb.contains("BroadcastHashJoin"), pb.take(2000))
+    assert(!pb.contains("CartesianProduct"))
+    // Count-Min probe joins the broadcast-size counter relation.
+    val pc = planOf("q_countmin")
+    assert(pc.contains("BroadcastHashJoin"), pc.take(2000))
+  }
 }

@@ -96,4 +96,31 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(p10 <= 12 * p1 + 30, s"super-linear pair growth: $p1 -> $p10")
     assert(t10 <= 30 * (t1 + 0.2), f"runtime blowup: $t1%.2fs -> $t10%.2fs")
   }
+
+  test("substring dedup scales linearly from 1x to 10x") {
+    // Disclaimer (10 tokens ≥ k=8) planted into every 5th doc; the
+    // per-replica token suffix makes replica window-keys disjoint, so
+    // each replica is an exact isomorphic copy of the 1× dup structure
+    // (ids shift monotonically — the same min-(doc,pos) winner per
+    // replica) and total removed tokens must be exactly ~10×.
+    val base = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val c1 = base.withColumn("text",
+      when(col("doc_id") % 5 === 0, concat(col("text"),
+        lit(" shared disclaimer tokens appear verbatim in every fifth document")))
+        .otherwise(col("text")))
+    val c10 = c1.withColumn("k", explode(sequence(lit(0), lit(9))))
+      .select((col("doc_id") + col("k") * 100000L).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1x"), col("k")))
+          .as("text"))
+    val (d1, t1) = timed(Dedup.dedupSubstrings(c1, "doc_id", "text", k = 8)
+      .agg(sum("n_dup_tokens")).as[Long].head())
+    spark.catalog.clearCache()
+    val (d10, t10) = timed(Dedup.dedupSubstrings(c10, "doc_id", "text", k = 8)
+      .agg(sum("n_dup_tokens")).as[Long].head())
+    spark.catalog.clearCache()
+    assert(d1 > 0, "planted disclaimer spans not detected at 1x")
+    assert(d10 >= 8 * d1 && d10 <= 12 * d1, s"non-linear span growth: $d1 -> $d10")
+    assert(t10 <= 30 * (t1 + 0.2), f"runtime blowup: $t1%.2fs -> $t10%.2fs")
+  }
 }
