@@ -22,7 +22,9 @@ object ExplainAudit {
       "q_sample_stratified", "q_cap_strata", "q_vocab_coverage",
       "q_repetition",
       "q_lm_score", "q_apply_mixture", "q_payload_stats",
-      "q_approx_percentile")
+      "q_approx_percentile",
+      "q_dedup_substring", "q_semdedup", "q_char_entropy",
+      "q_classifier_score", "q_countmin", "q_bloom")
     interesting.foreach { name =>
       println(s"########## $name")
       println(SparkEntry.queries(name)(spark, d)

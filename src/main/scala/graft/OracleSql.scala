@@ -527,6 +527,18 @@ object OracleSql {
         | AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
         |ORDER BY click_id, purchase_id""".stripMargin,
 
+    // Stream-stream LEFT OUTER interval join: the watermark-flushed
+    // stream must equal the batch left-outer range join. Spark sorts
+    // nulls first under ASC; DuckDB defaults NULLS LAST — spelled out.
+    "q_stream_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  round(p.value, 2) AS amount
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+        |ORDER BY click_id, purchase_id ASC NULLS FIRST""".stripMargin,
+
     // Streaming exact dedup keeps one row per key: the surviving key set
     // is the DISTINCT key set.
     "q_stream_dedup" ->

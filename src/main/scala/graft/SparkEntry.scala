@@ -726,6 +726,72 @@ object SparkEntry {
     s.table(sink).orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join under the correctness gate:
+    * every click, with its prior-hour purchases where they exist and
+    * nulls where they don't. Outer rows can only flush after the
+    * watermark passes their join window — Spark cannot know no match is
+    * coming until then — so the replay appends far-future sentinel rows
+    * on BOTH sides (the global watermark is the MIN across inputs) and
+    * filters them back out; the finished stream must equal the batch
+    * left-outer range-join oracle.
+    */
+  private def qStreamOuter(s: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = t(s, dir, "events")
+    def side(typ: String) = ev.filter(col("event_type") === typ)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    def future(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val joined = StreamingOps.streamingIntervalJoin(
+        clicks.toDF().toDF("click_id", "user_id", "ts"),
+        purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
+        leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
+        lookback = "1 hour", watermarkDelay = "1 minute", joinType = "leftOuter")
+      .select(col("click_id"), col("purchase_id"),
+        round(col("amount"), 2).as("amount"))
+    val sink = "q_stream_outer_sink"
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    // 4, not the streaming family's 8: a stream-stream OUTER join keeps
+    // FOUR state stores per side per partition, and commit cycles — not
+    // data volume — dominate this replay. State partition count is fixed
+    // at the first checkpoint; size it to key cardinality, not cores.
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    try {
+      def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
+          add: Seq[T] => Unit): Unit =
+        side(typ).toLocalIterator().asScala.map(conv)
+          .grouped(1 << 20)
+          .foreach(b => { add(b.toSeq); q.processAllAvailable() })
+      replay("purchase",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
+        b => purchases.addData(b: _*))
+      replay("click",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
+        b => clicks.addData(b: _*))
+      // One sentinel batch on BOTH sides advances each input's max event
+      // time; the watermark takes effect at batch END and the engine's
+      // no-data micro-batch (noDataMicroBatches, on by default) then
+      // evicts and emits the unmatched left state — processAllAvailable
+      // blocks through it. Sentinel keys are negative — they match
+      // nothing real and are filtered from the sink read.
+      purchases.addData((-1L, -999L, future(100), 0.0))
+      clicks.addData((-1L, -998L, future(100)))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).filter(col("click_id") >= 0)
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+  }
+
   /** Regex field extraction from the JSON-ish props string. */
   private def qEventsProps(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -1730,6 +1796,7 @@ object SparkEntry {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_interval" -> (qStreamInterval _),
+    "q_stream_outer" -> (qStreamOuter _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_bucketed" -> (qAsofBucketed _),
     "q_range_join" -> (qRangeJoin _),

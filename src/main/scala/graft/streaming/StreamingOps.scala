@@ -66,6 +66,16 @@ object StreamingOps {
     * a plain range-condition equi-join, which is what lets ONE definition
     * serve both the replayed query and its DuckDB oracle.
     */
+  /** Stream-stream interval join. `joinType` "inner" (default) emits
+    * matches as both sides arrive; "leftOuter" additionally emits each
+    * unmatched left row with nulls ONCE THE WATERMARK PASSES its join
+    * window (left.ts + lookback) — until then Spark cannot know no match
+    * is still coming, so outer results are inherently watermark-delayed
+    * and a replay harness must advance the watermark past the data (a
+    * future sentinel batch on BOTH sides: the global watermark is the
+    * MIN across inputs) before reading the sink. State on both sides is
+    * bounded by lookback + watermarkDelay either way.
+    */
   def streamingIntervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -74,11 +84,13 @@ object StreamingOps {
       leftTs: String,
       rightTs: String,
       lookback: String = "1 hour",
-      watermarkDelay: String = "2 hours"): DataFrame =
+      watermarkDelay: String = "2 hours",
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermarkDelay)
       .join(right.withWatermark(rightTs, watermarkDelay),
         expr(s"$rightKey = $leftKey AND " +
-          s"$rightTs BETWEEN $leftTs - INTERVAL $lookback AND $leftTs"))
+          s"$rightTs BETWEEN $leftTs - INTERVAL $lookback AND $leftTs"),
+        joinType)
 
   // ------------------------------------------- custom state (gap sessions)
 
