@@ -155,4 +155,37 @@ class EdgeCasesSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 2L))
   }
+
+  test("round-8 ops tolerate empty corpora, nulls, and unicode") {
+    import graft.sketch.Sketches
+    // substring dedup: empty corpus → empty; null text → zero counts
+    assert(Dedup.dedupSubstrings(emptyDocs, "doc_id", "text").count() == 0)
+    val nulls = Seq((1L, null: String), (2L, "short"), (3L, "а б в г д е ж з и к"))
+      .toDF("doc_id", "text")
+    val sub = Dedup.dedupSubstrings(nulls, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sub == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // char entropy: Cyrillic counts characters, not bytes
+    val ent = graft.text.TextAnalysis.charEntropy(nulls, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ent(3L) == ((19L, 11L))) // 10 letters + 9 spaces; 10 distinct + space
+    assert(ent(1L) == ((0L, 0L)))
+    // classifier: null text → zero tokens, keep = false
+    val cls = graft.text.TextAnalysis.classifierScore(nulls, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cls(1L) == 0L && cls(2L) == 1L)
+    // sketches: null items are dropped at build and estimate 0 via probe
+    val withNull = Seq(Some("x"), None, Some("y")).toDF("item")
+    assert(Sketches.countMinSketch(withNull, "item").count() > 0)
+    assert(Sketches.bloomBuild(withNull, "item").count() > 0)
+    val probed = Sketches.bloomProbe(
+        Sketches.bloomBuild(withNull, "item"), Seq("x", "zz").toDF("item"), "item")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(probed("x") && !probed("zz"))
+    // semdedup: empty corpus returns the typed empty frame
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq((0L, Seq(0f))).toDF("vec_id", "embedding").schema)
+    assert(Similarity.semanticDedup(emptyEmb, "vec_id", "embedding").count() == 0)
+  }
 }
