@@ -684,14 +684,14 @@ object Dedup {
     *
     * Scale shape: the reference formulation builds one giant suffix
     * array — inherently single-node. The same span semantics here come
-    * from an explode of k-token windows keyed by md5 (narrow 32-byte
-    * shuffle keys, never the raw span text), ONE hash aggregation
+    * from an explode of k-token windows keyed by binary md5 (narrow
+    * 16-byte shuffle keys, never the raw span text), ONE hash aggregation
     * electing the canonical occurrence via `min(struct(doc, pos))` with
     * map-side partials, an equi-join back on the window key that keeps
     * only keys with multiplicity > 1, and a per-doc window pass for the
     * island merge. Every stage shuffles on hash keys — no all-pairs, no
-    * global sort; the wide stage is the window explosion (one ~50-byte
-    * row per token).
+    * global sort; the wide stage is the window explosion (one ~36-byte
+    * row per token: doc id + pos + the 16-byte key).
     */
   def dedupSubstrings(
       df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
@@ -712,8 +712,8 @@ object Dedup {
       .select(col("doc"), col("t"),
         explode(sequence(lit(1), size(col("t")) - (k - 1))).as("pos"))
       .select(col("doc"), col("pos"),
-        md5(concat_ws(" ",
-          (0 until k).map(j => element_at(col("t"), col("pos") + j)): _*)).as("wk"))
+        unhex(md5(concat_ws(" ",
+          (0 until k).map(j => element_at(col("t"), col("pos") + j)): _*))).as("wk"))
       .persist()
     val byKey = wins.groupBy(col("wk")).agg(
       count(lit(1)).as("cnt"),

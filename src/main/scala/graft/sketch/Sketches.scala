@@ -197,16 +197,22 @@ object Sketches {
       .groupBy(col("word"))
       .agg(expr("bit_or(mask)").as("mask"))
 
-  /** Probe a [[bloomBuild]] relation: `(item, maybe_member)` — true iff
-    * every one of the item's kh bits is set in the filter.
+  /** Probe a [[bloomBuild]] relation: one row per DISTINCT item,
+    * `(item, maybe_member)` — true iff every one of the item's kh bits
+    * is set in the filter. The distinct is load-bearing, not cosmetic:
+    * membership is decided by `sum(hit) = kh` over the exploded bit
+    * rows, and a duplicated input item would contribute 2·kh rows to
+    * its group — all hitting — and read as a FALSE NEGATIVE (caught by
+    * the sf0.1 self-verify: duplicate document fingerprints).
     */
   def bloomProbe(
       filter: DataFrame, items: DataFrame, itemCol: String,
       kh: Int = 4, mBits: Long = 1L << 20): DataFrame = {
     val f = filter.select(col("word"), col("mask").as("fmask"))
     items
-      .select(col(itemCol).as("item"),
-        explode(bloomBits(col(itemCol), kh, mBits)).as("bit"))
+      .select(col(itemCol).as("item")).distinct()
+      .select(col("item"),
+        explode(bloomBits(col("item"), kh, mBits)).as("bit"))
       .select(col("item"), col("bit"),
         expr("bit div 62").as("word"),
         expr("shiftleft(1L, cast(pmod(bit, 62) as int))").as("mask"))

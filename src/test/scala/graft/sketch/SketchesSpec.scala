@@ -144,6 +144,16 @@ class SketchesSpec extends SparkSpec {
     assert(fp <= 2, s"implausible false-positive count for 50/2^20: $fp")
   }
 
+  test("bloom probe is per distinct item — duplicated probes are not false negatives") {
+    // the sf0.1 regression shape: a member item probed through a frame
+    // that contains it twice must still read true
+    val f = Sketches.bloomBuild(Seq("m1", "m2").toDF("item"), "item")
+    val dupProbes = Seq("m1", "m1", "nope").toDF("item")
+    val out = Sketches.bloomProbe(f, dupProbes, "item")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("m1" -> true, "nope" -> false))
+  }
+
   test("bloom filters merge word-wise: union + re-OR equals one pass") {
     val items = (1 to 80).map(i => s"it$i").toDF("item")
     val merged = Sketches.bloomBuild(items.filter(col("item") <= "it5"), "item")
