@@ -78,6 +78,16 @@ object OracleSql {
        | (strpos('0123456789abcdef', substr($hx, 3, 1)) - 1) * 16 +
        | (strpos('0123456789abcdef', substr($hx, 4, 1)) - 1))""".stripMargin
 
+  /** n-hex-char string → BIGINT (hex4's generalization for the HLL's
+    * 3-char register / 10-char rank-bits addresses).
+    */
+  private def hexN(hx: String, n: Int): String =
+    "(" + (0 until n).map { i =>
+      val mult = math.pow(16, n - 1 - i).toLong
+      val term = s"(strpos('0123456789abcdef', substr($hx, ${i + 1}, 1)) - 1)"
+      if (mult == 1L) term else s"$term * CAST($mult AS BIGINT)"
+    }.mkString(" +\n ") + ")"
+
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
   private val stopFr = Seq("le", "la", "les", "et", "est", "un")
@@ -446,6 +456,109 @@ object OracleSql {
          |  FROM pbits p LEFT JOIN fwords w ON p.bit // 62 = w.word)
          |SELECT doc_id, sum(hit) = 4 AS maybe_member
          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Deterministic HLL: register = first 3 md5 hex chars (p=12), rank
+    // bits = next 10 (40 bits), rho = 41 - bitlength via the exact base-2
+    // string conversion (bin), harmonic sum in exact longs scaled by 2^41,
+    // the two float steps spelled identically to the Spark side (IEEE ops
+    // on identical inputs), linear counting under the lm_score micro-nat
+    // quantization rule.
+    "q_hll" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(str_split(${norm("text")}, ' ')) AS tok FROM documents),
+         |tk AS (SELECT source, tok FROM toks WHERE tok <> ''),
+         |h AS (SELECT source, md5('hll:' || tok) AS hx FROM tk),
+         |rr AS (SELECT source,
+         |  ${hexN("substr(hx, 1, 3)", 3)} AS reg,
+         |  ${hexN("substr(hx, 4, 10)", 10)} AS tail FROM h),
+         |regs AS (SELECT source, reg,
+         |  max(CASE WHEN tail = 0 THEN 41 ELSE 41 - length(bin(tail)) END) AS mreg
+         |  FROM rr GROUP BY 1, 2),
+         |agg AS (SELECT source,
+         |  sum(CAST(1 AS BIGINT) << CAST(41 - mreg AS INTEGER)) AS sp,
+         |  count(*) AS pres FROM regs GROUP BY 1),
+         |est AS (SELECT source, 4096 - pres AS v,
+         |  sp + (4096 - pres) * (CAST(1 AS BIGINT) << 41) AS sumscaled FROM agg),
+         |ed AS (SELECT source, v,
+         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
+         |    * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+         |    * CAST(2199023255552.0 AS DOUBLE) / CAST(sumscaled AS DOUBLE) AS e
+         |  FROM est),
+         |fin AS (SELECT source,
+         |  CASE WHEN v > 0 AND e <= CAST(10240.0 AS DOUBLE)
+         |    THEN (4096 * CAST(round(ln(CAST(4096.0 AS DOUBLE) / CAST(v AS DOUBLE)) * 1e6) AS BIGINT)) // 1000000
+         |    ELSE CAST(floor(e) AS BIGINT) END AS hll_estimate
+         |  FROM ed),
+         |ex AS (SELECT source, count(DISTINCT tok) AS exact_distinct FROM tk GROUP BY 1)
+         |SELECT ex.source, CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+         |  f.hll_estimate
+         |FROM ex JOIN fin f ON ex.source = f.source
+         |ORDER BY ex.source""".stripMargin,
+
+    // Bloom-prefiltered join: the engine screens lineitem map-side with a
+    // Bloom filter before the exact broadcast join; a Bloom filter has no
+    // false negatives and the exact join kills false positives, so the
+    // oracle is the PLAIN join — that equality is the contract.
+    "q_bloom_join" ->
+      """SELECT s.s_suppkey, s.s_name, count(*) AS n_items,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_nationkey < 5
+        |GROUP BY 1, 2 ORDER BY s.s_suppkey""".stripMargin,
+
+    // SCD-2: collapse consecutive unchanged event_types per user, then
+    // close each surviving change at the next change's timestamp.
+    "q_scd2" ->
+      """WITH ord AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev, lag(ts) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |changes AS (
+        |  SELECT * FROM ord
+        |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM changes)
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  vt IS NULL AS is_current
+        |FROM iv ORDER BY user_id, vf""".stripMargin,
+
+    // Fixed-point PageRank, iterations unrolled (DuckDB disallows
+    // aggregates in recursive CTE terms): rank0 = SCALE//N, rank' =
+    // (15*SCALE)//(100*N) + (17 * sum(rank//deg)) // 20 — pure integer
+    // arithmetic, identical floor divisions on both engines.
+    "q_pagerank" -> {
+      val iter = (1 to 10).map { i =>
+        s"""it$i AS (
+           |  SELECT n.node, bp.base + (17 * coalesce(s.s, 0)) // 20 AS rank
+           |  FROM nodes n CROSS JOIN bparams bp
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.rank // d.deg) AS BIGINT) AS s
+           |    FROM it${i - 1} p
+           |    JOIN e0 e ON p.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e0 AS (SELECT a AS src, b AS dst FROM pairs
+         |       UNION SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+         |bparams AS (
+         |  SELECT (15 * 1000000000000) // (100 * count(*)) AS base,
+         |         1000000000000 // count(*) AS init
+         |  FROM nodes),
+         |it0 AS (SELECT node, init AS rank FROM nodes CROSS JOIN bparams),
+         |$iter
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM it10
+         |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
 
     "q_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k

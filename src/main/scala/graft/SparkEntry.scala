@@ -486,6 +486,80 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic HyperLogLog per-source distinct-token estimate next to
+    * the exact count — the hash-oracled cardinality sketch (vs the
+    * rows-only DataSketches q_approx_distinct). Registers are seeded-md5
+    * rank maxima; all range-sensitive arithmetic is exact-integer (see
+    * Sketches.hllRegisters/hllEstimate).
+    */
+  private def qHll(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(Dedup.tokensOf(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val regs = graft.sketch.Sketches.hllRegisters(toks, Seq("source"), "tok")
+    val est = graft.sketch.Sketches.hllEstimate(regs, Seq("source"))
+    val exact = toks.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("exact_distinct"))
+    exact.join(est, "source")
+      .select(col("source"), col("exact_distinct"), col("hll_estimate"))
+      .orderBy(col("source"))
+  }
+
+  /** Bloom-prefiltered join — the runtime-filter pattern as explicit
+    * operators: the small side (suppliers of one nation) publishes a
+    * Bloom filter over its keys; the BIG side (lineitem) is screened
+    * map-side by Sketches.bloomPrefilter before the exact broadcast join,
+    * so at scale the shuffle/scan carries only probable matches. Exact
+    * semantics by construction (no false negatives; false positives die
+    * in the exact join) — the oracle is the PLAIN join, which is the
+    * point.
+    */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val supp = t(s, dir, "supplier").filter(col("s_nationkey") < 5)
+      .select(col("s_suppkey"), col("s_name"))
+    val filter = graft.sketch.Sketches.bloomBuild(supp, "s_suppkey")
+    val li = graft.sketch.Sketches.bloomPrefilter(
+      t(s, dir, "lineitem"), "l_suppkey", filter)
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** SCD-2 history build over the event feed: each user's event_type
+    * change log becomes validity intervals (change-collapse first, then
+    * lead() close-out) — the snapshot-reconstruction complement of
+    * q_latest_snapshot's SCD-1 top-row.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.scd2Intervals(
+        t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("valid_from_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("is_current"), col("valid_from_ts"))
+      .orderBy(col("user_id"), col("valid_from_ts"))
+      .drop("valid_from_ts")
+
+  /** Fixed-point PageRank over the customer↔supplier trade graph
+    * (bidirectional edges from orders⋈lineitem; customers at 2k, suppliers
+    * at 2k+1). Exact integer arithmetic end-to-end → hash-oracled against
+    * DuckDB's unrolled-iteration replica. Top 20 nodes by rank.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.graph.GraphOps.pageRank(edges, iters = 10)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
   /** JSON-path extraction from the props payload (proper JSON parse, vs
     * q_events_props' regex form).
     */
@@ -1860,6 +1934,10 @@ object SparkEntry {
     "q_binned_quantiles" -> (qBinnedQuantiles _),
     "q_countmin" -> (qCountMin _),
     "q_bloom" -> (qBloom _),
+    "q_hll" -> (qHll _),
+    "q_bloom_join" -> (qBloomJoin _),
+    "q_scd2" -> (qScd2 _),
+    "q_pagerank" -> (qPageRank _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

@@ -61,4 +61,46 @@ object EventOps {
       .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset").cast("long").as("day_offset"), col("n_users"))
   }
+
+  /** SCD-2 history build: turn a change feed `(key, ts, attr)` into
+    * validity intervals `(key, attr, valid_from, valid_to, is_current)`.
+    * True type-2 semantics, not just a lead() pass: consecutive records
+    * whose attribute is UNCHANGED collapse into one interval first (a
+    * feed that re-states the same value must not fragment history), then
+    * each surviving change closes at the next change's timestamp;
+    * the last interval per key is open (`valid_to` NULL, is_current).
+    * Ordering inside a key is `ts` with `tieCol` as the deterministic
+    * tiebreak for equal timestamps.
+    *
+    * This is the snapshot-reconstruction operator next to
+    * [[graft.SparkEntry]]'s `q_latest_snapshot` (SCD-1): the as-of state
+    * of any entity is the single interval with
+    * `valid_from <= t < coalesce(valid_to, +inf)` — a range-join probe,
+    * no replay of the feed.
+    *
+    * Scale shape: two windows over the same `(key)` partitioning — one
+    * hash shuffle on the key, both sorts reuse it (Spark collapses the
+    * exchange). No join, no global sort; per-key state is the key's own
+    * change count, so skew follows the feed's hottest entity, the same
+    * bound as the continuation-merge window.
+    */
+  def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, attrCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changes = events
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .withColumn("_prevTs", lag(col(tsCol), 1).over(w))
+      // keep the first record and every real change; <=> is null-safe so
+      // a NULL attribute forms (and terminates) intervals like any value
+      .filter(col("_prevTs").isNull || !(col(attrCol) <=> col("_prev")))
+      .drop("_prev", "_prevTs")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_to_ts", lead(col(tsCol), 1).over(w2))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("valid_from_ts"), col("valid_to_ts"),
+        col("valid_to_ts").isNull.as("is_current"))
+  }
 }

@@ -232,4 +232,111 @@ object Sketches {
         graft.text.CorpusAssembly.seededBucket(item, s"bl${r}b", 65536)) % mBits
     }: _*)
   }
+
+  /** Map-side Bloom prefilter — the RUNTIME-FILTER join pattern as an
+    * explicit operator: densify a [[bloomBuild]] relation into a single
+    * bit-array literal (≤ mBits/62 longs — 128 KB at the default 2²⁰
+    * bits, the same driver-residency class as the k-means centroids) and
+    * evaluate membership per row INSIDE the scan, no shuffle, no join.
+    * Exact-join semantics are preserved by construction: a Bloom filter
+    * has no false negatives, so `bloomPrefilter(big, k, f).join(small)`
+    * equals `big.join(small)` — false positives are dropped by the exact
+    * join that follows. At 100 TB this is the difference between
+    * shuffling the big side and shipping a 128 KB array to every task
+    * (Spark's own `InjectRuntimeFilter` does this for equi-joins it can
+    * see through; this form works across separately-built frames —
+    * yesterday's corpus filter screening today's scan).
+    */
+  def bloomPrefilter(
+      df: DataFrame, keyCol: String, filter: DataFrame,
+      kh: Int = 4, mBits: Long = 1L << 20): DataFrame = {
+    val nWords = ((mBits + 61) / 62).toInt
+    val words = new Array[Long](nWords)
+    filter.select(col("word"), col("mask")).collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    val warr = lit(words)
+    val member = (0 until kh).map { r =>
+      val b = (graft.text.CorpusAssembly.seededBucket(col(keyCol), s"bl${r}a", 65536) * 65536L +
+        graft.text.CorpusAssembly.seededBucket(col(keyCol), s"bl${r}b", 65536)) % mBits
+      // b < 2^20 is exact in double, so the floor-div word index is exact
+      val mask = call_function("shiftleft", lit(1L), pmod(b, lit(62L)).cast("int"))
+      element_at(warr, floor(b / lit(62)).cast("int") + 1)
+        .bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+    df.filter(col(keyCol).isNotNull && member)
+  }
+
+  /** HyperLogLog (Flajolet et al. '07) as a DETERMINISTIC register
+    * relation — the third leg of the mergeable-sketch family (Count-Min =
+    * frequency, Bloom = membership, HLL = cardinality). Unlike the
+    * DataSketches-backed [[approxDistinct]], whose estimates shift with
+    * the partial-merge tree (HIP vs composite estimator), this spelled-out
+    * form is bit-stable end-to-end and therefore HASH-ORACLED: register
+    * addresses and rank bits come from seeded md5 ("hll:" — the
+    * engine-portable hash), the register state is `max(rho)` (idempotent,
+    * commutative — independent of partitioning, duplication, and merge
+    * order), and [[hllEstimate]] does all range-sensitive arithmetic in
+    * exact integers.
+    *
+    * Returns the per-group register relation `(groupCols..., reg, mreg)`:
+    * at most 2^p rows per group regardless of input size. Registers for
+    * finer groups (days, shards, sources) merge into coarser ones by
+    * union + re-`max(mreg)` — the sketch-family law — with estimates
+    * identical to a single build over the union (HllSpec pins this
+    * differentially, a property the built-in HLL cannot offer).
+    *
+    * Rank geometry: 12 register bits (p=12 → m=4096, ~1.6% rse) from the
+    * first 3 md5 hex chars, rho over the NEXT 40 bits (10 hex chars) —
+    * rho = 41 - bitlength(tail), tail=0 → 41. Bit length via the base-2
+    * string conversion both engines implement exactly (`conv(hex,16,2)` /
+    * `bin(int)`), not floating log2.
+    */
+  def hllRegisters(
+      df: DataFrame, groupCols: Seq[String], itemCol: String): DataFrame = {
+    val hx = graft.text.CorpusAssembly.seededKey(col(itemCol), "hll")
+    val tailHex = substring(hx, 4, 10)
+    val tail = conv(tailHex, 16, 10).cast("long")
+    val rho = when(tail === 0L, 41)
+      .otherwise(lit(41) - length(conv(tailHex, 16, 2))).cast("int")
+    df.filter(col(itemCol).isNotNull)
+      .groupBy((groupCols.map(col) :+
+        conv(substring(hx, 1, 3), 16, 10).cast("int").as("reg")): _*)
+      .agg(max(rho).as("mreg"))
+  }
+
+  /** Cardinality estimate from a [[hllRegisters]] relation, one row per
+    * group: `(groupCols..., hll_estimate: BIGINT)`.
+    *
+    * Bit-stable across engines by construction: the harmonic sum
+    * Σ 2^−M_j is computed as EXACT LONG arithmetic scaled by 2^41
+    * (every term 2^(41−M) is a power of two ≤ 2^41; the total is
+    * ≤ m·2^41 = 2^53, inside both the long and exact-double range), so
+    * the only floating-point steps are two IEEE multiplies and one
+    * divide on identical inputs — identical results on any IEEE engine.
+    * The small-range branch (E ≤ 2.5m with empty registers) uses linear
+    * counting m·ln(m/V) under the lm_score micro-nat rule:
+    * round(ln·10⁶) per DISTINCT V, then exact integer multiply/divide —
+    * libm ulp differences cannot survive the quantization.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val m = 4096L // 2^12, fixed by hllRegisters' 3-hex register address
+    val pow241 = 1L << 41
+    // identical literal chain on the DuckDB side — IEEE ops on identical
+    // inputs in the same order are bit-identical
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(call_function("shiftleft", lit(1L),
+          (lit(41) - col("mreg")).cast("int"))).as("sp"),
+        count(lit(1)).as("pres"))
+      .withColumn("v", lit(m) - col("pres"))
+      .withColumn("sumscaled", col("sp") + col("v") * lit(pow241))
+      .withColumn("e",
+        lit(alphaM2) * lit(pow241.toDouble) / col("sumscaled").cast("double"))
+      .withColumn("hll_estimate",
+        when(col("v") > 0L && col("e") <= lit(2.5 * 4096.0),
+          expr("(4096 * cast(round(ln(4096.0d / cast(v as double)) * 1e6) as bigint)) div 1000000"))
+          .otherwise(floor(col("e")).cast("long")))
+      .select((groupCols.map(col) :+ col("hll_estimate")): _*)
+  }
 }

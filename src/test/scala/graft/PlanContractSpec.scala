@@ -179,4 +179,40 @@ class PlanContractSpec extends SparkSpec {
     val pc = planOf("q_countmin")
     assert(pc.contains("BroadcastHashJoin"), pc.take(2000))
   }
+
+  test("bloom-prefiltered join screens the big side MAP-SIDE, then broadcasts the dim") {
+    val p = planOf("q_bloom_join")
+    // the densified filter is evaluated as a plain Filter over the scan —
+    // the membership test must appear as a filter condition (shiftleft of
+    // the seeded addresses), not as a join against the (word, mask) rows
+    assert(p.contains("shiftleft"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("HLL build is one partial-aggregating hash pass; no window, no join") {
+    val p = planOf("q_hll")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), s"q_hll must not window:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("SCD-2 hash-partitions by the entity key and reuses ONE shuffle for both windows") {
+    val p = planOf("q_scd2")
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    // change-collapse lag + close-out lead must share the (key) exchange:
+    // exactly one hash shuffle in the whole plan (the final ORDER BY adds
+    // a range partitioning, not a hash one)
+    val hashShuffles = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"q_scd2 re-shuffled between its two windows ($hashShuffles):\n${p.take(3000)}")
+  }
+
+  test("pageRank iterations reuse the persisted edge/degree relations") {
+    val p = planOf("q_pagerank")
+    // static relations enter iterations via InMemoryTableScan (persist),
+    // not by re-running the orders⋈lineitem build ten times
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -1,0 +1,49 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = GraphOps.RankScale
+
+  test("pageRank: symmetric two-node graph splits rank evenly") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = GraphOps.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    // total mass conserved up to per-node floor truncation (< iters units)
+    assert(math.abs(out.values.sum - Scale) < 1000L)
+  }
+
+  test("pageRank: star graph ranks the hub above the leaves") {
+    // undirected star: hub 0 <-> leaves 1..5
+    val pairs = (1L to 5L).map(l => (0L, l))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.pageRank(edges, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(l => out(0L) > out(l)))
+    // leaves are symmetric — identical rank, exactly
+    assert((2L to 5L).forall(l => out(l) == out(1L)))
+  }
+
+  test("pageRank: dangling node keeps its mass via the self-loop (no leak)") {
+    // 1 -> 2, 2 has no out-edge: operator adds 2 -> 2
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = GraphOps.pageRank(edges, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) > out(1L)) // sink accumulates
+    assert(math.abs(out.values.sum - Scale) < 1000L)
+  }
+
+  test("pageRank is deterministic under repartitioning and duplicate edges") {
+    val pairs = (1L to 30L).flatMap(i => Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
+    val edges = pairs.toDF("src", "dst")
+    val a = GraphOps.pageRank(edges.repartition(1), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pageRank(edges.union(edges).repartition(11), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}

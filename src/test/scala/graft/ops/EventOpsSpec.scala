@@ -54,4 +54,50 @@ class EventOpsSpec extends SparkSpec {
       ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
       ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
   }
+
+  test("scd2Intervals: collapses restated values, closes at next change, last open") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "bronze"),
+      (1L, 2L, ts("2024-01-02 10:00:00"), "bronze"), // restated — must collapse
+      (1L, 3L, ts("2024-01-03 10:00:00"), "silver"),
+      (1L, 4L, ts("2024-01-04 10:00:00"), "gold"),
+      (2L, 5L, ts("2024-01-01 09:00:00"), "silver"))
+      .toDF("user_id", "event_id", "t", "tier")
+    val out = EventOps.scd2Intervals(ev, "user_id", "t", "event_id", "tier")
+      .orderBy("user_id", "valid_from_ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toString.take(19),
+        Option(r.getTimestamp(3)).map(_.toString.take(19)).orNull,
+        r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      (1L, "bronze", "2024-01-01 10:00:00", "2024-01-03 10:00:00", false),
+      (1L, "silver", "2024-01-03 10:00:00", "2024-01-04 10:00:00", false),
+      (1L, "gold", "2024-01-04 10:00:00", null, true),
+      (2L, "silver", "2024-01-01 09:00:00", null, true)))
+  }
+
+  test("scd2Intervals: NULL attribute forms and terminates intervals null-safely") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), Some("a")),
+      (1L, 2L, ts("2024-01-02 10:00:00"), None), // a -> NULL is a change
+      (1L, 3L, ts("2024-01-03 10:00:00"), None), // NULL restated — collapses
+      (1L, 4L, ts("2024-01-04 10:00:00"), Some("a")))
+      .toDF("user_id", "event_id", "t", "tier")
+    val out = EventOps.scd2Intervals(ev, "user_id", "t", "event_id", "tier")
+      .orderBy("user_id", "valid_from_ts")
+      .collect().map(r => (Option(r.getString(1)).orNull, r.getBoolean(4))).toSeq
+    assert(out == Seq(("a", false), (null, false), ("a", true)))
+  }
+
+  test("scd2Intervals: equal timestamps break ties on the tie column") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val ev = Seq((1L, 2L, t0, "b"), (1L, 1L, t0, "a"))
+      .toDF("user_id", "event_id", "t", "tier")
+    val out = EventOps.scd2Intervals(ev, "user_id", "t", "event_id", "tier")
+      .orderBy("valid_from_ts", "tier").collect()
+      .map(r => (r.getString(1), r.getBoolean(4))).toSeq
+    // event_id 1 ("a") precedes 2 ("b"): a closes, b stays current
+    assert(out == Seq(("a", false), ("b", true)))
+  }
 }

@@ -164,4 +164,67 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(merged == full)
   }
+
+  test("bloomPrefilter keeps every true member and join semantics are exact") {
+    val keys = (1 to 40).map(i => i.toLong * 7)
+    val small = keys.toDF("k")
+    val filter = Sketches.bloomBuild(small, "k")
+    val big = (1 to 2000).map(_.toLong).toDF("k")
+    val pre = Sketches.bloomPrefilter(big, "k", filter)
+    val preKeys = pre.collect().map(_.getLong(0)).toSet
+    // no false negatives: every real member survives the prefilter
+    assert(keys.filter(_ <= 2000).forall(preKeys.contains))
+    // exact-join equivalence: prefilter + join == plain join
+    val joined = pre.join(small.withColumnRenamed("k", "k2"), col("k") === col("k2"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val plain = big.join(small.withColumnRenamed("k", "k2"), col("k") === col("k2"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(joined == plain)
+  }
+
+  test("deterministic HLL estimates land within rse bounds, registers bounded by 2^12") {
+    val docs = (1 to 8000).map(i => ("g", s"tok$i")).toDF("grp", "item")
+    val regs = Sketches.hllRegisters(docs, Seq("grp"), "item")
+    assert(regs.count() <= 4096)
+    val est = Sketches.hllEstimate(regs, Seq("grp"))
+      .collect().head.getLong(1)
+    // p=12 → rse ~1.6%; allow 4 sigma
+    assert(math.abs(est - 8000.0) / 8000.0 < 0.07, s"estimate $est vs 8000")
+  }
+
+  test("HLL small-range (linear counting) branch is accurate and exact-integer") {
+    val docs = (1 to 300).map(i => ("g", s"x$i")).toDF("grp", "item")
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(docs, Seq("grp"), "item"), Seq("grp"))
+      .collect().head.getLong(1)
+    assert(math.abs(est - 300.0) / 300.0 < 0.1, s"LC estimate $est vs 300")
+  }
+
+  test("HLL registers merge by union + re-max with the identical estimate") {
+    val docs = (1 to 6000).map(i => (s"s${i % 3}", s"tok${i % 4000}"))
+      .toDF("src", "item")
+    val perSrc = Sketches.hllRegisters(docs, Seq("src"), "item")
+    val mergedRegs = perSrc
+      .groupBy(col("reg")).agg(max(col("mreg")).as("mreg"))
+      .withColumn("all", lit("all"))
+    val mergedEst = Sketches.hllEstimate(mergedRegs, Seq("all"))
+      .collect().head.getLong(1)
+    val onceRegs = Sketches.hllRegisters(
+      docs.withColumn("all", lit("all")), Seq("all"), "item")
+    val onceEst = Sketches.hllEstimate(onceRegs, Seq("all"))
+      .collect().head.getLong(1)
+    assert(mergedEst == onceEst,
+      s"merged estimate $mergedEst != build-once $onceEst — the sketch law broke")
+  }
+
+  test("HLL estimate is invariant under repartitioning and duplication") {
+    val docs = (1 to 2500).map(i => ("g", s"tok${i % 2000}")).toDF("grp", "item")
+    val a = Sketches.hllEstimate(
+      Sketches.hllRegisters(docs.repartition(1), Seq("grp"), "item"), Seq("grp"))
+      .collect().head.getLong(1)
+    val b = Sketches.hllEstimate(
+      Sketches.hllRegisters(docs.union(docs).repartition(13), Seq("grp"), "item"),
+      Seq("grp")).collect().head.getLong(1)
+    assert(a == b)
+  }
 }
