@@ -544,8 +544,8 @@ object OracleSql {
            |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
       }.mkString(",\n")
       s"""WITH pairs AS (
-         |  SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
-         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem),
          |e0 AS (SELECT a AS src, b AS dst FROM pairs
          |       UNION SELECT b AS src, a AS dst FROM pairs),
          |nodes AS (SELECT DISTINCT src AS node FROM e0),

@@ -543,19 +543,21 @@ object SparkEntry {
       .orderBy(col("user_id"), col("valid_from_ts"))
       .drop("valid_from_ts")
 
-  /** Fixed-point PageRank over the customer↔supplier trade graph
-    * (bidirectional edges from orders⋈lineitem; customers at 2k, suppliers
-    * at 2k+1). Exact integer arithmetic end-to-end → hash-oracled against
-    * DuckDB's unrolled-iteration replica. Top 20 nodes by rank.
+  /** Fixed-point PageRank over the part↔supplier supply graph
+    * (bidirectional edges straight off lineitem; parts at 2k, suppliers
+    * at 2k+1 — no join needed to build the edge list). Exact integer
+    * arithmetic end-to-end → hash-oracled against DuckDB's
+    * unrolled-iteration replica. Top 20 nodes by rank.
     */
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+    val pairs = t(s, dir, "lineitem")
+      .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    graft.graph.GraphOps.pageRank(edges, iters = 10)
+    // pairs is distinct and the two directions are disjoint (even→odd /
+    // odd→even) — the union is already a set, skip the operator's dedup
+    graft.graph.GraphOps.pageRank(edges, iters = 10, dedupEdges = false)
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
   }

@@ -208,11 +208,14 @@ class PlanContractSpec extends SparkSpec {
       s"q_scd2 re-shuffled between its two windows ($hashShuffles):\n${p.take(3000)}")
   }
 
-  test("pageRank iterations reuse the persisted edge/degree relations") {
+  test("pageRank's final plan reads the checkpointed ranks, never the base tables") {
     val p = planOf("q_pagerank")
-    // static relations enter iterations via InMemoryTableScan (persist),
-    // not by re-running the orders⋈lineitem build ten times
-    assert(p.contains("InMemoryTableScan"), p.take(3000))
-    assert(!p.contains("CartesianProduct"))
+    // iterations ran eagerly behind localCheckpoint: the returned plan
+    // must be a top-k over the checkpointed RDD — if lineitem's FileScan
+    // (or any join) appears here, lineage truncation broke and every
+    // downstream action would replay ten iterations
+    assert(p.contains("ExistingRDD"), p.take(3000))
+    assert(!p.contains("FileScan"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 }
