@@ -432,16 +432,15 @@ object OracleSql {
          |FROM probes p JOIN est e ON p.tok = e.tok
          |ORDER BY item""".stripMargin,
 
-    // Bloom screen: 32-bit seeded addresses (two composed 16-bit md5
-    // halves) mod 2^20, packed 62 bits/word (a 63-bit shift is an
-    // out-of-range ERROR in DuckDB), bit_or words, all-kh-bits-set probe.
+    // Bloom screen: four 32-bit address slices of one seeded md5 digest,
+    // mod 2^20, packed 62 bits/word (a 63-bit shift is an out-of-range
+    // ERROR in DuckDB), bit_or words, all-kh-bits-set probe.
     "q_bloom" ->
       s"""WITH fps AS (
          |  SELECT doc_id, md5(${norm("text")}) AS fp FROM documents),
          |pbits AS (
          |  SELECT doc_id, fp,
-         |    ((${hex4("substr(md5('bl' || r.r || 'a:' || fp), 1, 4)")} * 65536 +
-         |      ${hex4("substr(md5('bl' || r.r || 'b:' || fp), 1, 4)")}) % 1048576) AS bit
+         |    (${hexN("substr(md5('bl0:' || fp), CAST(r.r * 8 + 1 AS INTEGER), 8)", 8)} % 1048576) AS bit
          |  FROM fps, range(0, 4) r(r)),
          |fwords AS (
          |  SELECT bit // 62 AS word,
