@@ -559,6 +559,56 @@ object OracleSql {
          |ORDER BY rank DESC, node LIMIT 20""".stripMargin
     },
 
+    // Efraimidis–Spirakis weighted sampling: exponential keys −ln(u)/w
+    // under the house quantization (u from the 40-bit seeded md5 tail,
+    // micro-nat ln, exact integer floor-div by the weight), top-5/source.
+    "q_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT source, doc_id, n_chars,
+         |    ${hexN("substr(md5('ws:' || doc_id), 1, 10)", 10)} + 1 AS tail
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |k AS (
+         |  SELECT source, doc_id, n_chars,
+         |    (CAST(round(-ln(CAST(tail AS DOUBLE) / 1099511627776.0) * 1e6) AS BIGINT)
+         |      * 1000000) // n_chars AS sk
+         |  FROM w),
+         |r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY sk, doc_id) AS rn
+         |  FROM k)
+         |SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+         |FROM r WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin,
+
+    // Streaming HLL distinct-per-hour must equal the batch replica of the
+    // identical register/estimate formula (see q_hll for the arithmetic).
+    "q_stream_distinct" ->
+      s"""WITH h AS (
+         |  SELECT date_trunc('hour', ts) AS ws, md5('hll:' || user_id) AS hx
+         |  FROM events),
+         |rr AS (SELECT ws,
+         |  ${hexN("substr(hx, 1, 3)", 3)} AS reg,
+         |  ${hexN("substr(hx, 4, 10)", 10)} AS tail FROM h),
+         |regs AS (SELECT ws, reg,
+         |  max(CASE WHEN tail = 0 THEN 41 ELSE 41 - length(bin(tail)) END) AS mreg
+         |  FROM rr GROUP BY 1, 2),
+         |agg AS (SELECT ws,
+         |  sum(CAST(1 AS BIGINT) << CAST(41 - mreg AS INTEGER)) AS sp,
+         |  count(*) AS pres FROM regs GROUP BY 1),
+         |est AS (SELECT ws, 4096 - pres AS v,
+         |  sp + (4096 - pres) * (CAST(1 AS BIGINT) << 41) AS sumscaled FROM agg),
+         |ed AS (SELECT ws, v,
+         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
+         |    * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+         |    * CAST(2199023255552.0 AS DOUBLE) / CAST(sumscaled AS DOUBLE) AS e
+         |  FROM est),
+         |fin AS (SELECT ws,
+         |  CASE WHEN v > 0 AND e <= CAST(10240.0 AS DOUBLE)
+         |    THEN (4096 * CAST(round(ln(CAST(4096.0 AS DOUBLE) / CAST(v AS DOUBLE)) * 1e6) AS BIGINT)) // 1000000
+         |    ELSE CAST(floor(e) AS BIGINT) END AS hll_estimate
+         |  FROM ed)
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, hll_estimate
+         |FROM fin ORDER BY window_start""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

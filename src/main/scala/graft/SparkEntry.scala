@@ -562,6 +562,60 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Efraimidis–Spirakis weighted sampling without replacement: 5 docs
+    * per source drawn proportional to n_chars, via quantized exponential
+    * keys — deterministic, so fully hash-oracled.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.weightedSample(
+        t(s, dir, "documents"), Seq("source"), "doc_id", "n_chars",
+        k = 5, seed = "ws")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Streaming distinct users per hour via the deterministic HLL register
+    * state (MemoryStream replay, complete mode). The sink's register
+    * relation is estimated batch-side with the same exact-integer
+    * formula, so the whole streaming pipeline hash-oracles against a
+    * DuckDB batch replica — the property the built-in
+    * approx_count_distinct stream could never give.
+    */
+  private def qStreamDistinct(s: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = t(s, dir, "events")
+      .select(col("ts"), col("user_id"))
+      .orderBy(col("ts"), col("user_id"))
+    val n = src.count()
+    val rows = src.toLocalIterator().asScala
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val regs = StreamingOps.streamingWindowedDistinct(
+      mem.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      width = "1 hour", watermark = "2 hours")
+    val sink = "q_stream_distinct_sink"
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    // 4 (not the family's 8): complete-mode re-emission makes state
+    // commits + sink writes the cost driver, and the register state is a
+    // few hundred rows per window — partition count buys nothing here.
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try regs.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    try {
+      rows.grouped(math.max(2000, (n / 4 + 1).toInt))
+        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+    } finally q.stop()
+    graft.sketch.Sketches.hllEstimate(s.table(sink), Seq("window_start"))
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("hll_estimate"))
+      .orderBy(col("window_start"))
+  }
+
   /** JSON-path extraction from the props payload (proper JSON parse, vs
     * q_events_props' regex form).
     */
@@ -837,6 +891,10 @@ object SparkEntry {
     // FOUR state stores per side per partition, and commit cycles — not
     // data volume — dominate this replay. State partition count is fixed
     // at the first checkpoint; size it to key cardinality, not cores.
+    // RocksDB state store measured here (round 8): 6.2 s vs 5.0 s for the
+    // default in-memory provider — JNI + per-batch snapshot overhead on a
+    // KB-scale state. RocksDB pays off when per-partition state outgrows
+    // the heap (real deployments of THIS join shape), not in this replay.
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try joined.writeStream.format("memory").queryName(sink)
@@ -1940,6 +1998,8 @@ object SparkEntry {
     "q_bloom_join" -> (qBloomJoin _),
     "q_scd2" -> (qScd2 _),
     "q_pagerank" -> (qPageRank _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_stream_distinct" -> (qStreamDistinct _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

@@ -308,18 +308,25 @@ object Sketches {
     * string conversion both engines implement exactly (`conv(hex,16,2)` /
     * `bin(int)`), not floating log2.
     */
-  def hllRegisters(
-      df: DataFrame, groupCols: Seq[String], itemCol: String): DataFrame = {
-    val hx = graft.text.CorpusAssembly.seededKey(col(itemCol), "hll")
-    val tailHex = substring(hx, 4, 10)
+  /** Register address of an item: first 3 seeded-md5 hex chars (p=12). */
+  private[graft] def hllReg(item: Column): Column =
+    conv(substring(graft.text.CorpusAssembly.seededKey(item, "hll"), 1, 3),
+      16, 10).cast("int")
+
+  /** Rank of an item: 41 − bitlength of the next 40 md5 bits (0 → 41). */
+  private[graft] def hllRho(item: Column): Column = {
+    val tailHex =
+      substring(graft.text.CorpusAssembly.seededKey(item, "hll"), 4, 10)
     val tail = conv(tailHex, 16, 10).cast("long")
-    val rho = when(tail === 0L, 41)
+    when(tail === 0L, 41)
       .otherwise(lit(41) - length(conv(tailHex, 16, 2))).cast("int")
-    df.filter(col(itemCol).isNotNull)
-      .groupBy((groupCols.map(col) :+
-        conv(substring(hx, 1, 3), 16, 10).cast("int").as("reg")): _*)
-      .agg(max(rho).as("mreg"))
   }
+
+  def hllRegisters(
+      df: DataFrame, groupCols: Seq[String], itemCol: String): DataFrame =
+    df.filter(col(itemCol).isNotNull)
+      .groupBy((groupCols.map(col) :+ hllReg(col(itemCol)).as("reg")): _*)
+      .agg(max(hllRho(col(itemCol))).as("mreg"))
 
   /** Cardinality estimate from a [[hllRegisters]] relation, one row per
     * group: `(groupCols..., hll_estimate: BIGINT)`.

@@ -42,6 +42,28 @@ object StreamingOps {
       watermark: String = "2 hours"): DataFrame =
     tumblingAgg(events.withWatermark("ts", watermark), width)
 
+  /** Streaming distinct-count sketch: deterministic HLL registers per
+    * tumbling window — the UNBOUNDED-cardinality answer streaming exact
+    * distinct cannot give. State per window is ≤ 2¹² register maxima (a
+    * few KB) REGARDLESS of how many distinct items the window sees, and
+    * `max` is idempotent/commutative, so late or replayed data never
+    * corrupts the state — the property that makes sketch aggregations
+    * the only safe distinct under at-least-once delivery. The emitted
+    * register relation feeds [[graft.sketch.Sketches.hllEstimate]]
+    * downstream, and registers for adjacent windows/streams union +
+    * re-max into coarser rollups (the sketch-family merge law), so the
+    * same state serves per-hour, per-day, and per-source reads.
+    */
+  def streamingWindowedDistinct(
+      events: DataFrame, tsCol: String, itemCol: String,
+      width: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), width),
+        graft.sketch.Sketches.hllReg(col(itemCol)).as("reg"))
+      .agg(max(graft.sketch.Sketches.hllRho(col(itemCol))).as("mreg"))
+      .select(col("window.start").as("window_start"), col("reg"), col("mreg"))
+
   /** Streaming exact dedup: first occurrence per key wins; duplicate
     * arrivals within the watermark horizon are dropped and the key state
     * is GC'd once the watermark passes — the streaming member of the

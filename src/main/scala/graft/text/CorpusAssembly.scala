@@ -187,6 +187,49 @@ object CorpusAssembly {
       .drop("_n")
   }
 
+  /** Weighted sampling WITHOUT replacement per group (Efraimidis &
+    * Spirakis '06): keep the k rows with the smallest exponential keys
+    * −ln(u)/w, where u is a seeded-md5 uniform — equivalent to drawing k
+    * items sequentially with probability proportional to `weightCol`, but
+    * expressed as one deterministic key computation + per-group top-k (no
+    * sequential draws, no RNG state). The quality-weighted corpus
+    * subsampling operator ("keep 100 docs per source, long docs more
+    * likely") that uniform hash-cutoff sampling ([[sampleStratified]])
+    * cannot express.
+    *
+    * Deterministic and engine-portable by the house quantization rules:
+    * u = (40-bit seeded md5 tail + 1) / 2⁴⁰ (exact in double), the ln is
+    * micro-nat-quantized (`round(·10⁶)` — libm ulp differences cannot
+    * survive it), and the division by the weight is an exact integer
+    * floor-div of the micro-key scaled by 10⁶. Ties (rare — distinct
+    * hashes) break on the id. Rows with NULL or non-positive weight are
+    * excluded (a zero-weight item must never be drawn).
+    *
+    * Scale: key computation is a pure projection; the top-k is one
+    * per-group window over hash-partitioned groups — the same shape and
+    * skew bound as `q_topk_per_group`. For a single global group prefer
+    * partial top-k + merge (the TakeOrdered pattern) over one window
+    * partition.
+    */
+  def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: String, k: Int, seed: String): DataFrame = {
+    require(k >= 1, "weightedSample needs k >= 1")
+    val tail = conv(substring(seededKey(col(idCol), seed), 1, 10), 16, 10)
+      .cast("long") + lit(1L)
+    val u = tail.cast("double") / lit(1099511627776.0) // 2^40 — u in (0, 1]
+    val lnMicro = round(-log(u) * lit(1e6)).cast("long")
+    val sortKey = expr(s"(_ws_ln * 1000000) div cast($weightCol as bigint)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("_ws_key"), col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_ws_ln", lnMicro)
+      .withColumn("_ws_key", sortKey)
+      .withColumn("_ws_rn", row_number().over(w))
+      .filter(col("_ws_rn") <= k)
+      .drop("_ws_ln", "_ws_key", "_ws_rn")
+  }
+
   /** Corpus attrition report: for an ordered chain of filter stages, how
     * many documents survive each prefix of the chain and how many the
     * stage removed from the previous survivors — the per-filter kill

@@ -148,4 +148,39 @@ class StreamingOpsSpec extends SparkSpec {
     val r = StreamingOps.slidingAgg(ev, width = "10 minutes", slide = "5 minutes")
     assert(r.count() == 2) // 10:00-10:10 and 10:05-10:15
   }
+
+  test("streaming windowed HLL registers equal the batch build (replay differential)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val regs = StreamingOps.streamingWindowedDistinct(
+      mem.toDF().toDF("ts", "user_id"), "ts", "user_id")
+    val q = regs.writeStream.format("memory")
+      .queryName("wd_sink").outputMode("complete").start()
+    val data = (1 to 400).map { i =>
+      (Timestamp.valueOf(s"2024-01-01 ${10 + i % 3}:0${i % 6}:00"), (i % 150).toLong)
+    }
+    try {
+      // two out-of-order batches: max is idempotent/commutative, so the
+      // split must not matter
+      mem.addData(data.filter(_._2 % 2 == 0): _*); q.processAllAvailable()
+      mem.addData(data.filter(_._2 % 2 == 1): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("wd_sink")
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getInt(2))).toSet
+    val batch = graft.sketch.Sketches.hllRegisters(
+        data.toDF("ts", "user_id")
+          .withColumn("window_start", date_trunc("hour", col("ts"))),
+        Seq("window_start"), "user_id")
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+    // duplicated replay (at-least-once delivery) leaves the state unchanged
+    val q2 = regs.writeStream.format("memory")
+      .queryName("wd_sink2").outputMode("complete").start()
+    try {
+      mem.addData(data: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val replayed = spark.table("wd_sink2")
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getInt(2))).toSet
+    assert(replayed == batch)
+  }
 }

@@ -245,6 +245,40 @@ class CorpusAssemblySpec extends SparkSpec {
         Map("a" -> 0.7, "b" -> 0.7)))
   }
 
+  test("weightedSample: deterministic, weight-proportional, excludes non-positive weights") {
+    val docs = (1L to 100L).map(i => ("s", i, if (i == 7L) 1000000L else 1L))
+      .toDF("source", "doc_id", "w")
+    // a ~10^6:1 favourite must win the k=1 draw for essentially any seed
+    val winners = Seq("a", "b", "c", "d", "e").map { seed =>
+      CorpusAssembly.weightedSample(docs, Seq("source"), "doc_id", "w", 1, seed)
+        .collect().head.getLong(1)
+    }
+    assert(winners.count(_ == 7L) >= 4, s"heavy item rarely drawn: $winners")
+    // determinism under layout
+    val a = CorpusAssembly.weightedSample(docs.repartition(1), Seq("source"),
+      "doc_id", "w", 10, "s1").collect().map(_.getLong(1)).toSet
+    val b = CorpusAssembly.weightedSample(docs.repartition(7), Seq("source"),
+      "doc_id", "w", 10, "s1").collect().map(_.getLong(1)).toSet
+    assert(a == b && a.size == 10)
+    // zero/NULL weights can never be drawn; k > group size keeps the rest
+    val edge = Seq(("s", 1L, 5L), ("s", 2L, 0L), ("s", 3L, 5L))
+      .toDF("source", "doc_id", "w")
+      .union(Seq(("s", 4L)).toDF("source", "doc_id")
+        .withColumn("w", lit(null).cast("long")))
+    val kept = CorpusAssembly.weightedSample(edge, Seq("source"),
+      "doc_id", "w", 10, "x").collect().map(_.getLong(1)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("weightedSample: exact k per group, groups independent") {
+    val docs = (1L to 60L).map(i => (s"g${i % 3}", i, i))
+      .toDF("source", "doc_id", "w")
+    val out = CorpusAssembly.weightedSample(docs, Seq("source"),
+      "doc_id", "w", 4, "s")
+    val byGrp = out.collect().groupBy(_.getString(0)).map { case (g, rs) => g -> rs.length }
+    assert(byGrp == Map("g0" -> 4, "g1" -> 4, "g2" -> 4))
+  }
+
   test("vocabCoverage: k >= vocabulary size covers everything") {
     val tiny = Seq((1L, "aa bb aa"), (2L, "bb cc")).toDF("doc_id", "text")
     val rows = CorpusAssembly.vocabCoverage(tiny, "text", k = 10)
