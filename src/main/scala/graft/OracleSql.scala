@@ -485,7 +485,7 @@ object OracleSql {
          |  FROM est),
          |fin AS (SELECT source,
          |  CASE WHEN v > 0 AND e <= CAST(10240.0 AS DOUBLE)
-         |    THEN (4096 * CAST(round(ln(CAST(4096.0 AS DOUBLE) / CAST(v AS DOUBLE)) * 1e6) AS BIGINT)) // 1000000
+         |    THEN (4096 * CAST(round(ln(CAST(4096.0 AS DOUBLE) / CAST(v AS DOUBLE)) * 1e6) AS BIGINT) + 500000) // 1000000
          |    ELSE CAST(floor(e) AS BIGINT) END AS hll_estimate
          |  FROM ed),
          |ex AS (SELECT source, count(DISTINCT tok) AS exact_distinct FROM tk GROUP BY 1)
@@ -603,11 +603,73 @@ object OracleSql {
          |  FROM est),
          |fin AS (SELECT ws,
          |  CASE WHEN v > 0 AND e <= CAST(10240.0 AS DOUBLE)
-         |    THEN (4096 * CAST(round(ln(CAST(4096.0 AS DOUBLE) / CAST(v AS DOUBLE)) * 1e6) AS BIGINT)) // 1000000
+         |    THEN (4096 * CAST(round(ln(CAST(4096.0 AS DOUBLE) / CAST(v AS DOUBLE)) * 1e6) AS BIGINT) + 500000) // 1000000
          |    ELSE CAST(floor(e) AS BIGINT) END AS hll_estimate
          |  FROM ed)
          |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, hll_estimate
          |FROM fin ORDER BY window_start""".stripMargin,
+
+    // Snapshot diff: fingerprint both snapshots, full-outer join on id.
+    "q_corpus_diff" ->
+      s"""WITH old AS (
+         |  SELECT doc_id, md5(${norm("text")}) AS fp FROM documents),
+         |newd AS (
+         |  SELECT doc_id,
+         |    md5(${norm("CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END")}) AS fp
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, md5(${norm("text")})
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |j AS (
+         |  SELECT coalesce(o.doc_id, n.doc_id) AS id,
+         |    CASE WHEN o.fp IS NULL THEN 'added'
+         |         WHEN n.fp IS NULL THEN 'removed'
+         |         WHEN o.fp <> n.fp THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM old o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+         |SELECT status, count(*) AS n_docs,
+         |  min(id) AS min_id, max(id) AS max_id
+         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    // One-pass profile: stacked (column, value) strings; stats + the
+    // deterministic HLL estimate (q_hll's arithmetic) per column.
+    "q_profile" ->
+      s"""WITH st AS (
+         |  SELECT 'doc_id' AS c, CAST(doc_id AS VARCHAR) AS value FROM documents
+         |  UNION ALL SELECT 'lang', lang FROM documents
+         |  UNION ALL SELECT 'source', source FROM documents
+         |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+         |stats AS (
+         |  SELECT c, count(*) AS n_rows,
+         |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |    min(value) AS min_val, max(value) AS max_val
+         |  FROM st GROUP BY 1),
+         |h AS (SELECT c, md5('hll:' || value) AS hx FROM st WHERE value IS NOT NULL),
+         |rr AS (SELECT c,
+         |  ${hexN("substr(hx, 1, 3)", 3)} AS reg,
+         |  ${hexN("substr(hx, 4, 10)", 10)} AS tail FROM h),
+         |regs AS (SELECT c, reg,
+         |  max(CASE WHEN tail = 0 THEN 41 ELSE 41 - length(bin(tail)) END) AS mreg
+         |  FROM rr GROUP BY 1, 2),
+         |agg AS (SELECT c,
+         |  sum(CAST(1 AS BIGINT) << CAST(41 - mreg AS INTEGER)) AS sp,
+         |  count(*) AS pres FROM regs GROUP BY 1),
+         |est AS (SELECT c, 4096 - pres AS v,
+         |  sp + (4096 - pres) * (CAST(1 AS BIGINT) << 41) AS sumscaled FROM agg),
+         |ed AS (SELECT c, v,
+         |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
+         |    * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+         |    * CAST(2199023255552.0 AS DOUBLE) / CAST(sumscaled AS DOUBLE) AS e
+         |  FROM est),
+         |fin AS (SELECT c,
+         |  CASE WHEN v > 0 AND e <= CAST(10240.0 AS DOUBLE)
+         |    THEN (4096 * CAST(round(ln(CAST(4096.0 AS DOUBLE) / CAST(v AS DOUBLE)) * 1e6) AS BIGINT) + 500000) // 1000000
+         |    ELSE CAST(floor(e) AS BIGINT) END AS hll_estimate
+         |  FROM ed)
+         |SELECT s.c AS "column", CAST(s.n_rows AS BIGINT) AS n_rows, s.n_nulls,
+         |  coalesce(f.hll_estimate, 0) AS n_distinct_est, s.min_val, s.max_val
+         |FROM stats s LEFT JOIN fin f ON s.c = f.c
+         |ORDER BY s.c""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k

@@ -616,6 +616,35 @@ object SparkEntry {
       .orderBy(col("window_start"))
   }
 
+  /** Snapshot-to-snapshot corpus delta: a synthetic "next crawl" (every
+    * 7th doc dropped, every 5th edited, every 11th re-added under a new
+    * id) classified added/removed/changed/unchanged by content
+    * fingerprint — per-status counts and id ranges.
+    */
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val newDf = docs.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.snapshotDiff(docs, newDf, "doc_id", "text")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("status"))
+  }
+
+  /** One-pass column profile of the documents table (stack → two hash
+    * aggregations; distinct via the deterministic HLL) — fully
+    * hash-oracled, including the estimates.
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.sketch.Profiler.profileColumns(
+        t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy(col("column"))
+
   /** JSON-path extraction from the props payload (proper JSON parse, vs
     * q_events_props' regex form).
     */
@@ -2000,6 +2029,8 @@ object SparkEntry {
     "q_pagerank" -> (qPageRank _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_stream_distinct" -> (qStreamDistinct _),
+    "q_corpus_diff" -> (qCorpusDiff _),
+    "q_profile" -> (qProfile _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

@@ -476,6 +476,34 @@ object Dedup {
       "left_anti")
   }
 
+  /** Snapshot-to-snapshot corpus delta: classify every document id as
+    * `added` / `removed` / `changed` / `unchanged` between two corpus
+    * snapshots by comparing content fingerprints — the incremental-crawl
+    * bookkeeping pass that decides what actually needs re-processing
+    * (re-dedup, re-embed, re-enrich) instead of replaying the whole
+    * pipeline on the new snapshot. [[dedupAgainst]] answers "is this
+    * content anywhere in the standing set"; this answers "what happened
+    * to each ID".
+    *
+    * Returns `(id, status)` for the union of ids. Scale: two md5-key
+    * projections and ONE hash full-outer join on the id — the text never
+    * joins, never shuffles beyond its 16-byte fingerprint.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(Cols.q(idCol).as("id"),
+      md5(normalizeText(Cols.q(textCol))).as("_fp_old"))
+    val nw = newDf.select(Cols.q(idCol).as("_id_new"),
+      md5(normalizeText(Cols.q(textCol))).as("_fp_new"))
+    o.join(nw, col("id") === col("_id_new"), "full_outer")
+      .select(coalesce(col("id"), col("_id_new")).as("id"),
+        when(col("_fp_old").isNull, lit("added"))
+          .when(col("_fp_new").isNull, lit("removed"))
+          .when(col("_fp_old") =!= col("_fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Quality-aware canonical selection: map every document to its
     * near-dup cluster and the cluster's BEST member (highest `quality`,
     * ties to the smallest id) — what production dedup actually keeps,

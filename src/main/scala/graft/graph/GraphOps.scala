@@ -73,6 +73,11 @@ object GraphOps {
         col("node") === col("src"), "left_anti")
       .select(col("node").as("src"), col("node").as("dst"))
     val n = nodes.count()
+    if (n == 0) { // empty edge set → empty ranking, not a division by zero
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      return nodes.select(col("node"), lit(0L).as("rank"))
+    }
     val nE = e.count() // cached by the nodes pass — a metadata-cheap job
     val base = 15L * RankScale / (100L * n)
     // Size iteration parallelism to the GRAPH, not the session default:

@@ -1,0 +1,45 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the "what is in this table" pass every
+  * pipeline runs before setting filters and budgets, shaped for scale:
+  * the frame is stacked to `(column, value)` STRING pairs once, then the
+  * whole profile is two hash aggregations over the stack (simple stats,
+  * and the deterministic HLL register relation for distinct estimates).
+  * No per-column jobs, no exact count-distinct (whose state is the
+  * column's full value set — the thing that does not fit at 100 TB).
+  */
+object Profiler {
+
+  /** Profile `cols` of `df`: one row per column —
+    * `(column, n_rows, n_nulls, n_distinct_est, min_val, max_val)`.
+    *
+    * Values are profiled AS STRINGS (cast once in the stack): min/max are
+    * lexicographic and the distinct estimate is over the string form —
+    * the uniform treatment that lets one operator profile any schema and
+    * both engines agree byte-for-byte. The distinct estimate is the
+    * deterministic [[Sketches.hllEstimate]] (±~1.6%), so the whole
+    * profile hash-oracles; NULLs count toward `n_nulls`, never toward
+    * distinct.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val stackArgs: Seq[Column] = cols.flatMap(c =>
+      Seq(lit(c), col(c).cast("string")))
+    val stacked = df.select(
+      stack(lit(cols.size) +: stackArgs: _*).as(Seq("column", "value")))
+    val stats = stacked.groupBy(col("column")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      min(col("value")).as("min_val"),
+      max(col("value")).as("max_val"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(stacked, Seq("column"), "value"), Seq("column"))
+    stats.join(est, Seq("column"), "left")
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        coalesce(col("hll_estimate"), lit(0L)).as("n_distinct_est"),
+        col("min_val"), col("max_val"))
+  }
+}

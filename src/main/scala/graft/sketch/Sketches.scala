@@ -359,7 +359,10 @@ object Sketches {
         lit(alphaM2) * lit(pow241.toDouble) / col("sumscaled").cast("double"))
       .withColumn("hll_estimate",
         when(col("v") > 0L && col("e") <= lit(2.5 * 4096.0),
-          expr("(4096 * cast(round(ln(4096.0d / cast(v as double)) * 1e6) as bigint)) div 1000000"))
+          // + 500000 rounds the micro-quantized m·ln(m/V) to NEAREST:
+          // a plain floor under-reads exact tiny cardinalities by one
+          // (2 distinct → 2.0004 → 1.9988 quantized → 1)
+          expr("(4096 * cast(round(ln(4096.0d / cast(v as double)) * 1e6) as bigint) + 500000) div 1000000"))
           .otherwise(floor(col("e")).cast("long")))
       .select((groupCols.map(col) :+ col("hll_estimate")): _*)
   }

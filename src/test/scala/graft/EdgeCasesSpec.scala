@@ -188,4 +188,38 @@ class EdgeCasesSpec extends SparkSpec {
       Seq((0L, Seq(0f))).toDF("vec_id", "embedding").schema)
     assert(Similarity.semanticDedup(emptyEmb, "vec_id", "embedding").count() == 0)
   }
+
+  test("round-8 session-2 ops tolerate empty and degenerate inputs") {
+    import graft.text.CorpusAssembly
+    import graft.sketch.Sketches
+    // pageRank on an empty edge set: empty ranking, not a division by zero
+    val emptyEdges = Seq((1L, 2L)).toDF("src", "dst").filter(lit(false))
+    assert(graft.graph.GraphOps.pageRank(emptyEdges, iters = 3).count() == 0)
+    // null endpoints are dropped, not propagated
+    val nullEdges = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+        (None, Some(3L))).toDF("src", "dst")
+    val pr = graft.graph.GraphOps.pageRank(nullEdges, iters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(pr == Set(1L, 2L))
+    // hll on empty input: empty registers, empty estimate
+    val noItems = Seq(("g", "x")).toDF("grp", "item").filter(lit(false))
+    val regs = Sketches.hllRegisters(noItems, Seq("grp"), "item")
+    assert(regs.count() == 0)
+    assert(Sketches.hllEstimate(regs, Seq("grp")).count() == 0)
+    // bloomPrefilter against an EMPTY filter keeps nothing
+    val emptyFilter = Sketches.bloomBuild(
+      Seq("x").toDF("item").filter(lit(false)), "item")
+    assert(Sketches.bloomPrefilter(
+      Seq("a", "b").toDF("k"), "k", emptyFilter).count() == 0)
+    // weightedSample: all-non-positive weights → empty, k > survivors OK
+    val wdocs = Seq(("s", 1L, 0L), ("s", 2L, -3L)).toDF("source", "doc_id", "w")
+    assert(CorpusAssembly.weightedSample(
+      wdocs, Seq("source"), "doc_id", "w", 5, "z").count() == 0)
+    // scd2 on empty input keeps the contract schema
+    val noEv = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("user_id", "event_id", "t", "tier").filter(lit(false))
+    val iv = graft.ops.EventOps.scd2Intervals(noEv, "user_id", "t", "event_id", "tier")
+    assert(iv.count() == 0 &&
+      iv.columns.toSeq == Seq("user_id", "tier", "valid_from_ts", "valid_to_ts", "is_current"))
+  }
 }

@@ -349,4 +349,25 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, 0L, "one two")))
     assert(out(4L)._4 == "")
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by content") {
+    val oldDf = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val newDf = Seq((1L, "alpha"),        // unchanged
+        (2L, "beta EDITED"),              // changed
+        (5L, "epsilon"))                  // added; 3,4 removed
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldDf, newDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "removed", 5L -> "added"))
+    // content-level, not byte-level: normalization-equivalent text is
+    // unchanged (case/punctuation folding — same rule as exact dedup)
+    val normEq = Dedup.snapshotDiff(
+        Seq((1L, "Hello, World")).toDF("doc_id", "text"),
+        Seq((1L, "hello   world")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getString(1)).toSeq
+    assert(normEq == Seq("unchanged"))
+  }
 }

@@ -217,6 +217,23 @@ class SketchesSpec extends SparkSpec {
       s"merged estimate $mergedEst != build-once $onceEst — the sketch law broke")
   }
 
+  test("profileColumns: exact stats, near-exact distinct, nulls counted not profiled") {
+    val rows = Seq(
+      (1L, Some("en"), 10L), (2L, Some("de"), 20L),
+      (3L, None, 10L), (4L, Some("en"), 30L))
+      .toDF("id", "lang", "n")
+    val p = Profiler.profileColumns(rows, Seq("id", "lang", "n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(p("lang") == ((4L, 1L, 2L, "de", "en"))) // null not in min/distinct
+    assert(p("n") == ((4L, 0L, 3L, "10", "30")))    // strings: "30" > "20" > "10"
+    // all-null column: zero distinct, null min/max
+    val alln = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
+    val pn = Profiler.profileColumns(alln, Seq("s")).collect().head
+    assert(pn.getLong(2) == 2L && pn.getLong(3) == 0L && pn.isNullAt(4))
+  }
+
   test("HLL estimate is invariant under repartitioning and duplication") {
     val docs = (1 to 2500).map(i => ("g", s"tok${i % 2000}")).toDF("grp", "item")
     val a = Sketches.hllEstimate(
