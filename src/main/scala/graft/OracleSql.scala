@@ -88,6 +88,29 @@ object OracleSql {
       if (mult == 1L) term else s"$term * CAST($mult AS BIGINT)"
     }.mkString(" +\n ") + ")"
 
+  /** The HLL estimate CTE chain (q_hll's arithmetic) over a `regs`-shaped
+    * relation `srcCte(keys..., reg, mreg)`, emitting `fin(keys...,
+    * hll_estimate)`. `keys` are the group columns carried through.
+    */
+  private def hllEstChain(prefix: String, srcCte: String, keys: Seq[String]): String = {
+    val ks = keys.mkString(", ")
+    s"""${prefix}agg AS (SELECT $ks,
+       |  sum(CAST(1 AS BIGINT) << CAST(41 - mreg AS INTEGER)) AS sp,
+       |  count(*) AS pres FROM $srcCte GROUP BY $ks),
+       |${prefix}est AS (SELECT $ks, 4096 - pres AS v,
+       |  sp + (4096 - pres) * (CAST(1 AS BIGINT) << 41) AS sumscaled FROM ${prefix}agg),
+       |${prefix}ed AS (SELECT $ks, v,
+       |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE))
+       |    * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+       |    * CAST(2199023255552.0 AS DOUBLE) / CAST(sumscaled AS DOUBLE) AS e
+       |  FROM ${prefix}est),
+       |${prefix}fin AS (SELECT $ks,
+       |  CASE WHEN v > 0 AND e <= CAST(10240.0 AS DOUBLE)
+       |    THEN (4096 * CAST(round(ln(CAST(4096.0 AS DOUBLE) / CAST(v AS DOUBLE)) * 1e6) AS BIGINT) + 500000) // 1000000
+       |    ELSE CAST(floor(e) AS BIGINT) END AS hll_estimate
+       |  FROM ${prefix}ed)""".stripMargin
+  }
+
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "ein")
   private val stopFr = Seq("le", "la", "les", "et", "est", "un")
@@ -670,6 +693,73 @@ object OracleSql {
          |  coalesce(f.hll_estimate, 0) AS n_distinct_est, s.min_val, s.max_val
          |FROM stats s LEFT JOIN fin f ON s.c = f.c
          |ORDER BY s.c""".stripMargin,
+
+    // Weighted PageRank, 6 unrolled iterations: contribution =
+    // (rank * w) // sum-of-weights(src), otherwise q_pagerank's integer
+    // arithmetic verbatim.
+    "q_pagerank_weighted" -> {
+      val iter = (1 to 6).map { i =>
+        s"""it$i AS (
+           |  SELECT n.node, bp.base + (17 * coalesce(s.s, 0)) // 20 AS rank
+           |  FROM nodes n CROSS JOIN bparams bp
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum((p.rank * e.w) // d.deg) AS BIGINT) AS s
+           |    FROM it${i - 1} p
+           |    JOIN e0 e ON p.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |e0 AS (SELECT a AS src, b AS dst, w FROM pairs
+         |       UNION ALL SELECT b AS src, a AS dst, w FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM e0),
+         |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+         |bparams AS (
+         |  SELECT (15 * 1000000000000) // (100 * count(*)) AS base,
+         |         1000000000000 // count(*) AS init
+         |  FROM nodes),
+         |it0 AS (SELECT node, init AS rank FROM nodes CROSS JOIN bparams),
+         |$iter
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM it6
+         |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+
+    // Pairwise source-vocabulary overlap by HLL inclusion–exclusion:
+    // per-source estimates + union-of-registers estimates, all from the
+    // one register relation (q_hll's arithmetic via the shared chain).
+    "q_hll_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(str_split(${norm("text")}, ' ')) AS tok FROM documents),
+         |tk AS (SELECT source, tok FROM toks WHERE tok <> ''),
+         |h AS (SELECT source, md5('hll:' || tok) AS hx FROM tk),
+         |rr AS (SELECT source,
+         |  ${hexN("substr(hx, 1, 3)", 3)} AS reg,
+         |  ${hexN("substr(hx, 4, 10)", 10)} AS tail FROM h),
+         |regs AS (SELECT source, reg,
+         |  max(CASE WHEN tail = 0 THEN 41 ELSE 41 - length(bin(tail)) END) AS mreg
+         |  FROM rr GROUP BY 1, 2),
+         |${hllEstChain("s_", "regs", Seq("source"))},
+         |prs AS (
+         |  SELECT g1.source AS a, g2.source AS b
+         |  FROM (SELECT DISTINCT source FROM regs) g1,
+         |       (SELECT DISTINCT source FROM regs) g2
+         |  WHERE g1.source < g2.source),
+         |mregs AS (
+         |  SELECT p.a, p.b, r.reg, max(r.mreg) AS mreg
+         |  FROM prs p JOIN regs r ON r.source = p.a OR r.source = p.b
+         |  GROUP BY 1, 2, 3),
+         |${hllEstChain("u_", "mregs", Seq("a", "b"))}
+         |SELECT u.a, u.b,
+         |  ea.hll_estimate AS distinct_a, eb.hll_estimate AS distinct_b,
+         |  u.hll_estimate AS union_est,
+         |  greatest(0, ea.hll_estimate + eb.hll_estimate - u.hll_estimate) AS overlap_est
+         |FROM u_fin u
+         |JOIN s_fin ea ON ea.source = u.a
+         |JOIN s_fin eb ON eb.source = u.b
+         |ORDER BY u.a, u.b""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k

@@ -645,6 +645,36 @@ object SparkEntry {
         t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
       .orderBy(col("column"))
 
+  /** WEIGHTED PageRank over the part↔supplier graph — edge weight =
+    * lineitem count for the pair (out-mass splits proportionally), 6
+    * iterations. Same exact-integer arithmetic as q_pagerank.
+    */
+  private def qPageRankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "lineitem")
+      .groupBy((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    graft.graph.GraphOps.pageRank(edges, iters = 6, dedupEdges = false,
+        weightCol = Some("w"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
+  /** Pairwise distinct-token overlap between sources from ONE register
+    * relation (inclusion–exclusion over the HLL merge law) — the base
+    * table is scanned once; every pair estimate comes from register
+    * algebra. Fully hash-oracled including the estimates.
+    */
+  private def qHllOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(Dedup.tokensOf(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val regs = graft.sketch.Sketches.hllRegisters(toks, Seq("source"), "tok")
+    graft.sketch.Sketches.hllOverlap(regs, "source")
+      .orderBy(col("a"), col("b"))
+  }
+
   /** JSON-path extraction from the props payload (proper JSON parse, vs
     * q_events_props' regex form).
     */
@@ -2031,6 +2061,8 @@ object SparkEntry {
     "q_stream_distinct" -> (qStreamDistinct _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_profile" -> (qProfile _),
+    "q_pagerank_weighted" -> (qPageRankWeighted _),
+    "q_hll_overlap" -> (qHllOverlap _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

@@ -55,14 +55,25 @@ object GraphOps {
     * lazily. No collect of ranks, no adjacency broadcast.
     */
   def pageRank(edges: DataFrame, iters: Int = 10,
-      dedupEdges: Boolean = true): DataFrame = {
+      dedupEdges: Boolean = true,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
+    // Weighted form: out-mass splits proportionally to integer edge
+    // weights — contribution = (rank·w) div W(src). Weights must fit
+    // rank·w in a long (w < ~9·10⁶ at full rank); ANSI mode fails loudly
+    // on overflow rather than wrapping. Unweighted is the w=1 special
+    // case of the same arithmetic, so both forms share one code path.
+    val wExpr = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e0 = edges
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .select(col("src").cast("long"), col("dst").cast("long"))
-    // set semantics by default; callers whose edge build already ends in
-    // a distinct (the common case) skip this full-relation shuffle
-    val e = (if (dedupEdges) e0.distinct() else e0)
+      .filter(col("src").isNotNull && col("dst").isNotNull && wExpr > 0L)
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        wExpr.as("w"))
+    // set semantics by default: parallel edges collapse, weights SUMMING
+    // (the multigraph rule); callers whose edge build already ends in a
+    // grouped/distinct form skip this full-relation shuffle
+    val e = (if (dedupEdges)
+        e0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      else e0)
       .persist(StorageLevel.MEMORY_AND_DISK) // read 4× below (nodes, loops, allE×2)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -71,7 +82,8 @@ object GraphOps {
     val selfLoops = nodes
       .join(e.select(col("src")).distinct(),
         col("node") === col("src"), "left_anti")
-      .select(col("node").as("src"), col("node").as("dst"))
+      .select(col("node").as("src"), col("node").as("dst"),
+        lit(1L).as("w"))
     val n = nodes.count()
     if (n == 0) { // empty edge set → empty ranking, not a division by zero
       e.unpersist(blocking = false)
@@ -99,7 +111,7 @@ object GraphOps {
     // (it feeds both the edge rows and the degree aggregation).
     val u = e.union(selfLoops).persist(StorageLevel.MEMORY_AND_DISK)
     val allE = u
-      .join(u.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .join(u.groupBy(col("src")).agg(sum(col("w")).as("deg")), "src")
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -119,7 +131,7 @@ object GraphOps {
     try {
       def step(r: DataFrame): DataFrame = r
         .join(allE, col("node") === col("src"))
-        .select(col("dst"), expr("rank div deg").as("c"))
+        .select(col("dst"), expr("(rank * w) div deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
         .join(nodes, col("node") === col("dst"), "right")

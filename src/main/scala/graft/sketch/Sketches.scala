@@ -308,6 +308,38 @@ object Sketches {
     * string conversion both engines implement exactly (`conv(hex,16,2)` /
     * `bin(int)`), not floating log2.
     */
+  /** Pairwise distinct-set overlap estimates between groups from ONE
+    * register relation — the payoff of the sketch merge law: for every
+    * unordered group pair (a, b), |A∩B| ≈ est(A) + est(B) − est(A∪B),
+    * where est(A∪B) comes from union + re-max of the two groups'
+    * registers, NOT from rescanning the data. Cross-source vocabulary /
+    * audience overlap at corpus scale reads |groups|²·2¹² register rows
+    * — the base data is touched zero times. Inclusion–exclusion noise
+    * can dip below zero; the estimate clamps at 0 (documented, still
+    * deterministic). Returns
+    * `(a, b, distinct_a, distinct_b, union_est, overlap_est)`.
+    */
+  def hllOverlap(registers: DataFrame, groupCol: String): DataFrame = {
+    val est = hllEstimate(registers, Seq(groupCol))
+    val estA = est.select(col(groupCol).as("a"), col("hll_estimate").as("distinct_a"))
+    val estB = est.select(col(groupCol).as("b"), col("hll_estimate").as("distinct_b"))
+    val groups = registers.select(col(groupCol).as("g")).distinct()
+    val pairs = groups.select(col("g").as("a"))
+      .join(groups.select(col("g").as("b")), col("a") < col("b"))
+    val r = registers.select(col(groupCol).as("g"), col("reg"), col("mreg"))
+    val merged = pairs.join(r, col("g") === col("a") || col("g") === col("b"))
+      .groupBy(col("a"), col("b"), col("reg"))
+      .agg(max(col("mreg")).as("mreg"))
+    hllEstimate(merged, Seq("a", "b"))
+      .withColumnRenamed("hll_estimate", "union_est")
+      .join(estA, "a").join(estB, "b")
+      .select(col("a"), col("b"), col("distinct_a"), col("distinct_b"),
+        col("union_est"),
+        greatest(lit(0L),
+          col("distinct_a") + col("distinct_b") - col("union_est"))
+          .as("overlap_est"))
+  }
+
   /** Register address of an item: first 3 seeded-md5 hex chars (p=12). */
   private[graft] def hllReg(item: Column): Column =
     conv(substring(graft.text.CorpusAssembly.seededKey(item, "hll"), 1, 3),

@@ -37,6 +37,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(out.values.sum - Scale) < 1000L)
   }
 
+  test("weighted pageRank: all-1 weights equal the unweighted form exactly") {
+    val pairs = (1L to 20L).flatMap(i => Seq((i, i % 5 + 50L), (i % 5 + 50L, i)))
+    val unw = GraphOps.pageRank(pairs.toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = GraphOps.pageRank(
+        pairs.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+        iters = 4, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unw == w1)
+  }
+
+  test("weighted pageRank: out-mass follows the weights; parallel edges sum") {
+    // node 1 points at 2 (weight 9) and 3 (weight 1): 2 must outrank 3
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val out = GraphOps.pageRank(edges, iters = 6, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) > out(3L))
+    // parallel edges collapse by SUMMING weights: 9 as one edge ==
+    // 9 parallel unit edges
+    val parallel = (Seq((1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L)) ++
+        Seq.fill(9)((1L, 2L, 1L))).toDF("src", "dst", "w")
+    val out2 = GraphOps.pageRank(parallel, iters = 6, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == out)
+  }
+
   test("pageRank is deterministic under repartitioning and duplicate edges") {
     val pairs = (1L to 30L).flatMap(i => Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
     val edges = pairs.toDF("src", "dst")

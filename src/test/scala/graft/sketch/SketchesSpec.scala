@@ -234,6 +234,24 @@ class SketchesSpec extends SparkSpec {
     assert(pn.getLong(2) == 2L && pn.getLong(3) == 0L && pn.isNullAt(4))
   }
 
+  test("hllOverlap: inclusion-exclusion tracks true overlaps, clamps at zero") {
+    // A = 1..2000, B = 1001..3000 (overlap 1000), C = 9001..9400 (disjoint)
+    val items = ((1 to 2000).map(i => ("A", s"t$i")) ++
+      (1001 to 3000).map(i => ("B", s"t$i")) ++
+      (9001 to 9400).map(i => ("C", s"t$i"))).toDF("g", "item")
+    val regs = Sketches.hllRegisters(items, Seq("g"), "item")
+    val out = Sketches.hllOverlap(regs, "g")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (da, db, uab, oab) = out(("A", "B"))
+    assert(math.abs(oab - 1000.0) / 1000.0 < 0.25, s"A∩B est $oab vs 1000")
+    assert(math.abs(uab - 3000.0) / 3000.0 < 0.07, s"A∪B est $uab vs 3000")
+    assert(oab == da + db - uab) // the algebra, exactly
+    val (_, _, _, oac) = out(("A", "C"))
+    assert(oac <= 60, s"disjoint overlap should be ~0, got $oac") // clamped noise
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+  }
+
   test("HLL estimate is invariant under repartitioning and duplication") {
     val docs = (1 to 2500).map(i => ("g", s"tok${i % 2000}")).toDF("grp", "item")
     val a = Sketches.hllEstimate(
