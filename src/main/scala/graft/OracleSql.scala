@@ -761,6 +761,28 @@ object OracleSql {
          |JOIN s_fin eb ON eb.source = u.b
          |ORDER BY u.a, u.b""".stripMargin,
 
+    // MAD outliers: medians quantized to 4 dp before the strict-> flag
+    // (boundary stability), same interpolated-median parity as
+    // q_percentiles.
+    "q_outliers" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority, round(median(o_totalprice), 4) AS med
+        |  FROM orders GROUP BY 1),
+        |mad AS (
+        |  SELECT o.o_orderpriority,
+        |    round(median(abs(o.o_totalprice - m.med)), 4) AS mad
+        |  FROM orders o JOIN med m USING (o_orderpriority) GROUP BY 1),
+        |fl AS (
+        |  SELECT o.o_orderpriority, o.o_totalprice,
+        |    abs(o.o_totalprice - m.med) > 3.0 * d.mad AS is_out
+        |  FROM orders o
+        |  JOIN med m USING (o_orderpriority)
+        |  JOIN mad d USING (o_orderpriority))
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(CASE WHEN is_out THEN o_totalprice END), 2) AS max_outlier
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

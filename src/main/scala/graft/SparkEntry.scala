@@ -675,6 +675,20 @@ object SparkEntry {
       .orderBy(col("a"), col("b"))
   }
 
+  /** MAD outlier screen over order values per priority class — median ±
+    * 3·MAD, the robust form of the z-score filter (50% breakdown point
+    * vs 0 for mean/stddev).
+    */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame =
+    ops.RobustStats.madOutliers(
+        t(s, dir, "orders"), Seq("o_orderpriority"), "o_totalprice", k = 3.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        round(max(when(col("is_outlier"), col("o_totalprice"))), 2)
+          .as("max_outlier"))
+      .orderBy(col("o_orderpriority"))
+
   /** JSON-path extraction from the props payload (proper JSON parse, vs
     * q_events_props' regex form).
     */
@@ -2063,6 +2077,7 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_pagerank_weighted" -> (qPageRankWeighted _),
     "q_hll_overlap" -> (qHllOverlap _),
+    "q_outliers" -> (qOutliers _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust (median-based) outlier detection — the screening pass that mean
+  * ± k·stddev cannot do on heavy-tailed pipeline metrics (a single
+  * outlier inflates the stddev that is supposed to catch it; the median
+  * absolute deviation has a 50% breakdown point).
+  */
+object RobustStats {
+
+  /** Flag rows whose `|value − median| > k · MAD` within their group
+    * (MAD = median of absolute deviations from the group median).
+    * Returns the input columns plus `is_outlier`.
+    *
+    * Deterministic cross-engine: the two medians are quantized to 4
+    * decimals BEFORE the comparison (both engines interpolate medians
+    * identically to far beyond 4 dp — the q_percentiles parity — and the
+    * quantized thresholds make the strict `>` flag boundary-stable).
+    *
+    * Scale: two grouped EXACT percentile aggregations (each buffers the
+    * group's values — the honest cost of exact medians) + two broadcast-
+    * size joins of |groups|-row relations back onto the stream. At
+    * 100 TB group widths, swap the medians for
+    * [[graft.sketch.Sketches.binnedQuantiles]] estimates (error ≤ one
+    * bin) — the same pairing as q_percentiles / q_approx_percentile.
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliers needs group columns")
+    val g = groupCols.map(col)
+    val med = df.groupBy(g: _*)
+      .agg(round(percentile(col(valueCol), lit(0.5)), 4).as("_rs_med"))
+    val withMed = df.join(med, groupCols)
+    val mad = withMed.groupBy(g: _*)
+      .agg(round(percentile(abs(col(valueCol) - col("_rs_med")), lit(0.5)), 4)
+        .as("_rs_mad"))
+    withMed.join(mad, groupCols)
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("_rs_med")) > lit(k) * col("_rs_mad"))
+      .drop("_rs_med", "_rs_mad")
+  }
+
+  /** Trimmed and winsorized means per group — the two standard robust
+    * location estimates next to the median: trimming DROPS values outside
+    * the [loPct, hiPct] quantiles, winsorizing CLAMPS them to those
+    * quantiles (every row still votes, extreme rows just vote at the
+    * fence).
+    *
+    * Deterministic cross-engine by integer fixed-point arithmetic
+    * end-to-end: values and quantile fences are quantized to 10⁻⁴ units
+    * (exact for any input with ≤4 decimal digits — floating sums of such
+    * values ARE order-dependent, long sums are not), comparisons/clamps
+    * run in long space, and each mean is one exact integer floor-division
+    * reported in 10⁻⁶ units. Returns one row per group:
+    * `(groupCols*, n, n_kept, trimmed_mean_micro, winsor_mean_micro)`;
+    * `trimmed_mean_micro` is NULL for the degenerate group whose trim
+    * window contains no actual value (possible at tiny n — the fences
+    * interpolate between observations).
+    *
+    * Scale: one exact grouped percentile pass (buffers each group's
+    * values — the honest exact-quantile cost, same pairing as
+    * q_percentiles: swap in [[graft.sketch.Sketches.binnedQuantiles]]
+    * fences at 100 TB group widths) + a broadcast-size join of the
+    * |groups|-row fence relation + one final hash aggregation.
+    */
+  def trimmedStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame = {
+    require(groupCols.nonEmpty, "trimmedStats needs group columns")
+    require(0.0 <= loPct && loPct < hiPct && hiPct <= 1.0,
+      s"need 0 <= loPct < hiPct <= 1, got ($loPct, $hiPct)")
+    val g = groupCols.map(col)
+    val v4 = round(col(valueCol) * 10000).cast("long")
+    val rows = df.filter(col(valueCol).isNotNull)
+    val fences = rows.groupBy(g: _*).agg(
+      round(percentile(col(valueCol), lit(loPct)) * 10000).cast("long").as("_rs_lo4"),
+      round(percentile(col(valueCol), lit(hiPct)) * 10000).cast("long").as("_rs_hi4"))
+    rows.select(g :+ v4.as("_rs_v4"): _*)
+      .join(fences, groupCols)
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_rs_v4").between(col("_rs_lo4"), col("_rs_hi4")), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("_rs_v4").between(col("_rs_lo4"), col("_rs_hi4")),
+          col("_rs_v4")).otherwise(0L)).as("_rs_tsum"),
+        sum(least(greatest(col("_rs_v4"), col("_rs_lo4")), col("_rs_hi4")))
+          .as("_rs_wsum"))
+      .select((g ++ Seq(col("n"), col("n_kept"),
+        when(col("n_kept") > 0L, expr("(_rs_tsum * 100) div n_kept"))
+          .as("trimmed_mean_micro"),
+        expr("(_rs_wsum * 100) div n").as("winsor_mean_micro"))): _*)
+  }
+}
