@@ -25,6 +25,35 @@ class RobustStatsSpec extends SparkSpec {
     assert(Seq(10.0, 20.0, 30.0, 40.0).forall(v => !out(("b", v))))
   }
 
+  test("trimmedStats: hand-checked fences, trimmed and winsorized means") {
+    // 1..10 at (0.1, 0.9): fences 1.9 / 9.1 → keep 2..9 (mean 5.5);
+    // winsorizing clamps 1→1.9 and 10→9.1 → mean also exactly 5.5
+    val d = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "x")
+    val r = RobustStats.trimmedStats(d, Seq("g"), "x", 0.1, 0.9).collect().head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 8L)
+    assert(r.getLong(3) == 5500000L && r.getLong(4) == 5500000L)
+  }
+
+  test("trimmedStats: empty trim window yields NULL trimmed mean, winsor still defined") {
+    // {0, 100} at (0.05, 0.95): fences 5/95 contain no value → trimmed
+    // NULL; winsorized mean = (5 + 95) / 2 = 50
+    val d = Seq(("g", 0.0), ("g", 100.0)).toDF("g", "x")
+    val r = RobustStats.trimmedStats(d, Seq("g"), "x").collect().head
+    assert(r.getLong(2) == 0L && r.isNullAt(3))
+    assert(r.getLong(4) == 50000000L)
+  }
+
+  test("trimmedStats ignores null values and keeps groups independent") {
+    val d = (Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None)) ++ (1 to 10).map(i => ("b", Some(i * 10.0))))
+      .toDF("g", "x")
+    val out = RobustStats.trimmedStats(d, Seq("g"), "x", 0.0, 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 3L) // null row never counted
+    assert(out("a").getLong(3) == 2000000L) // untrimmed mean of 1,2,3
+    assert(out("b").getLong(3) == 55000000L)
+  }
+
   test("madOutliers matches a classical z-score screen on symmetric data but survives contamination") {
     // 10% gross contamination: mean/stddev screen misses planted spikes
     // (masking), the MAD screen does not
