@@ -783,6 +783,31 @@ object OracleSql {
         |  round(max(CASE WHEN is_out THEN o_totalprice END), 2) AS max_outlier
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Trimmed/winsorized means: fences and values quantized to 1e-4 long
+    // units (round-to-integer of the interpolated quantile — the same
+    // quantile_cont parity as q_percentiles), exact long sums, one integer
+    // floor-division per mean. DuckDB integer sums are HUGEINT → CAST.
+    "q_trimmed_stats" ->
+      """WITH f AS (
+        |  SELECT o_orderstatus,
+        |    CAST(round(quantile_cont(o_totalprice, 0.05) * 10000) AS BIGINT) AS lo4,
+        |    CAST(round(quantile_cont(o_totalprice, 0.95) * 10000) AS BIGINT) AS hi4
+        |  FROM orders GROUP BY 1),
+        |v AS (
+        |  SELECT o.o_orderstatus,
+        |    CAST(round(o.o_totalprice * 10000) AS BIGINT) AS v4, f.lo4, f.hi4
+        |  FROM orders o JOIN f USING (o_orderstatus)),
+        |a AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN v4 BETWEEN lo4 AND hi4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(sum(CASE WHEN v4 BETWEEN lo4 AND hi4 THEN v4 ELSE 0 END) AS BIGINT) AS tsum,
+        |    CAST(sum(least(greatest(v4, lo4), hi4)) AS BIGINT) AS wsum
+        |  FROM v GROUP BY 1)
+        |SELECT o_orderstatus, n, n_kept,
+        |  CASE WHEN n_kept > 0 THEN (tsum * 100) // n_kept END AS trimmed_mean_micro,
+        |  (wsum * 100) // n AS winsor_mean_micro
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

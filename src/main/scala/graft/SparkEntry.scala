@@ -689,6 +689,15 @@ object SparkEntry {
           .as("max_outlier"))
       .orderBy(col("o_orderpriority"))
 
+  /** Trimmed/winsorized mean of order values per status — the robust
+    * location estimates next to q_outliers' MAD screen; fixed-point longs
+    * end-to-end so the means are bit-stable across engines.
+    */
+  private def qTrimmedStats(s: SparkSession, dir: String): DataFrame =
+    ops.RobustStats.trimmedStats(
+        t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
+      .orderBy(col("o_orderstatus"))
+
   /** JSON-path extraction from the props payload (proper JSON parse, vs
     * q_events_props' regex form).
     */
@@ -2078,6 +2087,7 @@ object SparkEntry {
     "q_pagerank_weighted" -> (qPageRankWeighted _),
     "q_hll_overlap" -> (qHllOverlap _),
     "q_outliers" -> (qOutliers _),
+    "q_trimmed_stats" -> (qTrimmedStats _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),
