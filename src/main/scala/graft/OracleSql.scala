@@ -808,6 +808,29 @@ object OracleSql {
         |  (wsum * 100) // n AS winsor_mean_micro
         |FROM a ORDER BY o_orderstatus""".stripMargin,
 
+    // Grouped OLS: HUGEINT power sums mirror Spark's decimal(38,0) exact
+    // accumulation; // truncates toward zero exactly like Spark's div
+    // (both verified on negative operands).
+    "q_linear_trend" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS HUGEINT) AS x,
+        |    CAST(CAST(round(o_totalprice * 10000) AS BIGINT) AS HUGEINT) AS y
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |a AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+        |  FROM v GROUP BY 1),
+        |d AS (
+        |  SELECT o_orderpriority, n, sx, sy,
+        |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM a)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den > 0 THEN CAST((num * 100) // den AS BIGINT) END AS slope_micro,
+        |  CASE WHEN den > 0 THEN CAST(((sy*den - num*sx) * 100) // (n*den) AS BIGINT) END AS intercept_micro,
+        |  CAST((sy * 100) // n AS BIGINT) AS mean_y_micro
+        |FROM d ORDER BY o_orderpriority""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

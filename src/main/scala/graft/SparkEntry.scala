@@ -698,6 +698,16 @@ object SparkEntry {
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .orderBy(col("o_orderstatus"))
 
+  /** Grouped OLS trend: order value drift per priority class over the
+    * order date — one partial-aggregable pass, exact decimal power sums.
+    */
+  private def qLinearTrend(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.linearTrend(
+        t(s, dir, "orders").withColumn("x_day",
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))),
+        Seq("o_orderpriority"), "x_day", "o_totalprice")
+      .orderBy(col("o_orderpriority"))
+
   /** JSON-path extraction from the props payload (proper JSON parse, vs
     * q_events_props' regex form).
     */
@@ -2088,6 +2098,7 @@ object SparkEntry {
     "q_hll_overlap" -> (qHllOverlap _),
     "q_outliers" -> (qOutliers _),
     "q_trimmed_stats" -> (qTrimmedStats _),
+    "q_linear_trend" -> (qLinearTrend _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

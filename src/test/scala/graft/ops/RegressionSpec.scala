@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("linearTrend recovers an exact line: slope, intercept, mean") {
+    // y = 2x + 3 over x = 1..10 → slope 2, intercept 3, mean y = 14
+    val d = (1 to 10).map(x => ("g", x, 2.0 * x + 3.0)).toDF("g", "x", "y")
+    val r = Regression.linearTrend(d, Seq("g"), "x", "y").collect().head
+    assert(r.getLong(1) == 10L)
+    assert(r.getLong(2) == 2000000L)
+    assert(r.getLong(3) == 3000000L)
+    assert(r.getLong(4) == 14000000L)
+  }
+
+  test("linearTrend truncates rational slopes toward zero, both signs") {
+    // y = x/3 over x ∈ {0,3,6} → 1/3 → 333333; y = −x/3 → −333333 (NOT
+    // −333334: div truncates toward zero like DuckDB's //)
+    val d = (Seq(0, 3, 6).map(x => ("up", x, x / 3.0)) ++
+      Seq(0, 3, 6).map(x => ("down", x, -x / 3.0))).toDF("g", "x", "y")
+    val out = Regression.linearTrend(d, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getLong(2) == 333333L)
+    assert(out("up").getLong(3) == 0L)
+    assert(out("down").getLong(2) == -333333L)
+  }
+
+  test("linearTrend: zero x-variance fit is NULL, mean survives; nulls skipped") {
+    val d = (Seq(("flat", Some(5), Some(7.0)), ("flat", Some(5), Some(9.0)),
+      ("flat", Some(5), None), ("flat", None, Some(1.0))) ++
+      (1 to 4).map(x => ("ok", Some(x), Some(x * 1.0)))).toDF("g", "x", "y")
+    val out = Regression.linearTrend(d, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getLong(1) == 2L) // null x or y rows never counted
+    assert(out("flat").isNullAt(2) && out("flat").isNullAt(3))
+    assert(out("flat").getLong(4) == 8000000L)
+    assert(out("ok").getLong(2) == 1000000L)
+  }
+}
