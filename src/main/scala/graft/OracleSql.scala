@@ -808,6 +808,33 @@ object OracleSql {
         |  (wsum * 100) // n AS winsor_mean_micro
         |FROM a ORDER BY o_orderstatus""".stripMargin,
 
+    // Changeset apply: winner per id by (seq, op) descending — upsert
+    // sorts after delete so it wins ties; a present winner's row image
+    // replaces the payload outright (CASE on presence, NOT coalesce).
+    "q_apply_changeset" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents),
+        |ch AS (
+        |  SELECT doc_id, 'delete' AS op, 1 AS seq,
+        |    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS source
+        |  FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, 'upsert', 2, text || ' v2', source
+        |  FROM base WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 1000000, 'upsert', 1, text, source
+        |  FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id, 'delete', 5, NULL, NULL
+        |  FROM base WHERE doc_id % 13 = 0),
+        |w AS (
+        |  SELECT doc_id, op, text, source FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY seq DESC, op DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
+        |  CASE WHEN w.doc_id IS NOT NULL THEN w.text ELSE b.text END AS text,
+        |  CASE WHEN w.doc_id IS NOT NULL THEN w.source ELSE b.source END AS source
+        |FROM base b FULL OUTER JOIN w ON b.doc_id = w.doc_id
+        |WHERE w.doc_id IS NULL OR w.op <> 'delete'
+        |ORDER BY doc_id""".stripMargin,
+
     // Grouped OLS: HUGEINT power sums mirror Spark's decimal(38,0) exact
     // accumulation; // truncates toward zero exactly like Spark's div
     // (both verified on negative operands).

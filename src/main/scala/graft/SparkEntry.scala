@@ -698,6 +698,32 @@ object SparkEntry {
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .orderBy(col("o_orderstatus"))
 
+  /** CDC changeset apply over the documents corpus: deletes, updates,
+    * inserts, and a higher-seq delete overriding an earlier change —
+    * MERGE semantics as one winner-election agg + full-outer join.
+    */
+  private def qApplyChangeset(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val nulls = Seq(lit(null).cast("string").as("text"),
+      lit(null).cast("string").as("source"))
+    val del7 = base.filter(col("doc_id") % 7 === 0)
+      .select(Seq(col("doc_id"), lit("delete").as("op"), lit(1L).as("seq"))
+        ++ nulls: _*)
+    val up5 = base.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit("upsert").as("op"), lit(2L).as("seq"),
+        concat(col("text"), lit(" v2")).as("text"), col("source"))
+    val ins11 = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("upsert").as("op"), lit(1L).as("seq"), col("text"), col("source"))
+    val del13 = base.filter(col("doc_id") % 13 === 0)
+      .select(Seq(col("doc_id"), lit("delete").as("op"), lit(5L).as("seq"))
+        ++ nulls: _*)
+    Dedup.applyChangeset(base,
+        del7.unionByName(up5).unionByName(ins11).unionByName(del13), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Grouped OLS trend: order value drift per priority class over the
     * order date — one partial-aggregable pass, exact decimal power sums.
     */
@@ -2099,6 +2125,7 @@ object SparkEntry {
     "q_outliers" -> (qOutliers _),
     "q_trimmed_stats" -> (qTrimmedStats _),
     "q_linear_trend" -> (qLinearTrend _),
+    "q_apply_changeset" -> (qApplyChangeset _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

@@ -504,6 +504,44 @@ object Dedup {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Apply a CDC changeset to a corpus snapshot — the write half of the
+    * incremental-update loop whose read half is [[snapshotDiff]]: diff
+    * decides what changed, this merges those changes in (Delta/Iceberg
+    * MERGE semantics re-expressed as one plan, no table format required).
+    *
+    * `changes` carries `idCol`, `opCol` (`"upsert"` or `"delete"`),
+    * `seqCol` (ordering of changes to the same id), and every payload
+    * column of `base`. Per id the winning change is the one with the
+    * highest `(seq, op)` — last writer wins; an upsert beats a delete at
+    * the same seq so ties are deterministic. A winning upsert REPLACES
+    * the whole payload (its NULLs overwrite — it is a row image, not a
+    * patch); a winning delete drops the row; ids without changes pass
+    * through; upserts of unknown ids insert.
+    *
+    * Scale: winner election is a max_by hash aggregation (map-side
+    * partials — a hot id's change history collapses per map task), then
+    * ONE full-outer equi-join on the id; the base is never shuffled more
+    * than once and AQE broadcasts the winners side when the changeset is
+    * small, the common incremental case.
+    */
+  def applyChangeset(
+      base: DataFrame, changes: DataFrame, idCol: String,
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val payload = base.columns.filterNot(_ == idCol).toSeq
+    val missing = (payload :+ opCol :+ seqCol)
+      .filterNot(changes.columns.contains)
+    require(missing.isEmpty, s"changes is missing columns: $missing")
+    val winners = changes.groupBy(Cols.q(idCol))
+      .agg(max_by(
+        struct(col(opCol).as("_cs_op") +: payload.map(c => Cols.q(c).as(c)): _*),
+        struct(col(seqCol), col(opCol))).as("_cs_w"))
+    base.join(winners, Seq(idCol), "full_outer")
+      .filter(col("_cs_w").isNull || col("_cs_w._cs_op") =!= "delete")
+      .select(Cols.q(idCol) +: payload.map(c =>
+        when(col("_cs_w").isNotNull, col("_cs_w").getField(c))
+          .otherwise(Cols.q(c)).as(c)): _*)
+  }
+
   /** Quality-aware canonical selection: map every document to its
     * near-dup cluster and the cluster's BEST member (highest `quality`,
     * ties to the smallest id) — what production dedup actually keeps,
