@@ -808,6 +808,22 @@ object OracleSql {
         |  (wsum * 100) // n AS winsor_mean_micro
         |FROM a ORDER BY o_orderstatus""".stripMargin,
 
+    // URL canonicalization: the oracle reconstructs BOTH the messy input
+    // and the expected canonical form directly from doc_id — an
+    // independent derivation the Spark normalizer never sees.
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |  'HTTPS://Example' || (doc_id % 3) || '.COM'
+        |    || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+        |    || '/Path/' || doc_id
+        |    || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+        |       ELSE '?z=9&utm_campaign=c&fbclid=abc' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url,
+        |  'https://example' || (doc_id % 3) || '.com/Path/' || doc_id
+        |    || CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '?z=9' END
+        |    AS url_canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Changeset apply: winner per id by (seq, op) descending — upsert
     // sorts after delete so it wins ties; a present winner's row image
     // replaces the payload outright (CASE on presence, NOT coalesce).

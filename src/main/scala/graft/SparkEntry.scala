@@ -698,6 +698,25 @@ object SparkEntry {
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .orderBy(col("o_orderstatus"))
 
+  /** URL canonicalization over synthesized messy URLs (case noise,
+    * default ports, tracking params, fragments); the oracle derives the
+    * canonical form independently from doc_id, so the normalizer is
+    * checked against an expected value it never computes.
+    */
+  private def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val messy = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("HTTPS://Example"), (col("doc_id") % 3).cast("string"),
+        lit(".COM"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=x&b=2&a=1"))
+          .otherwise(lit("?z=9&utm_campaign=c&fbclid=abc")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+        .as("url"))
+    TextAnalysis.canonicalizeUrls(messy, "url")
+      .orderBy(col("doc_id"))
+  }
+
   /** CDC changeset apply over the documents corpus: deletes, updates,
     * inserts, and a higher-seq delete overriding an earlier change —
     * MERGE semantics as one winner-election agg + full-outer join.
@@ -2126,6 +2145,7 @@ object SparkEntry {
     "q_trimmed_stats" -> (qTrimmedStats _),
     "q_linear_trend" -> (qLinearTrend _),
     "q_apply_changeset" -> (qApplyChangeset _),
+    "q_url_canon" -> (qUrlCanon _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

@@ -200,6 +200,45 @@ object TextAnalysis {
           .as("url"))
       .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)", 1))
 
+  /** Canonical form of an absolute URL — the key under which web-corpus
+    * pipelines dedup/weight pages that differ only in URL noise:
+    * lowercased scheme and host, default port stripped (:80 on http,
+    * :443 on https — a non-default or cross-scheme port survives),
+    * fragment dropped, empty path normalized to `/`, tracking params
+    * removed (`utm_*`, `fbclid`, `gclid` — by param NAME, with or
+    * without a value), remaining params sorted byte-lexicographically,
+    * and the `?` dropped when nothing remains. Path case and
+    * percent-encodings are preserved (paths are case-sensitive by spec).
+    * A value without a `scheme://` prefix is returned fragment-stripped
+    * but otherwise untouched (no base to resolve against).
+    *
+    * Pure projection (regex + array built-ins, no UDF) — the param sort
+    * is per-URL over a handful of elements, not a relational sort.
+    */
+  def canonicalUrl(c: Column): Column = {
+    val noFrag = regexp_replace(coalesce(c, lit("")), "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathQ = regexp_replace(rest, "^[^/?]*", "")
+    val path0 = regexp_extract(pathQ, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(pathQ, "\\?(.*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=&]*|fbclid|gclid)(=|$)"))
+    val sortedQ = array_join(array_sort(params), "&")
+    when(scheme === "", noFrag)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(size(params) > 0, concat(lit("?"), sortedQ)).otherwise(lit(""))))
+  }
+
+  /** [[canonicalUrl]] as a table op: adds `url_canon` next to `urlCol`. */
+  def canonicalizeUrls(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("url_canon", canonicalUrl(col(urlCol)))
+
   // ----------------------------------------------------- dataset splitting
 
   /** Stable content-hash bucket in [0, nBuckets): first 4 hex chars of
