@@ -808,6 +808,19 @@ object OracleSql {
         |  (wsum * 100) // n AS winsor_mean_micro
         |FROM a ORDER BY o_orderstatus""".stripMargin,
 
+    // Sorted-neighborhood blocking: the oracle states the definition
+    // directly — global row_number over (key, id) and a rank-distance
+    // self-join; Spark's range-partitioned rank must reproduce it.
+    "q_sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT doc_id, substr(lower(text), 1, 12) AS key FROM documents),
+        |r AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rnk
+        |  FROM k)
+        |SELECT x.doc_id AS a, y.doc_id AS b
+        |FROM r x JOIN r y ON y.rnk > x.rnk AND y.rnk - x.rnk <= 3
+        |ORDER BY a, b""".stripMargin,
+
     // URL canonicalization: the oracle reconstructs BOTH the messy input
     // and the expected canonical form directly from doc_id — an
     // independent derivation the Spark normalizer never sees.

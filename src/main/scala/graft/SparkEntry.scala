@@ -698,6 +698,17 @@ object SparkEntry {
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .orderBy(col("o_orderstatus"))
 
+  /** Sorted-neighborhood ER blocking over a 12-char text-prefix key:
+    * candidate pairs within 3 sort positions, range-partitioned ranks.
+    */
+  private def qSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            substring(lower(col("text")), 1, 12).as("blk_key")),
+        "doc_id", "blk_key", window = 3)
+      .orderBy(col("a"), col("b"))
+
   /** URL canonicalization over synthesized messy URLs (case noise,
     * default ports, tracking params, fragments); the oracle derives the
     * canonical form independently from doc_id, so the normalizer is
@@ -2146,6 +2157,7 @@ object SparkEntry {
     "q_linear_trend" -> (qLinearTrend _),
     "q_apply_changeset" -> (qApplyChangeset _),
     "q_url_canon" -> (qUrlCanon _),
+    "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

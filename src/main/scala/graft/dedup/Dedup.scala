@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Cols, GraftFunctions}
@@ -502,6 +503,58 @@ object Dedup {
           .when(col("_fp_new").isNull, lit("removed"))
           .when(col("_fp_old") =!= col("_fp_new"), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo '95): candidate
+    * record pairs = every pair within `window` positions of each other in
+    * the global `(key, id)` sort order — the classic entity-resolution
+    * candidate generator for typo-tolerant keys, complementing the
+    * shingle/signature families (a one-char key prefix typo moves a
+    * record a few sort positions, not into a different hash bucket).
+    *
+    * Output `(a, b)` with `a` the lower-ranked id; deterministic — the
+    * pair set depends only on the total order `(key, id)`, never on
+    * physical partitioning.
+    *
+    * Scale: the global sort is range-partitioned (`repartitionByRange`
+    * over `nBuckets`, default the session's shuffle parallelism); global
+    * ranks = per-partition `row_number` + broadcast per-partition offsets
+    * (a |buckets|-row relation — never a single-partition window over the
+    * data). Pairing is an equi-join on rank-blocks of width `window`
+    * (each right row probes its own and its predecessor block, so a
+    * ≤window gap never spans past an adjacent block) — shuffle volume is
+    * O(rows), candidate volume O(rows · window).
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame, idCol: String, keyCol: String,
+      window: Int = 5, nBuckets: Int = 0): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val b = if (nBuckets > 0) nBuckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = df.select(Cols.q(idCol).as("_sn_id"),
+      Cols.q(keyCol).as("_sn_key"))
+    val ranged = keyed
+      .repartitionByRange(b, col("_sn_key"), col("_sn_id"))
+      .withColumn("_sn_pid", spark_partition_id())
+    val ranked0 = ranged.withColumn("_sn_rn", row_number().over(
+      Window.partitionBy("_sn_pid").orderBy("_sn_key", "_sn_id")))
+    val offsets = ranked0.groupBy("_sn_pid")
+      .agg(count(lit(1)).as("_sn_cnt"))
+      .withColumn("_sn_off", coalesce(
+        sum("_sn_cnt").over(Window.orderBy("_sn_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_sn_pid", "_sn_off")
+    val ranked = ranked0.join(broadcast(offsets), "_sn_pid")
+      .select(col("_sn_id"), (col("_sn_off") + col("_sn_rn")).as("_sn_rank"))
+    val lhs = ranked.withColumn("_sn_blk", expr(s"_sn_rank div $window"))
+    val rhs = ranked
+      .select(col("_sn_id").as("_sn_id_b"), col("_sn_rank").as("_sn_rank_b"))
+      .withColumn("_sn_blk", explode(array(
+        expr(s"_sn_rank_b div $window"), expr(s"_sn_rank_b div $window - 1"))))
+    lhs.join(rhs, "_sn_blk")
+      .filter(col("_sn_rank_b") > col("_sn_rank") &&
+        col("_sn_rank_b") - col("_sn_rank") <= window)
+      .select(col("_sn_id").as("a"), col("_sn_id_b").as("b"))
   }
 
   /** Apply a CDC changeset to a corpus snapshot — the write half of the
