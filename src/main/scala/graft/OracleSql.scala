@@ -808,6 +808,24 @@ object OracleSql {
         |  (wsum * 100) // n AS winsor_mean_micro
         |FROM a ORDER BY o_orderstatus""".stripMargin,
 
+    // Markov transitions: lead over (user, ts, event_id), then exact
+    // integral division for the row-conditional probability (window sum
+    // over BIGINT is HUGEINT → CAST).
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |a AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST((n_transitions * 1000000)
+        |    // sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS p_micro
+        |FROM a ORDER BY from_type, to_type""".stripMargin,
+
     // Sorted-neighborhood blocking: the oracle states the definition
     // directly — global row_number over (key, id) and a rank-distance
     // self-join; Spark's range-partitioned rank must reproduce it.

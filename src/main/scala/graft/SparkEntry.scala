@@ -698,6 +698,14 @@ object SparkEntry {
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .orderBy(col("o_orderstatus"))
 
+  /** Markov next-event transition matrix over per-user event streams,
+    * probabilities as exact integer micro-units.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.transitionMatrix(
+        t(s, dir, "events"), "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("from_type"), col("to_type"))
+
   /** Sorted-neighborhood ER blocking over a 12-char text-prefix key:
     * candidate pairs within 3 sort positions, range-partitioned ranks.
     */
@@ -2158,6 +2166,7 @@ object SparkEntry {
     "q_apply_changeset" -> (qApplyChangeset _),
     "q_url_canon" -> (qUrlCanon _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
+    "q_transitions" -> (qTransitions _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

@@ -103,4 +103,35 @@ object EventOps {
         col(tsCol).as("valid_from_ts"), col("valid_to_ts"),
         col("valid_to_ts").isNull.as("is_current"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * `(from_type, to_type, n_transitions, p_micro)` where `p_micro` is
+    * the row-conditional probability P(to | from) in integer 10⁻⁶ units
+    * (exact integral division — bit-stable, no float ratios). The
+    * next-step behavioral model behind "what usually follows a
+    * page_view" questions and sequence-anomaly screens.
+    *
+    * Order within a user is `(ts, tie)` — deterministic under timestamp
+    * ties. Scale: ONE (user) shuffle for the lead window (sequences are
+    * per-user, never global), a (from, to) hash agg with map-side
+    * partials, and the row-normalizing window runs over the aggregated
+    * |event-type vocabulary|² relation — cardinality-bounded, not
+    * data-bounded.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .withColumn("_tm_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_tm_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_tm_next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    counts
+      .withColumn("_tm_tot", sum(col("n_transitions")).over(wf))
+      .withColumn("p_micro", expr("(n_transitions * 1000000) div _tm_tot"))
+      .drop("_tm_tot")
+  }
 }
