@@ -808,6 +808,23 @@ object OracleSql {
         |  (wsum * 100) // n AS winsor_mean_micro
         |FROM a ORDER BY o_orderstatus""".stripMargin,
 
+    // Empirical-Bayes shrunk means: 1e-4 quantized values, HUGEINT sums,
+    // one cross-multiplied integral division per group (k = 20).
+    "q_shrunk_means" ->
+      """WITH v AS (
+        |  SELECT source, lang,
+        |    CAST(CAST(round(n_chars * 10000) AS BIGINT) AS HUGEINT) AS v4
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |grp AS (
+        |  SELECT source, lang, CAST(count(*) AS HUGEINT) AS n, sum(v4) AS s
+        |  FROM v GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS HUGEINT) AS gn, sum(v4) AS gs FROM v)
+        |SELECT source, lang, CAST(n AS BIGINT) AS n,
+        |  CAST((s * 100) // n AS BIGINT) AS mean_micro,
+        |  CAST(((s * gn + 20 * gs) * 100) // (gn * (n + 20)) AS BIGINT)
+        |    AS shrunk_micro
+        |FROM grp, tot ORDER BY source, lang""".stripMargin,
+
     // Markov transitions: lead over (user, ts, event_id), then exact
     // integral division for the row-conditional probability (window sum
     // over BIGINT is HUGEINT → CAST).

@@ -698,6 +698,16 @@ object SparkEntry {
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .orderBy(col("o_orderstatus"))
 
+  /** Empirical-Bayes shrinkage of per-(source, lang) mean document
+    * length toward the corpus mean — the sparse-domain quality-decision
+    * correction, exact integer micro-units.
+    */
+  private def qShrunkMeans(s: SparkSession, dir: String): DataFrame =
+    ops.RobustStats.shrunkMeans(
+        t(s, dir, "documents"), Seq("source", "lang"), "n_chars",
+        priorWeight = 20)
+      .orderBy(col("source"), col("lang"))
+
   /** Markov next-event transition matrix over per-user event streams,
     * probabilities as exact integer micro-units.
     */
@@ -2167,6 +2177,7 @@ object SparkEntry {
     "q_url_canon" -> (qUrlCanon _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_transitions" -> (qTransitions _),
+    "q_shrunk_means" -> (qShrunkMeans _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

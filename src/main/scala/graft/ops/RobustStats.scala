@@ -65,6 +65,43 @@ object RobustStats {
     * fences at 100 TB group widths) + a broadcast-size join of the
     * |groups|-row fence relation + one final hash aggregation.
     */
+  /** Empirical-Bayes shrunk group means: each group's mean is pulled
+    * toward the global mean with the strength of `priorWeight` pseudo-
+    * observations — `shrunk = (n·mean_g + k·mean_global) / (n + k)` —
+    * the standard small-sample correction for per-domain quality
+    * decisions (a 3-document domain's raw mean is noise; its shrunk mean
+    * is mostly the corpus prior, a 30k-document domain's is its own).
+    *
+    * Deterministic cross-engine: values quantized to 10⁻⁴ long units,
+    * sums exact in decimal(38,0) (= DuckDB HUGEINT), and the shrunk mean
+    * computed as ONE integral division of the cross-multiplied rationals:
+    * `((s_g·N + k·S) · 100) div (N·(n_g + k))` in 10⁻⁶ units. Returns
+    * `(groupCols*, n, mean_micro, shrunk_micro)`.
+    *
+    * Scale: one grouped agg with map-side partials + a broadcast of the
+    * single-row global-sums frame. priorWeight 0 degenerates to the raw
+    * mean (spec-pinned).
+    */
+  def shrunkMeans(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      priorWeight: Int = 20): DataFrame = {
+    require(groupCols.nonEmpty, "shrunkMeans needs group columns")
+    require(priorWeight >= 0, s"priorWeight must be >= 0, got $priorWeight")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(g :+ round(col(valueCol) * 10000).cast("long").cast(dec)
+        .as("_rs_v4"): _*)
+    val grp = rows.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(col("_rs_v4")).as("_rs_s"))
+    val glob = rows.agg(count(lit(1)).as("_rs_gn"),
+      sum(col("_rs_v4")).as("_rs_gs"))
+    grp.crossJoin(broadcast(glob))
+      .select((g ++ Seq(col("n"),
+        expr("(_rs_s * 100) div n").as("mean_micro"),
+        expr(s"((_rs_s * _rs_gn + $priorWeight * _rs_gs) * 100)" +
+          s" div (_rs_gn * (n + $priorWeight))").as("shrunk_micro"))): _*)
+  }
+
   def trimmedStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
       loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame = {
     require(groupCols.nonEmpty, "trimmedStats needs group columns")

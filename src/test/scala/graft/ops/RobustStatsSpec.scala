@@ -54,6 +54,28 @@ class RobustStatsSpec extends SparkSpec {
     assert(out("b").getLong(3) == 55000000L)
   }
 
+  test("shrunkMeans: hand-checked pull toward the global mean") {
+    // global mean 17.5 over {10, 20, 20, 20}; k=2:
+    // a (n=1): (10·4 + 2·70)/(4·3) = 15; b (n=3): (60·4 + 2·70)/(4·5) = 19
+    val d = (Seq(("a", 10.0)) ++ Seq.fill(3)(("b", 20.0))).toDF("g", "x")
+    val out = RobustStats.shrunkMeans(d, Seq("g"), "x", priorWeight = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(2) == 10000000L)
+    assert(out("a").getLong(3) == 15000000L)
+    assert(out("b").getLong(2) == 20000000L)
+    assert(out("b").getLong(3) == 19000000L)
+  }
+
+  test("shrunkMeans: zero prior weight is the raw mean; nulls ignored") {
+    val d = Seq(("a", Some(1.5)), ("a", Some(2.5)), ("a", None),
+      ("b", Some(7.0))).toDF("g", "x")
+    val out = RobustStats.shrunkMeans(d, Seq("g"), "x", priorWeight = 0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 2L)
+    assert(out("a").getLong(2) == 2000000L && out("a").getLong(3) == 2000000L)
+    assert(out("b").getLong(3) == 7000000L)
+  }
+
   test("madOutliers matches a classical z-score screen on symmetric data but survives contamination") {
     // 10% gross contamination: mean/stddev screen misses planted spikes
     // (masking), the MAD screen does not
