@@ -573,9 +573,12 @@ object Dedup {
     *
     * Scale: winner election is a max_by hash aggregation (map-side
     * partials — a hot id's change history collapses per map task), then
-    * ONE full-outer equi-join on the id; the base is never shuffled more
-    * than once and AQE broadcasts the winners side when the changeset is
-    * small, the common incremental case.
+    * ONE full-outer equi-join on the id. A full-outer join cannot
+    * broadcast in Spark (either side may emit unmatched rows), so this
+    * is one id-shuffle of the base per merge — the honest floor for
+    * upsert-with-insert semantics; with a delete/update-only changeset,
+    * swap the full-outer for a left join and the winners side rides a
+    * broadcast.
     */
   def applyChangeset(
       base: DataFrame, changes: DataFrame, idCol: String,

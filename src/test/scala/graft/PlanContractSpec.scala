@@ -208,6 +208,41 @@ class PlanContractSpec extends SparkSpec {
       s"q_scd2 re-shuffled between its two windows ($hashShuffles):\n${p.take(3000)}")
   }
 
+  test("session-3 aggregation queries: one partial-aggregating pass, stats sides broadcast") {
+    // linear trend and trimmed/shrunk means are partial-aggregable by
+    // design — a map-side partial must exist and nothing may cartesian
+    // against the data (the single-row/|groups|-row stats relations ride
+    // broadcast joins)
+    for (q <- Seq("q_linear_trend", "q_trimmed_stats", "q_shrunk_means")) {
+      val p = planOf(q)
+      assert(p.contains("HashAggregate"), s"$q lost its hash agg:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"),
+        s"$q planned a cartesian:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q should broadcast its stats relation:\n${p.take(2000)}")
+    }
+  }
+
+  test("changeset apply: winner election partial-aggregates; one join, no window") {
+    val p = planOf("q_apply_changeset")
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"q_apply_changeset lost its winner agg:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"q_apply_changeset must elect winners by agg, not window:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sorted-neighborhood: range partitioning for ranks, offsets broadcast, block equi-join") {
+    val p = planOf("q_sorted_neighborhood")
+    assert(p.contains("rangepartitioning"),
+      s"q_sorted_neighborhood lost its range exchange:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"pairing must be a block equi-join:\n${p.take(3000)}")
+  }
+
   test("pageRank's final plan reads the checkpointed ranks, never the base tables") {
     val p = planOf("q_pagerank")
     // iterations ran eagerly behind localCheckpoint: the returned plan
