@@ -1093,6 +1093,22 @@ object OracleSql {
          |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
+    // Ordered containment pairs: the naive all-(ordered)-pairs join the
+    // prefix-filtered engine form must reproduce; score is the exact
+    // integral micro-division (no float ratio).
+    "q_containment" ->
+      s"""WITH $ngramCtes,
+         |common2 AS (
+         |  SELECT a.doc AS id_a, b.doc AS id_b,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc <> b.doc
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST((n_common * 1000000) // za.n_sh AS BIGINT) AS containment_micro
+         |FROM common2 JOIN sizes za ON id_a = za.doc
+         |WHERE n_common * 1000000 >= 900000 * za.n_sh
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $ngramCtes,
          |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),

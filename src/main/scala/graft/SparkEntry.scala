@@ -698,6 +698,15 @@ object SparkEntry {
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .orderBy(col("o_orderstatus"))
 
+  /** Asymmetric n-gram containment pairs (excerpt/quote detection) —
+    * AllPairs prefix filtering, verified exact, ordered output.
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+        t(s, dir, "documents"), "doc_id", "text", shingleN = 3,
+        threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Empirical-Bayes shrinkage of per-(source, lang) mean document
     * length toward the corpus mean — the sparse-domain quality-decision
     * correction, exact integer micro-units.
@@ -2178,6 +2187,7 @@ object SparkEntry {
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),
     "q_transitions" -> (qTransitions _),
     "q_shrunk_means" -> (qShrunkMeans _),
+    "q_containment" -> (qContainment _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

@@ -790,6 +790,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact n-gram containment pairs — the ASYMMETRIC near-dup relation
+    * `C(A,B) = |A∩B| / |A| ≥ t`: document A's shingle set mostly lives
+    * inside B's. Catches excerpts, quotes, and subset pages that
+    * resemblance (Jaccard) misses — a 50-token quote of a 5000-token
+    * page has Jaccard ≈ 0.01 but containment 1.0. Output is ORDERED
+    * `(id_a, id_b, containment_micro)`: A contained in B, score as an
+    * exact integer 10⁻⁶ division (no float ratio — hash-stable).
+    *
+    * Same AllPairs prefix-filter law as [[ngramJaccardPairs]]: C(A,B) ≥ t
+    * forces |A∩B| ≥ ⌈t·|A|⌉, so A's suffix alone (⌈t·|A|⌉ − 1 rarest-last
+    * elements) cannot hold the intersection — indexing A's
+    * `|A| − ⌈t·|A|⌉ + 1` rarest shingles against B's FULL set loses no
+    * pair. The only length filter containment admits is one-sided
+    * (`|B| ≥ t·|A|`, since |A∩B| ≤ |B|); candidates are verified with the
+    * exact intersection, so the output equals the naive ordered all-pairs
+    * join (spec-differentialed, DuckDB-oracled).
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val sets = df.select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .persist()
+    val ex = sets.select(col("doc"), col("n_sh"), explode(col("sh")).as("s"))
+
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val byRarity = Window.partitionBy(col("doc")).orderBy(col("f"), col("s"))
+    val prefix = ex.join(freq, "s")
+      .withColumn("r", row_number().over(byRarity))
+      .filter(col("r") <= col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1)
+      .select(col("doc"), col("n_sh"), col("s"))
+
+    val tLo6 = math.floor(threshold * 1e6).toLong
+    val candidates = prefix.as("a")
+      .join(ex.select(col("doc"), col("n_sh"), col("s")).as("b"),
+        col("a.s") === col("b.s") && col("a.doc") =!= col("b.doc") &&
+          col("b.n_sh") * 1000000L >= lit(tLo6) * col("a.n_sh"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+
+    candidates
+      .join(sets.select(col("doc").as("id_a"), col("sh").as("sha"), col("n_sh").as("na")), "id_a")
+      .join(sets.select(col("doc").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .filter(col("inter") * 1000000L >= lit(tLo6) * col("na"))
+      .select(col("id_a"), col("id_b"),
+        expr("(inter * 1000000) div na").as("containment_micro"))
+  }
+
   /** ExactSubstr-style duplicated-span removal — the distributed
     * relational form of suffix-array substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better",

@@ -71,7 +71,8 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("dedup candidate generation never plans a cross join") {
-    for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash")) {
+    for (q <- Seq("q_dedup_ngram_jaccard", "q_containment",
+        "q_dedup_minhash_lsh", "q_dedup_simhash")) {
       val p = planOf(q)
       assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
         s"$q planned a quadratic join:\n${p.take(1500)}")
