@@ -1959,6 +1959,30 @@ object OracleSql {
          |FROM documents d LEFT JOIN scored s ON s.doc = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // PMI collocations: exact counts, one double division of exact
+    // products, micro-nat ln quantization (the lm_score rule), strict
+    // (pmi, w1, w2) order so the LIMIT boundary is deterministic.
+    "q_pmi" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(str_split(${norm("text")}, ' '), x -> x <> '') AS t
+         |  FROM documents),
+         |words AS (SELECT unnest(t) AS w FROM toks),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS uc FROM words GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM words),
+         |bigrams AS (
+         |  SELECT unnest([t[i] FOR i IN generate_series(1, len(t) - 1)]) AS w1,
+         |    unnest([t[i + 1] FOR i IN generate_series(1, len(t) - 1)]) AS w2
+         |  FROM toks WHERE len(t) >= 2),
+         |bc AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM bigrams GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT w1, w2, n_pair,
+         |  CAST(round(ln((CAST(n_pair AS DOUBLE) * n_tok)
+         |    / (CAST(u1.uc AS DOUBLE) * u2.uc)) * 1e6) AS BIGINT) AS pmi_micro
+         |FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
+         |CROSS JOIN tot
+         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 40""".stripMargin,
+
     "q_bm25" ->
       s"""WITH docs AS (
          |  SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t FROM documents),

@@ -698,6 +698,13 @@ object SparkEntry {
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .orderBy(col("o_orderstatus"))
 
+  /** Top PMI collocations of the corpus — multi-word expressions by
+    * pointwise mutual information in exact micro-nats.
+    */
+  private def qPmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(
+      t(s, dir, "documents"), "doc_id", "text", minCount = 5, topK = 40)
+
   /** Asymmetric n-gram containment pairs (excerpt/quote detection) —
     * AllPairs prefix filtering, verified exact, ordered output.
     */
@@ -2188,6 +2195,7 @@ object SparkEntry {
     "q_transitions" -> (qTransitions _),
     "q_shrunk_means" -> (qShrunkMeans _),
     "q_containment" -> (qContainment _),
+    "q_pmi" -> (qPmi _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

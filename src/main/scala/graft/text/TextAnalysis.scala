@@ -200,6 +200,52 @@ object TextAnalysis {
           .as("url"))
       .withColumn("domain", regexp_extract(col("url"), "^https?://([^/]+)", 1))
 
+  /** Corpus-level PMI collocations: the `topK` adjacent word pairs whose
+    * co-occurrence most exceeds chance — `PMI = ln(c_xy·N / (c_x·c_y))`
+    * over bigram/unigram counts — the classic multi-word-expression
+    * extractor ("new york", "machine learning") feeding tokenizer vocab
+    * decisions and phrase-aware dedup keys. `minCount` screens the
+    * unstable low-frequency tail BEFORE any join, so only frequent
+    * bigrams reach the scoring stage.
+    *
+    * Deterministic: counts are exact longs; the PMI argument is one
+    * division of two exactly-representable double products (< 2⁵³ — at
+    * corpus scales beyond ~10¹⁵ token-pair products, route the ratio
+    * through decimal before the ln), quantized to micro-nats by the
+    * corpus ln rule; ties rank by (w1, w2).
+    *
+    * Scale: two hash aggs with map-side partials (bigrams, unigrams) +
+    * broadcast joins of the frequent-bigram relation against the unigram
+    * relation, then a global TakeOrdered top-k — no windows, no
+    * quadratic stage.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, topK: Int = 50): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+      filter(graft.dedup.Dedup.tokensOf(col(textCol)), t => t =!= "").as("_t"))
+    val words = toks.select(explode(col("_t")).as("w"))
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("uc"))
+    val tot = words.agg(count(lit(1)).as("n_tok"))
+    val big = toks
+      .filter(size(col("_t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("_t"), lit(1), size(col("_t")) - 1).as("a"),
+        slice(col("_t"), lit(2), size(col("_t")) - 1).as("b"))).as("bg"))
+      .select(col("bg.a").as("w1"), col("bg.b").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    big
+      .join(uni.select(col("w").as("w1"), col("uc").as("uc1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("uc").as("uc2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_micro",
+        round(log((col("n_pair").cast("double") * col("n_tok")) /
+          (col("uc1").cast("double") * col("uc2"))) * 1e6).cast("long"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Canonical form of an absolute URL — the key under which web-corpus
     * pipelines dedup/weight pages that differ only in URL noise:
     * lowercased scheme and host, default port stripped (:80 on http,
