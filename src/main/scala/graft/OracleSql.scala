@@ -1093,6 +1093,36 @@ object OracleSql {
          |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
+    // Winnowing: gram hash = first 15 md5 hex chars (60-bit), tie-encoded
+    // key hash·2^20 + pos in HUGEINT (= Spark's decimal(38,0)); window
+    // min over full windows only; texts under one window keep their
+    // global min (greatest(..., 1)).
+    "q_winnow" -> {
+      val key = hexN("md5(substr(t, pos, 5))", 15)
+      s"""WITH nt AS (
+         |  SELECT doc_id AS doc, ${norm("text")} AS t FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |g AS (
+         |  SELECT doc, t, greatest(len(t) - 4, 1) AS ng,
+         |    unnest(generate_series(1, greatest(len(t) - 4, 1))) AS pos
+         |  FROM nt),
+         |keyed AS (
+         |  SELECT doc, ng, pos,
+         |    CAST($key AS HUGEINT) * 1048576 + pos AS k
+         |  FROM g),
+         |win AS (
+         |  SELECT doc, ng, pos, min(k) OVER (
+         |    PARTITION BY doc ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winner
+         |  FROM keyed),
+         |sel AS (
+         |  SELECT DISTINCT doc, winner FROM win
+         |  WHERE pos <= greatest(ng - 3, 1))
+         |SELECT doc, CAST(winner % 1048576 AS BIGINT) AS fp_pos,
+         |  CAST(winner // 1048576 AS BIGINT) AS fp_hash
+         |FROM sel ORDER BY doc, fp_pos, fp_hash""".stripMargin
+    },
+
     // Ordered containment pairs: the naive all-(ordered)-pairs join the
     // prefix-filtered engine form must reproduce; score is the exact
     // integral micro-division (no float ratio).

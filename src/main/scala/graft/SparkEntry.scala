@@ -698,6 +698,15 @@ object SparkEntry {
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .orderBy(col("o_orderstatus"))
 
+  /** Winnowing (MOSS) fingerprint selection over a document subset —
+    * per-window minimum gram hashes with the tie encoded in the key.
+    */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowFingerprints(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 5, w = 4)
+      .orderBy(col("doc"), col("fp_pos"), col("fp_hash"))
+
   /** Top PMI collocations of the corpus — multi-word expressions by
     * pointwise mutual information in exact micro-nats.
     */
@@ -2196,6 +2205,7 @@ object SparkEntry {
     "q_shrunk_means" -> (qShrunkMeans _),
     "q_containment" -> (qContainment _),
     "q_pmi" -> (qPmi _),
+    "q_winnow" -> (qWinnow _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

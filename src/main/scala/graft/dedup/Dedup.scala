@@ -790,6 +790,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every `k`-char gram of the
+    * normalized text, then from every window of `w` consecutive gram
+    * hashes keep the minimum — any substring two documents share of
+    * length ≥ `w + k − 1` is GUARANTEED to contribute at least one
+    * common selected hash, at an expected density of only 2/(w+1)
+    * fingerprints per position. The local-fingerprint layer under
+    * plagiarism/citation detection; selected hashes feed the usual
+    * equi-join candidate generation.
+    *
+    * Returns distinct `(doc, fp_pos, fp_hash)` (1-based gram position;
+    * ties inside a window resolve to the leftmost minimum — encoded, not
+    * incidental). Texts shorter than one full window keep their single
+    * global minimum. Deterministic cross-engine: gram hash = first 15
+    * md5 hex chars as a 60-bit integer, tie-encoded into one
+    * `hash·2²⁰ + pos` decimal key (positions up to 2²⁰ ≈ 1M grams per
+    * document — the per-document bound, not a corpus bound) so the
+    * window min carries its own argmin.
+    *
+    * Scale: a generator fan-out of grams (n rows per doc) and ONE
+    * per-document ordered window (hash-partitioned by doc — bounded by
+    * the longest document, never corpus-global) + a distinct.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got ($k, $w)")
+    val grams = df
+      .select(Cols.q(idCol).as("doc"), normalizeText(Cols.q(textCol)).as("_wn_t"))
+      .withColumn("_wn_ng",
+        greatest(length(col("_wn_t")) - (k - 1), lit(1)))
+      .select(col("doc"), col("_wn_ng"),
+        explode(expr(s"transform(sequence(1, _wn_ng), " +
+          s"i -> struct(i AS pos, substring(_wn_t, i, $k) AS g))")).as("e"))
+      .select(col("doc"), col("_wn_ng"), col("e.pos").as("pos"),
+        (conv(substring(md5(col("e.g")), 1, 15), 16, 10).cast("long")
+          .cast("decimal(38,0)") * 1048576 + col("e.pos")).as("_wn_key"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("_wn_winner", min(col("_wn_key")).over(win))
+      .filter(col("pos") <= greatest(col("_wn_ng") - (w - 1), lit(1)))
+      .select(col("doc"), col("_wn_winner")).distinct()
+      .select(col("doc"),
+        expr("CAST(_wn_winner % 1048576 AS BIGINT)").as("fp_pos"),
+        expr("_wn_winner div 1048576").as("fp_hash"))
+  }
+
   /** Exact n-gram containment pairs — the ASYMMETRIC near-dup relation
     * `C(A,B) = |A∩B| / |A| ≥ t`: document A's shingle set mostly lives
     * inside B's. Catches excerpts, quotes, and subset pages that
