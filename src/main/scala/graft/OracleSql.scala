@@ -1093,6 +1093,40 @@ object OracleSql {
          |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
+    // Fellegi–Sunter over sorted-neighborhood blocks: row_number
+    // replica of the blocking, then per-field levenshtein CASE weights
+    // summed as exact longs.
+    "q_linkage" ->
+      """WITH r AS (
+        |  SELECT c_custkey, row_number() OVER (
+        |    ORDER BY c_name, c_custkey) AS rnk
+        |  FROM customer),
+        |p AS (
+        |  SELECT x.c_custkey AS a, y.c_custkey AS b
+        |  FROM r x JOIN r y ON y.rnk > x.rnk AND y.rnk - x.rnk <= 3),
+        |j AS (
+        |  SELECT p.a, p.b,
+        |    ka.c_name AS an, kb.c_name AS bn,
+        |    ka.c_mktsegment AS asg, kb.c_mktsegment AS bsg,
+        |    CAST(ka.c_nationkey AS VARCHAR) AS ank,
+        |    CAST(kb.c_nationkey AS VARCHAR) AS bnk
+        |  FROM p
+        |  JOIN customer ka ON p.a = ka.c_custkey
+        |  JOIN customer kb ON p.b = kb.c_custkey),
+        |sc AS (
+        |  SELECT a, b,
+        |    (CASE WHEN an IS NULL OR bn IS NULL THEN 0
+        |      WHEN levenshtein(an, bn) <= 1 THEN 2000000 ELSE -1500000 END
+        |    + CASE WHEN asg IS NULL OR bsg IS NULL THEN 0
+        |      WHEN levenshtein(asg, bsg) <= 1 THEN 1000000 ELSE -400000 END
+        |    + CASE WHEN ank IS NULL OR bnk IS NULL THEN 0
+        |      WHEN levenshtein(ank, bnk) <= 1 THEN 800000 ELSE -200000 END)
+        |    AS score_micro
+        |  FROM j)
+        |SELECT a, b, CAST(score_micro AS BIGINT) AS score_micro,
+        |  score_micro >= 3000000 AS is_match
+        |FROM sc ORDER BY a, b""".stripMargin,
+
     // Winnowing: gram hash = first 15 md5 hex chars (60-bit), tie-encoded
     // key hash·2^20 + pos in HUGEINT (= Spark's decimal(38,0)); window
     // min over full windows only; texts under one window keep their

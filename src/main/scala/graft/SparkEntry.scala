@@ -698,6 +698,21 @@ object SparkEntry {
         t(s, dir, "orders"), Seq("o_orderstatus"), "o_totalprice")
       .orderBy(col("o_orderstatus"))
 
+  /** Fellegi–Sunter linkage scoring over sorted-neighborhood candidate
+    * pairs of the customer table — blocking + probabilistic decision as
+    * one composed plan, exact integer log-odds sums.
+    */
+  private def qLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val pairs = Dedup.sortedNeighborhoodPairs(c, "c_custkey", "c_name", 3)
+    Dedup.linkageScores(pairs, c, "c_custkey",
+        Seq(("c_name", 2000000L, -1500000L),
+          ("c_mktsegment", 1000000L, -400000L),
+          ("c_nationkey", 800000L, -200000L)),
+        maxDist = 1, threshold = 3000000L)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Winnowing (MOSS) fingerprint selection over a document subset —
     * per-window minimum gram hashes with the tie encoded in the key.
     */
@@ -2206,6 +2221,7 @@ object SparkEntry {
     "q_containment" -> (qContainment _),
     "q_pmi" -> (qPmi _),
     "q_winnow" -> (qWinnow _),
+    "q_linkage" -> (qLinkage _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

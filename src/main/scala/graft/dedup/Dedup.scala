@@ -790,6 +790,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Fellegi–Sunter record-linkage scoring (JASA '69) over candidate
+    * pairs: each compared field contributes its trained log-odds weight —
+    * `wAgree` (≈ ln(m/u)) on agreement, `wDisagree` (≈ ln((1−m)/(1−u)))
+    * on disagreement, 0 when either side is missing — and the pair's
+    * score is the sum; `is_match` thresholds it. The probabilistic
+    * decision layer on top of a blocking pass
+    * ([[sortedNeighborhoodPairs]] or any candidate generator).
+    *
+    * `fields` are `(column, wAgreeMicro, wDisagreeMicro)` with weights as
+    * integer micro-nats — weights are TRAINED INPUTS here (EM or labeled
+    * pairs upstream), and integer weights keep every score an exact long
+    * sum. Agreement is `levenshtein ≤ maxDist` (0 = exact) — the
+    * typo-tolerance that pairs naturally with sorted-neighborhood
+    * blocking.
+    *
+    * Scale: two broadcast-or-shuffle equi-joins of the pair relation
+    * against the records (pairs are blocking-bounded, O(rows·window)),
+    * then a pure projection — no aggregation at all.
+    */
+  def linkageScores(
+      pairs: DataFrame, records: DataFrame, idCol: String,
+      fields: Seq[(String, Long, Long)], maxDist: Int = 1,
+      threshold: Long = 0L): DataFrame = {
+    require(fields.nonEmpty, "linkageScores needs at least one field")
+    val ra = records.select(Cols.q(idCol).as("a") +:
+      fields.map { case (f, _, _) => Cols.q(f).cast("string").as(s"_lk_a_$f") }: _*)
+    val rb = records.select(Cols.q(idCol).as("b") +:
+      fields.map { case (f, _, _) => Cols.q(f).cast("string").as(s"_lk_b_$f") }: _*)
+    val score = fields.map { case (f, wa, wd) =>
+      val av = col(s"_lk_a_$f"); val bv = col(s"_lk_b_$f")
+      when(av.isNull || bv.isNull, lit(0L))
+        .when(levenshtein(av, bv) <= maxDist, lit(wa))
+        .otherwise(lit(wd))
+    }.reduce(_ + _)
+    pairs.select(col("a"), col("b")).join(ra, "a").join(rb, "b")
+      .withColumn("score_micro", score)
+      .select(col("a"), col("b"), col("score_micro"),
+        (col("score_micro") >= threshold).as("is_match"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS algorithm): hash every `k`-char gram of the
     * normalized text, then from every window of `w` consecutive gram
