@@ -68,6 +68,39 @@ object OracleSql {
        |  JOIN sizes za ON id_a = za.doc
        |  JOIN sizes zb ON id_b = zb.doc)""".stripMargin
 
+  /** Shared CTE chain for the Fellegi–Sunter linkage family: sorted-
+    * neighborhood blocking over customer (row_number replica, window 3
+    * on c_name), pair join-back, and per-field levenshtein CASE weights
+    * summed as exact longs into `sc(a, b, score_micro)`.
+    */
+  private def linkageCtes: String =
+    """lr AS (
+      |  SELECT c_custkey, row_number() OVER (
+      |    ORDER BY c_name, c_custkey) AS rnk
+      |  FROM customer),
+      |lp AS (
+      |  SELECT x.c_custkey AS a, y.c_custkey AS b
+      |  FROM lr x JOIN lr y ON y.rnk > x.rnk AND y.rnk - x.rnk <= 3),
+      |lj AS (
+      |  SELECT lp.a, lp.b,
+      |    ka.c_name AS an, kb.c_name AS bn,
+      |    ka.c_mktsegment AS asg, kb.c_mktsegment AS bsg,
+      |    CAST(ka.c_nationkey AS VARCHAR) AS ank,
+      |    CAST(kb.c_nationkey AS VARCHAR) AS bnk
+      |  FROM lp
+      |  JOIN customer ka ON lp.a = ka.c_custkey
+      |  JOIN customer kb ON lp.b = kb.c_custkey),
+      |sc AS (
+      |  SELECT a, b,
+      |    (CASE WHEN an IS NULL OR bn IS NULL THEN 0
+      |      WHEN levenshtein(an, bn) <= 1 THEN 2000000 ELSE -1500000 END
+      |    + CASE WHEN asg IS NULL OR bsg IS NULL THEN 0
+      |      WHEN levenshtein(asg, bsg) <= 1 THEN 1000000 ELSE -400000 END
+      |    + CASE WHEN ank IS NULL OR bnk IS NULL THEN 0
+      |      WHEN levenshtein(ank, bnk) <= 1 THEN 800000 ELSE -200000 END)
+      |    AS score_micro
+      |  FROM lj)""".stripMargin
+
   /** First-4-hex-chars md5 → int (CorpusAssembly.seededBucket /
     * TextAnalysis.hashBucket); DuckDB has no conv(x, 16, 10) so it is
     * spelled as strpos arithmetic over the hex column named by `hx`.
@@ -1097,35 +1130,79 @@ object OracleSql {
     // replica of the blocking, then per-field levenshtein CASE weights
     // summed as exact longs.
     "q_linkage" ->
-      """WITH r AS (
-        |  SELECT c_custkey, row_number() OVER (
-        |    ORDER BY c_name, c_custkey) AS rnk
-        |  FROM customer),
-        |p AS (
-        |  SELECT x.c_custkey AS a, y.c_custkey AS b
-        |  FROM r x JOIN r y ON y.rnk > x.rnk AND y.rnk - x.rnk <= 3),
-        |j AS (
-        |  SELECT p.a, p.b,
-        |    ka.c_name AS an, kb.c_name AS bn,
-        |    ka.c_mktsegment AS asg, kb.c_mktsegment AS bsg,
-        |    CAST(ka.c_nationkey AS VARCHAR) AS ank,
-        |    CAST(kb.c_nationkey AS VARCHAR) AS bnk
-        |  FROM p
-        |  JOIN customer ka ON p.a = ka.c_custkey
-        |  JOIN customer kb ON p.b = kb.c_custkey),
-        |sc AS (
-        |  SELECT a, b,
-        |    (CASE WHEN an IS NULL OR bn IS NULL THEN 0
-        |      WHEN levenshtein(an, bn) <= 1 THEN 2000000 ELSE -1500000 END
-        |    + CASE WHEN asg IS NULL OR bsg IS NULL THEN 0
-        |      WHEN levenshtein(asg, bsg) <= 1 THEN 1000000 ELSE -400000 END
-        |    + CASE WHEN ank IS NULL OR bnk IS NULL THEN 0
-        |      WHEN levenshtein(ank, bnk) <= 1 THEN 800000 ELSE -200000 END)
-        |    AS score_micro
-        |  FROM j)
-        |SELECT a, b, CAST(score_micro AS BIGINT) AS score_micro,
-        |  score_micro >= 3000000 AS is_match
-        |FROM sc ORDER BY a, b""".stripMargin,
+      s"""WITH $linkageCtes
+         |SELECT a, b, CAST(score_micro AS BIGINT) AS score_micro,
+         |  score_micro >= 3000000 AS is_match
+         |FROM sc ORDER BY a, b""".stripMargin,
+
+    // Transitive closure of the linkage matches via the recursive
+    // reachability CTE (same shape as q_dedup_clusters); singletons
+    // label themselves through the left-join coalesce.
+    "q_er_clusters" ->
+      s"""WITH RECURSIVE $linkageCtes,
+         |m AS (SELECT a, b FROM sc WHERE score_micro >= 3000000),
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM m
+         |  UNION ALL
+         |  SELECT b, a FROM m),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT rr.u, e.v FROM reach rr JOIN edges e ON rr.v = e.u),
+         |labels AS (SELECT u AS id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT c.c_custkey AS id,
+         |  coalesce(l.cluster_id, c.c_custkey) AS cluster_id
+         |FROM customer c LEFT JOIN labels l ON c.c_custkey = l.id
+         |ORDER BY id""".stripMargin,
+
+    // Golden records: cluster labels as in q_er_clusters, then per
+    // (cluster, field) mode election — row_number over (count DESC,
+    // value ASC) replicates the engine's min(struct(-cnt, v)) rule —
+    // and a CASE pivot back to columns.
+    "q_golden" ->
+      s"""WITH RECURSIVE $linkageCtes,
+         |m AS (SELECT a, b FROM sc WHERE score_micro >= 3000000),
+         |edges AS (
+         |  SELECT a AS u, b AS v FROM m
+         |  UNION ALL
+         |  SELECT b, a FROM m),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT rr.u, e.v FROM reach rr JOIN edges e ON rr.v = e.u),
+         |labels AS (SELECT u AS id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u),
+         |cl AS (
+         |  SELECT coalesce(l.cluster_id, c.c_custkey) AS cluster_id,
+         |    c.c_name, c.c_mktsegment,
+         |    CAST(c.c_nationkey AS VARCHAR) AS c_nationkey
+         |  FROM customer c LEFT JOIN labels l ON c.c_custkey = l.id),
+         |sizes AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM cl GROUP BY 1),
+         |st AS (
+         |  SELECT cluster_id, 'c_name' AS f, c_name AS v FROM cl
+         |  WHERE c_name IS NOT NULL
+         |  UNION ALL
+         |  SELECT cluster_id, 'c_mktsegment', c_mktsegment FROM cl
+         |  WHERE c_mktsegment IS NOT NULL
+         |  UNION ALL
+         |  SELECT cluster_id, 'c_nationkey', c_nationkey FROM cl
+         |  WHERE c_nationkey IS NOT NULL),
+         |cn AS (
+         |  SELECT cluster_id, f, v, count(*) AS cnt FROM st GROUP BY 1, 2, 3),
+         |el AS (
+         |  SELECT cluster_id, f, v FROM (
+         |    SELECT cluster_id, f, v, row_number() OVER (
+         |      PARTITION BY cluster_id, f ORDER BY cnt DESC, v ASC) AS rn
+         |    FROM cn) WHERE rn = 1)
+         |SELECT s.cluster_id, s.n_members,
+         |  max(CASE WHEN e.f = 'c_name' THEN e.v END) AS c_name,
+         |  max(CASE WHEN e.f = 'c_mktsegment' THEN e.v END) AS c_mktsegment,
+         |  max(CASE WHEN e.f = 'c_nationkey' THEN e.v END) AS c_nationkey
+         |FROM sizes s LEFT JOIN el e ON s.cluster_id = e.cluster_id
+         |GROUP BY 1, 2 ORDER BY s.cluster_id""".stripMargin,
 
     // Winnowing: gram hash = first 15 md5 hex chars (60-bit), tie-encoded
     // key hash·2^20 + pos in HUGEINT (= Spark's decimal(38,0)); window

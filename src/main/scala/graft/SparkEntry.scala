@@ -702,16 +702,36 @@ object SparkEntry {
     * pairs of the customer table — blocking + probabilistic decision as
     * one composed plan, exact integer log-odds sums.
     */
-  private def qLinkage(s: SparkSession, dir: String): DataFrame = {
+  private def linkageScored(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val pairs = Dedup.sortedNeighborhoodPairs(c, "c_custkey", "c_name", 3)
     Dedup.linkageScores(pairs, c, "c_custkey",
-        Seq(("c_name", 2000000L, -1500000L),
-          ("c_mktsegment", 1000000L, -400000L),
-          ("c_nationkey", 800000L, -200000L)),
-        maxDist = 1, threshold = 3000000L)
-      .orderBy(col("a"), col("b"))
+      Seq(("c_name", 2000000L, -1500000L),
+        ("c_mktsegment", 1000000L, -400000L),
+        ("c_nationkey", 800000L, -200000L)),
+      maxDist = 1, threshold = 3000000L)
   }
+
+  private def qLinkage(s: SparkSession, dir: String): DataFrame =
+    linkageScored(s, dir).orderBy(col("a"), col("b"))
+
+  /** Transitive closure of the linkage matches — every customer labeled
+    * with its entity cluster (singletons label themselves).
+    */
+  private def qErClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.linkageClusters(linkageScored(s, dir),
+        t(s, dir, "customer"), "c_custkey")
+      .orderBy(col("id"))
+
+  /** Survivorship: per-cluster golden record via deterministic per-field
+    * mode election (most frequent non-null, ties to smallest value).
+    */
+  private def qGolden(s: SparkSession, dir: String): DataFrame =
+    Dedup.goldenRecords(t(s, dir, "customer"),
+        Dedup.linkageClusters(linkageScored(s, dir),
+          t(s, dir, "customer"), "c_custkey"),
+        "c_custkey", Seq("c_name", "c_mktsegment", "c_nationkey"))
+      .orderBy(col("cluster_id"))
 
   /** Winnowing (MOSS) fingerprint selection over a document subset —
     * per-window minimum gram hashes with the tie encoded in the key.
@@ -2222,6 +2242,8 @@ object SparkEntry {
     "q_pmi" -> (qPmi _),
     "q_winnow" -> (qWinnow _),
     "q_linkage" -> (qLinkage _),
+    "q_er_clusters" -> (qErClusters _),
+    "q_golden" -> (qGolden _),
     "q_chunk_docs" -> (qChunkDocs _),
     "q_pack_materialize" -> (qPackMaterialize _),
     "q_bm25" -> (qBm25 _),

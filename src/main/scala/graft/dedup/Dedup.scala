@@ -830,6 +830,75 @@ object Dedup {
         (col("score_micro") >= threshold).as("is_match"))
   }
 
+  /** Transitive entity clustering over linkage decisions: the `is_match`
+    * pairs from [[linkageScores]] become edges, [[connectedComponents]]
+    * labels each matched record with its component's minimum id, and
+    * every unmatched record forms its own singleton cluster. Completes
+    * the ER chain: block → score → threshold → transitive closure.
+    *
+    * Output one row per record: `(id, cluster_id)`.
+    *
+    * Scale: inherits connectedComponents' two-path contract — match
+    * graphs are orders of magnitude smaller than the record set, so the
+    * closure is a driver union-find up to `localEdgeLimit` edges and
+    * distributed pointer-jumping beyond; the singleton fill-in is one
+    * left join on the record ids.
+    */
+  def linkageClusters(
+      scored: DataFrame, records: DataFrame, idCol: String,
+      localEdgeLimit: Long = 1000000L): DataFrame = {
+    val edges = scored.filter(col("is_match"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+    val labels = connectedComponents(edges, localEdgeLimit)
+      .select(col("doc").as("id"), col("cluster_id"))
+    records.select(Cols.q(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** Survivorship election ("golden record"): one canonical row per
+    * cluster, each field resolved independently to its most frequent
+    * non-null value across the cluster's members, ties to the smallest
+    * value — the deterministic mode rule, so merged duplicates outvote
+    * typos and the output never depends on physical row order.
+    *
+    * `clusters` is `(id, cluster_id)` from [[linkageClusters]]. Fields
+    * are compared and emitted as strings (cross-type mode has no other
+    * honest ordering). Output `(cluster_id, n_members, <fields...>)`;
+    * a field null across an entire cluster stays null.
+    *
+    * Scale: fields unpivot to `(cluster, field, value)` rows — ONE
+    * hash-partitioned count per (cluster, field, value), a min(struct)
+    * election per (cluster, field) (map-side partials, no window), and a
+    * static pivot back to columns; k fields cost k× row inflation, never
+    * k separate aggregation passes over the records.
+    */
+  def goldenRecords(
+      records: DataFrame, clusters: DataFrame, idCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecords needs at least one field")
+    val member = records
+      .select(Cols.q(idCol).as("id") +:
+        fields.map(f => Cols.q(f).cast("string").as(f)): _*)
+      .join(clusters, Seq("id"))
+    val sizes = member.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val stacked = member.select(col("cluster_id"), explode(array(
+        fields.map(f => struct(lit(f).as("f"), col(f).as("v"))): _*)).as("fv"))
+      .select(col("cluster_id"), col("fv.f").as("f"), col("fv.v").as("v"))
+      .filter(col("v").isNotNull)
+    val elected = stacked
+      .groupBy(col("cluster_id"), col("f"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cluster_id"), col("f"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("v").as("v"))).as("win"))
+      .select(col("cluster_id"), col("f"), col("win.v").as("v"))
+    sizes.join(
+        elected.groupBy(col("cluster_id")).pivot("f", fields).agg(first(col("v"))),
+        Seq("cluster_id"), "left")
+      .select(col("cluster_id") +: col("n_members") +: fields.map(col): _*)
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS algorithm): hash every `k`-char gram of the
     * normalized text, then from every window of `w` consecutive gram

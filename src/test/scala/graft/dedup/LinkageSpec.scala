@@ -31,6 +31,41 @@ class LinkageSpec extends SparkSpec {
     assert(scores(Seq((1L, 2L)), maxDist = 0)((1L, 2L))._1 == -500000L)
   }
 
+  test("linkageClusters: transitive closure over matches; singletons self-label") {
+    // 1-2 and 2-5 match (5 is a third jon smith variant) but 1-5 was
+    // never scored — transitivity must still put all three together.
+    val recs5 = recs.union(Seq((5L, "jon smith", "nyc")).toDF("id", "name", "city"))
+    val scored = Dedup.linkageScores(
+      Seq((1L, 2L), (2L, 5L), (1L, 4L)).toDF("a", "b"), recs5, "id",
+      Seq(("name", 2000000L, -1500000L), ("city", 1000000L, -400000L)),
+      maxDist = 1, threshold = 2500000L)
+    val out = Dedup.linkageClusters(scored, recs5, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("goldenRecords: per-field mode, ties to smallest, all-null stays null") {
+    val members = Seq(
+      (1L, "john smith", null: String),
+      (2L, "john smith", null: String),
+      (3L, "jon smith", null: String),
+      (10L, "solo", "sf")).toDF("id", "name", "city")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L)).toDF("id", "cluster_id")
+    val out = Dedup.goldenRecords(members, clusters, "id", Seq("name", "city"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    // majority name wins; city null across cluster 1 stays null
+    assert(out(1L) == ((3L, Some("john smith"), None)))
+    assert(out(10L) == ((1L, Some("solo"), Some("sf"))))
+  }
+
+  test("goldenRecords tie-break elects the smallest value") {
+    val members = Seq((1L, "b"), (2L, "a")).toDF("id", "name")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster_id")
+    val out = Dedup.goldenRecords(members, clusters, "id", Seq("name")).collect()
+    assert(out.head.getString(2) == "a")
+  }
+
   test("composes with sorted-neighborhood blocking end to end") {
     val pairs = Dedup.sortedNeighborhoodPairs(recs, "id", "name", window = 2)
     val out = Dedup.linkageScores(pairs, recs, "id",
