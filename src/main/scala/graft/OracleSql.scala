@@ -2328,6 +2328,40 @@ object OracleSql {
          |FROM top, total
          |ORDER BY rank""".stripMargin,
 
+    // DSIR: hashed-unigram add-one-smoothed log-likelihood ratio. The
+    // ln argument is one double division of two exact integer products;
+    // per-bucket micro-nat weights (round·1e6 → BIGINT) sum exactly.
+    "q_dsir" ->
+      s"""WITH tk0 AS (
+         |  SELECT doc_id AS doc, coalesce(lang = 'en', false) AS is_target,
+         |    unnest(str_split(${norm("text")}, ' ')) AS tok
+         |  FROM documents),
+         |tkh AS (
+         |  SELECT doc, is_target, substr(md5(tok), 1, 4) AS hx
+         |  FROM tk0 WHERE tok <> ''),
+         |tk AS (SELECT doc, is_target, ${hex4("hx")} % 4096 AS b FROM tkh),
+         |pb AS (
+         |  SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+         |  FROM tk GROUP BY b),
+         |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM pb),
+         |w AS (
+         |  SELECT b, CAST(round(ln(
+         |      CAST((ct + 1) * (tr + 4096) AS DOUBLE)
+         |      / CAST((cr + 1) * (tt + 4096) AS DOUBLE)) * 1e6) AS BIGINT) AS w
+         |  FROM pb, tot),
+         |db AS (SELECT doc, b, count(*) AS c FROM tk GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT doc, sum(c) AS n_tokens, sum(c * w.w) AS dsir_micro
+         |  FROM db JOIN w ON db.b = w.b GROUP BY doc)
+         |SELECT d.doc_id AS doc, coalesce(d.lang = 'en', false) AS is_target,
+         |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(p.dsir_micro, 0) AS BIGINT) AS dsir_micro,
+         |  (NOT coalesce(d.lang = 'en', false))
+         |    AND coalesce(p.dsir_micro, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN pd p ON d.doc_id = p.doc
+         |ORDER BY doc""".stripMargin,
+
     "q_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id,

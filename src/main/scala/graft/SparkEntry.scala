@@ -2108,6 +2108,14 @@ object SparkEntry {
     CorpusAssembly.vocabCoverage(t(s, dir, "documents"), "text", k = 50)
       .orderBy(col("rank"))
 
+  /** DSIR importance weights: English docs as the target domain, every
+    * other doc scored by hashed-unigram log-likelihood ratio.
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.dsirScores(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")
+      .orderBy(col("doc"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2210,6 +2218,7 @@ object SparkEntry {
     "q_pack_sequences" -> (qPackSequences _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_vocab_coverage" -> (qVocabCoverage _),
+    "q_dsir" -> (qDsir _),
     "q_repetition" -> (qRepetition _),
     "q_cross_dup_ngrams" -> (qCrossDupNgrams _),
     "q_strip_boilerplate" -> (qStripBoilerplate _),

@@ -392,4 +392,66 @@ object CorpusAssembly {
           .cast("double") / col("_total"), 6))
       .select(col("rank"), col("token"), col("n"), col("coverage"))
   }
+
+  /** DSIR importance weights (Xie et al., NeurIPS'23 — "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under the TARGET
+    * domain's hashed-unigram distribution than under the RAW pool's —
+    * the per-token sum of ln(p_target(bucket) / p_raw(bucket)), add-one
+    * smoothed over the `nBuckets` hashed feature space
+    * ([[TextAnalysis.hashBucket]], so the bucketing is content-stable
+    * and oracle-checkable).
+    *
+    * `isTarget` is a boolean Column splitting `df` into target exemplars
+    * and the raw candidate pool (nulls → raw). Per-bucket log-ratios are
+    * quantized to integer micro-nats (the BM25/lm_score rule) and summed
+    * exactly per document — scores are bit-stable and order-free. The
+    * ratio's numerator and denominator are built as exact integer
+    * products feeding ONE double division, so both engines see the same
+    * IEEE value: ln(((ct+1)·(Tr+B)) / ((cr+1)·(Tt+B))).
+    *
+    * Output `(doc, is_target, n_tokens, dsir_micro, keep)` — `keep` is
+    * the selection importance resampling thresholds: raw-pool documents
+    * whose tokens look more target-like than raw (score > 0). Token-less
+    * documents score 0 and are never kept.
+    *
+    * Scale: the bucketed-token frame persists (feeds the bucket
+    * aggregation AND the per-doc aggregation — the lmBigramScore
+    * lesson); bucket counts collapse to ≤ nBuckets rows, totals are a
+    * broadcast 1-row cross join, and the bucket→weight relation
+    * broadcasts into a per-(doc, bucket) hash aggregation — map-side
+    * partials everywhere, no window, no driver round-trip.
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val base = df.select(col(idCol).as("doc"),
+      coalesce(isTarget.cast("boolean"), lit(false)).as("is_target"),
+      col(textCol).as("_t"))
+    val toks = base.select(col("doc"), col("is_target"),
+        explode(graft.dedup.Dedup.tokensOf(col("_t"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc"), col("is_target"),
+        TextAnalysis.hashBucket(col("tok"), nBuckets).as("b"))
+      .persist()
+    val perBucket = toks.groupBy(col("b")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+    val totals = perBucket.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val weights = perBucket.crossJoin(broadcast(totals))
+      .select(col("b"), round(log(
+          ((col("ct") + 1L) * (col("tr") + nBuckets.toLong)).cast("double") /
+          ((col("cr") + 1L) * (col("tt") + nBuckets.toLong)).cast("double"))
+        * 1e6).cast("long").as("w"))
+    val perDoc = toks.groupBy(col("doc"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc")).agg(
+        sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("w")).as("dsir_micro"))
+    base.select(col("doc"), col("is_target")).join(perDoc, Seq("doc"), "left")
+      .select(col("doc"), col("is_target"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro"))
+      .withColumn("keep", !col("is_target") && col("dsir_micro") > 0L)
+  }
 }

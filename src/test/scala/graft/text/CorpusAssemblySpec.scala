@@ -288,4 +288,41 @@ class CorpusAssemblySpec extends SparkSpec {
       Seq(("aa", 2L), ("bb", 2L), ("cc", 1L)))
     assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-9)
   }
+
+  test("dsirScores: target-vocab docs score positive, off-vocab negative") {
+    // Target exemplars speak only {aa bb}; raw docs 10 (pure target
+    // vocab) and 11 (pure off-vocab {xx yy}) must land on opposite
+    // sides of zero, and only the target-like raw doc is kept.
+    val df = Seq(
+      (1L, "aa bb aa bb", true), (2L, "aa bb", true),
+      (10L, "aa bb aa", false), (11L, "xx yy xx yy", false),
+      (12L, null: String, false)).toDF("doc_id", "text", "tgt")
+    val out = CorpusAssembly.dsirScores(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(10L)._3 > 0L && out(10L)._4)
+    assert(out(11L)._3 < 0L && !out(11L)._4)
+    assert(out(1L)._1 && !out(1L)._4) // target docs are never "kept"
+    assert(out(12L) == ((false, 0L, 0L, false))) // token-less raw doc
+  }
+
+  test("dsirScores: score is the exact sum of per-bucket micro-nat weights") {
+    // One shared token: ct=2 target, cr=1 raw; Tt=2, Tr=1, B=4096.
+    // Raw doc 10's single token scores round(ln((3*4097)/(2*4098))*1e6).
+    val df = Seq((1L, "zz zz", true), (10L, "zz", false))
+      .toDF("doc_id", "text", "tgt")
+    val out = CorpusAssembly.dsirScores(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val expected = math.round(math.log((3.0 * 4097) / (2.0 * 4098)) * 1e6)
+    assert(out(10L) == expected)
+    assert(out(1L) == 2 * expected) // two tokens, same bucket weight
+  }
+
+  test("dsirScores: null isTarget rows count as raw pool") {
+    val df = Seq((1L, "aa", Some(true)), (2L, "aa", None: Option[Boolean]))
+      .toDF("doc_id", "text", "tgt")
+    val out = CorpusAssembly.dsirScores(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
 }
