@@ -1931,6 +1931,47 @@ object OracleSql {
         |    '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g') AS redacted
         |FROM planted ORDER BY doc_id""".stripMargin,
 
+    // HTML extraction: identical regex chain (RE2 inline flags, non-
+    // greedy dot-all blocks), entity decode after tag strip with &amp;
+    // LAST (one decode level), chr(10) as the newline replacement.
+    "q_html_text" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>D' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><style type="text/css">p { color: red }</style>' ||
+        |    '</head><body><!-- hidden --><h1>R&amp;D &amp;amp; more</h1><p>' ||
+        |    coalesce(text, '') ||
+        |    '</p><ul><li>first &lt;item&gt;</li><li>second&nbsp;' ||
+        |    '&#39;quoted&#39;</li></ul><script>var x = 1 < 2;</script>' ||
+        |    '<div>tail</div></body></html>' AS raw
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(raw,
+        |  '(?is)<(script|style)\b[^>]*>.*?</(script|style)\s*>', ' ', 'g') AS t
+        |  FROM planted),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
+        |  FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\b[^>]*>', chr(10), 'g') AS t
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+        |  FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(t,
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&apos;', '''', 'g'), '&nbsp;', ' ', 'g') AS t
+        |  FROM s4),
+        |s6 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g') AS t
+        |  FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, '[ \t\x0B\f\r]+', ' ', 'g') AS t
+        |  FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t
+        |  FROM s7)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(t, '\n{2,}', chr(10), 'g'),
+        |    '^\s+|\s+$', '', 'g') AS extracted
+        |FROM s8 ORDER BY doc_id""".stripMargin,
+
     "q_url_extract" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -1787,6 +1787,23 @@ object SparkEntry {
           .as("redacted"))
       .orderBy(col("doc_id"))
 
+  /** HTML → text extraction over planted web pages (the corpus has no
+    * natural HTML — structure is synthesized identically on both sides,
+    * covering blocks, breaks, one-level entity decode, and collapse).
+    */
+  private def qHtmlText(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.stripHtml(concat(
+          lit("<html><head><title>D"), col("doc_id").cast("string"),
+          lit("</title><style type=\"text/css\">p { color: red }</style>" +
+            "</head><body><!-- hidden --><h1>R&amp;D &amp;amp; more</h1><p>"),
+          coalesce(col("text"), lit("")),
+          lit("</p><ul><li>first &lt;item&gt;</li><li>second&nbsp;" +
+            "&#39;quoted&#39;</li></ul><script>var x = 1 < 2;</script>" +
+            "<div>tail</div></body></html>"))).as("extracted"))
+      .orderBy(col("doc_id"))
+
   /** URL inventory: one row per planted URL with its host (generator
     * fan-out of regexp_extract_all; the per-domain weighting pass).
     */
@@ -2207,6 +2224,7 @@ object SparkEntry {
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_pii_redact" -> (qPiiRedact _),
+    "q_html_text" -> (qHtmlText _),
     "q_url_extract" -> (qUrlExtract _),
     "q_hash_split" -> (qHashSplit _),
     "q_contamination" -> (qContamination _),

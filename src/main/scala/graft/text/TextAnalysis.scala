@@ -190,6 +190,41 @@ object TextAnalysis {
     regexp_replace(s3, PhoneRegex, "<PHONE>")
   }
 
+  /** HTML → text extraction for web corpora — the content pull every
+    * crawl-derived dataset starts from. Deterministic rule chain, all
+    * RE2-safe regex (oracle-checkable, no parser dependency):
+    * script/style blocks and comments drop whole (dot-all non-greedy);
+    * block-closing tags (`</p>`, `</div>`, `</li>`, `</h1..6>`, `</tr>`,
+    * `<br>`) become newlines so paragraph structure survives; remaining
+    * tags become spaces; the FIXED entity set `&lt; &gt; &quot; &#39;
+    * &apos; &nbsp;` decodes first and `&amp;` LAST, so double-escaped
+    * text decodes exactly one level (`&amp;lt;` → `&lt;`, never `<`);
+    * whitespace collapses per line and blank runs collapse to single
+    * newlines. Numeric entities beyond `&#39;` are out of scope by
+    * design (a general decoder needs a codepoint expression, not a
+    * fixed table).
+    *
+    * Pure projection — codegen'd regexp chain, no UDF, scales as a map.
+    */
+  def stripHtml(c: Column): Column = {
+    val s0 = coalesce(c, lit(""))
+    val noBlock = regexp_replace(s0,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComment = regexp_replace(noBlock, "(?s)<!--.*?-->", " ")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/li|/h[1-6]|/tr)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    val amp = regexp_replace(ent, "&amp;", "&")
+    val sp = regexp_replace(amp, "[ \\t\\x0B\\f\\r]+", " ")
+    val nl = regexp_replace(sp, " ?\\n ?", "\n")
+    // regex trim, not trim(): built-in trim strips spaces only and would
+    // leave boundary newlines minted by the break-tag rule
+    regexp_replace(regexp_replace(nl, "\\n{2,}", "\n"), "^\\s+|\\s+$", "")
+  }
+
   /** One row per URL found in the text, with its host: the inventory pass
     * behind per-domain corpus filtering/weighting. Generator fan-out of
     * regexp_extract_all — no UDF.

@@ -98,6 +98,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.exists(_._1 == "de")) // 1-token doc contributes nothing
   }
 
+  test("stripHtml: blocks drop, breaks become newlines, entities decode once") {
+    val html = "<html><head><style>p{x}</style></head><body><!-- no -->" +
+      "<h1>Title</h1><p>a &lt;b&gt; &amp;amp; c</p>" +
+      "<script>if (1 < 2) alert('x')</script>" +
+      "<ul><li>one&nbsp;&#39;q&#39;</li></ul><div>tail</div></body></html>"
+    val out = Seq(html).toDF("t")
+      .select(TextAnalysis.stripHtml(col("t")).as("r"))
+      .collect().head.getString(0)
+    // &amp;amp; decodes exactly one level; script body (with its bare <)
+    // vanishes whole; block closers keep line structure.
+    assert(out == "Title\na <b> &amp; c\none 'q'\ntail")
+  }
+
+  test("stripHtml: null maps to empty, plain text passes through collapsed") {
+    val out = Seq(Option.empty[String], Some("no   markup\n\n\nhere"))
+      .toDF("t").select(TextAnalysis.stripHtml(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "")
+    assert(out(1) == "no markup\nhere")
+  }
+
   test("redactPii replaces URL, email, IP, and phone with typed tags") {
     val df = Seq(
       "mail me at jane.doe+spam@corp.example.co.uk today",
