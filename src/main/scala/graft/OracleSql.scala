@@ -1972,6 +1972,56 @@ object OracleSql {
         |    '^\s+|\s+$', '', 'g') AS extracted
         |FROM s8 ORDER BY doc_id""".stripMargin,
 
+    // Gopher rules: every metric is a regex count (RE2 multiline flags)
+    // and every threshold an integer cross-multiply; mean word length
+    // uses the classifierScore floor-of-double-quotient convention.
+    "q_gopher" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || chr(10) ||
+        |        '- item one' || chr(10) || '- item two' || chr(10) ||
+        |        '* item three'
+        |      WHEN doc_id % 5 = 1 THEN coalesce(text, '') || chr(10) ||
+        |        'to be continued...' || chr(10) || 'and then more…'
+        |      ELSE coalesce(text, '') END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(t, '\s+', '', 'g')) AS BIGINT) AS cs,
+        |    CAST(len(regexp_extract_all(t, '\.{3}|…')) AS BIGINT)
+        |      + CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_symbols,
+        |    CAST(len(regexp_extract_all(t, '(?m)^[ \t]*\S')) AS BIGINT) AS n_lines,
+        |    CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*•]')) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(regexp_extract_all(t, '(?m)(\.{3}|…)[ \t]*$')) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(regexp_extract_all(t, '\S*\p{L}\S*')) AS BIGINT) AS n_alpha_words,
+        |    CAST((CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END
+        |      + CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stop_kinds
+        |  FROM planted),
+        |w AS (
+        |  SELECT *, CASE WHEN n_words > 0
+        |    THEN CAST(floor((cs * 1000000) / n_words) AS BIGINT)
+        |    ELSE 0 END AS mean_word_len_micro
+        |  FROM m)
+        |SELECT doc_id AS doc, n_words, mean_word_len_micro, n_symbols,
+        |  n_lines, n_bullet_lines, n_ellipsis_lines, n_alpha_words,
+        |  n_stop_kinds,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len_micro >= 3000000 AND mean_word_len_micro <= 10000000
+        |    AND n_symbols * 10 <= n_words
+        |    AND n_bullet_lines * 10 <= n_lines * 9
+        |    AND n_ellipsis_lines * 10 <= n_lines * 3
+        |    AND n_alpha_words * 10 >= n_words * 8
+        |    AND n_stop_kinds >= 2) AS keep
+        |FROM w ORDER BY doc""".stripMargin,
+
     "q_url_extract" ->
       """WITH planted AS (
         |  SELECT doc_id,

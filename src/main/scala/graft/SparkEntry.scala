@@ -1804,6 +1804,19 @@ object SparkEntry {
             "<div>tail</div></body></html>"))).as("extracted"))
       .orderBy(col("doc_id"))
 
+  /** Gopher formatting rules over documents with planted bullet-list /
+    * ellipsis structure (the corpus has no natural multi-line docs).
+    */
+  private def qGopher(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(coalesce(col("text"), lit("")),
+          lit("\n- item one\n- item two\n* item three")))
+        .when(col("doc_id") % 5 === 1, concat(coalesce(col("text"), lit("")),
+          lit("\nto be continued...\nand then more…")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.gopherRules(planted, "doc_id", "text").orderBy(col("doc"))
+  }
+
   /** URL inventory: one row per planted URL with its host (generator
     * fan-out of regexp_extract_all; the per-domain weighting pass).
     */
@@ -2225,6 +2238,7 @@ object SparkEntry {
     "q_corpus_pipeline" -> (qCorpusPipeline _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_html_text" -> (qHtmlText _),
+    "q_gopher" -> (qGopher _),
     "q_url_extract" -> (qUrlExtract _),
     "q_hash_split" -> (qHashSplit _),
     "q_contamination" -> (qContamination _),

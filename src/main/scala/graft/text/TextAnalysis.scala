@@ -76,6 +76,60 @@ object TextAnalysis {
     round((lenOk + wordLenOk + punctOk + stopOk) / 4.0, 2)
   }
 
+  /** Gopher quality rules (Rae et al. '21, §A1.1) — the concrete
+    * repetition-free formatting gate most LLM corpora apply before
+    * model-based scoring. Every metric is exact integer arithmetic and
+    * every threshold an integer cross-multiply (never a float ratio), so
+    * the whole relation hash-oracles:
+    *
+    *  - word count in [50, 100000]; mean word length in [3, 10]
+    *    (non-whitespace chars over `\S+` words, micro-units via
+    *    integral division);
+    *  - symbol-to-word ratio (`#` or ellipsis) ≤ 0.1;
+    *  - ≤ 90% of non-blank lines start with a bullet, ≤ 30% end with an
+    *    ellipsis (multiline-flag regex counts — no per-line explode);
+    *  - ≥ 80% of words contain a letter; ≥ 2 distinct required stopwords
+    *    (the paper's {the, be, to, of, and, that, have, with}).
+    *
+    * `keep` is the conjunction. Pure projection — one codegen'd pass,
+    * no aggregation, no HOF.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val nWords = size(regexp_extract_all(t, lit("\\S+"), lit(0))).cast("long")
+    val charSum = length(regexp_replace(t, "\\s+", "")).cast("long")
+    // floor of the double quotient: exact (charSum·1e6 ≤ ~1e11 « 2^53)
+    // and identical to DuckDB's floor((cs*1000000)/nw) — the
+    // classifierScore convention.
+    val meanMicro = when(nWords > 0L,
+      floor((charSum * 1000000L) / nWords).cast("long")).otherwise(lit(0L))
+    val nSymbols = size(regexp_extract_all(t, lit("\\.{3}|…"), lit(0))).cast("long") +
+      (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nLines = size(regexp_extract_all(t, lit("(?m)^[ \\t]*\\S"), lit(0))).cast("long")
+    val nBullet = size(regexp_extract_all(t, lit("(?m)^[ \\t]*[-*•]"), lit(0))).cast("long")
+    val nEllEnd = size(regexp_extract_all(t, lit("(?m)(\\.{3}|…)[ \\t]*$"), lit(0))).cast("long")
+    val nAlpha = size(regexp_extract_all(t, lit("\\S*\\p{L}\\S*"), lit(0))).cast("long")
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = gopherStops.map(w =>
+      when(lower(t).rlike(s"\\b$w\\b"), 1L).otherwise(0L)).reduce(_ + _)
+    df.select(col(idCol).as("doc"),
+      nWords.as("n_words"),
+      meanMicro.as("mean_word_len_micro"),
+      nSymbols.as("n_symbols"),
+      nLines.as("n_lines"),
+      nBullet.as("n_bullet_lines"),
+      nEllEnd.as("n_ellipsis_lines"),
+      nAlpha.as("n_alpha_words"),
+      nStop.as("n_stop_kinds"),
+      (nWords >= 50L && nWords <= 100000L &&
+        meanMicro >= 3000000L && meanMicro <= 10000000L &&
+        nSymbols * 10L <= nWords &&
+        nBullet * 10L <= nLines * 9L &&
+        nEllEnd * 10L <= nLines * 3L &&
+        nAlpha * 10L >= nWords * 8L &&
+        nStop >= 2L).as("keep"))
+  }
+
   /** Content fingerprint: md5 of the dedup-normalized text (engine-portable,
     * oracle-checkable).
     */

@@ -119,6 +119,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == "no markup\nhere")
   }
 
+  test("gopherRules: each gate trips on its own pathology") {
+    val good = (("the cat and that dog have fun with others here now " * 6).trim)
+    val bullets = good + "\n" + (1 to 20).map(i => s"- item $i").mkString("\n")
+    val symbols = good + " " + ("###### " * 12).trim
+    val numbers = (("the of " + "12345 " * 18).trim + " ") * 3
+    val dots = good + "\n" + (1 to 9).map(i => s"line $i goes on...").mkString("\n")
+    val df = Seq(
+      (1L, good), (2L, bullets), (3L, symbols), (4L, numbers), (5L, dots),
+      (6L, "too short to keep"), (7L, null: String)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(9), "well-formed doc must pass")
+    assert(!out(2L).getBoolean(9), "bullet-dominated doc must fail")
+    assert(out(2L).getLong(5) == 20L) // bullet lines counted
+    assert(!out(3L).getBoolean(9), "symbol-heavy doc must fail")
+    assert(out(3L).getLong(3) >= 72L) // 12 runs of 6 hashes
+    assert(!out(4L).getBoolean(9), "number-dominated doc must fail alpha gate")
+    assert(!out(5L).getBoolean(9), "ellipsis-ended lines over 30% must fail")
+    assert(out(5L).getLong(6) == 9L)
+    assert(!out(6L).getBoolean(9), "under 50 words must fail")
+    assert(out(7L).getLong(1) == 0L && !out(7L).getBoolean(9))
+  }
+
+  test("gopherRules: mean word length bounds in exact micro-units") {
+    val shortWords = (("a b " * 30).trim) // mean 1.0 < 3.0
+    val df = Seq((1L, shortWords)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(df, "doc_id", "text").collect().head
+    assert(r.getLong(2) == 1000000L)
+    assert(!r.getBoolean(9))
+  }
+
   test("redactPii replaces URL, email, IP, and phone with typed tags") {
     val df = Seq(
       "mail me at jane.doe+spam@corp.example.co.uk today",
