@@ -2419,6 +2419,17 @@ object OracleSql {
          |FROM top, total
          |ORDER BY rank""".stripMargin,
 
+    // Integer percent_rank: rank() tie semantics, NULLS FIRST spelled
+    // out (Spark's asc default), floor-of-double-quotient micro-units.
+    "q_rank_normalize" ->
+      """SELECT doc_id, source, n_chars,
+        |  CASE WHEN count(*) OVER (PARTITION BY source) > 1
+        |    THEN CAST(floor(((rank() OVER (PARTITION BY source
+        |        ORDER BY n_chars ASC NULLS FIRST) - 1) * 1000000)
+        |      / (count(*) OVER (PARTITION BY source) - 1)) AS BIGINT)
+        |    ELSE 0 END AS pct_micro
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // DSIR: hashed-unigram add-one-smoothed log-likelihood ratio. The
     // ln argument is one double division of two exact integer products;
     // per-bucket micro-nat weights (round·1e6 → BIGINT) sum exactly.

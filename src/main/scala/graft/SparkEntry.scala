@@ -2138,6 +2138,15 @@ object SparkEntry {
     CorpusAssembly.vocabCoverage(t(s, dir, "documents"), "text", k = 50)
       .orderBy(col("rank"))
 
+  /** Rank normalization of document length within each source — the
+    * cross-source score calibration shape.
+    */
+  private def qRankNormalize(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.rankNormalize(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("source"), "n_chars")
+      .orderBy(col("doc_id"))
+
   /** DSIR importance weights: English docs as the target domain, every
     * other doc scored by hashed-unigram log-likelihood ratio.
     */
@@ -2251,6 +2260,7 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_dsir" -> (qDsir _),
+    "q_rank_normalize" -> (qRankNormalize _),
     "q_repetition" -> (qRepetition _),
     "q_cross_dup_ngrams" -> (qCrossDupNgrams _),
     "q_strip_boilerplate" -> (qStripBoilerplate _),

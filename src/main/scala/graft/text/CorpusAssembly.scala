@@ -393,6 +393,33 @@ object CorpusAssembly {
       .select(col("rank"), col("token"), col("n"), col("coverage"))
   }
 
+  /** Per-group rank normalization (integer percent_rank): maps a value
+    * column to its within-group quantile position in exact micro-units —
+    * `(rank−1)·10⁶ / (n−1)` with `rank()` tie semantics (equal values
+    * share a rank; ties need no arbitrary id tiebreak), floored from the
+    * exact double quotient; single-member groups map to 0. The score
+    * CALIBRATION step before mixing corpora whose quality scores live on
+    * different scales — after normalization "top 10% of each source" is
+    * one predicate (`pct_micro >= 900000`).
+    *
+    * Scale: both windows (rank and group count) share one partitioning
+    * on `groupCols` — one shuffle, no global window; nulls rank FIRST
+    * (Spark's asc default, spelled out in the oracle where DuckDB
+    * defaults last).
+    */
+  def rankNormalize(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, outCol: String = "pct_micro"): DataFrame = {
+    require(groupCols.nonEmpty, "rankNormalize needs at least one group column")
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(col(valueCol).asc_nulls_first)
+    df.withColumn("_rn_rank", rank().over(w).cast("long"))
+      .withColumn("_rn_n", count(lit(1)).over(part))
+      .withColumn(outCol, when(col("_rn_n") > 1L,
+        floor(((col("_rn_rank") - 1L) * 1000000L) / (col("_rn_n") - 1L))
+          .cast("long")).otherwise(lit(0L)))
+      .drop("_rn_rank", "_rn_n")
+  }
+
   /** DSIR importance weights (Xie et al., NeurIPS'23 — "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much more likely its tokens are under the TARGET

@@ -289,6 +289,27 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("rankNormalize: ties share rank, endpoints hit 0 and 1e6, singleton is 0") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("b", 5L, 7L)).toDF("g", "id", "v")
+    val out = CorpusAssembly.rankNormalize(df, Seq("g"), "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // group a: ranks 1,2,2,4 over n=4 → (r-1)*1e6/3
+    assert(out(1L) == 0L)
+    assert(out(2L) == 333333L && out(3L) == 333333L)
+    assert(out(4L) == 1000000L)
+    assert(out(5L) == 0L) // singleton group
+  }
+
+  test("rankNormalize: nulls rank first") {
+    val df = Seq(("a", 1L, Some(5L)), ("a", 2L, None: Option[Long]))
+      .toDF("g", "id", "v")
+    val out = CorpusAssembly.rankNormalize(df, Seq("g"), "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(2L) == 0L && out(1L) == 1000000L)
+  }
+
   test("dsirScores: target-vocab docs score positive, off-vocab negative") {
     // Target exemplars speak only {aa bb}; raw docs 10 (pure target
     // vocab) and 11 (pure off-vocab {xx yy}) must land on opposite
