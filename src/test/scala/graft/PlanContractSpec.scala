@@ -244,6 +244,49 @@ class PlanContractSpec extends SparkSpec {
       s"pairing must be a block equi-join:\n${p.take(3000)}")
   }
 
+  test("session-4 projections: html/gopher are scan→project→sort, one shuffle") {
+    for (q <- Seq("q_html_text", "q_gopher")) {
+      val p = planOf(q)
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1,
+        s"$q should be a pure projection + output sort, saw $exchanges exchanges:\n${p.take(1500)}")
+      assert(!p.contains("HashAggregate") || q != "q_html_text")
+    }
+  }
+
+  test("rankNormalize shares ONE group partitioning across both windows") {
+    val p = planOf("q_rank_normalize")
+    assert("hashpartitioning\\(source".r.findAllIn(p).size >= 1, p.take(2000))
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // group window + output sort, nothing else
+      s"rank+count must reuse one shuffle, saw $exchanges:\n${p.take(2000)}")
+  }
+
+  test("dsir: bucket weights ride broadcast joins; no cartesian, no window") {
+    val p = planOf("q_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_dsir lost its weight broadcast:\n${p.take(2000)}")
+    // the 1-row totals relation may ride a BroadcastNestedLoopJoin;
+    // an unbroadcast cartesian is never acceptable
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), s"q_dsir must not window:\n${p.take(2000)}")
+  }
+
+  test("golden records elect by aggregation, never by window") {
+    val p = planOf("q_golden")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(2000))
+    assert(!p.contains("Window"),
+      s"q_golden must elect modes via min(struct), not row_number:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("linkage scoring joins records back by equi-join, no cartesian") {
+    val p = planOf("q_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"q_linkage pair join-back must stay equi:\n${p.take(3000)}")
+  }
+
   test("pageRank's final plan reads the checkpointed ranks, never the base tables") {
     val p = planOf("q_pagerank")
     // iterations ran eagerly behind localCheckpoint: the returned plan
