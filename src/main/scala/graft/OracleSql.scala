@@ -1035,6 +1035,13 @@ object OracleSql {
         | AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
         |ORDER BY click_id, purchase_id""".stripMargin,
 
+    // Stream-static enrichment: the stateless per-batch broadcast join
+    // must equal the plain batch join.
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, n.n_name
+        |FROM events e LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |ORDER BY e.event_id""".stripMargin,
+
     // Stream-stream LEFT OUTER interval join: the watermark-flushed
     // stream must equal the batch left-outer range join. Spark sorts
     // nulls first under ASC; DuckDB defaults NULLS LAST — spelled out.

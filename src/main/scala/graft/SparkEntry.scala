@@ -1159,6 +1159,38 @@ object SparkEntry {
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
       .orderBy(col("event_id"))
 
+  /** Stream-static enrichment under the correctness gate: the events
+    * stream probes the broadcast nation dimension per micro-batch —
+    * stateless (no watermark, no state store) — and the finished stream
+    * must equal the batch join oracle.
+    */
+  private def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"))
+      .orderBy(col("event_id"))
+    val n = src.count()
+    val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val mem = MemoryStream[(Long, Long)]
+    val enriched = StreamingOps.streamStaticEnrich(
+        mem.toDF().toDF("event_id", "user_id")
+          .withColumn("n_nationkey", col("user_id") % 25),
+        dim, Seq("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("n_name"))
+    val sink = "q_stream_enrich_sink"
+    val q = enriched.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      src.toLocalIterator().asScala.map(r => (r.getLong(0), r.getLong(1)))
+        .grouped(math.max(2000, (n / 4 + 1).toInt))
+        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+    } finally q.stop()
+    s.table(sink).orderBy(col("event_id"))
+  }
+
   /** Structured Streaming under the correctness gate: the events table is
     * replayed through a MemoryStream in micro-batches into the SAME
     * watermarked tumbling-agg plan the batch query uses; the finished
@@ -2203,6 +2235,7 @@ object SparkEntry {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_interval" -> (qStreamInterval _),
+    "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_outer" -> (qStreamOuter _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_bucketed" -> (qAsofBucketed _),

@@ -114,6 +114,21 @@ object StreamingOps {
           s"$rightTs BETWEEN $leftTs - INTERVAL $lookback AND $leftTs"),
         joinType)
 
+  /** Stream-static enrichment join — the reference-data pattern: each
+    * micro-batch probes the static dimension, which rides a broadcast;
+    * completely STATELESS (no watermark, no state store, nothing to
+    * evict), unlike stream-stream joins which buffer both sides. The
+    * static side is re-resolvable per batch, so a dim refresh lands on
+    * the next micro-batch without restarting the query.
+    *
+    * Scale: the dim must stay broadcast-sized (the usual dimension
+    * contract); a bigger dim is the same code path minus the hint —
+    * Spark then shuffles each micro-batch against it.
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String], joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   // ------------------------------------------- custom state (gap sessions)
 
   final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)

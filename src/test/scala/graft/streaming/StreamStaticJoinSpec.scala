@@ -38,4 +38,26 @@ class StreamStaticJoinSpec extends SparkSpec {
       assert(out(None) == 2.0)
     } finally query.stop()
   }
+
+  test("streamStaticEnrich is stateless: no state operators, equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0L, "even"), (1L, "odd")).toDF("k", "parity")
+    val mem = MemoryStream[(Long, Long)]
+    val enriched = StreamingOps.streamStaticEnrich(
+      mem.toDF().toDF("id", "v").withColumn("k", col("v") % 2),
+      dim, Seq("k"))
+    val query = enriched.writeStream.format("memory")
+      .queryName("stream_static_enrich").outputMode("append").start()
+    try {
+      mem.addData((1L, 10L), (2L, 11L)); query.processAllAvailable()
+      mem.addData((3L, 12L)); query.processAllAvailable()
+      // append mode with no watermark only works because the join keeps
+      // NO state — pinned directly on the progress metrics
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not create a state store")
+      val out = spark.sql("select id, parity from stream_static_enrich")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out == Map(1L -> "even", 2L -> "odd", 3L -> "even"))
+    } finally query.stop()
+  }
 }
