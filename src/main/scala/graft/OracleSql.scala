@@ -2400,6 +2400,32 @@ object OracleSql {
         |FROM per p CROSS JOIN tot LEFT JOIN tgt t USING (source)
         |ORDER BY p.source""".stripMargin,
 
+    // Temperature mixture (T=2): sqrt is IEEE-exact on both engines;
+    // the normalizer is a RUNNING sum in source order (max of the
+    // non-negative cumulative = the final value), so every double is
+    // bit-identical before the micro-unit floor.
+    "q_temperature_mixture" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+        |         ELSE len(str_split_regex(trim(coalesce(text, '')), '\s+')) END)
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w,
+        |    sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER (ORDER BY source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n_tokens) OVER () AS total
+        |  FROM per),
+        |z AS (SELECT *, max(cum) OVER () AS z FROM w)
+        |SELECT source, n_tokens,
+        |  CAST(floor((w / z) * 1000000.0) AS BIGINT) AS target_share_micro,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    CAST(floor((w / z) * CAST(total AS DOUBLE)
+        |      / CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT)
+        |  END AS sample_multiplier_micro
+        |FROM z ORDER BY source""".stripMargin,
+
     "q_cap_strata" ->
       s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          |h AS (SELECT doc_id, lang, md5('cap0:' || CAST(doc_id AS VARCHAR)) AS hx

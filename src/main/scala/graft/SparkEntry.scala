@@ -2170,6 +2170,11 @@ object SparkEntry {
     CorpusAssembly.vocabCoverage(t(s, dir, "documents"), "text", k = 50)
       .orderBy(col("rank"))
 
+  /** Temperature-scaled (T=2) mixture rebalancing across sources. */
+  private def qTemperatureMixture(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.temperatureMixture(t(s, dir, "documents"), "source", "text")
+      .orderBy(col("source"))
+
   /** Rank normalization of document length within each source — the
     * cross-source score calibration shape.
     */
@@ -2294,6 +2299,7 @@ object SparkEntry {
     "q_vocab_coverage" -> (qVocabCoverage _),
     "q_dsir" -> (qDsir _),
     "q_rank_normalize" -> (qRankNormalize _),
+    "q_temperature_mixture" -> (qTemperatureMixture _),
     "q_repetition" -> (qRepetition _),
     "q_cross_dup_ngrams" -> (qCrossDupNgrams _),
     "q_strip_boilerplate" -> (qStripBoilerplate _),

@@ -300,6 +300,47 @@ object CorpusAssembly {
         col("token_share"), col("target_share"), col("sample_multiplier"))
   }
 
+  /** Temperature-scaled mixture at T = 2 (the UniMax/mT5 rebalancing
+    * shape): target share ∝ √(observed tokens), damping large sources
+    * and boosting small ones without hand-set weights — the half-power
+    * point between proportional (T=1) and uniform (T→∞) sampling.
+    *
+    * T is FIXED at 2 because √ is the one non-integer power IEEE
+    * requires correctly rounded — `sqrt` is bit-identical everywhere,
+    * where `pow(x, 1/T)` is libm-dependent and would break the oracle.
+    * The normalizer is a RUNNING sum in pinned source order (sequential
+    * double adds in the same order on both engines — a plain aggregate
+    * sum has engine-chosen addend order), taken at its maximum (the
+    * addends are non-negative, so the last running value is the max).
+    * Shares and multipliers floor to micro-units from bit-identical
+    * doubles with the operation order spelled out.
+    *
+    * Scale: one partial-aggregable token-count pass; everything after
+    * runs on the |sources|-row aggregate (the windows are intentional
+    * there — vocabulary-bounded, never over the data).
+    */
+  def temperatureMixture(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(graft.text.TextAnalysis.tokenCountWhitespace(col(textCol))
+        .cast("long")).as("n_tokens"))
+    val wOrd = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    per
+      .withColumn("_w", sqrt(col("n_tokens").cast("double")))
+      .withColumn("_z", max(sum(col("_w")).over(wOrd)).over(wAll))
+      .withColumn("_total", sum(col("n_tokens")).over(wAll))
+      .withColumn("target_share_micro",
+        floor((col("_w") / col("_z")) * lit(1000000.0)).cast("long"))
+      .withColumn("sample_multiplier_micro",
+        when(col("n_tokens") > 0L, floor(
+          (col("_w") / col("_z")) * col("_total").cast("double") /
+            col("n_tokens").cast("double") * lit(1000000.0)).cast("long")))
+      .select(col("source"), col("n_tokens"),
+        col("target_share_micro"), col("sample_multiplier_micro"))
+  }
+
   private def validateShares(targetShares: Map[String, Double]): Unit = {
     targetShares.foreach { case (src, share) =>
       require(share > 0.0 && share <= 1.0,

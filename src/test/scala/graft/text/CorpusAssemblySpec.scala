@@ -310,6 +310,23 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(out(2L) == 0L && out(1L) == 1000000L)
   }
 
+  test("temperatureMixture: sqrt damping with exact micro floors") {
+    // token counts 1/4/9 → weights 1/2/3, Z=6, total=14
+    val df = Seq(
+      ("s1", "a"),
+      ("s2", "a b c d"),
+      ("s3", "a b c d e f g h i")).toDF("source", "text")
+    val out = CorpusAssembly.temperatureMixture(df, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("s1") == ((1L, 166666L, 2333333L)))
+    assert(out("s2") == ((4L, 333333L, 1166666L)))
+    assert(out("s3") == ((9L, 500000L, 777777L)))
+    // damping law: 9× the tokens only triples the target share
+    assert(out("s3")._2 < 3 * out("s1")._2 + 3)
+    // small sources upsample (>1), the biggest downsamples (<1)
+    assert(out("s1")._3 > 1000000L && out("s3")._3 < 1000000L)
+  }
+
   test("dsirScores: target-vocab docs score positive, off-vocab negative") {
     // Target exemplars speak only {aa bb}; raw docs 10 (pure target
     // vocab) and 11 (pure off-vocab {xx yy}) must land on opposite
