@@ -2078,6 +2078,27 @@ object OracleSql {
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_id, bench_doc""".stripMargin,
 
+    // Decontamination materialization: q_contamination's shingle chain
+    // restricted to train-vs-bench, then NOT IN over the distinct dirty
+    // ids (the anti-join replica).
+    "q_decontaminate" ->
+      s"""WITH ctoks AS (
+         |  SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t FROM documents),
+         |csh AS (
+         |  SELECT doc, list_distinct(
+         |    [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]) AS shs
+         |  FROM ctoks WHERE len(t) >= 3),
+         |cex AS (SELECT doc, unnest(shs) AS s FROM csh),
+         |train AS (SELECT doc, s FROM cex WHERE doc % 97 <> 0),
+         |bench AS (SELECT doc, s FROM cex WHERE doc % 97 = 0),
+         |dirty AS (
+         |  SELECT DISTINCT c.doc
+         |  FROM train c JOIN bench b ON c.s = b.s AND c.doc != b.doc
+         |  GROUP BY c.doc, b.doc HAVING count(*) >= 2)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc FROM dirty)
+         |ORDER BY d.doc_id""".stripMargin,
+
     // Strictly-ordered funnel: each stage's first qualifying time feeds
     // the next stage's at-or-after predicate.
     "q_funnel" ->

@@ -1890,6 +1890,19 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("bench_doc"))
   }
 
+  /** Decontaminated corpus: training docs (non-benchmark) minus every
+    * n-gram collision with the benchmark set.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    TextAnalysis.decontaminate(train, bench, "doc_id", "doc_id", "text",
+        n = 3, minCommon = 2)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The end-to-end corpus pipeline as ONE Catalyst plan — exact dedup
     * (keep canonical per normalized content) → quality filter → PII
     * redaction → deterministic train/val/test split. The composition every
@@ -2289,6 +2302,7 @@ object SparkEntry {
     "q_url_extract" -> (qUrlExtract _),
     "q_hash_split" -> (qHashSplit _),
     "q_contamination" -> (qContamination _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_asof_forward" -> (qAsofForward _),
     "q_frame_sample" -> (qFrameSample _),

@@ -425,6 +425,27 @@ object TextAnalysis {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** Decontamination MATERIALIZATION: the training corpus with every
+    * document that [[ngramOverlap]]-collides with the benchmark set
+    * removed (GPT-3-appendix-C shape: drop the training doc on n-gram
+    * collision; the benchmark rows themselves are not training data and
+    * are excluded up front). The flag pass is `ngramOverlap`; this is
+    * the anti-join that actually ships a clean corpus.
+    *
+    * Scale: distinct contaminated ids collapse before the LEFT ANTI
+    * join, so the join's build side is |contaminated docs|, not
+    * |overlap pairs|.
+    */
+  def decontaminate(
+      corpus: DataFrame, bench: DataFrame,
+      corpusId: String, benchId: String,
+      textCol: String, n: Int = 3, minCommon: Long = 2L): DataFrame = {
+    val dirty = ngramOverlap(corpus, bench, corpusId, benchId, textCol,
+        n, minCommon)
+      .select(col("doc")).distinct()
+    corpus.join(dirty, corpus(corpusId) === dirty("doc"), "left_anti")
+  }
+
   /** Gopher-style repetition metrics per document: total word-bigram
     * occurrences, distinct bigrams, the top bigram's occurrence count, and
     * a repetitiveness flag (top bigram > 20% of occurrences OR repeated

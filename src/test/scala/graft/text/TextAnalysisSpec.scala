@@ -119,6 +119,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) == "no markup\nhere")
   }
 
+  test("decontaminate drops colliding docs, keeps clean ones, never ships bench") {
+    val bench = Seq((100L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "totally unrelated content about spark plans here"),
+      (2L, "answer: the quick brown fox jumps high"), // shares 2 trigrams
+      (3L, "quick brown cat sits still")) // shares only 1 trigram? none of 3
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.decontaminate(train, bench, "doc_id", "doc_id",
+      "text", n = 3, minCommon = 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("gopherRules: each gate trips on its own pathology") {
     val good = (("the cat and that dog have fun with others here now " * 6).trim)
     val bullets = good + "\n" + (1 to 20).map(i => s"- item $i").mkString("\n")
