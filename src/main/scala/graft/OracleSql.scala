@@ -1329,6 +1329,30 @@ object OracleSql {
          |FROM wc JOIN reps r USING (cluster)
          |ORDER BY doc_id""".stripMargin,
 
+    // Robust per-dim normalization: zipped unnests keep (dim, q) in
+    // lockstep; median/quantile interpolation is exact on quantized
+    // longs; division order pinned before the micro floor.
+    "q_embed_normalize" ->
+      """WITH qz AS (
+        |  SELECT vec_id AS id,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS q
+        |  FROM embeddings),
+        |med AS (SELECT dim, median(q) AS med FROM qz GROUP BY dim),
+        |j AS (SELECT qz.id, qz.dim, qz.q, med.med FROM qz JOIN med USING (dim)),
+        |mad AS (SELECT dim, median(abs(CAST(q AS DOUBLE) - med)) AS mad
+        |  FROM j GROUP BY dim),
+        |n AS (
+        |  SELECT j.id, j.dim,
+        |    CASE WHEN d.mad <> 0
+        |      THEN CAST(floor(((CAST(j.q AS DOUBLE) - j.med) / d.mad)
+        |        * 1000000.0) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS nm
+        |  FROM j JOIN mad d USING (dim))
+        |SELECT id, list(nm ORDER BY dim) AS norm
+        |FROM n GROUP BY id ORDER BY id""".stripMargin,
+
     "q_ann_brute_force" ->
       """WITH qz AS (
         |  SELECT vec_id, list_transform(embedding,

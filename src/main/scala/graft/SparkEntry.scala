@@ -1488,6 +1488,11 @@ object SparkEntry {
   // ------------------------------------------------- similarity capability
 
   /** Brute-force quantized-cosine top-5 for 10 query vectors. */
+  /** Per-dimension median/MAD normalization of the embedding table. */
+  private def qEmbedNormalize(s: SparkSession, dir: String): DataFrame =
+    Similarity.robustNormalize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("id"))
+
   private def qAnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
@@ -2266,6 +2271,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ann_brute_force" -> (qAnnBruteForce _),
+    "q_embed_normalize" -> (qEmbedNormalize _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_joined" -> (qAnnIvfJoined _),

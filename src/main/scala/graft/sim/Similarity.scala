@@ -58,6 +58,45 @@ object Similarity {
   def quantizedNorm(qa: Column): Column =
     sqrt(quantizedDot(qa, qa).cast("double"))
 
+  /** Per-dimension robust normalization of an embedding column —
+    * `(x − median_dim) / MAD_dim` in floored micro-units — the feature
+    * standardization pass before distance-based stages (ANN, k-means,
+    * SemDeDup) when dimensions live on different scales or carry
+    * outliers: median/MAD have a 50% breakdown point where mean/σ are
+    * dragged by the very outliers they should tame (the madOutliers
+    * argument, applied per dimension). A zero-MAD dimension (constant
+    * or half-constant) normalizes to 0 — no information, no division.
+    *
+    * Vectors quantize first ([[quantize]]) so every percentile input is
+    * an exact long and the interpolated medians are exact in double;
+    * the division order is pinned for the oracle. Output
+    * `(id, norm: array<long>)`, reassembled in dimension order.
+    *
+    * Scale: one posexplode → |dims| exact-percentile groups (buffers a
+    * dimension's values — the honest exact-quantile cost; swap in
+    * binnedQuantiles fences at 100 TB corpus widths, the q_percentiles
+    * pairing), a broadcast |dims|-row stats relation back onto the
+    * exploded frame, and one per-vector reassembly aggregation.
+    */
+  def robustNormalize(df: DataFrame, idCol: String, vecCol: String,
+      quantScale: Int = 1000): DataFrame = {
+    val qz = df.select(col(idCol).as("id"),
+        posexplode(quantize(col(vecCol), quantScale)).as(Seq("dim", "q")))
+    val med = qz.groupBy(col("dim"))
+      .agg(percentile(col("q"), lit(0.5)).as("_med"))
+    val j = qz.join(broadcast(med), Seq("dim"))
+    val mad = j.groupBy(col("dim"))
+      .agg(percentile(abs(col("q").cast("double") - col("_med")), lit(0.5))
+        .as("_mad"))
+    j.join(broadcast(mad), Seq("dim"))
+      .withColumn("_nm", when(col("_mad") =!= 0.0,
+        floor(((col("q").cast("double") - col("_med")) / col("_mad"))
+          * lit(1000000.0)).cast("long")).otherwise(lit(0L)))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("_nm")))),
+        x => x.getField("_nm")).as("norm"))
+  }
+
   /** Cosine from a precomputed dot and per-side norms (NULL on zero-norm
     * input — see [[cosine]]; ANSI-safe).
     */

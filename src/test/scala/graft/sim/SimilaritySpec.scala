@@ -315,4 +315,25 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("n_keep") =!= 1).count()
     assert(bad == 0)
   }
+
+  test("robustNormalize: exact median/MAD micro-units; zero-MAD dim maps to 0") {
+    // dim0 quantizes to {1000,2000,3000}: med 2000, MAD 1000; dim1 constant
+    val df = Seq(
+      (1L, Seq(1.0f, 5.0f)),
+      (2L, Seq(2.0f, 5.0f)),
+      (3L, Seq(3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.robustNormalize(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(-1000000L, 0L))
+    assert(out(2L) == Seq(0L, 0L))
+    assert(out(3L) == Seq(1000000L, 0L))
+  }
+
+  test("robustNormalize: even counts interpolate the median exactly") {
+    // dim0 {0, 1000}: med 500, |dev| {500,500} → MAD 500 → ±1e6
+    val df = Seq((1L, Seq(0.0f)), (2L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.robustNormalize(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(-1000000L) && out(2L) == Seq(1000000L))
+  }
 }
