@@ -2123,6 +2123,48 @@ object OracleSql {
          |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc FROM dirty)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Welch t-test: HUGEINT conditional sums of floor-quantized values,
+    // then one fixed IEEE expression tree (multiply/divide/sqrt only —
+    // no engine-ordered float accumulation, no libm pow/ln).
+    "q_ab_test" ->
+      """WITH r AS (
+        |  SELECT event_type, (user_id % 2 = 0) AS a,
+        |    CAST(floor(value * 10000) AS HUGEINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN a THEN y ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN NOT a THEN y ELSE 0 END) AS s_b,
+        |    sum(CASE WHEN a THEN y * y ELSE 0 END) AS ss_a,
+        |    sum(CASE WHEN NOT a THEN y * y ELSE 0 END) AS ss_b
+        |  FROM r GROUP BY 1),
+        |m AS (
+        |  SELECT *,
+        |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |      / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+        |    (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |      / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+        |  FROM agg),
+        |se AS (
+        |  SELECT *, va / CAST(n_a AS DOUBLE) AS sea, vb / CAST(n_b AS DOUBLE) AS seb,
+        |    va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2
+        |  FROM m)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN CAST(floor(ma * 100.0) AS BIGINT) END AS mean_a_micro,
+        |  CASE WHEN n_b > 0 THEN CAST(floor(mb * 100.0) AS BIGINT) END AS mean_b_micro,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+        |    THEN CAST(floor((ma - mb) / sqrt(se2) * 1000000.0) AS BIGINT)
+        |  END AS t_micro,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND se2 > 0.0
+        |    THEN CAST(floor(se2 * se2 / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+        |      + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)) * 1000000.0) AS BIGINT)
+        |  END AS df_micro
+        |FROM se ORDER BY event_type""".stripMargin,
+
     // Strictly-ordered funnel: each stage's first qualifying time feeds
     // the next stage's at-or-after predicate.
     "q_funnel" ->

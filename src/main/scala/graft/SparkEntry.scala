@@ -2188,6 +2188,15 @@ object SparkEntry {
     CorpusAssembly.vocabCoverage(t(s, dir, "documents"), "text", k = 50)
       .orderBy(col("rank"))
 
+  /** Welch A/B test: per event type, does the even-user arm's value
+    * differ from the odd-user arm's?
+    */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.welchTTest(
+        t(s, dir, "events").withColumn("arm", col("user_id") % 2 === 0),
+        Seq("event_type"), "arm", "value")
+      .orderBy(col("event_type"))
+
   /** Temperature-scaled (T=2) mixture rebalancing across sources. */
   private def qTemperatureMixture(s: SparkSession, dir: String): DataFrame =
     CorpusAssembly.temperatureMixture(t(s, dir, "documents"), "source", "text")
@@ -2343,6 +2352,7 @@ object SparkEntry {
     "q_outliers" -> (qOutliers _),
     "q_trimmed_stats" -> (qTrimmedStats _),
     "q_linear_trend" -> (qLinearTrend _),
+    "q_ab_test" -> (qAbTest _),
     "q_apply_changeset" -> (qApplyChangeset _),
     "q_url_canon" -> (qUrlCanon _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),

@@ -61,4 +61,64 @@ object Regression {
           .as("intercept_micro"),
         expr("(_rg_sy * 100) div n").as("mean_y_micro"))): _*)
   }
+
+  /** Welch's unequal-variance t-test per group — the A/B decision
+    * primitive (did the new filter change quality? does arm B differ?).
+    * One row per group with per-arm counts/means, the t statistic, and
+    * the Welch–Satterthwaite degrees of freedom, all in floored integer
+    * micro-units.
+    *
+    * Deterministic cross-engine because every aggregate SUM is exact
+    * (y quantized to 10⁻⁴ longs, sums in decimal(38,0) — order-free
+    * where float sums are not) and everything after is ONE fixed
+    * expression tree of IEEE-defined ops (multiply/divide/sqrt are
+    * correctly rounded; only engine-ordered float accumulation and libm
+    * pow/ln can differ, and neither appears here). `armCol` must be
+    * boolean (true = arm A). Groups needing guards: an arm with n < 2
+    * has no variance estimate, and zero pooled standard error (both
+    * arms constant) has no t — both report NULL t/df.
+    *
+    * Scale: ONE hash aggregation with map-side partials (conditional
+    * sums per arm), then a |groups|-row projection. Same shape as
+    * [[linearTrend]] — no value buffering, no window, no second pass.
+    */
+  def welchTTest(df: DataFrame, groupCols: Seq[String], armCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "welchTTest needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    // floor(), not round(): round of a COMPUTED double is the one
+    // documented cross-engine hazard (NOTES, the lm_score lesson);
+    // floor of the bit-identical product is stable everywhere. y here
+    // is typically a measurement — the 10⁻⁴ quantization bias is part
+    // of the operator's definition, not an approximation of round.
+    val rows = df.filter(col(yCol).isNotNull && col(armCol).isNotNull)
+      .select(g ++ Seq(col(armCol).as("_ab_a"),
+        floor(col(yCol) * 10000).cast("long").cast(dec).as("_ab_y")): _*)
+    def armSum(arm: Boolean, e: org.apache.spark.sql.Column) =
+      sum(when(col("_ab_a") === arm, e).otherwise(lit(0).cast(dec)))
+    val agg = rows.groupBy(g: _*).agg(
+      sum(when(col("_ab_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_ab_a"), 1L).otherwise(0L)).as("n_b"),
+      armSum(true, col("_ab_y")).as("_s_a"),
+      armSum(false, col("_ab_y")).as("_s_b"),
+      armSum(true, col("_ab_y") * col("_ab_y")).as("_ss_a"),
+      armSum(false, col("_ab_y") * col("_ab_y")).as("_ss_b"))
+    // fixed IEEE expression tree from exact ingredients (1e-4 y-units)
+    def d(c: String) = col(c).cast("double")
+    val mA = d("_s_a") / d("n_a"); val mB = d("_s_b") / d("n_b")
+    val vA = (d("_ss_a") - d("_s_a") * d("_s_a") / d("n_a")) / (d("n_a") - 1.0)
+    val vB = (d("_ss_b") - d("_s_b") * d("_s_b") / d("n_b")) / (d("n_b") - 1.0)
+    val seA = vA / d("n_a"); val seB = vB / d("n_b")
+    val se2 = seA + seB
+    val tOk = col("n_a") >= 2L && col("n_b") >= 2L && se2 > 0.0
+    agg.select((g ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") > 0L, floor(mA * 100.0).cast("long")).as("mean_a_micro"),
+      when(col("n_b") > 0L, floor(mB * 100.0).cast("long")).as("mean_b_micro"),
+      when(tOk, floor((mA - mB) / sqrt(se2) * 1000000.0).cast("long"))
+        .as("t_micro"),
+      when(tOk, floor(se2 * se2 /
+          (seA * seA / (d("n_a") - 1.0) + seB * seB / (d("n_b") - 1.0))
+        * 1000000.0).cast("long")).as("df_micro"))): _*)
+  }
 }

@@ -38,4 +38,29 @@ class RegressionSpec extends SparkSpec {
     assert(out("flat").getLong(4) == 8000000L)
     assert(out("ok").getLong(2) == 1000000L)
   }
+
+  test("welchTTest: known t and Satterthwaite df on constructed arms") {
+    // A {1,2,3} vs B {2,3,4}: equal variance, t = -1/sqrt(2/3), df = 4
+    val d = (Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 2.0), (false, 3.0), (false, 4.0)))
+      .map { case (a, y) => ("g", a, y) }.toDF("g", "arm", "y")
+    val r = Regression.welchTTest(d, Seq("g"), "arm", "y").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 2000000L && r.getLong(4) == 3000000L)
+    assert(r.getLong(5) == math.floor(-1.0 / math.sqrt(2.0 / 3.0) * 1e6).toLong)
+    assert(r.getLong(6) == 4000000L)
+  }
+
+  test("welchTTest guards: tiny arm or zero variance yields NULL t/df") {
+    val d = Seq(
+      ("tiny", true, 1.0), ("tiny", false, 2.0), ("tiny", false, 3.0),
+      ("const", true, 5.0), ("const", true, 5.0),
+      ("const", false, 5.0), ("const", false, 5.0))
+      .toDF("g", "arm", "y")
+    val out = Regression.welchTTest(d, Seq("g"), "arm", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("tiny").isNullAt(5) && out("tiny").isNullAt(6))
+    assert(out("const").isNullAt(5) && out("const").isNullAt(6))
+    assert(out("const").getLong(3) == 5000000L) // means still defined
+  }
 }
