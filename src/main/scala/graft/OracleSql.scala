@@ -2165,6 +2165,82 @@ object OracleSql {
         |  END AS df_micro
         |FROM se ORDER BY event_type""".stripMargin,
 
+    // Two-proportion pooled z: exact conditional counts, one fixed IEEE
+    // expression tree for the statistic.
+    "q_prop_test" ->
+      """WITH agg AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN o_custkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN o_custkey % 2 <> 0 AND o_orderstatus = 'F'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT *,
+        |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |    (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        |  FROM agg),
+        |s AS (
+        |  SELECT *, sqrt(pp * (1.0 - pp)
+        |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+        |  FROM m)
+        |SELECT o_orderpriority, n_a, x_a, n_b, x_b,
+        |  CASE WHEN n_a > 0 THEN CAST(floor(pa * 1000000.0) AS BIGINT) END AS p_a_micro,
+        |  CASE WHEN n_b > 0 THEN CAST(floor(pb * 1000000.0) AS BIGINT) END AS p_b_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0.0
+        |    THEN CAST(floor((pa - pb) / se * 1000000.0) AS BIGINT)
+        |  END AS z_micro
+        |FROM s ORDER BY o_orderpriority""".stripMargin,
+
+    // Chi-square independence: exact cell/margin counts; the cell sum
+    // runs as a running window in pinned (a, b) order (max of the
+    // non-negative cumulative), never an engine-ordered float aggregate.
+    "q_chi_square" ->
+      """WITH obs AS (
+        |  SELECT year(o_orderdate) AS yr, o_orderstatus AS a,
+        |    o_orderpriority AS b, CAST(count(*) AS BIGINT) AS o
+        |  FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |av AS (SELECT DISTINCT yr, a FROM obs),
+        |bv AS (SELECT DISTINCT yr, b FROM obs),
+        |cells AS (
+        |  SELECT av.yr, av.a, bv.b, coalesce(obs.o, 0) AS o
+        |  FROM av JOIN bv USING (yr)
+        |  LEFT JOIN obs ON obs.yr = av.yr AND obs.a = av.a AND obs.b = bv.b),
+        |m AS (
+        |  SELECT *,
+        |    sum(o) OVER (PARTITION BY yr, a) AS rt,
+        |    sum(o) OVER (PARTITION BY yr, b) AS ct,
+        |    sum(o) OVER (PARTITION BY yr) AS n
+        |  FROM cells),
+        |t AS (
+        |  SELECT yr, a, b,
+        |    (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |      / CAST(n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |      / CAST(n AS DOUBLE))
+        |    / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE))
+        |      AS term
+        |  FROM m),
+        |c AS (
+        |  SELECT yr, sum(term) OVER (PARTITION BY yr ORDER BY a, b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |chi AS (SELECT yr, max(cum) AS chi FROM c GROUP BY yr),
+        |dof AS (
+        |  SELECT yr, CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+        |    AS BIGINT) AS dof
+        |  FROM cells GROUP BY yr)
+        |SELECT chi.yr, CAST(floor(chi.chi * 1000000.0) AS BIGINT) AS chi2_micro,
+        |  dof.dof
+        |FROM chi JOIN dof USING (yr) ORDER BY chi.yr""".stripMargin,
+
     // Strictly-ordered funnel: each stage's first qualifying time feeds
     // the next stage's at-or-after predicate.
     "q_funnel" ->

@@ -2197,6 +2197,24 @@ object SparkEntry {
         Seq("event_type"), "arm", "value")
       .orderBy(col("event_type"))
 
+  /** Conversion-rate A/B: per priority, does the even-custkey arm fill
+    * orders at a different rate?
+    */
+  private def qPropTest(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.proportionZTest(
+        t(s, dir, "orders")
+          .withColumn("arm", col("o_custkey") % 2 === 0)
+          .withColumn("filled", col("o_orderstatus") === "F"),
+        Seq("o_orderpriority"), "arm", "filled")
+      .orderBy(col("o_orderpriority"))
+
+  /** Chi-square independence of status × priority per order year. */
+  private def qChiSquare(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.chiSquare(
+        t(s, dir, "orders").withColumn("yr", year(col("o_orderdate"))),
+        Seq("yr"), "o_orderstatus", "o_orderpriority")
+      .orderBy(col("yr"))
+
   /** Temperature-scaled (T=2) mixture rebalancing across sources. */
   private def qTemperatureMixture(s: SparkSession, dir: String): DataFrame =
     CorpusAssembly.temperatureMixture(t(s, dir, "documents"), "source", "text")
@@ -2353,6 +2371,8 @@ object SparkEntry {
     "q_trimmed_stats" -> (qTrimmedStats _),
     "q_linear_trend" -> (qLinearTrend _),
     "q_ab_test" -> (qAbTest _),
+    "q_prop_test" -> (qPropTest _),
+    "q_chi_square" -> (qChiSquare _),
     "q_apply_changeset" -> (qApplyChangeset _),
     "q_url_canon" -> (qUrlCanon _),
     "q_sorted_neighborhood" -> (qSortedNeighborhood _),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass grouped ordinary-least-squares trend fitting — the "is this
@@ -120,5 +121,97 @@ object Regression {
       when(tOk, floor(se2 * se2 /
           (seA * seA / (d("n_a") - 1.0) + seB * seB / (d("n_b") - 1.0))
         * 1000000.0).cast("long")).as("df_micro"))): _*)
+  }
+
+  /** Two-proportion pooled z-test per group — the conversion-rate A/B
+    * decision (did arm B's success rate move?). Counts are exact longs;
+    * the z statistic is one fixed IEEE expression tree (the welchTTest
+    * argument), reported with the per-arm rates in floored micro-units.
+    * `armCol` and `successCol` must be boolean; rows with either NULL
+    * are ignored. An empty arm or a degenerate pooled rate (all success
+    * or all failure — zero standard error) reports NULL z.
+    *
+    * Scale: ONE conditional-count hash aggregation, |groups| rows out.
+    */
+  def proportionZTest(df: DataFrame, groupCols: Seq[String], armCol: String,
+      successCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "proportionZTest needs group columns")
+    val g = groupCols.map(col)
+    val rows = df.filter(col(armCol).isNotNull && col(successCol).isNotNull)
+      .select(g ++ Seq(col(armCol).as("_pz_a"),
+        col(successCol).as("_pz_s")): _*)
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    val agg = rows.groupBy(g: _*).agg(
+      cnt(col("_pz_a")).as("n_a"),
+      cnt(col("_pz_a") && col("_pz_s")).as("x_a"),
+      cnt(!col("_pz_a")).as("n_b"),
+      cnt(!col("_pz_a") && col("_pz_s")).as("x_b"))
+    def d(c: String) = col(c).cast("double")
+    val pA = d("x_a") / d("n_a"); val pB = d("x_b") / d("n_b")
+    val pPool = (d("x_a") + d("x_b")) / (d("n_a") + d("n_b"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / d("n_a") + lit(1.0) / d("n_b")))
+    val ok = col("n_a") > 0L && col("n_b") > 0L && se > 0.0
+    agg.select((g ++ Seq(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(col("n_a") > 0L, floor(pA * 1000000.0).cast("long")).as("p_a_micro"),
+      when(col("n_b") > 0L, floor(pB * 1000000.0).cast("long")).as("p_b_micro"),
+      when(ok, floor((pA - pB) / se * 1000000.0).cast("long")).as("z_micro"))): _*)
+  }
+
+  /** Chi-square test of independence between two categorical columns per
+    * group: `χ² = Σ_cells (observed − expected)² / expected` with
+    * `expected = rowTotal·colTotal / N`, plus the classic
+    * `(|a|−1)(|b|−1)` degrees of freedom. Observed counts and totals are
+    * exact longs; each cell's term is a fixed IEEE expression, and the
+    * cell SUM — the one place float addition order could differ — runs
+    * as a running window sum in pinned (a, b) order over the cell
+    * aggregate, taken at its maximum (terms are non-negative, so the
+    * last running value is the max; the aggregate-sum addend order an
+    * engine picks never appears).
+    *
+    * Scale: one (group, a, b) hash aggregation bounds everything
+    * downstream at |a|·|b| rows per group; the windows run over that
+    * cell relation, never the data.
+    */
+  def chiSquare(df: DataFrame, groupCols: Seq[String], aCol: String,
+      bCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "chiSquare needs group columns")
+    val g = groupCols.map(col)
+    val observed = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy((g :+ col(aCol).as("_cs_a")) :+ col(bCol).as("_cs_b"): _*)
+      .agg(count(lit(1)).as("_cs_obs"))
+    // densify to the full |a|×|b| grid per group: a ZERO-observed cell
+    // still contributes (0−e)²/e — dropping it understates χ² exactly
+    // when the dependence is strongest. Expected counts stay positive by
+    // construction (every grid value has a nonzero margin).
+    val aVals = observed.select(g :+ col("_cs_a"): _*).distinct()
+    val bVals = observed.select(g :+ col("_cs_b"): _*).distinct()
+    val cells = aVals.join(bVals, groupCols)
+      .join(observed, groupCols ++ Seq("_cs_a", "_cs_b"), "left")
+      .withColumn("_cs_o", coalesce(col("_cs_obs"), lit(0L)))
+    val gw = Window.partitionBy(g: _*)
+    val term = {
+      val e = (col("_cs_rt").cast("double") * col("_cs_ct").cast("double")) /
+        col("_cs_n").cast("double")
+      val diff = col("_cs_o").cast("double") - e
+      diff * diff / e
+    }
+    val wOrd = gw.orderBy(col("_cs_a"), col("_cs_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("_cs_rt",
+        sum(col("_cs_o")).over(Window.partitionBy(g :+ col("_cs_a"): _*)))
+      .withColumn("_cs_ct",
+        sum(col("_cs_o")).over(Window.partitionBy(g :+ col("_cs_b"): _*)))
+      .withColumn("_cs_n", sum(col("_cs_o")).over(gw))
+      .withColumn("_cs_cum", sum(term).over(wOrd))
+      .groupBy(g: _*)
+      .agg(
+        max(col("_cs_cum")).as("_cs_chi"),
+        ((size(collect_set(col("_cs_a"))) - 1) *
+          (size(collect_set(col("_cs_b"))) - 1)).cast("long").as("dof"))
+      .select((g ++ Seq(
+        floor(col("_cs_chi") * lit(1000000.0)).cast("long").as("chi2_micro"),
+        col("dof"))): _*)
   }
 }

@@ -51,6 +51,38 @@ class RegressionSpec extends SparkSpec {
     assert(r.getLong(6) == 4000000L)
   }
 
+  test("proportionZTest: known z on constructed rates; degenerate pool NULLs z") {
+    // A: 2/4, B: 1/4 → pooled 3/8, z = 0.25 / sqrt(0.375·0.625·0.5)
+    val d = (Seq.fill(2)(true) ++ Seq.fill(2)(false)).map(s => ("g", true, s))
+      .++(Seq((("g"), false, true)) ++ Seq.fill(3)(("g", false, false)))
+      .toDF("g", "arm", "success")
+    val r = Regression.proportionZTest(d, Seq("g"), "arm", "success")
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((4L, 2L, 4L, 1L)))
+    assert(r.getLong(5) == 500000L && r.getLong(6) == 250000L)
+    val z = 0.25 / math.sqrt(0.375 * 0.625 * 0.5)
+    assert(r.getLong(7) == math.floor(z * 1e6).toLong)
+
+    val allWin = Seq(("g", true, true), ("g", false, true)).toDF("g", "arm", "success")
+    val r2 = Regression.proportionZTest(allWin, Seq("g"), "arm", "success")
+      .collect().head
+    assert(r2.isNullAt(7)) // pooled rate 1.0 → zero se → no z
+  }
+
+  test("chiSquare: independent table scores 0; empty cells still contribute") {
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 10 }
+      yield ("g", a, b)).toDF("g", "a", "b")
+    val r = Regression.chiSquare(indep, Seq("g"), "a", "b").collect().head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 1L)
+
+    // perfectly dependent 2×2 with two EMPTY cells: every cell deviates
+    // by 5 from e=5 → χ² = 4·(25/5) = 20 (dropping empties would read 10)
+    val dep = (Seq.fill(10)(("g", "x", "p")) ++ Seq.fill(10)(("g", "y", "q")))
+      .toDF("g", "a", "b")
+    val r2 = Regression.chiSquare(dep, Seq("g"), "a", "b").collect().head
+    assert(r2.getLong(1) == 20000000L && r2.getLong(2) == 1L)
+  }
+
   test("welchTTest guards: tiny arm or zero variance yields NULL t/df") {
     val d = Seq(
       ("tiny", true, 1.0), ("tiny", false, 2.0), ("tiny", false, 3.0),
