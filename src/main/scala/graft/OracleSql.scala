@@ -2165,6 +2165,44 @@ object OracleSql {
         |  END AS df_micro
         |FROM se ORDER BY event_type""".stripMargin,
 
+    // Mann–Whitney U: doubled mid-ranks stay integer (2·rank_min +
+    // tieCount − 1); Σ(t³−t) via the per-row t²−1 identity; one fixed
+    // IEEE tree for the tie-corrected z.
+    "q_mann_whitney" ->
+      """WITH r AS (
+        |  SELECT event_type, (user_id % 2 = 0) AS a,
+        |    CAST(floor(value * 10000) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |rk AS (
+        |  SELECT event_type, a, y,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+        |      + count(*) OVER (PARTITION BY event_type, y) - 1 AS r2,
+        |    count(*) OVER (PARTITION BY event_type, y) AS t
+        |  FROM r),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN a THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS ra2,
+        |    sum(CAST(t * t - 1 AS HUGEINT)) AS ties
+        |  FROM rk GROUP BY 1),
+        |u AS (
+        |  SELECT *, CAST(2 * CAST(n_a AS HUGEINT) * n_b
+        |    + CAST(n_a AS HUGEINT) * (n_a + 1) - ra2 AS BIGINT) AS u2_a,
+        |    CAST(n_a + n_b AS DOUBLE) AS n
+        |  FROM agg),
+        |s AS (
+        |  SELECT *, sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |    * ((n + 1.0) - CAST(ties AS DOUBLE) / (n * (n - 1.0)))) AS sigma
+        |  FROM u)
+        |SELECT event_type, n_a, n_b, u2_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND sigma > 0.0
+        |    THEN CAST(floor((CAST(u2_a AS DOUBLE)
+        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0 / sigma
+        |      * 1000000.0) AS BIGINT)
+        |  END AS z_micro
+        |FROM s ORDER BY event_type""".stripMargin,
+
     // Two-proportion pooled z: exact conditional counts, one fixed IEEE
     // expression tree for the statistic.
     "q_prop_test" ->

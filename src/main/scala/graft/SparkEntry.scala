@@ -2197,6 +2197,13 @@ object SparkEntry {
         Seq("event_type"), "arm", "value")
       .orderBy(col("event_type"))
 
+  /** Rank-based A/B twin of q_ab_test (Mann–Whitney U with ties). */
+  private def qMannWhitney(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.mannWhitney(
+        t(s, dir, "events").withColumn("arm", col("user_id") % 2 === 0),
+        Seq("event_type"), "arm", "value")
+      .orderBy(col("event_type"))
+
   /** Conversion-rate A/B: per priority, does the even-custkey arm fill
     * orders at a different rate?
     */
@@ -2372,6 +2379,7 @@ object SparkEntry {
     "q_linear_trend" -> (qLinearTrend _),
     "q_ab_test" -> (qAbTest _),
     "q_prop_test" -> (qPropTest _),
+    "q_mann_whitney" -> (qMannWhitney _),
     "q_chi_square" -> (qChiSquare _),
     "q_apply_changeset" -> (qApplyChangeset _),
     "q_url_canon" -> (qUrlCanon _),

@@ -158,6 +158,61 @@ object Regression {
       when(ok, floor((pA - pB) / se * 1000000.0).cast("long")).as("z_micro"))): _*)
   }
 
+  /** Mann–Whitney U per group — the rank-based (distribution-free) A/B
+    * test that survives the heavy tails and outliers Welch's t inherits
+    * from the mean. Doubled mid-ranks keep everything integer:
+    * `2·midrank = 2·rank_min + tieCount − 1` (exact longs — summing
+    * half-integer mid-ranks in floats would be order-dependent), so
+    * `2·U_A = 2·n_A·n_B + n_A(n_A+1) − Σ_A 2·midrank` is exact, reported
+    * as `u2_a`. The normal approximation applies the standard tie
+    * correction — `σ² = n_A n_B/12 · ((n+1) − Σ(t³−t)/(n(n−1)))` with
+    * `Σ(t³−t)` an exact decimal sum over tie-group sizes — and the z
+    * statistic is one fixed IEEE expression tree (the welchTTest
+    * argument). Ties are defined on the 10⁻⁴-quantized values
+    * (definitional, same floor() rationale as welchTTest). Guards: an
+    * empty arm or an all-tied group (σ = 0) reports NULL z.
+    *
+    * Scale: one hash shuffle on the group key serves the rank window,
+    * the tie-count window, and the final aggregation; per-group state is
+    * the sort. Same skew story as any grouped window (AQE splits).
+    */
+  def mannWhitney(df: DataFrame, groupCols: Seq[String], armCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "mannWhitney needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(yCol).isNotNull && col(armCol).isNotNull)
+      .select(g ++ Seq(col(armCol).as("_mw_a"),
+        floor(col(yCol) * 10000).cast("long").as("_mw_y")): _*)
+    val rk = rank().over(Window.partitionBy(g: _*).orderBy(col("_mw_y")))
+    val tie = count(lit(1)).over(Window.partitionBy(g :+ col("_mw_y"): _*))
+    val ranked = rows
+      .withColumn("_mw_r2", lit(2L) * rk + tie - lit(1L))
+      .withColumn("_mw_t", tie)
+    val agg = ranked.groupBy(g: _*).agg(
+      sum(when(col("_mw_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_mw_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("_mw_a"), col("_mw_r2")).otherwise(lit(0L)).cast(dec))
+        .as("_mw_ra2"),
+      // Σ(t³−t): each member of a t-sized tie group contributes t²−1,
+      // summing to t·(t²−1) = t³−t per group — no distinct pass needed
+      sum((col("_mw_t") * col("_mw_t") - 1L).cast(dec)).as("_mw_ties"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val n = col("n_a") + col("n_b")
+    val u2a = (lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec) +
+      col("n_a").cast(dec) * (col("n_a").cast(dec) + lit(1L).cast(dec)) -
+      col("_mw_ra2"))
+    val sigma = sqrt(d(col("n_a")) * d(col("n_b")) / lit(12.0) *
+      ((d(n) + 1.0) - d(col("_mw_ties")) / (d(n) * (d(n) - 1.0))))
+    val zOk = col("n_a") > 0L && col("n_b") > 0L && sigma > 0.0
+    agg
+      .withColumn("u2_a", u2a.cast("long"))
+      .select((g ++ Seq(col("n_a"), col("n_b"), col("u2_a"),
+        when(zOk, floor(
+          (d(col("u2_a")) - d(col("n_a")) * d(col("n_b"))) / 2.0 / sigma
+          * 1000000.0).cast("long")).as("z_micro"))): _*)
+  }
+
   /** Chi-square test of independence between two categorical columns per
     * group: `χ² = Σ_cells (observed − expected)² / expected` with
     * `expected = rowTotal·colTotal / N`, plus the classic

@@ -51,6 +51,27 @@ class RegressionSpec extends SparkSpec {
     assert(r.getLong(6) == 4000000L)
   }
 
+  test("mannWhitney: doubled mid-ranks with ties give the exact U") {
+    // A {1, 3}, B {2, 3}: ranks 1, 2, tied 3.5/3.5 → RA = 1 + 3.5 = 4.5
+    // U_A = nA·nB + nA(nA+1)/2 − RA = 4 + 3 − 4.5 = 2.5 → u2_a = 5
+    val d = Seq(("g", true, 1.0), ("g", true, 3.0),
+      ("g", false, 2.0), ("g", false, 3.0)).toDF("g", "arm", "y")
+    val r = Regression.mannWhitney(d, Seq("g"), "arm", "y").collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 5L)
+    // tie-corrected sigma: Σ(t³−t) = 2³−2 = 6; σ² = (4/12)·(5 − 6/12) = 1.5
+    val z = (2.5 - 2.0) / math.sqrt(1.5)
+    assert(r.getLong(4) == math.floor(z * 1e6).toLong)
+  }
+
+  test("mannWhitney: all-tied group has zero sigma and NULL z") {
+    val d = Seq(("g", true, 7.0), ("g", true, 7.0),
+      ("g", false, 7.0), ("g", false, 7.0)).toDF("g", "arm", "y")
+    val r = Regression.mannWhitney(d, Seq("g"), "arm", "y").collect().head
+    assert(r.getLong(3) == 4L) // all mid-ranks 2.5 → RA2 = 10, u2 = 8+6−10
+    assert(r.isNullAt(4))
+  }
+
   test("proportionZTest: known z on constructed rates; degenerate pool NULLs z") {
     // A: 2/4, B: 1/4 → pooled 3/8, z = 0.25 / sqrt(0.375·0.625·0.5)
     val d = (Seq.fill(2)(true) ++ Seq.fill(2)(false)).map(s => ("g", true, s))
