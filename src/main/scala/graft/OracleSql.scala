@@ -2203,6 +2203,101 @@ object OracleSql {
         |  END AS z_micro
         |FROM s ORDER BY event_type""".stripMargin,
 
+    // Cohen's kappa with cleared denominators: exact HUGEINT
+    // numerator/denominator, one final double division.
+    "q_cohen_kappa" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 'hi' ELSE 'lo' END AS a,
+        |    CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS b
+        |  FROM orders),
+        |cells AS (
+        |  SELECT o_orderstatus, a, b, count(*) AS c FROM r GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT o_orderstatus, CAST(sum(c) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS HUGEINT) AS agree
+        |  FROM cells GROUP BY 1),
+        |ma AS (SELECT o_orderstatus, a AS cat, CAST(sum(c) AS HUGEINT) AS na
+        |  FROM cells GROUP BY 1, 2),
+        |mb AS (SELECT o_orderstatus, b AS cat, CAST(sum(c) AS HUGEINT) AS nb
+        |  FROM cells GROUP BY 1, 2),
+        |e AS (SELECT o_orderstatus, sum(na * nb) AS e
+        |  FROM ma JOIN mb USING (o_orderstatus, cat) GROUP BY 1)
+        |SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+        |  CAST(agree AS BIGINT) AS agree,
+        |  CASE WHEN n * n - e <> 0
+        |    THEN CAST(floor(CAST(agree * n - e AS DOUBLE)
+        |      / CAST(n * n - e AS DOUBLE) * 1000000.0) AS BIGINT)
+        |  END AS kappa_micro
+        |FROM tot JOIN e USING (o_orderstatus) ORDER BY o_orderstatus""".stripMargin,
+
+    // PSI + KL drift: cleared-denominator integer weights, per-bin ln
+    // quantized to micro-nats, HUGEINT accumulation, ALL 20 bins
+    // completed per group (smoothing covers empty bins), one final
+    // double division per score.
+    "q_drift_psi" ->
+      """WITH r AS (
+        |  SELECT event_type, (day(ts) <= 15) AS p,
+        |    CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS b
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (
+        |  SELECT event_type, b,
+        |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS cq
+        |  FROM r GROUP BY 1, 2),
+        |allb AS (
+        |  SELECT g.event_type, t.b,
+        |    coalesce(c.cp, 0) AS cp, coalesce(c.cq, 0) AS cq
+        |  FROM (SELECT DISTINCT event_type FROM cells) g
+        |  CROSS JOIN generate_series(0, 19) t(b)
+        |  LEFT JOIN cells c ON c.event_type = g.event_type AND c.b = t.b),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(cp) AS BIGINT) AS n_p,
+        |    CAST(sum(cq) AS BIGINT) AS n_q
+        |  FROM cells GROUP BY 1),
+        |sc AS (
+        |  SELECT f.event_type, n_p, n_q, cp,
+        |    CAST(cp + 1 AS HUGEINT) * (n_q + 20) AS wp,
+        |    CAST(cq + 1 AS HUGEINT) * (n_p + 20) AS wq
+        |  FROM allb f JOIN tot USING (event_type)),
+        |lnb AS (
+        |  SELECT *, CAST(round(ln(CAST(wp AS DOUBLE) / CAST(wq AS DOUBLE))
+        |    * 1000000.0) AS HUGEINT) AS lnm
+        |  FROM sc),
+        |agg AS (
+        |  SELECT event_type, any_value(n_p) AS n_p, any_value(n_q) AS n_q,
+        |    sum((wp - wq) * lnm) AS s,
+        |    sum(CAST(cp + 1 AS HUGEINT) * lnm) AS k
+        |  FROM lnb GROUP BY 1)
+        |SELECT event_type, n_p, n_q,
+        |  CAST(floor(CAST(s AS DOUBLE)
+        |    / CAST((n_p + 20) * (n_q + 20) AS DOUBLE)) AS BIGINT) AS psi_micro,
+        |  CAST(floor(CAST(k AS DOUBLE)
+        |    / CAST(n_p + 20 AS DOUBLE)) AS BIGINT) AS kl_micro
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // JL ±1 projection: the sign matrix is regenerated from md5 parity
+    // of the (j, i) coordinates, so the exact-integer projection is
+    // plain SQL.
+    "q_random_project" ->
+      """WITH qz AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |signs AS (
+        |  SELECT j, i,
+        |    CASE WHEN strpos('02468ace', substr(md5(CAST(j AS VARCHAR)
+        |      || '_' || CAST(i AS VARCHAR)), 1, 1)) > 0
+        |    THEN 1 ELSE -1 END AS s
+        |  FROM generate_series(1, 16) t1(j)
+        |  CROSS JOIN generate_series(1, 64) t2(i)),
+        |proj AS (
+        |  SELECT vec_id, j, CAST(sum(s * v[i]) AS BIGINT) AS y
+        |  FROM qz CROSS JOIN signs GROUP BY 1, 2)
+        |SELECT vec_id, list(y ORDER BY j) AS proj
+        |FROM proj GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
     // Two-proportion pooled z: exact conditional counts, one fixed IEEE
     // expression tree for the statistic.
     "q_prop_test" ->

@@ -1493,6 +1493,13 @@ object SparkEntry {
     Similarity.robustNormalize(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy(col("id"))
 
+  /** JL ±1 projection of the embedding table to 16 exact-integer dims. */
+  private def qRandomProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        outDim = 16, inDim = 64)
+      .select(col("id").as("vec_id"), col("proj"))
+      .orderBy(col("vec_id"))
+
   private def qAnnBruteForce(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
@@ -2204,6 +2211,30 @@ object SparkEntry {
         Seq("event_type"), "arm", "value")
       .orderBy(col("event_type"))
 
+  /** Chance-corrected agreement between two weak order labelers: does
+    * "priority says urgent" agree with "price says big" beyond chance?
+    */
+  private def qCohenKappa(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.cohenKappa(
+        t(s, dir, "orders")
+          .withColumn("rater_a",
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
+              .otherwise("lo"))
+          .withColumn("rater_b",
+            when(col("o_totalprice") > 150000.0, "hi").otherwise("lo")),
+        Seq("o_orderstatus"), "rater_a", "rater_b")
+      .orderBy(col("o_orderstatus"))
+
+  /** PSI + KL drift of the event-value distribution, first half of the
+    * month (expected) vs second half (actual), per event type.
+    */
+  private def qDriftPsi(s: SparkSession, dir: String): DataFrame =
+    ops.Drift.driftReport(
+        t(s, dir, "events")
+          .withColumn("expected", dayofmonth(col("ts")) <= 15),
+        Seq("event_type"), "value", "expected", binWidth = 25.0, nBins = 20)
+      .orderBy(col("event_type"))
+
   /** Conversion-rate A/B: per priority, does the even-custkey arm fill
     * orders at a different rate?
     */
@@ -2306,6 +2337,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_ann_brute_force" -> (qAnnBruteForce _),
     "q_embed_normalize" -> (qEmbedNormalize _),
+    "q_random_project" -> (qRandomProject _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_joined" -> (qAnnIvfJoined _),
@@ -2380,6 +2412,8 @@ object SparkEntry {
     "q_ab_test" -> (qAbTest _),
     "q_prop_test" -> (qPropTest _),
     "q_mann_whitney" -> (qMannWhitney _),
+    "q_cohen_kappa" -> (qCohenKappa _),
+    "q_drift_psi" -> (qDriftPsi _),
     "q_chi_square" -> (qChiSquare _),
     "q_apply_changeset" -> (qApplyChangeset _),
     "q_url_canon" -> (qUrlCanon _),

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift scoring between an expected (P) and an actual (Q)
+  * slice of the same metric — the monitoring primitive behind "did this
+  * week's crawl shift?" / "does the deduped corpus still look like the
+  * raw one?" gates: PSI (population stability index,
+  * `Σ_b (p_b − q_b)·ln(p_b/q_b)`, the symmetric industry-standard alarm
+  * score) and forward KL divergence (`Σ_b p_b·ln(p_b/q_b)`, the
+  * information-theoretic view) over a fixed equi-width binning with
+  * add-one smoothing, so empty bins never divide by zero and both scores
+  * stay finite.
+  */
+object Drift {
+
+  /** Per-group PSI + KL between the rows where `expectedCol` is true (P,
+    * the reference window) and false (Q, the comparison window), binning
+    * `valueCol` into `nBins` equi-width bins of `binWidth` (values at or
+    * beyond the last edge clamp into the last bin; negatives into the
+    * first). Returns `(groupCols*, n_p, n_q, psi_micro, kl_micro)` in
+    * integer micro-nats.
+    *
+    * Deterministic cross-engine by exact integer accumulation: with
+    * smoothed masses `p_b = (c^P_b+1)/(N_P+B)` and
+    * `q_b = (c^Q_b+1)/(N_Q+B)` (B = nBins), clearing denominators gives
+    * `PSI·D = Σ_b (w^P_b − w^Q_b)·ln(w^P_b/w^Q_b)` with
+    * `w^P_b = (c^P_b+1)(N_Q+B)`, `w^Q_b = (c^Q_b+1)(N_P+B)`,
+    * `D = (N_P+B)(N_Q+B)` — the log argument collapses to the SAME
+    * `w^P/w^Q` ratio, quantized once per bin to micro-nats by the corpus
+    * ln rule (`round(ln·10⁶)` — the only libm call, absorbed by the
+    * rounding). The per-bin summands are then exact integer products
+    * accumulated in decimal(38,0) (order-independent, unlike float
+    * sums), and each reported score is ONE final double division:
+    * `psi_micro = ⌊Σ/D⌋`, `kl_micro = ⌊Σ_b (c^P_b+1)·ln_b / (N_P+B)⌋`.
+    * ALL B bins contribute (smoothing is over the fixed binning, so a
+    * bin empty on both sides still carries mass 1/(N+B) on each) — the
+    * bin frame is completed per group before scoring. Beyond ~2⁵³ row
+    * counts per side the w ratios should route through decimal division
+    * before the ln (same caveat as pmiCollocations).
+    *
+    * Scale: one hash shuffle of the raw rows onto (group, bin) cells
+    * with map-side partials; everything after — bin completion
+    * (groups × B explode), totals join, scoring — operates on the
+    * |groups|·B cell relation, tiny regardless of corpus size.
+    */
+  def driftReport(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      expectedCol: String, binWidth: Double, nBins: Int): DataFrame = {
+    require(groupCols.nonEmpty, "driftReport needs group columns")
+    require(binWidth > 0 && nBins > 0, "driftReport needs positive binning")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val bin = least(greatest(floor(col(valueCol) / binWidth), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    // Lazy persist (lineage kept, same contract as Dedup's frames): the
+    // cell relation feeds the group list, the bin completion, and the
+    // totals — without it each branch re-scans the raw table.
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(expectedCol).isNotNull)
+      .groupBy(g :+ bin.as("_dr_b"): _*)
+      .agg(sum(when(col(expectedCol), 1L).otherwise(0L)).as("_dr_cp"),
+        sum(when(!col(expectedCol), 1L).otherwise(0L)).as("_dr_cq"))
+      .persist()
+    val full = cells.select(g: _*).distinct()
+      .select(g :+ explode(sequence(lit(0L), lit((nBins - 1).toLong)))
+        .as("_dr_b"): _*)
+      .join(cells, groupCols :+ "_dr_b", "left")
+      .na.fill(0L, Seq("_dr_cp", "_dr_cq"))
+    val totals = cells.groupBy(g: _*).agg(
+      sum(col("_dr_cp")).as("n_p"), sum(col("_dr_cq")).as("n_q"))
+    val b = lit(nBins.toLong)
+    val wp = (col("_dr_cp") + 1L).cast(dec) * (col("n_q") + b).cast(dec)
+    val wq = (col("_dr_cq") + 1L).cast(dec) * (col("n_p") + b).cast(dec)
+    val lnMicro = round(
+      log(wp.cast("double") / wq.cast("double")) * 1e6).cast("long")
+    val scored = full.join(totals, groupCols)
+      .withColumn("_dr_wp", wp)
+      .withColumn("_dr_wq", wq)
+      .withColumn("_dr_ln", lnMicro)
+    scored.groupBy(g: _*).agg(
+        first(col("n_p")).as("n_p"), first(col("n_q")).as("n_q"),
+        sum((col("_dr_wp") - col("_dr_wq")) * col("_dr_ln").cast(dec))
+          .as("_dr_s"),
+        sum((col("_dr_cp") + 1L).cast(dec) * col("_dr_ln").cast(dec))
+          .as("_dr_k"))
+      .select(g ++ Seq(col("n_p"), col("n_q"),
+        floor(col("_dr_s").cast("double") /
+          (((col("n_p") + b) * (col("n_q") + b)).cast("double")))
+          .cast("long").as("psi_micro"),
+        floor(col("_dr_k").cast("double") /
+          (col("n_p") + b).cast("double")).cast("long").as("kl_micro")): _*)
+  }
+}

@@ -213,6 +213,56 @@ object Regression {
           * 1000000.0).cast("long")).as("z_micro"))): _*)
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelers of the same rows (quality raters, weak classifiers, dedup
+    * judges): `κ = (p_o − p_e) / (1 − p_e)` with observed agreement
+    * `p_o = agree/n` and chance agreement `p_e = Σ_c n^A_c·n^B_c / n²`.
+    * Clearing denominators keeps everything integer until the very end:
+    * `κ = (agree·n − Σ_c n^A_c·n^B_c) / (n² − Σ_c n^A_c·n^B_c)` — exact
+    * decimal numerator/denominator, ONE double division, reported as
+    * floored `kappa_micro`. Degenerate groups (both raters constant →
+    * p_e = 1, or empty) report NULL.
+    *
+    * Scale: one hash shuffle of the raw rows onto (group, a, b) cells;
+    * everything after operates on the |labels|²-sized cell relation
+    * (two re-aggregations + an equi-join on the label value) — tiny
+    * regardless of corpus size, with map-side partials on the only
+    * full-data pass.
+    */
+  def cohenKappa(df: DataFrame, groupCols: Seq[String], raterACol: String,
+      raterBCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "cohenKappa needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    // Lazy persist (lineage kept, same contract as Dedup's frames): the
+    // cell relation feeds THREE aggregations — without it each branch
+    // re-scans and re-shuffles the raw table.
+    val cells = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .groupBy(g :+ col(raterACol).as("_ck_a") :+ col(raterBCol).as("_ck_b"): _*)
+      .agg(count(lit(1)).as("_ck_c"))
+      .persist()
+    val totals = cells.groupBy(g: _*).agg(
+      sum(col("_ck_c")).cast(dec).as("_ck_n"),
+      sum(when(col("_ck_a") === col("_ck_b"), col("_ck_c")).otherwise(0L))
+        .cast(dec).as("_ck_agree"))
+    val margA = cells.groupBy(g :+ col("_ck_a").as("_ck_cat"): _*)
+      .agg(sum(col("_ck_c")).cast(dec).as("_ck_na"))
+    val margB = cells.groupBy(g :+ col("_ck_b").as("_ck_cat"): _*)
+      .agg(sum(col("_ck_c")).cast(dec).as("_ck_nb"))
+    val e = margA.join(margB, groupCols :+ "_ck_cat")
+      .groupBy(g: _*).agg(sum(col("_ck_na") * col("_ck_nb")).as("_ck_e"))
+    val num = col("_ck_agree") * col("_ck_n") - col("_ck_e")
+    val den = col("_ck_n") * col("_ck_n") - col("_ck_e")
+    totals.join(e, groupCols)
+      .select(g ++ Seq(
+        col("_ck_n").cast("long").as("n"),
+        col("_ck_agree").cast("long").as("agree"),
+        when(den =!= lit(0).cast(dec),
+          floor(num.cast("double") / den.cast("double") * 1000000.0)
+            .cast("long")).as("kappa_micro")): _*)
+  }
+
   /** Chi-square test of independence between two categorical columns per
     * group: `χ² = Σ_cells (observed − expected)² / expected` with
     * `expected = rowTotal·colTotal / N`, plus the classic

@@ -97,6 +97,53 @@ object Similarity {
         x => x.getField("_nm")).as("norm"))
   }
 
+  /** Deterministic Rademacher (±1) sign matrix for [[randomProject]],
+    * derived from md5 so any engine can regenerate it from the (j, i)
+    * coordinates alone: sign(j, i) = +1 iff the first hex digit of
+    * `md5("j_i")` is even (1-based indices). No RNG object, no seed
+    * state to ship — the matrix IS the formula, which is what makes the
+    * projection oracle-checkable in plain SQL.
+    */
+  def signMatrix(outDim: Int, inDim: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to outDim).map { j =>
+      (1 to inDim).map { i =>
+        val h = md.digest(s"${j}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (((h(0) >> 4) & 0x1) == 0) 1L else -1L
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss dimensionality reduction by a deterministic
+    * ±1 projection (Achlioptas 2003: Rademacher entries satisfy the JL
+    * lemma with the same distortion bound as Gaussians, and integer
+    * arithmetic keeps it exact): `y_j = Σ_i sign(j,i) · q_i` over the
+    * [[quantize]]d vector — 64 dims → `outDim` longs with pairwise
+    * distances preserved within 1±ε, the standard pre-shrink before
+    * clustering / dedup stages whose cost scales with dimension.
+    *
+    * Exact: quantized inputs are longs, signs are ±1, so every output
+    * coordinate is an exact integer sum — bit-identical across engines
+    * and run orders (no float accumulation at all).
+    *
+    * Scale: a pure narrow projection — zero shuffles, zero joins. The
+    * sign matrix is `outDim × inDim` literal longs baked into the plan
+    * (≤ a few KB), and each output coordinate is one codegen'd
+    * [[quantizedDot]] against a literal row, so the whole map stays
+    * inside WholeStageCodegen. `inDim` is pinned at the call site (same
+    * contract as the ANN family — vectors shorter than `inDim` ignore
+    * the overhang per dot_i64).
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, inDim: Int, quantScale: Int = 1000): DataFrame = {
+    require(outDim > 0 && inDim > 0, "randomProject needs positive dims")
+    val signs = signMatrix(outDim, inDim)
+    df.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("_rp_q"))
+      .select(col("id"),
+        array(signs.map(row => quantizedDot(col("_rp_q"), typedlit(row))): _*)
+          .as("proj"))
+  }
+
   /** Cosine from a precomputed dot and per-side norms (NULL on zero-norm
     * input — see [[cosine]]; ANSI-safe).
     */

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("driftReport: fully separated bins give the hand-computed PSI/KL") {
+    // P = {0.5, 0.5} (bin 0), Q = {1.5, 1.5} (bin 1), B = 2, N+B = 4.
+    // bin0: wp = 3·4 = 12, wq = 1·4 = 4, lnm = round(ln 3 · 1e6) = 1098612
+    // bin1: wp = 4, wq = 12, lnm = −1098612
+    // S = (12−4)·1098612 + (4−12)·(−1098612) = 17577792; D = 16
+    // psi = 17577792/16 = 1098612 exactly; K = 3·1098612 − 1098612,
+    // kl = 2197224/4 = 549306 exactly
+    val d = Seq(("g", 0.5, true), ("g", 0.5, true),
+      ("g", 1.5, false), ("g", 1.5, false)).toDF("g", "v", "exp")
+    val r = Drift.driftReport(d, Seq("g"), "v", "exp", 1.0, 2).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1098612L)
+    assert(r.getLong(4) == 549306L)
+  }
+
+  test("driftReport: identical distributions score zero") {
+    val d = Seq(("g", 0.5, true), ("g", 1.5, true),
+      ("g", 0.5, false), ("g", 1.5, false)).toDF("g", "v", "exp")
+    val r = Drift.driftReport(d, Seq("g"), "v", "exp", 1.0, 2).collect().head
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+  }
+
+  test("driftReport: bins empty on BOTH sides still carry smoothed mass") {
+    // P = 3 rows bin0, Q = 1 row bin0, nBins = 2: bin1 is empty on both
+    // sides but contributes (wp=3, wq=5) because N_P ≠ N_Q. Replicating
+    // the integer algebra here pins that the empty bin is NOT dropped.
+    val d = (Seq.fill(3)(("g", 0.5, true)) :+ ("g", 0.5, false))
+      .toDF("g", "v", "exp")
+    val r = Drift.driftReport(d, Seq("g"), "v", "exp", 1.0, 2).collect().head
+    val ln0 = math.round(math.log(12.0 / 10.0) * 1e6) // bin0: wp=4·3, wq=2·5
+    val ln1 = math.round(math.log(3.0 / 5.0) * 1e6)   // bin1: wp=1·3, wq=1·5
+    val s = (12L - 10L) * ln0 + (3L - 5L) * ln1
+    val k = 4L * ln0 + 1L * ln1
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == math.floor(s.toDouble / 15.0).toLong)
+    assert(r.getLong(4) == math.floor(k.toDouble / 5.0).toLong)
+  }
+
+  test("driftReport: values clamp into the edge bins") {
+    // −5 clamps to bin 0, 99 clamps to bin 1 (nBins = 2, width 1): the
+    // same frame as the hand-computed test, so the scores must match it.
+    val d = Seq(("g", -5.0, true), ("g", 0.5, true),
+      ("g", 99.0, false), ("g", 1.5, false)).toDF("g", "v", "exp")
+    val r = Drift.driftReport(d, Seq("g"), "v", "exp", 1.0, 2).collect().head
+    assert(r.getLong(3) == 1098612L && r.getLong(4) == 549306L)
+  }
+}

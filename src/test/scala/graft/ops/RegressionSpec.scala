@@ -72,6 +72,34 @@ class RegressionSpec extends SparkSpec {
     assert(r.isNullAt(4))
   }
 
+  test("cohenKappa: classic 2x2 table gives exact kappa") {
+    // cells: xx=20, xy=5, yx=10, yy=15 → n=50, agree=35
+    // E = 25·30 + 25·20 = 1250; κ = (35·50 − 1250)/(2500 − 1250) = 0.4
+    val d = (Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y")))
+      .map { case (a, b) => ("g", a, b) }.toDF("g", "a", "b")
+    val r = Regression.cohenKappa(d, Seq("g"), "a", "b").collect().head
+    assert(r.getLong(1) == 50L && r.getLong(2) == 35L)
+    assert(r.getLong(3) == 400000L)
+  }
+
+  test("cohenKappa: both raters constant means p_e = 1 and NULL kappa") {
+    val d = Seq.fill(3)(("g", "x", "x")).toDF("g", "a", "b")
+    val r = Regression.cohenKappa(d, Seq("g"), "a", "b").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.isNullAt(3))
+  }
+
+  test("cohenKappa: disjoint label sets agree never, kappa below zero") {
+    // A always 'x', B always 'y' on half, 'x' on half: agree = 2 of 4
+    // cells: (x,y)=2, (x,x)=2 → n=4, agree=2, E = 4·2 = 8 (cat x only)
+    // κ = (8 − 8)/(16 − 8) = 0
+    val d = (Seq.fill(2)(("g", "x", "y")) ++ Seq.fill(2)(("g", "x", "x")))
+      .toDF("g", "a", "b")
+    val r = Regression.cohenKappa(d, Seq("g"), "a", "b").collect().head
+    assert(r.getLong(3) == 0L)
+  }
+
   test("proportionZTest: known z on constructed rates; degenerate pool NULLs z") {
     // A: 2/4, B: 1/4 → pooled 3/8, z = 0.25 / sqrt(0.375·0.625·0.5)
     val d = (Seq.fill(2)(true) ++ Seq.fill(2)(false)).map(s => ("g", true, s))

@@ -21,6 +21,38 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r(0) - 1.0) < 1e-9)
   }
 
+  test("signMatrix is the md5-parity formula (pinned against known hashes)") {
+    val m = Similarity.signMatrix(16, 64)
+    // md5("1_1") = ec30…→+1, md5("2_1") = f9c3…→−1, md5("3_7") = 702c…→−1,
+    // md5("16_64") = ef59…→+1 (independently computed hex digests)
+    assert(m(0)(0) == 1L && m(1)(0) == -1L && m(2)(6) == -1L && m(15)(63) == 1L)
+    assert(m.flatten.forall(s => s == 1L || s == -1L))
+  }
+
+  test("randomProject of a one-hot vector reads out the sign column") {
+    val dim = 8
+    val m = Similarity.signMatrix(4, dim)
+    val oneHot = (0 until dim).map(i =>
+      (i.toLong, (0 until dim).map(d => if (d == i) 1.0f else 0.0f)))
+    val r = Similarity.randomProject(oneHot.toDF("id", "v"), "id", "v",
+        outDim = 4, inDim = dim)
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).toMap
+    for (i <- 0 until dim; j <- 0 until 4)
+      assert(r(i.toLong)(j) == m(j)(i) * 1000L)
+  }
+
+  test("randomProject is linear on exactly-quantized vectors") {
+    // components are multiples of 0.001 → quantization is exact, so
+    // proj(a + b) = proj(a) + proj(b) coordinate-wise
+    val a = Seq(0.25f, -0.125f, 0.5f, 0.0f)
+    val b = Seq(0.125f, 0.25f, -0.25f, 1.0f)
+    val sumAb = a.zip(b).map { case (x, y) => x + y }
+    val df = Seq((0L, a), (1L, b), (2L, sumAb)).toDF("id", "v")
+    val r = Similarity.randomProject(df, "id", "v", outDim = 6, inDim = 4)
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).toMap
+    assert(r(2) == r(0).zip(r(1)).map { case (x, y) => x + y })
+  }
+
   test("bruteForceTopK returns k ranked neighbors, excluding self") {
     val emb = graft.Tables.load(spark, sf001, "embeddings")
     val queries = emb.filter(col("vec_id") < 3)
