@@ -2298,6 +2298,174 @@ object OracleSql {
         |SELECT vec_id, list(y ORDER BY j) AS proj
         |FROM proj GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
+    // Per-class precision/recall/F1: pure integer counts and integral
+    // divisions over the full-outer label frame — no doubles anywhere.
+    "q_confusion" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderstatus AS a,
+        |    CASE WHEN year(o_orderdate) < 1995 THEN 'F'
+        |      WHEN o_totalprice > 150000 THEN 'O' ELSE 'P' END AS p
+        |  FROM orders WHERE o_orderstatus IS NOT NULL),
+        |cells AS (
+        |  SELECT o_orderpriority, a, p, count(*) AS c FROM r GROUP BY 1, 2, 3),
+        |act AS (SELECT o_orderpriority, a AS label,
+        |  CAST(sum(c) AS BIGINT) AS n_actual FROM cells GROUP BY 1, 2),
+        |prd AS (SELECT o_orderpriority, p AS label,
+        |  CAST(sum(c) AS BIGINT) AS n_predicted FROM cells GROUP BY 1, 2),
+        |tp AS (SELECT o_orderpriority, a AS label,
+        |  CAST(sum(c) AS BIGINT) AS tp FROM cells WHERE a = p GROUP BY 1, 2),
+        |f AS (
+        |  SELECT o_orderpriority, label,
+        |    coalesce(n_actual, 0) AS n_actual,
+        |    coalesce(n_predicted, 0) AS n_predicted,
+        |    coalesce(tp, 0) AS tp
+        |  FROM act FULL JOIN prd USING (o_orderpriority, label)
+        |  LEFT JOIN tp USING (o_orderpriority, label))
+        |SELECT o_orderpriority, label, n_actual, n_predicted, tp,
+        |  CASE WHEN n_predicted > 0
+        |    THEN (CAST(tp AS HUGEINT) * 1000000) // n_predicted
+        |  END AS precision_micro,
+        |  CASE WHEN n_actual > 0
+        |    THEN (CAST(tp AS HUGEINT) * 1000000) // n_actual
+        |  END AS recall_micro,
+        |  CASE WHEN n_predicted + n_actual > 0
+        |    THEN (2 * CAST(tp AS HUGEINT) * 1000000) // (n_predicted + n_actual)
+        |  END AS f1_micro
+        |FROM f ORDER BY o_orderpriority, label""".stripMargin,
+
+    // ROC AUC by the rank identity: doubled mid-ranks exactly as
+    // q_mann_whitney, then ONE integral division.
+    "q_auc" ->
+      """WITH r AS (
+        |  SELECT l_linestatus, (l_returnflag = 'R') AS l,
+        |    CAST(floor(l_extendedprice * 10000) AS BIGINT) AS s
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |rk AS (
+        |  SELECT l_linestatus, l,
+        |    2 * rank() OVER (PARTITION BY l_linestatus ORDER BY s)
+        |      + count(*) OVER (PARTITION BY l_linestatus, s) - 1 AS r2
+        |  FROM r),
+        |agg AS (
+        |  SELECT l_linestatus,
+        |    CAST(sum(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN NOT l THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |    sum(CASE WHEN l THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS rp2
+        |  FROM rk GROUP BY 1),
+        |u AS (
+        |  SELECT *, rp2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS u2
+        |  FROM agg)
+        |SELECT l_linestatus, n_pos, n_neg, CAST(u2 AS BIGINT) AS u2_pos,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN CAST((u2 * 1000000)
+        |      // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
+        |  END AS auc_micro
+        |FROM u ORDER BY l_linestatus""".stripMargin,
+
+    // Reliability bins + ECE: scores quantize to 10⁻⁶ BEFORE summing,
+    // per-bin means and the ECE are integral divisions over exact sums.
+    "q_calibration" ->
+      """WITH r AS (
+        |  SELECT l_linestatus,
+        |    CAST(least(greatest(floor(l_discount * 10.0 * 10), 0), 9)
+        |      AS BIGINT) AS bin,
+        |    CAST(floor(l_discount * 10.0 * 1000000) AS BIGINT) AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        |cells AS (
+        |  SELECT l_linestatus, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s) AS HUGEINT) AS ss, CAST(sum(y) AS HUGEINT) AS pos
+        |  FROM r GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_linestatus, bin, n,
+        |    CAST(ss // n AS BIGINT) AS conf_micro,
+        |    CAST((pos * 1000000) // n AS BIGINT) AS acc_micro
+        |  FROM cells)
+        |SELECT l_linestatus, bin, n, conf_micro, acc_micro,
+        |  CAST(sum(CAST(abs(acc_micro - conf_micro) AS HUGEINT) * n)
+        |      OVER (PARTITION BY l_linestatus)
+        |    // sum(n) OVER (PARTITION BY l_linestatus) AS BIGINT)
+        |    AS ece_micro
+        |FROM m ORDER BY l_linestatus, bin""".stripMargin,
+
+    // CUPED: exact HUGEINT power sums (spend pre-quantized to cents so
+    // the per-customer sum is integer), fixed IEEE trees after.
+    "q_cuped" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS spend
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT c_mktsegment, (c_custkey % 2 = 0) AS a,
+        |    CAST(spend AS HUGEINT) * 10000 AS y,
+        |    CAST(floor(c_acctbal * 10000) AS HUGEINT) AS x
+        |  FROM customer JOIN spend ON c_custkey = o_custkey
+        |  WHERE c_acctbal IS NOT NULL AND spend IS NOT NULL),
+        |agg AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+        |    sum(x * y) AS sxy, sum(y * y) AS syy,
+        |    sum(CASE WHEN a THEN x ELSE 0 END) AS sxa,
+        |    sum(CASE WHEN NOT a THEN x ELSE 0 END) AS sxb,
+        |    sum(CASE WHEN a THEN y ELSE 0 END) AS sya,
+        |    sum(CASE WHEN NOT a THEN y ELSE 0 END) AS syb
+        |  FROM r GROUP BY 1),
+        |f AS (
+        |  SELECT *,
+        |    CAST(n_a + n_b AS HUGEINT) * sxy - sx * sy AS covnum,
+        |    CAST(n_a + n_b AS HUGEINT) * sxx - sx * sx AS varxnum,
+        |    CAST(n_a + n_b AS HUGEINT) * syy - sy * sy AS varynum,
+        |    CAST(sya AS DOUBLE) / n_a - CAST(syb AS DOUBLE) / n_b AS dy,
+        |    CAST(sxa AS DOUBLE) / n_a - CAST(sxb AS DOUBLE) / n_b AS dx
+        |  FROM agg)
+        |SELECT c_mktsegment, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(floor(dy * 100.0) AS BIGINT) END AS diff_micro,
+        |  CASE WHEN varxnum > 0
+        |    THEN CAST(floor(CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE)
+        |      * 1000000.0) AS BIGINT) END AS theta_micro,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND varxnum > 0
+        |    THEN CAST(floor((dy
+        |      - CAST(covnum AS DOUBLE) / CAST(varxnum AS DOUBLE) * dx)
+        |      * 100.0) AS BIGINT) END AS adj_diff_micro,
+        |  CASE WHEN varxnum > 0 AND varynum > 0
+        |    THEN CAST(floor(CAST(covnum AS DOUBLE) * CAST(covnum AS DOUBLE)
+        |      / (CAST(varxnum AS DOUBLE) * CAST(varynum AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) END AS rho2_micro
+        |FROM f ORDER BY c_mktsegment""".stripMargin,
+
+    // Daily grid + forward fill: max(struct) latest-in-day election,
+    // per-key unnest(generate_series) grid, IGNORE NULLS running last.
+    "q_gap_fill" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_id % 877 = 0),
+        |cells AS (
+        |  SELECT event_type, day, max({'ts': ts, 'v': v}).v AS dv
+        |  FROM r GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM cells GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |j AS (
+        |  SELECT grid.event_type, grid.day, cells.dv
+        |  FROM grid LEFT JOIN cells USING (event_type, day))
+        |SELECT event_type, day,
+        |  last_value(dv IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_micro,
+        |  dv IS NOT NULL AS is_observed
+        |FROM j ORDER BY event_type, day""".stripMargin,
+
     // Two-proportion pooled z: exact conditional counts, one fixed IEEE
     // expression tree for the statistic.
     "q_prop_test" ->

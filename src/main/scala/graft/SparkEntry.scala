@@ -2235,6 +2235,67 @@ object SparkEntry {
         Seq("event_type"), "value", "expected", binWidth = 25.0, nBins = 20)
       .orderBy(col("event_type"))
 
+  /** Per-class precision/recall/F1 of a price/date heuristic predicting
+    * order status, per priority — the classifier-gate evaluation shape.
+    */
+  private def qConfusion(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.confusionStats(
+        t(s, dir, "orders")
+          .withColumn("predicted",
+            when(year(col("o_orderdate")) < 1995, "F")
+              .when(col("o_totalprice") > 150000.0, "O")
+              .otherwise("P")),
+        Seq("o_orderpriority"), "o_orderstatus", "predicted")
+      .orderBy(col("o_orderpriority"), col("label"))
+
+  /** ROC AUC of extended price as a return-flag scorer, per line status
+    * — does price order returned items above kept ones at all?
+    */
+  private def qAuc(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.rocAuc(
+        t(s, dir, "lineitem").withColumn("returned", col("l_returnflag") === "R"),
+        Seq("l_linestatus"), "returned", "l_extendedprice")
+      .orderBy(col("l_linestatus"))
+
+  /** Reliability bins + ECE of the (scaled) discount as a return-flag
+    * confidence score, per line status.
+    */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.calibrationReport(
+        t(s, dir, "lineitem")
+          .withColumn("score", col("l_discount") * 10.0)
+          .withColumn("returned", col("l_returnflag") === "R"),
+        Seq("l_linestatus"), "score", "returned", nBins = 10)
+      .orderBy(col("l_linestatus"), col("bin"))
+
+  /** CUPED variance-reduced A/B on customer spend: arm = even custkey,
+    * metric = total order value, covariate = pre-experiment account
+    * balance, per market segment.
+    */
+  private def qCuped(s: SparkSession, dir: String): DataFrame = {
+    // spend in exact cents (long) — a raw double sum would be
+    // engine-addend-ordered before the operator's quantization
+    val spend = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("spend"))
+    ops.Regression.cuped(
+        t(s, dir, "customer")
+          .join(spend, col("c_custkey") === col("o_custkey"), "inner")
+          .withColumn("arm", col("c_custkey") % 2 === 0),
+        Seq("c_mktsegment"), "arm", "spend", "c_acctbal")
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Dense daily event-value series per event type: latest value per
+    * day, gap days forward-filled. The modulo thinning makes the
+    * observations genuinely sparse at sf0.01 so the fill path is what
+    * the oracle hashes, not just the grid.
+    */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.gapFill(
+        t(s, dir, "events").filter(col("event_id") % 877 === 0),
+        Seq("event_type"), "ts", "value")
+      .orderBy(col("event_type"), col("day"))
+
   /** Conversion-rate A/B: per priority, does the even-custkey arm fill
     * orders at a different rate?
     */
@@ -2414,6 +2475,11 @@ object SparkEntry {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_cohen_kappa" -> (qCohenKappa _),
     "q_drift_psi" -> (qDriftPsi _),
+    "q_confusion" -> (qConfusion _),
+    "q_auc" -> (qAuc _),
+    "q_calibration" -> (qCalibration _),
+    "q_cuped" -> (qCuped _),
+    "q_gap_fill" -> (qGapFill _),
     "q_chi_square" -> (qChiSquare _),
     "q_apply_changeset" -> (qApplyChangeset _),
     "q_url_canon" -> (qUrlCanon _),

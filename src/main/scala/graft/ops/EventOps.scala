@@ -134,4 +134,56 @@ object EventOps {
       .withColumn("p_micro", expr("(n_transitions * 1000000) div _tm_tot"))
       .drop("_tm_tot")
   }
+
+  /** Regularize an irregular event stream onto a dense per-key daily
+    * grid with forward fill — the resampling step before any
+    * fixed-step time-series math (moving averages, drift windows,
+    * day-over-day joins) that silently breaks on gap days. Per key:
+    * observations collapse to one value per day (LATEST in the day
+    * wins — max(struct(ts, value)) election, value breaking exact-ts
+    * ties; the same deterministic-election shape as snapshotDiff), the
+    * grid spans that key's own min..max day (no global frame — a key
+    * that appeared for a week doesn't emit a year of rows), and gap
+    * days carry the last observed value forward. Values quantize to
+    * 10⁻⁶ longs at ingestion (floor of the stored double — carried,
+    * never recomputed), so the filled series is hash-stable.
+    * Returns `(keyCols*, day, value_micro, is_observed)`; days before
+    * a key's first observation cannot exist by construction, so the
+    * fill never emits NULL.
+    *
+    * Scale: one (key, day) hash aggregation with map-side partials
+    * bounds everything downstream at |keys|·|days| cells; the span
+    * aggregate, grid explode (sequence per key — |days| ≤ retention
+    * window, safe fan-out), and the forward-fill window all run on
+    * that cell relation, never the raw events. The fill window sorts
+    * per key — AQE splits a skewed key's partition.
+    */
+  def gapFill(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "gapFill needs key columns")
+    val g = keyCols.map(col)
+    // Lazy persist (the Dedup-frames contract): the day cells feed the
+    // span aggregate AND the grid join.
+    val cells = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(g ++ Seq(to_date(col(tsCol)).as("day"),
+        struct(col(tsCol).as("_gf_ts"),
+          floor(col(valueCol) * 1000000).cast("long").as("_gf_v"))
+          .as("_gf_obs")): _*)
+      .groupBy(g :+ col("day"): _*)
+      .agg(max(col("_gf_obs")).getField("_gf_v").as("_gf_day_v"))
+      .persist()
+    val grid = cells.groupBy(g: _*)
+      .agg(min(col("day")).as("_gf_d0"), max(col("day")).as("_gf_d1"))
+      .select(g :+ explode(sequence(col("_gf_d0"), col("_gf_d1"),
+        expr("interval 1 day"))).as("day"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(cells, keyCols :+ "day", "left")
+      .withColumn("value_micro",
+        last(col("_gf_day_v"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("_gf_day_v").isNotNull)
+      .select(g ++ Seq(col("day"), col("value_micro"), col("is_observed")): _*)
+  }
 }

@@ -263,6 +263,223 @@ object Regression {
             .cast("long")).as("kappa_micro")): _*)
   }
 
+  /** Per-class precision / recall / F1 from a confusion-cell relation —
+    * the quality-classifier evaluation primitive (how well does the
+    * fastText-shape gate reproduce the human labels per language?). One
+    * row per (group, label) over the UNION of actual and predicted
+    * label sets, so a class the model never predicts still reports its
+    * (zero) recall and a hallucinated class still reports its (zero)
+    * precision. Everything is exact integer arithmetic: counts are
+    * longs and each metric is ONE integral division —
+    * `precision = tp·10⁶ div n_predicted`,
+    * `recall = tp·10⁶ div n_actual`,
+    * `f1 = 2·tp·10⁶ div (n_predicted + n_actual)` (the harmonic mean
+    * identity with cleared denominators — no doubles anywhere, so the
+    * DuckDB oracle is bit-trivial). A label absent from a side reports
+    * NULL for the metric whose denominator vanishes.
+    *
+    * Scale: one hash shuffle of the raw rows onto (group, actual,
+    * predicted) cells with map-side partials; the two margin
+    * re-aggregations and the label-frame outer join run on the
+    * |labels|²-bounded cell relation, never the data.
+    */
+  def confusionStats(df: DataFrame, groupCols: Seq[String], actualCol: String,
+      predictedCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "confusionStats needs group columns")
+    val g = groupCols.map(col)
+    // Lazy persist (the cohenKappa contract): the cell relation feeds
+    // the diagonal and both margins.
+    val cells = df
+      .filter(col(actualCol).isNotNull && col(predictedCol).isNotNull)
+      .groupBy(g :+ col(actualCol).as("_cf_a") :+ col(predictedCol).as("_cf_p"): _*)
+      .agg(count(lit(1)).as("_cf_c"))
+      .persist()
+    val actual = cells.groupBy(g :+ col("_cf_a").as("label"): _*)
+      .agg(sum(col("_cf_c")).as("n_actual"))
+    val predicted = cells.groupBy(g :+ col("_cf_p").as("label"): _*)
+      .agg(sum(col("_cf_c")).as("n_predicted"))
+    val tp = cells.filter(col("_cf_a") === col("_cf_p"))
+      .groupBy(g :+ col("_cf_a").as("label"): _*)
+      .agg(sum(col("_cf_c")).as("_cf_tp"))
+    val keys = groupCols :+ "label"
+    actual.join(predicted, keys, "full_outer")
+      .join(tp, keys, "left")
+      .na.fill(0L, Seq("n_actual", "n_predicted", "_cf_tp"))
+      .select(g ++ Seq(col("label"), col("n_actual"), col("n_predicted"),
+        col("_cf_tp").as("tp"),
+        when(col("n_predicted") > 0L,
+          expr("(cast(tp as decimal(38,0)) * 1000000) div n_predicted"))
+          .as("precision_micro"),
+        when(col("n_actual") > 0L,
+          expr("(cast(tp as decimal(38,0)) * 1000000) div n_actual"))
+          .as("recall_micro"),
+        when(col("n_predicted") + col("n_actual") > 0L,
+          expr("(2 * cast(tp as decimal(38,0)) * 1000000)" +
+            " div (n_predicted + n_actual)"))
+          .as("f1_micro")): _*)
+  }
+
+  /** ROC AUC per group via the rank identity — the threshold-free
+    * scorer evaluation (does the quality score actually order kept
+    * documents above dropped ones?). `AUC = U⁺ / (n⁺·n⁻)` with
+    * `U⁺ = R⁺ − n⁺(n⁺+1)/2` over ascending mid-ranks of the score, so
+    * this is [[mannWhitney]]'s machinery pointed at a boolean label:
+    * doubled mid-ranks keep every sum an exact integer, and
+    * `auc_micro = (2·U⁺)·10⁶ div (2·n⁺·n⁻)` is ONE integral division —
+    * ties credit half by construction, no doubles anywhere, fully
+    * hash-oracled. Groups with an empty side report NULL auc.
+    *
+    * Scale: one hash shuffle on the group key serves the rank window,
+    * the tie window, and the final aggregation (the mannWhitney shape);
+    * per-group state is the sort, AQE splits skewed groups.
+    */
+  def rocAuc(df: DataFrame, groupCols: Seq[String], labelCol: String,
+      scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "rocAuc needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(g ++ Seq(col(labelCol).as("_rc_l"),
+        floor(col(scoreCol) * 10000).cast("long").as("_rc_s")): _*)
+    val rk = rank().over(Window.partitionBy(g: _*).orderBy(col("_rc_s")))
+    val tie = count(lit(1)).over(Window.partitionBy(g :+ col("_rc_s"): _*))
+    val agg = rows
+      .withColumn("_rc_r2", lit(2L) * rk + tie - lit(1L))
+      .groupBy(g: _*).agg(
+        sum(when(col("_rc_l"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("_rc_l"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("_rc_l"), col("_rc_r2")).otherwise(lit(0L)).cast(dec))
+          .as("_rc_rp2"))
+    val u2 = col("_rc_rp2") -
+      col("n_pos").cast(dec) * (col("n_pos").cast(dec) + lit(1L).cast(dec))
+    agg
+      .withColumn("_rc_u2", u2)
+      .withColumn("u2_pos", col("_rc_u2").cast("long"))
+      .select(g ++ Seq(col("n_pos"), col("n_neg"), col("u2_pos"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          // decimal operands: u2·10⁶ overflows long already at
+          // n ≈ 2·10⁹ rows per group
+          expr("(_rc_u2 * 1000000) div " +
+            "(2 * cast(n_pos as decimal(38,0)) * n_neg)"))
+          .as("auc_micro")): _*)
+  }
+
+  /** Reliability (calibration) bins + expected calibration error per
+    * group — does "score 0.9" actually mean 90% positive? Scores in
+    * [0, 1] land in `nBins` equi-width bins (1.0 clamps into the top
+    * bin); each bin reports its size, mean confidence, and observed
+    * positive rate, and every row carries the group-level
+    * `ece_micro = Σ_b n_b·|acc_b − conf_b| div N` (Naeini '15 / Guo
+    * '17). Deterministic end-to-end in integers: scores quantize to
+    * 10⁻⁶ longs BEFORE summing (exact long sums — the only place a
+    * float accumulation could creep in), both per-bin means are
+    * integral divisions, the |gap| is long arithmetic, and the ECE
+    * numerator re-accumulates exactly. Empty groups cannot appear;
+    * empty bins are simply absent (they contribute 0 to ECE either
+    * way).
+    *
+    * Scale: one hash shuffle onto (group, bin) cells with map-side
+    * partials; the ECE window runs over the ≤nBins cell relation.
+    */
+  def calibrationReport(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, labelCol: String, nBins: Int): DataFrame = {
+    require(groupCols.nonEmpty, "calibrationReport needs group columns")
+    require(nBins > 0, "calibrationReport needs positive nBins")
+    val g = groupCols.map(col)
+    val bin = least(greatest(floor(col(scoreCol) * nBins), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val cells = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(g ++ Seq(bin.as("bin"),
+        floor(col(scoreCol) * 1000000).cast("long").as("_cl_s"),
+        when(col(labelCol), 1L).otherwise(0L).as("_cl_y")): _*)
+      .groupBy(g :+ col("bin"): _*)
+      // decimal sums: 10⁶-scale scores over 10¹² rows pass long range
+      .agg(count(lit(1)).as("n"),
+        sum(col("_cl_s").cast("decimal(38,0)")).as("_cl_ss"),
+        sum(col("_cl_y").cast("decimal(38,0)")).as("_cl_pos"))
+      .withColumn("conf_micro", expr("_cl_ss div n"))
+      .withColumn("acc_micro", expr("(_cl_pos * 1000000) div n"))
+    val gw = Window.partitionBy(g: _*)
+    cells
+      .withColumn("_cl_gap",
+        abs(col("acc_micro") - col("conf_micro")).cast("decimal(38,0)")
+          * col("n"))
+      .withColumn("_cl_gapsum", sum(col("_cl_gap")).over(gw))
+      .withColumn("_cl_ntot", sum(col("n")).over(gw))
+      .withColumn("ece_micro", expr("_cl_gapsum div _cl_ntot"))
+      .select(g ++ Seq(col("bin"), col("n"), col("conf_micro"),
+        col("acc_micro"), col("ece_micro")): _*)
+  }
+
+  /** CUPED variance-reduced A/B comparison (Deng et al. WSDM'13) — the
+    * experiment readout that subtracts what a pre-experiment covariate
+    * already predicted: `y_adj = y − θ·(x − x̄)` with
+    * `θ = cov(x, y)/var(x)` fitted on BOTH arms pooled (arm-blind, so
+    * the adjustment is unbiased under randomization). Reports per-arm
+    * counts, the raw mean difference, the adjusted difference
+    * `Δ_adj = Δ_y − θ·Δ_x`, and the variance-reduction factor
+    * `ρ² = cov²/(var_x·var_y)` — the fraction of metric variance the
+    * covariate removes. Deterministic by the [[welchTTest]] argument:
+    * x and y quantize to 10⁻⁴ longs, ALL power sums (pooled and
+    * per-arm) accumulate in decimal(38,0) in ONE aggregation pass, and
+    * every reported value is a fixed IEEE expression tree over those
+    * exact ingredients (casts, one division per factor — no
+    * engine-ordered float accumulation, no libm). Zero-variance x (or
+    * a group with n < 2) reports NULL θ/adjusted/ρ² with the raw
+    * difference still defined; ρ² of a constant y likewise NULLs.
+    *
+    * Scale: ONE hash aggregation with map-side partials — ten
+    * conditional power sums, |groups| rows out, no second pass, no
+    * window. The decimal headroom argument from [[linearTrend]]
+    * applies (n·Sxy ≲ 10³⁸).
+    */
+  def cuped(df: DataFrame, groupCols: Seq[String], armCol: String,
+      yCol: String, xCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "cuped needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df
+      .filter(col(armCol).isNotNull && col(yCol).isNotNull &&
+        col(xCol).isNotNull)
+      .select(g ++ Seq(col(armCol).as("_cu_a"),
+        floor(col(yCol) * 10000).cast("long").cast(dec).as("_cu_y"),
+        floor(col(xCol) * 10000).cast("long").cast(dec).as("_cu_x")): _*)
+    def armSum(arm: Boolean, e: org.apache.spark.sql.Column) =
+      sum(when(col("_cu_a") === arm, e).otherwise(lit(0).cast(dec)))
+    val agg = rows.groupBy(g: _*).agg(
+      sum(when(col("_cu_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("_cu_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(col("_cu_x")).as("_cu_sx"), sum(col("_cu_y")).as("_cu_sy"),
+      sum(col("_cu_x") * col("_cu_x")).as("_cu_sxx"),
+      sum(col("_cu_x") * col("_cu_y")).as("_cu_sxy"),
+      sum(col("_cu_y") * col("_cu_y")).as("_cu_syy"),
+      armSum(true, col("_cu_x")).as("_cu_sxa"),
+      armSum(false, col("_cu_x")).as("_cu_sxb"),
+      armSum(true, col("_cu_y")).as("_cu_sya"),
+      armSum(false, col("_cu_y")).as("_cu_syb"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val n = (col("n_a") + col("n_b")).cast(dec)
+    val covNum = n * col("_cu_sxy") - col("_cu_sx") * col("_cu_sy")
+    val varXNum = n * col("_cu_sxx") - col("_cu_sx") * col("_cu_sx")
+    val varYNum = n * col("_cu_syy") - col("_cu_sy") * col("_cu_sy")
+    val theta = d(covNum) / d(varXNum)
+    val dY = d(col("_cu_sya")) / d(col("n_a")) -
+      d(col("_cu_syb")) / d(col("n_b"))
+    val dX = d(col("_cu_sxa")) / d(col("n_a")) -
+      d(col("_cu_sxb")) / d(col("n_b"))
+    val rho2 = d(covNum) * d(covNum) / (d(varXNum) * d(varYNum))
+    val arms = col("n_a") > 0L && col("n_b") > 0L
+    val thetaOk = varXNum > lit(0).cast(dec)
+    agg.select(g ++ Seq(col("n_a"), col("n_b"),
+      when(arms, floor(dY * 100.0).cast("long")).as("diff_micro"),
+      when(thetaOk, floor(theta * 1000000.0).cast("long")).as("theta_micro"),
+      when(arms && thetaOk, floor((dY - theta * dX) * 100.0).cast("long"))
+        .as("adj_diff_micro"),
+      when(thetaOk && varYNum > lit(0).cast(dec),
+        floor(rho2 * 1000000.0).cast("long")).as("rho2_micro")): _*)
+  }
+
   /** Chi-square test of independence between two categorical columns per
     * group: `χ² = Σ_cells (observed − expected)² / expected` with
     * `expected = rowTotal·colTotal / N`, plus the classic

@@ -100,4 +100,36 @@ class EventOpsSpec extends SparkSpec {
     // event_id 1 ("a") precedes 2 ("b"): a closes, b stays current
     assert(out == Seq(("a", false), ("b", true)))
   }
+
+  test("gapFill: latest-in-day election, dense grid, forward-filled gaps") {
+    val ev = Seq(
+      ("k", ts("2024-01-01 08:00:00"), 1.5),
+      ("k", ts("2024-01-01 20:00:00"), 2.5),  // later same day wins
+      ("k", ts("2024-01-03 10:00:00"), 4.0),  // day 2 is a gap
+      ("solo", ts("2024-02-01 00:00:00"), 9.0))
+      .toDF("key", "t", "v")
+    val out = EventOps.gapFill(ev, Seq("key"), "t", "v")
+      .orderBy("key", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      ("k", "2024-01-01", 2500000L, true),
+      ("k", "2024-01-02", 2500000L, false), // carried forward
+      ("k", "2024-01-03", 4000000L, true),
+      ("solo", "2024-02-01", 9000000L, true)))
+  }
+
+  test("gapFill: exact-timestamp ties elect the larger value; spans are per-key") {
+    val t0 = ts("2024-01-05 12:00:00")
+    val ev = Seq(("a", t0, 3.0), ("a", t0, 7.0),
+      ("b", ts("2024-03-01 00:00:00"), 1.0),
+      ("b", ts("2024-03-02 00:00:00"), 2.0)).toDF("key", "t", "v")
+    val out = EventOps.gapFill(ev, Seq("key"), "t", "v")
+      .orderBy("key", "day").collect()
+    // key a: one day, max-value election; key b: its own 2-day span only
+    assert(out.length == 3)
+    assert(out.head.getLong(2) == 7000000L)
+    assert(out.map(_.getDate(1).toString).toSeq ==
+      Seq("2024-01-05", "2024-03-01", "2024-03-02"))
+  }
 }

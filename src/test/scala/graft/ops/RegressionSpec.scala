@@ -132,6 +132,99 @@ class RegressionSpec extends SparkSpec {
     assert(r2.getLong(1) == 20000000L && r2.getLong(2) == 1L)
   }
 
+  test("confusionStats: full label frame incl. never-predicted and hallucinated classes") {
+    val d = (Seq.fill(3)(("x", "x")) ++ Seq(("x", "y")) ++
+      Seq.fill(2)(("y", "y")) ++ Seq(("y", "x"), ("z", "x"), ("y", "w")))
+      .map { case (a, p) => ("g", a, p) }.toDF("g", "actual", "pred")
+    val out = Regression.confusionStats(d, Seq("g"), "actual", "pred")
+      .collect().map(r => r.getString(1) -> r).toMap
+    // x: actual 4, predicted 5 (3 tp + y→x + z→x)
+    assert(out("x").getLong(2) == 4L && out("x").getLong(3) == 5L)
+    assert(out("x").getLong(4) == 3L)
+    assert(out("x").getLong(5) == 600000L)  // 3/5
+    assert(out("x").getLong(6) == 750000L)  // 3/4
+    assert(out("x").getLong(7) == 666666L)  // 6/9
+    // y: actual 4 (incl. y→w), predicted 3
+    assert(out("y").getLong(5) == 666666L && out("y").getLong(6) == 500000L)
+    assert(out("y").getLong(7) == 571428L)  // 4/7
+    // z never predicted: precision NULL, recall 0
+    assert(out("z").isNullAt(5) && out("z").getLong(6) == 0L)
+    assert(out("z").getLong(7) == 0L)
+    // w never actual: recall NULL, precision 0
+    assert(out("w").getLong(5) == 0L && out("w").isNullAt(6))
+  }
+
+  test("rocAuc: ties credit half; empty side yields NULL auc") {
+    // pos {0.9, 0.8}, neg {0.7, 0.8} → U⁺ = 3.5, AUC = 0.875
+    val d = Seq(("g", true, 0.9), ("g", true, 0.8),
+      ("g", false, 0.7), ("g", false, 0.8),
+      ("onesided", true, 1.0), ("onesided", true, 2.0))
+      .toDF("g", "label", "score")
+    val out = Regression.rocAuc(d, Seq("g"), "label", "score")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getLong(1) == 2L && out("g").getLong(2) == 2L)
+    assert(out("g").getLong(3) == 7L) // 2·U⁺
+    assert(out("g").getLong(4) == 875000L)
+    assert(out("onesided").isNullAt(4))
+  }
+
+  test("rocAuc: perfect and inverted scorers hit the integer endpoints") {
+    val perfect = Seq(("g", false, 0.1), ("g", false, 0.2),
+      ("g", true, 0.8), ("g", true, 0.9)).toDF("g", "label", "score")
+    assert(Regression.rocAuc(perfect, Seq("g"), "label", "score")
+      .collect().head.getLong(4) == 1000000L)
+    val inverted = Seq(("g", true, 0.1), ("g", false, 0.9))
+      .toDF("g", "label", "score")
+    assert(Regression.rocAuc(inverted, Seq("g"), "label", "score")
+      .collect().head.getLong(4) == 0L)
+  }
+
+  test("calibrationReport: bin means, clamp at 1.0, and the exact ECE") {
+    val d = Seq(("g", 0.1, false), ("g", 0.3, true), ("g", 0.3, false),
+      ("g", 0.9, true), ("g", 1.0, true)).toDF("g", "score", "label")
+    val out = Regression.calibrationReport(d, Seq("g"), "score", "label", 5)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 4L)) // 1.0 clamps into bin 4
+    assert(out(0L).getLong(2) == 1L && out(0L).getLong(3) == 100000L &&
+      out(0L).getLong(4) == 0L)
+    assert(out(1L).getLong(3) == 300000L && out(1L).getLong(4) == 500000L)
+    assert(out(4L).getLong(3) == 950000L && out(4L).getLong(4) == 1000000L)
+    // ECE = (1·100000 + 2·200000 + 2·50000) div 5 = 120000, on every row
+    assert(out.values.forall(_.getLong(5) == 120000L))
+  }
+
+  test("cuped: a perfectly predictive covariate removes its share of the difference") {
+    // y = x + 10·[arm A]: θ = 1, Δx = 0 here so Δadj = Δy; ρ² from the
+    // exact power sums = 4e8/4.04e10 → 9900 micro
+    val d = Seq(("g", true, 1.0, 11.0), ("g", true, 2.0, 12.0),
+      ("g", false, 1.0, 1.0), ("g", false, 2.0, 2.0))
+      .toDF("g", "arm", "x", "y")
+    val r = Regression.cuped(d, Seq("g"), "arm", "y", "x").collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 10000000L)  // Δy = 10 in 1e-4-unit·100
+    assert(r.getLong(4) == 1000000L)   // θ = 1
+    assert(r.getLong(5) == 10000000L)  // Δx = 0 → unchanged
+    assert(r.getLong(6) == 9900L)
+  }
+
+  test("cuped: covariate imbalance is subtracted; zero x-variance guards") {
+    // y = x with no treatment effect, but arm A saw x one unit higher:
+    // the raw read Δy = 1 is pure covariate imbalance — θ = 1 and
+    // Δadj = Δy − θ·Δx = 0, the correct no-effect answer
+    val d = Seq(("g", true, 2.0, 2.0), ("g", true, 3.0, 3.0),
+      ("g", false, 1.0, 1.0), ("g", false, 2.0, 2.0),
+      ("flat", true, 5.0, 1.0), ("flat", true, 5.0, 2.0),
+      ("flat", false, 5.0, 3.0), ("flat", false, 5.0, 4.0))
+      .toDF("g", "arm", "x", "y")
+    val out = Regression.cuped(d, Seq("g"), "arm", "y", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getLong(3) == 1000000L)
+    assert(out("g").getLong(5) == 0L)
+    assert(out("flat").getLong(3) == -2000000L) // raw diff still defined
+    assert(out("flat").isNullAt(4) && out("flat").isNullAt(5) &&
+      out("flat").isNullAt(6))
+  }
+
   test("welchTTest guards: tiny arm or zero variance yields NULL t/df") {
     val d = Seq(
       ("tiny", true, 1.0), ("tiny", false, 2.0), ("tiny", false, 3.0),
