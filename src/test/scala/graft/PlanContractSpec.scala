@@ -297,4 +297,33 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("FileScan"), p.take(3000))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
+
+  test("session-5 eval stats: auc windows share one group shuffle; cuped is one agg pass") {
+    // rocAuc = the mannWhitney shape: rank + tie windows and the final
+    // aggregation all ride ONE group-key hash partitioning, no join
+    val auc = planOf("q_auc")
+    val aucEx = "(?<!Broadcast)Exchange".r.findAllIn(auc).size
+    assert(aucEx <= 2, s"q_auc grew extra shuffles ($aucEx):\n${auc.take(2000)}")
+    assert(!auc.contains("Join"), auc.take(2000))
+    // cuped: per-customer pre-agg, a broadcast-able equi-join, then ONE
+    // partial-aggregating pass — never a window, never a cartesian
+    val cu = planOf("q_cuped")
+    assert(!cu.contains("Window"), cu.take(2000))
+    assert(!cu.contains("CartesianProduct"), cu.take(2000))
+    // calibration: one full-data shuffle onto (group, bin) cells; the
+    // ECE window runs over the ≤nBins cell relation after the agg
+    val cal = planOf("q_calibration")
+    val calEx = "(?<!Broadcast)Exchange".r.findAllIn(cal).size
+    assert(calEx <= 3, s"q_calibration grew extra shuffles ($calEx):\n${cal.take(2000)}")
+    assert(cal.contains("Window"), cal.take(2000))
+  }
+
+  test("gap fill: per-key grid join, fill window hash-partitioned by key") {
+    val p = planOf("q_gap_fill")
+    // the grid-to-cells join and the forward-fill window both key on the
+    // group columns — a global (unpartitioned) window here would be the
+    // 100 TB failure mode
+    assert(p.contains("hashpartitioning(event_type"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
 }
