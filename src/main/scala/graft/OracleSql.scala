@@ -2298,6 +2298,83 @@ object OracleSql {
         |SELECT vec_id, list(y ORDER BY j) AS proj
         |FROM proj GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
+    // Two-sample KS: cleared-denominator cumulative gaps in exact
+    // HUGEINT over the pinned value order, one integral division.
+    "q_ks_test" ->
+      """WITH r AS (
+        |  SELECT event_type, (user_id % 2 = 0) AS a,
+        |    CAST(floor(value * 10000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |cells AS (
+        |  SELECT event_type, v,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM r GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT event_type, ca, cb,
+        |    sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb,
+        |    sum(ca) OVER (PARTITION BY event_type) AS n_a,
+        |    sum(cb) OVER (PARTITION BY event_type) AS n_b
+        |  FROM cells
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(any_value(n_a) AS BIGINT) AS n_a,
+        |    CAST(any_value(n_b) AS BIGINT) AS n_b,
+        |    max(abs(CAST(cuma AS HUGEINT) * n_b
+        |      - CAST(cumb AS HUGEINT) * n_a)) AS g
+        |  FROM c2 GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST((g * 1000000)
+        |      // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |  END AS ks_micro
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // Fleiss' kappa: constant-rater items only, cleared denominators,
+    // exact HUGEINT products, ONE double division.
+    "q_fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, unnest([
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 'hi' ELSE 'lo' END,
+        |    CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END,
+        |    CASE WHEN year(o_orderdate) >= 1996 THEN 'hi' ELSE 'lo' END])
+        |    AS c
+        |  FROM orders),
+        |cells AS (
+        |  SELECT o_orderstatus, o_orderkey, c, count(*) AS n
+        |  FROM r GROUP BY 1, 2, 3),
+        |items AS (
+        |  SELECT o_orderstatus, o_orderkey, CAST(sum(n) AS BIGINT) AS ni,
+        |    CAST(sum(n * (n - 1)) AS HUGEINT) AS agree
+        |  FROM cells GROUP BY 1, 2),
+        |kept AS (SELECT * FROM items WHERE ni = 3),
+        |pg AS (
+        |  SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+        |    sum(agree) AS pnum
+        |  FROM kept GROUP BY 1),
+        |tc AS (
+        |  SELECT cells.o_orderstatus, cells.c,
+        |    CAST(sum(cells.n) AS HUGEINT) AS t
+        |  FROM cells JOIN kept
+        |    ON cells.o_orderstatus = kept.o_orderstatus
+        |    AND cells.o_orderkey = kept.o_orderkey
+        |  GROUP BY 1, 2),
+        |s AS (SELECT o_orderstatus, sum(t * t) AS s FROM tc GROUP BY 1),
+        |f AS (
+        |  SELECT pg.o_orderstatus, n_items, pnum, s,
+        |    CAST(n_items AS HUGEINT) * 3 AS nn,
+        |    CAST(n_items AS HUGEINT) * 6 AS d
+        |  FROM pg JOIN s USING (o_orderstatus))
+        |SELECT o_orderstatus, n_items,
+        |  CASE WHEN n_items > 0 AND d * (nn * nn - s) <> 0
+        |    THEN CAST(floor(CAST(pnum * nn * nn - s * d AS DOUBLE)
+        |      / CAST(d * (nn * nn - s) AS DOUBLE) * 1000000.0) AS BIGINT)
+        |  END AS kappa_micro
+        |FROM f ORDER BY o_orderstatus""".stripMargin,
+
     // Per-class precision/recall/F1: pure integer counts and integral
     // divisions over the full-outer label frame — no doubles anywhere.
     "q_confusion" ->

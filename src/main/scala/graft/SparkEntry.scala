@@ -2235,6 +2235,35 @@ object SparkEntry {
         Seq("event_type"), "value", "expected", binWidth = 25.0, nBins = 20)
       .orderBy(col("event_type"))
 
+  /** Binning-free KS drift twin of q_drift_psi's binned PSI/KL: largest
+    * CDF gap between the even- and odd-user arms, per event type.
+    */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame =
+    ops.Drift.ksTest(
+        t(s, dir, "events").withColumn("arm", col("user_id") % 2 === 0),
+        Seq("event_type"), "arm", "value")
+      .orderBy(col("event_type"))
+
+  /** Fleiss' kappa over THREE weak order labelers (priority, price,
+    * date) voting hi/lo — multi-rater chance-corrected agreement per
+    * order status.
+    */
+  private def qFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val rated = t(s, dir, "orders")
+      .withColumn("r1",
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
+          .otherwise("lo"))
+      .withColumn("r2", when(col("o_totalprice") > 150000.0, "hi")
+        .otherwise("lo"))
+      .withColumn("r3", when(year(col("o_orderdate")) >= 1996, "hi")
+        .otherwise("lo"))
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        explode(array(col("r1"), col("r2"), col("r3"))).as("rating"))
+    ops.Regression.fleissKappa(rated, Seq("o_orderstatus"), "o_orderkey",
+        "rating", nRaters = 3)
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Per-class precision/recall/F1 of a price/date heuristic predicting
     * order status, per priority — the classifier-gate evaluation shape.
     */
@@ -2475,6 +2504,8 @@ object SparkEntry {
     "q_mann_whitney" -> (qMannWhitney _),
     "q_cohen_kappa" -> (qCohenKappa _),
     "q_drift_psi" -> (qDriftPsi _),
+    "q_ks_test" -> (qKsTest _),
+    "q_fleiss_kappa" -> (qFleissKappa _),
     "q_confusion" -> (qConfusion _),
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),

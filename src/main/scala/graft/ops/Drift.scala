@@ -15,6 +15,60 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group — the
+    * binning-free companion to [[driftReport]] (PSI/KL answer "how much
+    * did the histogram move?"; KS answers "what is the largest CDF gap
+    * anywhere?", sensitive to shifts PSI's fixed bins can straddle).
+    * `D = max_v |F_A(v) − F_B(v)|` evaluated at every distinct observed
+    * value, which is where the max must occur.
+    *
+    * Exact end-to-end: values quantize to 10⁻⁴ longs (definitional, the
+    * welchTTest floor), per-value arm counts accumulate into running
+    * cumulative longs over the pinned value order, the gap clears
+    * denominators — `|cumA·n_B − cumB·n_A|` in decimal(38,0) — and the
+    * reported `ks_micro = (maxGap·10⁶) div (n_A·n_B)` is ONE integral
+    * division. No doubles anywhere, so the DuckDB oracle is the same
+    * arithmetic verbatim. An empty arm reports NULL.
+    *
+    * Scale: one hash shuffle onto (group, value) cells with map-side
+    * partials bounds the sort: the running-cumulative window orders the
+    * per-group DISTINCT-value relation (≤ |distinct quantized values|
+    * rows, not raw rows), then one partial-aggregable max. Same skew
+    * story as any grouped window — AQE splits, rank state spills.
+    */
+  def ksTest(df: DataFrame, groupCols: Seq[String], armCol: String,
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "ksTest needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val cells = df
+      .filter(col(valueCol).isNotNull && col(armCol).isNotNull)
+      .select(g ++ Seq(col(armCol).as("_ks_a"),
+        floor(col(valueCol) * 10000).cast("long").as("_ks_v")): _*)
+      .groupBy(g :+ col("_ks_v"): _*)
+      .agg(sum(when(col("_ks_a"), 1L).otherwise(0L)).as("_ks_ca"),
+        sum(when(!col("_ks_a"), 1L).otherwise(0L)).as("_ks_cb"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("_ks_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    cells
+      .withColumn("_ks_cuma", sum(col("_ks_ca")).over(wCum))
+      .withColumn("_ks_cumb", sum(col("_ks_cb")).over(wCum))
+      .withColumn("n_a", sum(col("_ks_ca")).over(wTot))
+      .withColumn("n_b", sum(col("_ks_cb")).over(wTot))
+      .withColumn("_ks_gap",
+        abs(col("_ks_cuma").cast(dec) * col("n_b").cast(dec) -
+          col("_ks_cumb").cast(dec) * col("n_a").cast(dec)))
+      .groupBy(g: _*)
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(col("_ks_gap")).as("_ks_max"))
+      .select(g ++ Seq(col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("(_ks_max * 1000000) div " +
+            "(cast(n_a as decimal(38,0)) * n_b)")).as("ks_micro")): _*)
+  }
+
   /** Per-group PSI + KL between the rows where `expectedCol` is true (P,
     * the reference window) and false (Q, the comparison window), binning
     * `valueCol` into `nBins` equi-width bins of `binWidth` (values at or

@@ -480,6 +480,69 @@ object Regression {
         floor(rho2 * 1000000.0).cast("long")).as("rho2_micro")): _*)
   }
 
+  /** Fleiss' kappa — [[cohenKappa]] generalized from two raters to n:
+    * chance-corrected agreement of n categorical ratings per item
+    * (n weak labelers over the same documents, n annotators per QA
+    * row). Classic Fleiss '71 assumes a CONSTANT rater count, so items
+    * whose rating count ≠ `nRaters` are dropped (incomplete/overlapping
+    * ratings — reported via the `n_items` column, which counts only the
+    * kept items). With per-item category counts `n_ic`:
+    * `P̄ = Σ_i Σ_c n_ic(n_ic−1) / (N·n(n−1))`, `p_c = T_c/(N·n)`,
+    * `P_e = Σ_c p_c²`, `κ = (P̄ − P_e)/(1 − P_e)`. Clearing
+    * denominators keeps every term an exact decimal integer:
+    * `κ = (P̄num·(Nn)² − S·D) / (D·((Nn)² − S))` with
+    * `P̄num = Σ n_ic(n_ic−1)`, `S = Σ T_c²`, `D = N·n(n−1)` — ONE
+    * double division at the end, floored to `kappa_micro`. Degenerate
+    * groups (all raters always in one category → P_e = 1, or no
+    * complete items) report NULL.
+    *
+    * Scale: one hash shuffle of the raw ratings onto (group, item,
+    * category) cells with map-side partials; the per-item completeness
+    * filter, the category totals, and both final aggregations run on
+    * that cell relation (≤ items·|categories| rows). Nothing after the
+    * first aggregation touches raw data.
+    */
+  def fleissKappa(df: DataFrame, groupCols: Seq[String], itemCol: String,
+      categoryCol: String, nRaters: Int): DataFrame = {
+    require(groupCols.nonEmpty, "fleissKappa needs group columns")
+    require(nRaters >= 2, "fleissKappa needs at least two raters")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    // Lazy persist (the cohenKappa contract): cells feed the item
+    // agreement sums AND the category totals.
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(g :+ col(itemCol).as("_fk_i") :+ col(categoryCol).as("_fk_c"): _*)
+      .agg(count(lit(1)).as("_fk_n"))
+      .persist()
+    val items = cells.groupBy(g :+ col("_fk_i"): _*)
+      .agg(sum(col("_fk_n")).as("_fk_ni"),
+        sum(col("_fk_n") * (col("_fk_n") - 1L)).cast(dec).as("_fk_agree"))
+      .filter(col("_fk_ni") === nRaters.toLong)
+    val perGroup = items.groupBy(g: _*).agg(
+      count(lit(1)).as("n_items"),
+      sum(col("_fk_agree")).as("_fk_pnum"))
+    // category totals over KEPT items only — the semi-join keeps the
+    // completeness rule consistent between P̄ and P_e
+    val totals = cells
+      .join(items.select(g :+ col("_fk_i"): _*), groupCols :+ "_fk_i",
+        "left_semi")
+      .groupBy(g :+ col("_fk_c"): _*)
+      .agg(sum(col("_fk_n")).cast(dec).as("_fk_tc"))
+      .groupBy(g: _*)
+      .agg(sum(col("_fk_tc") * col("_fk_tc")).as("_fk_s"))
+    val n = lit(nRaters.toLong).cast(dec)
+    val nn = col("n_items").cast(dec) * n
+    val dBar = col("n_items").cast(dec) * n * (n - lit(1L).cast(dec))
+    val num = col("_fk_pnum") * nn * nn - col("_fk_s") * dBar
+    val den = dBar * (nn * nn - col("_fk_s"))
+    perGroup.join(totals, groupCols)
+      .select(g ++ Seq(col("n_items"),
+        when(col("n_items") > 0L && den =!= lit(0).cast(dec),
+          floor(num.cast("double") / den.cast("double") * 1000000.0)
+            .cast("long")).as("kappa_micro")): _*)
+  }
+
   /** Chi-square test of independence between two categorical columns per
     * group: `χ² = Σ_cells (observed − expected)² / expected` with
     * `expected = rowTotal·colTotal / N`, plus the classic

@@ -318,6 +318,16 @@ class PlanContractSpec extends SparkSpec {
     assert(cal.contains("Window"), cal.take(2000))
   }
 
+  test("ks test: cumulative windows run over the distinct-value cells, one group family") {
+    val p = planOf("q_ks_test")
+    // both the running-cumulative and the totals windows declare the
+    // group hash partitioning; no join anywhere
+    assert(p.contains("hashpartitioning(event_type"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    val ex = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(ex <= 3, s"q_ks_test grew extra shuffles ($ex):\n${p.take(2000)}")
+  }
+
   test("gap fill: per-key grid join, fill window hash-partitioned by key") {
     val p = planOf("q_gap_fill")
     // the grid-to-cells join and the forward-fill window both key on the

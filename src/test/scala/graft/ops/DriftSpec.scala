@@ -43,6 +43,30 @@ class DriftSpec extends SparkSpec {
     assert(r.getLong(4) == math.floor(k.toDouble / 5.0).toLong)
   }
 
+  test("ksTest: disjoint supports hit D = 1; identical samples score 0") {
+    val d = (Seq(("sep", true, 1.0), ("sep", true, 2.0),
+      ("sep", false, 3.0), ("sep", false, 4.0)) ++
+      Seq(("same", true, 1.0), ("same", true, 2.0),
+        ("same", false, 1.0), ("same", false, 2.0)))
+      .toDF("g", "arm", "v")
+    val out = Drift.ksTest(d, Seq("g"), "arm", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("sep").getLong(1) == 2L && out("sep").getLong(2) == 2L)
+    assert(out("sep").getLong(3) == 1000000L)
+    assert(out("same").getLong(3) == 0L)
+  }
+
+  test("ksTest: the max CDF gap lands mid-distribution; empty arm is NULL") {
+    // A {1,2,3} vs B {2,3,4}: D = 1/3, attained at v = 1, 2 and 3
+    val d = (Seq(1.0, 2.0, 3.0).map(("g", true, _)) ++
+      Seq(2.0, 3.0, 4.0).map(("g", false, _)) :+
+      ("empty", true, 5.0)).toDF("g", "arm", "v")
+    val out = Drift.ksTest(d, Seq("g"), "arm", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getLong(3) == 333333L)
+    assert(out("empty").isNullAt(3))
+  }
+
   test("driftReport: values clamp into the edge bins") {
     // −5 clamps to bin 0, 99 clamps to bin 1 (nBins = 2, width 1): the
     // same frame as the hand-computed test, so the scores must match it.

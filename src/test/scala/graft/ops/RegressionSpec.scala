@@ -225,6 +225,33 @@ class RegressionSpec extends SparkSpec {
       out("flat").isNullAt(6))
   }
 
+  test("fleissKappa: hand-computed 4-item 3-rater table; incomplete items dropped") {
+    // items (3 raters, cats a/b): aaa, aab, bbb, abb
+    // P̄num = 6+2+6+2 = 16, D = 4·6 = 24 → P̄ = 2/3
+    // T_a = T_b = 6, (Nn)² = 144, S = 72 → P_e = 1/2 → κ = 1/3
+    val ratings = Seq("i1" -> Seq("a", "a", "a"), "i2" -> Seq("a", "a", "b"),
+      "i3" -> Seq("b", "b", "b"), "i4" -> Seq("a", "b", "b"),
+      "partial" -> Seq("a", "b")) // 2 ratings — must be dropped
+    val d = ratings.flatMap { case (i, cs) => cs.map(("g", i, _)) }
+      .toDF("g", "item", "cat")
+    val r = Regression.fleissKappa(d, Seq("g"), "item", "cat", 3)
+      .collect().head
+    assert(r.getLong(1) == 4L) // kept items exclude the partial one
+    assert(r.getLong(2) == 333333L)
+  }
+
+  test("fleissKappa: perfect per-item agreement is 1; a constant category is NULL") {
+    val perfect = Seq("i1" -> "a", "i2" -> "b", "i3" -> "a")
+      .flatMap { case (i, c) => Seq.fill(3)(("g", i, c)) }
+      .toDF("g", "item", "cat")
+    assert(Regression.fleissKappa(perfect, Seq("g"), "item", "cat", 3)
+      .collect().head.getLong(2) == 1000000L)
+    val constant = Seq("i1", "i2").flatMap(i => Seq.fill(3)(("g", i, "a")))
+      .toDF("g", "item", "cat")
+    assert(Regression.fleissKappa(constant, Seq("g"), "item", "cat", 3)
+      .collect().head.isNullAt(2)) // P_e = 1 → undefined
+  }
+
   test("welchTTest guards: tiny arm or zero variance yields NULL t/df") {
     val d = Seq(
       ("tiny", true, 1.0), ("tiny", false, 2.0), ("tiny", false, 3.0),
