@@ -21,10 +21,23 @@ object Tables {
     // double's 53-bit mantissa).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    // nanosAsLong only rewrites TIMESTAMP(NANOS) columns; a regenerated
+    // events table written at micro precision reads as TIMESTAMP_NTZ
+    // instead — branch on the LOADED type, not the table name alone, and
+    // normalize either form to the session-zone TIMESTAMP every operator
+    // downstream (unix_micros, window, date_format) was built against.
+    // The session zone is pinned UTC (Verify/Bench/SparkSpec), so the
+    // NTZ→LTZ cast is value-preserving.
     if (table == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", df("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 }
