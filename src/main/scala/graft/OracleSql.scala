@@ -1331,7 +1331,9 @@ object OracleSql {
 
     // Robust per-dim normalization: zipped unnests keep (dim, q) in
     // lockstep; median/quantile interpolation is exact on quantized
-    // longs; division order pinned before the micro floor.
+    // longs; division order pinned before the micro floor. Output is
+    // one scalar row per (id, dim) — the driver's pandas comparator
+    // cannot sort array cells (r8 lesson; OracleShapeSpec pins it).
     "q_embed_normalize" ->
       """WITH qz AS (
         |  SELECT vec_id AS id,
@@ -1350,8 +1352,8 @@ object OracleSql {
         |        * 1000000.0) AS BIGINT)
         |      ELSE CAST(0 AS BIGINT) END AS nm
         |  FROM j JOIN mad d USING (dim))
-        |SELECT id, list(nm ORDER BY dim) AS norm
-        |FROM n GROUP BY id ORDER BY id""".stripMargin,
+        |SELECT id, CAST(dim AS BIGINT) AS dim, nm
+        |FROM n ORDER BY id, dim""".stripMargin,
 
     "q_ann_brute_force" ->
       """WITH qz AS (
@@ -2295,8 +2297,8 @@ object OracleSql {
         |proj AS (
         |  SELECT vec_id, j, CAST(sum(s * v[i]) AS BIGINT) AS y
         |  FROM qz CROSS JOIN signs GROUP BY 1, 2)
-        |SELECT vec_id, list(y ORDER BY j) AS proj
-        |FROM proj GROUP BY 1 ORDER BY vec_id""".stripMargin,
+        |SELECT vec_id, CAST(j AS BIGINT) AS j, y
+        |FROM proj ORDER BY vec_id, j""".stripMargin,
 
     // Two-sample KS: cleared-denominator cumulative gaps in exact
     // HUGEINT over the pinned value order, one integral division.
@@ -2400,13 +2402,14 @@ object OracleSql {
         |  LEFT JOIN tp USING (o_orderpriority, label))
         |SELECT o_orderpriority, label, n_actual, n_predicted, tp,
         |  CASE WHEN n_predicted > 0
-        |    THEN (CAST(tp AS HUGEINT) * 1000000) // n_predicted
+        |    THEN CAST((CAST(tp AS HUGEINT) * 1000000) // n_predicted AS BIGINT)
         |  END AS precision_micro,
         |  CASE WHEN n_actual > 0
-        |    THEN (CAST(tp AS HUGEINT) * 1000000) // n_actual
+        |    THEN CAST((CAST(tp AS HUGEINT) * 1000000) // n_actual AS BIGINT)
         |  END AS recall_micro,
         |  CASE WHEN n_predicted + n_actual > 0
-        |    THEN (2 * CAST(tp AS HUGEINT) * 1000000) // (n_predicted + n_actual)
+        |    THEN CAST((2 * CAST(tp AS HUGEINT) * 1000000)
+        |      // (n_predicted + n_actual) AS BIGINT)
         |  END AS f1_micro
         |FROM f ORDER BY o_orderpriority, label""".stripMargin,
 

@@ -20,14 +20,19 @@ object Tables {
     // here (integer `div`, not double division: ns-epoch values overflow a
     // double's 53-bit mantissa).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin the session zone HERE, not just in the entry-point builders:
+    // every main (Verify/Bench/Profile/ExplainAudit) and every spec loads
+    // tables through this method, so the NTZ→timestamp cast below is
+    // value-preserving regardless of the host's default timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
     // nanosAsLong only rewrites TIMESTAMP(NANOS) columns; a regenerated
     // events table written at micro precision reads as TIMESTAMP_NTZ
     // instead — branch on the LOADED type, not the table name alone, and
     // normalize either form to the session-zone TIMESTAMP every operator
     // downstream (unix_micros, window, date_format) was built against.
-    // The session zone is pinned UTC (Verify/Bench/SparkSpec), so the
-    // NTZ→LTZ cast is value-preserving.
+    // The session zone is pinned UTC above, so the NTZ→LTZ cast is
+    // value-preserving.
     if (table == "events")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>

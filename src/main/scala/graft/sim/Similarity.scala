@@ -97,6 +97,40 @@ object Similarity {
         x => x.getField("_nm")).as("norm"))
   }
 
+  /** Sketched twin of [[robustNormalize]] for the 100 TB path: per-dim
+    * median/MAD via `percentile_approx` (Greenwald–Khanna, bounded
+    * per-group memory) instead of the exact percentile, which buffers a
+    * whole dimension's values on one reducer — the same exact↔approx
+    * pairing as q_percentiles/q_approx_percentile. `accuracy` bounds the
+    * rank error at n/accuracy per group; at the default 10⁴ a corpus
+    * dimension's median lands within 0.01% rank of exact, which is far
+    * inside the MAD denominator's own robustness margin.
+    *
+    * Identical output contract to the exact form — `(id, norm:
+    * array<long>)` in floored micro-units over [[quantize]]d inputs — so
+    * call sites swap freely; RobustNormalizeApproxSpec pins approx==exact
+    * on the test tables (small-cardinality dims sketch exactly).
+    */
+  def robustNormalizeApprox(df: DataFrame, idCol: String, vecCol: String,
+      quantScale: Int = 1000, accuracy: Int = 10000): DataFrame = {
+    val qz = df.select(col(idCol).as("id"),
+        posexplode(quantize(col(vecCol), quantScale)).as(Seq("dim", "q")))
+    val med = qz.groupBy(col("dim"))
+      .agg(percentile_approx(col("q"), lit(0.5), lit(accuracy))
+        .cast("double").as("_med"))
+    val j = qz.join(broadcast(med), Seq("dim"))
+    val mad = j.groupBy(col("dim"))
+      .agg(percentile_approx(abs(col("q").cast("double") - col("_med")),
+        lit(0.5), lit(accuracy)).cast("double").as("_mad"))
+    j.join(broadcast(mad), Seq("dim"))
+      .withColumn("_nm", when(col("_mad") =!= 0.0,
+        floor(((col("q").cast("double") - col("_med")) / col("_mad"))
+          * lit(1000000.0)).cast("long")).otherwise(lit(0L)))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("_nm")))),
+        x => x.getField("_nm")).as("norm"))
+  }
+
   /** Deterministic Rademacher (±1) sign matrix for [[randomProject]],
     * derived from md5 so any engine can regenerate it from the (j, i)
     * coordinates alone: sign(j, i) = +1 iff the first hex digit of

@@ -13,6 +13,9 @@ class DocsConsistencySpec extends AnyFunSuite {
   private def readme: String =
     new String(Files.readAllBytes(Paths.get("README.md")), "UTF-8")
 
+  private def notes: String =
+    new String(Files.readAllBytes(Paths.get("NOTES.md")), "UTF-8")
+
   test("README query/oracle counts match SparkEntry exactly") {
     val m = """(\d+) queries, (\d+) with DuckDB oracles""".r
       .findFirstMatchIn(readme)
@@ -21,6 +24,19 @@ class DocsConsistencySpec extends AnyFunSuite {
       s"README claims ${m.group(1)} queries; SparkEntry registers ${SparkEntry.queries.size}")
     assert(m.group(2).toInt == SparkEntry.oracleSql.size,
       s"README claims ${m.group(2)} oracles; OracleSql carries ${SparkEntry.oracleSql.size}")
+  }
+
+  test("NOTES.md state-section counts match SparkEntry exactly") {
+    // NOTES drifted to 151/139 in round 8 while the registry stood at
+    // 166/154 — the round-8 verdict flagged it; now a CI failure instead.
+    val m = ("""\*\*(\d+) queries\*\* in `SparkEntry.queries`; """ +
+      """\*\*(\d+) have DuckDB oracles\*\*""").r
+      .findFirstMatchIn(notes)
+      .getOrElse(fail("NOTES.md no longer states '**N queries** … **M have DuckDB oracles**'"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"NOTES claims ${m.group(1)} queries; SparkEntry registers ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"NOTES claims ${m.group(2)} oracles; OracleSql carries ${SparkEntry.oracleSql.size}")
   }
 
   test("every oracle references a registered query (no orphaned oracles)") {
@@ -35,7 +51,7 @@ class DocsConsistencySpec extends AnyFunSuite {
     val rowsOnly = Set(
       "q_dedup_minhash_lsh", "q_dedup_simhash", "q_payload_near_dup",
       "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_joined", "q_ann_pq", "q_semdedup",
-      "q_approx_distinct", "q_approx_percentile",
+      "q_approx_distinct", "q_approx_percentile", "q_embed_normalize_approx",
       "q_clean_text", "q_multimodal_features")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
