@@ -615,6 +615,35 @@ object OracleSql {
          |ORDER BY rank DESC, node LIMIT 20""".stripMargin
     },
 
+    // Label propagation: 4 unrolled synchronous iterations, each picking
+    // the most frequent in-neighbor+self label with ties to the smallest
+    // label (row_number ORDER BY count DESC, label == Spark's
+    // min(struct(-c, label))). Self-votes are UNION ALL self-loops.
+    "q_label_prop" -> {
+      val iter = (1 to 4).map { i =>
+        s"""it$i AS (
+           |  SELECT dst AS node, label FROM (
+           |    SELECT e.dst, p.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, p.label) AS rk
+           |    FROM it${i - 1} p JOIN ae e ON p.node = e.src
+           |    GROUP BY e.dst, p.label) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem),
+         |e0 AS (SELECT a AS src, b AS dst FROM pairs
+         |       UNION SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM e0),
+         |ae AS (SELECT src, dst FROM e0
+         |       UNION ALL SELECT node, node FROM nodes),
+         |it0 AS (SELECT node, node AS label FROM nodes),
+         |$iter
+         |SELECT CAST(label AS BIGINT) AS label,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM it4 GROUP BY label ORDER BY label""".stripMargin
+    },
+
     // Efraimidis–Spirakis weighted sampling: exponential keys −ln(u)/w
     // under the house quantization (u from the 40-bit seeded md5 tail,
     // micro-nat ln, exact integer floor-div by the weight), top-5/source.

@@ -676,6 +676,21 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Label-propagation communities over the part↔supplier supply graph
+    * (4 deterministic iterations off the shared [[supplyPairs]] edge
+    * relation, self-vote + min-label tie-break) summarized as community
+    * sizes — fully hash-oracled against DuckDB's unrolled-iteration
+    * replica, the q_pagerank property.
+    */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supplyPairs(s, dir)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.graph.GraphOps.labelPropagation(edges, iters = 4, dedupEdges = false)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("label"))
+  }
+
   /** Pairwise distinct-token overlap between sources from ONE register
     * relation (inclusion–exclusion over the HLL merge law) — the base
     * table is scanned once; every pair estimate comes from register
@@ -2535,6 +2550,7 @@ object SparkEntry {
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_profile" -> (qProfile _),
     "q_pagerank_weighted" -> (qPageRankWeighted _),
+    "q_label_prop" -> (qLabelProp _),
     "q_hll_overlap" -> (qHllOverlap _),
     "q_outliers" -> (qOutliers _),
     "q_trimmed_stats" -> (qTrimmedStats _),

@@ -163,4 +163,83 @@ object GraphOps {
       ranks
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
+
+  /** Label propagation (Raghavan et al. 2007) with a FIXED iteration
+    * count and fully deterministic updates — the community-detection
+    * complement to [[pageRank]] (domain clustering over a link graph,
+    * near-dup cluster labeling over a similarity graph):
+    *
+    *   label₀(v)   = v
+    *   labelᵢ₊₁(v) = the most frequent label among v's in-neighbors
+    *                 PLUS v's own current label (a self-vote), ties
+    *                 broken toward the SMALLEST label.
+    *
+    * Classic LPA is nondeterministic (random visit order) and its
+    * synchronous form oscillates on bipartite structure; the self-vote
+    * damps the oscillation and the min-label tie-break plus synchronous
+    * update makes every iteration a pure function of the previous one —
+    * independent of partitioning and join order, so the result
+    * hash-oracles against an unrolled SQL replica, same property as
+    * pageRank's fixed-point arithmetic.
+    *
+    * `edges` is a directed relation (callers pass both directions for an
+    * undirected graph, as with pageRank); votes flow src→dst. Returns
+    * `(node, label)`.
+    *
+    * Scale: each iteration is the pageRank shape — one join keyed on the
+    * persisted edge partitioning, one count aggregation, one
+    * max-by-(count, -label) aggregation — with lineage truncated by
+    * eager localCheckpoint every 2 iterations; the driver holds one
+    * scalar (the edge count used to size partitions).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+      dedupEdges: Boolean = true): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one iteration")
+    val e0 = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val e = (if (dedupEdges) e0.distinct() else e0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = e.count()
+    val spark = edges.sparkSession
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    // Self-votes enter as self-loop edges so one persisted relation
+    // carries the whole vote flow, pre-partitioned on src at the
+    // iteration width (the allE trick from pageRank).
+    val allE = e.union(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      def step(l: DataFrame): DataFrame = l
+        .join(allE, col("node") === col("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("dst").as("node"), col("m").getField("label").as("label"))
+      var labels = nodes.select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
+      var i = 0
+      while (i < iters) {
+        val span = math.min(2, iters - i)
+        var plan = labels
+        for (_ <- 1 to span) plan = step(plan)
+        val next = plan.localCheckpoint(true)
+        labels.unpersist(blocking = false)
+        labels = next
+        i += span
+      }
+      e.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      allE.unpersist(blocking = false)
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
 }

@@ -73,4 +73,37 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("labelPropagation: disjoint triangles each collapse to their min label") {
+    // In one iteration every triangle node sees three distinct labels
+    // (two neighbors + self) — all tied at count 1 — and the min-label
+    // tie-break elects the triangle's smallest id for all three.
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L))
+    val edges = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(out(_) == 1L))
+    assert(Seq(4L, 5L, 6L).forall(out(_) == 4L))
+  }
+
+  test("labelPropagation: labels never cross connected components") {
+    val compA = (1L to 10L).map(i => (i, i % 10 + 1))
+    val compB = (101L to 110L).map(i => (i, (i - 100L) % 10 + 101L))
+    val all = compA ++ compB
+    val edges = (all ++ all.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.filter(_._1 <= 100L).values.forall(_ <= 100L))
+    assert(out.filter(_._1 > 100L).values.forall(_ > 100L))
+  }
+
+  test("labelPropagation is deterministic under repartitioning and duplicate edges") {
+    val pairs = (1L to 30L).flatMap(i => Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
+    val edges = pairs.toDF("src", "dst")
+    val a = GraphOps.labelPropagation(edges.repartition(1), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.labelPropagation(edges.union(edges).repartition(11), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }
