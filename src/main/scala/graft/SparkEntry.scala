@@ -1530,9 +1530,7 @@ object SparkEntry {
     * queries must stay scalar-only (OracleShapeSpec pins this).
     */
   private def qEmbedNormalize(s: SparkSession, dir: String): DataFrame =
-    Similarity.robustNormalize(t(s, dir, "embeddings"), "vec_id", "embedding")
-      .select(col("id"), posexplode(col("norm")).as(Seq("dim", "nm")))
-      .select(col("id"), (col("dim") + 1).cast("long").as("dim"), col("nm"))
+    Similarity.robustNormalizeRows(t(s, dir, "embeddings"), "vec_id", "embedding")
       .orderBy(col("id"), col("dim"))
 
   /** Sketched (percentile_approx) twin of q_embed_normalize — the 100 TB

@@ -79,6 +79,19 @@ object Similarity {
     * exploded frame, and one per-vector reassembly aggregation.
     */
   def robustNormalize(df: DataFrame, idCol: String, vecCol: String,
+      quantScale: Int = 1000): DataFrame =
+    robustNormalizeRows(df, idCol, vecCol, quantScale)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("nm")))),
+        x => x.getField("nm")).as("norm"))
+
+  /** Exploded form of [[robustNormalize]]: one scalar row per
+    * `(id, dim, nm)` with `dim` 1-based — the shape downstream scalar
+    * consumers (and the driver's row-wise comparator) want, WITHOUT the
+    * per-vector re-pack aggregation the array form pays (one fewer
+    * shuffle; the array form is this plus a collect_list groupBy).
+    */
+  def robustNormalizeRows(df: DataFrame, idCol: String, vecCol: String,
       quantScale: Int = 1000): DataFrame = {
     val qz = df.select(col(idCol).as("id"),
         posexplode(quantize(col(vecCol), quantScale)).as(Seq("dim", "q")))
@@ -89,12 +102,10 @@ object Similarity {
       .agg(percentile(abs(col("q").cast("double") - col("_med")), lit(0.5))
         .as("_mad"))
     j.join(broadcast(mad), Seq("dim"))
-      .withColumn("_nm", when(col("_mad") =!= 0.0,
+      .withColumn("nm", when(col("_mad") =!= 0.0,
         floor(((col("q").cast("double") - col("_med")) / col("_mad"))
           * lit(1000000.0)).cast("long")).otherwise(lit(0L)))
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("_nm")))),
-        x => x.getField("_nm")).as("norm"))
+      .select(col("id"), (col("dim") + 1).cast("long").as("dim"), col("nm"))
   }
 
   /** Sketched twin of [[robustNormalize]] for the 100 TB path: per-dim
