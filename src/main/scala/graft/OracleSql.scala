@@ -644,6 +644,66 @@ object OracleSql {
          |FROM it4 GROUP BY label ORDER BY label""".stripMargin
     },
 
+    // Personalized PageRank: q_pagerank's unrolled replica with init and
+    // teleport mass concentrated on the seed set (node % 400 = 0 part
+    // nodes) — zero elsewhere; same floor-division integer arithmetic.
+    "q_ppr" -> {
+      val iter = (1 to 6).map { i =>
+        s"""it$i AS (
+           |  SELECT nb.node, nb.base + (17 * coalesce(s.s, 0)) // 20 AS rank
+           |  FROM nb
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.rank // d.deg) AS BIGINT) AS s
+           |    FROM it${i - 1} p
+           |    JOIN e0 e ON p.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON nb.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem),
+         |e0 AS (SELECT a AS src, b AS dst FROM pairs
+         |       UNION SELECT b AS src, a AS dst FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY 1),
+         |seeds AS (SELECT node FROM nodes WHERE node % 400 = 0),
+         |sp AS (
+         |  SELECT (15 * 1000000000000) // (100 * count(*)) AS sbase,
+         |         1000000000000 // count(*) AS sinit
+         |  FROM seeds),
+         |nb AS (
+         |  SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL THEN p.sinit ELSE 0 END AS init,
+         |    CASE WHEN s.node IS NOT NULL THEN p.sbase ELSE 0 END AS base
+         |  FROM nodes n CROSS JOIN sp p
+         |  LEFT JOIN seeds s ON n.node = s.node),
+         |it0 AS (SELECT node, init AS rank FROM nb),
+         |$iter
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM it6
+         |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+
+    // k-core peeling: 4 unrolled rounds, each keeping edges whose BOTH
+    // endpoints currently have out-degree >= k (bidirectional edge set,
+    // so out-degree is THE degree). Final degrees over the survivors.
+    "q_kcore" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 3),
+           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i s ON e.src = s.src
+           |  JOIN k$i d ON e.dst = d.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem),
+         |e0 AS (SELECT a AS src, b AS dst FROM pairs
+         |       UNION SELECT b AS src, a AS dst FROM pairs),
+         |$rounds
+         |SELECT CAST(src AS BIGINT) AS node,
+         |  CAST(count(*) AS BIGINT) AS degree
+         |FROM e4 GROUP BY src ORDER BY node""".stripMargin
+    },
+
     // Efraimidis–Spirakis weighted sampling: exponential keys −ln(u)/w
     // under the house quantization (u from the 40-bit seeded md5 tail,
     // micro-nat ln, exact integer floor-div by the weight), top-5/source.

@@ -691,6 +691,35 @@ object SparkEntry {
       .orderBy(col("label"))
   }
 
+  /** Personalized PageRank from every 200th part (node % 400 == 0) —
+    * teleport and initial mass concentrate on the seed set, so rank is
+    * proximity to those parts through the supply graph. 6 iterations,
+    * exact integer arithmetic, hash-oracled like q_pagerank.
+    */
+  private def qPersonalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supplyPairs(s, dir)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = pairs.select(col("a").as("node")).distinct()
+      .filter(col("node") % 400 === 0)
+    graft.graph.GraphOps.pageRank(edges, iters = 6, dedupEdges = false,
+        seeds = Some(seeds))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+
+  /** 3-core of the part↔supplier supply graph by 4 peeling rounds off
+    * the shared [[supplyPairs]] relation — surviving (node, degree)
+    * rows, hash-oracled against DuckDB's unrolled-round replica.
+    */
+  private def qKCore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supplyPairs(s, dir)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.graph.GraphOps.kCore(edges, k = 3, rounds = 4, dedupEdges = false)
+      .orderBy(col("node"))
+  }
+
   /** Pairwise distinct-token overlap between sources from ONE register
     * relation (inclusion–exclusion over the HLL merge law) — the base
     * table is scanned once; every pair estimate comes from register
@@ -2549,6 +2578,8 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_pagerank_weighted" -> (qPageRankWeighted _),
     "q_label_prop" -> (qLabelProp _),
+    "q_kcore" -> (qKCore _),
+    "q_ppr" -> (qPersonalizedPageRank _),
     "q_hll_overlap" -> (qHllOverlap _),
     "q_outliers" -> (qOutliers _),
     "q_trimmed_stats" -> (qTrimmedStats _),

@@ -56,7 +56,8 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iters: Int = 10,
       dedupEdges: Boolean = true,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     // Weighted form: out-mass splits proportionally to integer edge
     // weights — contribution = (rank·w) div W(src). Weights must fit
@@ -91,7 +92,34 @@ object GraphOps {
       return nodes.select(col("node"), lit(0L).as("rank"))
     }
     val nE = e.count() // cached by the nodes pass — a metadata-cheap job
-    val base = 15L * RankScale / (100L * n)
+    // PERSONALIZED form (Page '99 §6 / Haveliwala '02): both the initial
+    // mass and the 15% teleport concentrate on the seed set instead of
+    // spreading uniformly — rank becomes proximity TO the seeds (topic-
+    // focused crawl prioritization, related-domain discovery). The
+    // uniform case is seeds = all nodes, so one (node, init, base)
+    // relation serves both paths and the uniform arithmetic is
+    // bit-identical to the literal form it replaces.
+    val nb = (seeds match {
+      case None =>
+        nodes.select(col("node"),
+          lit(RankScale / n).as("init"),
+          lit(15L * RankScale / (100L * n)).as("base"))
+      case Some(sd) =>
+        val flagged = nodes.join(
+            sd.select(col("node").cast("long")).distinct()
+              .withColumn("_seed", lit(true)),
+            Seq("node"), "left")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val m = flagged.filter(col("_seed")).count()
+        require(m > 0,
+          "personalized pageRank needs at least one seed present in the graph")
+        val out = flagged.select(col("node"),
+          when(col("_seed"), lit(RankScale / m)).otherwise(lit(0L)).as("init"),
+          when(col("_seed"), lit(15L * RankScale / (100L * m)))
+            .otherwise(lit(0L)).as("base"))
+        flagged.unpersist(blocking = false)
+        out
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     // Size iteration parallelism to the GRAPH, not the session default:
     // sharding |V|-row ranks and |E|-row contributions default-wide means
     // every iteration pays (stages × default-parallelism) scheduling for
@@ -134,10 +162,10 @@ object GraphOps {
         .select(col("dst"), expr("(rank * w) div deg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-        .join(nodes, col("node") === col("dst"), "right")
+        .join(nb, col("node") === col("dst"), "right")
         .select(col("node"),
-          (lit(base) + expr("(17 * coalesce(s, 0L)) div 20")).as("rank"))
-      var ranks = nodes.select(col("node"), lit(RankScale / n).as("rank"))
+          (col("base") + expr("(17 * coalesce(s, 0L)) div 20")).as("rank"))
+      var ranks = nb.select(col("node"), col("init").as("rank"))
         .localCheckpoint(true)
       // Checkpoint every TWO iterations: planning a depth-2 chain costs
       // pennies, but halving the checkpoint jobs halves the per-iteration
@@ -160,6 +188,7 @@ object GraphOps {
       u.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       allE.unpersist(blocking = false)
+      nb.unpersist(blocking = false)
       ranks
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
@@ -241,5 +270,49 @@ object GraphOps {
       allE.unpersist(blocking = false)
       labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
+  /** k-core decomposition by FIXED-round peeling (Seidman '83): each
+    * round drops every node whose current degree is below `k`, together
+    * with its edges, until `rounds` passes have run — the link-graph
+    * pruning that isolates the densely-linked "core" of a crawl (spam
+    * rings and long-tail leaf pages peel away first; what survives a
+    * high k is the web's load-bearing structure). Exact set semantics:
+    * after enough rounds the result IS the k-core; a fixed round count
+    * keeps the operator deterministic and oracle-able either way (each
+    * round is a pure function of the edge set, so the unrolled SQL
+    * replica agrees row-for-row at every stage).
+    *
+    * `edges` is a directed relation; callers pass both directions for an
+    * undirected graph (as with pageRank), making out-degree the degree.
+    * Returns the surviving `(node, degree)` relation.
+    *
+    * Scale: each round is one count aggregation plus two semi-joins
+    * against the ≤|V|-row survivor set — the survivor side broadcasts
+    * when small, hash-joins co-partitioned on the persisted edge
+    * partitioning otherwise; the edge relation shrinks monotonically so
+    * later rounds are cheaper, and localCheckpoint truncates lineage
+    * exactly as in the other iterative ops.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4,
+      dedupEdges: Boolean = true): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCore needs k >= 1 and rounds >= 1")
+    val e0 = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    var e = (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k)
+        .select(col("src").as("_keep"))
+      val next = e
+        .join(keep, col("src") === col("_keep"), "left_semi")
+        .join(keep, col("dst") === col("_keep"), "left_semi")
+        .localCheckpoint(true)
+      e.unpersist(blocking = false)
+      e = next
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
   }
 }

@@ -97,6 +97,67 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.filter(_._1 > 100L).values.forall(_ > 100L))
   }
 
+  test("personalized pageRank with ALL nodes as seeds equals the uniform form exactly") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val allNodes = (1L to 4L).toDF("node")
+    val uni = GraphOps.pageRank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val per = GraphOps.pageRank(edges, iters = 5, seeds = Some(allNodes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uni == per)
+  }
+
+  test("personalized pageRank concentrates rank near the seed") {
+    // path 1-2-3-4-5 seeded at 1: the seed outranks everything, and the
+    // like-degree interior nodes (2, 3, 4 — all degree 2) decrease
+    // strictly with distance. (Endpoint 5 is excluded: a degree-1 node
+    // banks its neighbor's half-mass whole, so tail monotonicity is NOT
+    // a theorem — observed rank(5) > rank(4).)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.pageRank(edges, iters = 8,
+        seeds = Some(Seq(1L).toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out.values.max)
+    assert(out(2L) > out(3L) && out(3L) > out(4L))
+  }
+
+  test("personalized pageRank rejects a seed set disjoint from the graph") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, seeds = Some(Seq(99L).toDF("node")))
+    }
+  }
+
+  test("kCore: pendant peels, triangle survives as the 2-core") {
+    // triangle {1,2,3} + pendant 4-1: degree(4)=1 < 2 drops it in round
+    // one; node 1's degree falls 3 -> 2 but stays; the triangle is the
+    // exact 2-core with degree 2 everywhere.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: k above the max degree empties the graph") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assert(GraphOps.kCore(edges, k = 3, rounds = 2).count() == 0)
+  }
+
+  test("kCore: cascade peeling needs the later rounds (chain collapses)") {
+    // path 1-2-3-4-5: ends have degree 1, so k=2 peels ends each round
+    // until nothing remains — round count bounds how far the cascade runs.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val after1 = GraphOps.kCore(edges, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(after1 == Set(2L, 3L, 4L))
+    assert(GraphOps.kCore(edges, k = 2, rounds = 3).count() == 0)
+  }
+
   test("labelPropagation is deterministic under repartitioning and duplicate edges") {
     val pairs = (1L to 30L).flatMap(i => Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
     val edges = pairs.toDF("src", "dst")
