@@ -648,7 +648,7 @@ object OracleSql {
     // teleport mass concentrated on the seed set (node % 400 = 0 part
     // nodes) — zero elsewhere; same floor-division integer arithmetic.
     "q_ppr" -> {
-      val iter = (1 to 6).map { i =>
+      val iter = (1 to 4).map { i =>
         s"""it$i AS (
            |  SELECT nb.node, nb.base + (17 * coalesce(s.s, 0)) // 20 AS rank
            |  FROM nb
@@ -679,7 +679,7 @@ object OracleSql {
          |  LEFT JOIN seeds s ON n.node = s.node),
          |it0 AS (SELECT node, init AS rank FROM nb),
          |$iter
-         |SELECT node, CAST(rank AS BIGINT) AS rank FROM it6
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM it4
          |ORDER BY rank DESC, node LIMIT 20""".stripMargin
     },
 

@@ -693,16 +693,16 @@ object SparkEntry {
 
   /** Personalized PageRank from every 200th part (node % 400 == 0) —
     * teleport and initial mass concentrate on the seed set, so rank is
-    * proximity to those parts through the supply graph. 6 iterations,
+    * proximity to those parts through the supply graph. 4 iterations,
     * exact integer arithmetic, hash-oracled like q_pagerank.
     */
   private def qPersonalizedPageRank(s: SparkSession, dir: String): DataFrame = {
     val pairs = supplyPairs(s, dir)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val seeds = pairs.select(col("a").as("node")).distinct()
-      .filter(col("node") % 400 === 0)
-    graft.graph.GraphOps.pageRank(edges, iters = 6, dedupEdges = false,
+    val seeds = pairs.select(col("a").as("node"))
+      .filter(col("node") % 400 === 0).distinct()
+    graft.graph.GraphOps.pageRank(edges, iters = 4, dedupEdges = false,
         seeds = Some(seeds))
       .orderBy(col("rank").desc, col("node"))
       .limit(20)

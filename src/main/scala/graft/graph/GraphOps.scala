@@ -92,34 +92,6 @@ object GraphOps {
       return nodes.select(col("node"), lit(0L).as("rank"))
     }
     val nE = e.count() // cached by the nodes pass — a metadata-cheap job
-    // PERSONALIZED form (Page '99 §6 / Haveliwala '02): both the initial
-    // mass and the 15% teleport concentrate on the seed set instead of
-    // spreading uniformly — rank becomes proximity TO the seeds (topic-
-    // focused crawl prioritization, related-domain discovery). The
-    // uniform case is seeds = all nodes, so one (node, init, base)
-    // relation serves both paths and the uniform arithmetic is
-    // bit-identical to the literal form it replaces.
-    val nb = (seeds match {
-      case None =>
-        nodes.select(col("node"),
-          lit(RankScale / n).as("init"),
-          lit(15L * RankScale / (100L * n)).as("base"))
-      case Some(sd) =>
-        val flagged = nodes.join(
-            sd.select(col("node").cast("long")).distinct()
-              .withColumn("_seed", lit(true)),
-            Seq("node"), "left")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val m = flagged.filter(col("_seed")).count()
-        require(m > 0,
-          "personalized pageRank needs at least one seed present in the graph")
-        val out = flagged.select(col("node"),
-          when(col("_seed"), lit(RankScale / m)).otherwise(lit(0L)).as("init"),
-          when(col("_seed"), lit(15L * RankScale / (100L * m)))
-            .otherwise(lit(0L)).as("base"))
-        flagged.unpersist(blocking = false)
-        out
-    }).persist(StorageLevel.MEMORY_AND_DISK)
     // Size iteration parallelism to the GRAPH, not the session default:
     // sharding |V|-row ranks and |E|-row contributions default-wide means
     // every iteration pays (stages × default-parallelism) scheduling for
@@ -157,6 +129,36 @@ object GraphOps {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
+      // PERSONALIZED form (Page '99 §6 / Haveliwala '02): both the initial
+      // mass and the 15% teleport concentrate on the seed set instead of
+      // spreading uniformly — rank becomes proximity TO the seeds (topic-
+      // focused crawl prioritization, related-domain discovery). The
+      // uniform case is seeds = all nodes, so one (node, init, base)
+      // relation serves both paths and the uniform arithmetic is
+      // bit-identical to the literal form it replaces.
+      var flagged: Option[DataFrame] = None // outlives nb's materialization
+      val nb = (seeds match {
+        case None =>
+          nodes.select(col("node"),
+            lit(RankScale / n).as("init"),
+            lit(15L * RankScale / (100L * n)).as("base"))
+        case Some(sd) =>
+          val f = nodes.join(
+              sd.select(col("node").cast("long")).distinct()
+                .withColumn("_seed", lit(true)),
+              Seq("node"), "left")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          flagged = Some(f)
+          // the count MUST come before nb can exist (init/base depend on
+          // m), so the flag join is paid once here and nb reads the cache
+          val m = f.filter(col("_seed")).count()
+          require(m > 0,
+            "personalized pageRank needs at least one seed present in the graph")
+          f.select(col("node"),
+            when(col("_seed"), lit(RankScale / m)).otherwise(lit(0L)).as("init"),
+            when(col("_seed"), lit(15L * RankScale / (100L * m)))
+              .otherwise(lit(0L)).as("base"))
+      }).persist(StorageLevel.MEMORY_AND_DISK)
       def step(r: DataFrame): DataFrame = r
         .join(allE, col("node") === col("src"))
         .select(col("dst"), expr("(rank * w) div deg").as("c"))
@@ -189,6 +191,7 @@ object GraphOps {
       nodes.unpersist(blocking = false)
       allE.unpersist(blocking = false)
       nb.unpersist(blocking = false)
+      flagged.foreach(_.unpersist(blocking = false))
       ranks
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
