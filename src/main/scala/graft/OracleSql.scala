@@ -1143,6 +1143,20 @@ object OracleSql {
         | AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
         |ORDER BY click_id, purchase_id ASC NULLS FIRST""".stripMargin,
 
+    // Full-outer stream-stream interval join: matched pairs plus
+    // unmatched rows from BOTH sides (null other-side columns). NULLS
+    // FIRST spelled out — DuckDB defaults ASC to NULLS LAST, Spark to
+    // nulls first.
+    "q_stream_full_outer" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  round(p.value, 2) AS amount
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+        |ORDER BY click_id ASC NULLS FIRST,
+        |  purchase_id ASC NULLS FIRST""".stripMargin,
+
     // Streaming exact dedup keeps one row per key: the surviving key set
     // is the DISTINCT key set.
     "q_stream_dedup" ->

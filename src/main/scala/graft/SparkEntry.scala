@@ -1143,6 +1143,64 @@ object SparkEntry {
     s.table(sink).orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Stream-stream FULL OUTER interval join under the correctness gate —
+    * completes the streaming join matrix (inner / left-outer /
+    * full-outer / stream-static): matched click↔purchase pairs PLUS
+    * unmatched rows from BOTH sides, each flushing only after the
+    * watermark passes its window. Same sentinel/replay mechanics as
+    * q_stream_outer; sentinel rows surface as unmatched singles and are
+    * filtered by their negative ids. Must equal the batch full-outer
+    * range-join oracle.
+    */
+  private def qStreamFullOuter(s: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = t(s, dir, "events")
+    def side(typ: String) = ev.filter(col("event_type") === typ)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    def future(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val joined = StreamingOps.streamingIntervalJoin(
+        clicks.toDF().toDF("click_id", "user_id", "ts"),
+        purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
+        leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
+        lookback = "1 hour", watermarkDelay = "1 minute", joinType = "fullOuter")
+      .select(col("click_id"), col("purchase_id"),
+        round(col("amount"), 2).as("amount"))
+    val sink = "q_stream_full_outer_sink"
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    try {
+      def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
+          add: Seq[T] => Unit): Unit =
+        side(typ).toLocalIterator().asScala.map(conv)
+          .grouped(1 << 20)
+          .foreach(b => add(b.toSeq))
+      replay("purchase",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
+        b => purchases.addData(b: _*))
+      replay("click",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
+        b => clicks.addData(b: _*))
+      purchases.addData((-1L, -999L, future(100), 0.0))
+      clicks.addData((-1L, -998L, future(100)))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+        coalesce(col("purchase_id"), lit(0L)) >= 0)
+      .orderBy(col("click_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+  }
+
   /** Stream-stream LEFT OUTER interval join under the correctness gate:
     * every click, with its prior-hour purchases where they exist and
     * nulls where they don't. Outer rows can only flush after the
@@ -2496,6 +2554,7 @@ object SparkEntry {
     "q_stream_interval" -> (qStreamInterval _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_outer" -> (qStreamOuter _),
+    "q_stream_full_outer" -> (qStreamFullOuter _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_bucketed" -> (qAsofBucketed _),
     "q_range_join" -> (qRangeJoin _),
