@@ -1182,6 +1182,27 @@ object OracleSql {
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
 
+    // Built-in session_window is HALF-OPEN: merge iff diff < gap at
+    // exact µs precision (vs the custom fold's > gap at floored-second
+    // grain above) — the boundary rule is part of the oracle.
+    "q_stream_session_builtin" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch_us(ts)
+        |              - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |              >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sessions AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q_events_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,

@@ -1394,6 +1394,55 @@ object SparkEntry {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Gap sessionization via Spark's BUILT-IN `session_window` operator —
+    * the native state-store session merging path, next to the custom
+    * flatMapGroupsWithState form (q_stream_sessionize) per the
+    * built-ins-first preference order. SEMANTIC NUANCE, hash-pinned by
+    * its own oracle: session_window is half-open — an event arriving at
+    * EXACTLY lastTs + gap starts a NEW session (merge iff diff < gap,
+    * exact µs), where the custom fold continues it (new iff diff > gap
+    * at floored-second grain). Append-mode sessions flush once the
+    * watermark passes their end; one far-future sentinel user (-1,
+    * filtered from the sink) closes everything before the read.
+    */
+  private def qStreamSessionBuiltin(s: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val src = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("user_id"))
+    val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sess = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("_sv"))
+    val sink = "q_stream_session_builtin_sink"
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try sess.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    try {
+      src.toLocalIterator().asScala
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+        .grouped(1 << 20)
+        .foreach(b => mem.addData(b.toSeq: _*))
+      mem.addData((-1L,
+        new java.sql.Timestamp(maxTs.getTime + 100L * 86400000L), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), round(col("_sv"), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Custom stateful streaming under the correctness gate: gap
     * sessionization via flatMapGroupsWithState, replayed in event-time
     * order. The watermark delay equals the gap, which provably prevents
@@ -2551,6 +2600,7 @@ object SparkEntry {
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_sessionize" -> (qStreamSessionize _),
+    "q_stream_session_builtin" -> (qStreamSessionBuiltin _),
     "q_stream_interval" -> (qStreamInterval _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_outer" -> (qStreamOuter _),
