@@ -26,7 +26,8 @@ object ExplainAudit {
       "q_dedup_substring", "q_semdedup", "q_char_entropy",
       "q_classifier_score", "q_countmin", "q_bloom",
       "q_hll", "q_hll_overlap", "q_bloom_join", "q_scd2", "q_pagerank",
-      "q_weighted_sample", "q_profile", "q_corpus_diff")
+      "q_weighted_sample", "q_profile", "q_corpus_diff",
+      "q_embed_normalize", "q_embed_normalize_approx")
     interesting.foreach { name =>
       println(s"########## $name")
       println(SparkEntry.queries(name)(spark, d)

@@ -644,6 +644,34 @@ object OracleSql {
          |FROM it4 GROUP BY label ORDER BY label""".stripMargin
     },
 
+    // Weighted label propagation: votes sum edge weights (lineitem count
+    // per pair), self-votes weigh 1; same tie-break as q_label_prop.
+    "q_label_prop_weighted" -> {
+      val iter = (1 to 4).map { i =>
+        s"""it$i AS (
+           |  SELECT dst AS node, label FROM (
+           |    SELECT e.dst, p.label, sum(e.w) AS c,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY sum(e.w) DESC, p.label) AS rk
+           |    FROM it${i - 1} p JOIN ae e ON p.node = e.src
+           |    GROUP BY e.dst, p.label) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b,
+         |    count(*) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |e0 AS (SELECT a AS src, b AS dst, w FROM pairs
+         |       UNION ALL SELECT b AS src, a AS dst, w FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM e0),
+         |ae AS (SELECT src, dst, w FROM e0
+         |       UNION ALL SELECT node, node, 1 FROM nodes),
+         |it0 AS (SELECT node, node AS label FROM nodes),
+         |$iter
+         |SELECT CAST(label AS BIGINT) AS label,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM it4 GROUP BY label ORDER BY label""".stripMargin
+    },
+
     // Personalized PageRank: q_pagerank's unrolled replica with init and
     // teleport mass concentrated on the seed set (node % 400 = 0 part
     // nodes) — zero elsewhere; same floor-division integer arithmetic.

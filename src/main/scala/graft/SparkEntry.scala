@@ -708,6 +708,20 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** WEIGHTED label propagation — neighbor votes carry the lineitem
+    * count of the pair (the similarity-weighted cluster-labeling form),
+    * 4 iterations, community sizes. Hash-oracled like q_label_prop.
+    */
+  private def qLabelPropWeighted(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supplyPairs(s, dir)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    graft.graph.GraphOps.labelPropagation(edges, iters = 4,
+        dedupEdges = false, weightCol = Some("w"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("label"))
+  }
+
   /** 3-core of the part↔supplier supply graph by 4 peeling rounds off
     * the shared [[supplyPairs]] relation — surviving (node, degree)
     * rows, hash-oracled against DuckDB's unrolled-round replica.
@@ -2687,6 +2701,7 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_pagerank_weighted" -> (qPageRankWeighted _),
     "q_label_prop" -> (qLabelProp _),
+    "q_label_prop_weighted" -> (qLabelPropWeighted _),
     "q_kcore" -> (qKCore _),
     "q_ppr" -> (qPersonalizedPageRank _),
     "q_hll_overlap" -> (qHllOverlap _),

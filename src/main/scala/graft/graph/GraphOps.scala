@@ -206,6 +206,12 @@ object GraphOps {
     *                 PLUS v's own current label (a self-vote), ties
     *                 broken toward the SMALLEST label.
     *
+    * WEIGHTED form (`weightCol`): neighbor votes carry the edge weight
+    * (a similarity graph's Jaccard/cosine score quantized to a long;
+    * parallel edges SUM under dedup, the multigraph rule) and the
+    * self-vote keeps weight 1 — all-1 weights equal the unweighted form
+    * exactly, the pageRank-family law (spec-pinned).
+    *
     * Classic LPA is nondeterministic (random visit order) and its
     * synchronous form oscillates on bipartite structure; the self-vote
     * damps the oscillation and the min-label tie-break plus synchronous
@@ -225,12 +231,22 @@ object GraphOps {
     * scalar (the edge count used to size partitions).
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
-      dedupEdges: Boolean = true): DataFrame = {
+      dedupEdges: Boolean = true,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1, "labelPropagation needs at least one iteration")
+    val wExpr = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e0 = edges
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .select(col("src").cast("long"), col("dst").cast("long"))
-    val e = (if (dedupEdges) e0.distinct() else e0)
+      .filter(col("src").isNotNull && col("dst").isNotNull && wExpr > 0L)
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        wExpr.as("w"))
+    // Unweighted dedup stays DISTINCT (each neighbor votes once —
+    // duplicate edges must not outvote the weight-1 self-vote, the
+    // duplicate-edges determinism law); weighted dedup sums parallel
+    // edges, the multigraph rule, because the caller owns the weights.
+    val e = (if (dedupEdges && weightCol.isEmpty) e0.distinct()
+      else if (dedupEdges)
+        e0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      else e0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -243,7 +259,8 @@ object GraphOps {
     // Self-votes enter as self-loop edges so one persisted relation
     // carries the whole vote flow, pre-partitioned on src at the
     // iteration width (the allE trick from pageRank).
-    val allE = e.union(nodes.select(col("node").as("src"), col("node").as("dst")))
+    val allE = e.union(nodes.select(col("node").as("src"),
+        col("node").as("dst"), lit(1L).as("w")))
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
@@ -252,7 +269,7 @@ object GraphOps {
       def step(l: DataFrame): DataFrame = l
         .join(allE, col("node") === col("src"))
         .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("w")).as("c"))
         .groupBy(col("dst"))
         .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
         .select(col("dst").as("node"), col("m").getField("label").as("label"))

@@ -158,6 +158,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(edges, k = 2, rounds = 3).count() == 0)
   }
 
+  test("weighted labelPropagation: all-1 weights equal the unweighted form exactly") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val w1 = edges.withColumn("w", lit(1L))
+    val a = GraphOps.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.labelPropagation(w1, iters = 4, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("weighted labelPropagation: a heavy edge outvotes a count majority") {
+    // node 3 hears labels 1 and 2 once each (tie -> 1 unweighted), but
+    // the 3<->2 edge carries weight 10 so 2 wins the weighted vote.
+    val und = Seq((1L, 3L, 1L), (2L, 3L, 10L))
+    val edges = (und ++ und.map(t => (t._2, t._1, t._3))).toDF("src", "dst", "w")
+    val unw = GraphOps.labelPropagation(edges.select("src", "dst"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wtd = GraphOps.labelPropagation(edges, iters = 1, weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unw(3L) == 1L)
+    assert(wtd(3L) == 2L)
+  }
+
   test("labelPropagation is deterministic under repartitioning and duplicate edges") {
     val pairs = (1L to 30L).flatMap(i => Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
     val edges = pairs.toDF("src", "dst")
