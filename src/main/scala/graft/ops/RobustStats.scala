@@ -42,6 +42,32 @@ object RobustStats {
       .drop("_rs_med", "_rs_mad")
   }
 
+  /** Sketched twin of [[madOutliers]] for the 100 TB path: both medians
+    * via `percentile_approx` (Greenwald–Khanna, bounded per-group
+    * memory) instead of the exact percentile's full-group buffering —
+    * the robustNormalizeApprox pairing. GK returns an OBSERVED value
+    * where the exact form interpolates, so flags can differ only for
+    * rows within one inter-sample gap of the fence;
+    * RobustStatsApproxSpec pins the fence drift on the test tables.
+    * Identical output contract — call sites swap freely.
+    */
+  def madOutliersApprox(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Double = 3.0, accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "madOutliersApprox needs group columns")
+    val g = groupCols.map(col)
+    val med = df.groupBy(g: _*)
+      .agg(round(percentile_approx(col(valueCol), lit(0.5), lit(accuracy))
+        .cast("double"), 4).as("_rs_med"))
+    val withMed = df.join(med, groupCols)
+    val mad = withMed.groupBy(g: _*)
+      .agg(round(percentile_approx(abs(col(valueCol) - col("_rs_med")),
+        lit(0.5), lit(accuracy)).cast("double"), 4).as("_rs_mad"))
+    withMed.join(mad, groupCols)
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("_rs_med")) > lit(k) * col("_rs_mad"))
+      .drop("_rs_med", "_rs_mad")
+  }
+
   /** Trimmed and winsorized means per group — the two standard robust
     * location estimates next to the median: trimming DROPS values outside
     * the [loPct, hiPct] quantiles, winsorizing CLAMPS them to those
@@ -103,7 +129,25 @@ object RobustStats {
   }
 
   def trimmedStats(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame = {
+      loPct: Double = 0.05, hiPct: Double = 0.95): DataFrame =
+    trimmedStatsWith(df, groupCols, valueCol, loPct, hiPct,
+      (c, p) => percentile(c, lit(p)))
+
+  /** Sketched twin of [[trimmedStats]]: quantile fences via
+    * `percentile_approx` — bounded per-group memory at 100 TB group
+    * widths, same exact integer trim/winsor arithmetic downstream
+    * (the fences move by at most one inter-sample gap, the GK-observed
+    * vs interpolated difference; RobustStatsApproxSpec pins it).
+    */
+  def trimmedStatsApprox(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, loPct: Double = 0.05, hiPct: Double = 0.95,
+      accuracy: Int = 10000): DataFrame =
+    trimmedStatsWith(df, groupCols, valueCol, loPct, hiPct,
+      (c, p) => percentile_approx(c, lit(p), lit(accuracy)).cast("double"))
+
+  private def trimmedStatsWith(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, loPct: Double, hiPct: Double,
+      pct: (org.apache.spark.sql.Column, Double) => org.apache.spark.sql.Column): DataFrame = {
     require(groupCols.nonEmpty, "trimmedStats needs group columns")
     require(0.0 <= loPct && loPct < hiPct && hiPct <= 1.0,
       s"need 0 <= loPct < hiPct <= 1, got ($loPct, $hiPct)")
@@ -111,8 +155,8 @@ object RobustStats {
     val v4 = round(col(valueCol) * 10000).cast("long")
     val rows = df.filter(col(valueCol).isNotNull)
     val fences = rows.groupBy(g: _*).agg(
-      round(percentile(col(valueCol), lit(loPct)) * 10000).cast("long").as("_rs_lo4"),
-      round(percentile(col(valueCol), lit(hiPct)) * 10000).cast("long").as("_rs_hi4"))
+      round(pct(col(valueCol), loPct) * 10000).cast("long").as("_rs_lo4"),
+      round(pct(col(valueCol), hiPct) * 10000).cast("long").as("_rs_hi4"))
     rows.select(g :+ v4.as("_rs_v4"): _*)
       .join(fences, groupCols)
       .groupBy(g: _*)
