@@ -222,4 +222,32 @@ class EdgeCasesSpec extends SparkSpec {
     assert(iv.count() == 0 &&
       iv.columns.toSeq == Seq("user_id", "tier", "valid_from_ts", "valid_to_ts", "is_current"))
   }
+
+  test("round-9 graph ops tolerate empty, null, and self-loop inputs") {
+    import graft.graph.GraphOps
+    val emptyEdges = Seq((1L, 2L)).toDF("src", "dst").filter(lit(false))
+    // label propagation / k-core on an empty edge set: empty, no throw
+    assert(GraphOps.labelPropagation(emptyEdges, iters = 2).count() == 0)
+    assert(GraphOps.kCore(emptyEdges, k = 2, rounds = 2).count() == 0)
+    // null endpoints drop, matching pageRank's contract
+    val nullEdges = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+        (None, Some(3L))).toDF("src", "dst")
+    assert(GraphOps.labelPropagation(nullEdges, iters = 2)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // an input self-loop: kCore counts it toward degree like any edge,
+    // so an isolated self-looping node (degree 1) peels at k=2
+    val loop = Seq((7L, 7L), (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+        (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val core = GraphOps.kCore(loop, k = 2, rounds = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(core == Set(1L, 2L, 3L))
+    // zero/negative weights drop in weighted label propagation (the
+    // pageRank weight contract): the w=0 edge never votes
+    val wEdges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (9L, 1L, 0L), (1L, 9L, 1L))
+      .toDF("src", "dst", "w")
+    val labels = GraphOps.labelPropagation(wEdges, iters = 3,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == Set(1L, 2L, 9L)) // 9 still a node via 1->9
+  }
 }
