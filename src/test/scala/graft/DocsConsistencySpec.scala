@@ -39,6 +39,21 @@ class DocsConsistencySpec extends AnyFunSuite {
       s"NOTES claims ${m.group(2)} oracles; OracleSql carries ${SparkEntry.oracleSql.size}")
   }
 
+  test("verify-skill counts match SparkEntry exactly") {
+    // The skill's "Expect N/N match" and "min-of-3 × Q queries" numbers
+    // drifted twice in round 9 alone — pin them like README/NOTES.
+    val skill = new String(Files.readAllBytes(
+      Paths.get(".claude/skills/verify/SKILL.md")), "UTF-8")
+    val m = """Expect `(\d+)/\d+\s*\n?\s*match`""".r.findFirstMatchIn(skill)
+      .getOrElse(fail("SKILL.md no longer states 'Expect `N/N match`'"))
+    assert(m.group(1).toInt == SparkEntry.oracleSql.size,
+      s"SKILL claims ${m.group(1)} oracles; OracleSql carries ${SparkEntry.oracleSql.size}")
+    val q = """min-of-3 × (\d+) queries""".r.findFirstMatchIn(skill)
+      .getOrElse(fail("SKILL.md no longer states 'min-of-3 × Q queries'"))
+    assert(q.group(1).toInt == SparkEntry.queries.size,
+      s"SKILL claims ${q.group(1)} queries; SparkEntry registers ${SparkEntry.queries.size}")
+  }
+
   test("every oracle references a registered query (no orphaned oracles)") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
