@@ -732,6 +732,124 @@ object OracleSql {
          |FROM e4 GROUP BY src ORDER BY node""".stripMargin
     },
 
+    // Triangle counting replica: same degree-ordered wedge join — edges
+    // directed low→high in the (degree, id) row-value order, wedges from
+    // each apex closed by probing the canonical a<b edge set.
+    "q_triangles" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+        |und AS (
+        |  SELECT a.it AS a, b.it AS b FROM items a
+        |  JOIN items b ON a.ok = b.ok AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n AS node, count(*) AS degree FROM (
+        |    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |ed AS (
+        |  SELECT
+        |    CASE WHEN (da.degree, u.a) < (db.degree, u.b)
+        |      THEN u.a ELSE u.b END AS s,
+        |    CASE WHEN (da.degree, u.a) < (db.degree, u.b)
+        |      THEN u.b ELSE u.a END AS t
+        |  FROM und u
+        |  JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+        |tr AS (
+        |  SELECT w.s, w.t1, w.t2 FROM (
+        |    SELECT e1.s, e1.t AS t1, e2.t AS t2
+        |    FROM ed e1 JOIN ed e2 ON e1.s = e2.s AND e1.t < e2.t) w
+        |  JOIN und ON least(w.t1, w.t2) = und.a
+        |          AND greatest(w.t1, w.t2) = und.b),
+        |pn AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT s AS node FROM tr
+        |    UNION ALL SELECT t1 FROM tr
+        |    UNION ALL SELECT t2 FROM tr)
+        |  GROUP BY 1)
+        |SELECT CAST(d.node AS BIGINT) AS node,
+        |  CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(p.triangles AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN d.degree >= 2
+        |    THEN (2 * p.triangles * 1000000) // (d.degree * (d.degree - 1))
+        |    ELSE 0 END AS BIGINT) AS lcc_micro
+        |FROM deg d JOIN pn p ON d.node = p.node
+        |WHERE p.triangles > 0 ORDER BY node""".stripMargin,
+
+    // Multi-source BFS: 6 unrolled min-depth relaxation rounds from the
+    // q_ppr seed set over the bidirectional supply graph.
+    "q_bfs" -> {
+      val iter = (1 to 6).map { i =>
+        s"""it$i AS (
+           |  SELECT node, min(depth) AS depth FROM (
+           |    SELECT e.dst AS node, p.depth + 1 AS depth
+           |    FROM it${i - 1} p JOIN e0 e ON p.node = e.src
+           |    UNION ALL SELECT node, depth FROM it${i - 1})
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem),
+         |e0 AS (SELECT a AS src, b AS dst FROM pairs
+         |       UNION SELECT b AS src, a AS dst FROM pairs),
+         |it0 AS (
+         |  SELECT DISTINCT a AS node, 0 AS depth FROM pairs
+         |  WHERE a % 400 = 0),
+         |$iter
+         |SELECT CAST(node AS BIGINT) AS node, CAST(depth AS BIGINT) AS depth
+         |FROM it6 ORDER BY node""".stripMargin
+    },
+
+    // Market-basket pair mining: set-semantics self-join per order,
+    // support >= 2, integer micro confidence/lift (count(*) is already
+    // BIGINT so the floor divisions stay in long range).
+    "q_item_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+        |pairs AS (
+        |  SELECT a.it AS a, b.it AS b, count(*) AS supp FROM items a
+        |  JOIN items b ON a.ok = b.ok AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ic AS (SELECT it, count(*) AS cnt FROM items GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT ok) AS n FROM items)
+        |SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+        |  CAST(p.supp AS BIGINT) AS supp,
+        |  CAST((p.supp * 1000000) // ca.cnt AS BIGINT) AS conf_a_b_micro,
+        |  CAST((p.supp * 1000000) // cb.cnt AS BIGINT) AS conf_b_a_micro,
+        |  CAST((p.supp * nb.n * 1000000) // (ca.cnt * cb.cnt) AS BIGINT)
+        |    AS lift_micro
+        |FROM pairs p
+        |JOIN ic ca ON p.a = ca.it JOIN ic cb ON p.b = cb.it
+        |CROSS JOIN nb
+        |ORDER BY supp DESC, a, b LIMIT 50""".stripMargin,
+
+    // Spearman: doubled midranks (2·rank() + tie-count − 1, exact
+    // integers), HUGEINT moment sums (values identical to Spark's longs,
+    // so the shared int→double conversion rounds identically), one
+    // IEEE division + sqrt, floored to micro.
+    "q_spearman" ->
+      """WITH j AS (
+        |  SELECT s_nationkey, l_quantity AS x, l_extendedprice AS y
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |r AS (
+        |  SELECT s_nationkey,
+        |    2 * rank() OVER (PARTITION BY s_nationkey ORDER BY x)
+        |      + count(*) OVER (PARTITION BY s_nationkey, x) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY s_nationkey ORDER BY y)
+        |      + count(*) OVER (PARTITION BY s_nationkey, y) - 1 AS ry
+        |  FROM j),
+        |m AS (
+        |  SELECT s_nationkey, count(*) AS n,
+        |    sum(rx) AS sx, sum(ry) AS sy, sum(rx * rx) AS sxx,
+        |    sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT s_nationkey, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |    THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |  END AS rho_micro
+        |FROM m ORDER BY s_nationkey""".stripMargin,
+
     // Efraimidis–Spirakis weighted sampling: exponential keys −ln(u)/w
     // under the house quantization (u from the 40-bit seeded md5 tail,
     // micro-nat ln, exact integer floor-div by the weight), top-5/source.

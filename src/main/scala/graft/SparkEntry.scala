@@ -734,6 +734,73 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Frequent co-purchase pair relation (parts co-occurring in an
+    * order, support ≥ 2 — the Apriori pair projection), memoized per
+    * (session, dir) and persisted like [[supplyPairs]]: the triangle
+    * and BFS queries both read it, so the items self-join shuffle is
+    * paid once per session.
+    */
+  private val coPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, DataFrame)]()
+  private def coPurchasePairs(s: SparkSession, dir: String): DataFrame =
+    coPairsCache.compute(dir, (_, prev) =>
+      if (prev != null && (prev._1 eq s)) prev
+      else (s, ops.MarketBasket.pairSupports(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
+
+  /** Per-node triangle count + local clustering coefficient over the
+    * frequent co-purchase graph (parts co-ordered in ≥ 2 orders, off
+    * the shared [[coPurchasePairs]] relation) by the degree-ordered
+    * wedge join. All-integer, fully hash-oracled against DuckDB's
+    * replica of the same joins. Nodes with at least one triangle.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.triangleCounts(
+        coPurchasePairs(s, dir).select(col("a").as("src"), col("b").as("dst")))
+      .filter(col("triangles") > 0L)
+      .orderBy(col("node"))
+
+  /** Multi-source BFS over the part↔supplier supply graph: hop distance
+    * from the q_ppr seed set (part nodes % 400 == 0) after 6 synchronous
+    * min-depth rounds — (node, depth) for every node reached, off the
+    * shared [[supplyPairs]] relation. Hash-oracled against DuckDB's
+    * unrolled-round replica.
+    */
+  private def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supplyPairs(s, dir)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = pairs.select(col("a").as("node"))
+      .filter(col("node") % 400 === 0).distinct()
+    graft.graph.GraphOps.bfsDepths(edges, seeds, rounds = 6,
+        dedupEdges = false)
+      .orderBy(col("node"))
+  }
+
+  /** Market-basket association mining: support, directional confidence,
+    * and lift for part pairs co-ordered in ≥ 2 orders — top 50 by
+    * support with (a, b) tie-break. All-integer micro statistics,
+    * fully hash-oracled.
+    */
+  private def qItemPairs(s: SparkSession, dir: String): DataFrame =
+    ops.MarketBasket.itemPairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+      .orderBy(col("supp").desc, col("a"), col("b"))
+      .limit(50)
+
+  /** Spearman rank correlation between quantity and extended price per
+    * supplier nation — doubled-midrank integer moments, one float
+    * division + sqrt at the end, floored to micro. Fully hash-oracled.
+    */
+  private def qSpearman(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.spearmanCorr(
+        t(s, dir, "lineitem").join(
+          t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey")),
+        Seq("s_nationkey"), "l_quantity", "l_extendedprice")
+      .orderBy(col("s_nationkey"))
+
   /** Pairwise distinct-token overlap between sources from ONE register
     * relation (inclusion–exclusion over the HLL merge law) — the base
     * table is scanned once; every pair estimate comes from register
@@ -2704,6 +2771,10 @@ object SparkEntry {
     "q_label_prop_weighted" -> (qLabelPropWeighted _),
     "q_kcore" -> (qKCore _),
     "q_ppr" -> (qPersonalizedPageRank _),
+    "q_triangles" -> (qTriangles _),
+    "q_bfs" -> (qBfs _),
+    "q_item_pairs" -> (qItemPairs _),
+    "q_spearman" -> (qSpearman _),
     "q_hll_overlap" -> (qHllOverlap _),
     "q_outliers" -> (qOutliers _),
     "q_trimmed_stats" -> (qTrimmedStats _),

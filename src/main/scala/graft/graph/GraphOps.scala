@@ -335,4 +335,146 @@ object GraphOps {
     e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
   }
+
+  /** Per-node triangle counts and local clustering coefficient over an
+    * UNDIRECTED edge relation — the density diagnostic next to [[kCore]]
+    * (a near-dup similarity graph whose clusters are real duplicates is
+    * triangle-rich; a spam link farm is a triangle-poor star — LCC
+    * separates the two where raw degree cannot).
+    *
+    * Algorithm: degree-ordered wedge join (Schank & Wagner '05 /
+    * Suri & Vassilvitskii '11 "MapReduce triangle counting"). Every edge
+    * is directed from its lower-(degree, id) endpoint to the higher one;
+    * a triangle x≺y≺z then appears as EXACTLY ONE wedge (x→y, x→z)
+    * closed by the canonical edge {y,z} — counted once, no global
+    * dedup pass. The ordering bounds per-node out-degree by O(√|E|)
+    * regardless of the degree power law, so the wedge relation is
+    * O(|E|^1.5) worst-case instead of Σdeg² — the difference between a
+    * web-scale hub exploding the join and it not (the hub's million
+    * in-edges all point AT it; its out-list stays √E).
+    *
+    * `edges` may carry each undirected edge once in either orientation
+    * or both; self-loops are dropped, parallel edges collapse (set
+    * semantics — a triangle is a property of the simple graph). Returns
+    * `(node, degree, triangles, lcc_micro)` with
+    * `lcc_micro = (2·tri·10⁶) div (deg·(deg−1))` (floored; 0 when
+    * deg < 2) — all-integer, so the result hash-oracles against a SQL
+    * replica of the same joins.
+    *
+    * Scale: three hash joins and two aggregations, all keyed; the
+    * canonical edge set persists and is read three times (degrees,
+    * wedge sides, closure probe); no per-node adjacency list is ever
+    * materialized in memory and the driver holds nothing.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Direct each edge low→high in the (degree, id) total order. The
+    // degree relation is |V|-rows — broadcast-sized for any graph whose
+    // edge list warrants a cluster, and Spark picks that up on stats.
+    val ed = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("s"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Wedges from each apex s: unordered out-neighbor pairs (t1 < t2
+    // by id — any total order works; id is the cheapest), closed by
+    // probing the CANONICAL set so the closure join is a single
+    // equi-join (an OR on orientation would forbid the hash join).
+    val e1 = ed.select(col("s"), col("t").as("t1"))
+    val e2 = ed.select(col("s"), col("t").as("t2"))
+    val tri = e1.join(e2, "s")
+      .filter(col("t1") < col("t2"))
+      .join(und,
+        least(col("t1"), col("t2")) === col("a") &&
+        greatest(col("t1"), col("t2")) === col("b"))
+      .select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2L,
+          expr("(2 * coalesce(triangles, 0L) * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("lcc_micro"))
+  }
+
+  /** Multi-source BFS depths by FIXED-round min-depth propagation — the
+    * reachability pass of the family (how many hops is every page from
+    * the crawl's seed list; which records sit within k joins of a
+    * trusted source). Synchronous relaxation:
+    *
+    *   depth₀(v)   = 0 for v ∈ seeds
+    *   depthᵢ₊₁(v) = min(depthᵢ(v), 1 + min_{u→v} depthᵢ(u))
+    *
+    * After `rounds` passes the relation holds exact shortest hop counts
+    * for every node within `rounds` of a seed (unreached nodes are
+    * absent, not null). Each round is a pure function of the previous
+    * relation — partitioning- and join-order-independent, so the result
+    * hash-oracles against an unrolled SQL replica like the rest of the
+    * family.
+    *
+    * `edges` is directed (callers pass both directions for undirected
+    * reachability); `seeds` is a `node` column. Returns `(node, depth)`.
+    *
+    * Scale: the frontier-only optimization (expanding just last round's
+    * new nodes) is deliberately NOT used — it needs a growing visited-set
+    * anti-join whose state the whole-relation min-fold gets for free,
+    * and the fold is one join + one aggregation per round on the
+    * persisted edge partitioning, lineage-truncated every two rounds
+    * exactly like [[pageRank]]. Diameter-bounded rounds keep the pass
+    * count fixed and the plan finite.
+    */
+  def bfsDepths(edges: DataFrame, seeds: DataFrame, rounds: Int = 6,
+      dedupEdges: Boolean = true): DataFrame = {
+    require(rounds >= 1, "bfsDepths needs at least one round")
+    val e0 = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val e = (if (dedupEdges) e0.distinct() else e0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = e.count()
+    val spark = edges.sparkSession
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    val allE = e.repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      def step(d: DataFrame): DataFrame = d
+        .join(allE, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("depth") + 1L).as("depth"))
+        .union(d)
+        .groupBy(col("node")).agg(min(col("depth")).as("depth"))
+      var depths = seeds.select(col("node").cast("long")).distinct()
+        .select(col("node"), lit(0L).as("depth"))
+        .localCheckpoint(true)
+      var i = 0
+      while (i < rounds) {
+        val span = math.min(2, rounds - i)
+        var plan = depths
+        for (_ <- 1 to span) plan = step(plan)
+        val next = plan.localCheckpoint(true)
+        depths.unpersist(blocking = false)
+        depths = next
+        i += span
+      }
+      e.unpersist(blocking = false)
+      allE.unpersist(blocking = false)
+      depths
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
 }

@@ -599,4 +599,59 @@ object Regression {
         floor(col("_cs_chi") * lit(1000000.0)).cast("long").as("chi2_micro"),
         col("dof"))): _*)
   }
+
+  /** Spearman rank correlation per group — the monotone-association twin
+    * of a Pearson pass, robust to outliers and nonlinearity (quality
+    * score vs. document length, price vs. quantity): Pearson over
+    * average ranks, ties handled by the midrank convention.
+    *
+    * The determinism trick: DOUBLED midranks are exact integers. A tie
+    * run occupying ranks r..r+c−1 has midrank r + (c−1)/2, so
+    * 2·midrank = 2·rank() + count(=value) − 1 — both window primitives,
+    * no halves. Every moment sum (Σr, Σr², Σrxry) is then an exact
+    * long, the numerator n·Σrxry − Σrx·Σry and the two variance terms
+    * are exact longs (the shared factor 4 cancels in ρ), and only the
+    * final
+    *
+    *   rho_micro = ⌊num·10⁶ / √(dx·dy)⌋
+    *
+    * touches floats — long→double conversion, multiply, divide, and
+    * IEEE-754 sqrt are all correctly rounded on every engine, so the
+    * floored micro value hash-oracles. Long capacity bounds the group
+    * size at ~2.5 M rows (n·Σr² < 2⁶³ needs n ≲ 2.5·10⁶); beyond that a
+    * group is a population, not a sample — bucket it upstream.
+    *
+    * Degenerate groups (either variable constant → zero variance) yield
+    * null, the welchTTest convention. Scale: two rank windows over the
+    * group partitioning plus two tie-count windows, then one hash
+    * aggregation; nothing leaves the executors but per-group moment
+    * rows.
+    */
+  def spearmanCorr(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "spearmanCorr needs group columns")
+    val g = groupCols.map(col)
+    def doubledRank(c: String) =
+      (lit(2L) * rank().over(Window.partitionBy(g: _*).orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(g :+ col(c): _*)) - lit(1L))
+        .cast("long")
+    val ranked = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("_sp_rx", doubledRank(xCol))
+      .withColumn("_sp_ry", doubledRank(yCol))
+    val m = ranked.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("_sp_rx")).as("_sp_sx"),
+      sum(col("_sp_ry")).as("_sp_sy"),
+      sum(col("_sp_rx") * col("_sp_rx")).as("_sp_sxx"),
+      sum(col("_sp_ry") * col("_sp_ry")).as("_sp_syy"),
+      sum(col("_sp_rx") * col("_sp_ry")).as("_sp_sxy"))
+    val num = (col("n") * col("_sp_sxy") - col("_sp_sx") * col("_sp_sy"))
+    val dx = (col("n") * col("_sp_sxx") - col("_sp_sx") * col("_sp_sx"))
+    val dy = (col("n") * col("_sp_syy") - col("_sp_sy") * col("_sp_sy"))
+    m.select((g ++ Seq(col("n"),
+      when(dx > 0L && dy > 0L,
+        floor(num.cast("double") * lit(1000000.0) /
+          sqrt(dx.cast("double") * dy.cast("double"))).cast("long"))
+        .as("rho_micro"))): _*)
+  }
 }

@@ -191,4 +191,62 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("triangleCounts: K4 has C(4,3) triangles, 3 per node, LCC = 1") {
+    val und = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val out = GraphOps.triangleCounts(und.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == (1L to 4L).toSet)
+    // every node: degree 3, all 3 neighbor pairs connected → LCC exactly 1
+    assert(out.values.forall(_ == ((3L, 3L, 1000000L))))
+  }
+
+  test("triangleCounts: a path has none; orientation/dup/self-loop noise is ignored") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.triangleCounts(path).filter(col("triangles") > 0).count() == 0)
+    // triangle 1-2-3 given with mixed orientation, duplicates, a self-loop
+    val noisy = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (1L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    val out = GraphOps.triangleCounts(noisy)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: bowtie counts the shared apex twice, LCC floors") {
+    // two triangles sharing node 3: deg(3)=4, tri(3)=2 →
+    // lcc = 2·2·10⁶ / (4·3) = 333333 (floored)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L))
+    val out = GraphOps.triangleCounts(und.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(3L) == ((4L, 2L, 333333L)))
+    assert(out(1L) == ((2L, 1L, 1000000L)))
+  }
+
+  test("bfsDepths: chain depths from one seed, stopping at the round horizon") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = GraphOps.bfsDepths(edges, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4, 5 beyond horizon
+  }
+
+  test("bfsDepths: multi-source takes the nearest seed; unreachable stays absent") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.bfsDepths(edges, Seq(1L, 4L).toDF("node"), rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("bfsDepths is deterministic under repartitioning and duplicate edges") {
+    val pairs = (1L to 30L).flatMap(i => Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
+    val edges = pairs.toDF("src", "dst")
+    val seeds = Seq(1L, 15L).toDF("node")
+    val a = GraphOps.bfsDepths(edges.repartition(1), seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.bfsDepths(edges.union(edges).repartition(11), seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }

@@ -264,4 +264,35 @@ class RegressionSpec extends SparkSpec {
     assert(out("const").isNullAt(5) && out("const").isNullAt(6))
     assert(out("const").getLong(3) == 5000000L) // means still defined
   }
+
+  test("spearmanCorr: monotone ±1 endpoints and a hand-computed tie case") {
+    val d = Seq(
+      // perfectly increasing (nonlinear — Spearman sees only the order)
+      ("up", 1.0, 1.0), ("up", 2.0, 4.0), ("up", 3.0, 9.0), ("up", 4.0, 100.0),
+      // perfectly decreasing
+      ("dn", 1.0, 9.0), ("dn", 2.0, 4.0), ("dn", 3.0, 1.0),
+      // x = (1,1,2), y = (1,2,3): midranks x=(1.5,1.5,3), y=(1,2,3)
+      //   ρ = 0.5·√3 → floor(866025.40…) = 866025
+      ("tie", 1.0, 1.0), ("tie", 1.0, 2.0), ("tie", 2.0, 3.0))
+      .toDF("g", "x", "y")
+    val out = Regression.spearmanCorr(d, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getLong(2) == 1000000L)
+    assert(out("dn").getLong(2) == -1000000L)
+    assert(out("tie").getLong(2) == 866025L)
+  }
+
+  test("spearmanCorr guards: constant variable or null rows yield NULL rho") {
+    val d = Seq(
+      ("const", 5.0, 1.0), ("const", 5.0, 2.0), ("const", 5.0, 3.0),
+      ("nulls", 1.0, 1.0), ("nulls", 2.0, 2.0))
+      .toDF("g", "x", "y")
+      .union(Seq(("nulls", Option.empty[Double], Option(9.0)))
+        .toDF("g", "x", "y"))
+    val out = Regression.spearmanCorr(d, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("const").isNullAt(2)) // zero x-variance
+    assert(out("nulls").getLong(1) == 2L) // null row dropped from n
+    assert(out("nulls").getLong(2) == 1000000L)
+  }
 }
