@@ -336,4 +336,38 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(event_type"), p.take(2500))
     assert(!p.contains("CartesianProduct"), p.take(2500))
   }
+
+  test("item pairs: basket-keyed self-join, stats sides broadcast, no cartesian") {
+    val p = planOf("q_item_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // the item-frequency and basket-count relations ride broadcasts;
+    // only the pair self-join + its aggregation shuffle the data
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+    assert(p.contains("hashpartitioning(basket"), p.take(2500))
+  }
+
+  test("triangle counting: every join is an equi-join (closure probe included)") {
+    val p = planOf("q_triangles")
+    // the orientation OR-predicate failure mode would plan a
+    // BroadcastNestedLoopJoin or CartesianProduct — the canonical
+    // (least, greatest) probe key keeps everything hash-joinable
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
+  test("spearman: rank windows share the group partitioning; one agg pass after") {
+    val p = planOf("q_spearman")
+    assert(p.contains("hashpartitioning(s_nationkey"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // supplier dim broadcasts into the lineitem scan side
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
+  test("bfs: the final plan reads the checkpointed depths, never the base tables") {
+    val plan = SparkEntry.queries("q_bfs")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"), plan.take(1500))
+    assert(!plan.toLowerCase.contains("parquet"), plan.take(1500))
+  }
 }
