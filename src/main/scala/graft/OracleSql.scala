@@ -822,6 +822,77 @@ object OracleSql {
         |CROSS JOIN nb
         |ORDER BY supp DESC, a, b LIMIT 50""".stripMargin,
 
+    // BH-FDR screening replica: the q_mann_whitney chain per
+    // (event_type, dow), then A&S 26.2.19's rational normal CDF as the
+    // SAME fixed expression tree (Horner + four squarings — every step
+    // an individually-rounded IEEE op, no libm), then the integer
+    // step-up as a reverse running min.
+    "q_bh_fdr" ->
+      """WITH r AS (
+        |  SELECT event_type, dayofweek(ts) + 1 AS dow,
+        |    (user_id % 2 = 0) AS a,
+        |    CAST(floor(value * 10000) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |rk AS (
+        |  SELECT event_type, dow, a, y,
+        |    2 * rank() OVER (PARTITION BY event_type, dow ORDER BY y)
+        |      + count(*) OVER (PARTITION BY event_type, dow, y) - 1 AS r2,
+        |    count(*) OVER (PARTITION BY event_type, dow, y) AS t
+        |  FROM r),
+        |agg AS (
+        |  SELECT event_type, dow,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN a THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS ra2,
+        |    sum(CAST(t * t - 1 AS HUGEINT)) AS ties
+        |  FROM rk GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *, CAST(2 * CAST(n_a AS HUGEINT) * n_b
+        |    + CAST(n_a AS HUGEINT) * (n_a + 1) - ra2 AS BIGINT) AS u2_a,
+        |    CAST(n_a + n_b AS DOUBLE) AS n
+        |  FROM agg),
+        |s AS (
+        |  SELECT *, sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |    * ((n + 1.0) - CAST(ties AS DOUBLE) / (n * (n - 1.0)))) AS sigma
+        |  FROM u),
+        |z AS (
+        |  SELECT event_type, dow,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND sigma > 0.0
+        |      THEN CAST(floor((CAST(u2_a AS DOUBLE)
+        |        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / 2.0 / sigma
+        |        * 1000000.0) AS BIGINT)
+        |    END AS z_micro
+        |  FROM s),
+        |pb AS (
+        |  SELECT *, 1.0 + zz * (0.0498673470 + zz * (0.0211410061
+        |    + zz * (0.0032776263 + zz * (0.0000380036
+        |    + zz * (0.0000488906 + zz * 0.0000053830))))) AS b
+        |  FROM (SELECT *, CAST(abs(z_micro) AS DOUBLE) / 1000000.0 AS zz
+        |        FROM z)),
+        |pp AS (
+        |  SELECT event_type, dow, z_micro,
+        |    CAST(floor(1000000.0 / b16) AS BIGINT) AS p_micro
+        |  FROM (SELECT *, b8 * b8 AS b16 FROM
+        |        (SELECT *, b4 * b4 AS b8 FROM
+        |         (SELECT *, b2 * b2 AS b4 FROM
+        |          (SELECT *, b * b AS b2 FROM pb)))) ),
+        |bh AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY p_micro, event_type, dow)
+        |      AS BIGINT) AS bh_rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM pp WHERE p_micro IS NOT NULL),
+        |adj AS (
+        |  SELECT *, least(min((p_micro * m) // bh_rank) OVER
+        |      (ORDER BY bh_rank DESC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    1000000) AS p_adj_micro
+        |  FROM bh)
+        |SELECT event_type, dow, z_micro, p_micro, bh_rank,
+        |  CAST(p_adj_micro AS BIGINT) AS p_adj_micro,
+        |  p_adj_micro <= 50000 AS reject
+        |FROM adj ORDER BY event_type, dow""".stripMargin,
+
     // Spearman: doubled midranks (2·rank() + tie-count − 1, exact
     // integers), HUGEINT moment sums (values identical to Spark's longs,
     // so the shared int→double conversion rounds identically), one

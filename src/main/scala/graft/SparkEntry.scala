@@ -2605,6 +2605,29 @@ object SparkEntry {
         Seq("o_orderpriority"), "arm", "filled")
       .orderBy(col("o_orderpriority"))
 
+  /** Segment-screening with FDR control: one Mann–Whitney A/B test per
+    * (event_type, day-of-week) segment — a 35-test family — converted to
+    * two-sided p-values through the rational-polynomial normal CDF (no
+    * libm, so cross-engine deterministic) and Benjamini–Hochberg
+    * step-up adjusted. Fully hash-oracled, rejections included.
+    */
+  private def qBhFdr(s: SparkSession, dir: String): DataFrame = {
+    val tests = ops.Regression.mannWhitney(
+      t(s, dir, "events")
+        .withColumn("arm", col("user_id") % 2 === 0)
+        .withColumn("dow", dayofweek(col("ts"))),
+      Seq("event_type", "dow"), "arm", "value")
+    ops.Regression.bhAdjust(
+        tests.withColumn("p_micro",
+          ops.Regression.normalPValueMicro(col("z_micro"))),
+        "p_micro", Seq("event_type", "dow"))
+      .filter(col("p_micro").isNotNull) // oracle scopes to testable segments
+      .select(col("event_type"), col("dow"), col("z_micro"), col("p_micro"),
+        col("bh_rank"), col("p_adj_micro"),
+        (col("p_adj_micro") <= 50000L).as("reject"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** Chi-square independence of status × priority per order year. */
   private def qChiSquare(s: SparkSession, dir: String): DataFrame =
     ops.Regression.chiSquare(
@@ -2775,6 +2798,7 @@ object SparkEntry {
     "q_bfs" -> (qBfs _),
     "q_item_pairs" -> (qItemPairs _),
     "q_spearman" -> (qSpearman _),
+    "q_bh_fdr" -> (qBhFdr _),
     "q_hll_overlap" -> (qHllOverlap _),
     "q_outliers" -> (qOutliers _),
     "q_trimmed_stats" -> (qTrimmedStats _),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class RegressionSpec extends SparkSpec {
   import spark.implicits._
@@ -294,5 +295,45 @@ class RegressionSpec extends SparkSpec {
     assert(out("const").isNullAt(2)) // zero x-variance
     assert(out("nulls").getLong(1) == 2L) // null row dropped from n
     assert(out("nulls").getLong(2) == 1000000L)
+  }
+
+  test("normalPValueMicro: textbook quantiles land on their micro p-values") {
+    val d = Seq(0L, 1000000L, -1000000L, 1959964L, 4000000L)
+      .toDF("z_micro")
+      .union(Seq(Option.empty[Long]).toDF("z_micro"))
+    val out = d.select(col("z_micro"),
+        Regression.normalPValueMicro(col("z_micro")).as("p"))
+      .collect()
+      .map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    assert(out(Some(0L)) == Some(1000000L)) // z = 0 → p = 1
+    assert(out(Some(1000000L)) == Some(317310L)) // 2(1−Φ(1)) = .3173105
+    assert(out(Some(-1000000L)) == Some(317310L)) // two-sided symmetry
+    assert(out(Some(1959964L)) == Some(50000L)) // the 5% critical value
+    assert(out(Some(4000000L)) == Some(63L)) // far tail stays positive
+    assert(out(None).isEmpty) // degenerate test propagates NULL
+  }
+
+  test("bhAdjust: step-up running min, the cap at 1, and null exclusion") {
+    val d = Seq(
+      ("a", Some(10000L)), ("b", Some(20000L)), ("c", Some(30000L)),
+      ("d", Some(800000L)), ("e", None)).toDF("k", "p_micro")
+    val out = Regression.bhAdjust(d, "p_micro", Seq("k"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((Option(r.get(2)), Option(r.get(3))))).toMap // (p_adj, rank)
+    // m = 4 (null excluded): raw = (40000, 40000, 40000, 800000);
+    // reverse running min leaves every prefix at 40000
+    assert(out("a") == ((Some(40000L), Some(1L))))
+    assert(out("b") == ((Some(40000L), Some(2L))))
+    assert(out("c") == ((Some(40000L), Some(3L))))
+    assert(out("d") == ((Some(800000L), Some(4L))))
+    assert(out("e") == ((None, None)))
+    // step-up monotonicity: rank 1's raw 1.8 exceeds 1 but the reverse
+    // min pulls it down to rank 2's own p (the largest p IS its adj)
+    val hi = Regression.bhAdjust(
+        Seq(("x", 900000L), ("y", 950000L)).toDF("k", "p_micro"),
+        "p_micro", Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(hi("x") == 950000L && hi("y") == 950000L)
   }
 }
