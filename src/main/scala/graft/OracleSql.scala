@@ -893,6 +893,61 @@ object OracleSql {
         |  p_adj_micro <= 50000 AS reject
         |FROM adj ORDER BY event_type, dow""".stripMargin,
 
+    // Two-feature OLS replica: exact HUGEINT moments and cleared
+    // denominators, the same fixed double trees for b1/b2/b0/R² as the
+    // Spark side (identical association order), micro floors.
+    "q_ols" ->
+      """WITH j AS (
+        |  SELECT s_nationkey,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT s_nationkey, count(*) AS n,
+        |    sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |    sum(CAST(x2 AS HUGEINT) * y) AS s2y,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM j GROUP BY 1),
+        |d AS (
+        |  SELECT s_nationkey, n,
+        |    n * s11 - s1 * s1 AS d11, n * s22 - s2 * s2 AS d22,
+        |    n * s12 - s1 * s2 AS d12, n * s1y - s1 * sy AS d1y,
+        |    n * s2y - s2 * sy AS d2y, n * syy - sy * sy AS dyy,
+        |    s1, s2, sy
+        |  FROM m),
+        |c AS (
+        |  SELECT *, d11 * d22 - d12 * d12 AS det FROM d),
+        |b AS (
+        |  SELECT *,
+        |    (CAST(d1y AS DOUBLE) * CAST(d22 AS DOUBLE)
+        |      - CAST(d2y AS DOUBLE) * CAST(d12 AS DOUBLE))
+        |      / CAST(det AS DOUBLE) AS b1,
+        |    (CAST(d2y AS DOUBLE) * CAST(d11 AS DOUBLE)
+        |      - CAST(d1y AS DOUBLE) * CAST(d12 AS DOUBLE))
+        |      / CAST(det AS DOUBLE) AS b2
+        |  FROM c)
+        |SELECT s_nationkey, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN det > 0 AND dyy > 0 THEN
+        |    CAST(floor((CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE)
+        |      - b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE)
+        |      / 100 * 1000000.0) AS BIGINT) END AS b0_micro,
+        |  CASE WHEN det > 0 AND dyy > 0 THEN
+        |    CAST(floor(b1 * 1000000.0) AS BIGINT) END AS b1_micro,
+        |  CASE WHEN det > 0 AND dyy > 0 THEN
+        |    CAST(floor(b2 * 1000000.0) AS BIGINT) END AS b2_micro,
+        |  CASE WHEN det > 0 AND dyy > 0 THEN
+        |    CAST(floor((b1 * CAST(d1y AS DOUBLE) + b2 * CAST(d2y AS DOUBLE))
+        |      / CAST(dyy AS DOUBLE) * 1000000.0) AS BIGINT) END AS r2_micro
+        |FROM b ORDER BY s_nationkey""".stripMargin,
+
     // Spearman: doubled midranks (2·rank() + tie-count − 1, exact
     // integers), HUGEINT moment sums (values identical to Spark's longs,
     // so the shared int→double conversion rounds identically), one

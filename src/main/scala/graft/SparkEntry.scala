@@ -2628,6 +2628,18 @@ object SparkEntry {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Per-nation two-feature OLS: extended price on quantity and
+    * discount — exact cleared-denominator Cramer arithmetic, four micro
+    * outputs (intercept, two slopes, R²). Fully hash-oracled.
+    */
+  private def qOls(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.olsTwoFeature(
+        t(s, dir, "lineitem").join(
+          t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey")),
+        Seq("s_nationkey"), "l_quantity", "l_discount", "l_extendedprice")
+      .orderBy(col("s_nationkey"))
+
   /** Chi-square independence of status × priority per order year. */
   private def qChiSquare(s: SparkSession, dir: String): DataFrame =
     ops.Regression.chiSquare(
@@ -2799,6 +2811,7 @@ object SparkEntry {
     "q_item_pairs" -> (qItemPairs _),
     "q_spearman" -> (qSpearman _),
     "q_bh_fdr" -> (qBhFdr _),
+    "q_ols" -> (qOls _),
     "q_hll_overlap" -> (qHllOverlap _),
     "q_outliers" -> (qOutliers _),
     "q_trimmed_stats" -> (qTrimmedStats _),

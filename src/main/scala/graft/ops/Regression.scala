@@ -655,6 +655,80 @@ object Regression {
         .as("rho_micro"))): _*)
   }
 
+  /** Grouped two-feature OLS (y = b₀ + b₁x₁ + b₂x₂) by Cramer's rule on
+    * the centered normal equations with CLEARED DENOMINATORS — the
+    * multivariate extension of [[linearTrend]], exact until the final
+    * divisions (the cohenKappa arithmetic):
+    *
+    *   D_uv  = n·Σuv − Σu·Σv                     (exact decimal(38,0))
+    *   det   = D₁₁·D₂₂ − D₁₂²                    (exact)
+    *   b₁    = (D₁y·D₂₂ − D₂y·D₁₂) / det         (one double division)
+    *   b₂    = (D₂y·D₁₁ − D₁y·D₁₂) / det
+    *   b₀    = (Σy − b₁Σx₁ − b₂Σx₂) / n
+    *   R²    = (b₁·D₁y + b₂·D₂y) / D_yy
+    *
+    * Inputs quantize to `⌊v·quantum⌋` longs first (definitional, the
+    * mannWhitney/welch convention) — the shared scale cancels in the
+    * slopes, and the intercept/micro outputs divide it back out. All
+    * moment sums and D-products are exact; the b₁/b₂/b₀/R² trees are
+    * fixed IEEE expressions, so micro-floored outputs hash-oracle.
+    *
+    * Capacity: with |v·quantum| ≤ V and group size n, the numerators
+    * need n³V⁴ ≲ 10³⁸ — e.g. V = 10⁷, n = 2·10⁴ leaves 10⁷ headroom;
+    * rescale `quantum` down for wider-range variables (the slope is
+    * scale-invariant, only resolution changes). Degenerate groups
+    * (collinear or constant features → det ≤ 0) yield null slopes.
+    *
+    * Scale: ONE full-data aggregation pass to ten exact moments per
+    * group (map-side partials); Cramer runs on the |groups|-row moment
+    * relation. The normal-equation moments ARE the sufficient
+    * statistics for OLS, so no iterative solver ever touches the data.
+    */
+  def olsTwoFeature(df: DataFrame, groupCols: Seq[String], x1Col: String,
+      x2Col: String, yCol: String, quantum: Long = 100L): DataFrame = {
+    require(groupCols.nonEmpty, "olsTwoFeature needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    def q(c: String) = floor(col(c) * quantum).cast("long")
+    val rows = df
+      .filter(col(x1Col).isNotNull && col(x2Col).isNotNull &&
+        col(yCol).isNotNull)
+      .select(g ++ Seq(q(x1Col).as("_ol_x1"), q(x2Col).as("_ol_x2"),
+        q(yCol).as("_ol_y")): _*)
+    def s(e: org.apache.spark.sql.Column) = sum(e.cast(dec))
+    val m = rows.groupBy(g: _*).agg(
+      count(lit(1)).as("n"),
+      s(col("_ol_x1")).as("s1"), s(col("_ol_x2")).as("s2"),
+      s(col("_ol_y")).as("sy"),
+      s(col("_ol_x1") * col("_ol_x1")).as("s11"),
+      s(col("_ol_x2") * col("_ol_x2")).as("s22"),
+      s(col("_ol_x1") * col("_ol_x2")).as("s12"),
+      s(col("_ol_x1") * col("_ol_y")).as("s1y"),
+      s(col("_ol_x2") * col("_ol_y")).as("s2y"),
+      s(col("_ol_y") * col("_ol_y")).as("syy"))
+    val nD = col("n").cast(dec)
+    val d11 = nD * col("s11") - col("s1") * col("s1")
+    val d22 = nD * col("s22") - col("s2") * col("s2")
+    val d12 = nD * col("s12") - col("s1") * col("s2")
+    val d1y = nD * col("s1y") - col("s1") * col("sy")
+    val d2y = nD * col("s2y") - col("s2") * col("sy")
+    val dyy = nD * col("syy") - col("sy") * col("sy")
+    val det = d11 * d22 - d12 * d12
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val b1 = (d(d1y) * d(d22) - d(d2y) * d(d12)) / d(det)
+    val b2 = (d(d2y) * d(d11) - d(d1y) * d(d12)) / d(det)
+    val b0q = (d(col("sy")) - b1 * d(col("s1")) - b2 * d(col("s2"))) /
+      d(col("n"))
+    val r2 = (b1 * d(d1y) + b2 * d(d2y)) / d(dyy)
+    val ok = det > lit(0).cast(dec) && dyy > lit(0).cast(dec)
+    m.select((g ++ Seq(col("n"),
+      when(ok, floor(b0q / quantum * 1000000.0).cast("long"))
+        .as("b0_micro"),
+      when(ok, floor(b1 * 1000000.0).cast("long")).as("b1_micro"),
+      when(ok, floor(b2 * 1000000.0).cast("long")).as("b2_micro"),
+      when(ok, floor(r2 * 1000000.0).cast("long")).as("r2_micro"))): _*)
+  }
+
   /** Two-sided normal p-value (micro units) from a micro z-score —
     * WITHOUT transcendental functions. The engine-portability problem:
     * `exp`/`erf` are libm calls whose low bits differ between runtimes,

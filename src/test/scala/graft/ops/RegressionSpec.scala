@@ -336,4 +336,30 @@ class RegressionSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(hi("x") == 950000L && hi("y") == 950000L)
   }
+
+  test("olsTwoFeature: recovers an exact plane; R² = 1") {
+    // y = 2 + 3x₁ + 5x₂ exactly on five non-collinear points
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0), (2.0, 1.0))
+    val d = pts.map { case (x1, x2) => ("g", x1, x2, 2.0 + 3 * x1 + 5 * x2) }
+      .toDF("g", "x1", "x2", "y")
+    val r = Regression.olsTwoFeature(d, Seq("g"), "x1", "x2", "y")
+      .collect().head
+    assert(r.getLong(1) == 5L)
+    assert(r.getLong(2) == 2000000L) // b0
+    assert(r.getLong(3) == 3000000L) // b1
+    assert(r.getLong(4) == 5000000L) // b2
+    assert(r.getLong(5) == 1000000L) // R²
+  }
+
+  test("olsTwoFeature guards: collinear or constant features yield NULL fits") {
+    val collinear = (1 to 6).map(i => ("col", i.toDouble, 2.0 * i, i * 7.0))
+      .toDF("g", "x1", "x2", "y")
+    val constant = (1 to 6).map(i => ("cst", i.toDouble, 4.0, i * 7.0))
+      .toDF("g", "x1", "x2", "y")
+    val out = Regression.olsTwoFeature(collinear.union(constant),
+        Seq("g"), "x1", "x2", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("col").isNullAt(2) && out("col").isNullAt(3))
+    assert(out("cst").isNullAt(2) && out("cst").isNullAt(4))
+  }
 }
