@@ -893,6 +893,35 @@ object OracleSql {
         |  p_adj_micro <= 50000 AS reject
         |FROM adj ORDER BY event_type, dow""".stripMargin,
 
+    // Greedy max-coverage replica: 5 unrolled rounds, each taking the
+    // (gain DESC, doc) argmax over the residual relation and removing
+    // the winner's features and the winner itself.
+    "q_greedy_cover" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""p$i AS (
+           |  SELECT $i AS round, doc, count(*) AS gain
+           |  FROM r${i - 1} GROUP BY doc ORDER BY gain DESC, doc LIMIT 1),
+           |r$i AS (
+           |  SELECT r.doc, r.feat FROM r${i - 1} r
+           |  WHERE r.doc NOT IN (SELECT doc FROM p$i)
+           |    AND r.feat NOT IN (
+           |      SELECT c.feat FROM r${i - 1} c JOIN p$i ON c.doc = p$i.doc))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id AS doc, tok AS feat FROM (
+         |    SELECT doc_id, unnest(str_split(${norm("text")}, ' ')) AS tok
+         |    FROM documents)
+         |  WHERE tok <> ''),
+         |r0 AS (SELECT doc, feat FROM dt),
+         |$rounds
+         |SELECT CAST(round AS BIGINT) AS round, doc,
+         |  CAST(gain AS BIGINT) AS gain
+         |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         |      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+         |      UNION ALL SELECT * FROM p5)
+         |ORDER BY round""".stripMargin
+    },
+
     // Two-feature OLS replica: exact HUGEINT moments and cleared
     // denominators, the same fixed double trees for b1/b2/b0/R² as the
     // Spark side (identical association order), micro floors.

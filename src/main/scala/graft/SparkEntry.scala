@@ -2628,6 +2628,21 @@ object SparkEntry {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Greedy max-coverage selection: the 5 documents that jointly cover
+    * the most distinct vocabulary, picked one marginal-gain round at a
+    * time (ties to the smallest doc_id). Exact counts every round, so
+    * the whole greedy trajectory hash-oracles against DuckDB's
+    * unrolled-round replica.
+    */
+  private def qGreedyCover(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.greedyCoverSelect(
+        t(s, dir, "documents")
+          .select(col("doc_id").as("doc"),
+            explode(Dedup.tokensOf(col("text"))).as("feat"))
+          .filter(col("feat") =!= ""),
+        k = 5)
+      .orderBy(col("round"))
+
   /** Per-nation two-feature OLS: extended price on quantity and
     * discount — exact cleared-denominator Cramer arithmetic, four micro
     * outputs (intercept, two slopes, R²). Fully hash-oracled.
@@ -2812,6 +2827,7 @@ object SparkEntry {
     "q_spearman" -> (qSpearman _),
     "q_bh_fdr" -> (qBhFdr _),
     "q_ols" -> (qOls _),
+    "q_greedy_cover" -> (qGreedyCover _),
     "q_hll_overlap" -> (qHllOverlap _),
     "q_outliers" -> (qOutliers _),
     "q_trimmed_stats" -> (qTrimmedStats _),

@@ -522,4 +522,84 @@ object CorpusAssembly {
         coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro"))
       .withColumn("keep", !col("is_target") && col("dsir_micro") > 0L)
   }
+
+  /** Greedy maximum-coverage selection of `k` documents (Nemhauser et
+    * al. '78's (1−1/e) classic, the submodular data-selection pass):
+    * each round picks the document covering the most NOT-yet-covered
+    * features, ties to the smallest id — the "diverse subset" primitive
+    * behind coverage-driven training-data curation (pick the k docs
+    * that jointly span the most vocabulary/topics/n-grams).
+    *
+    * `docFeatures` is a `(doc, feat)` relation (pre-exploded — tokens,
+    * shingles, topic ids; dedup'd here). Returns `(round, doc, gain)`
+    * with `gain` the marginal coverage at selection time. Rounds after
+    * coverage is exhausted (every remaining doc gains 0… including when
+    * docs run out) stop early.
+    *
+    * Deterministic: every round is argmin of the exact
+    * `(−gain, doc)` struct over exact counts — partitioning- and
+    * join-order-independent, so the whole selection hash-oracles
+    * against an unrolled SQL replica (the graph-family property).
+    *
+    * Scale: each round is one anti-join of the (persisted) feature
+    * relation against the covered-feature set plus one count
+    * aggregation; the 1-row winner BROADCASTS back to extend coverage —
+    * the driver never holds data, k bounds the rounds, and coverage
+    * grows monotonically so later anti-joins shrink the relation.
+    * localCheckpoint truncates each round's lineage exactly as in
+    * [[graft.graph.GraphOps.pageRank]]. Greedy cover is inherently
+    * sequential (each pick conditions the next) — the k-round latency
+    * IS the algorithm, not a plan defect; for k beyond ~100 use the
+    * stochastic-greedy variant (sample candidate pool per round) the
+    * same loop supports by pre-sampling `docFeatures`.
+    */
+  def greedyCoverSelect(docFeatures: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "greedyCoverSelect needs k >= 1")
+    val spark = docFeatures.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val dt = docFeatures
+      .filter(col("doc").isNotNull && col("feat").isNotNull)
+      .select(col("doc"), col("feat")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("round",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("doc", dt.schema("doc").dataType),
+        org.apache.spark.sql.types.StructField("gain",
+          org.apache.spark.sql.types.LongType))))
+    var selected = empty.localCheckpoint(true)
+    // residual starts as the full relation and shrinks every round —
+    // covered features AND chosen docs drop out together
+    var residual = dt
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val pick = residual
+        .groupBy(col("doc")).agg(count(lit(1)).as("gain"))
+        .agg(min(struct((-col("gain")).as("ng"), col("doc"))).as("m"))
+        .select(lit(r.toLong).as("round"),
+          col("m").getField("doc").as("doc"),
+          (-col("m").getField("ng")).as("gain"))
+        .filter(col("doc").isNotNull)
+        .localCheckpoint(true)
+      if (pick.isEmpty) exhausted = true
+      else {
+        selected = selected.unionByName(pick).localCheckpoint(true)
+        val covered = residual
+          .join(broadcast(pick.select(col("doc"))), Seq("doc"))
+          .select(col("feat"))
+        val next = residual
+          .join(broadcast(pick.select(col("doc"))), Seq("doc"), "left_anti")
+          .join(covered, Seq("feat"), "left_anti")
+          .localCheckpoint(true)
+        residual.unpersist(blocking = false)
+        residual = next
+      }
+      r += 1
+    }
+    dt.unpersist(blocking = false)
+    selected
+  }
 }

@@ -363,4 +363,25 @@ class CorpusAssemblySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out == Map(1L -> true, 2L -> false))
   }
+
+  test("greedyCoverSelect: marginal gains shrink as coverage grows; early stop") {
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "e"), (3L, "f"),
+      (4L, "d"), (4L, "e"), (4L, "d")).toDF("doc", "feat")
+    val out = CorpusAssembly.greedyCoverSelect(df, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // round 1: doc 1 covers 4; round 2: doc 3 adds {e, f}; then every
+    // remaining feature is covered — rounds 3-4 stop early
+    assert(out.toSeq == Seq((1L, 1L, 4L), (2L, 3L, 2L)))
+  }
+
+  test("greedyCoverSelect: gain ties break to the smallest doc id") {
+    val df = Seq((9L, "x"), (9L, "y"), (2L, "p"), (2L, "q")).toDF("doc", "feat")
+    val out = CorpusAssembly.greedyCoverSelect(df, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2L)))
+  }
 }
