@@ -3475,5 +3475,84 @@ object OracleSql {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx
         |FROM f WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Heavy hitters: exact long counts; both shares are single integral
+    // divisions of count·10⁶ — the ties rank by key value.
+    "q_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, user_id, cnt,
+        |    CAST(row_number() OVER
+        |      (PARTITION BY event_type ORDER BY cnt DESC, user_id)
+        |      AS BIGINT) AS hh_rank,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS total,
+        |    sum(cnt) OVER
+        |      (PARTITION BY event_type ORDER BY cnt DESC, user_id
+        |       ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT event_type, user_id, hh_rank, cnt,
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_micro,
+        |  CAST(cum * 1000000 // total AS BIGINT) AS cum_share_micro
+        |FROM r WHERE hh_rank <= 10
+        |ORDER BY event_type, hh_rank""".stripMargin,
+
+    // PR curve: suffix sums over occupied bins; F1 cleared to one
+    // integral division. Integer aggregates CAST to BIGINT.
+    "q_pr_curve" ->
+      """WITH r AS (
+        |  SELECT l_linestatus,
+        |    CAST(least(greatest(floor(l_discount * 10.0 * 20), 0), 19)
+        |      AS BIGINT) AS thr_bin,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        |cells AS (
+        |  SELECT l_linestatus, thr_bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM r GROUP BY 1, 2),
+        |s AS (
+        |  SELECT l_linestatus, thr_bin,
+        |    sum(pos) OVER (PARTITION BY l_linestatus ORDER BY thr_bin DESC
+        |      ROWS UNBOUNDED PRECEDING) AS tp,
+        |    sum(n - pos) OVER (PARTITION BY l_linestatus ORDER BY thr_bin DESC
+        |      ROWS UNBOUNDED PRECEDING) AS fp,
+        |    sum(pos) OVER (PARTITION BY l_linestatus) AS p_all
+        |  FROM cells)
+        |SELECT l_linestatus, thr_bin, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(p_all - tp AS BIGINT) AS fn,
+        |  CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_micro,
+        |  CASE WHEN p_all > 0
+        |    THEN CAST(tp * 1000000 // p_all AS BIGINT) END AS recall_micro,
+        |  CASE WHEN 2 * tp + fp + (p_all - tp) > 0
+        |    THEN CAST(2 * tp * 1000000 // (2 * tp + fp + (p_all - tp))
+        |      AS BIGINT) END AS f1_micro
+        |FROM s ORDER BY l_linestatus, thr_bin""".stripMargin,
+
+    // CUSUM closed form: S_t = C_t − min_{j≤t} C_j over exact
+    // cents-quantized daily means.
+    "q_cusum" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |x AS (
+        |  SELECT event_type, day, n, s // n AS x_cents FROM d),
+        |c AS (
+        |  SELECT event_type, day, n, x_cents,
+        |    sum(x_cents - 5000) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM x),
+        |m AS (
+        |  SELECT event_type, day, n, x_cents,
+        |    cum - min(cum) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS s_cents
+        |  FROM c)
+        |SELECT event_type, day, n, x_cents, CAST(s_cents AS BIGINT) AS s_cents,
+        |  s_cents > 1500 AS alarm
+        |FROM m ORDER BY event_type, day""".stripMargin,
   )
 }

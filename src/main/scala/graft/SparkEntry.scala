@@ -2684,6 +2684,39 @@ object SparkEntry {
         col("lang") === "en")
       .orderBy(col("doc"))
 
+  /** Key-skew diagnostic: the 10 heaviest users per event type with
+    * per-key and cumulative row share — the "which keys would salt"
+    * report run before tuning a join on this column. Fully hash-oracled.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    ops.SkewOps.heavyHitters(
+        t(s, dir, "events"), Seq("event_type"), "user_id", topK = 10)
+      .orderBy(col("event_type"), col("hh_rank"))
+
+  /** Precision–recall curve of the (scaled) discount as a return-flag
+    * score, per line status, over 20 threshold bins — the relation a
+    * production threshold is chosen from (AUC integrates it; the
+    * confusion report fixes one point on it). Fully hash-oracled.
+    */
+  private def qPrCurve(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.prCurve(
+        t(s, dir, "lineitem")
+          .withColumn("score", col("l_discount") * 10.0)
+          .withColumn("returned", col("l_returnflag") === "R"),
+        Seq("l_linestatus"), "returned", "score", nBins = 20)
+      .orderBy(col("l_linestatus"), col("thr_bin"))
+
+  /** CUSUM drift screen over the daily mean event value per type:
+    * reference k = $50.00, decision interval h = $15.00 — the whole
+    * (day, statistic, alarm) trajectory, fully hash-oracled via the
+    * running-sum − running-min closed form.
+    */
+  private def qCusum(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.cusum(
+        t(s, dir, "events"), Seq("event_type"), "ts", "value",
+        kCents = 5000L, hCents = 1500L)
+      .orderBy(col("event_type"), col("day"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2867,6 +2900,9 @@ object SparkEntry {
     "q_cohort_retention" -> (qCohortRetention _),
     "q_corpus_attrition" -> (qCorpusAttrition _),
     "q_payload_near_dup" -> (qPayloadNearDup _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_pr_curve" -> (qPrCurve _),
+    "q_cusum" -> (qCusum _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

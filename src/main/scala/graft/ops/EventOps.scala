@@ -186,4 +186,43 @@ object EventOps {
       .withColumn("is_observed", col("_gf_day_v").isNotNull)
       .select(g ++ Seq(col("day"), col("value_micro"), col("is_observed")): _*)
   }
+
+  /** One-sided CUSUM changepoint screen (Page '54) over the daily mean
+    * of `valueCol` per key: `S_t = max(0, S_{t−1} + (x_t − k))` with
+    * alarm when `S_t > h` — the sequential drift detector that catches
+    * a sustained small upward shift long before a per-day threshold
+    * would. The recursion is NOT window-expressible directly, but its
+    * closed form is: `S_t = C_t − min_{j≤t} C_j` where
+    * `C_t = Σ_{i≤t}(x_i − k)` — a running sum minus its running
+    * minimum, two frames over one (key, day) sort. `k` (reference) and
+    * `h` (decision interval) are in cents.
+    *
+    * All-integer: daily means are `sum-of-cents div count` (values
+    * quantize to cents BEFORE summing), both windows run over exact
+    * longs — the whole trajectory hash-oracles.
+    *
+    * Scale: the day aggregation is one hash shuffle with map-side
+    * partials; both windows share one per-key sort over the ≤|days|
+    * cell relation, never the raw events.
+    */
+  def cusum(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, kCents: Long, hCents: Long): DataFrame = {
+    require(keyCols.nonEmpty, "cusum needs key columns")
+    val g = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(g ++ Seq(to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100).cast("long").as("_cs_c")): _*)
+      .groupBy(g :+ col("day"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_cs_c")).as("_cs_sum"))
+      .withColumn("x_cents", expr("_cs_sum div n"))
+      .withColumn("_cs_cum", sum(col("x_cents") - kCents).over(w))
+      .withColumn("s_cents", col("_cs_cum") - min(col("_cs_cum")).over(w))
+      .withColumn("alarm", col("s_cents") > hCents)
+      .select(g ++ Seq(col("day"), col("n"), col("x_cents"),
+        col("s_cents"), col("alarm")): _*)
+  }
 }

@@ -412,6 +412,58 @@ object Regression {
         col("acc_micro"), col("ece_micro")): _*)
   }
 
+  /** Precision–recall curve over binned thresholds: scores in [0, 1]
+    * land in `nBins` equi-width bins (1.0 clamps into the top bin) and
+    * each OCCUPIED bin t reports the operating point "predict positive
+    * iff score-bin ≥ t" — tp/fp/fn plus precision, recall, and F1 in
+    * micro units. The classifier-threshold companion to [[rocAuc]]
+    * (which integrates the whole curve into one scalar) and
+    * [[confusionStats]] (one fixed threshold): this is the relation a
+    * threshold gets CHOSEN from. Binning keeps the output ≤nBins rows
+    * per group no matter the data size — per-distinct-score sweeps
+    * scale output with |rows|, which is exactly what a 100 TB curve
+    * cannot do.
+    *
+    * Deterministic end-to-end in integers: bin counts are exact longs,
+    * the cumulative tp/fp are suffix sums over the ≤nBins cell
+    * relation, and all three metrics are single integral `div`s
+    * (F1 = 2·tp·10⁶ div (2·tp + fp + fn) — the harmonic mean cleared to
+    * one quotient). Precision's denominator is always > 0 (bin t itself
+    * is occupied); recall NULLs when the group has no positives.
+    *
+    * Scale: one hash shuffle onto (group, bin) cells with map-side
+    * partials; both windows run over the reduced cell relation and
+    * share one (group, bin DESC) sort.
+    */
+  def prCurve(df: DataFrame, groupCols: Seq[String], labelCol: String,
+      scoreCol: String, nBins: Int): DataFrame = {
+    require(groupCols.nonEmpty, "prCurve needs group columns")
+    require(nBins > 0, "prCurve needs positive nBins")
+    val g = groupCols.map(col)
+    val bin = least(greatest(floor(col(scoreCol) * nBins), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val cells = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(g ++ Seq(bin.as("thr_bin"),
+        when(col(labelCol), 1L).otherwise(0L).as("_pr_y")): _*)
+      .groupBy(g :+ col("thr_bin"): _*)
+      .agg(count(lit(1)).as("_pr_n"), sum(col("_pr_y")).as("_pr_pos"))
+    val gw = Window.partitionBy(g: _*)
+    // suffix sums: predict-positive set at threshold t = bins ≥ t
+    val sfx = gw.orderBy(col("thr_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("tp", sum(col("_pr_pos")).over(sfx))
+      .withColumn("fp", sum(col("_pr_n") - col("_pr_pos")).over(sfx))
+      .withColumn("fn", sum(col("_pr_pos")).over(gw) - col("tp"))
+      .select(g ++ Seq(col("thr_bin"), col("tp"), col("fp"), col("fn"),
+        expr("tp * 1000000 div (tp + fp)").as("precision_micro"),
+        when(col("tp") + col("fn") > 0L,
+          expr("tp * 1000000 div (tp + fn)")).as("recall_micro"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)")).as("f1_micro")): _*)
+  }
+
   /** CUPED variance-reduced A/B comparison (Deng et al. WSDM'13) — the
     * experiment readout that subtracts what a pre-experiment covariate
     * already predicted: `y_adj = y − θ·(x − x̄)` with

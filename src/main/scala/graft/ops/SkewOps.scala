@@ -56,4 +56,42 @@ object SkewOps {
       .agg(count(lit(1)).as("_n"), sum(Cols.q(valueCol)).as("_s"))
       .groupBy(Cols.q(keyCol))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("sum"))
+
+  /** Heavy-hitter (key-skew) report: the `topK` most frequent values of
+    * `keyCol` per group, with each key's share of the group's rows and
+    * the running (cumulative) share in micro units — the diagnostic a
+    * skew investigation starts from ("which 10 keys hold 80% of this
+    * join input?"). Ties rank deterministically by key value.
+    *
+    * All-integer: counts are exact longs and both shares are single
+    * integral `div`s of `count·10⁶`, so the report hash-oracles.
+    *
+    * Scale: one hash shuffle onto (group, key) cells with map-side
+    * partial counts — raw rows never move wholesale — then a per-group
+    * window over the REDUCED cell relation (|distinct keys| rows, not
+    * |rows|). A group with billions of distinct keys would make that
+    * window sort the bottleneck; cap it by pre-filtering cells on a
+    * minimum count before ranking, exactly as `topKPerGroup` does.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, "heavyHitters needs topK > 0")
+    val g = groupCols.map(Cols.q)
+    import org.apache.spark.sql.expressions.Window
+    val grp = Window.partitionBy(g: _*)
+    val ord = grp.orderBy(col("cnt").desc, Cols.q(keyCol))
+    df.groupBy(g :+ Cols.q(keyCol): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("_hh_total", sum(col("cnt")).over(grp))
+      .withColumn("hh_rank", row_number().over(ord).cast("long"))
+      .withColumn("_hh_cum", sum(col("cnt")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("hh_rank") <= topK)
+      .select(g ++ Seq(Cols.q(keyCol), col("hh_rank"), col("cnt"),
+        expr("cnt * 1000000 div _hh_total").as("share_micro"),
+        expr("_hh_cum * 1000000 div _hh_total").as("cum_share_micro")): _*)
+  }
 }

@@ -370,4 +370,17 @@ class PlanContractSpec extends SparkSpec {
     assert(plan.contains("LogicalRDD"), plan.take(1500))
     assert(!plan.toLowerCase.contains("parquet"), plan.take(1500))
   }
+
+  test("session-6 cell reports: heavy hitters / pr curve / cusum window the REDUCED cells") {
+    // each is agg-to-cells then windows over the cell relation — the raw
+    // table shuffles once (into the hash agg); the windows add at most
+    // one group exchange; nothing cartesians.
+    for (q <- Seq("q_heavy_hitters", "q_pr_curve", "q_cusum")) {
+      val p = planOf(q)
+      assert(p.contains("HashAggregate"), s"$q lost its cell aggregation:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+      val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+      assert(exchanges <= 3, s"$q: expected ≤3 exchanges, saw $exchanges:\n${p.take(2000)}")
+    }
+  }
 }

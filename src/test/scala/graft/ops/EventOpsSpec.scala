@@ -132,4 +132,34 @@ class EventOpsSpec extends SparkSpec {
     assert(out.map(_.getDate(1).toString).toSeq ==
       Seq("2024-01-05", "2024-03-01", "2024-03-02"))
   }
+
+  test("cusum closed form equals the max(0, ...) recursion") {
+    val days = Seq(10.0, 12.0, 9.0, 14.0, 14.5, 15.0, 8.0, 13.0)
+    val ev = days.zipWithIndex.map { case (v, i) =>
+      ("k", java.sql.Timestamp.valueOf(f"2024-02-${i + 1}%02d 12:00:00"), v)
+    }.toDF("key", "t", "v")
+    val out = EventOps.cusum(ev, Seq("key"), "t", "v",
+        kCents = 1100L, hCents = 300L)
+      .orderBy("day").collect()
+    // reference recursion over the same cents-quantized daily means
+    var s = 0L
+    val expected = days.map { v =>
+      s = math.max(0L, s + (math.floor(v * 100).toLong - 1100L))
+      s
+    }
+    assert(out.map(_.getLong(out.head.fieldIndex("s_cents"))).toSeq == expected)
+    assert(out.map(_.getBoolean(out.head.fieldIndex("alarm"))).toSeq ==
+      expected.map(_ > 300L))
+  }
+
+  test("cusum statistic is never negative and resets after a dip") {
+    val ev = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0),
+      ("k", java.sql.Timestamp.valueOf("2024-02-02 00:00:00"), 99.0))
+      .toDF("key", "t", "v")
+    val out = EventOps.cusum(ev, Seq("key"), "t", "v", 5000L, 100L)
+      .orderBy("day").collect()
+    assert(out(0).getLong(out(0).fieldIndex("s_cents")) == 0L)
+    assert(out(1).getLong(out(1).fieldIndex("s_cents")) == 4900L)
+  }
 }

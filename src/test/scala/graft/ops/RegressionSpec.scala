@@ -362,4 +362,28 @@ class RegressionSpec extends SparkSpec {
     assert(out("col").isNullAt(2) && out("col").isNullAt(3))
     assert(out("cst").isNullAt(2) && out("cst").isNullAt(4))
   }
+
+  test("prCurve operating points match hand-computed tp/fp/fn") {
+    // scores 0.05/0.15/0.25/0.35 land in bins 0..3 of 10; labels +,-,+,+
+    val df = Seq((0.05, true), (0.15, false), (0.25, true), (0.35, true))
+      .map { case (s, y) => ("g", s, y) }.toDF("grp", "score", "y")
+    val out = Regression.prCurve(df, Seq("grp"), "y", "score", nBins = 10)
+      .orderBy("thr_bin").collect()
+    assert(out.length == 4)
+    def at(i: Int, c: String) = out(i).getLong(out(i).fieldIndex(c))
+    // thr 0: everything predicted positive
+    assert(at(0, "tp") == 3L && at(0, "fp") == 1L && at(0, "fn") == 0L)
+    assert(at(0, "precision_micro") == 750000L && at(0, "recall_micro") == 1000000L)
+    // thr 2: bins {2,3} → tp=2 fp=0 fn=1; F1 = 4/5
+    assert(at(2, "tp") == 2L && at(2, "fp") == 0L && at(2, "fn") == 1L)
+    assert(at(2, "precision_micro") == 1000000L && at(2, "f1_micro") == 800000L)
+  }
+
+  test("prCurve recall is null for a group with no positives") {
+    val df = Seq(("g", 0.2, false), ("g", 0.8, false)).toDF("grp", "score", "y")
+    val out = Regression.prCurve(df, Seq("grp"), "y", "score", nBins = 2)
+      .collect()
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("recall_micro"))))
+    assert(out.forall(r => r.getLong(r.fieldIndex("precision_micro")) == 0L))
+  }
 }

@@ -42,4 +42,29 @@ class SkewOpsSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(direct.toSeq == salted.toSeq)
   }
+
+  test("heavyHitters ranks by count then key, with exact shares") {
+    // group g: key 1 ×6, key 2 ×3, key 3 ×1; group h: keys 7 and 8 tied
+    val df = (Seq.fill(6)(("g", 1L)) ++ Seq.fill(3)(("g", 2L)) ++
+      Seq(("g", 3L), ("h", 8L), ("h", 7L))).toDF("grp", "k")
+    val out = SkewOps.heavyHitters(df, Seq("grp"), "k", topK = 2)
+      .orderBy("grp", "hh_rank").collect()
+    assert(out.length == 4)
+    val g1 = out(0)
+    assert(g1.getLong(g1.fieldIndex("k")) == 1L &&
+      g1.getLong(g1.fieldIndex("cnt")) == 6L &&
+      g1.getLong(g1.fieldIndex("share_micro")) == 600000L &&
+      g1.getLong(g1.fieldIndex("cum_share_micro")) == 600000L)
+    val g2 = out(1)
+    assert(g2.getLong(g2.fieldIndex("k")) == 2L &&
+      g2.getLong(g2.fieldIndex("cum_share_micro")) == 900000L)
+    // tie in h breaks to the smaller key
+    assert(out(2).getLong(out(2).fieldIndex("k")) == 7L)
+    assert(out(3).getLong(out(3).fieldIndex("cum_share_micro")) == 1000000L)
+  }
+
+  test("heavyHitters topK caps output per group") {
+    val df = (1 to 100).map(i => ("g", i.toLong % 10)).toDF("grp", "k")
+    assert(SkewOps.heavyHitters(df, Seq("grp"), "k", topK = 3).count() == 3L)
+  }
 }
