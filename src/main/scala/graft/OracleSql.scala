@@ -3530,6 +3530,99 @@ object OracleSql {
         |      AS BIGINT) END AS f1_micro
         |FROM s ORDER BY l_linestatus, thr_bin""".stripMargin,
 
+    // RRF: bm25 CTEs replicated from q_bm25 (k=50), cosine CTEs from
+    // q_ann_brute_force (query 0 only); fusion is exact integer floors.
+    "q_rrf_fusion" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t FROM documents),
+         |lens AS (SELECT doc, CAST(len(t) AS DOUBLE) AS dl FROM docs),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+         |  FROM lens),
+         |tf AS (SELECT doc, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc, unnest(t) AS term FROM docs)
+         |  WHERE term IN ('spark', 'window', 'join', 'vector')
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |w AS (SELECT tf.doc,
+         |  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf.tf * 2.2 /
+         |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+         |  FROM tf JOIN dfq USING (term) JOIN lens ON tf.doc = lens.doc, stats),
+         |s AS (SELECT doc,
+         |  round(sum(CAST(round(w * 1000000.0) AS BIGINT)) / 1000000.0, 4) AS score
+         |  FROM w GROUP BY 1),
+         |lex AS (SELECT doc, r FROM (
+         |  SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r FROM s)
+         |  WHERE r <= 50),
+         |qz AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |qv AS (SELECT v FROM qz WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT c.vec_id AS doc,
+         |    CAST(list_sum(list_transform(generate_series(1, len(q.v)),
+         |        i -> q.v[i] * c.v[i])) AS DOUBLE)
+         |      / (sqrt(CAST(list_sum(list_transform(generate_series(1, len(q.v)),
+         |          i -> q.v[i] * q.v[i])) AS DOUBLE))
+         |       * sqrt(CAST(list_sum(list_transform(generate_series(1, len(c.v)),
+         |          i -> c.v[i] * c.v[i])) AS DOUBLE))) AS cosine
+         |  FROM qz c CROSS JOIN qv q WHERE c.vec_id <> 0),
+         |sem AS (SELECT doc, r FROM (
+         |  SELECT doc, row_number() OVER (ORDER BY cosine DESC, doc) AS r
+         |  FROM scored) WHERE r <= 50),
+         |fused AS (
+         |  SELECT coalesce(l.doc, m.doc) AS doc, l.r AS rank_a, m.r AS rank_b,
+         |    coalesce(1000000000 // (60 + l.r), 0)
+         |      + coalesce(1000000000 // (60 + m.r), 0) AS rrf_nano
+         |  FROM lex l FULL OUTER JOIN sem m ON l.doc = m.doc)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc)
+         |      AS BIGINT) AS fused_rank,
+         |    doc AS doc_id, CAST(rank_a AS BIGINT) AS rank_a,
+         |    CAST(rank_b AS BIGINT) AS rank_b, CAST(rrf_nano AS BIGINT) AS rrf_nano
+         |  FROM fused)
+         |WHERE fused_rank <= 20 ORDER BY fused_rank""".stripMargin,
+
+    // EWMA α=1/2: shift weights are exact longs; the list() window frame
+    // is chronological on both engines; one integral div by 2^m − 1.
+    "q_ewma" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |x AS (SELECT event_type, day, s // n AS x_cents FROM d),
+        |a AS (
+        |  SELECT event_type, day, x_cents,
+        |    list(x_cents) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM x)
+        |SELECT event_type, day, x_cents,
+        |  CAST(list_sum(list_transform(generate_series(1, len(arr)),
+        |      i -> arr[i] * (CAST(1 AS BIGINT) << (i - 1))))
+        |    // ((CAST(1 AS BIGINT) << len(arr)) - 1) AS BIGINT) AS ewma_cents
+        |FROM a ORDER BY event_type, day""".stripMargin,
+
+    // Mergeable stats: the oracle is the DIRECT aggregation — the hash
+    // match proves merge-of-partials is lossless.
+    "q_partial_merge" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey % 8 AS shard,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT o_orderpriority,
+        |  CAST(count(DISTINCT shard) AS BIGINT) AS n_shards,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(c AS HUGEINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CAST(c AS HUGEINT)) // count(*) AS BIGINT) AS mean_cents,
+        |  CAST((count(*) * sum(CAST(c AS HUGEINT) * c)
+        |      - sum(CAST(c AS HUGEINT)) * sum(CAST(c AS HUGEINT)))
+        |    // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT) AS var_cents2,
+        |  CAST(min(c) AS BIGINT) AS min_cents,
+        |  CAST(max(c) AS BIGINT) AS max_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // CUSUM closed form: S_t = C_t − min_{j≤t} C_j over exact
     // cents-quantized daily means.
     "q_cusum" ->

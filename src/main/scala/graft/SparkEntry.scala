@@ -2717,6 +2717,47 @@ object SparkEntry {
         kCents = 5000L, hCents = 1500L)
       .orderBy(col("event_type"), col("day"))
 
+  /** Hybrid retrieval: BM25 top-50 (lexical) fused with embedding-cosine
+    * top-50 around doc 0 (semantic, over the aligned vec_id = doc_id
+    * space) by reciprocal-rank fusion, k = 60 — the two-tower search
+    * shape, fully hash-oracled because RRF needs only the RANKS and the
+    * fused score is exact integer arithmetic.
+    */
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      query = "spark window join vector", k = 50)
+    val emb = t(s, dir, "embeddings")
+    val sem = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", "vec_id", k = 50)
+      .select(col("neighbor_id").as("doc"), col("rank"))
+    TextAnalysis.rrfFuse(lex.select(col("doc"), col("rank")), sem,
+        "doc", "rank", kConst = 60, topK = 20)
+      .select(col("fused_rank"), col("doc").as("doc_id"), col("rank_a"),
+        col("rank_b"), col("rrf_nano"))
+      .orderBy(col("fused_rank"))
+  }
+
+  /** EWMA (α = 1/2, 16-lag truncation) of the daily mean event value per
+    * type — the geometric-discount trend beside q_cusum's linear
+    * accumulation. Exact shift-weight arithmetic; the whole trajectory
+    * hash-oracles.
+    */
+  private def qEwma(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.ewma(
+        t(s, dir, "events"), Seq("event_type"), "ts", "value", lags = 16)
+      .orderBy(col("event_type"), col("day"))
+
+  /** Two-tier mergeable statistics: per-(priority, shard) sufficient
+    * stats merged to exact per-priority mean/variance — the oracle runs
+    * the DIRECT aggregation, so the hash match IS the proof that
+    * merge-of-partials loses nothing.
+    */
+  private def qPartialMerge(s: SparkSession, dir: String): DataFrame =
+    ops.RobustStats.mergeableStats(
+        t(s, dir, "orders").withColumn("shard", col("o_orderkey") % 8),
+        Seq("o_orderpriority"), "shard", "o_totalprice")
+      .orderBy(col("o_orderpriority"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2903,6 +2944,9 @@ object SparkEntry {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_pr_curve" -> (qPrCurve _),
     "q_cusum" -> (qCusum _),
+    "q_rrf_fusion" -> (qRrfFusion _),
+    "q_ewma" -> (qEwma _),
+    "q_partial_merge" -> (qPartialMerge _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

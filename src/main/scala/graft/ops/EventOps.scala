@@ -225,4 +225,49 @@ object EventOps {
       .select(g ++ Seq(col("day"), col("n"), col("x_cents"),
         col("s_cents"), col("alarm")): _*)
   }
+
+  /** Exponentially-weighted moving average (α = 1/2) of the daily mean
+    * of `valueCol` per key, truncated to the last `lags` observations
+    * and self-normalizing over what's available:
+    * `ewma_t = (Σ_{j<m} x_{t−j}·2^{m−1−j}) / (2^m − 1)` with
+    * `m = min(t+1, lags)` — the trend smoother that discounts history
+    * geometrically where [[cusum]] accumulates it linearly.
+    *
+    * α is pinned at 1/2 deliberately: powers of two keep every weight
+    * an exact integer (`1 << j`), so the weighted sum is exact long
+    * arithmetic and one final integral `div` by the closed-form
+    * normalizer — no float powers (libm `pow` is engine-divergent),
+    * and the whole trajectory hash-oracles. A general-α EWMA would be
+    * float-recursive and only spec-checkable.
+    *
+    * Scale: the day aggregation is the only data-sized shuffle; the
+    * frame `collect_list` holds ≤`lags` longs per row of the ≤|days|
+    * cell relation — bounded state, same cost class as any windowed
+    * moving average.
+    */
+  def ewma(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, lags: Int = 16): DataFrame = {
+    require(keyCols.nonEmpty, "ewma needs key columns")
+    require(lags > 0 && lags <= 62, "lags must fit a long shift")
+    val g = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("day"))
+      .rowsBetween(-(lags - 1), 0)
+    events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(g ++ Seq(to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100).cast("long").as("_ew_c")): _*)
+      .groupBy(g :+ col("day"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_ew_c")).as("_ew_sum"))
+      .withColumn("x_cents", expr("_ew_sum div n"))
+      // chronological frame: index i (0 = oldest in frame) weighs 2^i
+      .withColumn("_ew_arr", collect_list(col("x_cents")).over(w))
+      .withColumn("ewma_cents", expr(
+        """aggregate(
+          |  zip_with(_ew_arr, sequence(0, size(_ew_arr) - 1),
+          |    (v, i) -> v * shiftleft(1L, i)),
+          |  0L, (acc, x) -> acc + x)
+          |div (shiftleft(1L, size(_ew_arr)) - 1)""".stripMargin))
+      .select(g ++ Seq(col("day"), col("x_cents"), col("ewma_cents")): _*)
+  }
 }

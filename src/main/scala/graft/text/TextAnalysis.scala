@@ -222,6 +222,42 @@ object TextAnalysis {
       .select(col("rank"), col("doc"), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) of two ranked
+    * retrieval lists — the standard way a hybrid search combines a
+    * lexical (BM25) list with a semantic (embedding-cosine) list
+    * without comparing their incommensurable scores: each list
+    * contributes `1/(kConst + rank)` and items are re-ranked by the
+    * sum. Inputs are (idCol, rankCol) relations; an item missing from
+    * one list contributes 0 for it (the full-outer semantics fusion
+    * requires — inner would demand presence in both lists).
+    *
+    * Deterministic: each contribution is one integral `div` of 10⁹
+    * (floor), the sum is exact, and ties re-rank by id — no float
+    * comparison anywhere, so the fused list hash-oracles.
+    *
+    * Scale: one full-outer equi-join on id between two ALREADY-SMALL
+    * top-k relations (the data-sized work happened inside each
+    * retriever); the final rank is a single-partition window over
+    * ≤ |a| + |b| rows by construction.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+      kConst: Int = 60, topK: Int = 20): DataFrame = {
+    require(kConst > 0 && topK > 0, "rrfFuse needs positive kConst/topK")
+    val la = a.select(col(idCol).as("_rf_id"), col(rankCol).as("rank_a"))
+    val lb = b.select(col(idCol).as("_rf_id"), col(rankCol).as("rank_b"))
+    val fused = la.join(lb, Seq("_rf_id"), "full_outer")
+      .withColumn("rrf_nano",
+        coalesce(expr(s"1000000000 div ($kConst + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($kConst + rank_b)"), lit(0L)))
+    fused
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("rrf_nano").desc, col("_rf_id"))).cast("long"))
+      .filter(col("fused_rank") <= topK)
+      .select(col("fused_rank"), col("_rf_id").as(idCol), col("rank_a"),
+        col("rank_b"), col("rrf_nano"))
+  }
+
   // ------------------------------------------------------------ PII / URLs
 
   /** PII redaction for training corpora: URLs, emails, IPv4 addresses and

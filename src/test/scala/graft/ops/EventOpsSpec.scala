@@ -162,4 +162,23 @@ class EventOpsSpec extends SparkSpec {
     assert(out(0).getLong(out(0).fieldIndex("s_cents")) == 0L)
     assert(out(1).getLong(out(1).fieldIndex("s_cents")) == 4900L)
   }
+
+  test("ewma matches the truncated geometric reference, warm-up included") {
+    val days = Seq(10.0, 20.0, 40.0, 40.0, 40.0)
+    val ev = days.zipWithIndex.map { case (v, i) =>
+      ("k", java.sql.Timestamp.valueOf(f"2024-02-${i + 1}%02d 12:00:00"), v)
+    }.toDF("key", "t", "v")
+    val out = EventOps.ewma(ev, Seq("key"), "t", "v", lags = 3)
+      .orderBy("day").collect()
+    val cents = days.map(v => math.floor(v * 100).toLong)
+    val expected = cents.indices.map { t =>
+      val frame = cents.slice(math.max(0, t - 2), t + 1)
+      val m = frame.length
+      frame.zipWithIndex.map { case (x, i) => x << i }.sum / ((1L << m) - 1)
+    }
+    assert(out.map(_.getLong(out.head.fieldIndex("ewma_cents"))).toSeq ==
+      expected)
+    // steady state: constant input converges to the constant
+    assert(out.last.getLong(out.last.fieldIndex("ewma_cents")) == 4000L)
+  }
 }

@@ -87,4 +87,31 @@ class RobustStatsSpec extends SparkSpec {
     assert(spikes.map(_._2).toSet.subsetOf(mad))
     assert(mad.forall(_ > 9000)) // no false flags on the base cluster
   }
+
+  test("mergeableStats: merge of shard partials equals the direct stats") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => ("g", i % 7, i * 1.25))
+    val out = RobustStats.mergeableStats(rows.toDF("g", "shard", "v"),
+      Seq("g"), "shard", "v").collect().head
+    def f(c: String) = out.getLong(out.fieldIndex(c))
+    val cents = (1 to 200).map(i => math.floor(i * 1.25 * 100).toLong)
+    val n = cents.length.toLong
+    assert(f("n_shards") == 7L && f("n") == n)
+    assert(f("sum_cents") == cents.sum)
+    assert(f("mean_cents") == cents.sum / n)
+    val num = BigInt(n) * cents.map(c => BigInt(c) * c).sum -
+      BigInt(cents.sum) * cents.sum
+    assert(f("var_cents2") == (num / (BigInt(n) * n)).toLong)
+    assert(f("min_cents") == cents.min && f("max_cents") == cents.max)
+  }
+
+  test("mergeableStats: single-shard groups and null values") {
+    import spark.implicits._
+    val df = Seq(("a", 1, Some(2.0)), ("a", 1, None), ("b", 3, Some(5.5)))
+      .toDF("g", "shard", "v")
+    val out = RobustStats.mergeableStats(df, Seq("g"), "shard", "v")
+      .orderBy("g").collect()
+    assert(out(0).getLong(out(0).fieldIndex("n")) == 1L) // null dropped
+    assert(out(1).getLong(out(1).fieldIndex("var_cents2")) == 0L)
+  }
 }

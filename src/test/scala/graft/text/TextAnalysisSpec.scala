@@ -328,4 +328,31 @@ class TextAnalysisSpec extends SparkSpec {
     // keep is the integer cross-multiply of the same quantities
     out.values.foreach { case (_, score, keep) => assert(keep == (score > 1000.0)) }
   }
+
+  test("rrfFuse sums reciprocal ranks; items on one list only still fuse") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = TextAnalysis.rrfFuse(a, b, "id", "rank", kConst = 60, topK = 10)
+      .orderBy("fused_rank").collect()
+    assert(out.length == 4)
+    // 20 leads: 1e9/62 + 1e9/61 floors
+    val top = out.head
+    assert(top.getLong(top.fieldIndex("id")) == 20L)
+    assert(top.getLong(top.fieldIndex("rrf_nano")) ==
+      1000000000L / 62 + 1000000000L / 61)
+    // 10 (list a only) beats 40 (rank 2 in b): 1e9/61 > 1e9/62
+    assert(out(1).getLong(out(1).fieldIndex("id")) == 10L)
+    assert(out(1).isNullAt(out(1).fieldIndex("rank_b")))
+    assert(out(2).getLong(out(2).fieldIndex("id")) == 40L)
+  }
+
+  test("rrfFuse ties break to the smaller id") {
+    import spark.implicits._
+    val a = Seq((5L, 1L)).toDF("id", "rank")
+    val b = Seq((3L, 1L)).toDF("id", "rank")
+    val out = TextAnalysis.rrfFuse(a, b, "id", "rank", topK = 5)
+      .orderBy("fused_rank").collect()
+    assert(out.map(r => r.getLong(r.fieldIndex("id"))).toSeq == Seq(3L, 5L))
+  }
 }
