@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.expr.{DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles, ZOrder2}
+import graft.expr.{DamerauLevenshtein, DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles, ZOrder2}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -20,6 +20,7 @@ object GraftFunctions {
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "rolling_hash64" -> (exprs => RollingHash64(exprs.head)),
     "dot_i64" -> (exprs => DotI64(exprs(0), exprs(1))),
+    "damerau_levenshtein" -> (exprs => DamerauLevenshtein(exprs(0), exprs(1))),
     "z_order2" -> (exprs => ZOrder2(exprs(0), exprs(1))),
     "word_shingles" -> (exprs => exprs match {
       case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
@@ -57,6 +58,10 @@ object GraftFunctions {
 
   /** Integer dot product of two array<bigint> vectors. */
   def dotI64(a: Column, b: Column): Column = call_function("dot_i64", a, b)
+
+  /** Unrestricted (Lowrance–Wagner) Damerau–Levenshtein distance. */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    call_function("damerau_levenshtein", a, b)
 
   /** 64-bit Morton key of two non-negative 32-bit coordinates. */
   def zOrder2(a: Column, b: Column): Column = call_function("z_order2", a, b)

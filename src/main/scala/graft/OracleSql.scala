@@ -3530,6 +3530,66 @@ object OracleSql {
         |      AS BIGINT) END AS f1_micro
         |FROM s ORDER BY l_linestatus, thr_bin""".stripMargin,
 
+    // HITS: 6 unrolled L1-normalized half-step pairs; raw sums are
+    // HUGEINT, every normalization is one floor division.
+    "q_hits" -> {
+      val scale = "1000000000000"
+      val iter = (1 to 6).map { i =>
+        s"""ar$i AS (
+           |  SELECT nd.node, coalesce(s.s, 0) AS raw
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst AS node, sum(h.hub) AS s
+           |    FROM h${i - 1} h JOIN e0 e ON h.node = e.src GROUP BY 1) s
+           |  ON nd.node = s.node),
+           |a$i AS (
+           |  SELECT node, CASE WHEN sum(raw) OVER () > 0
+           |    THEN (raw * $scale) // sum(raw) OVER ()
+           |    ELSE 0 END AS auth
+           |  FROM ar$i),
+           |hr$i AS (
+           |  SELECT nd.node, coalesce(s.s, 0) AS raw
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.src AS node, sum(a.auth) AS s
+           |    FROM a$i a JOIN e0 e ON a.node = e.dst GROUP BY 1) s
+           |  ON nd.node = s.node),
+           |h$i AS (
+           |  SELECT node, CASE WHEN sum(raw) OVER () > 0
+           |    THEN (raw * $scale) // sum(raw) OVER () ELSE 0 END AS hub
+           |  FROM hr$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem),
+         |e0 AS (SELECT a AS src, b AS dst FROM pairs),
+         |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+         |h0 AS (SELECT node, $scale // count(*) OVER () AS hub FROM nodes),
+         |$iter,
+         |final AS (
+         |  SELECT a6.node, a6.auth, h6.hub FROM a6 JOIN h6 USING (node)),
+         |at AS (SELECT 'auth' AS side, node, auth, hub FROM (
+         |  SELECT *, row_number() OVER (ORDER BY auth DESC, node) AS rk
+         |  FROM final) WHERE rk <= 10),
+         |ht AS (SELECT 'hub' AS side, node, auth, hub FROM (
+         |  SELECT *, row_number() OVER (ORDER BY hub DESC, node) AS rk
+         |  FROM final) WHERE rk <= 10)
+         |SELECT side, node, CAST(auth AS BIGINT) AS auth,
+         |  CAST(hub AS BIGINT) AS hub
+         |FROM (SELECT * FROM at UNION ALL SELECT * FROM ht)
+         |ORDER BY side, node""".stripMargin
+    },
+
+    // Both distances are the same well-defined functions in both engines
+    // (DuckDB's damerau_levenshtein is also the unrestricted form —
+    // damerau_levenshtein('ca','abc') = 2, probed during development).
+    "q_fuzzy_damerau" ->
+      """SELECT p.p_partkey, p.p_name, n.p_name AS next_name,
+        |  CAST(levenshtein(p.p_name, n.p_name) AS BIGINT) AS lev_dist,
+        |  CAST(damerau_levenshtein(p.p_name, n.p_name) AS BIGINT) AS damerau_dist
+        |FROM part p JOIN part n ON n.p_partkey = p.p_partkey + 1
+        |WHERE p.p_partkey <= 200 AND n.p_partkey <= 200
+        |  AND damerau_levenshtein(p.p_name, n.p_name) <= 25
+        |ORDER BY p.p_partkey""".stripMargin,
+
     // RRF: bm25 CTEs replicated from q_bm25 (k=50), cosine CTEs from
     // q_ann_brute_force (query 0 only); fusion is exact integer floors.
     "q_rrf_fusion" ->

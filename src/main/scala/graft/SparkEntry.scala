@@ -2758,6 +2758,45 @@ object SparkEntry {
         Seq("o_orderpriority"), "shard", "o_totalprice")
       .orderBy(col("o_orderpriority"))
 
+  /** Transposition-aware fuzzy matching: adjacent part names compared
+    * under both plain Levenshtein and the native unrestricted
+    * Damerau–Levenshtein expression — the typo-class comparator the ER
+    * chain blocks into. Both engines implement the same Lowrance–Wagner
+    * function, so every distance hash-oracles.
+    */
+  private def qFuzzyDamerau(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"), col("p_name"))
+    val nextP = p.select((col("p_partkey") - 1).as("pk"), col("p_name").as("next_name"))
+    p.join(nextP, col("p_partkey") === col("pk"))
+      .select(col("p_partkey"), col("p_name"), col("next_name"),
+        levenshtein(col("p_name"), col("next_name")).cast("long").as("lev_dist"),
+        GraftFunctions.damerauLevenshtein(col("p_name"), col("next_name"))
+          .as("damerau_dist"))
+      .filter(col("damerau_dist") <= 25)
+      .orderBy(col("p_partkey"))
+  }
+
+  /** HITS over the DIRECTED part→supplier supply graph (off the shared
+    * [[supplyPairs]] relation): hubs are parts, authorities suppliers.
+    * Top 10 of each side, fully hash-oracled against DuckDB's
+    * unrolled-iteration replica of the same L1-normalized fixed point.
+    */
+  private def qHits(s: SparkSession, dir: String): DataFrame = {
+    val scores = graft.graph.GraphOps.hits(
+      supplyPairs(s, dir).select(col("a").as("src"), col("b").as("dst")),
+      iters = 6, dedupEdges = false)
+    val authTop = scores
+      .orderBy(col("auth").desc, col("node")).limit(10)
+      .withColumn("side", lit("auth"))
+    val hubTop = scores
+      .orderBy(col("hub").desc, col("node")).limit(10)
+      .withColumn("side", lit("hub"))
+    authTop.union(hubTop)
+      .select(col("side"), col("node"), col("auth"), col("hub"))
+      .orderBy(col("side"), col("node"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2947,6 +2986,8 @@ object SparkEntry {
     "q_rrf_fusion" -> (qRrfFusion _),
     "q_ewma" -> (qEwma _),
     "q_partial_merge" -> (qPartialMerge _),
+    "q_fuzzy_damerau" -> (qFuzzyDamerau _),
+    "q_hits" -> (qHits _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -477,4 +477,102 @@ object GraphOps {
       depths
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
+
+  /** HITS hubs & authorities (Kleinberg '99) with a FIXED iteration
+    * count in exact fixed-point arithmetic:
+    *
+    *   auth'ᵢ(v) = Σ_{u→v} hubᵢ₋₁(u);   authᵢ = (auth'·Scale) div Σauth'
+    *   hub'ᵢ(u)  = Σ_{u→v} authᵢ(v);    hubᵢ  = (hub'·Scale) div Σhub'
+    *
+    * Kleinberg's algorithm normalizes each half-step; this form uses the
+    * L1 norm (sum) instead of L2 so the normalizer divides exactly —
+    * sqrt would reintroduce libm floats into the fixed point. The two
+    * normalizers are equivalent up to the eigenvector's scale, which the
+    * output units absorb. Unlike [[pageRank]] (whose lumped dangling
+    * variant deliberately avoids any global scalar), the per-iteration
+    * normalization here is INHERENT to HITS — without it the iterate
+    * grows like λ_max^i and overflows; it rides as a 1-row broadcast
+    * built in-plan, never a driver value.
+    *
+    * `edges` is directed (hub mass flows src→dst; on a bipartite
+    * part→supplier graph hubs are parts, authorities suppliers).
+    * Duplicate edges collapse (set semantics). Returns
+    * `(node, auth, hub)` in Scale = 10⁻¹² units; nodes missing a side
+    * (no in-edges / no out-edges) score 0 on that side.
+    *
+    * Scale: the edge relation persists TWICE, pre-partitioned on src
+    * and on dst, so each half-step's join lands on a cached
+    * partitioning; power sums accumulate in decimal(38,0) (headroom:
+    * Scale·indeg·Scale ≈ 10³³ at 10⁹ in-degree); lineage truncates via
+    * eager localCheckpoint every iteration; the driver holds one scalar
+    * (|E| for partition sizing).
+    */
+  def hits(edges: DataFrame, iters: Int = 6,
+      dedupEdges: Boolean = true): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val e0 = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val e = (if (dedupEdges) e0.distinct() else e0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist(blocking = false)
+      return nodes.select(col("node"), lit(0L).as("auth"), lit(0L).as("hub"))
+    }
+    val nE = e.count()
+    val spark = edges.sparkSession
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    val eS = e.repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eD = e.repartition(parts, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val dec = "decimal(38,0)"
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      // half-step: push `fromCol` mass along (joinKey → outKey), L1-normalize
+      def half(scores: DataFrame, edgeRel: DataFrame, joinKey: String,
+          outKey: String, fromCol: String, outCol: String): DataFrame = {
+        val raw = scores
+          .join(edgeRel, col("node") === col(joinKey))
+          .groupBy(col(outKey).as("_h_n"))
+          .agg(sum(col(fromCol).cast(dec)).as("_h_raw"))
+          .join(nodes, col("node") === col("_h_n"), "right")
+          .select(col("node"),
+            coalesce(col("_h_raw"), lit(0L).cast(dec)).as("_h_raw"))
+        raw.crossJoin(broadcast(raw.agg(sum(col("_h_raw")).as("_h_tot"))))
+          .select(col("node"),
+            // tot = 0 iff every score upstream of this side is 0 (e.g. all
+            // authority sits on sinks) — the side is identically 0 then,
+            // not a division error
+            expr(s"cast(case when _h_tot > 0 then (_h_raw * $RankScale)" +
+              " div _h_tot else 0 end as bigint)").as(outCol))
+      }
+      def step(hs: DataFrame): DataFrame = {
+        val auth = half(hs.select(col("node"), col("hub")), eS,
+          "src", "dst", "hub", "auth")
+        val hub = half(auth, eD, "dst", "src", "auth", "hub")
+        auth.join(hub, "node")
+      }
+      var scores = nodes
+        .select(col("node"), lit(0L).as("auth"),
+          lit(RankScale / n).as("hub"))
+        .localCheckpoint(true)
+      var i = 0
+      while (i < iters) {
+        val next = step(scores).localCheckpoint(true)
+        scores.unpersist(blocking = false)
+        scores = next
+        i += 1
+      }
+      e.unpersist(blocking = false)
+      eS.unpersist(blocking = false)
+      eD.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      scores
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
 }

@@ -102,4 +102,40 @@ class ExpressionsSpec extends SparkSpec {
       .select(GraftFunctions.zOrder2(col("a"), col("b")).as("z")).as[Long].collect()
     assert(z.take(50).max < z.drop(50).min)
   }
+
+  test("damerau_levenshtein: canonical cases incl. the unrestricted-vs-OSA split") {
+    def d(a: String, b: String): Long =
+      DamerauLevenshtein.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(d("", "") == 0L && d("", "abc") == 3L && d("abc", "") == 3L)
+    assert(d("kitten", "sitting") == 3L)
+    assert(d("ab", "ba") == 1L)               // adjacent transposition
+    assert(d("ca", "abc") == 2L)              // unrestricted: OSA would say 3
+    assert(d("a cat", "an abct") == 3L)
+    assert(d("abcd", "dcba") == 3L)
+    assert(d("xaby", "xbay") == 1L)
+    assert(d("привет", "превит") == 2L)       // code points, not bytes
+  }
+
+  test("damerau_levenshtein: metric axioms on random short strings") {
+    def d(a: String, b: String): Long =
+      DamerauLevenshtein.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    val rnd = new scala.util.Random(7)
+    def word() = (1 to 1 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (_ <- 1 to 300) {
+      val (a, b, c) = (word(), word(), word())
+      assert(d(a, a) == 0L)
+      assert(d(a, b) == d(b, a))
+      assert(d(a, c) <= d(a, b) + d(b, c), s"triangle broke on $a $b $c")
+      // never exceeds plain Levenshtein; at most max length
+      assert(d(a, b) <= math.max(a.length, b.length))
+    }
+  }
+
+  test("damerau_levenshtein: column path evaluates in codegen and nulls propagate") {
+    val out = Seq(("ca", "abc"), ("same", "same"), (null, "x"))
+      .toDF("a", "b")
+      .select(GraftFunctions.damerauLevenshtein(col("a"), col("b")).as("d"))
+      .collect()
+    assert(out(0).getLong(0) == 2L && out(1).getLong(0) == 0L && out(2).isNullAt(0))
+  }
 }

@@ -249,4 +249,35 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("hits: bipartite star — the shared authority dominates; hubs tie") {
+    // three hubs all point at authority 10; one also points at 11
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L)).toDF("src", "dst")
+    val out = GraphOps.hits(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // pure hubs have zero authority and vice versa
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 0L))
+    assert(Seq(10L, 11L).forall(out(_)._2 == 0L))
+    assert(out(10L)._1 > out(11L)._1)            // 3 in-edges beat 1
+    assert(out(3L)._2 > out(1L)._2)              // node 3 reaches more authority
+    assert(out(1L)._2 == out(2L)._2)             // symmetric hubs tie
+    // each side's L1 mass is Scale up to per-node floor truncation
+    assert(math.abs(out.values.map(_._1).sum - Scale) < 10L)
+    assert(math.abs(out.values.map(_._2).sum - Scale) < 10L)
+  }
+
+  test("hits is deterministic under repartitioning and duplicate edges") {
+    val pairs = (1L to 40L).map(i => (i % 5, 100L + i % 11))
+    val edges = pairs.toDF("src", "dst")
+    val a = GraphOps.hits(edges.repartition(1), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = GraphOps.hits(edges.union(edges).repartition(13), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("hits: empty edge set returns an empty frame, no division error") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.hits(edges, iters = 2).count() == 0L)
+  }
 }
