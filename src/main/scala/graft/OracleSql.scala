@@ -3530,6 +3530,50 @@ object OracleSql {
         |      AS BIGINT) END AS f1_micro
         |FROM s ORDER BY l_linestatus, thr_bin""".stripMargin,
 
+    // Sentences: identical RE2 split; dense index over non-empty
+    // segments via generate_series (unnest has no ordinality).
+    "q_sentences" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    str_split_regex(coalesce(text, ''), '[.!?]+\s*'),
+        |    x -> x <> '') AS arr
+        |  FROM documents),
+        |s AS (SELECT doc_id, arr,
+        |  unnest(generate_series(1, len(arr))) AS i FROM d)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+        |  arr[i] AS sentence, CAST(length(arr[i]) AS BIGINT) AS n_chars
+        |FROM s ORDER BY doc_id, sent_idx""".stripMargin,
+
+    "q_degree_dist" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM lineitem),
+        |e0 AS (SELECT a AS src, b AS dst FROM pairs
+        |       UNION SELECT b AS src, a AS dst FROM pairs),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+        |        FROM e0 GROUP BY 1)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY degree""".stripMargin,
+
+    // Last-touch attribution: touches pre-deduped to one channel per
+    // (user, ts) so the ASOF winner is tie-free on both engines.
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id AS t_user, ts AS t_ts, min(event_type) AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT p.value, r.channel
+        |  FROM p ASOF LEFT JOIN t r
+        |    ON p.user_id = r.t_user AND r.t_ts <= p.ts)
+        |SELECT coalesce(channel, 'direct') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM j GROUP BY 1 ORDER BY channel""".stripMargin,
+
     // HITS: 6 unrolled L1-normalized half-step pairs; raw sums are
     // HUGEINT, every normalization is one floor division.
     "q_hits" -> {

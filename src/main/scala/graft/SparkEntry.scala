@@ -2797,6 +2797,63 @@ object SparkEntry {
       .orderBy(col("side"), col("node"))
   }
 
+  /** Sentence segmentation of every document — the sub-document unit for
+    * paragraph-grade hygiene. Dense per-doc index; fully hash-oracled
+    * against the identical RE2 split.
+    */
+  private def qSentences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.splitSentences(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("sent_idx"), col("sentence"),
+        col("n_chars"))
+      .orderBy(col("doc_id"), col("sent_idx"))
+
+  /** Degree distribution of the undirected supply graph (off the shared
+    * [[supplyPairs]] relation) — the skew diagnostic run before sizing
+    * any graph job. Fully hash-oracled.
+    */
+  private def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supplyPairs(s, dir)
+    graft.graph.GraphOps.degreeDistribution(
+        pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst"))),
+        dedupEdges = false)
+      .orderBy(col("degree"))
+  }
+
+  /** Last-touch attribution: each purchase credits the latest preceding
+    * click/view by the same user (the as-of join shape), unattributed
+    * purchases fall to 'direct'. Touches are pre-deduped to one channel
+    * per (user, ts) — min(event_type) — so the as-of winner is
+    * tie-free on both engines. Fully hash-oracled via DuckDB's native
+    * ASOF JOIN.
+    */
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id").as("t_user"), col("ts").as("t_ts"))
+      .agg(min(col("event_type")).as("channel"))
+    ops.AsOfJoin.backward(purchases, touches, "user_id", "t_user",
+        "ts", "t_ts", Seq("channel"))
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("channel"))
+  }
+
+  /** Misra–Gries top-20 users per event type — the bounded-memory twin
+    * of q_heavy_hitters. Partition-dependent summary (which keys
+    * survive decrements depends on arrival order) → rows-only;
+    * MisraGriesSpec pins the frequency guarantee and error interval.
+    */
+  private def qMisraGries(s: SparkSession, dir: String): DataFrame =
+    graft.sketch.Sketches.misraGries(
+        t(s, dir, "events"), "event_type", "user_id", k = 20)
+      .orderBy(col("event_type"), col("mg_rank"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2988,6 +3045,10 @@ object SparkEntry {
     "q_partial_merge" -> (qPartialMerge _),
     "q_fuzzy_damerau" -> (qFuzzyDamerau _),
     "q_hits" -> (qHits _),
+    "q_sentences" -> (qSentences _),
+    "q_degree_dist" -> (qDegreeDist _),
+    "q_attribution" -> (qAttribution _),
+    "q_misra_gries" -> (qMisraGries _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -478,6 +478,25 @@ object GraphOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  /** Degree distribution: how many nodes have each exact out-degree —
+    * the first diagnostic a graph job runs (a power-law tail predicts
+    * skewed reducers; the max degree bounds the triangle/join fan-out).
+    * Callers pass both directions for an undirected graph, as
+    * elsewhere. Duplicate edges collapse (set semantics).
+    *
+    * Scale: two hash aggregations, each strictly reducing — |E| → |V|
+    * rows → |distinct degrees| rows (tens, by the time anything is
+    * worth plotting). Exact longs; trivially hash-oracled.
+    */
+  def degreeDistribution(edges: DataFrame,
+      dedupEdges: Boolean = true): DataFrame = {
+    val e0 = edges.filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val e = if (dedupEdges) e0.distinct() else e0
+    e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** HITS hubs & authorities (Kleinberg '99) with a FIXED iteration
     * count in exact fixed-point arithmetic:
     *

@@ -398,4 +398,74 @@ object Sketches {
           .otherwise(floor(col("e")).cast("long")))
       .select((groupCols.map(col) :+ col("hll_estimate")): _*)
   }
+
+  /** Misra–Gries heavy-hitter summary (Misra & Gries '82), the
+    * bounded-memory twin of `SkewOps.heavyHitters`: each partition
+    * keeps at most `k` counters per group (decrement-all on overflow),
+    * partial summaries MERGE by summing counters, and the merged
+    * undercount is bounded by `(n − m) div (k+1)` where m is the
+    * surviving counter mass — every decrement event discards exactly
+    * k+1 occurrences, so the bound is an identity, not an estimate.
+    * Any key with true frequency > err_max is guaranteed present.
+    * Returns the top-k merged counters per group:
+    * `(group, key, mg_rank, est, err_max, n)` with
+    * `est ≤ true ≤ est + err_max`.
+    *
+    * The summary (NOT the final estimate) is partition-dependent —
+    * which keys survive a decrement depends on arrival order — so
+    * there is no SQL oracle; MisraGriesSpec pins the frequency
+    * guarantee and the error interval against exact counts across
+    * partitionings. Use when a group's distinct-key count itself is
+    * the scale problem (heavyHitters' cell relation would be ~|rows|);
+    * per-partition state is O(k·|groups|) regardless of data size.
+    */
+  def misraGries(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "misraGries needs k > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).cast("string"), col(keyCol).cast("string"))
+      .as[(String, String)]
+    // counter rows (g, Some(key), cnt) + one total row (g, None, n) per
+    // partition-group; both merge by plain summation downstream
+    val partials = pairs.mapPartitions { it =>
+      val counters = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Map[String, Long]]
+      val totals = scala.collection.mutable.Map.empty[String, Long]
+      it.foreach { case (g, key) =>
+        totals.update(g, totals.getOrElse(g, 0L) + 1L)
+        val c = counters.getOrElseUpdate(g,
+          scala.collection.mutable.Map.empty[String, Long])
+        if (c.contains(key)) c.update(key, c(key) + 1L)
+        else if (c.size < k) c.update(key, 1L)
+        else {
+          val ks = c.keys.toArray
+          var i = 0
+          while (i < ks.length) {
+            val v = c(ks(i)) - 1L
+            if (v == 0L) c.remove(ks(i)) else c.update(ks(i), v)
+            i += 1
+          }
+        }
+      }
+      counters.iterator.flatMap { case (g, c) =>
+        c.iterator.map { case (key, cnt) => (g, Option(key), cnt) }
+      } ++ totals.iterator.map { case (g, n) => (g, Option.empty[String], n) }
+    }.toDF("_mg_g", "_mg_k", "_mg_c")
+    val merged = partials.filter(col("_mg_k").isNotNull)
+      .groupBy(col("_mg_g"), col("_mg_k")).agg(sum(col("_mg_c")).as("est"))
+    val byGroup = partials.groupBy(col("_mg_g")).agg(
+      sum(when(col("_mg_k").isNull, col("_mg_c")).otherwise(0L)).as("n"),
+      sum(when(col("_mg_k").isNotNull, col("_mg_c")).otherwise(0L)).as("_mg_m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_mg_g")).orderBy(col("est").desc, col("_mg_k"))
+    merged.join(byGroup, "_mg_g")
+      .withColumn("err_max", expr(s"(n - _mg_m) div ${k + 1}"))
+      .withColumn("mg_rank", row_number().over(w).cast("long"))
+      .filter(col("mg_rank") <= k)
+      .select(col("_mg_g").as(groupCol), col("_mg_k").as(keyCol),
+        col("mg_rank"), col("est"), col("err_max"), col("n"))
+  }
 }

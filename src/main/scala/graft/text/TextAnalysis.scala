@@ -222,6 +222,25 @@ object TextAnalysis {
       .select(col("rank"), col("doc"), col("score"))
   }
 
+  /** Sentence segmentation: text splits on terminal-punctuation runs
+    * (`[.!?]+` plus trailing whitespace) into (doc, sent_idx, sentence)
+    * rows with a DENSE index over the non-empty segments — the unit the
+    * paragraph-level dedup, PII and quality gates drop to when document
+    * granularity is too coarse. The split pattern is RE2-safe (no
+    * lookbehind, which the usual "keep the delimiter" split needs), so
+    * the DuckDB oracle runs the identical regex.
+    *
+    * Scale: pure generator fan-out (split → filter → posexplode), zero
+    * shuffle; fan-out is bounded by text length like chunkDocuments.
+    */
+  def splitSentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        filter(split(coalesce(col(textCol), lit("")), "[.!?]+\\s*"),
+          x => x =!= "").as("_ss_arr"))
+      .select(col("doc"), posexplode(col("_ss_arr")).as(Seq("sent_idx", "sentence")))
+      .select(col("doc"), col("sent_idx").cast("long").as("sent_idx"),
+        col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
+
   /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) of two ranked
     * retrieval lists — the standard way a hybrid search combines a
     * lexical (BM25) list with a semantic (embedding-cosine) list

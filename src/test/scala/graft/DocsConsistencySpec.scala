@@ -63,11 +63,13 @@ class DocsConsistencySpec extends AnyFunSuite {
     // The closed list of rows-only queries, each with a structural reason:
     // approximate candidate generation (recall-spec'd), sketch-specific
     // estimates, NFKC (absent in DuckDB), or a mapPartitions decode.
+    // q_misra_gries: the MG summary is partition-dependent (which keys
+    // survive a decrement depends on arrival order) — guarantee-spec'd.
     val rowsOnly = Set(
       "q_dedup_minhash_lsh", "q_dedup_simhash", "q_payload_near_dup",
       "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_joined", "q_ann_pq", "q_semdedup",
       "q_approx_distinct", "q_approx_percentile", "q_embed_normalize_approx",
-      "q_clean_text", "q_multimodal_features")
+      "q_clean_text", "q_multimodal_features", "q_misra_gries")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
       s"rows-only set drifted: unexpected=${unoracled -- rowsOnly} " +

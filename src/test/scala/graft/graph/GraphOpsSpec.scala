@@ -280,4 +280,12 @@ class GraphOpsSpec extends SparkSpec {
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(GraphOps.hits(edges, iters = 2).count() == 0L)
   }
+
+  test("degreeDistribution: star graph — one hub of degree n, n leaves of 1") {
+    val n = 6L
+    val edges = (1L to n).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
+    val out = GraphOps.degreeDistribution(edges.union(edges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> n, n -> 1L))
+  }
 }

@@ -262,4 +262,39 @@ class SketchesSpec extends SparkSpec {
       Seq("grp")).collect().head.getLong(1)
     assert(a == b)
   }
+
+  test("misraGries: interval contains the truth; heavy keys always surface") {
+    import spark.implicits._
+    // 3 planted heavy keys over a long uniform tail
+    val rows = (Seq.fill(400)("hot1") ++ Seq.fill(300)("hot2") ++
+      Seq.fill(200)("hot3") ++ (1 to 600).map(i => s"tail${i % 300}"))
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    for (parts <- Seq(1, 7)) {
+      val df = rows.map(("g", _)).toDF("grp", "key").repartition(parts)
+      val out = Sketches.misraGries(df, "grp", "key", k = 10).collect()
+      val est = out.map(r => r.getString(r.fieldIndex("key")) ->
+        (r.getLong(r.fieldIndex("est")), r.getLong(r.fieldIndex("err_max")))).toMap
+      assert(out.forall(_.getLong(out.head.fieldIndex("n")) == n))
+      // est ≤ true ≤ est + err for every reported key
+      est.foreach { case (k, (e, err)) =>
+        val t = truth(k)
+        assert(e <= t && t <= e + err, s"parts=$parts key=$k est=$e err=$err true=$t")
+      }
+      // any key with true > err_max must be present (MG guarantee)
+      val errMax = out.head.getLong(out.head.fieldIndex("err_max"))
+      truth.filter(_._2 > errMax).keys.foreach { k =>
+        assert(est.contains(k), s"parts=$parts heavy key $k missing (err=$errMax)")
+      }
+    }
+  }
+
+  test("misraGries: fewer distinct keys than k degrades to exact counts") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b")).map(("g", _))
+      .toDF("grp", "key").repartition(3)
+    val out = Sketches.misraGries(df, "grp", "key", k = 10)
+      .collect().map(r => r.getString(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map("a" -> (5L, 0L), "b" -> (3L, 0L)))
+  }
 }

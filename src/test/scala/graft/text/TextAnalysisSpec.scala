@@ -329,6 +329,21 @@ class TextAnalysisSpec extends SparkSpec {
     out.values.foreach { case (_, score, keep) => assert(keep == (score > 1000.0)) }
   }
 
+  test("splitSentences: dense index, empty segments dropped, nulls safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "One. Two!  Three? "),
+      (2L, "no terminal punct"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "...")).toDF("id", "txt")
+    val out = TextAnalysis.splitSentences(df, "id", "txt")
+      .orderBy("doc", "sent_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "One"), (1L, 1L, "Two"), (1L, 2L, "Three"),
+      (2L, 0L, "no terminal punct")))
+  }
+
   test("rrfFuse sums reciprocal ranks; items on one list only still fuse") {
     import spark.implicits._
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
