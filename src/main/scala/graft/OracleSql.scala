@@ -3530,6 +3530,92 @@ object OracleSql {
         |      AS BIGINT) END AS f1_micro
         |FROM s ORDER BY l_linestatus, thr_bin""".stripMargin,
 
+    // Flesch: identical RE2 counts; both ratios are single integral divs.
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(
+        |      str_split_regex(coalesce(text, ''), '[.!?]+\s*'),
+        |      x -> x <> '')) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+        |      AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(coalesce(text, ''), '[aeiouyAEIOUY]+'))
+        |      AS BIGINT) AS n_sylls
+        |  FROM documents)
+        |SELECT doc_id, n_sents, n_words, n_sylls,
+        |  CASE WHEN n_sents > 0 AND n_words > 0
+        |    THEN 206835000 - (1015000 * n_words) // n_sents
+        |                   - (84600000 * n_sylls) // n_words
+        |  END AS flesch_micro
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // TTR/hapax over the house token normalization; both ratios are
+    // single integral divisions of exact counts.
+    "q_ttr" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id AS doc, unnest(str_split(${norm("text")}, ' ')) AS tok
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+         |d AS (
+         |  SELECT doc, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM tf GROUP BY 1)
+         |SELECT doc AS doc_id, n_tokens, n_types, n_hapax,
+         |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_micro,
+         |  CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_micro
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Seasonal index: volume-weighted cleared-denominator ratio over
+    // exact cents sums; DuckDB dayofweek is 0-based Sunday, Spark's is
+    // 1-based Sunday → +1.
+    "q_seasonality" ->
+      """WITH r AS (
+        |  SELECT event_type, dayofweek(ts) + 1 AS dow,
+        |    CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |cells AS (
+        |  SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS HUGEINT) AS s
+        |  FROM r GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, dow, n, s,
+        |    sum(n) OVER (PARTITION BY event_type) AS tn,
+        |    sum(s) OVER (PARTITION BY event_type) AS tsum
+        |  FROM cells)
+        |SELECT event_type, dow, n, CAST(s // n AS BIGINT) AS mean_cents,
+        |  CAST((s * tn * 1000000) // (n * tsum) AS BIGINT) AS idx_micro
+        |FROM t WHERE tsum > 0 ORDER BY event_type, dow""".stripMargin,
+
+    // Rolling z: exact integer window sums, one IEEE division + sqrt
+    // (the Spearman discipline), floored to micro.
+    "q_rolling_z" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |x AS (SELECT event_type, day, s // n AS x_cents FROM d),
+        |w AS (
+        |  SELECT event_type, day, x_cents,
+        |    count(*) OVER fr AS m, sum(x_cents) OVER fr AS sw,
+        |    sum(x_cents * x_cents) OVER fr AS ssw
+        |  FROM x WINDOW fr AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |z AS (
+        |  SELECT event_type, day, x_cents,
+        |    CASE WHEN m * ssw - sw * sw > 0 THEN
+        |      CAST(floor((m * x_cents - sw) * 1e6 /
+        |        sqrt(CAST(m * (m * ssw - sw * sw) AS DOUBLE))) AS BIGINT)
+        |    END AS z_micro
+        |  FROM w)
+        |SELECT event_type, day, x_cents, z_micro,
+        |  z_micro IS NOT NULL AND abs(z_micro) > 2000000 AS is_spike
+        |FROM z ORDER BY event_type, day""".stripMargin,
+
     // Sentences: identical RE2 split; dense index over non-empty
     // segments via generate_series (unnest has no ordinality).
     "q_sentences" ->

@@ -2854,6 +2854,41 @@ object SparkEntry {
         t(s, dir, "events"), "event_type", "user_id", k = 20)
       .orderBy(col("event_type"), col("mg_rank"))
 
+  /** Flesch reading ease per document — vowel-group syllables, cleared
+    * to integral divisions. Fully hash-oracled.
+    */
+  private def qReadability(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("n_sents"), col("n_words"),
+        col("n_sylls"), col("flesch_micro"))
+      .orderBy(col("doc_id"))
+
+  /** Type–token and hapax ratios per document — the lexical-diversity
+    * gate. Fully hash-oracled.
+    */
+  private def qTtr(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lexicalDiversity(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("ttr_micro"), col("hapax_micro"))
+      .orderBy(col("doc_id"))
+
+  /** Day-of-week seasonal index of event value per type — volume-weighted
+    * cleared-denominator ratios. Fully hash-oracled.
+    */
+  private def qSeasonality(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.seasonalIndex(
+        t(s, dir, "events"), Seq("event_type"), "ts", "value")
+      .orderBy(col("event_type"), col("dow"))
+
+  /** Trailing-7-day rolling z-score of the daily mean event value per
+    * type, spikes flagged at |z| > 2 — exact window sums, one IEEE
+    * division + sqrt. Fully hash-oracled.
+    */
+  private def qRollingZ(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.rollingZ(
+        t(s, dir, "events"), Seq("event_type"), "ts", "value", windowDays = 7)
+      .orderBy(col("event_type"), col("day"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3049,6 +3084,10 @@ object SparkEntry {
     "q_degree_dist" -> (qDegreeDist _),
     "q_attribution" -> (qAttribution _),
     "q_misra_gries" -> (qMisraGries _),
+    "q_readability" -> (qReadability _),
+    "q_ttr" -> (qTtr _),
+    "q_seasonality" -> (qSeasonality _),
+    "q_rolling_z" -> (qRollingZ _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

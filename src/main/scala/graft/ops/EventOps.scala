@@ -270,4 +270,75 @@ object EventOps {
           |div (shiftleft(1L, size(_ew_arr)) - 1)""".stripMargin))
       .select(g ++ Seq(col("day"), col("x_cents"), col("ewma_cents")): _*)
   }
+
+  /** Day-of-week seasonal index per key: each weekday's mean value as a
+    * micro-ratio of the key's overall mean —
+    * `idx = (S_d·N) · 10⁶ div (n_d·S)` with both denominators cleared
+    * into ONE integral division over exact cents sums (never a
+    * mean-of-means, which would weight days equally regardless of
+    * volume). 10⁶ = flat; >10⁶ = that weekday runs hot.
+    *
+    * Scale: one hash aggregation onto (key, dow) cells with map-side
+    * partials; the overall sums come from a window over the ≤7-row
+    * cell relation per key, not a second scan.
+    */
+  def seasonalIndex(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "seasonalIndex needs key columns")
+    val g = keyCols.map(col)
+    val gw = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(g ++ Seq(dayofweek(col(tsCol)).cast("long").as("dow"),
+        floor(col(valueCol) * 100).cast("long").as("_si_c")): _*)
+      .groupBy(g :+ col("dow"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_si_c")).as("_si_s"))
+      .withColumn("_si_tn", sum(col("n")).over(gw))
+      .withColumn("_si_ts", sum(col("_si_s")).over(gw))
+      .select(g ++ Seq(col("dow"), col("n"),
+        expr("_si_s div n").as("mean_cents"),
+        expr("case when _si_ts > 0 then (_si_s * _si_tn * 1000000)" +
+          " div (n * _si_ts) end").as("idx_micro")): _*)
+      .filter(col("idx_micro").isNotNull)
+  }
+
+  /** Rolling z-score of the daily mean value per key over a trailing
+    * `windowDays`-row frame — the spike detector beside [[cusum]]'s
+    * drift detector. The z clears its denominators to
+    * `z = (n·x − S)·10⁶ / sqrt(n·(n·SS − S²))` over exact integer
+    * window sums: one double division and one sqrt (both individually
+    * correctly-rounded IEEE ops — the Spearman discipline), floored to
+    * micro. NULL when the frame has zero variance. `is_spike` flags
+    * |z| > 2.
+    *
+    * Scale: day aggregation shuffles once; all three window sums share
+    * one (key, day) sort over the ≤|days| cell relation.
+    */
+  def rollingZ(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, windowDays: Int = 7): DataFrame = {
+    require(keyCols.nonEmpty, "rollingZ needs key columns")
+    require(windowDays > 1, "rollingZ needs a window of at least 2 days")
+    val g = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), 0)
+    events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(g ++ Seq(to_date(col(tsCol)).as("day"),
+        floor(col(valueCol) * 100).cast("long").as("_rz_c")): _*)
+      .groupBy(g :+ col("day"): _*)
+      .agg(count(lit(1)).as("_rz_n"), sum(col("_rz_c")).as("_rz_sum"))
+      .withColumn("x_cents", expr("_rz_sum div _rz_n"))
+      .withColumn("_rz_m", count(lit(1)).over(w))
+      .withColumn("_rz_s", sum(col("x_cents")).over(w))
+      .withColumn("_rz_ss", sum(col("x_cents") * col("x_cents")).over(w))
+      .withColumn("z_micro", expr(
+        """case when _rz_m * _rz_ss - _rz_s * _rz_s > 0 then
+          |cast(floor((_rz_m * x_cents - _rz_s) * 1e6 /
+          |  sqrt(cast(_rz_m * (_rz_m * _rz_ss - _rz_s * _rz_s) as double)))
+          |  as bigint) end""".stripMargin))
+      .select(g ++ Seq(col("day"), col("x_cents"), col("z_micro"),
+        (col("z_micro").isNotNull &&
+          abs(col("z_micro")) > 2000000L).as("is_spike")): _*)
+  }
 }

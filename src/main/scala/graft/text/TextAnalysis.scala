@@ -241,6 +241,59 @@ object TextAnalysis {
       .select(col("doc"), col("sent_idx").cast("long").as("sent_idx"),
         col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
 
+  /** Flesch reading-ease score in micro units, on the classic
+    * vowel-group syllable estimate:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`,
+    * each ratio cleared to one integral division so the score is exact
+    * integer arithmetic end-to-end (the constants are already rational
+    * — ×10⁶ loses nothing). Sentences = non-empty `[.!?]+` segments
+    * (the [[splitSentences]] rule); words = `\S+` runs; syllables =
+    * `[aeiouyAEIOUY]+` runs — the standard heuristic, and an EXACT
+    * specification both engines implement with the same RE2 regexes,
+    * which is what makes a "readability" number oracle-able at all.
+    * NULL when a document has no sentences or no words.
+    *
+    * Scale: one codegen projection, zero shuffle.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    df.select(col(idCol).as("doc"),
+        size(filter(split(t, "[.!?]+\\s*"), x => x =!= ""))
+          .cast("long").as("n_sents"),
+        size(regexp_extract_all(t, lit("\\S+"), lit(0)))
+          .cast("long").as("n_words"),
+        size(regexp_extract_all(t, lit("[aeiouyAEIOUY]+"), lit(0)))
+          .cast("long").as("n_sylls"))
+      .withColumn("flesch_micro", expr(
+        """case when n_sents > 0 and n_words > 0
+          |then 206835000 - (1015000 * n_words) div n_sents
+          |              - (84600000 * n_sylls) div n_words end""".stripMargin))
+  }
+
+  /** Lexical diversity: type–token ratio and hapax-legomena ratio per
+    * document — the repetition gate orthogonal to [[charEntropy]]
+    * (characters) and the Gopher line rules (formatting). Both ratios
+    * are single integral divisions of exact counts over the whitespace
+    * token relation, so the report hash-oracles.
+    *
+    * Scale: one explode → two-level hash aggregation (token cells →
+    * per-doc counts), the tf-idf shape; no window.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"),
+        explode(graft.dedup.Dedup.tokensOf(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
+    toks.groupBy(col("doc")).agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_micro"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_micro"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) of two ranked
     * retrieval lists — the standard way a hybrid search combines a
     * lexical (BM25) list with a semantic (embedding-cosine) list

@@ -181,4 +181,40 @@ class EventOpsSpec extends SparkSpec {
     // steady state: constant input converges to the constant
     assert(out.last.getLong(out.last.fieldIndex("ewma_cents")) == 4000L)
   }
+
+  test("seasonalIndex is volume-weighted: hot low-volume day still indexes hot") {
+    // Mondays (2024-02-05/12): value 30 twice; Tuesdays: value 10 six times
+    val ev = (Seq("2024-02-05", "2024-02-12").map((_, 30.0)) ++
+      (1 to 3).flatMap(_ => Seq("2024-02-06", "2024-02-13").map((_, 10.0))))
+      .map { case (d, v) => ("k", java.sql.Timestamp.valueOf(s"$d 10:00:00"), v) }
+      .toDF("key", "t", "v")
+    val out = EventOps.seasonalIndex(ev, Seq("key"), "t", "v")
+      .orderBy("dow").collect()
+    assert(out.length == 2)
+    // overall mean = (2·3000 + 6·1000)/8 = 1500 cents
+    val mon = out.find(_.getLong(1) == 2).get // Spark dow: Monday = 2
+    assert(mon.getLong(mon.fieldIndex("mean_cents")) == 3000L)
+    assert(mon.getLong(mon.fieldIndex("idx_micro")) == 2000000L)
+    val tue = out.find(_.getLong(1) == 3).get
+    assert(tue.getLong(tue.fieldIndex("idx_micro")) == 666666L)
+  }
+
+  test("rollingZ matches the cleared-denominator reference; flat window is null") {
+    val days = Seq(10.0, 10.0, 10.0, 10.0, 30.0)
+    val ev = days.zipWithIndex.map { case (v, i) =>
+      ("k", java.sql.Timestamp.valueOf(f"2024-02-${i + 1}%02d 12:00:00"), v)
+    }.toDF("key", "t", "v")
+    val out = EventOps.rollingZ(ev, Seq("key"), "t", "v", windowDays = 7)
+      .orderBy("day").collect()
+    // first four days: zero variance → null z, no spike
+    assert(out.take(4).forall(r => r.isNullAt(r.fieldIndex("z_micro"))))
+    assert(out.take(4).forall(r => !r.getBoolean(r.fieldIndex("is_spike"))))
+    // day 5: cents = (1000×4, 3000); m=5, S=7000, SS=13000000
+    val m = 5L; val s = 7000L; val ss = 13000000L; val x = 3000L
+    val expected = math.floor(
+      (m * x - s) * 1e6 / math.sqrt((m * (m * ss - s * s)).toDouble)).toLong
+    val last = out.last
+    assert(last.getLong(last.fieldIndex("z_micro")) == expected)
+    assert(!last.getBoolean(last.fieldIndex("is_spike")) == (math.abs(expected) <= 2000000L))
+  }
 }

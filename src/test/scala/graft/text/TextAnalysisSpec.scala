@@ -344,6 +344,40 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 0L, "no terminal punct")))
   }
 
+  test("readability: cleared-denominator Flesch matches hand arithmetic") {
+    import spark.implicits._
+    // 2 sentences, 6 words, 8 vowel groups
+    val df = Seq((1L, "the cat sat down. it was warm!"), (2L, ""),
+      (3L, "xyz pqrst")).toDF("id", "txt")
+    val out = TextAnalysis.readability(df, "id", "txt")
+      .orderBy("doc").collect()
+    val r1 = out(0)
+    assert(r1.getLong(r1.fieldIndex("n_sents")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("n_words")) == 7L)
+    val w = 7L; val s = 2L; val syl = r1.getLong(r1.fieldIndex("n_sylls"))
+    assert(r1.getLong(r1.fieldIndex("flesch_micro")) ==
+      206835000L - (1015000L * w) / s - (84600000L * syl) / w)
+    assert(out(1).isNullAt(out(1).fieldIndex("flesch_micro"))) // empty
+    // un-punctuated text is ONE sentence (the splitSentences rule);
+    // the single 'y' vowel group is the whole syllable count
+    val r3 = out(2)
+    assert(r3.getLong(r3.fieldIndex("n_sents")) == 1L &&
+      r3.getLong(r3.fieldIndex("n_sylls")) == 1L)
+    assert(r3.getLong(r3.fieldIndex("flesch_micro")) ==
+      206835000L - 1015000L * 2 - 84600000L / 2)
+  }
+
+  test("lexicalDiversity: ttr and hapax ratios from exact counts") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a b b c")).toDF("id", "txt")
+    val r = TextAnalysis.lexicalDiversity(df, "id", "txt").collect().head
+    assert(r.getLong(r.fieldIndex("n_tokens")) == 6L)
+    assert(r.getLong(r.fieldIndex("n_types")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_hapax")) == 1L)
+    assert(r.getLong(r.fieldIndex("ttr_micro")) == 500000L)
+    assert(r.getLong(r.fieldIndex("hapax_micro")) == 333333L)
+  }
+
   test("rrfFuse sums reciprocal ranks; items on one list only still fuse") {
     import spark.implicits._
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
