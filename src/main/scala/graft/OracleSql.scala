@@ -2704,6 +2704,162 @@ object OracleSql {
         |    / CAST(n_p + 20 AS DOUBLE)) AS BIGINT) AS kl_micro
         |FROM agg ORDER BY event_type""".stripMargin,
 
+    // Jensen–Shannon drift: the q_drift_psi cell/smoothing skeleton
+    // verbatim; the mixture ratio collapses to 2w/(w_p+w_q), each log
+    // micro-quantized once, exact HUGEINT summands, ONE final double
+    // division by 2D.
+    "q_js_divergence" ->
+      """WITH r AS (
+        |  SELECT event_type, (day(ts) <= 15) AS p,
+        |    CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS b
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |cells AS (
+        |  SELECT event_type, b,
+        |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(sum(CASE WHEN NOT p THEN 1 ELSE 0 END) AS BIGINT) AS cq
+        |  FROM r GROUP BY 1, 2),
+        |allb AS (
+        |  SELECT g.event_type, t.b,
+        |    coalesce(c.cp, 0) AS cp, coalesce(c.cq, 0) AS cq
+        |  FROM (SELECT DISTINCT event_type FROM cells) g
+        |  CROSS JOIN generate_series(0, 19) t(b)
+        |  LEFT JOIN cells c ON c.event_type = g.event_type AND c.b = t.b),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(cp) AS BIGINT) AS n_p,
+        |    CAST(sum(cq) AS BIGINT) AS n_q
+        |  FROM cells GROUP BY 1),
+        |sc AS (
+        |  SELECT f.event_type, n_p, n_q,
+        |    CAST(cp + 1 AS HUGEINT) * (n_q + 20) AS wp,
+        |    CAST(cq + 1 AS HUGEINT) * (n_p + 20) AS wq
+        |  FROM allb f JOIN tot USING (event_type)),
+        |lnb AS (
+        |  SELECT *,
+        |    CAST(round(ln(2.0 * CAST(wp AS DOUBLE)
+        |      / CAST(wp + wq AS DOUBLE)) * 1000000.0) AS HUGEINT) AS lnp,
+        |    CAST(round(ln(2.0 * CAST(wq AS DOUBLE)
+        |      / CAST(wp + wq AS DOUBLE)) * 1000000.0) AS HUGEINT) AS lnq
+        |  FROM sc),
+        |agg AS (
+        |  SELECT event_type, any_value(n_p) AS n_p, any_value(n_q) AS n_q,
+        |    sum(wp * lnp + wq * lnq) AS s
+        |  FROM lnb GROUP BY 1)
+        |SELECT event_type, n_p, n_q,
+        |  CAST(floor(CAST(s AS DOUBLE)
+        |    / CAST((n_p + 20) * (n_q + 20) * 2 AS DOUBLE)) AS BIGINT)
+        |    AS js_micro
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // Benford screen: ⌊v·100⌋ cents (IEEE multiply + floor, identical
+    // both engines), first digit read off the BIGINT's decimal
+    // rendering, the nine expectations as definitional VALUES constants.
+    "q_benford" ->
+      """WITH u AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |d AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM u WHERE v > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt FROM c),
+        |e (digit, benford_micro) AS (VALUES
+        |  (1, CAST(301030 AS BIGINT)), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757))
+        |SELECT e.digit, coalesce(c.cnt, 0) AS cnt,
+        |  CASE WHEN nt > 0
+        |    THEN CAST(coalesce(c.cnt, 0) * 1000000 // nt AS BIGINT)
+        |    ELSE 0 END AS share_micro,
+        |  e.benford_micro,
+        |  abs(CASE WHEN nt > 0
+        |    THEN CAST(coalesce(c.cnt, 0) * 1000000 // nt AS BIGINT)
+        |    ELSE 0 END - e.benford_micro) AS dev_micro
+        |FROM e CROSS JOIN n LEFT JOIN c ON c.digit = e.digit
+        |ORDER BY e.digit""".stripMargin,
+
+    // Key-skew report: stacked key columns → one cell relation,
+    // ascending (cnt, key) ranks for the exact-integer Gini, windowed
+    // top-1 election, HUGEINT cross-multiplies, integral divisions.
+    "q_skew_report" ->
+      """WITH st AS (
+        |  SELECT 'l_orderkey' AS key_col,
+        |    CAST(l_orderkey AS VARCHAR) AS key FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR)
+        |    FROM lineitem),
+        |cells AS (
+        |  SELECT key_col, key, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM st WHERE key IS NOT NULL GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY key_col ORDER BY cnt, key) AS BIGINT) AS r
+        |  FROM cells),
+        |top AS (
+        |  SELECT key_col, key AS top1_key, cnt AS top1_cnt FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY key_col ORDER BY cnt DESC, key) AS tr
+        |    FROM cells) WHERE tr = 1),
+        |agg AS (
+        |  SELECT key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    sum(CAST(r AS HUGEINT) * cnt) AS s
+        |  FROM rk GROUP BY 1)
+        |SELECT a.key_col, n_rows, n_keys, top1_key, top1_cnt,
+        |  CAST(top1_cnt * 1000000 // n_rows AS BIGINT) AS top1_share_micro,
+        |  CAST((2 * s - CAST(n_keys + 1 AS HUGEINT) * n_rows) * 1000000
+        |    // (CAST(n_keys AS HUGEINT) * n_rows) AS BIGINT) AS gini_micro,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST((top1_cnt * 200 + n_rows - 1) // n_rows AS BIGINT))
+        |    AS salt_factor
+        |FROM agg a JOIN top USING (key_col) ORDER BY key_col""".stripMargin,
+
+    // FD discovery: per pair, count-distinct dependents per determinant
+    // then one summary row; four independent pairs unioned.
+    "q_fd_check" ->
+      """WITH p1 AS (
+        |  SELECT c_custkey AS d,
+        |    CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nd
+        |  FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+        |p2 AS (
+        |  SELECT c_nationkey AS d,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS nd
+        |  FROM customer WHERE c_nationkey IS NOT NULL GROUP BY 1),
+        |p3 AS (
+        |  SELECT o_orderkey AS d,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd
+        |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |p4 AS (
+        |  SELECT o_custkey AS d,
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |u AS (
+        |  SELECT 'c_custkey' AS det_col, 'c_nationkey' AS dep_col,
+        |    CAST(count(*) AS BIGINT) AS n_dets,
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(max(nd) AS BIGINT) AS max_deps
+        |  FROM p1
+        |  UNION ALL
+        |  SELECT 'c_nationkey', 'c_mktsegment', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nd) AS BIGINT)
+        |  FROM p2
+        |  UNION ALL
+        |  SELECT 'o_orderkey', 'o_custkey', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nd) AS BIGINT)
+        |  FROM p3
+        |  UNION ALL
+        |  SELECT 'o_custkey', 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(nd) AS BIGINT)
+        |  FROM p4)
+        |SELECT det_col, dep_col, n_dets, n_violating, max_deps,
+        |  (n_violating = 0) AS fd_holds
+        |FROM u ORDER BY det_col, dep_col""".stripMargin,
+
     // JL ±1 projection: the sign matrix is regenerated from md5 parity
     // of the (j, i) coordinates, so the exact-integer projection is
     // plain SQL.

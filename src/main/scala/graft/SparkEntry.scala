@@ -2513,6 +2513,50 @@ object SparkEntry {
         Seq("event_type"), "arm", "value")
       .orderBy(col("event_type"))
 
+  /** Bounded symmetric drift: Jensen–Shannon divergence of the
+    * event-value distribution, first half of the month (P) vs second
+    * half (Q), per event type — the absolute-scale companion to
+    * q_drift_psi over the same binning.
+    */
+  private def qJsDivergence(s: SparkSession, dir: String): DataFrame =
+    ops.Drift.jsDivergence(
+        t(s, dir, "events")
+          .withColumn("expected", dayofmonth(col("ts")) <= 15),
+        Seq("event_type"), "value", "expected", binWidth = 25.0, nBins = 20)
+      .orderBy(col("event_type"))
+
+  /** Benford first-digit screen of order totals — the
+    * fabricated-amounts data-quality test, quantized to cents. Fully
+    * hash-oracled (the nine Benford expectations are definitional
+    * constants on both sides).
+    */
+  private def qBenford(s: SparkSession, dir: String): DataFrame =
+    ops.Drift.benfordDigits(t(s, dir, "orders"), "o_totalprice",
+        scale = 100L)
+      .orderBy(col("digit"))
+
+  /** Key-skew report over lineitem's three join keys — Gini of the
+    * per-key row counts, the hottest key's share, and the recommended
+    * salt factor at 200 reducers. The pre-join diagnostic, fully
+    * hash-oracled.
+    */
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame =
+    ops.SkewOps.skewReport(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), partitions = 200)
+      .orderBy(col("key_col"))
+
+  /** Functional-dependency discovery: does custkey determine nation?
+    * does nation determine market segment? is orderkey a candidate key
+    * for custkey? does custkey pin order priority? Two hold, two fail —
+    * the schema-inference pass, fully hash-oracled.
+    */
+  private def qFdCheck(s: SparkSession, dir: String): DataFrame =
+    sketch.Profiler.fdCheck(t(s, dir, "customer"),
+        Seq(("c_custkey", "c_nationkey"), ("c_nationkey", "c_mktsegment")))
+      .unionAll(sketch.Profiler.fdCheck(t(s, dir, "orders"),
+        Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"))))
+      .orderBy(col("det_col"), col("dep_col"))
+
   /** Fleiss' kappa over THREE weak order labelers (priority, price,
     * date) voting hi/lo — multi-rater chance-corrected agreement per
     * order status.
@@ -3043,6 +3087,10 @@ object SparkEntry {
     "q_cohen_kappa" -> (qCohenKappa _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_ks_test" -> (qKsTest _),
+    "q_js_divergence" -> (qJsDivergence _),
+    "q_benford" -> (qBenford _),
+    "q_skew_report" -> (qSkewReport _),
+    "q_fd_check" -> (qFdCheck _),
     "q_fleiss_kappa" -> (qFleissKappa _),
     "q_confusion" -> (qConfusion _),
     "q_auc" -> (qAuc _),

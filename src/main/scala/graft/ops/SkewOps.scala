@@ -94,4 +94,67 @@ object SkewOps {
         expr("cnt * 1000000 div _hh_total").as("share_micro"),
         expr("_hh_cum * 1000000 div _hh_total").as("cum_share_micro")): _*)
   }
+
+  /** Key-distribution skew report over candidate join/group keys — the
+    * diagnostic run BEFORE sizing a big join: one row per key column with
+    * `(key_col, n_rows, n_keys, top1_key, top1_cnt, top1_share_micro,
+    * gini_micro, salt_factor)`. `gini_micro` is the Gini coefficient of
+    * the per-key row counts (0 = perfectly uniform keys, →1 = one key
+    * holds everything); `salt_factor` is the [[saltedJoin]] factor the
+    * hottest key needs so its share spreads to ≤ one `partitions`-th of
+    * the rows (`⌈top1_cnt·partitions / n_rows⌉`, floored at 1 — 1 means
+    * no salting needed).
+    *
+    * All-integer, so the report hash-oracles: with per-key counts sorted
+    * ascending (ties by key string) and ranked 1..n,
+    * `gini_micro = ⌊(2·Σ i·cᵢ − (n+1)·T)·10⁶ / (n·T)⌋` over exact
+    * decimal(38,0) products (the numerator is ≥ 0 by the sorted order);
+    * the top key is a `min(struct(-cnt, key))` election (max count, tie
+    * to smallest key string) — never a second pass.
+    *
+    * Scale: the key columns stack to `(key_col, key)` pairs in ONE scan,
+    * then ONE hash shuffle onto cells with map-side partials — raw rows
+    * move once regardless of how many columns are profiled. The ranking
+    * window orders the REDUCED per-column cell relation (|distinct keys|
+    * rows); a column with billions of distinct keys makes that sort the
+    * bottleneck — at that cardinality skew is impossible by pigeonhole,
+    * so pre-filter cells on a minimum count first.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+      partitions: Int): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs key columns")
+    require(partitions > 0, "skewReport needs positive partitions")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val stackArgs: Seq[Column] = keyCols.flatMap(c =>
+      Seq(lit(c), Cols.q(c).cast("string")))
+    val cells = df
+      .select(stack(lit(keyCols.size) +: stackArgs: _*)
+        .as(Seq("key_col", "key")))
+      .filter(col("key").isNotNull)
+      .groupBy(col("key_col"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val rank = row_number()
+      .over(Window.partitionBy(col("key_col"))
+        .orderBy(col("cnt"), col("key")))
+      .cast("long")
+    cells
+      .withColumn("_sk_r", rank)
+      .groupBy(col("key_col"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        min(struct((-col("cnt")).as("nc"), col("key").as("k"))).as("_sk_top"),
+        sum(col("_sk_r").cast(dec) * col("cnt").cast(dec)).as("_sk_s"))
+      .select(col("key_col"), col("n_rows"), col("n_keys"),
+        col("_sk_top.k").as("top1_key"),
+        (-col("_sk_top.nc")).as("top1_cnt"),
+        expr("(-_sk_top.nc) * 1000000 div n_rows").as("top1_share_micro"),
+        expr(s"""(2 * _sk_s - cast(n_keys + 1 as $dec) * n_rows) * 1000000
+          div (cast(n_keys as $dec) * n_rows)""").cast("long")
+          .as("gini_micro"),
+        greatest(lit(1L),
+          expr(s"((-_sk_top.nc) * ${partitions.toLong} + n_rows - 1) div n_rows"))
+          .as("salt_factor"))
+  }
 }

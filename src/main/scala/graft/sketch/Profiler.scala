@@ -42,4 +42,42 @@ object Profiler {
         coalesce(col("hll_estimate"), lit(0L)).as("n_distinct_est"),
         col("min_val"), col("max_val"))
   }
+
+  /** Functional-dependency / candidate-key discovery over declared
+    * `(determinant, dependent)` column pairs — the schema-inference pass
+    * that decides which columns can key a join or dedup ("does custkey
+    * determine nationkey? is orderkey a candidate key here?"). One row
+    * per pair: `(det_col, dep_col, n_dets, n_violating, max_deps,
+    * fd_holds)` — `n_violating` counts determinant values mapping to
+    * more than one distinct dependent value; the FD `det → dep` holds
+    * iff that is zero.
+    *
+    * Exact longs throughout (hash-oracles). Null determinants are
+    * excluded (a null never keys anything); null dependents don't count
+    * as a distinct value (SQL count-distinct semantics), so a
+    * determinant whose dependents are all null reports 0 deps and never
+    * violates.
+    *
+    * Scale: per pair, Spark plans the count-distinct as the standard
+    * two-level expand — partial (det, dep) dedup then a det-keyed count —
+    * both hash aggregations with map-side partials; no group's value set
+    * is ever buffered. Pairs are independent aggregations unioned at the
+    * end (one scan each; profile few pairs per pass, or stack shared-
+    * determinant pairs, when scans dominate).
+    */
+  def fdCheck(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdCheck needs at least one column pair")
+    pairs.map { case (det, dep) =>
+      df.filter(graft.Cols.q(det).isNotNull)
+        .groupBy(graft.Cols.q(det))
+        .agg(countDistinct(graft.Cols.q(dep)).as("_fd_nd"))
+        .agg(
+          count(lit(1)).as("n_dets"),
+          sum(when(col("_fd_nd") > 1L, 1L).otherwise(0L)).as("n_violating"),
+          max(col("_fd_nd")).as("max_deps"))
+        .select(lit(det).as("det_col"), lit(dep).as("dep_col"),
+          col("n_dets"), col("n_violating"), col("max_deps"),
+          (col("n_violating") === 0L).as("fd_holds"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class DriftSpec extends SparkSpec {
   import spark.implicits._
@@ -65,6 +66,63 @@ class DriftSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r).toMap
     assert(out("g").getLong(3) == 333333L)
     assert(out("empty").isNullAt(3))
+  }
+
+  test("jsDivergence: fully separated bins give the hand-computed score") {
+    // P = {0.5, 0.5} (bin 0), Q = {1.5, 1.5} (bin 1), B = 2, N+B = 4,
+    // D = 16. bin0: wp = 12, wq = 4 → lnp = round(ln 1.5·1e6) = 405465,
+    // lnq = round(ln 0.5·1e6) = −693147; bin1 mirrors. S = 2·(12·405465
+    // + 4·(−693147)) = 4185984; js = ⌊S/(2·16)⌋ = 130812.
+    val d = Seq(("g", 0.5, true), ("g", 0.5, true),
+      ("g", 1.5, false), ("g", 1.5, false)).toDF("g", "v", "exp")
+    val r = Drift.jsDivergence(d, Seq("g"), "v", "exp", 1.0, 2)
+      .collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 130812L)
+  }
+
+  test("jsDivergence: identical distributions score zero; swap-symmetric") {
+    val same = Seq(("g", 0.5, true), ("g", 1.5, true),
+      ("g", 0.5, false), ("g", 1.5, false)).toDF("g", "v", "exp")
+    assert(Drift.jsDivergence(same, Seq("g"), "v", "exp", 1.0, 2)
+      .collect().head.getLong(3) == 0L)
+    // Asymmetric data: the score must be invariant under P↔Q.
+    val d = (Seq.fill(3)(("g", 0.5, true)) :+ ("g", 1.5, false))
+      .toDF("g", "v", "exp")
+    val sw = d.withColumn("exp", !col("exp"))
+    val a = Drift.jsDivergence(d, Seq("g"), "v", "exp", 1.0, 2)
+      .collect().head.getLong(3)
+    val b = Drift.jsDivergence(sw, Seq("g"), "v", "exp", 1.0, 2)
+      .collect().head.getLong(3)
+    assert(a == b && a > 0L)
+  }
+
+  test("benfordDigits: hand-counted digits, non-positives excluded") {
+    // scale 100: 1.23→123(d1), 15.0→1500(d1), 2.5→250(d2), 9.99→999(d9);
+    // 0.0, −3.0, null are excluded. N = 4.
+    val d = Seq(Some(1.23), Some(15.0), Some(2.5), Some(9.99), Some(0.0),
+      Some(-3.0), None).toDF("v")
+    val rows = Drift.benfordDigits(d, "v").orderBy("digit").collect()
+    assert(rows.length == 9)
+    val byDigit = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byDigit(1).getLong(1) == 2L &&
+      byDigit(1).getLong(2) == 500000L)
+    assert(byDigit(2).getLong(1) == 1L &&
+      byDigit(2).getLong(2) == 250000L)
+    assert(byDigit(9).getLong(1) == 1L)
+    assert(byDigit(3).getLong(1) == 0L && byDigit(3).getLong(2) == 0L)
+    // benford_micro is the definitional constant; dev = |share − benford|
+    assert(byDigit(1).getLong(3) == 301030L &&
+      byDigit(1).getLong(4) == 198970L)
+    assert(byDigit(3).getLong(4) == 124939L)
+  }
+
+  test("benfordDigits: all rows excluded still yields the 9-row frame") {
+    val d = Seq(Some(0.0), Some(-1.0), None).toDF("v")
+    val rows = Drift.benfordDigits(d, "v").orderBy("digit").collect()
+    assert(rows.length == 9)
+    assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    assert(rows.map(_.getLong(3)).sum == 1000000L)
   }
 
   test("driftReport: values clamp into the edge bins") {

@@ -67,4 +67,40 @@ class SkewOpsSpec extends SparkSpec {
     val df = (1 to 100).map(i => ("g", i.toLong % 10)).toDF("grp", "k")
     assert(SkewOps.heavyHitters(df, Seq("grp"), "k", topK = 3).count() == 3L)
   }
+
+  test("skewReport: hand-computed Gini, top key, and salt factor") {
+    // counts {a: 3, b: 1}: ascending ranks b=1, a=2 → S = 1·1 + 2·3 = 7,
+    // gini = ⌊(2·7 − 3·4)·1e6 / (2·4)⌋ = 250000; top1 = a (3/4 =
+    // 750000 micro); salt at 4 partitions = ⌈3·4/4⌉ = 3.
+    val df = Seq("a", "a", "a", "b").toDF("k")
+    val r = SkewOps.skewReport(df, Seq("k"), partitions = 4).collect().head
+    assert(r.getString(0) == "k")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L)
+    assert(r.getString(3) == "a" && r.getLong(4) == 3L)
+    assert(r.getLong(5) == 750000L)
+    assert(r.getLong(6) == 250000L)
+    assert(r.getLong(7) == 3L)
+  }
+
+  test("skewReport: uniform keys score Gini 0 and salt 1; nulls drop") {
+    val df = Seq(Some("a"), Some("b"), Some("c"), Some("d"), None)
+      .toDF("k")
+    val r = SkewOps.skewReport(df, Seq("k"), partitions = 2).collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+    assert(r.getLong(6) == 0L)
+    assert(r.getLong(7) == 1L)
+    // top-1 count tie breaks to the smallest key string
+    assert(r.getString(3) == "a")
+  }
+
+  test("skewReport: one stacked pass covers several key columns") {
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x")).toDF("num", "str")
+    val out = SkewOps.skewReport(df, Seq("num", "str"), partitions = 8)
+      .orderBy("key_col").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "num" && out(0).getString(3) == "1" &&
+      out(0).getLong(4) == 2L)
+    assert(out(1).getString(0) == "str" && out(1).getString(3) == "x" &&
+      out(1).getLong(4) == 2L)
+  }
 }

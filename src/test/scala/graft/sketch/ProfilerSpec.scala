@@ -1,0 +1,47 @@
+package graft.sketch
+
+import graft.SparkSpec
+
+/** fdCheck pins SQL count-distinct semantics: null determinants drop,
+  * null dependents never count as a distinct value, and the FD verdict
+  * is exactly "no determinant maps to two distinct dependents".
+  */
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fdCheck: violations, max fan-out, and the holds verdict") {
+    // k1 → {v1}, k2 → {v2, v3}, k3 → {null}: one violating determinant,
+    // max fan-out 2, FD fails. Reverse direction holds (v1→k1, v2→k2,
+    // v3→k2).
+    val df = Seq((Some("k1"), Some("v1")), (Some("k1"), Some("v1")),
+      (Some("k2"), Some("v2")), (Some("k2"), Some("v3")),
+      (Some("k3"), None: Option[String])).toDF("k", "v")
+    val out = Profiler.fdCheck(df, Seq(("k", "v"), ("v", "k")))
+      .orderBy("det_col").collect()
+    assert(out.length == 2)
+    val fwd = out(0)
+    assert(fwd.getString(0) == "k" && fwd.getString(1) == "v")
+    assert(fwd.getLong(2) == 3L)
+    assert(fwd.getLong(3) == 1L)
+    assert(fwd.getLong(4) == 2L)
+    assert(!fwd.getBoolean(5))
+    val rev = out(1)
+    assert(rev.getLong(2) == 3L && rev.getLong(3) == 0L &&
+      rev.getBoolean(5))
+  }
+
+  test("fdCheck: null determinants are excluded entirely") {
+    val df = Seq((None: Option[String], Some("a")),
+      (None: Option[String], Some("b")), (Some("k"), Some("a")))
+      .toDF("k", "v")
+    val r = Profiler.fdCheck(df, Seq(("k", "v"))).collect().head
+    assert(r.getLong(2) == 1L && r.getLong(3) == 0L && r.getBoolean(5))
+  }
+
+  test("fdCheck: an all-null dependent reports zero deps, never violates") {
+    val df = Seq((Some("k"), None: Option[String]),
+      (Some("k"), None: Option[String])).toDF("k", "v")
+    val r = Profiler.fdCheck(df, Seq(("k", "v"))).collect().head
+    assert(r.getLong(2) == 1L && r.getLong(4) == 0L && r.getBoolean(5))
+  }
+}
