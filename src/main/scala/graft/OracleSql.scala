@@ -775,6 +775,45 @@ object OracleSql {
         |FROM deg d JOIN pn p ON d.node = p.node
         |WHERE p.triangles > 0 ORDER BY node""".stripMargin,
 
+    // Link prediction: the q_triangles co-purchase graph, wedge
+    // self-join with per-apex 10¹²//ln_micro(deg) Adamic–Adar
+    // contributions, existing edges anti-joined away.
+    "q_link_pred" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+        |und AS (
+        |  SELECT a.it AS a, b.it AS b FROM items a
+        |  JOIN items b ON a.ok = b.ok AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (
+        |  SELECT a AS z, b AS n FROM und UNION ALL SELECT b, a FROM und),
+        |deg AS (
+        |  SELECT z AS node, CAST(count(*) AS BIGINT) AS degree
+        |  FROM adj GROUP BY 1),
+        |aac AS (
+        |  SELECT node, 1000000000000 // CAST(round(
+        |    ln(CAST(degree AS DOUBLE)) * 1000000.0) AS BIGINT) AS c
+        |  FROM deg WHERE degree >= 2),
+        |w AS (
+        |  SELECT a1.n AS u, a2.n AS v, aac.c
+        |  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+        |  JOIN aac ON aac.node = a1.z),
+        |p AS (
+        |  SELECT u, v, CAST(count(*) AS BIGINT) AS common,
+        |    CAST(sum(c) AS BIGINT) AS aa_micro
+        |  FROM w GROUP BY 1, 2 HAVING count(*) >= 2),
+        |np AS (
+        |  SELECT p.* FROM p
+        |  ANTI JOIN und ON p.u = und.a AND p.v = und.b)
+        |SELECT CAST(np.u AS BIGINT) AS u, CAST(np.v AS BIGINT) AS v,
+        |  common,
+        |  CAST(common * 1000000 // (du.degree + dv.degree - common)
+        |    AS BIGINT) AS jaccard_micro,
+        |  aa_micro
+        |FROM np JOIN deg du ON np.u = du.node
+        |JOIN deg dv ON np.v = dv.node
+        |ORDER BY common DESC, u, v LIMIT 50""".stripMargin,
+
     // Multi-source BFS: 6 unrolled min-depth relaxation rounds from the
     // q_ppr seed set over the bidirectional supply graph.
     "q_bfs" -> {

@@ -761,6 +761,19 @@ object SparkEntry {
       .filter(col("triangles") > 0L)
       .orderBy(col("node"))
 
+  /** Link prediction over the frequent co-purchase graph (off the
+    * shared [[coPurchasePairs]] relation): common-neighbor, Jaccard,
+    * and Adamic–Adar scores for the 50 strongest NON-adjacent part
+    * pairs — the candidate-generation pass. All-integer, fully
+    * hash-oracled against DuckDB's replica of the same wedge joins.
+    */
+  private def qLinkPrediction(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.linkPrediction(
+        coPurchasePairs(s, dir).select(col("a").as("src"), col("b").as("dst")),
+        minCommon = 2L)
+      .orderBy(col("common").desc, col("u"), col("v"))
+      .limit(50)
+
   /** Multi-source BFS over the part↔supplier supply graph: hop distance
     * from the q_ppr seed set (part nodes % 400 == 0) after 6 synchronous
     * min-depth rounds — (node, depth) for every node reached, off the
@@ -3072,6 +3085,7 @@ object SparkEntry {
     "q_ppr" -> (qPersonalizedPageRank _),
     "q_triangles" -> (qTriangles _),
     "q_bfs" -> (qBfs _),
+    "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),
     "q_spearman" -> (qSpearman _),
     "q_bh_fdr" -> (qBhFdr _),

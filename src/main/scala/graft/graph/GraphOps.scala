@@ -411,6 +411,73 @@ object GraphOps {
           .otherwise(lit(0L)).as("lcc_micro"))
   }
 
+  /** Link-prediction scores for non-adjacent node pairs sharing at
+    * least `minCommon` neighbors — the "which entities are probably the
+    * same / about to connect" pass (candidate generation for entity
+    * resolution, related-item suggestion, graph densification):
+    * common-neighbor count, Jaccard of the neighbor sets, and
+    * Adamic–Adar (`Σ_z 1/ln deg(z)` over common neighbors z — rare
+    * shared neighbors weigh more).
+    *
+    * `edges` is undirected with the [[triangleCounts]] conventions
+    * (either orientation, self-loops dropped, parallel edges collapse).
+    * Returns `(u, v, common, jaccard_micro, aa_micro)` with `u < v`,
+    * EXCLUDING pairs already connected by an edge (prediction, not
+    * description).
+    *
+    * All-integer, so the result hash-oracles: each common neighbor z
+    * contributes `10¹² div round(ln(deg z)·10⁶)` micro-units to
+    * Adamic–Adar (deg z ≥ 2 inside any wedge, so the log is ≥ ln 2 and
+    * the division is safe — the ln is the corpus micro-nat rule, the
+    * only libm call), and
+    * `jaccard_micro = common·10⁶ div (deg u + deg v − common)`.
+    *
+    * Scale: the wedge self-join fans out Σ_z deg(z)² like
+    * [[triangleCounts]] — a hub with a million neighbors is a trillion
+    * candidate pairs. `minCommon` filters AFTER the fan-out, so for
+    * power-law graphs cap or sample hub apexes first (the degree
+    * relation this operator already computes is the cap's input);
+    * everything else is keyed equi-joins and reducing aggregations.
+    */
+  def linkPrediction(edges: DataFrame, minCommon: Long = 1L): DataFrame = {
+    require(minCommon >= 1L, "linkPrediction needs minCommon >= 1")
+    val und = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = und.select(col("a").as("z"), col("b").as("n"))
+      .union(und.select(col("b").as("z"), col("a").as("n")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("z").as("node")).agg(count(lit(1)).as("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Per-apex Adamic–Adar contribution: 10¹² div ln_micro(deg z). A
+    // degree-1 node can't be a wedge apex — filter it out BEFORE the
+    // projection, or ln(1) = 0 divides by zero under ANSI.
+    val aaContrib = expr(
+      "1000000000000 div cast(round(ln(cast(degree as double)) * 1000000.0) as bigint)")
+    val wedges = adj.select(col("z"), col("n").as("u"))
+      .join(adj.select(col("z"), col("n").as("v")), "z")
+      .filter(col("u") < col("v"))
+      .join(deg.filter(col("degree") >= 2L).withColumnRenamed("node", "z")
+        .select(col("z"), aaContrib.as("_lp_aa")), "z")
+    val pairs = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"), sum(col("_lp_aa")).as("aa_micro"))
+      .filter(col("common") >= minCommon)
+      // prediction only: drop pairs that are already edges
+      .join(und, col("u") === col("a") && col("v") === col("b"),
+        "left_anti")
+    pairs
+      .join(deg.select(col("node").as("u"), col("degree").as("_lp_du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("_lp_dv")), "v")
+      .select(col("u"), col("v"), col("common"),
+        expr("common * 1000000 div (_lp_du + _lp_dv - common)")
+          .as("jaccard_micro"),
+        col("aa_micro"))
+  }
+
   /** Multi-source BFS depths by FIXED-round min-depth propagation — the
     * reachability pass of the family (how many hops is every page from
     * the crawl's seed list; which records sit within k joins of a

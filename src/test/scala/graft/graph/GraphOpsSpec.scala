@@ -288,4 +288,35 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> n, n -> 1L))
   }
+
+  test("linkPrediction: path endpoints share the middle; hand-checked scores") {
+    // 1-2-3: pair (1,3) has common = {2}, deg(2) = 2 →
+    // aa = ⌊10¹²/round(ln 2·10⁶)⌋ = ⌊10¹²/693147⌋ = 1442695;
+    // jaccard = 1·10⁶ div (1 + 1 − 1) = 1000000.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = GraphOps.linkPrediction(edges).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 1L)
+    assert(r.getLong(3) == 1000000L)
+    assert(r.getLong(4) == 1442695L)
+  }
+
+  test("linkPrediction: square diagonals; adjacency excluded; noise ignored") {
+    // Square 1-2-3-4-1 (with dup/orientation/self-loop noise): only the
+    // two diagonals predict — each with 2 common neighbors of degree 2.
+    val sq = Seq((1L, 2L), (3L, 2L), (3L, 4L), (4L, 1L),
+      (2L, 1L), (1L, 1L)).toDF("src", "dst")
+    val out = GraphOps.linkPrediction(sq)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(out(1L -> 3L) == ((2L, 1000000L, 2885390L)))
+    // A triangle's pairs are all adjacent — nothing to predict.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(GraphOps.linkPrediction(tri).count() == 0L)
+    // minCommon filters below-threshold pairs
+    assert(GraphOps.linkPrediction(sq, minCommon = 3L).count() == 0L)
+  }
 }
