@@ -1156,6 +1156,83 @@ object OracleSql {
          |FROM stats s LEFT JOIN fin f ON s.c = f.c
          |ORDER BY s.c""".stripMargin,
 
+    // Curriculum ordering: per-source rank/size windows, exact
+    // equal-frequency band arithmetic, per-stage interleave positions,
+    // cumulative stage offsets.
+    "q_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, (rn - 1) * 4 // ns + 1 AS stage, rn
+        |  FROM r),
+        |p AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY stage ORDER BY rn, source, doc_id) AS BIGINT)
+        |    AS pos_in_stage
+        |  FROM s),
+        |o AS (SELECT stage, CAST(count(*) AS BIGINT) AS sz
+        |  FROM p GROUP BY 1),
+        |c AS (SELECT stage,
+        |  CAST(coalesce(sum(sz) OVER (ORDER BY stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS off
+        |  FROM o)
+        |SELECT p.doc_id, p.source, CAST(p.stage AS BIGINT) AS stage,
+        |  p.pos_in_stage, c.off + p.pos_in_stage AS global_pos
+        |FROM p JOIN c USING (stage) ORDER BY global_pos""".stripMargin,
+
+    // Profile drift: the q_profile stack/stats/HLL chain once per half
+    // (hllEstChain), then one row per column of ratio deltas.
+    "q_profile_diff" -> {
+      def side(sfx: String, parity: Int): String =
+        s"""st$sfx AS (
+           |  SELECT 'lang' AS c, lang AS value FROM documents
+           |    WHERE doc_id % 2 = $parity
+           |  UNION ALL SELECT 'source', source FROM documents
+           |    WHERE doc_id % 2 = $parity
+           |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+           |    FROM documents WHERE doc_id % 2 = $parity),
+           |stats$sfx AS (
+           |  SELECT c, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_nulls,
+           |    min(value) AS min_val, max(value) AS max_val
+           |  FROM st$sfx GROUP BY 1),
+           |h$sfx AS (SELECT c, md5('hll:' || value) AS hx
+           |  FROM st$sfx WHERE value IS NOT NULL),
+           |rr$sfx AS (SELECT c,
+           |  ${hexN(s"substr(hx, 1, 3)", 3)} AS reg,
+           |  ${hexN(s"substr(hx, 4, 10)", 10)} AS tail FROM h$sfx),
+           |regs$sfx AS (SELECT c, reg,
+           |  max(CASE WHEN tail = 0 THEN 41 ELSE 41 - length(bin(tail)) END)
+           |    AS mreg
+           |  FROM rr$sfx GROUP BY 1, 2),
+           |${hllEstChain(sfx, s"regs$sfx", Seq("c"))}""".stripMargin
+      s"""WITH ${side("b", 0)},
+         |${side("a", 1)}
+         |SELECT sb.c AS "column",
+         |  sb.n_rows AS n_rows_before, sa.n_rows AS n_rows_after,
+         |  CASE WHEN sb.n_rows > 0
+         |    THEN CAST(sb.n_nulls * 1000000 // sb.n_rows AS BIGINT)
+         |    ELSE 0 END AS null_ratio_before_micro,
+         |  CASE WHEN sa.n_rows > 0
+         |    THEN CAST(sa.n_nulls * 1000000 // sa.n_rows AS BIGINT)
+         |    ELSE 0 END AS null_ratio_after_micro,
+         |  CAST(coalesce(fa.hll_estimate, 0) * 1000000
+         |    // greatest(coalesce(fb.hll_estimate, 0), 1) AS BIGINT)
+         |    AS distinct_ratio_micro,
+         |  (sb.min_val IS DISTINCT FROM sa.min_val) AS min_changed,
+         |  (sb.max_val IS DISTINCT FROM sa.max_val) AS max_changed
+         |FROM statsb sb JOIN statsa sa ON sb.c = sa.c
+         |LEFT JOIN bfin fb ON fb.c = sb.c
+         |LEFT JOIN afin fa ON fa.c = sb.c
+         |ORDER BY sb.c""".stripMargin
+    },
+
     // Weighted PageRank, 6 unrolled iterations: contribution =
     // (rank * w) // sum-of-weights(src), otherwise q_pagerank's integer
     // arithmetic verbatim.

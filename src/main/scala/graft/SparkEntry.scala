@@ -2733,6 +2733,31 @@ object SparkEntry {
         Seq("source"), "n_chars")
       .orderBy(col("doc_id"))
 
+  /** Curriculum ordering: documents rank easy→hard by length within
+    * each source, split into 4 per-source difficulty bands, and the
+    * training order interleaves sources within each stage. Fully
+    * hash-oracled (exact equal-frequency band arithmetic, total-ordered
+    * windows).
+    */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.curriculumOrder(t(s, dir, "documents"),
+        "doc_id", "source", "n_chars", nStages = 4)
+      .orderBy(col("global_pos"))
+
+  /** Schema-stats drift between the even- and odd-doc_id halves of the
+    * documents table — per-column null-ratio/cardinality/minmax deltas
+    * off two deterministic profile passes. Fully hash-oracled including
+    * the HLL cardinality ratio.
+    */
+  private def qProfileDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    sketch.Profiler.profileDiff(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        Seq("lang", "source", "n_chars"))
+      .orderBy(col("column"))
+  }
+
   /** DSIR importance weights: English docs as the target domain, every
     * other doc scored by hashed-unigram log-likelihood ratio.
     */
@@ -3105,6 +3130,8 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_skew_report" -> (qSkewReport _),
     "q_fd_check" -> (qFdCheck _),
+    "q_curriculum" -> (qCurriculum _),
+    "q_profile_diff" -> (qProfileDiff _),
     "q_fleiss_kappa" -> (qFleissKappa _),
     "q_confusion" -> (qConfusion _),
     "q_auc" -> (qAuc _),

@@ -43,6 +43,51 @@ object Profiler {
         col("min_val"), col("max_val"))
   }
 
+  /** Schema-stats drift between two snapshots of the same table — the
+    * "did this week's crawl change shape?" gate that catches what
+    * content diffs miss (a column silently going null-heavy, a
+    * cardinality explosion, a new min/max): [[profileColumns]] runs on
+    * both sides and the per-column stats are joined into one row per
+    * column — `(column, n_rows_before, n_rows_after,
+    * null_ratio_before_micro, null_ratio_after_micro,
+    * distinct_ratio_micro, min_changed, max_changed)`.
+    * `distinct_ratio_micro` is after/before of the deterministic HLL
+    * estimates in micro units (1e6 = unchanged; the before estimate is
+    * floored at 1 so an empty column never divides by zero);
+    * min/max_changed are null-safe inequality flags.
+    *
+    * Everything is exact integer arithmetic over [[profileColumns]]'
+    * deterministic outputs, so the diff hash-oracles like q_profile.
+    *
+    * Scale: two profile passes (each one stack + two hash aggs) joined
+    * on the |cols|-row result — the diff itself costs nothing.
+    */
+  def profileDiff(before: DataFrame, after: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val b = profileColumns(before, cols)
+    val a = profileColumns(after, cols)
+    b.select(col("column"), col("n_rows").as("n_rows_before"),
+        col("n_nulls").as("_pd_nb"),
+        col("n_distinct_est").as("_pd_db"),
+        col("min_val").as("_pd_minb"), col("max_val").as("_pd_maxb"))
+      .join(a.select(col("column"), col("n_rows").as("n_rows_after"),
+        col("n_nulls").as("_pd_na"),
+        col("n_distinct_est").as("_pd_da"),
+        col("min_val").as("_pd_mina"), col("max_val").as("_pd_maxa")),
+        Seq("column"))
+      .select(col("column"), col("n_rows_before"), col("n_rows_after"),
+        when(col("n_rows_before") > 0L,
+          expr("_pd_nb * 1000000 div n_rows_before")).otherwise(lit(0L))
+          .as("null_ratio_before_micro"),
+        when(col("n_rows_after") > 0L,
+          expr("_pd_na * 1000000 div n_rows_after")).otherwise(lit(0L))
+          .as("null_ratio_after_micro"),
+        expr("_pd_da * 1000000 div greatest(_pd_db, 1)")
+          .as("distinct_ratio_micro"),
+        (!(col("_pd_minb") <=> col("_pd_mina"))).as("min_changed"),
+        (!(col("_pd_maxb") <=> col("_pd_maxa"))).as("max_changed"))
+  }
+
   /** Functional-dependency / candidate-key discovery over declared
     * `(determinant, dependent)` column pairs — the schema-inference pass
     * that decides which columns can key a join or dedup ("does custkey

@@ -461,6 +461,59 @@ object CorpusAssembly {
       .drop("_rn_rank", "_rn_n")
   }
 
+  /** Curriculum ordering for training (Bengio '09 easy-first schedule,
+    * source-stratified): each source's documents rank easy→hard by
+    * `difficultyCol` (ties by id), split into `nStages` equal-frequency
+    * bands PER SOURCE, and the global emission order interleaves
+    * sources within each stage — stage 1 is every source's easiest
+    * band, so the schedule ramps difficulty without ever collapsing to
+    * a single source. Returns `(idCol, sourceCol, stage, pos_in_stage,
+    * global_pos)` — `global_pos` is the 1-based training order.
+    *
+    * All-integer and total-ordered, so fully hash-oracled: the band is
+    * `(rank−1)·nStages div n_source + 1` (exact equal-frequency
+    * arithmetic — not ntile, whose remainder placement is an
+    * engine-specific convention to trust), the within-stage order is
+    * the deterministic key `(rank, source, id)`, and `global_pos` adds
+    * the exact cumulative sizes of earlier stages.
+    *
+    * Scale: the ranking windows partition by SOURCE — parallel across
+    * sources, the skew story of any grouped window. The per-stage
+    * position window funnels each stage through one reducer: at real
+    * scale consumers should range-partition-sort by the deterministic
+    * key `(stage, rank, source, id)` (Spark's orderBy does exactly
+    * that) and let shard order stand in for the materialized index —
+    * `global_pos` here is the small-data convenience, same honesty as
+    * the exact-percentile family.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, sourceCol: String,
+      difficultyCol: String, nStages: Int): DataFrame = {
+    require(nStages >= 1, "curriculumOrder needs nStages >= 1")
+    val src = Window.partitionBy(col(sourceCol))
+    val ranked = df
+      .withColumn("_cu_rn", row_number()
+        .over(src.orderBy(col(difficultyCol), col(idCol)))
+        .cast("long"))
+      .withColumn("_cu_ns", count(lit(1)).over(src))
+      .withColumn("stage",
+        expr(s"(_cu_rn - 1) * ${nStages.toLong} div _cu_ns + 1"))
+    val positioned = ranked.withColumn("pos_in_stage", row_number()
+      .over(Window.partitionBy(col("stage"))
+        .orderBy(col("_cu_rn"), col(sourceCol), col(idCol)))
+      .cast("long"))
+    val offsets = positioned.groupBy(col("stage"))
+      .agg(count(lit(1)).as("_cu_sz"))
+      .withColumn("_cu_off",
+        coalesce(sum(col("_cu_sz")).over(Window.orderBy(col("stage"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stage"), col("_cu_off"))
+    positioned
+      .join(broadcast(offsets), Seq("stage"))
+      .select(col(idCol), col(sourceCol), col("stage"),
+        col("pos_in_stage"),
+        (col("_cu_off") + col("pos_in_stage")).as("global_pos"))
+  }
+
   /** DSIR importance weights (Xie et al., NeurIPS'23 — "Data Selection
     * for Language Models via Importance Resampling"): score every
     * document by how much more likely its tokens are under the TARGET

@@ -44,4 +44,30 @@ class ProfilerSpec extends SparkSpec {
     val r = Profiler.fdCheck(df, Seq(("k", "v"))).collect().head
     assert(r.getLong(2) == 1L && r.getLong(4) == 0L && r.getBoolean(5))
   }
+
+  test("profileDiff: ratios and change flags off two profile passes") {
+    val before = Seq(Some("x"), Some("y"), None).toDF("c")
+    val after = Seq(Some("x"), None, None, None).toDF("c")
+    val pb = Profiler.profileColumns(before, Seq("c")).collect().head
+    val pa = Profiler.profileColumns(after, Seq("c")).collect().head
+    val r = Profiler.profileDiff(before, after, Seq("c")).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 333333L)
+    assert(r.getLong(4) == 750000L)
+    // self-consistent with the deterministic HLL estimates
+    val expected = pa.getLong(3) * 1000000L / math.max(pb.getLong(3), 1L)
+    assert(r.getLong(5) == expected)
+    assert(!r.getBoolean(6))          // min stays "x"
+    assert(r.getBoolean(7))           // max "y" → "x"
+  }
+
+  test("profileDiff: an empty/all-null before side never divides by zero") {
+    val before = Seq(None: Option[String]).toDF("c")
+    val after = Seq(Some("a"), Some("b")).toDF("c")
+    val pa = Profiler.profileColumns(after, Seq("c")).collect().head
+    val r = Profiler.profileDiff(before, after, Seq("c")).collect().head
+    assert(r.getLong(3) == 1000000L)
+    assert(r.getLong(5) == pa.getLong(3) * 1000000L)
+    assert(r.getBoolean(6) && r.getBoolean(7))
+  }
 }

@@ -384,4 +384,33 @@ class CorpusAssemblySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 2L, 2L)))
   }
+
+  test("curriculumOrder: per-source bands interleave in the hand-checked order") {
+    // A: 4 docs easy→hard, B: 2 docs; nStages = 2. Stage 1 = {A:1,2,
+    // B:5}, stage 2 = {A:3,4, B:6}; within a stage order is (rank,
+    // source, id) → global order 1, 5, 2, 6, 3, 4.
+    val df = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L),
+      (4L, "A", 40L), (5L, "B", 5L), (6L, "B", 15L))
+      .toDF("doc_id", "source", "diff")
+    val out = CorpusAssembly.curriculumOrder(df, "doc_id", "source",
+        "diff", nStages = 2)
+      .orderBy("global_pos").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 5L, 2L, 6L, 3L, 4L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L, 2L, 2L, 2L))
+    assert(out.map(_.getLong(4)).toSeq == (1L to 6L))
+    // stage-local positions restart at 1
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L, 1L, 2L, 3L))
+  }
+
+  test("curriculumOrder: one stage is a pure interleave; ties break by id") {
+    val df = Seq((3L, "A", 7L), (1L, "A", 7L), (2L, "B", 7L))
+      .toDF("doc_id", "source", "diff")
+    val out = CorpusAssembly.curriculumOrder(df, "doc_id", "source",
+        "diff", nStages = 1)
+      .orderBy("global_pos").collect()
+    assert(out.forall(_.getLong(2) == 1L))
+    // equal difficulty: A ranks 1→doc1, 2→doc3; interleave (rank,
+    // source) → 1, 2, 3
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
 }
