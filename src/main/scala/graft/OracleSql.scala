@@ -1395,6 +1395,44 @@ object OracleSql {
         |FROM r x JOIN r y ON y.rnk > x.rnk AND y.rnk - x.rnk <= 3
         |ORDER BY a, b""".stripMargin,
 
+    // Blocking-quality triple: SN window-3 candidates vs 17-char
+    // name-prefix truth pairs; C(n,2) in HUGEINT, one integral division
+    // per ratio.
+    "q_blocking_eval" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name, substr(c_name, 1, 17) AS tk
+        |  FROM customer),
+        |tru AS (
+        |  SELECT x.id AS a, y.id AS b FROM c x
+        |  JOIN c y ON x.tk = y.tk AND x.id < y.id),
+        |sn AS (
+        |  SELECT id, CAST(row_number() OVER (ORDER BY c_name, id)
+        |    AS BIGINT) AS rn FROM c),
+        |cand AS (
+        |  SELECT x.id AS a, y.id AS b FROM sn x
+        |  JOIN sn y ON y.rn > x.rn AND y.rn - x.rn <= 3),
+        |agg AS (SELECT
+        |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM c) AS n_records,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tru) AS n_truth,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM cand JOIN tru USING (a, b)) AS n_hit),
+        |p AS (SELECT *,
+        |  CAST(n_records AS HUGEINT) * (n_records - 1) // 2 AS poss
+        |  FROM agg)
+        |SELECT n_records, CAST(poss AS BIGINT) AS n_possible_pairs,
+        |  n_candidates, n_truth, n_hit,
+        |  CASE WHEN poss > 0
+        |    THEN CAST((poss - n_candidates) * 1000000 // poss AS BIGINT)
+        |  END AS reduction_micro,
+        |  CASE WHEN n_truth > 0
+        |    THEN CAST(n_hit * 1000000 // n_truth AS BIGINT)
+        |  END AS completeness_micro,
+        |  CASE WHEN n_candidates > 0
+        |    THEN CAST(n_hit * 1000000 // n_candidates AS BIGINT)
+        |  END AS quality_micro
+        |FROM p""".stripMargin,
+
     // URL canonicalization: the oracle reconstructs BOTH the messy input
     // and the expected canonical form directly from doc_id — an
     // independent derivation the Spark normalizer never sees.

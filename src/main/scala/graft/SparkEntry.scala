@@ -868,6 +868,23 @@ object SparkEntry {
   private def qLinkage(s: SparkSession, dir: String): DataFrame =
     linkageScored(s, dir).orderBy(col("a"), col("b"))
 
+  /** Blocking-quality triple for the sorted-neighborhood generator on
+    * customers: truth = pairs sharing the 17-char name prefix (groups
+    * of 10 consecutive keys), candidates = SN window 3 over the full
+    * name — reduction/completeness/quality in exact micro units, fully
+    * hash-oracled.
+    */
+  private def qBlockingEval(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val keyed = c.select(col("c_custkey").as("id"),
+      substring(col("c_name"), 1, 17).as("tk"))
+    val truth = keyed.as("x").join(keyed.as("y"),
+        col("x.tk") === col("y.tk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    Dedup.blockingEval(c, "c_custkey",
+      Dedup.sortedNeighborhoodPairs(c, "c_custkey", "c_name", 3), truth)
+  }
+
   /** Transitive closure of the linkage matches — every customer labeled
     * with its entity cluster (singletons label themselves).
     */
@@ -3148,6 +3165,7 @@ object SparkEntry {
     "q_pmi" -> (qPmi _),
     "q_winnow" -> (qWinnow _),
     "q_linkage" -> (qLinkage _),
+    "q_blocking_eval" -> (qBlockingEval _),
     "q_er_clusters" -> (qErClusters _),
     "q_golden" -> (qGolden _),
     "q_chunk_docs" -> (qChunkDocs _),

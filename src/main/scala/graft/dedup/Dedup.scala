@@ -899,6 +899,63 @@ object Dedup {
       .select(col("cluster_id") +: col("n_members") +: fields.map(col): _*)
   }
 
+  /** Blocking-quality evaluation (Christen's reduction-ratio /
+    * pairs-completeness / pairs-quality triple): score a candidate
+    * generator ([[sortedNeighborhoodPairs]], LSH, any blocking scheme)
+    * against a reference truth pair set BEFORE paying for the expensive
+    * comparison stage. One summary row: `(n_records, n_possible_pairs,
+    * n_candidates, n_truth, n_hit, reduction_micro, completeness_micro,
+    * quality_micro)` — reduction = 1 − |cand|/C(n,2) (how much of the
+    * quadratic space the blocking prunes), completeness = |cand ∩
+    * truth|/|truth| (recall of true matches into the candidate set),
+    * quality = |cand ∩ truth|/|cand| (precision of the candidate set).
+    *
+    * Pairs canonicalize to `(least, greatest)` and dedup on both sides,
+    * so orientation conventions can't skew the counts; self-pairs and
+    * null ids drop. Exact integer micro ratios (decimal(38,0) for the
+    * C(n,2) arithmetic — n² overflows a long past ~4·10⁹ records);
+    * completeness/quality are NULL when their denominator is empty.
+    * The reported `n_possible_pairs` column is a long, so past ~4.3·10⁹
+    * records the ANSI cast fails loudly — the ratios themselves stay in
+    * decimal and would remain exact.
+    *
+    * Scale: one distinct per pair relation, one equi-join for the
+    * intersection, and four single-row aggregates cross-joined — the
+    * record table contributes one count(distinct id) aggregation and
+    * nothing else moves.
+    */
+  def blockingEval(records: DataFrame, idCol: String,
+      candidates: DataFrame, truth: DataFrame): DataFrame = {
+    def canon(p: DataFrame): DataFrame = p
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val dec = "decimal(38,0)"
+    val cand = canon(candidates).persist()
+    val tru = canon(truth).persist()
+    val nRec = records.select(Cols.q(idCol).as("_be_id"))
+      .filter(col("_be_id").isNotNull)
+      .agg(countDistinct(col("_be_id")).as("n_records"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nTru = tru.agg(count(lit(1)).as("n_truth"))
+    val nHit = cand.join(tru, Seq("a", "b")).agg(count(lit(1)).as("n_hit"))
+    nRec.crossJoin(nCand).crossJoin(nTru).crossJoin(nHit)
+      .withColumn("n_possible_pairs",
+        expr(s"cast(n_records as $dec) * (n_records - 1) div 2"))
+      .select(col("n_records"),
+        col("n_possible_pairs").cast("long").as("n_possible_pairs"),
+        col("n_candidates"), col("n_truth"), col("n_hit"),
+        when(col("n_possible_pairs") > 0L,
+          expr(s"(n_possible_pairs - n_candidates) * 1000000 div n_possible_pairs")
+            .cast("long")).as("reduction_micro"),
+        when(col("n_truth") > 0L, expr("n_hit * 1000000 div n_truth"))
+          .as("completeness_micro"),
+        when(col("n_candidates") > 0L,
+          expr("n_hit * 1000000 div n_candidates")).as("quality_micro"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS algorithm): hash every `k`-char gram of the
     * normalized text, then from every window of `w` consecutive gram

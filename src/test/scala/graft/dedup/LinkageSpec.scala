@@ -75,4 +75,30 @@ class LinkageSpec extends SparkSpec {
     val m = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(m.get((1L, 2L)).orElse(m.get((2L, 1L))).contains(2000000L))
   }
+
+  test("blockingEval: hand-computed triple; orientation/self-pair noise") {
+    // 5 records, candidates {(1,2),(2,3)} after canonicalization (the
+    // (2,1) dup and (4,4) self-pair drop), truth {(1,2),(3,4)} → hit 1.
+    val records = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val cand = Seq((1L, 2L), (2L, 1L), (2L, 3L), (4L, 4L)).toDF("a", "b")
+    val truth = Seq((2L, 1L), (3L, 4L)).toDF("a", "b")
+    val r = Dedup.blockingEval(records, "id", cand, truth).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 10L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L && r.getLong(4) == 1L)
+    assert(r.getLong(5) == 800000L)
+    assert(r.getLong(6) == 500000L)
+    assert(r.getLong(7) == 500000L)
+  }
+
+  test("blockingEval: empty truth/candidates yield NULL ratios, not errors") {
+    val records = Seq(1L, 2L).toDF("id")
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    val r = Dedup.blockingEval(records, "id",
+      Seq((1L, 2L)).toDF("a", "b"), none).collect().head
+    assert(r.isNullAt(6))
+    assert(r.getLong(7) == 0L)
+    val r2 = Dedup.blockingEval(records, "id", none, none).collect().head
+    assert(r2.isNullAt(6) && r2.isNullAt(7))
+    assert(r2.getLong(5) == 1000000L)
+  }
 }
