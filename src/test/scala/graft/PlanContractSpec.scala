@@ -383,4 +383,52 @@ class PlanContractSpec extends SparkSpec {
       assert(exchanges <= 3, s"$q: expected ≤3 exchanges, saw $exchanges:\n${p.take(2000)}")
     }
   }
+
+  test("session-7 diagnostics: skew/benford/js/fd aggregate cells, never cartesian raw rows") {
+    // skew report: ONE stacked scan of lineitem feeds the cell agg (the
+    // generator is a projection, not three scans); the rank window runs
+    // over the reduced cells.
+    val sk = planOf("q_skew_report")
+    assert(sk.contains("HashAggregate"), sk.take(1500))
+    assert("FileScan parquet".r.findAllIn(sk).size == 1,
+      s"skew report should scan lineitem once:\n${sk.take(2000)}")
+    // js divergence mirrors drift: cell agg + bin-completion join, no
+    // window anywhere.
+    val js = planOf("q_js_divergence")
+    assert(js.contains("HashAggregate") && !js.contains("Window"),
+      js.take(1500))
+    // benford's only join partners are the 9-digit frame and the 1-row
+    // total — any non-broadcast join of raw rows is a regression.
+    val bf = planOf("q_benford")
+    assert(!bf.contains("SortMergeJoin"), bf.take(1500))
+    // fd pairs: count-distinct expands to the standard two-level hash
+    // aggregation; no window, no cartesian.
+    val fd = planOf("q_fd_check")
+    assert(fd.contains("HashAggregate") && !fd.contains("Window") &&
+      !fd.contains("CartesianProduct"), fd.take(1500))
+  }
+
+  test("link prediction: wedge and closure joins are all equi-joins") {
+    val p = planOf("q_link_pred")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("curriculum: source-keyed rank windows; stage offsets ride a broadcast join") {
+    val p = planOf("q_curriculum")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stage offsets should broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("hashpartitioning(source"),
+      s"per-source windows should partition by source:\n${p.take(2000)}")
+  }
+
+  test("blocking eval: summary is single-row broadcast composition, truth join keyed") {
+    val p = planOf("q_blocking_eval")
+    // the pair intersection must stay an equi-join; the only nested-loop
+    // joins are the 1-row aggregate cross joins by construction
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
 }
