@@ -1156,6 +1156,60 @@ object OracleSql {
          |FROM stats s LEFT JOIN fin f ON s.c = f.c
          |ORDER BY s.c""".stripMargin,
 
+    // k-anonymity audit: QI equivalence classes with count +
+    // count-distinct sensitive, one summary row of exact longs.
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(n) AS BIGINT) AS k_anonymity,
+        |  CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_classes,
+        |  CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CASE WHEN sum(n) > 0
+        |    THEN CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) * 1000000
+        |      // sum(n) AS BIGINT)
+        |    ELSE 0 END AS risk_share_micro,
+        |  CAST(min(l) AS BIGINT) AS l_diversity
+        |FROM cls""".stripMargin,
+
+    // Script composition: subtractive regex counts over the planted
+    // mixed-script text — characters, not bytes, on both engines.
+    "q_script_dist" ->
+      """WITH m AS (
+        |  SELECT doc_id, coalesce(text, '') || ' Счёт №' ||
+        |    CAST(doc_id AS VARCHAR) || '!' AS tx
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(length(tx) AS BIGINT) AS n_chars,
+        |    CAST(length(tx) - length(regexp_replace(tx, '[A-Za-z]', '',
+        |      'g')) AS BIGINT) AS latin,
+        |    CAST(length(tx) - length(regexp_replace(tx, '[А-Яа-яЁё]', '',
+        |      'g')) AS BIGINT) AS cyrillic,
+        |    CAST(length(tx) - length(regexp_replace(tx, '[0-9]', '',
+        |      'g')) AS BIGINT) AS digit,
+        |    CAST(length(tx) - length(regexp_replace(tx, '\s', '',
+        |      'g')) AS BIGINT) AS whitespace
+        |  FROM m),
+        |o AS (
+        |  SELECT *, n_chars - latin - cyrillic - digit - whitespace
+        |    AS other
+        |  FROM c)
+        |SELECT doc_id AS doc, n_chars, latin, cyrillic, digit,
+        |  whitespace, other,
+        |  CASE WHEN n_chars > 0 THEN latin * 1000000 // n_chars
+        |    ELSE 0 END AS latin_share_micro,
+        |  CASE WHEN n_chars > 0 THEN cyrillic * 1000000 // n_chars
+        |    ELSE 0 END AS cyrillic_share_micro,
+        |  CASE WHEN n_chars > 0 THEN other * 1000000 // n_chars
+        |    ELSE 0 END AS other_share_micro
+        |FROM o ORDER BY doc""".stripMargin,
+
     // Curriculum ordering: per-source rank/size windows, exact
     // equal-frequency band arithmetic, per-stage interleave positions,
     // cumulative stage offsets.

@@ -2750,6 +2750,27 @@ object SparkEntry {
         Seq("source"), "n_chars")
       .orderBy(col("doc_id"))
 
+  /** k-anonymity / l-diversity audit of customers under the
+    * (nation, market segment) quasi-identifier with account balance as
+    * the sensitive attribute, k = 10 — the privacy gate, one summary
+    * row, fully hash-oracled.
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    sketch.Profiler.kAnonymity(t(s, dir, "customer"),
+      Seq("c_nationkey", "c_mktsegment"), Some("c_acctbal"), k = 10L)
+
+  /** Unicode-script composition over documents with a planted Cyrillic
+    * suffix — the mixed-script corpus screen, one codegen projection,
+    * fully hash-oracled.
+    */
+  private def qScriptDist(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.scriptDistribution(
+        t(s, dir, "documents").withColumn("mixed",
+          concat(coalesce(col("text"), lit("")), lit(" Счёт №"),
+            col("doc_id").cast("string"), lit("!"))),
+        "doc_id", "mixed")
+      .orderBy(col("doc"))
+
   /** Curriculum ordering: documents rank easy→hard by length within
     * each source, split into 4 per-source difficulty bands, and the
     * training order interleaves sources within each stage. Fully
@@ -3149,6 +3170,8 @@ object SparkEntry {
     "q_fd_check" -> (qFdCheck _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),
+    "q_k_anonymity" -> (qKAnonymity _),
+    "q_script_dist" -> (qScriptDist _),
     "q_fleiss_kappa" -> (qFleissKappa _),
     "q_confusion" -> (qConfusion _),
     "q_auc" -> (qAuc _),

@@ -88,6 +88,56 @@ object Profiler {
         (!(col("_pd_maxb") <=> col("_pd_maxa"))).as("max_changed"))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney '02 / Machanavajjhala
+    * '07) — the privacy gate run before a table with quasi-identifiers
+    * ships: rows grouped by the QI columns form equivalence classes;
+    * the table is k-anonymous iff every class has ≥ k members, and
+    * l-diverse iff every class carries ≥ l distinct sensitive values.
+    * One summary row: `(n_rows, n_classes, k_anonymity,
+    * n_violating_classes, rows_at_risk, risk_share_micro,
+    * l_diversity)` — `k_anonymity` is the smallest class size (the
+    * table's actual k), `rows_at_risk` counts members of classes
+    * smaller than `k`, and `l_diversity` is the smallest per-class
+    * distinct-sensitive count (absent sensitiveCol → NULL).
+    *
+    * Null QI values form their own class (a null zip code still
+    * re-identifies); null sensitive values don't count toward
+    * diversity (SQL count-distinct). Exact longs — hash-oracles.
+    *
+    * Scale: one hash aggregation onto QI classes (count-distinct via
+    * the standard two-level expand when sensitiveCol is set) and one
+    * single-row summary over the class relation — |classes| rows,
+    * which is what k-anonymity bounds anyway.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: Option[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(k >= 1L, "kAnonymity needs k >= 1")
+    val qi = qiCols.map(graft.Cols.q)
+    val classes = sensitiveCol match {
+      case Some(sc) => df.groupBy(qi: _*)
+        .agg(count(lit(1)).as("_ka_n"),
+          countDistinct(graft.Cols.q(sc)).as("_ka_l"))
+      case None => df.groupBy(qi: _*)
+        .agg(count(lit(1)).as("_ka_n"), lit(null).cast("long").as("_ka_l"))
+    }
+    classes.agg(
+        sum(col("_ka_n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("_ka_n")).as("k_anonymity"),
+        sum(when(col("_ka_n") < k, 1L).otherwise(0L))
+          .as("n_violating_classes"),
+        sum(when(col("_ka_n") < k, col("_ka_n")).otherwise(0L))
+          .as("rows_at_risk"),
+        min(col("_ka_l")).as("l_diversity"))
+      .select(col("n_rows"), col("n_classes"), col("k_anonymity"),
+        col("n_violating_classes"), col("rows_at_risk"),
+        when(col("n_rows") > 0L,
+          expr("rows_at_risk * 1000000 div n_rows")).otherwise(lit(0L))
+          .as("risk_share_micro"),
+        col("l_diversity"))
+  }
+
   /** Functional-dependency / candidate-key discovery over declared
     * `(determinant, dependent)` column pairs — the schema-inference pass
     * that decides which columns can key a join or dedup ("does custkey

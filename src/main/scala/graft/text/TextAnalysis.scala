@@ -766,6 +766,50 @@ object TextAnalysis {
         coalesce(col("low_diversity"), lit(false)).as("low_diversity"))
   }
 
+  /** Unicode-script composition per document — the corpus-composition
+    * screen beside language-ID (lang-ID says "probably Russian";
+    * script counts say "37% of the characters aren't even Cyrillic" —
+    * the mixed-script / mojibake / code-heavy signal Gopher-style
+    * filters act on). Counts Latin, Cyrillic, digit, and whitespace
+    * characters by subtractive regex (`len − len(strip(class))` — one
+    * codegen projection, no explode) and reports each class's share in
+    * micro units; `other` is the remainder (punctuation, CJK, emoji).
+    *
+    * Output `(doc, n_chars, latin, cyrillic, digit, whitespace, other,
+    * latin_share_micro, cyrillic_share_micro, other_share_micro)`.
+    * Null text counts as empty (all zero, shares 0). Exact integer
+    * arithmetic — fully hash-oracled (both engines count regexp
+    * replacements over characters, not bytes).
+    *
+    * Scale: a pure projection — zero shuffle beyond the caller's sink
+    * ordering; linear in text length.
+    */
+  def scriptDistribution(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tx = coalesce(col(textCol), lit(""))
+    val n = length(tx).cast("long")
+    def cnt(cls: String): Column =
+      (n - length(regexp_replace(tx, cls, ""))).cast("long")
+    df.select(col(idCol).as("doc"),
+        n.as("n_chars"),
+        cnt("[A-Za-z]").as("latin"),
+        cnt("[А-Яа-яЁё]").as("cyrillic"),
+        cnt("[0-9]").as("digit"),
+        cnt("\\s").as("whitespace"))
+      .withColumn("other",
+        col("n_chars") - col("latin") - col("cyrillic") - col("digit") -
+          col("whitespace"))
+      .withColumn("latin_share_micro",
+        when(col("n_chars") > 0L, expr("latin * 1000000 div n_chars"))
+          .otherwise(lit(0L)))
+      .withColumn("cyrillic_share_micro",
+        when(col("n_chars") > 0L, expr("cyrillic * 1000000 div n_chars"))
+          .otherwise(lit(0L)))
+      .withColumn("other_share_micro",
+        when(col("n_chars") > 0L, expr("other * 1000000 div n_chars"))
+          .otherwise(lit(0L)))
+  }
+
   /** fastText-shape linear quality classifier over hashed bag-of-words
     * features (the CCNet/fastText quality-classifier stage, reduced to
     * its engine-portable arithmetic): each non-empty normalized token

@@ -61,6 +61,29 @@ class ProfilerSpec extends SparkSpec {
     assert(r.getBoolean(7))           // max "y" → "x"
   }
 
+  test("kAnonymity: hand-computed audit; null QI is a class, null sensitive uncounted") {
+    // class (q=A): 3 rows, sens {x, x, y} → l = 2; class (q=null): 1 row,
+    // sens null → l = 0. k = 2: B... the null class violates.
+    val df = Seq((Some("A"), Some("x")), (Some("A"), Some("x")),
+      (Some("A"), Some("y")), (None: Option[String], None: Option[String]))
+      .toDF("q", "s")
+    val r = Profiler.kAnonymity(df, Seq("q"), Some("s"), k = 2L)
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L)
+    assert(r.getLong(5) == 250000L)
+    assert(r.getLong(6) == 0L)
+  }
+
+  test("kAnonymity: no sensitive column → NULL l-diversity; anonymous table clean") {
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("q", "v")
+    val r = Profiler.kAnonymity(df, Seq("q"), None, k = 2L).collect().head
+    assert(r.getLong(2) == 2L && r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(r.getLong(5) == 0L)
+    assert(r.isNullAt(6))
+  }
+
   test("profileDiff: an empty/all-null before side never divides by zero") {
     val before = Seq(None: Option[String]).toDF("c")
     val after = Seq(Some("a"), Some("b")).toDF("c")

@@ -404,4 +404,22 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("fused_rank").collect()
     assert(out.map(r => r.getLong(r.fieldIndex("id"))).toSeq == Seq(3L, 5L))
   }
+
+  test("scriptDistribution: hand-counted classes; null text is all-zero") {
+    import spark.implicits._
+    // "Ab с1 !" → 7 chars: latin 2, cyrillic 1, digit 1, ws 2, other 1
+    val df = Seq((1L, Some("Ab с1 !")), (2L, None: Option[String]))
+      .toDF("id", "t")
+    val out = TextAnalysis.scriptDistribution(df, "id", "t")
+      .orderBy("doc").collect()
+    val r = out(0)
+    assert(r.getLong(1) == 7L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L &&
+      r.getLong(4) == 1L && r.getLong(5) == 2L && r.getLong(6) == 1L)
+    assert(r.getLong(7) == 285714L)
+    assert(r.getLong(8) == 142857L)
+    assert(r.getLong(9) == 142857L)
+    val z = out(1)
+    assert((1 to 9).forall(i => z.getLong(i) == 0L))
+  }
 }
