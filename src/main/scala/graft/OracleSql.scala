@@ -775,6 +775,71 @@ object OracleSql {
         |FROM deg d JOIN pn p ON d.node = p.node
         |WHERE p.triangles > 0 ORDER BY node""".stripMargin,
 
+    // 3-truss peeling: 3 unrolled rounds over the q_triangles
+    // co-purchase graph — per-round triangle enumeration (id-ordered
+    // x<y<z; same counts as the engine's degree-ordered join), per-edge
+    // support, drop edges with support < k−2 — then final supports.
+    // Every round CTE is AS MATERIALIZED: DuckDB inlines CTEs by
+    // default, and r_i appears 4× per round — inlining would rescan the
+    // lineitem self-join 4^rounds times (observed as an fd-exhaustion
+    // error before compute even matters).
+    "q_ktruss" -> {
+      val rounds = (0 until 3).map { i =>
+        s"""t$i AS MATERIALIZED (
+           |  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+           |  FROM r$i p1 JOIN r$i p2 ON p2.a = p1.a AND p1.b < p2.b
+           |  JOIN r$i p3 ON p3.a = p1.b AND p3.b = p2.b),
+           |s$i AS MATERIALIZED (
+           |  SELECT a, b, count(*) AS sup FROM (
+           |    SELECT x AS a, y AS b FROM t$i
+           |    UNION ALL SELECT x, z FROM t$i
+           |    UNION ALL SELECT y, z FROM t$i)
+           |  GROUP BY 1, 2),
+           |r${i + 1} AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM r$i e
+           |  JOIN s$i s ON e.a = s.a AND e.b = s.b AND s.sup >= 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+         |r0 AS MATERIALIZED (
+         |  SELECT a.it AS a, b.it AS b FROM items a
+         |  JOIN items b ON a.ok = b.ok AND a.it < b.it
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |$rounds,
+         |tf AS (
+         |  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+         |  FROM r3 p1 JOIN r3 p2 ON p2.a = p1.a AND p1.b < p2.b
+         |  JOIN r3 p3 ON p3.a = p1.b AND p3.b = p2.b),
+         |sf AS (
+         |  SELECT a, b, count(*) AS sup FROM (
+         |    SELECT x AS a, y AS b FROM tf
+         |    UNION ALL SELECT x, z FROM tf
+         |    UNION ALL SELECT y, z FROM tf)
+         |  GROUP BY 1, 2)
+         |SELECT CAST(e.a AS BIGINT) AS src, CAST(e.b AS BIGINT) AS dst,
+         |  CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+         |FROM r3 e LEFT JOIN sf s ON e.a = s.a AND e.b = s.b
+         |ORDER BY src, dst""".stripMargin
+    },
+
+    // Phrase retrieval: zipped-unnest positional postings, one
+    // pos-aligned join per phrase word, per-doc occurrence count.
+    "q_phrase_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, str_split(${norm("text")}, ' ') AS t
+         |  FROM documents),
+         |post AS (
+         |  SELECT doc, unnest(generate_series(1, len(t))) AS pos,
+         |    unnest(t) AS term
+         |  FROM toks),
+         |m AS (
+         |  SELECT p0.doc, p0.pos FROM post p0
+         |  JOIN post p1 ON p1.doc = p0.doc AND p1.pos = p0.pos + 1
+         |    AND p1.term = 'hash'
+         |  WHERE p0.term = 'table')
+         |SELECT doc, CAST(count(*) AS BIGINT) AS hits
+         |FROM m GROUP BY doc ORDER BY doc""".stripMargin,
+
     // Link prediction: the q_triangles co-purchase graph, wedge
     // self-join with per-apex 10¹²//ln_micro(deg) Adamic–Adar
     // contributions, existing edges anti-joined away.
@@ -3334,6 +3399,118 @@ object OracleSql {
         |    AS value_micro,
         |  dv IS NOT NULL AS is_observed
         |FROM j ORDER BY event_type, day""".stripMargin,
+
+    // Diff-in-diff: four exact conditional cell sums (HUGEINT), one
+    // integral division per mean, integer subtraction for the estimate.
+    "q_diff_in_diff" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    (o_custkey % 2 = 0) AS t,
+        |    (year(o_orderdate) >= 1995) AS p,
+        |    CAST(floor(o_totalprice * 10000) AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |a AS (
+        |  SELECT o_orderpriority,
+        |    CAST(count(*) FILTER (WHERE t AND NOT p) AS BIGINT) AS n_t_pre,
+        |    CAST(count(*) FILTER (WHERE t AND p) AS BIGINT) AS n_t_post,
+        |    CAST(count(*) FILTER (WHERE NOT t AND NOT p) AS BIGINT) AS n_c_pre,
+        |    CAST(count(*) FILTER (WHERE NOT t AND p) AS BIGINT) AS n_c_post,
+        |    sum(CASE WHEN t AND NOT p THEN CAST(y AS HUGEINT) END) AS stpre,
+        |    sum(CASE WHEN t AND p THEN CAST(y AS HUGEINT) END) AS stpost,
+        |    sum(CASE WHEN NOT t AND NOT p THEN CAST(y AS HUGEINT) END) AS scpre,
+        |    sum(CASE WHEN NOT t AND p THEN CAST(y AS HUGEINT) END) AS scpost
+        |  FROM r GROUP BY 1),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN n_t_pre > 0 THEN CAST((stpre * 100) // n_t_pre AS BIGINT) END AS mean_t_pre_micro,
+        |    CASE WHEN n_t_post > 0 THEN CAST((stpost * 100) // n_t_post AS BIGINT) END AS mean_t_post_micro,
+        |    CASE WHEN n_c_pre > 0 THEN CAST((scpre * 100) // n_c_pre AS BIGINT) END AS mean_c_pre_micro,
+        |    CASE WHEN n_c_post > 0 THEN CAST((scpost * 100) // n_c_post AS BIGINT) END AS mean_c_post_micro
+        |  FROM a)
+        |SELECT o_orderpriority, n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  mean_t_pre_micro, mean_t_post_micro, mean_c_pre_micro,
+        |  mean_c_post_micro,
+        |  (mean_t_post_micro - mean_t_pre_micro)
+        |    - (mean_c_post_micro - mean_c_pre_micro) AS did_micro
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
+
+    // Isotonic fit by the minimax identity: interval averages from
+    // prefix sums (ONE exact-long IEEE division each), min over j ≥ k,
+    // max over i ≤ k — no sequential pooling, mirrors the Spark joins.
+    "q_isotonic" ->
+      """WITH r AS (
+        |  SELECT l_linestatus,
+        |    CAST(least(greatest(floor((l_discount * 10.0) * 10), 0.0), 9.0)
+        |      AS BIGINT) AS bin,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+        |cells AS (
+        |  SELECT l_linestatus, bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM r GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT l_linestatus, bin, n, pos,
+        |    sum(n) OVER (PARTITION BY l_linestatus ORDER BY bin) AS cn,
+        |    sum(pos) OVER (PARTITION BY l_linestatus ORDER BY bin) AS cp
+        |  FROM cells),
+        |pairs AS (
+        |  SELECT i.l_linestatus, i.bin AS ib, j.bin AS jb,
+        |    CAST(j.cp - i.cp + i.pos AS DOUBLE)
+        |      / CAST(j.cn - i.cn + i.n AS DOUBLE) AS avg
+        |  FROM pre i JOIN pre j
+        |    ON i.l_linestatus = j.l_linestatus AND i.bin <= j.bin),
+        |mins AS (
+        |  SELECT p.l_linestatus, k.bin AS kb, p.ib, min(p.avg) AS minavg
+        |  FROM pairs p JOIN cells k
+        |    ON p.l_linestatus = k.l_linestatus
+        |    AND p.ib <= k.bin AND k.bin <= p.jb
+        |  GROUP BY 1, 2, 3),
+        |iso AS (
+        |  SELECT l_linestatus, kb, max(minavg) AS iso FROM mins GROUP BY 1, 2)
+        |SELECT c.l_linestatus, c.bin, c.n, c.pos,
+        |  CAST((c.pos * 1000000) // c.n AS BIGINT) AS rate_micro,
+        |  CAST(floor(i.iso * 1000000.0) AS BIGINT) AS iso_micro
+        |FROM cells c JOIN iso i
+        |  ON c.l_linestatus = i.l_linestatus AND c.bin = i.kb
+        |ORDER BY c.l_linestatus, c.bin""".stripMargin,
+
+    // Kaplan–Meier: suffix-sum at-risk over (group, t) cells, per-step
+    // ln factor on the corpus micro-nat rule, exact integer prefix sum;
+    // a step that kills everyone NULLs the curve from there on.
+    "q_km_survival" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', o_orderdate, DATE '1998-12-31') // 90 AS t,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS e
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cells AS (
+        |  SELECT o_orderpriority, t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(e) AS BIGINT) AS events
+        |  FROM r GROUP BY 1, 2),
+        |w AS (
+        |  SELECT o_orderpriority, t, n, events,
+        |    sum(n) OVER (PARTITION BY o_orderpriority ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk
+        |  FROM cells),
+        |terms AS (
+        |  SELECT o_orderpriority, t, n, events, at_risk,
+        |    CASE WHEN events = 0 THEN 0
+        |      WHEN events < at_risk THEN CAST(round(
+        |        ln(CAST(at_risk - events AS DOUBLE) / CAST(at_risk AS DOUBLE))
+        |        * 1e6) AS BIGINT) END AS term,
+        |    max(CASE WHEN events = at_risk THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_orderpriority ORDER BY t) AS dead
+        |  FROM w)
+        |SELECT o_orderpriority, t, CAST(at_risk AS BIGINT) AS at_risk,
+        |  events, n - events AS censored,
+        |  CASE WHEN dead = 0 THEN CAST(sum(term)
+        |    OVER (PARTITION BY o_orderpriority ORDER BY t) AS BIGINT)
+        |  END AS km_log_micro
+        |FROM terms ORDER BY o_orderpriority, t""".stripMargin,
 
     // Two-proportion pooled z: exact conditional counts, one fixed IEEE
     // expression tree for the statistic.

@@ -761,6 +761,27 @@ object SparkEntry {
       .filter(col("triangles") > 0L)
       .orderBy(col("node"))
 
+  /** 3-truss of the frequent co-purchase graph (off the shared
+    * [[coPurchasePairs]] relation): edges corroborated by at least one
+    * triangle after 3 peeling rounds, with their final supports —
+    * hash-oracled against DuckDB's unrolled-round replica.
+    */
+  private def qKTruss(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.kTruss(
+        coPurchasePairs(s, dir).select(col("a").as("src"), col("b").as("dst")),
+        k = 3, rounds = 3)
+      .orderBy(col("src"), col("dst"))
+
+  /** Exact-phrase retrieval over the documents corpus through the
+    * positional inverted index: occurrence counts of the query phrase
+    * per matching document. Hash-oracled against a zipped-unnest
+    * postings replica.
+    */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    text.TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("table", "hash"))
+      .orderBy(col("doc"))
+
   /** Link prediction over the frequent co-purchase graph (off the
     * shared [[coPurchasePairs]] relation): common-neighbor, Jaccard,
     * and Adamic–Adar scores for the 50 strongest NON-adjacent part
@@ -2657,6 +2678,43 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Difference-in-differences on order value: treated = even custkey,
+    * post = orders from 1995 on, per priority — the non-randomized
+    * companion readout to q_cuped on the same arm convention.
+    */
+  private def qDiffInDiff(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.diffInDiff(
+        t(s, dir, "orders")
+          .withColumn("arm", col("o_custkey") % 2 === 0)
+          .withColumn("post", year(col("o_orderdate")) >= 1995),
+        Seq("o_orderpriority"), "arm", "post", "o_totalprice")
+      .orderBy(col("o_orderpriority"))
+
+  /** Isotonic (PAV) recalibration of the q_calibration score: the
+    * monotone corrected probability per score bin, per line status.
+    */
+  private def qIsotonic(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.isotonicCalibration(
+        t(s, dir, "lineitem")
+          .withColumn("score", col("l_discount") * 10.0)
+          .withColumn("returned", col("l_returnflag") === "R"),
+        Seq("l_linestatus"), "score", "returned", nBins = 10)
+      .orderBy(col("l_linestatus"), col("bin"))
+
+  /** Kaplan–Meier fulfilment curve: duration = quarters from order date
+    * to the dataset horizon, event = order finished ('F'), open/pending
+    * orders right-censored, per priority. Durations are pre-binned to
+    * 90-day steps so the cell relation stays calendar-bounded.
+    */
+  private def qKmSurvival(s: SparkSession, dir: String): DataFrame =
+    ops.Survival.kaplanMeier(
+        t(s, dir, "orders")
+          .withColumn("dur",
+            expr("datediff(date'1998-12-31', o_orderdate) div 90"))
+          .withColumn("finished", col("o_orderstatus") === "F"),
+        Seq("o_orderpriority"), "dur", "finished")
+      .orderBy(col("o_orderpriority"), col("t"))
+
   /** Dense daily event-value series per event type: latest value per
     * day, gap days forward-filled. The modulo thinning makes the
     * observations genuinely sparse at sf0.01 so the fill path is what
@@ -3147,6 +3205,8 @@ object SparkEntry {
     "q_kcore" -> (qKCore _),
     "q_ppr" -> (qPersonalizedPageRank _),
     "q_triangles" -> (qTriangles _),
+    "q_ktruss" -> (qKTruss _),
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),
@@ -3177,6 +3237,9 @@ object SparkEntry {
     "q_auc" -> (qAuc _),
     "q_calibration" -> (qCalibration _),
     "q_cuped" -> (qCuped _),
+    "q_diff_in_diff" -> (qDiffInDiff _),
+    "q_isotonic" -> (qIsotonic _),
+    "q_km_survival" -> (qKmSurvival _),
     "q_gap_fill" -> (qGapFill _),
     "q_chi_square" -> (qChiSquare _),
     "q_apply_changeset" -> (qApplyChangeset _),

@@ -336,6 +336,87 @@ object GraphOps {
       .select(col("src").as("node"), col("degree"))
   }
 
+  /** k-truss of an UNDIRECTED edge relation by support peeling (Cohen
+    * '08; Wang & Cheng VLDB'12) — the edge-level cohesion refinement of
+    * [[kCore]]: every surviving edge must sit in at least k−2 triangles
+    * WITHIN the surviving subgraph, so bridges and spokes that k-core
+    * keeps (a hub's degree survives peeling; its untriangled edges do
+    * not) are stripped. On a near-dup similarity graph the 4-truss is
+    * the "every link corroborated by two witnesses" cluster core —
+    * exactly the confidence tier entity resolution wants above raw
+    * connected components.
+    *
+    * Fixed `rounds` of: per-edge support via the [[triangleCounts]]
+    * degree-ordered wedge join (each triangle found once, its three
+    * canonical edges credited), then drop edges with support < k−2.
+    * Each round is a pure function of the edge set, so the unrolled SQL
+    * replica agrees row-for-row (the [[kCore]] determinism argument);
+    * after enough rounds the fixpoint IS the k-truss. Returns the
+    * surviving canonical `(src, dst, support)` relation with support
+    * recomputed on the FINAL edge set (honest fixed-round semantics — a
+    * not-yet-converged edge reports its true current support).
+    *
+    * Scale: each round costs the triangle pass (O(|E|^1.5) wedge bound
+    * via degree ordering) plus one equi-join filter; the edge relation
+    * shrinks monotonically and localCheckpoint truncates lineage per
+    * round as in the other iterative ops. Input conventions as
+    * [[triangleCounts]]: either orientation, self-loops dropped,
+    * parallel edges collapse.
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 3 && rounds >= 1, "kTruss needs k >= 3 and rounds >= 1")
+    val und0 = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct()
+    def support(cur: DataFrame): DataFrame = {
+      val deg = cur.select(col("a").as("node"))
+        .union(cur.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      val ed = cur
+        .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("a")).otherwise(col("b")).as("s"),
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("b")).otherwise(col("a")).as("t"))
+      val e1 = ed.select(col("s"), col("t").as("t1"))
+      val e2 = ed.select(col("s"), col("t").as("t2"))
+      e1.join(e2, "s")
+        .filter(col("t1") < col("t2"))
+        .join(cur,
+          least(col("t1"), col("t2")) === col("a") &&
+          greatest(col("t1"), col("t2")) === col("b"))
+        // credit each triangle to its three canonical edges
+        .select(explode(array(
+          struct(least(col("s"), col("t1")).as("sa"),
+            greatest(col("s"), col("t1")).as("sb")),
+          struct(least(col("s"), col("t2")).as("sa"),
+            greatest(col("s"), col("t2")).as("sb")),
+          struct(col("t1").as("sa"), col("t2").as("sb")))).as("_e"))
+        .select(col("_e.sa").as("sa"), col("_e.sb").as("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("support"))
+    }
+    var e = und0.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = e
+        .join(support(e),
+          col("a") === col("sa") && col("b") === col("sb"), "inner")
+        .filter(col("support") >= k - 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      e.unpersist(blocking = false)
+      e = next
+    }
+    e.join(support(e),
+        col("a") === col("sa") && col("b") === col("sb"), "left")
+      .select(col("a").as("src"), col("b").as("dst"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * UNDIRECTED edge relation — the density diagnostic next to [[kCore]]
     * (a near-dup similarity graph whose clusters are real duplicates is

@@ -850,4 +850,135 @@ object Regression {
       .withColumn("bh_rank", lit(null).cast("long"))
       .unionByName(adjusted)
   }
+
+  /** Difference-in-differences estimator — the quasi-experimental
+    * readout when treatment was NOT randomized but a pre-period exists:
+    * `DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)` nets out both
+    * the stable treated-vs-control gap and the common time trend
+    * (parallel-trends assumption). Completes the causal family next to
+    * [[cuped]] (randomized + covariate) and [[welchTTest]] (randomized,
+    * raw): same arm/metric conventions, one extra `postCol` boolean.
+    *
+    * Returns one row per group: the four cell counts, the four cell
+    * means, and `did_micro`, all means in integer 10⁻⁶ y-units.
+    * Deterministic by the [[welchTTest]] argument: y quantizes to 10⁻⁴
+    * longs, the four conditional sums accumulate in decimal(38,0) in ONE
+    * aggregation pass, each mean is one integral `div` (micro = 100×
+    * the 10⁻⁴ sum), and the estimate is integer subtraction of those
+    * exact means. An empty cell NULLs its mean and the estimate (no
+    * counterfactual to difference); counts are always defined.
+    *
+    * Scale: ONE hash aggregation with map-side partials — eight
+    * conditional sums, |groups| rows out, no window, no second pass.
+    */
+  def diffInDiff(df: DataFrame, groupCols: Seq[String], armCol: String,
+      postCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "diffInDiff needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df
+      .filter(col(armCol).isNotNull && col(postCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(g ++ Seq(col(armCol).as("_dd_t"), col(postCol).as("_dd_p"),
+        floor(col(yCol) * 10000).cast("long").cast(dec).as("_dd_y")): _*)
+    def cell(t: Boolean, p: Boolean) = col("_dd_t") === t && col("_dd_p") === p
+    def n(t: Boolean, p: Boolean) =
+      count(when(cell(t, p), 1L))
+    def s(t: Boolean, p: Boolean) =
+      sum(when(cell(t, p), col("_dd_y")))
+    val agg = rows.groupBy(g: _*).agg(
+      n(true, false).as("n_t_pre"), n(true, true).as("n_t_post"),
+      n(false, false).as("n_c_pre"), n(false, true).as("n_c_post"),
+      s(true, false).as("_dd_stpre"), s(true, true).as("_dd_stpost"),
+      s(false, false).as("_dd_scpre"), s(false, true).as("_dd_scpost"))
+    def mean(sc: String, nc: String) =
+      when(col(nc) > 0L, expr(s"($sc * 100) div $nc").cast("long"))
+    agg
+      .withColumn("mean_t_pre_micro", mean("_dd_stpre", "n_t_pre"))
+      .withColumn("mean_t_post_micro", mean("_dd_stpost", "n_t_post"))
+      .withColumn("mean_c_pre_micro", mean("_dd_scpre", "n_c_pre"))
+      .withColumn("mean_c_post_micro", mean("_dd_scpost", "n_c_post"))
+      .withColumn("did_micro",
+        (col("mean_t_post_micro") - col("mean_t_pre_micro")) -
+          (col("mean_c_post_micro") - col("mean_c_pre_micro")))
+      .drop("_dd_stpre", "_dd_stpost", "_dd_scpre", "_dd_scpost")
+  }
+
+  /** Isotonic (PAV) calibration over score bins — the monotone
+    * recalibration map Zadrozny & Elkan '02 fit with pool-adjacent-
+    * violators, computed here by the equivalent minimax identity
+    *
+    *   iso(k) = max_{i ≤ k} min_{j ≥ k} ( pos[i..j] / n[i..j] )
+    *
+    * (Robertson/Wright/Dykstra '88 §1.2) so the whole fit is relational
+    * — no sequential pooling loop. Where [[calibrationReport]] only
+    * MEASURES miscalibration, this produces the corrected probability a
+    * serving layer would apply; the fitted curve is the raw bin rates
+    * with every non-monotone run pooled to its weighted average.
+    *
+    * Determinism: bin counts are exact longs; each interval average is
+    * ONE IEEE division of two exact longs (correctly rounded, identical
+    * on any IEEE engine; sums < 2⁵³ to ~10¹⁵ rows/group); min/max over
+    * those doubles carry no accumulation order; the report floors to
+    * micro units after one exact-by-cases ×10⁶. Bins with no rows take
+    * no part (PAV over the occupied subsequence — the standard weighted
+    * form); raw `rate_micro` is an integral `div`.
+    *
+    * Scale: the data-sized work is ONE hash aggregation onto ≤nBins
+    * cells per group with map-side partials. The minimax triple join
+    * runs on that cell relation — ≤ C(nBins+2,3) ≈ nBins³/6 tuples per
+    * group (220 at the default 10) — broadcast-scale regardless of
+    * input rows, the same "windows never see raw data" shape as
+    * [[prCurve]].
+    */
+  def isotonicCalibration(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, labelCol: String, nBins: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "isotonicCalibration needs group columns")
+    require(nBins > 0, "isotonicCalibration needs positive nBins")
+    val g = groupCols.map(col)
+    val bin = least(greatest(floor(col(scoreCol) * nBins), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("long")
+    val cells = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(g ++ Seq(bin.as("bin"),
+        when(col(labelCol), 1L).otherwise(0L).as("_ic_y")): _*)
+      .groupBy(g :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_ic_y")).as("pos"))
+      .persist()
+    val pre = cells.withColumn("_ic_cn",
+        sum(col("n")).over(Window.partitionBy(g: _*).orderBy(col("bin"))))
+      .withColumn("_ic_cp",
+        sum(col("pos")).over(Window.partitionBy(g: _*).orderBy(col("bin"))))
+    def side(tag: String) = pre.select(
+      g.zip(groupCols).map { case (c, nm) => c.as(s"_$tag$nm") } ++ Seq(
+        col("bin").as(s"_${tag}bin"), col("n").as(s"_${tag}n"),
+        col("pos").as(s"_${tag}pos"), col("_ic_cn").as(s"_${tag}cn"),
+        col("_ic_cp").as(s"_${tag}cp")): _*)
+    def keys(a: String, b: String) = groupCols
+      .map(nm => col(s"_$a$nm") === col(s"_$b$nm"))
+      .reduce(_ && _)
+    // interval averages from prefix sums: avg(i..j) over occupied bins
+    val pairs = side("i").join(side("j"),
+        keys("i", "j") && col("_ibin") <= col("_jbin"))
+      .withColumn("_ic_avg",
+        (col("_jcp") - col("_icp") + col("_ipos")).cast("double") /
+          (col("_jcn") - col("_icn") + col("_in")).cast("double"))
+    val ks = cells.select(
+      g.zip(groupCols).map { case (c, nm) => c.as(s"_k$nm") } :+
+        col("bin").as("_kbin"): _*)
+    val iso = pairs.join(ks,
+        keys("i", "k") && col("_ibin") <= col("_kbin") &&
+          col("_kbin") <= col("_jbin"))
+      .groupBy(groupCols.map(nm => col(s"_k$nm")) ++
+        Seq(col("_kbin"), col("_ibin")): _*)
+      .agg(min(col("_ic_avg")).as("_ic_minavg"))
+      .groupBy(groupCols.map(nm => col(s"_k$nm")) :+ col("_kbin"): _*)
+      .agg(max(col("_ic_minavg")).as("_ic_iso"))
+    cells.join(iso,
+        groupCols.map(nm => col(nm) === col(s"_k$nm")).reduce(_ && _) &&
+          col("bin") === col("_kbin"))
+      .select(g ++ Seq(col("bin"), col("n"), col("pos"),
+        expr("(pos * 1000000) div n").as("rate_micro"),
+        floor(col("_ic_iso") * 1000000.0).cast("long").as("iso_micro")): _*)
+  }
 }

@@ -845,4 +845,45 @@ object TextAnalysis {
         coalesce(col("score_milli"), lit(0.0)).as("score_milli"),
         coalesce(col("keep"), lit(false)).as("keep"))
   }
+
+  /** Exact-phrase retrieval through a positional inverted index — the
+    * corpus lookup a contamination audit or a quote-tracing pass runs
+    * ("which training documents contain this benchmark sentence, and how
+    * often"): postings `(term, doc, pos)` restricted to the query's
+    * terms, then one equi-join per subsequent phrase word aligning
+    * `pos + i`, then a per-doc count. Returns `(doc, hits)` for
+    * documents with ≥ 1 occurrence; overlapping occurrences each count
+    * (positions are distinct by construction).
+    *
+    * The plan IS the inverted-index story at 100 TB: the term filter
+    * prunes the exploded postings BEFORE any shuffle (a phrase of rare
+    * words touches a sliver of the index), every join is an equi-join on
+    * `(doc, pos±i)` — hash-partitionable, no position explosion — and
+    * the first word's postings drive the probe like a posting-list
+    * intersection. Tokenization is [[graft.dedup.Dedup.tokensOf]] (the
+    * dedup normalization), so phrase matching composes with the
+    * fingerprint/dedup family's notion of a token. All-integer counts —
+    * hash-oracles against a zipped-unnest SQL replica.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val post = df
+      .select(col(idCol).as("doc"),
+        posexplode(graft.dedup.Dedup.tokensOf(col(textCol)))
+          .as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+      .persist()
+    val heads = post.filter(col("term") === phrase.head)
+      .select(col("doc"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1)
+      .foldLeft(heads) { case (acc, (w, i)) =>
+        val pi = post.filter(col("term") === w)
+          .select(col("doc").as("_ps_d"), col("pos").as("_ps_p"))
+        acc.join(pi,
+          col("doc") === col("_ps_d") &&
+            col("pos") + lit(i) === col("_ps_p"), "left_semi")
+      }
+    matched.groupBy(col("doc")).agg(count(lit(1)).as("hits"))
+  }
 }

@@ -158,6 +158,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(edges, k = 2, rounds = 3).count() == 0)
   }
 
+  test("kTruss: k=3 strips untriangled edges, keeps the triangle with supports") {
+    // triangle {1,2,3} + pendant 3-4: the pendant edge sits in no
+    // triangle and is peeled; the triangle's edges each report support 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphOps.kTruss(edges, k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+  }
+
+  test("kTruss: k=4 cascade — losing one triangle's edges starves the shared edge") {
+    // two triangles sharing edge 2-3: only 2-3 has support 2, so round
+    // one keeps just it, round two finds it triangle-less and drops it.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    assert(GraphOps.kTruss(edges, k = 4, rounds = 2).count() == 0L)
+    // k=3 keeps everything; the shared edge reports both its triangles
+    val k3 = GraphOps.kTruss(edges, k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(k3((2L, 3L)) == 2L && k3((1L, 2L)) == 1L && k3.size == 5)
+  }
+
+  test("kTruss: orientation and parallel duplicates collapse first") {
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val out = GraphOps.kTruss(edges, k = 3, rounds = 1)
+    assert(out.count() == 3L)
+    assert(out.collect().forall(_.getLong(2) == 1L))
+  }
+
   test("weighted labelPropagation: all-1 weights equal the unweighted form exactly") {
     val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
     val edges = (und ++ und.map(_.swap)).toDF("src", "dst")

@@ -405,6 +405,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => r.getLong(r.fieldIndex("id"))).toSeq == Seq(3L, 5L))
   }
 
+  test("phraseSearch: counts occurrences, overlapping and repeated words included") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x table hash y table hash"), // 2 hits
+      (2L, "table of hash"),             // adjacency required: 0
+      (3L, "a a a"),                     // overlapping (a,a): 2
+      (4L, "hash table")                 // order matters: 0
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.phraseSearch(df, "doc_id", "text",
+        Seq("table", "hash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L))
+    val aa = TextAnalysis.phraseSearch(df, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa == Map(3L -> 2L))
+  }
+
+  test("phraseSearch: three-word phrase chains the position joins") {
+    import spark.implicits._
+    val df = Seq((1L, "u v w u v"), (2L, "u v x w")).toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(df, "doc_id", "text",
+        Seq("u", "v", "w")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L))
+  }
+
   test("scriptDistribution: hand-counted classes; null text is all-zero") {
     import spark.implicits._
     // "Ab с1 !" → 7 chars: latin 2, cyrillic 1, digit 1, ws 2, other 1
