@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.expr.{DamerauLevenshtein, DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles, ZOrder2}
+import graft.expr.{DamerauLevenshtein, DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles, WordpieceTokens, ZOrder2}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -27,6 +27,13 @@ object GraftFunctions {
         WordShingles(c, n)
       case _ => throw new IllegalArgumentException(
         "word_shingles(stringCol, intLiteral)")
+    }),
+    "wordpiece" -> (exprs => exprs match {
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(v, _))
+          if v != null =>
+        WordpieceTokens(c, v.toString.split(" ").toSeq.filter(_.nonEmpty))
+      case _ => throw new IllegalArgumentException(
+        "wordpiece(stringCol, 'piece piece ##piece ...' literal)")
     }),
   )
 
@@ -65,4 +72,11 @@ object GraftFunctions {
 
   /** 64-bit Morton key of two non-negative 32-bit coordinates. */
   def zOrder2(a: Column, b: Column): Column = call_function("z_order2", a, b)
+
+  /** Greedy longest-match WordPiece subword tokens of a pre-normalized
+    * string; vocab pieces are space-separated, continuations `##`-prefixed.
+    */
+  def wordpiece(c: Column, vocab: Seq[String]): Column =
+    call_function("wordpiece", c,
+      org.apache.spark.sql.functions.lit(vocab.mkString(" ")))
 }

@@ -822,6 +822,67 @@ object OracleSql {
          |ORDER BY src, dst""".stripMargin
     },
 
+    // WordPiece replica: segment the DISTINCT word types by 4 unrolled
+    // greedy steps — at each step LEFT JOIN the vocab on a position/
+    // continuation-aware prefix match and QUALIFY-keep the longest
+    // piece (no match → the word fails to [UNK]) — then join back to
+    // the positional word relation and re-aggregate per doc. Steps are
+    // MATERIALIZED (each is referenced twice; inlining doubles per
+    // step). 4 steps cover the demo vocab's ≤2-piece segmentations.
+    "q_wordpiece" -> {
+      val vrows = graft.text.TextAnalysis.WordpieceDemoVocab.map { p =>
+        val cont = p.startsWith("##")
+        val plain = if (cont) p.substring(2) else p
+        s"('$p', $cont, '$plain', ${plain.length})"
+      }.mkString(",\n    ")
+      val steps = (0 until 4).map { i =>
+        s"""s${i + 1} AS MATERIALIZED (
+           |  SELECT w, pos, acc, fail FROM s$i WHERE fail OR pos > len(w)
+           |  UNION ALL
+           |  SELECT s.w,
+           |    CASE WHEN v.piece IS NULL THEN s.pos ELSE s.pos + v.plen END AS pos,
+           |    CASE WHEN v.piece IS NULL THEN s.acc
+           |      WHEN s.acc = '' THEN v.piece
+           |      ELSE s.acc || ' ' || v.piece END AS acc,
+           |    (v.piece IS NULL) AS fail
+           |  FROM (SELECT * FROM s$i WHERE NOT fail AND pos <= len(w)) s
+           |  LEFT JOIN v ON ((s.pos = 1) = (NOT v.cont))
+           |    AND substr(s.w, s.pos, v.plen) = v.plain
+           |  QUALIFY row_number() OVER (PARTITION BY s.w
+           |    ORDER BY v.plen DESC NULLS LAST) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH docs AS MATERIALIZED (
+         |  SELECT doc_id AS doc, ${norm("text")} AS nt FROM documents),
+         |docw AS MATERIALIZED (
+         |  SELECT doc, unnest(generate_series(1, len(str_split(nt, ' ')))) AS wpos,
+         |    unnest(str_split(nt, ' ')) AS w
+         |  FROM docs WHERE nt != ''),
+         |words AS MATERIALIZED (SELECT DISTINCT w FROM docw WHERE w != ''),
+         |v(piece, cont, plain, plen) AS (VALUES
+         |    $vrows),
+         |s0 AS MATERIALIZED (
+         |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS acc, false AS fail
+         |  FROM words),
+         |$steps,
+         |segf AS (
+         |  SELECT w, CASE WHEN fail OR pos <= len(w) THEN '[UNK]' ELSE acc END AS seg
+         |  FROM s4),
+         |agg AS (
+         |  SELECT d.doc,
+         |    CAST(sum(len(str_split(f.seg, ' '))) AS BIGINT) AS n_pieces,
+         |    CAST(sum(CASE WHEN f.seg = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+         |    string_agg(f.seg, ' ' ORDER BY d.wpos) AS subword_text
+         |  FROM docw d JOIN segf f ON d.w = f.w
+         |  WHERE d.w != ''
+         |  GROUP BY d.doc)
+         |SELECT d.doc_id AS doc,
+         |  CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |  CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
+         |  coalesce(a.subword_text, '') AS subword_text
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc
+         |ORDER BY doc""".stripMargin
+    },
+
     // Phrase retrieval: zipped-unnest positional postings, one
     // pos-aligned join per phrase word, per-doc occurrence count.
     "q_phrase_search" ->

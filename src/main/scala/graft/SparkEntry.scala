@@ -782,6 +782,24 @@ object SparkEntry {
         Seq("table", "hash"))
       .orderBy(col("doc"))
 
+  /** WordPiece subword tokenization of the documents corpus with the
+    * demo vocab: per doc, the subword count (the REAL token budget),
+    * the `[UNK]` count, and the re-joined subword string — the whole
+    * segmentation hashed against DuckDB's word-type replica.
+    */
+  private def qWordpiece(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").as("doc"),
+        GraftFunctions.wordpiece(
+          graft.dedup.Dedup.normalizeText(col("text")),
+          text.TextAnalysis.WordpieceDemoVocab).as("_wp"))
+      .select(col("doc"),
+        size(col("_wp")).cast("long").as("n_pieces"),
+        size(filter(col("_wp"), p => p === graft.expr.WordpieceTokens.Unk))
+          .cast("long").as("n_unk"),
+        array_join(col("_wp"), " ").as("subword_text"))
+      .orderBy(col("doc"))
+
   /** Link prediction over the frequent co-purchase graph (off the
     * shared [[coPurchasePairs]] relation): common-neighbor, Jaccard,
     * and Adamic–Adar scores for the 50 strongest NON-adjacent part
@@ -3207,6 +3225,7 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_ktruss" -> (qKTruss _),
     "q_phrase_search" -> (qPhraseSearch _),
+    "q_wordpiece" -> (qWordpiece _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

@@ -846,6 +846,20 @@ object TextAnalysis {
         coalesce(col("keep"), lit(false)).as("keep"))
   }
 
+  /** Demo WordPiece vocabulary over the synthetic documents lexicon:
+    * full words, split words (word-initial + `##` continuation pieces),
+    * and a deliberate hole ("dup" has no pieces → `[UNK]`) so all three
+    * tokenizer paths stay exercised. Shared by the q_wordpiece query and
+    * its DuckDB oracle — the two sides must segment identically.
+    */
+  val WordpieceDemoVocab: Seq[String] = Seq(
+    "a", "the", "table", "hash", "ha", "##sh", "part", "fast", "f", "##ast",
+    "batch", "join", "key", "row", "data", "line", "value", "agg", "merge",
+    "filter", "fil", "##ter", "ta", "##ble", "s", "##can", "##ort", "##low",
+    "##mall", "##park", "##tream", "qu", "##ery", "b", "##ig", "c",
+    "##olumn", "##ustomer", "gr", "##oup", "or", "##der", "vec", "##tor",
+    "win", "##dow")
+
   /** Exact-phrase retrieval through a positional inverted index — the
     * corpus lookup a contamination audit or a quote-tracing pass runs
     * ("which training documents contain this benchmark sentence, and how

@@ -138,4 +138,39 @@ class ExpressionsSpec extends SparkSpec {
       .collect()
     assert(out(0).getLong(0) == 2L && out(1).getLong(0) == 0L && out(2).isNullAt(0))
   }
+
+  private def wp(vocab: Seq[String], texts: String*): Seq[Seq[String]] =
+    texts.toDF("x")
+      .select(GraftFunctions.wordpiece(col("x"), vocab).as("t"))
+      .as[Seq[String]].collect().toSeq
+
+  test("wordpiece: greedy longest match beats shorter prefixes") {
+    // "table" is in-vocab whole, so ta+##ble must NOT fire
+    val v = Seq("table", "ta", "##ble", "s", "##can")
+    assert(wp(v, "table scan") == Seq(Seq("table", "s", "##can")))
+  }
+
+  test("wordpiece: any unmatchable position voids the whole word to [UNK]") {
+    // "scanx" matches s+##can then dies at 'x' → single [UNK]
+    val v = Seq("s", "##can")
+    assert(wp(v, "scan scanx dup") ==
+      Seq(Seq("s", "##can", "[UNK]", "[UNK]")))
+  }
+
+  test("wordpiece: continuations never match word-initial and vice versa") {
+    val v = Seq("##ble", "ta")
+    // "ble" has no word-initial piece → [UNK]; "table" = ta + ##ble
+    assert(wp(v, "ble table") == Seq(Seq("[UNK]", "ta", "##ble")))
+  }
+
+  test("wordpiece: multi-piece chains and empty input") {
+    val v = Seq("ab", "##cd", "##ef")
+    assert(wp(v, "abcdef", "") == Seq(Seq("ab", "##cd", "##ef"), Seq()))
+  }
+
+  test("wordpiece null propagates") {
+    val r = Seq[(Integer, String)]((1, null)).toDF("id", "x")
+      .select(GraftFunctions.wordpiece(col("x"), Seq("a")).as("t")).collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
