@@ -3194,6 +3194,82 @@ object OracleSql {
         |  (n_violating = 0) AS fd_holds
         |FROM u ORDER BY det_col, dep_col""".stripMargin,
 
+    // Referential-integrity audit, parents damaged (pk % 97 = 0 dropped)
+    // exactly as the Spark side plants them; one UNION ALL branch per
+    // FK edge.
+    "q_orphans" -> {
+      val edges = Seq(
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      val branches = edges.map { case (label, child, fk, parent, pk) =>
+        s"""SELECT '$label' AS relation, '$fk' AS fk_col,
+           |  t.n_rows, t.n_null_fk, o.n_orphans, o.orphan_keys,
+           |  CASE WHEN t.n_rows > 0
+           |    THEN CAST(o.n_orphans * 1000000 // t.n_rows AS BIGINT)
+           |    ELSE 0 END AS orphan_micro,
+           |  (o.n_orphans = 0 AND t.n_null_fk = 0) AS ok
+           |FROM (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(coalesce(sum(CASE WHEN $fk IS NULL THEN 1 END), 0)
+           |      AS BIGINT) AS n_null_fk
+           |  FROM $child) t,
+           |(
+           |  SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_orphans,
+           |    CAST(count(*) AS BIGINT) AS orphan_keys
+           |  FROM (
+           |    SELECT $fk AS k, count(*) AS n FROM $child
+           |    WHERE $fk IS NOT NULL GROUP BY 1) c
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM $parent p
+           |    WHERE p.$pk % 97 != 0 AND p.$pk = c.k)) o""".stripMargin
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
+
+    // Inclusion-dependency discovery: the same one-aggregation bitmask
+    // fold — per distinct stringified value, bit_or of 1 << attr_id,
+    // then pairwise verdicts from the (mask, count) relation.
+    "q_inclusion_deps" -> {
+      val attrs = Seq(
+        ("nation.n_nationkey", "nation", "n_nationkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey"),
+        ("supplier.s_nationkey", "supplier", "s_nationkey"),
+        ("customer.c_custkey", "customer", "c_custkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("orders.o_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("part.p_partkey", "part", "p_partkey"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"))
+      val stack = attrs.zipWithIndex.map { case ((_, tbl, c), i) =>
+        s"SELECT CAST($c AS VARCHAR) AS v, $i AS a FROM $tbl WHERE $c IS NOT NULL"
+      }.mkString("\n  UNION ALL ")
+      val labels = attrs.zipWithIndex
+        .map { case ((l, _, _), i) => s"($i, '$l')" }.mkString(", ")
+      s"""WITH st AS ($stack),
+         |m AS (
+         |  SELECT v, bit_or(CAST(1 AS BIGINT) << a) AS m
+         |  FROM st GROUP BY v),
+         |mc AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY m),
+         |attrs(i, lbl) AS (VALUES $labels),
+         |p AS (
+         |  SELECT a.i AS ai, a.lbl AS col_a, b.i AS bi, b.lbl AS col_b
+         |  FROM attrs a, attrs b WHERE a.i != b.i)
+         |SELECT col_a, col_b,
+         |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_a,
+         |  CAST(coalesce(sum(CASE WHEN (m >> bi) & 1 = 0 THEN n END), 0)
+         |    AS BIGINT) AS n_missing,
+         |  (coalesce(sum(CASE WHEN (m >> bi) & 1 = 0 THEN n END), 0) = 0)
+         |    AS included
+         |FROM p LEFT JOIN mc ON (mc.m >> p.ai) & 1 = 1
+         |GROUP BY col_a, col_b, bi
+         |ORDER BY col_a, col_b""".stripMargin
+    },
+
     // JL ±1 projection: the sign matrix is regenerated from md5 parity
     // of the (j, i) coordinates, so the exact-integer projection is
     // plain SQL.

@@ -2626,6 +2626,52 @@ object SparkEntry {
         Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderpriority"))))
       .orderBy(col("det_col"), col("dep_col"))
 
+  /** Referential-integrity audit across the full star-schema FK graph,
+    * with deletions PLANTED on every parent (keys ≡ 0 mod 97 dropped —
+    * the synthetic data is referentially clean, so an unplanted audit
+    * would only ever prove the zero path; the strip-boilerplate
+    * lesson). Exact longs, fully hash-oracled.
+    */
+  private def qOrphans(s: SparkSession, dir: String): DataFrame = {
+    def dam(name: String, pk: String) =
+      t(s, dir, name).filter(col(pk) % 97 =!= 0L)
+    sketch.Profiler.referentialIntegrity(Seq(
+        ("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+          dam("orders", "o_orderkey"), "o_orderkey"),
+        ("lineitem->part", t(s, dir, "lineitem"), "l_partkey",
+          dam("part", "p_partkey"), "p_partkey"),
+        ("lineitem->supplier", t(s, dir, "lineitem"), "l_suppkey",
+          dam("supplier", "s_suppkey"), "s_suppkey"),
+        ("orders->customer", t(s, dir, "orders"), "o_custkey",
+          dam("customer", "c_custkey"), "c_custkey"),
+        ("customer->nation", t(s, dir, "customer"), "c_nationkey",
+          dam("nation", "n_nationkey"), "n_nationkey"),
+        ("supplier->nation", t(s, dir, "supplier"), "s_nationkey",
+          dam("nation", "n_nationkey"), "n_nationkey"),
+        ("nation->region", t(s, dir, "nation"), "n_regionkey",
+          dam("region", "r_regionkey"), "r_regionkey")))
+      .orderBy(col("relation"))
+  }
+
+  /** Unary inclusion-dependency discovery over the schema's nine key
+    * attributes — every declared FK→PK edge must be re-discovered as
+    * `included`, and the reverse directions report their true missing
+    * counts. One value-keyed shuffle for all 72 ordered pairs; fully
+    * hash-oracled.
+    */
+  private def qInclusionDeps(s: SparkSession, dir: String): DataFrame =
+    sketch.Profiler.inclusionDeps(Seq(
+        ("nation.n_nationkey", t(s, dir, "nation"), "n_nationkey"),
+        ("customer.c_nationkey", t(s, dir, "customer"), "c_nationkey"),
+        ("supplier.s_nationkey", t(s, dir, "supplier"), "s_nationkey"),
+        ("customer.c_custkey", t(s, dir, "customer"), "c_custkey"),
+        ("orders.o_custkey", t(s, dir, "orders"), "o_custkey"),
+        ("orders.o_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.l_orderkey", t(s, dir, "lineitem"), "l_orderkey"),
+        ("part.p_partkey", t(s, dir, "part"), "p_partkey"),
+        ("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey")))
+      .orderBy(col("col_a"), col("col_b"))
+
   /** Fleiss' kappa over THREE weak order labelers (priority, price,
     * date) voting hi/lo — multi-rater chance-corrected agreement per
     * order status.
@@ -3247,6 +3293,8 @@ object SparkEntry {
     "q_benford" -> (qBenford _),
     "q_skew_report" -> (qSkewReport _),
     "q_fd_check" -> (qFdCheck _),
+    "q_orphans" -> (qOrphans _),
+    "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),
     "q_k_anonymity" -> (qKAnonymity _),

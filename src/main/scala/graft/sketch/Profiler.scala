@@ -138,6 +138,101 @@ object Profiler {
         col("l_diversity"))
   }
 
+  /** Referential-integrity audit over declared foreign-key edges — the
+    * join-health pass run before any pipeline trusts its star schema
+    * ("how many lineitems point at orders that no longer exist?"). One
+    * row per edge: `(relation, fk_col, n_rows, n_null_fk, n_orphans,
+    * orphan_keys, orphan_micro, ok)` — `n_orphans` counts child rows
+    * whose non-null FK has no parent, `orphan_keys` the distinct missing
+    * key values, `orphan_micro` the orphan share of all child rows, and
+    * the edge is `ok` iff both orphans and null FKs are zero (a null FK
+    * is reported separately — it breaks inner joins silently rather
+    * than loudly).
+    *
+    * Exact longs throughout — hash-oracles.
+    *
+    * Scale: per edge, the child is FIRST aggregated to `(fk, count)` —
+    * one hash aggregation with map-side partials — and only that
+    * distinct-key relation (bounded by the PARENT's key cardinality
+    * plus the orphan keys, not the child's row count) anti-joins the
+    * parent's distinct keys. The summary is a single-row agg over the
+    * per-key relation; no full-width child rows ever cross the join.
+    */
+  def referentialIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "referentialIntegrity needs at least one edge")
+    edges.map { case (label, child, fkCol, parent, pkCol) =>
+      val fk = graft.Cols.q(fkCol)
+      val totals = child.agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(fk.isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null_fk"))
+      val perKey = child.filter(fk.isNotNull)
+        .groupBy(fk.as("_ri_k")).agg(count(lit(1)).as("_ri_n"))
+      val orphans = perKey.join(
+          parent.select(graft.Cols.q(pkCol).as("_ri_k")).distinct(),
+          Seq("_ri_k"), "left_anti")
+        .agg(coalesce(sum(col("_ri_n")), lit(0L)).as("n_orphans"),
+          count(lit(1)).as("orphan_keys"))
+      totals.crossJoin(orphans).select(
+        lit(label).as("relation"), lit(fkCol).as("fk_col"),
+        col("n_rows"), col("n_null_fk"), col("n_orphans"), col("orphan_keys"),
+        when(col("n_rows") > 0L, expr("n_orphans * 1000000 div n_rows"))
+          .otherwise(lit(0L)).as("orphan_micro"),
+        (col("n_orphans") === 0L && col("n_null_fk") === 0L).as("ok"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Unary inclusion-dependency discovery (the SPIDER question: which
+    * columns' value sets are contained in which others?) over declared
+    * attributes — the profiling pass that proposes joinable FK→PK edges
+    * a schema never declared. For every ordered attribute pair `(a, b)`,
+    * one row `(col_a, col_b, n_a, n_missing, included)`: `n_a` is a's
+    * distinct non-null value count, `n_missing` how many of those values
+    * b lacks, and `a ⊆ b` holds iff none are missing.
+    *
+    * Values compare AS STRINGS (the [[profileColumns]] convention — one
+    * operator profiles any schema, both engines agree byte-for-byte).
+    *
+    * Scale — the reason this is NOT |attrs|² anti-joins: all attributes
+    * stack into one `(value, attr_id)` relation and ONE hash aggregation
+    * (bit_or of `1 << attr_id`; idempotent, so no pre-dedup pass) folds
+    * it to `(value, presence-bitmask)`. That per-value relation then
+    * collapses to `(mask, n_values)` — at most 2^|attrs| rows, in
+    * practice a handful — and every pairwise verdict is arithmetic over
+    * that constant-size relation. The data is scanned once per source
+    * table and shuffled once, keyed on value; adding attributes adds
+    * bits, not passes.
+    */
+  def inclusionDeps(attrs: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(attrs.size >= 2, "inclusionDeps needs at least two attributes")
+    require(attrs.size <= 62, "inclusionDeps packs attr ids into one long")
+    val stacked = attrs.zipWithIndex.map { case ((_, df, c), i) =>
+      df.select(graft.Cols.q(c).cast("string").as("_id_v"),
+          lit(i).as("_id_a"))
+        .filter(col("_id_v").isNotNull)
+    }.reduce(_ unionAll _)
+    val masks = stacked
+      .groupBy(col("_id_v"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), _id_a)")).as("_id_m"))
+      .groupBy(col("_id_m")).agg(count(lit(1)).as("_id_n"))
+    val labels = attrs.head._2.sparkSession.createDataFrame(
+        attrs.zipWithIndex.map { case ((label, _, _), i) => (i, label) })
+      .toDF("_id_i", "_id_l")
+    val pairs = labels.select(col("_id_i").as("_id_ai"), col("_id_l").as("col_a"))
+      .crossJoin(labels.select(col("_id_i").as("_id_bi"), col("_id_l").as("col_b")))
+      .filter(col("_id_ai") =!= col("_id_bi"))
+    pairs.join(masks,
+        expr("shiftright(_id_m, _id_ai) & 1") === 1L, "left")
+      .groupBy(col("col_a"), col("col_b"), col("_id_bi"))
+      .agg(coalesce(sum(col("_id_n")), lit(0L)).as("n_a"),
+        coalesce(sum(when(
+          expr("shiftright(_id_m, _id_bi) & 1") === 0L,
+          col("_id_n")).otherwise(0L)), lit(0L)).as("n_missing"))
+      .select(col("col_a"), col("col_b"), col("n_a"), col("n_missing"),
+        (col("n_missing") === 0L).as("included"))
+  }
+
   /** Functional-dependency / candidate-key discovery over declared
     * `(determinant, dependent)` column pairs — the schema-inference pass
     * that decides which columns can key a join or dedup ("does custkey

@@ -93,4 +93,57 @@ class ProfilerSpec extends SparkSpec {
     assert(r.getLong(5) == pa.getLong(3) * 1000000L)
     assert(r.getBoolean(6) && r.getBoolean(7))
   }
+
+  test("referentialIntegrity: orphans, null FKs, and the dup-row weighting") {
+    // children: two rows -> p1 (present), two rows -> p9 (missing, ONE
+    // distinct key), one null FK. 5 rows, 2 orphan ROWS, 1 orphan KEY.
+    val child = Seq(Some(1L), Some(1L), Some(9L), Some(9L),
+      None: Option[Long]).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Profiler.referentialIntegrity(
+      Seq(("c->p", child, "fk", parent, "pk"))).collect().head
+    assert(r.getString(0) == "c->p" && r.getString(1) == "fk")
+    assert(r.getLong(2) == 5L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 2L && r.getLong(5) == 1L)
+    assert(r.getLong(6) == 2L * 1000000L / 5L)
+    assert(!r.getBoolean(7))
+  }
+
+  test("referentialIntegrity: a clean edge is ok; empty child divides safely") {
+    val clean = Seq(1L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val empty = Seq.empty[Long].toDF("fk")
+    val out = Profiler.referentialIntegrity(Seq(
+      ("clean", clean, "fk", parent, "pk"),
+      ("empty", empty, "fk", parent, "pk")))
+      .orderBy("relation").collect()
+    assert(out(0).getLong(4) == 0L && out(0).getBoolean(7))
+    assert(out(1).getLong(2) == 0L && out(1).getLong(4) == 0L &&
+      out(1).getLong(6) == 0L && out(1).getBoolean(7))
+  }
+
+  test("inclusionDeps: containment verdicts, missing counts, null drop") {
+    // a = {1,2}; b = {1,2,3}; c = {2,9}; nulls in a must not count.
+    val ta = Seq(Some(1L), Some(2L), Some(2L), None: Option[Long]).toDF("x")
+    val tb = Seq(1L, 2L, 3L).toDF("x")
+    val tc = Seq(2L, 9L).toDF("x")
+    val out = Profiler.inclusionDeps(
+        Seq(("a", ta, "x"), ("b", tb, "x"), ("c", tc, "x")))
+      .orderBy("col_a", "col_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 0L, true), ("a", "c", 2L, 1L, false),
+      ("b", "a", 3L, 1L, false), ("b", "c", 3L, 2L, false),
+      ("c", "a", 2L, 1L, false), ("c", "b", 2L, 1L, false)))
+  }
+
+  test("inclusionDeps: values compare as strings across source types") {
+    // int 1 and string "1" are the SAME value under the string contract
+    val ti = Seq(1L, 2L).toDF("x")
+    val ts = Seq("1", "2").toDF("x")
+    val out = Profiler.inclusionDeps(Seq(("i", ti, "x"), ("s", ts, "x")))
+      .collect()
+    assert(out.forall(r => r.getBoolean(4) && r.getLong(3) == 0L))
+  }
 }
