@@ -3194,6 +3194,45 @@ object OracleSql {
         |  (n_violating = 0) AS fd_holds
         |FROM u ORDER BY det_col, dep_col""".stripMargin,
 
+    // Sample ACF replica: same lead() window, same cleared-denominator
+    // HUGEINT moments, same two-IEEE-op final division per lag.
+    "q_acf" -> {
+      val ks = 1 to 5
+      val leads = ks.map(k => s"lead(x, $k) OVER w AS l$k").mkString(", ")
+      val moms = ks.map { k =>
+        s"""    CAST(coalesce(sum(CAST(x AS HUGEINT) * l$k), 0) AS HUGEINT) AS p$k,
+           |    CAST(coalesce(sum(CASE WHEN l$k IS NOT NULL THEN CAST(x AS HUGEINT) END), 0) AS HUGEINT) AS a$k,
+           |    CAST(coalesce(sum(CAST(l$k AS HUGEINT)), 0) AS HUGEINT) AS b$k""".stripMargin
+      }.mkString(",\n")
+      val branches = ks.map { k =>
+        s"""SELECT g AS o_orderpriority, $k AS lag, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN den > 0 AND n > $k THEN
+           |    CAST(floor(CAST(n*n*p$k - n*s1*(a$k + b$k) + (n - $k)*s1*s1
+           |      AS DOUBLE) * 1000000.0 / CAST(den AS DOUBLE)) AS BIGINT)
+           |  END AS acf_micro
+           |FROM mom""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (
+         |  SELECT o_orderpriority AS g, o_orderdate AS d,
+         |    CAST(count(*) AS BIGINT) AS x
+         |  FROM orders GROUP BY 1, 2),
+         |l AS (
+         |  SELECT g, x, $leads
+         |  FROM s WINDOW w AS (PARTITION BY g ORDER BY d)),
+         |mom AS (
+         |  SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss,
+         |    CAST(count(*) AS HUGEINT) * count(*) *
+         |      CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) -
+         |      CAST(count(*) AS HUGEINT) * CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT)
+         |        * CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS den,
+         |$moms
+         |  FROM l GROUP BY g)
+         |$branches
+         |ORDER BY o_orderpriority, lag""".stripMargin
+    },
+
     // Referential-integrity audit, parents damaged (pk % 97 = 0 dropped)
     // exactly as the Spark side plants them; one UNION ALL branch per
     // FK edge.

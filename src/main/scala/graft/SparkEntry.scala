@@ -2672,6 +2672,20 @@ object SparkEntry {
         ("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey")))
       .orderBy(col("col_a"), col("col_b"))
 
+  /** Sample autocorrelation of the daily order-count series per
+    * priority class at lags 1–5 — the seasonality screen. Exact
+    * cleared-denominator integer moments off one window pass; fully
+    * hash-oracled.
+    */
+  private def qAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"), col("o_orderdate"))
+      .agg(count(lit(1)).as("x"))
+    ops.EventOps.acf(daily, Seq("o_orderpriority"), "o_orderdate", "x",
+        maxLag = 5)
+      .orderBy(col("o_orderpriority"), col("lag"))
+  }
+
   /** Fleiss' kappa over THREE weak order labelers (priority, price,
     * date) voting hi/lo — multi-rater chance-corrected agreement per
     * order status.
@@ -3294,6 +3308,7 @@ object SparkEntry {
     "q_skew_report" -> (qSkewReport _),
     "q_fd_check" -> (qFdCheck _),
     "q_orphans" -> (qOrphans _),
+    "q_acf" -> (qAcf _),
     "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),

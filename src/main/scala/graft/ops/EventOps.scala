@@ -302,6 +302,76 @@ object EventOps {
       .filter(col("idx_micro").isNotNull)
   }
 
+  /** Sample autocorrelation (ACF) of an integer-valued series at lags
+    * `1..maxLag` — the seasonality/memory screen run before anyone
+    * trusts a forecast or picks a seasonal period:
+    * `r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ_t(x_t−x̄)²`.
+    *
+    * `df` must already be ONE ROW PER (key, order position) — a daily
+    * aggregate, typically; the series index is the ORDER of `orderCol`
+    * within each key (gaps in the index are the caller's modeling
+    * choice — [[gapFill]] first to treat absent days as zeros).
+    *
+    * Denominators are cleared by n² so every moment is an exact integer:
+    * `num_k = n²·P_k − n·S·(A_k+B_k) + (n−k)·S²` and
+    * `den = n²·SS − n·S²` over exact decimal(38,0) sums, where
+    * `P_k = Σ x_t·x_{t+k}`, `A_k/B_k` the lagged-overlap sums of
+    * x_t / x_{t+k} — all aggregable WITHOUT knowing the mean, so the
+    * whole ACF is one window pass + one hash aggregation. The final
+    * `⌊num·10⁶/den⌋` is two correctly-rounded IEEE ops (the Spearman
+    * discipline) — hash-stable across engines. One row per (key, lag):
+    * `(key…, lag, n, acf_micro)`; NULL when the series is constant
+    * (den = 0) or shorter than the lag.
+    *
+    * Scale: the lead() window and the aggregation share one shuffle on
+    * the key columns; state per group is `2·maxLag + 3` sums, never the
+    * series. maxLag lags ride ONE sort, not maxLag self-joins.
+    */
+  def acf(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valueCol: String, maxLag: Int = 5): DataFrame = {
+    require(keyCols.nonEmpty, "acf needs key columns")
+    require(maxLag >= 1 && maxLag <= 32, "acf needs 1 <= maxLag <= 32")
+    val g = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col(orderCol))
+    val dec = "decimal(38,0)"
+    val lagged = (1 to maxLag).foldLeft(
+        df.filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+          .withColumn("_ac_x", col(valueCol).cast("long"))) {
+      case (cur, k) =>
+        cur.withColumn(s"_ac_l$k", lead(col("_ac_x"), k).over(w))
+    }
+    val aggExprs: Seq[org.apache.spark.sql.Column] = Seq(
+      count(lit(1)).cast(dec).as("_ac_n"),
+      sum(col("_ac_x").cast(dec)).as("_ac_s"),
+      sum((col("_ac_x") * col("_ac_x")).cast(dec)).as("_ac_ss")) ++
+      (1 to maxLag).flatMap { k =>
+        val lk = col(s"_ac_l$k")
+        Seq(
+          coalesce(sum((col("_ac_x") * lk).cast(dec)), lit(0).cast(dec))
+            .as(s"_ac_p$k"),
+          coalesce(sum(when(lk.isNotNull, col("_ac_x")).cast(dec)),
+            lit(0).cast(dec)).as(s"_ac_a$k"),
+          coalesce(sum(lk.cast(dec)), lit(0).cast(dec)).as(s"_ac_b$k"))
+      }
+    val moments = lagged.groupBy(g: _*).agg(aggExprs.head, aggExprs.tail: _*)
+    val perLag = (1 to maxLag).map { k =>
+      val num = col("_ac_n") * col("_ac_n") * col(s"_ac_p$k") -
+        col("_ac_n") * col("_ac_s") * (col(s"_ac_a$k") + col(s"_ac_b$k")) +
+        (col("_ac_n") - lit(k)) * col("_ac_s") * col("_ac_s")
+      val den = col("_ac_n") * col("_ac_n") * col("_ac_ss") -
+        col("_ac_n") * col("_ac_s") * col("_ac_s")
+      struct(lit(k).as("lag"),
+        when(den > 0 && col("_ac_n") > k,
+          floor(num.cast("double") * lit(1000000.0) / den.cast("double"))
+            .cast("long")).as("acf_micro"))
+    }
+    moments.select(g ++ Seq(col("_ac_n").cast("long").as("n"),
+        explode(array(perLag: _*)).as("_ac_e")): _*)
+      .select(g ++ Seq(col("_ac_e.lag").as("lag"), col("n"),
+        col("_ac_e.acf_micro").as("acf_micro")): _*)
+  }
+
   /** Rolling z-score of the daily mean value per key over a trailing
     * `windowDays`-row frame — the spike detector beside [[cusum]]'s
     * drift detector. The z clears its denominators to

@@ -217,4 +217,51 @@ class EventOpsSpec extends SparkSpec {
     assert(last.getLong(last.fieldIndex("z_micro")) == expected)
     assert(!last.getBoolean(last.fieldIndex("is_spike")) == (math.abs(expected) <= 2000000L))
   }
+
+  private def acfRef(xs: Seq[Long], k: Int): Long = {
+    val n = xs.length
+    val mean = xs.sum.toDouble / n
+    val num = (0 until n - k).map(t => (xs(t) - mean) * (xs(t + k) - mean)).sum
+    val den = xs.map(x => (x - mean) * (x - mean)).sum
+    math.floor(num * 1e6 / den).toLong
+  }
+
+  test("acf matches the textbook per-lag formula on a hand series") {
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("a", i, x) }
+      .toDF("g", "i", "x")
+    val out = EventOps.acf(df, Seq("g"), "i", "x", maxLag = 3)
+      .orderBy("lag").collect()
+    assert(out.length == 3)
+    (1 to 3).foreach { k =>
+      val r = out(k - 1)
+      assert(r.getLong(r.fieldIndex("n")) == 8L)
+      assert(r.getLong(r.fieldIndex("acf_micro")) == acfRef(xs, k),
+        s"lag $k")
+    }
+  }
+
+  test("acf: constant series and too-short series yield NULL") {
+    val flat = Seq(("f", 0, 5L), ("f", 1, 5L), ("f", 2, 5L)).toDF("g", "i", "x")
+    val short = Seq(("s", 0, 1L), ("s", 1, 2L)).toDF("g", "i", "x")
+    val out = EventOps.acf(flat.unionAll(short), Seq("g"), "i", "x", maxLag = 3)
+      .collect()
+    assert(out.length == 6)
+    // flat: den = 0 at every lag; short: lags 2,3 exceed n-1
+    assert(out.filter(_.getString(0) == "f")
+      .forall(_.isNullAt(3)))
+    val sRows = out.filter(_.getString(0) == "s")
+      .map(r => r.getInt(1) -> r).toMap
+    assert(!sRows(1).isNullAt(3) && sRows(2).isNullAt(3) && sRows(3).isNullAt(3))
+  }
+
+  test("acf of a perfectly alternating series is -1 at lag 1 scale-free") {
+    // x = +1/-1 alternating, n even -> r1 very near -1 (exactly
+    // -(n-1)/n after mean-0 cancellation); micro floor of -14/16
+    val xs = (0 until 16).map(i => if (i % 2 == 0) 1L else -1L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i, x) }.toDF("g", "i", "x")
+    val r1 = EventOps.acf(df, Seq("g"), "i", "x", maxLag = 1).collect().head
+    assert(r1.getLong(r1.fieldIndex("acf_micro")) == acfRef(xs, 1))
+    assert(r1.getLong(r1.fieldIndex("acf_micro")) == -937500L)
+  }
 }
