@@ -3194,6 +3194,39 @@ object OracleSql {
         |  (n_violating = 0) AS fd_holds
         |FROM u ORDER BY det_col, dep_col""".stripMargin,
 
+    // Kendall tau-b replica: same id-ordered pair relation, exact
+    // counts, same multiply/sqrt/divide/floor tail.
+    "q_kendall" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |base AS (
+        |  SELECT c_nationkey AS g, c_custkey AS id,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS x,
+        |    coalesce(n_orders, 0) AS y
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+        |p AS (
+        |  SELECT a.g, (a.x - b.x) AS dx, (a.y - b.y) AS dy
+        |  FROM base a JOIN base b ON a.g = b.g AND a.id < b.id),
+        |m AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(coalesce(sum(CASE WHEN dx * dy > 0 THEN 1 END), 0)
+        |      AS BIGINT) AS concordant,
+        |    CAST(coalesce(sum(CASE WHEN dx * dy < 0 THEN 1 END), 0)
+        |      AS BIGINT) AS discordant,
+        |    CAST(coalesce(sum(CASE WHEN dx = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS nx,
+        |    CAST(coalesce(sum(CASE WHEN dy = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS ny
+        |  FROM p GROUP BY g)
+        |SELECT g AS c_nationkey, n_pairs, concordant, discordant,
+        |  CASE WHEN n_pairs - nx > 0 AND n_pairs - ny > 0 THEN
+        |    CAST(floor(CAST(concordant - discordant AS DOUBLE) * 1000000.0 /
+        |      sqrt(CAST(n_pairs - nx AS DOUBLE) *
+        |        CAST(n_pairs - ny AS DOUBLE))) AS BIGINT)
+        |  END AS tau_micro
+        |FROM m ORDER BY c_nationkey""".stripMargin,
+
     // Sample ACF replica: same lead() window, same cleared-denominator
     // HUGEINT moments, same two-IEEE-op final division per lag.
     "q_acf" -> {

@@ -2672,6 +2672,24 @@ object SparkEntry {
         ("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey")))
       .orderBy(col("col_a"), col("col_b"))
 
+  /** Kendall τ-b between account balance (cents) and order count per
+    * customer nation — exact concordant/discordant/tie pair counts off
+    * the id-ordered pair relation, one IEEE op chain at the end. Fully
+    * hash-oracled.
+    */
+  private def qKendall(s: SparkSession, dir: String): DataFrame = {
+    val cnt = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val cust = t(s, dir, "customer")
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey"), col("c_custkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    ops.Regression.kendallTau(cust, Seq("c_nationkey"), "c_custkey",
+        "bal_cents", "n_orders")
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Sample autocorrelation of the daily order-count series per
     * priority class at lags 1–5 — the seasonality screen. Exact
     * cleared-denominator integer moments off one window pass; fully
@@ -3309,6 +3327,7 @@ object SparkEntry {
     "q_fd_check" -> (qFdCheck _),
     "q_orphans" -> (qOrphans _),
     "q_acf" -> (qAcf _),
+    "q_kendall" -> (qKendall _),
     "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),

@@ -707,6 +707,71 @@ object Regression {
         .as("rho_micro"))): _*)
   }
 
+  /** Grouped Kendall τ-b rank correlation — the concordance view of
+    * monotone association ([[spearmanCorr]]'s sibling; τ is what you
+    * quote when tied ranks are heavy or when "probability a random pair
+    * agrees" is the question being asked):
+    *
+    *   τ_b = (C − D) / √((n₀ − n_x)(n₀ − n_y))
+    *
+    * with C/D the concordant/discordant pair counts, n₀ = n(n−1)/2, and
+    * n_x/n_y the pairs tied on x / on y (both-tied pairs count in each).
+    * All counts are exact longs off one per-group pair relation
+    * (id_a < id_b on the caller's unique `idCol` keeps each pair once);
+    * the final micro value is one double multiply, sqrt, divide, floor —
+    * each correctly-rounded IEEE (the Spearman discipline) — so the
+    * whole row hash-oracles. NULL τ when either tie-corrected
+    * denominator term is zero (x or y constant within the group).
+    *
+    * Output: `(group…, n_pairs, concordant, discordant, tau_micro)`.
+    *
+    * Scale: the pair relation is an equi-join on the GROUP key —
+    * quadratic in GROUP size, linear in group count; bound the group
+    * width like the exact-percentile family (SCALE.md) and fall back to
+    * [[spearmanCorr]] (one sort, no pairs) when groups outgrow it. The
+    * capacity contract is explicit: |group| ≤ ~10⁵ keeps per-group
+    * pairs ≤ 5·10⁹ — beyond that, τ needs the sequential
+    * inversion-count form, which does not shuffle-partition.
+    */
+  def kendallTau(df: DataFrame, groupCols: Seq[String], idCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "kendallTau needs group columns")
+    val g = groupCols.map(col)
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(g ++ Seq(col(idCol).as("_kt_id"),
+        col(xCol).cast("long").as("_kt_x"),
+        col(yCol).cast("long").as("_kt_y")): _*)
+    val a = groupCols.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"_kt_g_$c"))
+    val joinCond = groupCols.map(c => col(s"_kt_g_$c") === col(c))
+      .reduce(_ && _) && col("_kt_id") < col("_kt_id2")
+    val b = base.select(g ++ Seq(col("_kt_id").as("_kt_id2"),
+      col("_kt_x").as("_kt_x2"), col("_kt_y").as("_kt_y2")): _*)
+    val dx = col("_kt_x") - col("_kt_x2")
+    val dy = col("_kt_y") - col("_kt_y2")
+    val pairs = a.join(b, joinCond)
+      .select((groupCols.map(c => col(s"_kt_g_$c").as(c)) ++ Seq(
+        (dx * dy > 0L).cast("long").as("_kt_c"),
+        (dx * dy < 0L).cast("long").as("_kt_d"),
+        (dx === 0L && dy =!= 0L).cast("long").as("_kt_tx"),
+        (dy === 0L && dx =!= 0L).cast("long").as("_kt_ty"),
+        (dx === 0L && dy === 0L).cast("long").as("_kt_txy"))): _*)
+    pairs.groupBy(g: _*).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("_kt_c")).as("concordant"),
+        sum(col("_kt_d")).as("discordant"),
+        sum(col("_kt_tx") + col("_kt_txy")).as("_kt_nx"),
+        sum(col("_kt_ty") + col("_kt_txy")).as("_kt_ny"))
+      .select(g ++ Seq(col("n_pairs"), col("concordant"), col("discordant"),
+        when((col("n_pairs") - col("_kt_nx")) > 0L &&
+            (col("n_pairs") - col("_kt_ny")) > 0L,
+          floor((col("concordant") - col("discordant")).cast("double") *
+            lit(1000000.0) /
+            sqrt((col("n_pairs") - col("_kt_nx")).cast("double") *
+              (col("n_pairs") - col("_kt_ny")).cast("double")))
+            .cast("long")).as("tau_micro")): _*)
+  }
+
   /** Grouped two-feature OLS (y = b₀ + b₁x₁ + b₂x₂) by Cramer's rule on
     * the centered normal equations with CLEARED DENOMINATORS — the
     * multivariate extension of [[linearTrend]], exact until the final

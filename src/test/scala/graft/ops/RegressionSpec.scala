@@ -386,4 +386,54 @@ class RegressionSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(r.fieldIndex("recall_micro"))))
     assert(out.forall(r => r.getLong(r.fieldIndex("precision_micro")) == 0L))
   }
+
+  private def tauRef(xs: Seq[(Long, Long)]): (Long, Long, Long, Option[Long]) = {
+    val ps = for (i <- xs.indices; j <- xs.indices if i < j)
+      yield (xs(i)._1 - xs(j)._1, xs(i)._2 - xs(j)._2)
+    val c = ps.count(p => p._1 * p._2 > 0).toLong
+    val d = ps.count(p => p._1 * p._2 < 0).toLong
+    val nx = ps.count(_._1 == 0).toLong
+    val ny = ps.count(_._2 == 0).toLong
+    val n0 = ps.size.toLong
+    val tau = if (n0 - nx > 0 && n0 - ny > 0)
+      Some(math.floor((c - d).toDouble * 1e6 /
+        math.sqrt((n0 - nx).toDouble * (n0 - ny).toDouble)).toLong)
+    else None
+    (c, d, n0, tau)
+  }
+
+  test("kendallTau matches the all-pairs reference, ties corrected") {
+    // heavy x-ties, one y-tie, mixed signs
+    val xs = Seq((3L, 10L), (3L, 20L), (5L, 20L), (7L, 5L), (9L, 30L), (9L, 1L))
+    val df = xs.zipWithIndex.map { case ((x, y), i) => ("g", i, x, y) }
+      .toDF("grp", "id", "x", "y")
+    val r = Regression.kendallTau(df, Seq("grp"), "id", "x", "y")
+      .collect().head
+    val (c, d, n0, tau) = tauRef(xs)
+    assert(r.getLong(r.fieldIndex("n_pairs")) == n0)
+    assert(r.getLong(r.fieldIndex("concordant")) == c)
+    assert(r.getLong(r.fieldIndex("discordant")) == d)
+    assert(r.getLong(r.fieldIndex("tau_micro")) == tau.get)
+  }
+
+  test("kendallTau: perfect monotone = ±1e6; constant side is NULL") {
+    val up = (1 to 5).map(i => ("up", i, i.toLong, (i * 10).toLong))
+    val dn = (1 to 5).map(i => ("dn", i, i.toLong, (100 - i).toLong))
+    val ct = (1 to 5).map(i => ("ct", i, i.toLong, 7L))
+    val out = Regression.kendallTau((up ++ dn ++ ct)
+        .toDF("grp", "id", "x", "y"), Seq("grp"), "id", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out("up").contains(1000000L))
+    assert(out("dn").contains(-1000000L))
+    assert(out("ct").isEmpty)
+  }
+
+  test("kendallTau: null coordinates drop; single-row groups emit nothing") {
+    val df = Seq(("g", 1, Some(1L), Some(2L)), ("g", 2, None, Some(3L)),
+      ("h", 1, Some(1L), Some(1L)))
+      .toDF("grp", "id", "x", "y")
+    val out = Regression.kendallTau(df, Seq("grp"), "id", "x", "y").collect()
+    assert(out.isEmpty)
+  }
 }
