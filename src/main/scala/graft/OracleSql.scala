@@ -3194,6 +3194,30 @@ object OracleSql {
         |  (n_violating = 0) AS fd_holds
         |FROM u ORDER BY det_col, dep_col""".stripMargin,
 
+    // Theil-Sen replica: remainder-adjusted exact floor division per
+    // pair slope, lower-median by row_number.
+    "q_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT p_brand AS g,
+        |    year(l_shipdate) * 12 + month(l_shipdate) AS x,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.g,
+        |    ((b.y - a.y) * 1000000 -
+        |      (((((b.y - a.y) * 1000000) % (b.x - a.x)) + (b.x - a.x))
+        |        % (b.x - a.x))) // (b.x - a.x) AS s
+        |  FROM monthly a JOIN monthly b ON a.g = b.g AND a.x < b.x),
+        |r AS (
+        |  SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM p)
+        |SELECT g AS p_brand, CAST(n AS BIGINT) AS n_slopes,
+        |  CAST(s AS BIGINT) AS slope_micro
+        |FROM r WHERE rn = (n + 1) // 2
+        |ORDER BY p_brand""".stripMargin,
+
     // Kendall tau-b replica: same id-ordered pair relation, exact
     // counts, same multiply/sqrt/divide/floor tail.
     "q_kendall" ->

@@ -2672,6 +2672,21 @@ object SparkEntry {
         ("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey")))
       .orderBy(col("col_a"), col("col_b"))
 
+  /** Theil–Sen robust trend of monthly shipped quantity per part brand
+    * — the exact lower-median of all-pairs integer micro-slopes. Fully
+    * hash-oracled.
+    */
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "lineitem")
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("mon"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    ops.Regression.theilSen(monthly, Seq("p_brand"), "mon", "qty")
+      .orderBy(col("p_brand"))
+  }
+
   /** Kendall τ-b between account balance (cents) and order count per
     * customer nation — exact concordant/discordant/tie pair counts off
     * the id-ordered pair relation, one IEEE op chain at the end. Fully
@@ -3328,6 +3343,7 @@ object SparkEntry {
     "q_orphans" -> (qOrphans _),
     "q_acf" -> (qAcf _),
     "q_kendall" -> (qKendall _),
+    "q_theil_sen" -> (qTheilSen _),
     "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),

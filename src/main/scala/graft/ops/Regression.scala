@@ -772,6 +772,57 @@ object Regression {
             .cast("long")).as("tau_micro")): _*)
   }
 
+  /** Grouped Theil–Sen estimator — the median of all pairwise slopes
+    * `(y_j − y_i)/(x_j − x_i)`, the robust trend line that one wild
+    * month cannot drag the way it drags [[linearTrend]]'s least-squares
+    * slope (breakdown point ~29%).
+    *
+    * Inputs are integer-valued (cast to long — quantize upstream, the
+    * mannWhitney convention). Each pairwise slope is the EXACT floor of
+    * `(y_j − y_i)·10⁶ / (x_j − x_i)` in all-long arithmetic — the
+    * numerator is adjusted by its non-negative remainder
+    * (`a − pmod(a, b)`) so the division is exact and no truncation
+    * convention can differ between engines. Pairs tied on x carry no
+    * slope and are excluded (the classical rule). The estimate is the
+    * LOWER MEDIAN (1-based rank ⌊(n+1)/2⌋ in slope order) — a value
+    * that actually occurs, selected purely by multiset order, so ties
+    * need no tie-break to be deterministic. Output one row per group
+    * with ≥1 valid pair: `(group…, n_slopes, slope_micro)`.
+    *
+    * Scale: the pair relation is an equi-join on the group key —
+    * quadratic in group size like [[kendallTau]], and the same contract
+    * applies: run it on AGGREGATED series (monthly/daily rollups, ≤10⁴
+    * points/group), not raw rows; the median selection is two window
+    * functions sharing one (group) sort.
+    */
+  def theilSen(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "theilSen needs group columns")
+    val g = groupCols.map(col)
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(g ++ Seq(col(xCol).cast("long").as("_ts_x"),
+        col(yCol).cast("long").as("_ts_y")): _*)
+    val a = groupCols.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"_ts_g_$c"))
+    val b = base.select(g ++ Seq(col("_ts_x").as("_ts_x2"),
+      col("_ts_y").as("_ts_y2")): _*)
+    val joinCond = groupCols.map(c => col(s"_ts_g_$c") === col(c))
+      .reduce(_ && _) && col("_ts_x") < col("_ts_x2")
+    val slopes = a.join(b, joinCond)
+      .select((groupCols.map(c => col(s"_ts_g_$c").as(c)) :+
+        expr("""(( _ts_y2 - _ts_y) * 1000000 -
+                | pmod((_ts_y2 - _ts_y) * 1000000, _ts_x2 - _ts_x))
+                | div (_ts_x2 - _ts_x)""".stripMargin).as("_ts_s")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("_ts_s"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    slopes
+      .withColumn("_ts_rn", row_number().over(w))
+      .withColumn("n_slopes", count(lit(1)).over(wc))
+      .filter(col("_ts_rn") === expr("(n_slopes + 1) div 2"))
+      .select(g ++ Seq(col("n_slopes"), col("_ts_s").as("slope_micro")): _*)
+  }
+
   /** Grouped two-feature OLS (y = b₀ + b₁x₁ + b₂x₂) by Cramer's rule on
     * the centered normal equations with CLEARED DENOMINATORS — the
     * multivariate extension of [[linearTrend]], exact until the final

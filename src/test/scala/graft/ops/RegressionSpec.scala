@@ -429,6 +429,39 @@ class RegressionSpec extends SparkSpec {
     assert(out("ct").isEmpty)
   }
 
+  test("theilSen: hand median, exact negative-slope flooring") {
+    // slopes for x=1..4, y=(2,1,7,4): pairs (1,2)=-1e6, (1,3)=2.5e6,
+    // (1,4)=666666(.67->floor), (2,3)=6e6, (2,4)=1.5e6, (3,4)=-3e6
+    // sorted: -3e6, -1e6, 666666, 1.5e6, 2.5e6, 6e6 -> lower median
+    // rank (6+1) div 2 = 3 -> 666666
+    val df = Seq(("g", 1L, 2L), ("g", 2L, 1L), ("g", 3L, 7L), ("g", 4L, 4L))
+      .toDF("grp", "x", "y")
+    val r = Regression.theilSen(df, Seq("grp"), "x", "y").collect().head
+    assert(r.getLong(r.fieldIndex("n_slopes")) == 6L)
+    assert(r.getLong(r.fieldIndex("slope_micro")) == 666666L)
+  }
+
+  test("theilSen: x-ties carry no slope; all-tied group vanishes") {
+    val df = Seq(("g", 1L, 1L), ("g", 1L, 9L), ("g", 2L, 3L),
+      ("h", 5L, 1L), ("h", 5L, 2L)).toDF("grp", "x", "y")
+    val out = Regression.theilSen(df, Seq("grp"), "x", "y").collect()
+    assert(out.length == 1 && out.head.getString(0) == "g")
+    // pairs: (1,1)->(2,3) slope 2e6 and (1,9)->(2,3) slope -6e6;
+    // lower median rank 1 -> -6e6
+    assert(out.head.getLong(2) == -6000000L)
+  }
+
+  test("theilSen shrugs off the outlier that drags least squares") {
+    // clean slope 1; one wild final point
+    val pts = (1 to 9).map(i => ("g", i.toLong, i.toLong)) :+ (("g", 10L, 1000L))
+    val df = pts.toDF("grp", "x", "y")
+    val ts = Regression.theilSen(df, Seq("grp"), "x", "y").collect().head
+    assert(ts.getLong(ts.fieldIndex("slope_micro")) == 1000000L)
+    val lt = Regression.linearTrend(df, Seq("grp"), "x", "y")
+      .collect().head
+    assert(lt.getLong(lt.fieldIndex("slope_micro")) > 30000000L)
+  }
+
   test("kendallTau: null coordinates drop; single-row groups emit nothing") {
     val df = Seq(("g", 1, Some(1L), Some(2L)), ("g", 2, None, Some(3L)),
       ("h", 1, Some(1L), Some(1L)))
