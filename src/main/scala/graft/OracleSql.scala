@@ -3194,6 +3194,47 @@ object OracleSql {
         |  (n_violating = 0) AS fd_holds
         |FROM u ORDER BY det_col, dep_col""".stripMargin,
 
+    // Item-CF replica: micro-cosine weights, capped neighbor lists,
+    // owned exclusion by NOT EXISTS, deterministic top-3.
+    "q_recommend" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT o_custkey AS basket, l_partkey AS item
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cnt AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM ui GROUP BY 1),
+        |pr AS (
+        |  SELECT a.item AS a, b.item AS b, CAST(count(*) AS BIGINT) AS supp
+        |  FROM ui a JOIN ui b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |w AS (
+        |  SELECT a, b, CAST(floor(CAST(supp AS DOUBLE) * 1000000.0 /
+        |    sqrt(CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)))
+        |    AS BIGINT) AS w
+        |  FROM pr JOIN cnt ca ON pr.a = ca.item
+        |    JOIN cnt cb ON pr.b = cb.item),
+        |sym AS (
+        |  SELECT a AS src, b AS dst, w FROM w
+        |  UNION ALL SELECT b, a, w FROM w),
+        |nb AS (
+        |  SELECT src, dst, w FROM (
+        |    SELECT src, dst, w,
+        |      row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        |    FROM sym) WHERE rn <= 20),
+        |sc AS (
+        |  SELECT u.basket, n.dst, CAST(sum(n.w) AS BIGINT) AS score_micro
+        |  FROM ui u JOIN nb n ON u.item = n.src
+        |  GROUP BY 1, 2),
+        |filt AS (
+        |  SELECT * FROM sc s WHERE NOT EXISTS (
+        |    SELECT 1 FROM ui o WHERE o.basket = s.basket AND o.item = s.dst)),
+        |rec AS (
+        |  SELECT basket, dst, score_micro, CAST(row_number() OVER (
+        |    PARTITION BY basket ORDER BY score_micro DESC, dst)
+        |    AS INTEGER) AS rank
+        |  FROM filt)
+        |SELECT basket, rank, dst AS item, score_micro
+        |FROM rec WHERE rank <= 3 AND basket <= 60
+        |ORDER BY basket, rank""".stripMargin,
+
     // Theil-Sen replica: remainder-adjusted exact floor division per
     // pair slope, lower-median by row_number.
     "q_theil_sen" ->

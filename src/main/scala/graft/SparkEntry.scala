@@ -2672,6 +2672,21 @@ object SparkEntry {
         ("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey")))
       .orderBy(col("col_a"), col("col_b"))
 
+  /** Item-based CF recommendations: "customers who bought X also
+    * bought" over the order baskets — integer micro-cosine item
+    * similarities, capped neighbor lists, owned-part exclusion, top-3
+    * per customer (first 60 customers shown). Fully hash-oracled.
+    */
+  private def qRecommend(s: SparkSession, dir: String): DataFrame = {
+    val ui = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    ops.MarketBasket.recommendItems(ui, "o_custkey", "l_partkey",
+        k = 3, minSupport = 2L, neighborCap = 20)
+      .filter(col("basket") <= 60L)
+      .orderBy(col("basket"), col("rank"))
+  }
+
   /** Theil–Sen robust trend of monthly shipped quantity per part brand
     * — the exact lower-median of all-pairs integer micro-slopes. Fully
     * hash-oracled.
@@ -3344,6 +3359,7 @@ object SparkEntry {
     "q_acf" -> (qAcf _),
     "q_kendall" -> (qKendall _),
     "q_theil_sen" -> (qTheilSen _),
+    "q_recommend" -> (qRecommend _),
     "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),

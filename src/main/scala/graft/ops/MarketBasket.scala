@@ -59,6 +59,74 @@ object MarketBasket {
       .filter(col("supp") >= minSupport)
   }
 
+  /** Item-based collaborative-filtering recommendations (Sarwar '01 —
+    * the workhorse "customers who bought X also bought" ranker): item↔
+    * item cosine similarity from co-occurrence counts, each user's
+    * candidate scores summed over their owned items' neighbor lists,
+    * owned items excluded, top-`k` per user.
+    *
+    * Similarity is the integer micro cosine
+    * `w = ⌊supp·10⁶ / √(cnt_a·cnt_b)⌋` (one multiply/sqrt/divide/floor
+    * per pair — the Spearman discipline), and scores are EXACT sums of
+    * those micro weights, so rankings and scores both hash-oracle.
+    * Ranking ties break on item id ascending — deterministic top-k.
+    *
+    * Scale levers, in the order they matter at 100 TB:
+    * `minSupport` prunes the pair tail (rare pairs are noise AND
+    * volume); `neighborCap` keeps each item's top-capped neighbor list
+    * (row_number over the item partition — bounds the per-user candidate
+    * explode by |owned|·cap regardless of item popularity, the standard
+    * production mitigation for hot-item skew); the final top-k is a
+    * user-partitioned window over the scored relation. Baskets dedup
+    * first (set semantics) and the basket self-join cost is
+    * Σ basket_size², as [[itemPairs]].
+    */
+  def recommendItems(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 3, minSupport: Long = 2L, neighborCap: Int = 50): DataFrame = {
+    require(k >= 1 && neighborCap >= 1, "recommendItems needs k, cap >= 1")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.select(col("basket"), col("item").as("a"))
+      .join(items.select(col("basket"), col("item").as("b")), "basket")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= minSupport)
+      .join(itemCnt.select(col("item").as("a"), col("cnt").as("cnt_a")), "a")
+      .join(itemCnt.select(col("item").as("b"), col("cnt").as("cnt_b")), "b")
+      .select(col("a"), col("b"),
+        floor(col("supp").cast("double") * lit(1000000.0) /
+          sqrt(col("cnt_a").cast("double") * col("cnt_b").cast("double")))
+          .cast("long").as("w_micro"))
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("w_micro"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"),
+        col("w_micro")))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("w_micro").desc, col("dst"))
+    val neighbors = sym
+      .withColumn("_rc_rn", row_number().over(wn))
+      .filter(col("_rc_rn") <= neighborCap)
+      .drop("_rc_rn")
+    val scored = items.select(col("basket"), col("item").as("src"))
+      .join(neighbors, "src")
+      .groupBy(col("basket"), col("dst"))
+      .agg(sum(col("w_micro")).as("score_micro"))
+      .join(items.select(col("basket"), col("item").as("dst")),
+        Seq("basket", "dst"), "left_anti")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("basket"))
+      .orderBy(col("score_micro").desc, col("dst"))
+    scored
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("basket"), col("rank"), col("dst").as("item"),
+        col("score_micro"))
+  }
+
   def itemPairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 1L): DataFrame = {
     val items = df

@@ -49,4 +49,47 @@ class MarketBasketSpec extends SparkSpec {
       (Some(2L), Some(30L))).toDF("basket", "item")
     assert(MarketBasket.itemPairs(df, "basket", "item").count() == 0)
   }
+
+  test("recommendItems: hand-computed cosine scores, owned excluded") {
+    // u1:{A,B} u2:{A,B,C} u3:{B,C} u4:{A,C}
+    // cnt: A=3 B=3 C=3; supp: AB=2 AC=2 BC=2
+    // w = floor(2e6/3) = 666666 for every edge
+    // u1 candidates: C via A and via B -> 2*666666; A,B owned-excluded
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (2L, "C"),
+      (3L, "B"), (3L, "C"), (4L, "A"), (4L, "C")).toDF("u", "i")
+    val out = MarketBasket.recommendItems(df, "u", "i", k = 3,
+        minSupport = 2L, neighborCap = 10)
+      .orderBy("basket", "rank").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.length == 1)
+    assert(u1.head.getString(2) == "C" && u1.head.getLong(3) == 2L * 666666L)
+    // u2 owns everything -> no recommendations at all
+    assert(!out.exists(_.getLong(0) == 2L))
+  }
+
+  test("recommendItems: neighborCap truncates weakest edges; ties break on item id") {
+    // hub H co-occurs with A,B,C (supp 2 each, equal weights); cap=2
+    // keeps neighbors A,B (id order) — C unreachable from H alone.
+    val baskets = Seq(
+      (1L, "H"), (1L, "A"), (2L, "H"), (2L, "A"),
+      (3L, "H"), (3L, "B"), (4L, "H"), (4L, "B"),
+      (5L, "H"), (5L, "C"), (6L, "H"), (6L, "C"))
+    val df = baskets.toDF("u", "i")
+    val capped = MarketBasket.recommendItems(df, "u", "i", k = 5,
+      minSupport = 2L, neighborCap = 2)
+    // basket 5/6 own {H, C}: candidates from H's capped list = {A, B}
+    val b5 = capped.filter(col("basket") === 5L)
+      .orderBy("rank").collect().map(_.getString(2)).toSeq
+    assert(b5 == Seq("A", "B"))
+    val full = MarketBasket.recommendItems(df, "u", "i", k = 5,
+      minSupport = 2L, neighborCap = 10)
+    // uncapped, C's co-owners see all three hub neighbors minus owned
+    val b5f = full.filter(col("basket") === 5L)
+      .orderBy("rank").collect().map(_.getString(2)).toSeq
+    assert(b5f == Seq("A", "B"))
+    // and basket 1 (owns H,A) sees B,C in id order (equal scores)
+    val b1f = full.filter(col("basket") === 1L)
+      .orderBy("rank").collect().map(_.getString(2)).toSeq
+    assert(b1f == Seq("B", "C"))
+  }
 }
