@@ -3194,6 +3194,32 @@ object OracleSql {
         |  (n_violating = 0) AS fd_holds
         |FROM u ORDER BY det_col, dep_col""".stripMargin,
 
+    // Padding-waste replica: same bin()-length next-pow2 bucket, exact
+    // integer waste arithmetic.
+    "q_padding_waste" ->
+      s"""WITH tk AS (
+         |  SELECT CASE WHEN ${norm("text")} = '' THEN 0
+         |         ELSE CAST(len(str_split(${norm("text")}, ' ')) AS BIGINT)
+         |         END AS n
+         |  FROM documents),
+         |b AS (
+         |  SELECT CASE WHEN n = 0 THEN 0 WHEN n = 1 THEN 1
+         |         ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END AS bucket,
+         |    n
+         |  FROM tk),
+         |a AS (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS sum_tokens
+         |  FROM b GROUP BY 1)
+         |SELECT bucket, n_docs, sum_tokens,
+         |  n_docs * bucket AS padded_tokens,
+         |  n_docs * bucket - sum_tokens AS waste_tokens,
+         |  CASE WHEN bucket > 0 THEN
+         |    CAST((n_docs * bucket - sum_tokens) * 1000000 //
+         |      (n_docs * bucket) AS BIGINT)
+         |  ELSE 0 END AS waste_micro
+         |FROM a ORDER BY bucket""".stripMargin,
+
     // Item-CF replica: micro-cosine weights, capped neighbor lists,
     // owned exclusion by NOT EXISTS, deterministic top-3.
     "q_recommend" ->

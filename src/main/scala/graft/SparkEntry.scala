@@ -2672,6 +2672,14 @@ object SparkEntry {
         ("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey")))
       .orderBy(col("col_a"), col("col_b"))
 
+  /** Padding-waste audit of power-of-two length-bucketed batching over
+    * the documents corpus — per bucket, the pad-token burn rate of the
+    * standard dynamic-batching grid. Fully hash-oracled.
+    */
+  private def qPaddingWaste(s: SparkSession, dir: String): DataFrame =
+    text.CorpusAssembly.paddingWaste(t(s, dir, "documents"), "text")
+      .orderBy(col("bucket"))
+
   /** Item-based CF recommendations: "customers who bought X also
     * bought" over the order baskets — integer micro-cosine item
     * similarities, capped neighbor lists, owned-part exclusion, top-3
@@ -3360,6 +3368,7 @@ object SparkEntry {
     "q_kendall" -> (qKendall _),
     "q_theil_sen" -> (qTheilSen _),
     "q_recommend" -> (qRecommend _),
+    "q_padding_waste" -> (qPaddingWaste _),
     "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),

@@ -655,4 +655,42 @@ object CorpusAssembly {
     dt.unpersist(blocking = false)
     selected
   }
+
+  /** Padding-waste report for length-bucketed batching — the
+    * dynamic-batching efficiency audit a training pipeline runs before
+    * fixing its bucket boundaries: docs bucket to the NEXT POWER OF TWO
+    * of their token count (the standard bucketed-batching grid), and
+    * each bucket reports how many pad tokens that grid burns:
+    * `(bucket, n_docs, sum_tokens, padded_tokens, waste_tokens,
+    * waste_micro)` with `padded = n_docs·bucket` and
+    * `waste_micro = waste·10⁶ div padded`.
+    *
+    * The bucket is pure integer arithmetic — `1 << (floor(log₂(n−1))+1)`
+    * via the `length(bin(n−1))` trick (the HLL rule: never floating
+    * log₂, whose libm rounding engines disagree on). Token counts are
+    * the house normalize-split convention; empty docs land in bucket 0
+    * with zero padding. Exact longs — hash-oracles.
+    *
+    * Scale: one projection + one ≤64-row hash aggregation; nothing
+    * else. This is the cheap probe you run at 100 TB precisely BECAUSE
+    * it's one scan.
+    */
+  def paddingWaste(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df.select(size(filter(graft.dedup.Dedup.tokensOf(col(textCol)),
+      t => t =!= "")).cast("long").as("_pw_n"))
+    toks
+      .withColumn("bucket", expr(
+        """CASE WHEN _pw_n = 0 THEN 0
+          |     WHEN _pw_n = 1 THEN 1
+          |     ELSE shiftleft(CAST(1 AS BIGINT), length(bin(_pw_n - 1)))
+          |END""".stripMargin))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_pw_n")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_tokens"),
+        (col("n_docs") * col("bucket") - col("sum_tokens")).as("waste_tokens"),
+        when(col("bucket") > 0L,
+          expr("(n_docs * bucket - sum_tokens) * 1000000 div (n_docs * bucket)"))
+          .otherwise(lit(0L)).as("waste_micro"))
+  }
 }

@@ -413,4 +413,21 @@ class CorpusAssemblySpec extends SparkSpec {
     // source) → 1, 2, 3
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("paddingWaste: pow2 buckets, boundary lengths, empty docs") {
+    // token counts: 0 (empty), 1, 2 (exact pow2 stays), 3 -> 4, 4 -> 4,
+    // 5 -> 8
+    val docs = Seq("", "one", "two tokens", "three token doc",
+      "four token doc here", "five tokens in this doc").toDF("text")
+    val out = CorpusAssembly.paddingWaste(docs, "text")
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (0L, 1L, 0L, 0L, 0L, 0L),
+      (1L, 1L, 1L, 1L, 0L, 0L),
+      (2L, 1L, 2L, 2L, 0L, 0L),
+      (4L, 2L, 7L, 8L, 1L, 125000L),
+      (8L, 1L, 5L, 8L, 3L, 375000L)))
+  }
 }
