@@ -3194,6 +3194,44 @@ object OracleSql {
         |  (n_violating = 0) AS fd_holds
         |FROM u ORDER BY det_col, dep_col""".stripMargin,
 
+    // Power-iteration PCA replica: exact HUGEINT scatter matrix, 8
+    // unrolled matvec + remainder-adjusted L-inf rescale iterations.
+    "q_pca_power" -> {
+      val steps = (1 to 8).map { t =>
+        s"""w$t AS (
+           |  SELECT c.i, sum(c.c * v.v) AS w
+           |  FROM c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
+           |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+           |v$t AS (
+           |  SELECT i, CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)
+           |    ELSE (w * 1000000 - (((w * 1000000) % m) + m) % m) // m
+           |  END AS v
+           |  FROM w$t, m$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qz AS (
+         |  SELECT vec_id AS id, list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT id, unnest(generate_series(1, len(v))) AS i,
+         |    unnest(v) AS q
+         |  FROM qz),
+         |ds AS (
+         |  SELECT i, CAST(sum(q) AS HUGEINT) AS s,
+         |    CAST(count(*) AS HUGEINT) AS n
+         |  FROM e GROUP BY i),
+         |pp AS (
+         |  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS p
+         |  FROM e a JOIN e b ON a.id = b.id GROUP BY 1, 2),
+         |c AS (
+         |  SELECT pp.i, pp.j, da.n * pp.p - da.s * db.s AS c
+         |  FROM pp JOIN ds da ON pp.i = da.i JOIN ds db ON pp.j = db.i),
+         |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM ds),
+         |$steps
+         |SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_micro
+         |FROM v8 ORDER BY dim""".stripMargin
+    },
+
     // Padding-waste replica: same bin()-length next-pow2 bucket, exact
     // integer waste arithmetic.
     "q_padding_waste" ->

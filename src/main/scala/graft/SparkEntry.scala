@@ -2672,6 +2672,16 @@ object SparkEntry {
         ("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey")))
       .orderBy(col("col_a"), col("col_b"))
 
+  /** Top principal component of the embeddings table via exact
+    * fixed-point power iteration over the integer scatter matrix — the
+    * embedding-anisotropy probe. Fully hash-oracled (8 unrolled DuckDB
+    * iterations).
+    */
+  private def qPcaPower(s: SparkSession, dir: String): DataFrame =
+    Similarity.topComponentPower(t(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      .orderBy(col("dim"))
+
   /** Padding-waste audit of power-of-two length-bucketed batching over
     * the documents corpus — per bucket, the pad-token burn rate of the
     * standard dynamic-batching grid. Fully hash-oracled.
@@ -3369,6 +3379,7 @@ object SparkEntry {
     "q_theil_sen" -> (qTheilSen _),
     "q_recommend" -> (qRecommend _),
     "q_padding_waste" -> (qPaddingWaste _),
+    "q_pca_power" -> (qPcaPower _),
     "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),

@@ -142,6 +142,91 @@ object Similarity {
         x => x.getField("_nm")).as("norm"))
   }
 
+  /** Top principal component of an embedding corpus by FIXED-POINT
+    * power iteration over the exact integer scatter matrix — the
+    * anisotropy probe of embedding hygiene (a dominant direction in
+    * sentence embeddings is the "all vectors share a huge common
+    * component" pathology the all-but-the-top trick removes, and its
+    * v₁ is the direction you subtract).
+    *
+    * Arithmetic, all exact so the whole output hash-oracles (the
+    * PageRank recipe applied to eigenvectors):
+    *  - [[quantize]]d coordinates (`round(x·scale)` longs);
+    *  - scatter `C_ij = n·Σxᵢxⱼ − Sᵢ·Sⱼ` (covariance cleared by n²) in
+    *    exact decimal sums;
+    *  - `iters` iterations of `w = C·v`, then an exact L∞ rescale
+    *    `vᵢ = ⌊wᵢ·10⁶ / max|w|⌋` via the remainder-adjusted division
+    *    (no truncation-convention hazard). v₀ = all-ones micro; every
+    *    step is a pure integer function of C, so both engines agree
+    *    bit-for-bit. An all-zero w (degenerate C) pins v to zero.
+    *
+    * Output: `(dim, v_micro)` — 1-based dims, components in [−10⁶, 10⁶]
+    * with max|v| = 10⁶ (L∞-normalized; flip/scale downstream if an
+    * L2-unit vector is needed — the DIRECTION is the deliverable).
+    *
+    * Scale: ONE data pass builds the dim²-cell scatter (per-row outer
+    * products partial-aggregated map-side, so the shuffle carries
+    * ≤ dim² rows per partition, never row count); the dim×dim solve
+    * runs driver-side in BigInt — dim² longs is centroid-class driver
+    * residency (the Lloyd/k×dim rule), independent of corpus size.
+    */
+  def topComponentPower(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 8, quantScale: Int = 1000): DataFrame = {
+    require(iters >= 1 && iters <= 32, "topComponentPower: 1 <= iters <= 32")
+    val spark = df.sparkSession
+    val dec = "decimal(38,0)"
+    val qz = df.filter(col(vecCol).isNotNull)
+      .select(quantize(col(vecCol), quantScale).as("_pc_v"))
+    val pairs = qz
+      .select(explode(expr(
+        """flatten(transform(_pc_v, (xi, i) ->
+          |  transform(_pc_v, (xj, j) ->
+          |    named_struct('i', i, 'j', j, 'p', xi * xj))))""".stripMargin))
+        .as("_pc_e"))
+      .select(col("_pc_e.i").as("i"), col("_pc_e.j").as("j"),
+        col("_pc_e.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast(dec)).as("ps"))
+      .collect()
+    val dims = qz
+      .select(posexplode(col("_pc_v")).as(Seq("dim", "q")))
+      .groupBy(col("dim"))
+      .agg(sum(col("q").cast(dec)).as("s"), count(lit(1)).as("n"))
+      .collect()
+    if (dims.isEmpty) {
+      spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("dim", "v_micro")
+    } else {
+      val d = dims.length
+      val s = Array.ofDim[BigInt](d)
+      var n = BigInt(0)
+      dims.foreach { r =>
+        s(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger)
+        n = BigInt(r.getLong(2))
+      }
+      val c = Array.ofDim[BigInt](d, d)
+      pairs.foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        c(i)(j) = n * BigInt(r.getDecimal(2).toBigInteger) - s(i) * s(j)
+      }
+      val micro = BigInt(1000000)
+      var v = Array.fill(d)(micro)
+      (1 to iters).foreach { _ =>
+        val w = Array.tabulate(d)(i =>
+          (0 until d).map(j => c(i)(j) * v(j)).sum)
+        val m = w.map(_.abs).max
+        v =
+          if (m == 0) Array.fill(d)(BigInt(0))
+          else w.map { x =>
+            val num = x * micro
+            (num - (((num % m) + m) % m)) / m
+          }
+      }
+      spark.createDataFrame(
+          v.toSeq.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x.toLong) })
+        .toDF("dim", "v_micro")
+    }
+  }
+
   /** Deterministic Rademacher (±1) sign matrix for [[randomProject]],
     * derived from md5 so any engine can regenerate it from the (j, i)
     * coordinates alone: sign(j, i) = +1 iff the first hex digit of

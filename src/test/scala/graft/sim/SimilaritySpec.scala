@@ -368,4 +368,60 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(out(1L) == Seq(-1000000L) && out(2L) == Seq(1000000L))
   }
+
+  test("topComponentPower recovers a planted dominant direction") {
+    // corpus = ±t·u + small fixed cross-direction jitter, u = (3,4)/5;
+    // the top component must align with u (L-inf normalized => the
+    // larger |coord| pins to 1e6 and the ratio approaches 3/4)
+    val u = Seq(0.6, 0.8)
+    val jit = Seq(0.08, -0.06) // orthogonal to u
+    val rows = (1 to 40).map { t =>
+      val s = if (t % 2 == 0) 1.0 else -1.0
+      val a = s * (1.0 + (t % 5) * 0.3)
+      val j = ((t % 3) - 1) * 0.1
+      (t.toLong, Seq(a * u(0) + j * jit(0), a * u(1) + j * jit(1)).map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val v = Similarity.topComponentPower(df, "vec_id", "embedding")
+      .orderBy("dim").collect().map(_.getLong(1))
+    assert(math.abs(v(1)) == 1000000L, s"L-inf pin, got ${v.toSeq}")
+    val ratio = v(0).toDouble / v(1).toDouble
+    assert(math.abs(ratio - 0.75) < 0.02, s"direction ratio $ratio")
+  }
+
+  test("topComponentPower: identical vectors (zero scatter) yield the zero vector") {
+    val df = (1 to 5).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val v = Similarity.topComponentPower(df, "vec_id", "embedding")
+      .orderBy("dim").collect().map(_.getLong(1))
+    assert(v.toSeq == Seq(0L, 0L, 0L))
+  }
+
+  test("topComponentPower matches a double-precision power-iteration reference") {
+    val rows = (1 to 25).map { t =>
+      (t.toLong, Seq(math.sin(t * 1.7), math.cos(t * 0.9),
+        math.sin(t * 0.4) * 0.5, 0.2 * ((t % 7) - 3)).map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val v = Similarity.topComponentPower(df, "vec_id", "embedding",
+      iters = 16).orderBy("dim").collect().map(_.getLong(1))
+    // reference: same quantization, double arithmetic, many iterations
+    val q = rows.map(_._2.map(x => math.round(x.toDouble * 1000).toDouble))
+    val d = 4; val n = q.length
+    val s = (0 until d).map(i => q.map(_(i)).sum)
+    val c = Array.tabulate(d, d)((i, j) =>
+      n * q.map(r => r(i) * r(j)).sum - s(i) * s(j))
+    // same 16 steps: the claim is exact-integer == float arithmetic
+    // step-for-step (to micro-floor resolution), not convergence speed
+    var v0 = Array.fill(d)(1.0)
+    (1 to 16).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v0(j)).sum)
+      val m = w.map(math.abs).max
+      v0 = w.map(_ / m)
+    }
+    (0 until d).foreach { i =>
+      assert(math.abs(v(i) / 1e6 - v0(i)) < 0.001,
+        s"dim $i: ${v(i) / 1e6} vs ${v0(i)}")
+    }
+  }
 }
