@@ -36,6 +36,16 @@ object OracleSql {
 
   private val newRecordRegex = """^(№?\d{4,})(/ТЗ.*)?"""
 
+  /** Shared monthly-quantity-per-brand series (SparkEntry
+    * .monthlyBrandQty) for the q_theil_sen / q_mann_kendall trend pair.
+    */
+  private val monthlyBrandCte: String =
+    """SELECT p_brand AS g,
+      |    year(l_shipdate) * 12 + month(l_shipdate) AS x,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2""".stripMargin
+
   /** Dedup/fingerprint text normalization (Dedup.normalizeText). */
   private def norm(c: String): String =
     s"""trim(regexp_replace(regexp_replace(lower(coalesce($c, '')), '[^\\p{L}\\p{N}_\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"""
@@ -3299,15 +3309,64 @@ object OracleSql {
         |FROM rec WHERE rank <= 3 AND basket <= 60
         |ORDER BY basket, rank""".stripMargin,
 
+    // Mann-Kendall replica off the same monthly series as q_theil_sen:
+    // exact S and tie-corrected 18*Var, the house rational normal CDF.
+    "q_mann_kendall" ->
+      s"""WITH monthly AS (
+         |  $monthlyBrandCte),
+         |p AS (
+         |  SELECT a.g, CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+         |    ELSE 0 END AS sg
+         |  FROM monthly a JOIN monthly b ON a.g = b.g AND a.x < b.x),
+         |sa AS (
+         |  SELECT g, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s
+         |  FROM p GROUP BY g),
+         |tg AS (
+         |  SELECT g, y, CAST(count(*) AS BIGINT) AS tc
+         |  FROM monthly GROUP BY 1, 2),
+         |ti AS (
+         |  SELECT g,
+         |    CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tsum,
+         |    CAST(sum(tc) AS BIGINT) AS n
+         |  FROM tg GROUP BY g),
+         |m AS (
+         |  SELECT ti.g, ti.n, coalesce(sa.s, 0) AS s_stat,
+         |    ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tsum AS var18
+         |  FROM ti LEFT JOIN sa ON ti.g = sa.g),
+         |z AS (
+         |  SELECT *, CASE WHEN var18 > 0 THEN
+         |    CAST(floor(CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+         |        WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS DOUBLE)
+         |      * 1000000.0 / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+         |    END AS z_micro
+         |  FROM m),
+         |pb AS (
+         |  SELECT *, 1.0 + zz * (0.0498673470 + zz * (0.0211410061
+         |    + zz * (0.0032776263 + zz * (0.0000380036
+         |    + zz * (0.0000488906 + zz * 0.0000053830))))) AS b
+         |  FROM (SELECT *, CAST(abs(z_micro) AS DOUBLE) / 1000000.0 AS zz
+         |        FROM z)),
+         |pp AS (
+         |  SELECT g, n, s_stat, var18, z_micro,
+         |    CASE WHEN z_micro IS NOT NULL
+         |      THEN CAST(floor(1000000.0 / b16) AS BIGINT) END AS p_micro
+         |  FROM (SELECT *, b8 * b8 AS b16 FROM
+         |        (SELECT *, b4 * b4 AS b8 FROM
+         |         (SELECT *, b2 * b2 AS b4 FROM
+         |          (SELECT *, b * b AS b2 FROM pb)))) )
+         |SELECT g AS p_brand, n, s_stat, var18, z_micro, p_micro,
+         |  CASE WHEN p_micro IS NOT NULL AND p_micro <= 50000
+         |      AND s_stat > 0 THEN 'increasing'
+         |    WHEN p_micro IS NOT NULL AND p_micro <= 50000
+         |      AND s_stat < 0 THEN 'decreasing'
+         |    ELSE 'no trend' END AS trend
+         |FROM pp ORDER BY p_brand""".stripMargin,
+
     // Theil-Sen replica: remainder-adjusted exact floor division per
     // pair slope, lower-median by row_number.
     "q_theil_sen" ->
-      """WITH monthly AS (
-        |  SELECT p_brand AS g,
-        |    year(l_shipdate) * 12 + month(l_shipdate) AS x,
-        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  GROUP BY 1, 2),
+      s"""WITH monthly AS (
+         |  $monthlyBrandCte),
         |p AS (
         |  SELECT a.g,
         |    ((b.y - a.y) * 1000000 -

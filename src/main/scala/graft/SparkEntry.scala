@@ -2709,16 +2709,29 @@ object SparkEntry {
     * — the exact lower-median of all-pairs integer micro-slopes. Fully
     * hash-oracled.
     */
-  private def qTheilSen(s: SparkSession, dir: String): DataFrame = {
-    val monthly = t(s, dir, "lineitem")
+  /** Shared monthly-quantity-per-brand series for the trend pair
+    * (q_theil_sen estimates the slope, q_mann_kendall tests for it). */
+  private def monthlyBrandQty(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
       .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"),
         (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("mon"))
       .agg(sum(col("l_quantity").cast("long")).as("qty"))
-    ops.Regression.theilSen(monthly, Seq("p_brand"), "mon", "qty")
+
+  private def qTheilSen(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.theilSen(monthlyBrandQty(s, dir), Seq("p_brand"),
+        "mon", "qty")
       .orderBy(col("p_brand"))
-  }
+
+  /** Mann–Kendall monotone-trend test over the same monthly series the
+    * Theil–Sen slope runs on — exact S / tie-corrected variance,
+    * rational-CDF two-sided p. Fully hash-oracled.
+    */
+  private def qMannKendall(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.mannKendall(monthlyBrandQty(s, dir), Seq("p_brand"),
+        "mon", "qty")
+      .orderBy(col("p_brand"))
 
   /** Kendall τ-b between account balance (cents) and order count per
     * customer nation — exact concordant/discordant/tie pair counts off
@@ -3377,6 +3390,7 @@ object SparkEntry {
     "q_acf" -> (qAcf _),
     "q_kendall" -> (qKendall _),
     "q_theil_sen" -> (qTheilSen _),
+    "q_mann_kendall" -> (qMannKendall _),
     "q_recommend" -> (qRecommend _),
     "q_padding_waste" -> (qPaddingWaste _),
     "q_pca_power" -> (qPcaPower _),

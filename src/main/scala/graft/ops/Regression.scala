@@ -823,6 +823,76 @@ object Regression {
       .select(g ++ Seq(col("n_slopes"), col("_ts_s").as("slope_micro")): _*)
   }
 
+  /** Grouped Mann–Kendall trend test (Mann '45 / Kendall '75) — the
+    * non-parametric "is there a monotone trend at all?" hypothesis test
+    * that pairs with [[theilSen]]'s "how steep?" estimate (same pair
+    * relation, same robustness):
+    *
+    *   S     = Σ_{i<j by t} sgn(x_j − x_i)                 (exact long)
+    *   18·Var = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)         (exact long)
+    *   z     = (S ∓ 1) / √(Var)      (continuity-corrected; 0 when S=0)
+    *
+    * The tie term runs over groups of EQUAL x values (the standard
+    * correction — without it a flat, tie-heavy series looks
+    * significant). All counts are exact; z is
+    * `⌊(S∓1)·10⁶ / √(var18/18)⌋` — three correctly-rounded IEEE ops —
+    * and the two-sided p comes from [[normalPValueMicro]]'s rational
+    * CDF (no libm), so the whole row hash-oracles. `trend` labels
+    * 'increasing'/'decreasing' at p ≤ 0.05, else 'no trend'.
+    *
+    * Output: `(group…, n, s_stat, var18, z_micro, p_micro, trend)`;
+    * z/p NULL when var18 = 0 (constant or single-point series).
+    *
+    * Scale: same contract as [[theilSen]]/[[kendallTau]] — the pair
+    * join is quadratic in group size, run it on aggregated series; the
+    * tie correction is a (group, x) hash aggregation, never pairs.
+    */
+  def mannKendall(df: DataFrame, groupCols: Seq[String], tCol: String,
+      xCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "mannKendall needs group columns")
+    val g = groupCols.map(col)
+    val base = df
+      .filter(col(tCol).isNotNull && col(xCol).isNotNull)
+      .select(g ++ Seq(col(tCol).cast("long").as("_mk_t"),
+        col(xCol).cast("long").as("_mk_x")): _*)
+    val a = groupCols.foldLeft(base)((d, c) => d.withColumnRenamed(c, s"_mk_g_$c"))
+    val b = base.select(g ++ Seq(col("_mk_t").as("_mk_t2"),
+      col("_mk_x").as("_mk_x2")): _*)
+    val joinCond = groupCols.map(c => col(s"_mk_g_$c") === col(c))
+      .reduce(_ && _) && col("_mk_t") < col("_mk_t2")
+    val dx = col("_mk_x2") - col("_mk_x")
+    val sAgg = a.join(b, joinCond)
+      .select((groupCols.map(c => col(s"_mk_g_$c").as(c)) :+
+        when(dx > 0L, 1L).when(dx < 0L, -1L).otherwise(0L).as("_mk_sg")): _*)
+      .groupBy(g: _*).agg(sum(col("_mk_sg")).as("s_stat"))
+    val ties = base.groupBy(g :+ col("_mk_x"): _*)
+      .agg(count(lit(1)).as("_mk_tc"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("_mk_nvals"),
+        sum(col("_mk_tc") * (col("_mk_tc") - 1L) *
+          (lit(2L) * col("_mk_tc") + 5L)).as("_mk_tsum"),
+        sum(col("_mk_tc")).as("n"))
+    ties.join(sAgg, groupCols, "left")
+      .withColumn("s_stat", coalesce(col("s_stat"), lit(0L)))
+      .withColumn("var18",
+        col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+          col("_mk_tsum"))
+      .withColumn("z_micro", when(col("var18") > 0L,
+        floor((when(col("s_stat") > 0L, col("s_stat") - 1L)
+            .when(col("s_stat") < 0L, col("s_stat") + 1L)
+            .otherwise(lit(0L))).cast("double") * lit(1000000.0) /
+          sqrt(col("var18").cast("double") / lit(18.0))).cast("long")))
+      .withColumn("p_micro",
+        when(col("z_micro").isNotNull, normalPValueMicro(col("z_micro"))))
+      .select(g ++ Seq(col("n"), col("s_stat"), col("var18"), col("z_micro"),
+        col("p_micro"),
+        when(col("p_micro").isNotNull && col("p_micro") <= 50000L &&
+            col("s_stat") > 0L, "increasing")
+          .when(col("p_micro").isNotNull && col("p_micro") <= 50000L &&
+            col("s_stat") < 0L, "decreasing")
+          .otherwise("no trend").as("trend")): _*)
+  }
+
   /** Grouped two-feature OLS (y = b₀ + b₁x₁ + b₂x₂) by Cramer's rule on
     * the centered normal equations with CLEARED DENOMINATORS — the
     * multivariate extension of [[linearTrend]], exact until the final

@@ -462,6 +462,35 @@ class RegressionSpec extends SparkSpec {
     assert(lt.getLong(lt.fieldIndex("slope_micro")) > 30000000L)
   }
 
+  test("mannKendall: hand-computed S, tie-corrected variance, trend labels") {
+    // series g: 1,2,2,4 -> S = +1+1+1 +0+1 +1 = 5; ties: one group of 2
+    // var18 = 4*3*13 - 2*1*9 = 156 - 18 = 138
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 2L), ("g", 4L, 4L))
+      .toDF("grp", "t", "x")
+    val r = Regression.mannKendall(df, Seq("grp"), "t", "x").collect().head
+    assert(r.getLong(r.fieldIndex("n")) == 4L)
+    assert(r.getLong(r.fieldIndex("s_stat")) == 5L)
+    assert(r.getLong(r.fieldIndex("var18")) == 138L)
+    val expZ = math.floor(4.0 * 1e6 / math.sqrt(138.0 / 18.0)).toLong
+    assert(r.getLong(r.fieldIndex("z_micro")) == expZ)
+  }
+
+  test("mannKendall: strong monotone trends get labeled; flat is null") {
+    val up = (1 to 12).map(i => ("up", i.toLong, i.toLong))
+    val dn = (1 to 12).map(i => ("dn", i.toLong, (50 - i).toLong))
+    val ct = (1 to 12).map(i => ("ct", i.toLong, 7L))
+    val out = Regression.mannKendall((up ++ dn ++ ct)
+        .toDF("grp", "t", "x"), Seq("grp"), "t", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getString(out("up").fieldIndex("trend")) == "increasing")
+    assert(out("dn").getString(out("dn").fieldIndex("trend")) == "decreasing")
+    val flat = out("ct")
+    assert(flat.isNullAt(flat.fieldIndex("z_micro")) &&
+      flat.isNullAt(flat.fieldIndex("p_micro")) &&
+      flat.getString(flat.fieldIndex("trend")) == "no trend")
+    assert(flat.getLong(flat.fieldIndex("var18")) == 0L)
+  }
+
   test("kendallTau: null coordinates drop; single-row groups emit nothing") {
     val df = Seq(("g", 1, Some(1L), Some(2L)), ("g", 2, None, Some(3L)),
       ("h", 1, Some(1L), Some(1L)))
