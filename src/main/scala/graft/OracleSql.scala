@@ -46,6 +46,45 @@ object OracleSql {
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  GROUP BY 1, 2""".stripMargin
 
+  /** Shared CTE chain for the power-iteration PCA family
+    * (q_pca_power, q_remove_top): quantized embeddings, exact HUGEINT
+    * scatter matrix, 8 unrolled fixed-point iterations ending in `v8`;
+    * also exposes `e` (per-dim rows) for downstream projections.
+    */
+  private def pcaPowerCtes: String = {
+    val steps = (1 to 8).map { t =>
+      s"""w$t AS (
+         |  SELECT c.i, sum(c.c * v.v) AS w
+         |  FROM c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
+         |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+         |v$t AS (
+         |  SELECT i, CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)
+         |    ELSE (w * 1000000 - (((w * 1000000) % m) + m) % m) // m
+         |  END AS v
+         |  FROM w$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""qz AS (
+       |  SELECT vec_id AS id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT id, unnest(generate_series(1, len(v))) AS i,
+       |    unnest(v) AS q
+       |  FROM qz),
+       |ds AS (
+       |  SELECT i, CAST(sum(q) AS HUGEINT) AS s,
+       |    CAST(count(*) AS HUGEINT) AS n
+       |  FROM e GROUP BY i),
+       |pp AS (
+       |  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS p
+       |  FROM e a JOIN e b ON a.id = b.id GROUP BY 1, 2),
+       |c AS (
+       |  SELECT pp.i, pp.j, da.n * pp.p - da.s * db.s AS c
+       |  FROM pp JOIN ds da ON pp.i = da.i JOIN ds db ON pp.j = db.i),
+       |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM ds),
+       |$steps""".stripMargin
+  }
+
   /** Dedup/fingerprint text normalization (Dedup.normalizeText). */
   private def norm(c: String): String =
     s"""trim(regexp_replace(regexp_replace(lower(coalesce($c, '')), '[^\\p{L}\\p{N}_\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"""
@@ -3206,41 +3245,28 @@ object OracleSql {
 
     // Power-iteration PCA replica: exact HUGEINT scatter matrix, 8
     // unrolled matvec + remainder-adjusted L-inf rescale iterations.
-    "q_pca_power" -> {
-      val steps = (1 to 8).map { t =>
-        s"""w$t AS (
-           |  SELECT c.i, sum(c.c * v.v) AS w
-           |  FROM c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
-           |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
-           |v$t AS (
-           |  SELECT i, CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)
-           |    ELSE (w * 1000000 - (((w * 1000000) % m) + m) % m) // m
-           |  END AS v
-           |  FROM w$t, m$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH qz AS (
-         |  SELECT vec_id AS id, list_transform(embedding,
-         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-         |  FROM embeddings),
-         |e AS (
-         |  SELECT id, unnest(generate_series(1, len(v))) AS i,
-         |    unnest(v) AS q
-         |  FROM qz),
-         |ds AS (
-         |  SELECT i, CAST(sum(q) AS HUGEINT) AS s,
-         |    CAST(count(*) AS HUGEINT) AS n
-         |  FROM e GROUP BY i),
-         |pp AS (
-         |  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS p
-         |  FROM e a JOIN e b ON a.id = b.id GROUP BY 1, 2),
-         |c AS (
-         |  SELECT pp.i, pp.j, da.n * pp.p - da.s * db.s AS c
-         |  FROM pp JOIN ds da ON pp.i = da.i JOIN ds db ON pp.j = db.i),
-         |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM ds),
-         |$steps
+    "q_pca_power" ->
+      s"""WITH $pcaPowerCtes
          |SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_micro
-         |FROM v8 ORDER BY dim""".stripMargin
-    },
+         |FROM v8 ORDER BY dim""".stripMargin,
+
+    // All-but-the-top replica: the SAME v8 chain, then the exact
+    // cleared-denominator projection removal per (id, dim).
+    "q_remove_top" ->
+      s"""WITH $pcaPowerCtes,
+         |vv AS (SELECT CAST(sum(v * v) AS HUGEINT) AS vv FROM v8),
+         |qv AS (
+         |  SELECT e.id, CAST(sum(CAST(e.q AS HUGEINT) * v.v) AS HUGEINT)
+         |    AS qv
+         |  FROM e JOIN v8 v ON e.i = v.i GROUP BY e.id)
+         |SELECT e.id, CAST(e.i AS BIGINT) AS dim,
+         |  CASE WHEN x.vv = 0 THEN CAST(e.q * 1000 AS BIGINT)
+         |    ELSE CAST(((e.q * x.vv - qv.qv * v.v) * 1000 -
+         |      ((((e.q * x.vv - qv.qv * v.v) * 1000) % x.vv + x.vv) % x.vv))
+         |      // x.vv AS BIGINT)
+         |  END AS value_micro
+         |FROM e JOIN v8 v ON e.i = v.i JOIN qv ON e.id = qv.id, vv x
+         |ORDER BY e.id, e.i""".stripMargin,
 
     // Padding-waste replica: same bin()-length next-pow2 bucket, exact
     // integer waste arithmetic.

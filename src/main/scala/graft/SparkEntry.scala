@@ -2682,6 +2682,16 @@ object SparkEntry {
         "embedding")
       .orderBy(col("dim"))
 
+  /** All-but-the-top anisotropy removal over the embeddings table —
+    * every vector minus its projection on q_pca_power's dominant
+    * direction, exact cleared-denominator integers, scalar (id, dim,
+    * value_micro) rows. Fully hash-oracled.
+    */
+  private def qRemoveTop(s: SparkSession, dir: String): DataFrame =
+    Similarity.removeTopComponent(t(s, dir, "embeddings"), "vec_id",
+        "embedding")
+      .orderBy(col("id"), col("dim"))
+
   /** Padding-waste audit of power-of-two length-bucketed batching over
     * the documents corpus — per bucket, the pad-token burn rate of the
     * standard dynamic-batching grid. Fully hash-oracled.
@@ -3394,6 +3404,7 @@ object SparkEntry {
     "q_recommend" -> (qRecommend _),
     "q_padding_waste" -> (qPaddingWaste _),
     "q_pca_power" -> (qPcaPower _),
+    "q_remove_top" -> (qRemoveTop _),
     "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),

@@ -172,8 +172,24 @@ object Similarity {
     */
   def topComponentPower(df: DataFrame, idCol: String, vecCol: String,
       iters: Int = 8, quantScale: Int = 1000): DataFrame = {
-    require(iters >= 1 && iters <= 32, "topComponentPower: 1 <= iters <= 32")
     val spark = df.sparkSession
+    topComponentVector(df, vecCol, iters, quantScale) match {
+      case None =>
+        spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("dim", "v_micro")
+      case Some(v) =>
+        spark.createDataFrame(
+            v.toSeq.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x) })
+          .toDF("dim", "v_micro")
+    }
+  }
+
+  /** [[topComponentPower]]'s vector as driver-side longs (micro units,
+    * L∞-normalized) — None on an empty corpus. The dim² scatter build is
+    * the distributed pass; the solve is BigInt on the driver.
+    */
+  private[graft] def topComponentVector(df: DataFrame, vecCol: String,
+      iters: Int, quantScale: Int): Option[Array[Long]] = {
+    require(iters >= 1 && iters <= 32, "topComponentPower: 1 <= iters <= 32")
     val dec = "decimal(38,0)"
     val qz = df.filter(col(vecCol).isNotNull)
       .select(quantize(col(vecCol), quantScale).as("_pc_v"))
@@ -193,9 +209,8 @@ object Similarity {
       .groupBy(col("dim"))
       .agg(sum(col("q").cast(dec)).as("s"), count(lit(1)).as("n"))
       .collect()
-    if (dims.isEmpty) {
-      spark.createDataFrame(Seq.empty[(Long, Long)]).toDF("dim", "v_micro")
-    } else {
+    if (dims.isEmpty) None
+    else {
       val d = dims.length
       val s = Array.ofDim[BigInt](d)
       var n = BigInt(0)
@@ -221,10 +236,54 @@ object Similarity {
             (num - (((num % m) + m) % m)) / m
           }
       }
-      spark.createDataFrame(
-          v.toSeq.zipWithIndex.map { case (x, i) => ((i + 1).toLong, x.toLong) })
-        .toDF("dim", "v_micro")
+      Some(v.map(_.toLong))
     }
+  }
+
+  /** All-but-the-top anisotropy removal (Mu & Viswanath '18, single
+    * component): every embedding loses its projection on the corpus'
+    * dominant direction — `e' = e − (e·v / v·v)·v` — computed over
+    * [[topComponentVector]]'s integer v with CLEARED denominators, so
+    * the output is exact: `e'ᵢ·(v·v) = qᵢ·(v·v) − (q·v)·vᵢ` in decimal,
+    * then one remainder-adjusted floor division scales back to micro
+    * units of the ORIGINAL embedding
+    * (`⌊(qᵢ·vv − qv·vᵢ)·(10⁶/scale) / vv⌋`). A degenerate zero v (flat
+    * corpus) leaves embeddings unchanged (identity, just re-scaled).
+    *
+    * Output: scalar `(id, dim, value_micro)` rows, 1-based dims (the
+    * robustNormalize contract — driver-comparator-sortable).
+    *
+    * Scale: the component solve is [[topComponentVector]]'s one pass +
+    * driver dim² solve; the correction itself is a pure projection with
+    * v as a broadcast literal — no second shuffle, no join.
+    */
+  def removeTopComponent(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 8, quantScale: Int = 1000): DataFrame = {
+    val dec = "decimal(38,0)"
+    val scaleToMicro = 1000000L / quantScale
+    require(scaleToMicro * quantScale == 1000000L,
+      "removeTopComponent: quantScale must divide 1e6")
+    val v = topComponentVector(df, vecCol, iters, quantScale)
+      .getOrElse(Array.empty[Long])
+    val vv = v.map(x => BigInt(x) * BigInt(x)).sum
+    require(vv <= BigInt(Long.MaxValue), "component norm overflows long")
+    val vLit = typedLit(v.toSeq)
+    val base = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("_rt_q"))
+    val corrected =
+      if (vv == 0) base.withColumn("_rt_r",
+        transform(col("_rt_q"), qi => (qi * scaleToMicro).cast("long")))
+      else base
+        .withColumn("_rt_qv", quantizedDot(col("_rt_q"), vLit))
+        .withColumn("_rt_r", zip_with(col("_rt_q"), vLit, (qi, vi) => {
+          val num = (qi.cast(dec) * lit(vv.toLong) -
+            col("_rt_qv").cast(dec) * vi) * lit(scaleToMicro)
+          ((num - pmod(num, lit(vv.toLong))) / lit(vv.toLong)).cast("long")
+        }))
+    corrected.select(col("id"),
+        posexplode(col("_rt_r")).as(Seq("dim", "value_micro")))
+      .select(col("id"), (col("dim") + 1).cast("long").as("dim"),
+        col("value_micro"))
   }
 
   /** Deterministic Rademacher (±1) sign matrix for [[randomProject]],

@@ -389,6 +389,45 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(ratio - 0.75) < 0.02, s"direction ratio $ratio")
   }
 
+  test("removeTopComponent leaves residuals orthogonal to the removed direction") {
+    val u = Seq(0.6, 0.8)
+    val jit = Seq(0.08, -0.06)
+    val rows = (1 to 40).map { t =>
+      val s = if (t % 2 == 0) 1.0 else -1.0
+      val a = s * (1.0 + (t % 5) * 0.3)
+      val j = ((t % 3) - 1) * 0.1
+      (t.toLong, Seq(a * u(0) + j * jit(0), a * u(1) + j * jit(1)).map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val v = Similarity.topComponentPower(df, "vec_id", "embedding")
+      .orderBy("dim").collect().map(_.getLong(1).toDouble)
+    val res = Similarity.removeTopComponent(df, "vec_id", "embedding")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2).toDouble / 1e6)
+      }
+    // pre-floor the dot is identically zero (qv·vv − qv·vv); what
+    // survives is per-dim micro-floor noise, large RELATIVE to these
+    // small residual norms — hence the loose 1e-2 gate
+    val vn = math.sqrt(v.map(x => x * x).sum)
+    res.values.foreach { r =>
+      val rn = math.sqrt(r.map(x => x * x).sum)
+      if (rn > 1e-4) {
+        val cos = r.zip(v).map { case (a, b) => a * b }.sum / (rn * vn)
+        assert(math.abs(cos) < 1e-2, s"residual not orthogonal: $cos")
+      }
+    }
+  }
+
+  test("removeTopComponent: flat corpus (zero component) is the identity in micro units") {
+    val df = (1 to 4).map(i => (i.toLong, Seq(0.5f, -0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.removeTopComponent(df, "vec_id", "embedding")
+      .orderBy("id", "dim").collect()
+    assert(out.length == 8)
+    assert(out.take(2).map(_.getLong(2)).toSeq == Seq(500000L, -250000L))
+  }
+
   test("topComponentPower: identical vectors (zero scatter) yield the zero vector") {
     val df = (1 to 5).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")
