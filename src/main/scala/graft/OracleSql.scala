@@ -3441,6 +3441,57 @@ object OracleSql {
         |  END AS tau_micro
         |FROM m ORDER BY c_nationkey""".stripMargin,
 
+    // CCF replica: daily click/purchase series per cohort, same
+    // cleared-denominator cross moments and IEEE tail as the engine.
+    "q_ccf" -> {
+      val ks = 0 to 3
+      val leads = ks.map(k => s"lead(y, $k) OVER w AS l$k").mkString(", ")
+      val moms = ks.map { k =>
+        s"""    CAST(coalesce(sum(CAST(x AS HUGEINT) * l$k), 0) AS HUGEINT) AS p$k,
+           |    CAST(coalesce(sum(CASE WHEN l$k IS NOT NULL THEN CAST(x AS HUGEINT) END), 0) AS HUGEINT) AS a$k,
+           |    CAST(coalesce(sum(CAST(l$k AS HUGEINT)), 0) AS HUGEINT) AS b$k""".stripMargin
+      }.mkString(",\n")
+      val branches = ks.map { k =>
+        s"""SELECT cohort, $k AS lag, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN dx > 0 AND dy > 0 AND n > $k THEN
+           |    CAST(floor(CAST(n*n*p$k - n*sy*a$k - n*sx*b$k
+           |        + (n - $k)*sx*sy AS DOUBLE)
+           |      * 1000000.0 / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)))
+           |      AS BIGINT)
+           |  END AS ccf_micro
+           |FROM mom""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (
+         |  SELECT user_id % 4 AS cohort,
+         |    CAST(date_trunc('day', ts) AS DATE) AS day,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT cohort, x, y, $leads
+         |  FROM d WINDOW w AS (PARTITION BY cohort ORDER BY day)),
+         |mom AS (
+         |  SELECT cohort, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(count(*) AS HUGEINT) * count(*) *
+         |      CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) -
+         |      CAST(count(*) AS HUGEINT)
+         |      * CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT)
+         |      * CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS dx,
+         |    CAST(count(*) AS HUGEINT) * count(*) *
+         |      CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) -
+         |      CAST(count(*) AS HUGEINT)
+         |      * CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT)
+         |      * CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS dy,
+         |$moms
+         |  FROM l GROUP BY cohort)
+         |$branches
+         |ORDER BY cohort, lag""".stripMargin
+    },
+
     // Sample ACF replica: same lead() window, same cleared-denominator
     // HUGEINT moments, same two-IEEE-op final division per lag.
     "q_acf" -> {

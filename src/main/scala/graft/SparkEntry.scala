@@ -2743,6 +2743,25 @@ object SparkEntry {
         "mon", "qty")
       .orderBy(col("p_brand"))
 
+  /** Cross-correlation between daily clicks and purchases per user
+    * cohort at lags 0–3 (does click volume lead purchase volume?) —
+    * exact cleared-denominator cross moments off one window pass.
+    * Fully hash-oracled.
+    */
+  private def qCcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(pmod(col("user_id"), lit(4L)).as("cohort"),
+        to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchases"))
+    ops.EventOps.ccf(daily, Seq("cohort"), "day", "clicks", "purchases",
+        maxLag = 3)
+      .orderBy(col("cohort"), col("lag"))
+  }
+
   /** Kendall τ-b between account balance (cents) and order count per
     * customer nation — exact concordant/discordant/tie pair counts off
     * the id-ordered pair relation, one IEEE op chain at the end. Fully
@@ -3401,6 +3420,7 @@ object SparkEntry {
     "q_kendall" -> (qKendall _),
     "q_theil_sen" -> (qTheilSen _),
     "q_mann_kendall" -> (qMannKendall _),
+    "q_ccf" -> (qCcf _),
     "q_recommend" -> (qRecommend _),
     "q_padding_waste" -> (qPaddingWaste _),
     "q_pca_power" -> (qPcaPower _),

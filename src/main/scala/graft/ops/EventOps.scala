@@ -372,6 +372,79 @@ object EventOps {
         col("_ac_e.acf_micro").as("acf_micro")): _*)
   }
 
+  /** Sample cross-correlation (CCF) between two integer-valued series
+    * at lags `0..maxLag` — the lead/lag predictor screen ("do sign-ups
+    * lead purchases by k days?"): at lag k,
+    * `r_k = Σ_{t≤n−k}(x_t−x̄)(y_{t+k}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²)`.
+    * Positive k means x LEADS y by k steps. Lag 0 is the plain Pearson
+    * correlation of the two series.
+    *
+    * Same cleared-denominator discipline as [[acf]]: per lag the exact
+    * integer moments `P_k = Σx_t·y_{t+k}`, overlap sums `A_k/B_k`, and
+    * `num_k = n²P_k − n·S_y·A_k − n·S_x·B_k + (n−k)·S_x·S_y`; the
+    * denominator √(D_x·D_y) uses full-series scatter. Final value =
+    * `⌊num·10⁶/√(D_x·D_y)⌋` (multiply, sqrt, divide, floor — each
+    * correctly-rounded IEEE), so rows hash-oracle. One row per
+    * (key, lag): `(key…, lag, n, ccf_micro)`; NULL when either series
+    * is constant or shorter than the lag.
+    *
+    * Scale: identical to [[acf]] — one key-partitioned window sort
+    * shared by all lags, one hash aggregation of `2·(maxLag+1) + 5`
+    * sums per group.
+    */
+  def ccf(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      xCol: String, yCol: String, maxLag: Int = 5): DataFrame = {
+    require(keyCols.nonEmpty, "ccf needs key columns")
+    require(maxLag >= 0 && maxLag <= 32, "ccf needs 0 <= maxLag <= 32")
+    val g = keyCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col(orderCol))
+    val dec = "decimal(38,0)"
+    val lagged = (0 to maxLag).foldLeft(
+        df.filter(col(orderCol).isNotNull && col(xCol).isNotNull &&
+            col(yCol).isNotNull)
+          .withColumn("_cc_x", col(xCol).cast("long"))
+          .withColumn("_cc_y", col(yCol).cast("long"))) {
+      case (cur, k) =>
+        cur.withColumn(s"_cc_l$k", lead(col("_cc_y"), k).over(w))
+    }
+    val aggExprs: Seq[org.apache.spark.sql.Column] = Seq(
+      count(lit(1)).cast(dec).as("_cc_n"),
+      sum(col("_cc_x").cast(dec)).as("_cc_sx"),
+      sum(col("_cc_y").cast(dec)).as("_cc_sy"),
+      sum((col("_cc_x") * col("_cc_x")).cast(dec)).as("_cc_ssx"),
+      sum((col("_cc_y") * col("_cc_y")).cast(dec)).as("_cc_ssy")) ++
+      (0 to maxLag).flatMap { k =>
+        val lk = col(s"_cc_l$k")
+        Seq(
+          coalesce(sum((col("_cc_x") * lk).cast(dec)), lit(0).cast(dec))
+            .as(s"_cc_p$k"),
+          coalesce(sum(when(lk.isNotNull, col("_cc_x")).cast(dec)),
+            lit(0).cast(dec)).as(s"_cc_a$k"),
+          coalesce(sum(lk.cast(dec)), lit(0).cast(dec)).as(s"_cc_b$k"))
+      }
+    val moments = lagged.groupBy(g: _*).agg(aggExprs.head, aggExprs.tail: _*)
+    val dx = col("_cc_n") * col("_cc_n") * col("_cc_ssx") -
+      col("_cc_n") * col("_cc_sx") * col("_cc_sx")
+    val dy = col("_cc_n") * col("_cc_n") * col("_cc_ssy") -
+      col("_cc_n") * col("_cc_sy") * col("_cc_sy")
+    val perLag = (0 to maxLag).map { k =>
+      val num = col("_cc_n") * col("_cc_n") * col(s"_cc_p$k") -
+        col("_cc_n") * col("_cc_sy") * col(s"_cc_a$k") -
+        col("_cc_n") * col("_cc_sx") * col(s"_cc_b$k") +
+        (col("_cc_n") - lit(k)) * col("_cc_sx") * col("_cc_sy")
+      struct(lit(k).as("lag"),
+        when(dx > 0 && dy > 0 && col("_cc_n") > k,
+          floor(num.cast("double") * lit(1000000.0) /
+            sqrt(dx.cast("double") * dy.cast("double"))).cast("long"))
+          .as("ccf_micro"))
+    }
+    moments.select(g ++ Seq(col("_cc_n").cast("long").as("n"),
+        explode(array(perLag: _*)).as("_cc_e")): _*)
+      .select(g ++ Seq(col("_cc_e.lag").as("lag"), col("n"),
+        col("_cc_e.ccf_micro").as("ccf_micro")): _*)
+  }
+
   /** Rolling z-score of the daily mean value per key over a trailing
     * `windowDays`-row frame — the spike detector beside [[cusum]]'s
     * drift detector. The z clears its denominators to

@@ -255,6 +255,36 @@ class EventOpsSpec extends SparkSpec {
     assert(!sRows(1).isNullAt(3) && sRows(2).isNullAt(3) && sRows(3).isNullAt(3))
   }
 
+  test("ccf: lag 0 equals Pearson; a planted 2-step lead peaks at lag 2") {
+    // y is x delayed by 2 steps: x leads y, so ccf should peak at k=2
+    val x = Seq(5L, 1L, 9L, 2L, 8L, 3L, 7L, 1L, 6L, 4L, 9L, 2L, 8L, 3L, 7L, 1L)
+    val y = Seq(0L, 0L) ++ x.dropRight(2)
+    val df = x.indices.map(i => ("g", i, x(i), y(i))).toDF("g", "t", "x", "y")
+    val out = EventOps.ccf(df, Seq("g"), "t", "x", "y", maxLag = 4)
+      .orderBy("lag").collect()
+      .map(r => r.getInt(1) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val peak = out.values.flatten.max
+    assert(out(2).contains(peak), s"peak not at lag 2: $out")
+    assert(peak > 700000L)
+    // lag-0 reference: plain Pearson, n = 16 = 2^4 so the n^2 clearing
+    // is an exact power-of-two scale and the doubles agree bitwise
+    val n = x.length.toDouble
+    val (sx, sy) = (x.sum.toDouble, y.sum.toDouble)
+    val num = n * n * x.zip(y).map { case (a, b) => a * b }.sum.toDouble -
+      n * sy * sx - n * sx * sy + n * sx * sy
+    val dx = n * n * x.map(a => a * a).sum - n * sx * sx
+    val dy = n * n * y.map(a => a * a).sum - n * sy * sy
+    val expected = math.floor(num * 1e6 / math.sqrt(dx * dy)).toLong
+    assert(out(0).contains(expected))
+  }
+
+  test("ccf: constant x side yields NULL at every lag") {
+    val df = (0 until 6).map(i => ("g", i, 4L, i.toLong)).toDF("g", "t", "x", "y")
+    val out = EventOps.ccf(df, Seq("g"), "t", "x", "y", maxLag = 2).collect()
+    assert(out.length == 3 && out.forall(_.isNullAt(3)))
+  }
+
   test("acf of a perfectly alternating series is -1 at lag 1 scale-free") {
     // x = +1/-1 alternating, n even -> r1 very near -1 (exactly
     // -(n-1)/n after mean-0 cancellation); micro floor of -14/16
