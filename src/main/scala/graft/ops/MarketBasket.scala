@@ -84,6 +84,8 @@ object MarketBasket {
   def recommendItems(df: DataFrame, basketCol: String, itemCol: String,
       k: Int = 3, minSupport: Long = 2L, neighborCap: Int = 50): DataFrame = {
     require(k >= 1 && neighborCap >= 1, "recommendItems needs k, cap >= 1")
+    // the ownership relation feeds five plans (counts, both self-join
+    // sides, scoring, exclusion) — persist or pay the source join 5×
     val items = df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("basket"), col(itemCol).as("item"))

@@ -431,4 +431,49 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("HashAggregate"), p.take(1500))
   }
+
+  test("acf/ccf: the lag window and moment agg share one key shuffle") {
+    for (q <- Seq("q_acf", "q_ccf")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+      // group-keyed partitioning feeds window AND agg — exactly one
+      // hashpartitioning family on the key column
+      val key = if (q == "q_acf") "o_orderpriority" else "cohort"
+      assert(p.contains(s"hashpartitioning($key"),
+        s"$q should partition by $key:\n${p.take(2000)}")
+    }
+  }
+
+  test("pair statistics (kendall/theil-sen/mann-kendall): group-keyed equi-join, no cartesian") {
+    for (q <- Seq("q_kendall", "q_theil_sen", "q_mann_kendall")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q pair join must stay keyed:\n${p.take(1500)}")
+    }
+  }
+
+  test("inclusion deps: one value-keyed aggregation; pair verdicts off the mask relation") {
+    val p = planOf("q_inclusion_deps")
+    assert(p.contains("hashpartitioning(_id_v"),
+      s"value-keyed mask fold lost:\n${p.take(2000)}")
+    // the attr-pair expansion is a tiny literal-relation nested loop by
+    // construction — but the DATA side must never cartesian
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("recommendations: every data join is keyed; top-k windows partition by basket") {
+    val p = planOf("q_recommend")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("hashpartitioning(basket"),
+      s"per-user ranking should partition by basket:\n${p.take(2000)}")
+  }
+
+  test("remove-top: the projection is scan-shaped (no join back to the corpus)") {
+    val p = planOf("q_remove_top")
+    // v rides as a literal: no join operator of any kind in the final
+    // projection plan (the solve already ran at construction time)
+    assert(!p.contains("Join"), s"v must be a literal, not a join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
