@@ -3268,6 +3268,35 @@ object OracleSql {
          |FROM e JOIN v8 v ON e.i = v.i JOIN qv ON e.id = qv.id, vv x
          |ORDER BY e.id, e.i""".stripMargin,
 
+    // Water-filling replica: sorted-prefix segment search for the water
+    // line, affordability guard pinning floor semantics.
+    "q_budget_waterfill" ->
+      s"""WITH tk AS (
+         |  SELECT source,
+         |    CAST(sum(CASE WHEN nt = '' THEN 0
+         |      ELSE len(str_split(nt, ' ')) END) AS BIGINT) AS t
+         |  FROM (SELECT source, ${norm("text")} AS nt FROM documents)
+         |  GROUP BY source),
+         |r AS (
+         |  SELECT source, t, CAST(row_number() OVER w AS BIGINT) AS k,
+         |    CAST(sum(t) OVER w AS BIGINT) AS p,
+         |    CAST(count(*) OVER () AS BIGINT) AS n,
+         |    CAST(sum(t) OVER () AS BIGINT) AS total,
+         |    CAST(coalesce(lag(t, 1) OVER w, 0) AS BIGINT) AS prev
+         |  FROM tk WINDOW w AS (ORDER BY t, source)),
+         |lvl AS (
+         |  SELECT CAST(coalesce(max(
+         |    CASE WHEN total <= 25000 THEN t
+         |      WHEN 25000 - (p - t) >= 0
+         |        AND (25000 - (p - t)) // (n - k + 1) >= prev
+         |        AND (25000 - (p - t)) // (n - k + 1) < t
+         |      THEN (25000 - (p - t)) // (n - k + 1) END), 0) AS BIGINT)
+         |    AS l
+         |  FROM r)
+         |SELECT source, t AS tokens, least(t, l) AS alloc,
+         |  (t > l) AS capped
+         |FROM tk, lvl ORDER BY source""".stripMargin,
+
     // Padding-waste replica: same bin()-length next-pow2 bucket, exact
     // integer waste arithmetic.
     "q_padding_waste" ->

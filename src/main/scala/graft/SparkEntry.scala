@@ -2682,6 +2682,21 @@ object SparkEntry {
         "embedding")
       .orderBy(col("dim"))
 
+  /** Water-filling token-budget allocation across document sources at
+    * a 25k-token budget — max-min-fair caps found relationally, exact
+    * longs. Fully hash-oracled.
+    */
+  private def qBudgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val tokens = t(s, dir, "documents")
+      .select(col("source"),
+        size(filter(Dedup.tokensOf(col("text")), tk => tk =!= ""))
+          .cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("tokens"))
+    text.CorpusAssembly.budgetWaterfill(tokens, "source", "tokens",
+        budget = 25000L)
+      .orderBy(col("source"))
+  }
+
   /** All-but-the-top anisotropy removal over the embeddings table —
     * every vector minus its projection on q_pca_power's dominant
     * direction, exact cleared-denominator integers, scalar (id, dim,
@@ -3425,6 +3440,7 @@ object SparkEntry {
     "q_padding_waste" -> (qPaddingWaste _),
     "q_pca_power" -> (qPcaPower _),
     "q_remove_top" -> (qRemoveTop _),
+    "q_budget_waterfill" -> (qBudgetWaterfill _),
     "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),

@@ -656,6 +656,61 @@ object CorpusAssembly {
     selected
   }
 
+  /** Water-filling token-budget allocator — the data-mixing primitive
+    * that answers "we can afford B tokens: how much of each source do
+    * we take?" with the max-min-fair rule: every source is capped at a
+    * common level L (the water line), small sources keep everything,
+    * and L is the largest integer with `Σ min(tokens_s, L) ≤ B`.
+    *
+    * The level is found RELATIONALLY, not by iteration: sources sort
+    * ascending by tokens, and for the k-th source the candidate level
+    * `L_k = (B − P_{k-1}) div (n−k+1)` (prefix sum of smaller sources,
+    * remaining sources share the rest) is valid iff it lands in
+    * `[t_{k-1}, t_k)`; exactly one segment validates (or the budget
+    * covers everything and L = max tokens). All exact longs — the
+    * allocation, the water line, and the spent/spill totals
+    * hash-oracle. Output one row per source:
+    * `(source…, tokens, alloc, capped)` — `Σ alloc ≤ B` by
+    * construction, within `n` of it when capping binds (integer L).
+    *
+    * Scale: the input is the per-source TOKEN relation (one row per
+    * source — the data-sized aggregation happened upstream); the sort
+    * window runs over |sources| rows. Negative-token rows are
+    * rejected; a non-positive budget allocates zero everywhere.
+    */
+  def budgetWaterfill(df: DataFrame, sourceCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0L, "budgetWaterfill needs a non-negative budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_wf_t"), col("_wf_src"))
+    val base = df
+      .filter(col(tokensCol).isNotNull && col(tokensCol) >= 0L)
+      .select(col(sourceCol).as("_wf_src"),
+        col(tokensCol).cast("long").as("_wf_t"))
+    val ranked = base
+      .withColumn("_wf_k", row_number().over(w).cast("long"))
+      .withColumn("_wf_p", sum(col("_wf_t")).over(w))
+      .withColumn("_wf_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("_wf_total", sum(col("_wf_t")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    // candidate level for segment k: budget minus everything smaller,
+    // shared by this source and all larger ones
+    val lk = expr(s"($budget - (_wf_p - _wf_t)) div (_wf_n - _wf_k + 1)")
+    val prev = coalesce(lag(col("_wf_t"), 1).over(w), lit(0L))
+    // the affordability guard ALSO pins cross-engine floor semantics:
+    // with a non-negative numerator, truncating div == floor div
+    val level = ranked
+      .select(when(col("_wf_total") <= budget, col("_wf_t"))
+        .when(lit(budget) - (col("_wf_p") - col("_wf_t")) >= 0L &&
+          lk >= prev && lk < col("_wf_t"), lk).as("_wf_l"))
+      .agg(coalesce(max(col("_wf_l")), lit(0L)).as("_wf_level"))
+    base.crossJoin(broadcast(level))
+      .select(col("_wf_src").as(sourceCol), col("_wf_t").as("tokens"),
+        least(col("_wf_t"), col("_wf_level")).as("alloc"),
+        (col("_wf_t") > col("_wf_level")).as("capped"))
+  }
+
   /** Padding-waste report for length-bucketed batching — the
     * dynamic-batching efficiency audit a training pipeline runs before
     * fixing its bucket boundaries: docs bucket to the NEXT POWER OF TWO

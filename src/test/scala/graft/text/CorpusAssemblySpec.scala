@@ -414,6 +414,33 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("budgetWaterfill: hand level, maximality, small sources keep all") {
+    // tokens 10, 40, 50, budget 70: keep 10, cap the rest at
+    // L = (70-10) div 2 = 30 -> alloc 10+30+30 = 70
+    val df = Seq(("a", 10L), ("b", 40L), ("c", 50L)).toDF("src", "tok")
+    val out = CorpusAssembly.budgetWaterfill(df, "src", "tok", 70L)
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(("a", 10L, 10L, false), ("b", 40L, 30L, true),
+      ("c", 50L, 30L, true)))
+    // maximality: level+1 would overspend
+    assert(Seq(10L, 40L, 50L).map(t => math.min(t, 31L)).sum > 70L)
+  }
+
+  test("budgetWaterfill: budget covers everything; zero budget; ties") {
+    val df = Seq(("a", 5L), ("b", 5L), ("c", 7L)).toDF("src", "tok")
+    val all = CorpusAssembly.budgetWaterfill(df, "src", "tok", 100L)
+      .collect().map(r => r.getLong(2)).sum
+    assert(all == 17L)
+    val none = CorpusAssembly.budgetWaterfill(df, "src", "tok", 0L)
+      .collect()
+    assert(none.forall(r => r.getLong(2) == 0L && r.getBoolean(3)))
+    // tie at the line: budget 12 -> L = 4 (3 sources share), ties equal
+    val tied = CorpusAssembly.budgetWaterfill(df, "src", "tok", 12L)
+      .orderBy("src").collect().map(_.getLong(2)).toSeq
+    assert(tied == Seq(4L, 4L, 4L))
+  }
+
   test("paddingWaste: pow2 buckets, boundary lengths, empty docs") {
     // token counts: 0 (empty), 1, 2 (exact pow2 stays), 3 -> 4, 4 -> 4,
     // 5 -> 8
