@@ -3268,6 +3268,31 @@ object OracleSql {
          |FROM e JOIN v8 v ON e.i = v.i JOIN qv ON e.id = qv.id, vv x
          |ORDER BY e.id, e.i""".stripMargin,
 
+    // Quantile-normalization replica: per-source ranks with id
+    // tie-break, pooled order statistics by value alone, ceil-index.
+    "q_quantile_normalize" ->
+      """WITH base AS (
+        |  SELECT source, doc_id AS id, CAST(n_chars AS BIGINT) AS value
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+        |pooled AS (
+        |  SELECT value AS pv,
+        |    CAST(row_number() OVER (ORDER BY value) AS BIGINT) AS pos
+        |  FROM base),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM base),
+        |ranked AS (
+        |  SELECT source, id, value,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY value, id) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM base)
+        |SELECT ranked.source, ranked.id, ranked.value,
+        |  pooled.pv AS normalized
+        |FROM ranked CROSS JOIN tot
+        |JOIN pooled ON (ranked.r * tot.big_n + ranked.n - 1) // ranked.n
+        |  = pooled.pos
+        |ORDER BY id""".stripMargin,
+
     // Water-filling replica: sorted-prefix segment search for the water
     // line, affordability guard pinning floor semantics.
     "q_budget_waterfill" ->

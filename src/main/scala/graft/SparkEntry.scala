@@ -2682,6 +2682,18 @@ object SparkEntry {
         "embedding")
       .orderBy(col("dim"))
 
+  /** Quantile normalization of per-document char lengths across
+    * sources — each source's length distribution mapped onto the
+    * pooled order statistics, the cross-source score-calibration
+    * shape. Fully hash-oracled.
+    */
+  private def qQuantileNormalize(s: SparkSession, dir: String): DataFrame =
+    text.CorpusAssembly.quantileNormalize(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          col("n_chars")),
+        Seq("source"), "doc_id", "n_chars")
+      .orderBy(col("id"))
+
   /** Water-filling token-budget allocation across document sources at
     * a 25k-token budget — max-min-fair caps found relationally, exact
     * longs. Fully hash-oracled.
@@ -3441,6 +3453,7 @@ object SparkEntry {
     "q_pca_power" -> (qPcaPower _),
     "q_remove_top" -> (qRemoveTop _),
     "q_budget_waterfill" -> (qBudgetWaterfill _),
+    "q_quantile_normalize" -> (qQuantileNormalize _),
     "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),

@@ -656,6 +656,57 @@ object CorpusAssembly {
     selected
   }
 
+  /** Cross-group quantile normalization — map every group's value
+    * distribution onto the POOLED distribution, the calibration step
+    * that makes per-source quality scores comparable before a global
+    * threshold cuts across sources (source A's "0.8" and source B's
+    * "0.8" rarely mean the same thing; their quantiles do).
+    *
+    * Deterministic integer formulation: within its group a row takes
+    * rank `r` (row_number by `(value, id)` — the id tie-break makes the
+    * MAPPING total, while the pooled side orders by value alone, so the
+    * value at any pooled position is multiset-determined); its
+    * normalized value is the pooled order statistic at position
+    * `⌈r·N/n_g⌉ = (r·N + n_g − 1) div n_g` (exact longs; r = n_g lands
+    * exactly on N). Output: `(group…, id, value, normalized)` — fully
+    * hash-oracles.
+    *
+    * Scale: the per-group ranks partition by group (parallel), but the
+    * pooled position index is ONE global sort window — the
+    * exact-percentile honesty caveat (SCALE.md "Percentiles"): this
+    * exact form is for calibration-table-sized inputs (per-doc scores
+    * at one shard, sampled corpora); at 100 TB build the mapping from
+    * [[graft.sketch.Sketches.binnedQuantiles]] boundaries instead and
+    * broadcast-join the ≤B-row table.
+    */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "quantileNormalize needs group columns")
+    val g = groupCols.map(col)
+    val base = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(g ++ Seq(col(idCol).as("id"),
+        col(valueCol).cast("long").as("value")): _*)
+    val pooled = base
+      .select(col("value").as("_qn_pv"))
+      .withColumn("_qn_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_qn_pv")))
+        .cast("long"))
+    val total = base.agg(count(lit(1)).as("_qn_big_n"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("value"), col("id"))
+    val wgc = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    base
+      .withColumn("_qn_r", row_number().over(wg).cast("long"))
+      .withColumn("_qn_n", count(lit(1)).over(wgc))
+      .crossJoin(broadcast(total))
+      .withColumn("_qn_idx",
+        expr("(_qn_r * _qn_big_n + _qn_n - 1) div _qn_n"))
+      .join(pooled, col("_qn_idx") === col("_qn_pos"))
+      .select(g ++ Seq(col("id"), col("value"),
+        col("_qn_pv").as("normalized")): _*)
+  }
+
   /** Water-filling token-budget allocator — the data-mixing primitive
     * that answers "we can afford B tokens: how much of each source do
     * we take?" with the max-min-fair rule: every source is capped at a

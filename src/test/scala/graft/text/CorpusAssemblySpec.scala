@@ -414,6 +414,29 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("quantileNormalize: each group maps onto the pooled order statistics") {
+    // groups A (1,2,3) and B (100, 200, 300): same within-group ranks
+    // must normalize to the SAME pooled values; pooled sorted =
+    // 1,2,3,100,200,300 (N=6), idx for r=1..3 of n=3: 2, 4, 6
+    val df = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 3L),
+      ("B", 4L, 100L), ("B", 5L, 200L), ("B", 6L, 300L))
+      .toDF("grp", "id", "x")
+    val out = CorpusAssembly.quantileNormalize(df, Seq("grp"), "id", "x")
+      .orderBy("id").collect().map(r => r.getLong(3))
+    assert(out.toSeq == Seq(2L, 100L, 300L, 2L, 100L, 300L))
+  }
+
+  test("quantileNormalize: identical distributions are a fixed point") {
+    val df = (1 to 8).flatMap(i =>
+      Seq(("A", i.toLong * 2, i.toLong * 10), ("B", i.toLong * 2 + 1, i.toLong * 10)))
+      .toDF("grp", "id", "x")
+    val out = CorpusAssembly.quantileNormalize(df, Seq("grp"), "id", "x")
+      .collect()
+    // every row's normalized value equals its own value (both groups
+    // ARE the pooled distribution)
+    assert(out.forall(r => r.getLong(2) == r.getLong(3)))
+  }
+
   test("budgetWaterfill: hand level, maximality, small sources keep all") {
     // tokens 10, 40, 50, budget 70: keep 10, cap the rest at
     // L = (70-10) div 2 = 30 -> alloc 10+30+30 = 70
