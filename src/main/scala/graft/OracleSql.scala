@@ -3348,6 +3348,39 @@ object OracleSql {
          |  ELSE 0 END AS waste_micro
          |FROM a ORDER BY bucket""".stripMargin,
 
+    // Negative-sampling replica: same dense item index, same
+    // md5('neg:basket:j') 8-hex draws, min-j collision dedup.
+    "q_negative_samples" -> {
+      val draw = hexN("substr(md5('neg:' || b.basket || ':' || g.j), 1, 8)", 8)
+      s"""WITH ui AS (
+         |  SELECT DISTINCT o_custkey AS basket, l_partkey AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |it AS (
+         |  SELECT item,
+         |    CAST(row_number() OVER (ORDER BY item) AS BIGINT) - 1 AS idx
+         |  FROM (SELECT DISTINCT item FROM ui)),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM it),
+         |dr AS (
+         |  SELECT b.basket, g.j,
+         |    $draw % m.m AS idx
+         |  FROM (SELECT DISTINCT basket FROM ui) b
+         |  CROSS JOIN m CROSS JOIN generate_series(1, 11) AS g(j)),
+         |cand AS (
+         |  SELECT dr.basket, it.item, CAST(min(dr.j) AS BIGINT) AS j
+         |  FROM dr JOIN it ON dr.idx = it.idx
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ui o
+         |    WHERE o.basket = dr.basket AND o.item = it.item)
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT basket, item, CAST(row_number() OVER (
+         |    PARTITION BY basket ORDER BY j) AS INTEGER) AS rank
+         |  FROM cand)
+         |SELECT basket, rank, item
+         |FROM rk WHERE rank <= 3 AND basket <= 60
+         |ORDER BY basket, rank""".stripMargin
+    },
+
     // Item-CF replica: micro-cosine weights, capped neighbor lists,
     // owned exclusion by NOT EXISTS, deterministic top-3.
     "q_recommend" ->

@@ -2727,6 +2727,20 @@ object SparkEntry {
     text.CorpusAssembly.paddingWaste(t(s, dir, "documents"), "text")
       .orderBy(col("bucket"))
 
+  /** Deterministic seeded negative sampling over the order baskets —
+    * 3 never-bought parts per customer (first 60 shown), the
+    * contrastive-training counterpart of q_recommend. Fully
+    * hash-oracled.
+    */
+  private def qNegativeSamples(s: SparkSession, dir: String): DataFrame = {
+    val ui = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    ops.MarketBasket.negativeSamples(ui, "o_custkey", "l_partkey", k = 3)
+      .filter(col("basket") <= 60L)
+      .orderBy(col("basket"), col("rank"))
+  }
+
   /** Item-based CF recommendations: "customers who bought X also
     * bought" over the order baskets — integer micro-cosine item
     * similarities, capped neighbor lists, owned-part exclusion, top-3
@@ -3454,6 +3468,7 @@ object SparkEntry {
     "q_remove_top" -> (qRemoveTop _),
     "q_budget_waterfill" -> (qBudgetWaterfill _),
     "q_quantile_normalize" -> (qQuantileNormalize _),
+    "q_negative_samples" -> (qNegativeSamples _),
     "q_inclusion_deps" -> (qInclusionDeps _),
     "q_curriculum" -> (qCurriculum _),
     "q_profile_diff" -> (qProfileDiff _),

@@ -129,6 +129,63 @@ object MarketBasket {
         col("score_micro"))
   }
 
+  /** Deterministic negative sampling for contrastive training — per
+    * basket/user, `k` items they did NOT interact with, drawn by seeded
+    * content hash so every engine and every re-run produces the same
+    * dataset (the applyMixture/weightedSample reproducibility rule;
+    * "random" negatives that change per run poison eval comparisons).
+    *
+    * Draw `j = 1..k+overdraw` candidate indexes per basket as
+    * `md5(seed:basket:j)` into a DENSE item index (row_number over the
+    * distinct item relation), drop owned items and hash collisions
+    * (min-j keeps the first draw of a repeated item), then keep the
+    * first `k` by draw order. A user owning most of the catalog can
+    * come up short — the honest outcome, visible as < k rows, tuned by
+    * `overdraw`. Hard negatives (high-scoring non-owned items) are the
+    * TOP of [[recommendItems]] — this op is the uniform tail that
+    * contrastive batches mix with them.
+    *
+    * Output: `(basket, rank, item)`, rank 1..≤k in draw order.
+    *
+    * Scale: |baskets|·(k+overdraw) draw rows — linear, never the
+    * baskets×items cross product; the index join and ownership
+    * anti-join are keyed; the final rank windows partition by basket.
+    * Item catalog must fit 8 hex digits (~4·10⁹) of draw space.
+    */
+  def negativeSamples(df: DataFrame, basketCol: String, itemCol: String,
+      k: Int = 3, seed: String = "neg", overdraw: Int = 8): DataFrame = {
+    require(k >= 1 && overdraw >= 0, "negativeSamples needs k >= 1")
+    val items = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val itemIdx = items.select(col("item")).distinct()
+      .withColumn("_ns_idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("item")))
+        .cast("long") - 1L)
+    val m = itemIdx.agg(count(lit(1)).as("_ns_m"))
+    val draws = items.select(col("basket")).distinct()
+      .crossJoin(broadcast(m))
+      .select(col("basket"), col("_ns_m"),
+        explode(sequence(lit(1), lit(k + overdraw))).as("_ns_j"))
+      .withColumn("_ns_idx",
+        pmod(conv(substring(md5(concat(lit(seed + ":"),
+          col("basket").cast("string"), lit(":"),
+          col("_ns_j").cast("string"))), 1, 8), 16, 10).cast("long"),
+          col("_ns_m")))
+    draws
+      .join(itemIdx, Seq("_ns_idx"))
+      .join(items, Seq("basket", "item"), "left_anti")
+      .groupBy(col("basket"), col("item"))
+      .agg(min(col("_ns_j")).as("_ns_j"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("basket")).orderBy(col("_ns_j"))))
+      .filter(col("rank") <= k)
+      .select(col("basket"), col("rank"), col("item"))
+  }
+
   def itemPairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 1L): DataFrame = {
     val items = df

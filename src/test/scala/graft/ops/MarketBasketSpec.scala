@@ -67,6 +67,31 @@ class MarketBasketSpec extends SparkSpec {
     assert(!out.exists(_.getLong(0) == 2L))
   }
 
+  test("negativeSamples: never owned, deterministic, ranked in draw order") {
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "C"), (2L, "D"), (3L, "E"))
+      .toDF("u", "i")
+    val out1 = MarketBasket.negativeSamples(df, "u", "i", k = 2)
+      .orderBy("basket", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    val out2 = MarketBasket.negativeSamples(df, "u", "i", k = 2)
+      .orderBy("basket", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out1 == out2, "sampling must be reproducible")
+    val owned = Map(1L -> Set("A", "B"), 2L -> Set("C", "D"), 3L -> Set("E"))
+    assert(out1.forall { case (b, _, it) => !owned(b).contains(it) })
+    assert(out1.groupBy(_._1).values.forall(g =>
+      g.map(_._2).sorted == (1 to g.size).toSeq && g.size <= 2))
+  }
+
+  test("negativeSamples: a user owning nearly everything comes up short honestly") {
+    // catalog = {A, B}; u1 owns both -> NO negatives exist for u1
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A")).toDF("u", "i")
+    val out = MarketBasket.negativeSamples(df, "u", "i", k = 3, overdraw = 20)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(!out.exists(_._1 == 1L))
+    assert(out.filter(_._1 == 2L).map(_._2).toSet == Set("B"))
+  }
+
   test("recommendItems: neighborCap truncates weakest edges; ties break on item id") {
     // hub H co-occurs with A,B,C (supp 2 each, equal weights); cap=2
     // keeps neighbors A,B (id order) — C unreachable from H alone.
