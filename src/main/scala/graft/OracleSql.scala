@@ -4041,6 +4041,60 @@ object OracleSql {
     // Kaplan–Meier: suffix-sum at-risk over (group, t) cells, per-step
     // ln factor on the corpus micro-nat rule, exact integer prefix sum;
     // a step that kills everyone NULLs the curve from there on.
+    // Log-rank replica: pooled risk-set suffix sums, exact integral
+    // micro divisions per event time, house rational-CDF p.
+    "q_log_rank" ->
+      """WITH c AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    date_diff('day', o_orderdate, DATE '1998-12-31') // 90 AS t,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS e
+        |  FROM orders),
+        |cells AS (
+        |  SELECT yr, t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS BIGINT) AS na, CAST(sum(e) AS BIGINT) AS d,
+        |    CAST(sum(a * e) AS BIGINT) AS da
+        |  FROM c GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, CAST(sum(n) OVER sfx AS BIGINT) AS r,
+        |    CAST(sum(na) OVER sfx AS BIGINT) AS ra
+        |  FROM cells WINDOW sfx AS (PARTITION BY yr ORDER BY t
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |tm AS (
+        |  SELECT yr, da,
+        |    CAST((CAST(d AS HUGEINT) * ra * 1000000) // r AS BIGINT) AS em,
+        |    CASE WHEN r > 1 THEN
+        |      CAST((CAST(d AS HUGEINT) * ra * (r - ra) * (r - d) * 1000000)
+        |        // (CAST(r AS HUGEINT) * r * (r - 1)) AS BIGINT)
+        |    ELSE 0 END AS vm
+        |  FROM w WHERE d > 0),
+        |m AS (
+        |  SELECT yr, CAST(count(*) AS BIGINT) AS n_times,
+        |    CAST(sum(da) AS BIGINT) AS o_a,
+        |    CAST(sum(em) AS BIGINT) AS e_a_micro,
+        |    CAST(sum(vm) AS BIGINT) AS v_micro
+        |  FROM tm GROUP BY yr),
+        |z AS (
+        |  SELECT *, CASE WHEN v_micro > 0 THEN
+        |    CAST(floor(CAST(o_a * 1000000 - e_a_micro AS DOUBLE) * 1000.0
+        |      / sqrt(CAST(v_micro AS DOUBLE))) AS BIGINT) END AS z_micro
+        |  FROM m),
+        |pb AS (
+        |  SELECT *, 1.0 + zz * (0.0498673470 + zz * (0.0211410061
+        |    + zz * (0.0032776263 + zz * (0.0000380036
+        |    + zz * (0.0000488906 + zz * 0.0000053830))))) AS b
+        |  FROM (SELECT *, CAST(abs(z_micro) AS DOUBLE) / 1000000.0 AS zz
+        |        FROM z))
+        |SELECT yr, n_times, o_a, e_a_micro, v_micro, z_micro,
+        |  CASE WHEN z_micro IS NOT NULL
+        |    THEN CAST(floor(1000000.0 / b16) AS BIGINT) END AS p_micro
+        |FROM (SELECT *, b8 * b8 AS b16 FROM
+        |      (SELECT *, b4 * b4 AS b8 FROM
+        |       (SELECT *, b2 * b2 AS b4 FROM
+        |        (SELECT *, b * b AS b2 FROM pb))))
+        |ORDER BY yr""".stripMargin,
+
     "q_km_survival" ->
       """WITH r AS (
         |  SELECT o_orderpriority,

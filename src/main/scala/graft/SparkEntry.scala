@@ -2942,6 +2942,23 @@ object SparkEntry {
         Seq("o_orderpriority"), "dur", "finished")
       .orderBy(col("o_orderpriority"), col("t"))
 
+  /** Log-rank test per order-year cohort: do urgent-priority orders
+    * complete on a different survival curve than the rest? Same
+    * duration/censoring shape as q_km_survival; exact per-time
+    * hypergeometric micro terms. Fully hash-oracled.
+    */
+  private def qLogRank(s: SparkSession, dir: String): DataFrame =
+    ops.Survival.logRank(
+        t(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("long"))
+          .withColumn("dur",
+            expr("datediff(date'1998-12-31', o_orderdate) div 90"))
+          .withColumn("finished", col("o_orderstatus") === "F")
+          .withColumn("urgent",
+            col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        Seq("yr"), "urgent", "dur", "finished")
+      .orderBy(col("yr"))
+
   /** Dense daily event-value series per event type: latest value per
     * day, gap days forward-filled. The modulo thinning makes the
     * observations genuinely sparse at sf0.01 so the fill path is what
@@ -3482,6 +3499,7 @@ object SparkEntry {
     "q_diff_in_diff" -> (qDiffInDiff _),
     "q_isotonic" -> (qIsotonic _),
     "q_km_survival" -> (qKmSurvival _),
+    "q_log_rank" -> (qLogRank _),
     "q_gap_fill" -> (qGapFill _),
     "q_chi_square" -> (qChiSquare _),
     "q_apply_changeset" -> (qApplyChangeset _),

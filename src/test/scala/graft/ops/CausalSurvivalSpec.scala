@@ -84,4 +84,42 @@ class CausalSurvivalSpec extends SparkSpec {
     assert(r.getAs[Long]("events") == 2L && r.getAs[Long]("at_risk") == 2L)
     assert(r.isNullAt(r.fieldIndex("km_log_micro")))
   }
+
+  test("logRank: hand-computed O/E/V against the double reference") {
+    // arm A: events at t=1,2; censored at 3. arm B: events at 3,4,
+    // censored at 4.
+    val subjects = Seq(
+      (true, 1L, true), (true, 2L, true), (true, 3L, false),
+      (false, 3L, true), (false, 4L, true), (false, 4L, false))
+      .map { case (a, t, e) => ("g", a, t, e) }
+    val r = Survival.logRank(subjects.toDF("grp", "arm", "dur", "ev"),
+      Seq("grp"), "arm", "dur", "ev").collect().head
+    // event times: 1 (r=6, rA=3, d=1, dA=1), 2 (r=5, rA=2, d=1, dA=1),
+    // 3 (r=4, rA=1, d=1, dA=0), 4 (r=2, rA=0, d=1, dA=0)
+    val times = Seq((6L, 3L, 1L), (5L, 2L, 1L), (4L, 1L, 1L), (2L, 0L, 1L))
+    val o = 2L
+    val eMicro = times.map { case (rr, ra, d) => d * ra * 1000000L / rr }.sum
+    val vMicro = times.map { case (rr, ra, d) =>
+      if (rr > 1) d * ra * (rr - ra) * (rr - d) * 1000000L /
+        (rr * rr * (rr - 1)) else 0L
+    }.sum
+    assert(r.getAs[Long]("n_times") == 4L)
+    assert(r.getAs[Long]("o_a") == o)
+    assert(r.getAs[Long]("e_a_micro") == eMicro)
+    assert(r.getAs[Long]("v_micro") == vMicro)
+    val z = math.floor((o * 1000000L - eMicro).toDouble * 1000.0 /
+      math.sqrt(vMicro.toDouble)).toLong
+    assert(r.getAs[Long]("z_micro") == z)
+  }
+
+  test("logRank: a single-arm group has zero variance and NULL z/p") {
+    val df = Seq(("g", true, 1L, true), ("g", true, 2L, true))
+      .toDF("grp", "arm", "dur", "ev")
+    val r = Survival.logRank(df, Seq("grp"), "arm", "dur", "ev")
+      .collect().head
+    // rA = r at every time -> every E term = d*1e6, V terms = 0
+    assert(r.getAs[Long]("v_micro") == 0L)
+    assert(r.isNullAt(r.fieldIndex("z_micro")))
+    assert(r.isNullAt(r.fieldIndex("p_micro")))
+  }
 }
