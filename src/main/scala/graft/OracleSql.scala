@@ -4041,6 +4041,77 @@ object OracleSql {
     // Kaplan–Meier: suffix-sum at-risk over (group, t) cells, per-step
     // ln factor on the corpus micro-nat rule, exact integer prefix sum;
     // a step that kills everyone NULLs the curve from there on.
+    // Mantel-Haenszel replica: per-stratum 2x2 exact micro terms,
+    // pooled OR by one more integral division, house rational-CDF p.
+    "q_mantel_haenszel" ->
+      """WITH o98 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1998),
+        |base AS (
+        |  SELECT c_mktsegment AS g, c_nationkey AS st,
+        |    (c_acctbal > 0) AS arm,
+        |    (o_custkey IS NOT NULL) AS outc
+        |  FROM customer LEFT JOIN o98 ON c_custkey = o_custkey),
+        |cells AS (
+        |  SELECT g, st,
+        |    CAST(sum(CASE WHEN arm AND outc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a2,
+        |    CAST(sum(CASE WHEN arm AND NOT outc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN NOT arm AND outc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN NOT arm AND NOT outc THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d2
+        |  FROM base GROUP BY 1, 2),
+        |tm AS (
+        |  SELECT g, a2, a2 + b2 + c2 + d2 AS n,
+        |    CAST((CAST(a2 AS HUGEINT) * d2 * 1000000)
+        |      // (a2 + b2 + c2 + d2) AS BIGINT) AS ad,
+        |    CAST((CAST(b2 AS HUGEINT) * c2 * 1000000)
+        |      // (a2 + b2 + c2 + d2) AS BIGINT) AS bc,
+        |    CAST((CAST(a2 + b2 AS HUGEINT) * (a2 + c2) * 1000000)
+        |      // (a2 + b2 + c2 + d2) AS BIGINT) AS em,
+        |    CASE WHEN a2 + b2 + c2 + d2 > 1 THEN
+        |      CAST((CAST(a2 + b2 AS HUGEINT) * (c2 + d2) * (a2 + c2)
+        |          * (b2 + d2) * 1000000)
+        |        // (CAST(a2 + b2 + c2 + d2 AS HUGEINT)
+        |          * (a2 + b2 + c2 + d2) * (a2 + b2 + c2 + d2 - 1))
+        |        AS BIGINT)
+        |    ELSE 0 END AS vm
+        |  FROM cells),
+        |m AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_strata,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(a2) AS BIGINT) AS o,
+        |    CAST(sum(ad) AS BIGINT) AS r,
+        |    CAST(sum(bc) AS BIGINT) AS s,
+        |    CAST(sum(em) AS BIGINT) AS e,
+        |    CAST(sum(vm) AS BIGINT) AS v
+        |  FROM tm GROUP BY g),
+        |z AS (
+        |  SELECT g, n_strata, n,
+        |    CASE WHEN s > 0 THEN
+        |      CAST((CAST(r AS HUGEINT) * 1000000) // s AS BIGINT)
+        |    END AS or_micro,
+        |    CASE WHEN v > 0 THEN
+        |      CAST(floor(CAST(o * 1000000 - e AS DOUBLE) * 1000.0
+        |        / sqrt(CAST(v AS DOUBLE))) AS BIGINT) END AS z_micro
+        |  FROM m),
+        |pb AS (
+        |  SELECT *, 1.0 + zz * (0.0498673470 + zz * (0.0211410061
+        |    + zz * (0.0032776263 + zz * (0.0000380036
+        |    + zz * (0.0000488906 + zz * 0.0000053830))))) AS b
+        |  FROM (SELECT *, CAST(abs(z_micro) AS DOUBLE) / 1000000.0 AS zz
+        |        FROM z))
+        |SELECT g AS c_mktsegment, n_strata, n, or_micro, z_micro,
+        |  CASE WHEN z_micro IS NOT NULL
+        |    THEN CAST(floor(1000000.0 / b16) AS BIGINT) END AS p_micro
+        |FROM (SELECT *, b8 * b8 AS b16 FROM
+        |      (SELECT *, b4 * b4 AS b8 FROM
+        |       (SELECT *, b2_ * b2_ AS b4 FROM
+        |        (SELECT *, b * b AS b2_ FROM pb))))
+        |ORDER BY c_mktsegment""".stripMargin,
+
     // Log-rank replica: pooled risk-set suffix sums, exact integral
     // micro divisions per event time, house rational-CDF p.
     "q_log_rank" ->

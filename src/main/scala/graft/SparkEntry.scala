@@ -2942,6 +2942,26 @@ object SparkEntry {
         Seq("o_orderpriority"), "dur", "finished")
       .orderBy(col("o_orderpriority"), col("t"))
 
+  /** Mantel–Haenszel stratified 2×2 per market segment: does a
+    * positive account balance associate with ordering in 1998, nation
+    * strata pooled (the Simpson-safe A/B read)? Exact per-stratum
+    * micro terms. Fully hash-oracled.
+    */
+  private def qMantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val o98 = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1998)
+      .select(col("o_custkey")).distinct()
+      .withColumn("ordered98", lit(true))
+    val base = t(s, dir, "customer")
+      .join(o98, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        (col("c_acctbal") > 0.0).as("arm"),
+        coalesce(col("ordered98"), lit(false)).as("outcome"))
+    ops.Regression.mantelHaenszel(base, Seq("c_mktsegment"),
+        Seq("c_nationkey"), "arm", "outcome")
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Log-rank test per order-year cohort: do urgent-priority orders
     * complete on a different survival curve than the rest? Same
     * duration/censoring shape as q_km_survival; exact per-time
@@ -3500,6 +3520,7 @@ object SparkEntry {
     "q_isotonic" -> (qIsotonic _),
     "q_km_survival" -> (qKmSurvival _),
     "q_log_rank" -> (qLogRank _),
+    "q_mantel_haenszel" -> (qMantelHaenszel _),
     "q_gap_fill" -> (qGapFill _),
     "q_chi_square" -> (qChiSquare _),
     "q_apply_changeset" -> (qApplyChangeset _),

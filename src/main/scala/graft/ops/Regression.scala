@@ -707,6 +707,84 @@ object Regression {
         .as("rho_micro"))): _*)
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test + Mantel–Haenszel
+    * pooled odds ratio — the confounder-adjusted A/B read
+    * ([[chiSquare]]'s stratified sibling): when the arm split is
+    * imbalanced across strata (Simpson's trap), per-stratum 2×2 tables
+    * pool as
+    *
+    *   OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)
+    *   z     = (Σaᵢ − ΣEᵢ)/√(ΣVᵢ),  Eᵢ = r1ᵢ·c1ᵢ/nᵢ,
+    *   Vᵢ    = r1ᵢ·r2ᵢ·c1ᵢ·c2ᵢ/(nᵢ²(nᵢ−1))
+    *
+    * with a=arm∧outcome, r/c the margins. Every rational per-stratum
+    * term is ONE exact integral division into micro units
+    * (quantize-then-sum, the logRank/BM25 rule — all operands
+    * non-negative so div ≡ floor ≡ `//`), sums are exact longs, the
+    * pooled OR is one more exact integral division, and z is the usual
+    * multiply/sqrt/divide/floor — fully hash-oracled; p from
+    * [[normalPValueMicro]]. NULL OR when no discordant mass
+    * (Σbc = 0); NULL z/p when ΣV = 0 (a margin empty in every
+    * stratum). Single-subject strata contribute no variance (n−1 = 0
+    * guard) — the standard convention.
+    *
+    * Output: `(group…, n_strata, n, or_micro, z_micro, p_micro)`.
+    *
+    * Scale: one hash aggregation onto (group, strata) cells, then a
+    * per-group fold over the CELL relation — subjects cross exactly
+    * one shuffle.
+    */
+  def mantelHaenszel(df: DataFrame, groupCols: Seq[String],
+      strataCols: Seq[String], armCol: String,
+      outcomeCol: String): DataFrame = {
+    require(groupCols.nonEmpty && strataCols.nonEmpty,
+      "mantelHaenszel needs group and strata columns")
+    val g = groupCols.map(col)
+    val st = strataCols.map(col)
+    val dec = "decimal(38,0)"
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    val cells = df
+      .filter(col(armCol).isNotNull && col(outcomeCol).isNotNull)
+      .groupBy(g ++ st: _*)
+      .agg(cnt(col(armCol) && col(outcomeCol)).as("_mh_a"),
+        cnt(col(armCol) && !col(outcomeCol)).as("_mh_b"),
+        cnt(!col(armCol) && col(outcomeCol)).as("_mh_c"),
+        cnt(!col(armCol) && !col(outcomeCol)).as("_mh_d"))
+      .withColumn("_mh_n",
+        col("_mh_a") + col("_mh_b") + col("_mh_c") + col("_mh_d"))
+    val terms = cells
+      .withColumn("_mh_ad", expr(
+        s"(CAST(_mh_a AS $dec) * _mh_d * 1000000) div CAST(_mh_n AS $dec)"))
+      .withColumn("_mh_bc", expr(
+        s"(CAST(_mh_b AS $dec) * _mh_c * 1000000) div CAST(_mh_n AS $dec)"))
+      .withColumn("_mh_em", expr(
+        s"""(CAST(_mh_a + _mh_b AS $dec) * (_mh_a + _mh_c) * 1000000)
+           | div CAST(_mh_n AS $dec)""".stripMargin))
+      .withColumn("_mh_vm", when(col("_mh_n") > 1L, expr(
+        s"""(CAST(_mh_a + _mh_b AS $dec) * (_mh_c + _mh_d)
+           | * (_mh_a + _mh_c) * (_mh_b + _mh_d) * 1000000)
+           | div (CAST(_mh_n AS $dec) * _mh_n * (_mh_n - 1))""".stripMargin))
+        .otherwise(lit(0L)))
+    terms.groupBy(g: _*).agg(
+        count(lit(1)).as("n_strata"),
+        sum(col("_mh_n")).as("n"),
+        sum(col("_mh_a")).as("_mh_o"),
+        sum(col("_mh_ad")).as("_mh_r"),
+        sum(col("_mh_bc")).as("_mh_s"),
+        sum(col("_mh_em")).as("_mh_e"),
+        sum(col("_mh_vm")).as("_mh_v"))
+      .withColumn("or_micro", when(col("_mh_s") > 0L,
+        expr(s"(CAST(_mh_r AS $dec) * 1000000) div CAST(_mh_s AS $dec)")))
+      .withColumn("z_micro", when(col("_mh_v") > 0L,
+        floor((col("_mh_o") * lit(1000000L) - col("_mh_e")).cast("double") *
+          lit(1000.0) / sqrt(col("_mh_v").cast("double"))).cast("long")))
+      .withColumn("p_micro", when(col("z_micro").isNotNull,
+        normalPValueMicro(col("z_micro"))))
+      .select(g ++ Seq(col("n_strata"), col("n"), col("or_micro"),
+        col("z_micro"), col("p_micro")): _*)
+  }
+
   /** Grouped Kendall τ-b rank correlation — the concordance view of
     * monotone association ([[spearmanCorr]]'s sibling; τ is what you
     * quote when tied ranks are heavy or when "probability a random pair

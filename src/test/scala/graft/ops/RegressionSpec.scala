@@ -462,6 +462,58 @@ class RegressionSpec extends SparkSpec {
     assert(lt.getLong(lt.fieldIndex("slope_micro")) > 30000000L)
   }
 
+  test("mantelHaenszel: single stratum reduces to the plain 2x2") {
+    // a=6 b=4 c=3 d=7, n=20
+    def rows(k: Int, arm: Boolean, out: Boolean) =
+      Seq.fill(k)(("g", "s1", arm, out))
+    val df = (rows(6, true, true) ++ rows(4, true, false) ++
+      rows(3, false, true) ++ rows(7, false, false))
+      .toDF("grp", "st", "arm", "out")
+    val r = Regression.mantelHaenszel(df, Seq("grp"), Seq("st"),
+      "arm", "out").collect().head
+    assert(r.getAs[Long]("n") == 20L && r.getAs[Long]("n_strata") == 1L)
+    // OR terms: ad/n = 42/20 -> 2100000; bc/n = 12/20 -> 600000
+    assert(r.getAs[Long]("or_micro") == 2100000L * 1000000L / 600000L)
+    // E = 10*9/20 = 4.5 -> 4500000; V = 10*10*9*11/(400*19)
+    val e = 10L * 9L * 1000000L / 20L
+    val v = 10L * 10L * 9L * 11L * 1000000L / (20L * 20L * 19L)
+    val z = math.floor((6L * 1000000L - e).toDouble * 1000.0 /
+      math.sqrt(v.toDouble)).toLong
+    assert(r.getAs[Long]("z_micro") == z)
+  }
+
+  test("mantelHaenszel survives Simpson's reversal that fools the crude OR") {
+    // stratum A: arm mostly treated, high base rate; stratum B inverse.
+    // Within EACH stratum the arm HURTS (OR < 1); crude pooling says
+    // it helps. CMH must report OR < 1e6.
+    def rows(st: String, k: Int, arm: Boolean, out: Boolean) =
+      Seq.fill(k)(("g", st, arm, out))
+    val df = (
+      rows("A", 70, true, true) ++ rows("A", 30, true, false) ++
+        rows("A", 9, false, true) ++ rows("A", 1, false, false) ++
+        rows("B", 1, true, true) ++ rows("B", 9, true, false) ++
+        rows("B", 30, false, true) ++ rows("B", 70, false, false))
+      .toDF("grp", "st", "arm", "out")
+    val stratified = Regression.mantelHaenszel(df, Seq("grp"), Seq("st"),
+      "arm", "out").collect().head.getAs[Long]("or_micro")
+    val crude = Regression.mantelHaenszel(
+      df.withColumn("st", org.apache.spark.sql.functions.lit("all")),
+      Seq("grp"), Seq("st"), "arm", "out")
+      .collect().head.getAs[Long]("or_micro")
+    assert(stratified < 1000000L, s"stratified OR $stratified")
+    assert(crude > 1000000L, s"crude OR $crude")
+  }
+
+  test("mantelHaenszel: empty margins yield NULL OR and z") {
+    // outcome always true -> no discordant mass, zero variance
+    val df = Seq(("g", "s", true, true), ("g", "s", false, true))
+      .toDF("grp", "st", "arm", "out")
+    val r = Regression.mantelHaenszel(df, Seq("grp"), Seq("st"),
+      "arm", "out").collect().head
+    assert(r.isNullAt(r.fieldIndex("or_micro")))
+    assert(r.isNullAt(r.fieldIndex("z_micro")))
+  }
+
   test("mannKendall: hand-computed S, tie-corrected variance, trend labels") {
     // series g: 1,2,2,4 -> S = +1+1+1 +0+1 +1 = 5; ties: one group of 2
     // var18 = 4*3*13 - 2*1*9 = 156 - 18 = 138
