@@ -5064,5 +5064,218 @@ object OracleSql {
         |SELECT event_type, day, n, x_cents, CAST(s_cents AS BIGINT) AS s_cents,
         |  s_cents > 1500 AS alarm
         |FROM m ORDER BY event_type, day""".stripMargin,
+
+    // Kruskal–Wallis: doubled-midrank Σ per arm, per-arm exact floor
+    // ra2²//(4n_i), fixed IEEE trees for H and the tie correction.
+    "q_kruskal" ->
+      """WITH r AS (
+        |  SELECT user_id % 3 AS cohort, event_type AS a,
+        |    CAST(floor(value * 10000) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |rk AS (
+        |  SELECT cohort, a, y,
+        |    2 * rank() OVER (PARTITION BY cohort ORDER BY y)
+        |      + count(*) OVER (PARTITION BY cohort, y) - 1 AS r2,
+        |    count(*) OVER (PARTITION BY cohort, y) AS t
+        |  FROM r),
+        |arms AS (
+        |  SELECT cohort, a, CAST(count(*) AS BIGINT) AS ni,
+        |    sum(CAST(r2 AS HUGEINT)) AS ra2,
+        |    sum(CAST(t * t - 1 AS HUGEINT)) AS tiesum
+        |  FROM rk GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT cohort, CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k_arms,
+        |    sum((ra2 * ra2) // (4 * CAST(ni AS HUGEINT))) AS s,
+        |    sum(tiesum) AS ties
+        |  FROM arms GROUP BY 1),
+        |h AS (
+        |  SELECT cohort, n, k_arms,
+        |    12.0 * CAST(s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+        |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS hv,
+        |    1.0 - CAST(ties AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS corr
+        |  FROM agg)
+        |SELECT cohort, n, k_arms,
+        |  CASE WHEN n > 1
+        |    THEN CAST(floor(hv * 1000000.0) AS BIGINT) END AS h_micro,
+        |  CASE WHEN n > 1 AND corr > 0.0
+        |    THEN CAST(floor(hv / corr * 1000000.0) AS BIGINT)
+        |  END AS h_tie_micro
+        |FROM h ORDER BY cohort""".stripMargin,
+
+    // One-way ANOVA: exact decimal moments per arm, per-arm floor
+    // si²//ni, SSB/SSW exact, ONE double division for F.
+    "q_anova" ->
+      """WITH r AS (
+        |  SELECT event_type, user_id % 4 AS a,
+        |    CAST(floor(value * 10000) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |arms AS (
+        |  SELECT event_type, a, CAST(count(*) AS BIGINT) AS ni,
+        |    sum(CAST(y AS HUGEINT)) AS si,
+        |    sum(CAST(y AS HUGEINT) * y) AS qi
+        |  FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k_arms,
+        |    sum(si) AS s, sum(qi) AS q,
+        |    sum((si * si) // CAST(ni AS HUGEINT)) AS b
+        |  FROM arms GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, k_arms,
+        |    b - (s * s) // CAST(n AS HUGEINT) AS ssb,
+        |    q - b AS ssw
+        |  FROM agg)
+        |SELECT event_type, n, k_arms, k_arms - 1 AS df1, n - k_arms AS df2,
+        |  CASE WHEN k_arms > 1 AND n > k_arms AND ssw > 0
+        |    THEN CAST(floor(CAST(ssb AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) - CAST(k_arms AS DOUBLE))
+        |      / (CAST(ssw AS DOUBLE) * (CAST(k_arms AS DOUBLE) - 1.0))
+        |      * 1000000.0) AS BIGINT)
+        |  END AS f_micro
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // Pettitt: U_τ = Σ_{i≤τ} 2·midrank − τ(n+1) exact per prefix;
+    // earliest-τ max-|U| election; cleared-exp significance gate.
+    "q_pettitt" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, t, cents,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY cents)
+        |      + count(*) OVER (PARTITION BY event_type, cents) - 1 AS r2
+        |  FROM d),
+        |pre AS (
+        |  SELECT event_type, t,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY t) AS tau,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(r2) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM rk),
+        |u AS (
+        |  SELECT event_type, t, cum - tau * (n + 1) AS uu
+        |  FROM pre WHERE tau < n),
+        |e AS (
+        |  SELECT event_type, CAST(abs(uu) AS BIGINT) AS k_stat,
+        |    t AS cp_t,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(uu) DESC, t ASC) AS rn
+        |  FROM u),
+        |sel AS (SELECT event_type, k_stat, cp_t FROM e WHERE rn = 1),
+        |ns AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1)
+        |SELECT ns.event_type, n, k_stat, cp_t,
+        |  CASE WHEN k_stat IS NOT NULL THEN
+        |    6 * CAST(k_stat AS HUGEINT) * k_stat * 1000000 >=
+        |      3688879 * (CAST(n AS HUGEINT) * n * n
+        |        + CAST(n AS HUGEINT) * n)
+        |  END AS signif
+        |FROM ns LEFT JOIN sel USING (event_type)
+        |ORDER BY ns.event_type""".stripMargin,
+
+    // Ranking eval: exact integer gains, micro-nat ln weights (the
+    // charEntropy rule), prefix-hit precision terms, one div each.
+    "q_ranking_metrics" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+        |rel AS (
+        |  SELECT user_id,
+        |    CASE
+        |      WHEN max(CASE WHEN event_type = 'purchase' THEN value END)
+        |        > 300.0 THEN 2
+        |      WHEN max(CASE WHEN event_type = 'purchase' THEN value END)
+        |        > 150.0 THEN 1
+        |      ELSE 0 END AS grade
+        |  FROM ev GROUP BY 1),
+        |ranked AS (
+        |  SELECT event_type, user_id,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+        |  FROM ev WHERE value IS NOT NULL GROUP BY 1, 2),
+        |rr AS (
+        |  SELECT r.event_type, r.user_id,
+        |    row_number() OVER (PARTITION BY r.event_type
+        |      ORDER BY r.cents DESC, r.user_id) AS rnk,
+        |    l.grade
+        |  FROM ranked r JOIN rel l USING (user_id)),
+        |pre AS (
+        |  SELECT event_type, rnk AS r, grade,
+        |    CAST((1::BIGINT << grade) - 1 AS HUGEINT) AS g,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY grade DESC, rnk) AS ir,
+        |    sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY rnk
+        |        ROWS UNBOUNDED PRECEDING) AS hits
+        |  FROM rr),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rel,
+        |    sum(CASE WHEN r <= 20 AND g > 0 THEN
+        |      (g * 693147 * 1000000)
+        |        // CAST(round(ln(CAST(r + 1 AS DOUBLE)) * 1e6) AS HUGEINT)
+        |      ELSE 0 END) AS dcg,
+        |    sum(CASE WHEN ir <= 20 AND g > 0 THEN
+        |      (g * 693147 * 1000000)
+        |        // CAST(round(ln(CAST(ir + 1 AS DOUBLE)) * 1e6) AS HUGEINT)
+        |      ELSE 0 END) AS idcg,
+        |    min(CASE WHEN grade > 0 AND r <= 20 THEN r END) AS first_rel,
+        |    sum(CASE WHEN grade > 0 AND r <= 20
+        |      THEN (hits * 1000000) // r ELSE 0 END) AS apsum
+        |  FROM pre GROUP BY 1)
+        |SELECT event_type, n_docs, n_rel,
+        |  coalesce(CAST(1000000 // first_rel AS BIGINT), 0) AS mrr_micro,
+        |  CASE WHEN idcg > 0
+        |    THEN CAST((dcg * 1000000) // idcg AS BIGINT) END AS ndcg_micro,
+        |  CASE WHEN n_rel > 0
+        |    THEN CAST(apsum // least(n_rel, 20) AS BIGINT)
+        |    ELSE 0 END AS ap_micro
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+    // Decile lift: ntile on a total order (score desc, id), exact
+    // integral rate and cumulative-lift divisions.
+    "q_lift_deciles" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+        |ent AS (
+        |  SELECT user_id % 2 AS cohort, user_id,
+        |    CAST(sum(CASE WHEN event_type IN ('view', 'click')
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN value END) AS mpv
+        |  FROM ev GROUP BY 1, 2),
+        |tiled AS (
+        |  SELECT cohort,
+        |    CASE WHEN coalesce(mpv > 200.0, false) THEN 1 ELSE 0 END AS c,
+        |    ntile(10) OVER (PARTITION BY cohort
+        |      ORDER BY score DESC, user_id) AS tile
+        |  FROM ent WHERE score IS NOT NULL),
+        |cells AS (
+        |  SELECT cohort, CAST(tile AS BIGINT) AS tile,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS conv
+        |  FROM tiled GROUP BY 1, 2),
+        |w AS (
+        |  SELECT cohort, tile, n, conv,
+        |    sum(n) OVER (PARTITION BY cohort ORDER BY tile
+        |      ROWS UNBOUNDED PRECEDING) AS cn,
+        |    sum(conv) OVER (PARTITION BY cohort ORDER BY tile
+        |      ROWS UNBOUNDED PRECEDING) AS cc,
+        |    sum(n) OVER (PARTITION BY cohort) AS tn,
+        |    sum(conv) OVER (PARTITION BY cohort) AS tc
+        |  FROM cells)
+        |SELECT cohort, tile, n, conv,
+        |  CAST((conv * 1000000) // n AS BIGINT) AS rate_micro,
+        |  CASE WHEN tc > 0
+        |    THEN CAST((cc * tn * 1000000) // (cn * tc) AS BIGINT)
+        |  END AS cum_lift_micro
+        |FROM w ORDER BY cohort, tile""".stripMargin,
   )
 }

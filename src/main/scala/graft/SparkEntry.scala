@@ -3331,6 +3331,83 @@ object SparkEntry {
         t(s, dir, "events"), Seq("event_type"), "ts", "value", windowDays = 7)
       .orderBy(col("event_type"), col("day"))
 
+  /** Kruskal–Wallis k-arm location test: do the five event types differ
+    * in value within each user cohort? Doubled-midrank exact machinery.
+    * Fully hash-oracled.
+    */
+  private def qKruskal(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.kruskalWallis(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("cohort", pmod(col("user_id"), lit(3L))),
+        Seq("cohort"), "event_type", "value")
+      .orderBy(col("cohort"))
+
+  /** One-way ANOVA F: does mean event value differ across four user
+    * cohorts within each event type? Exact decimal moments, one IEEE
+    * division. Fully hash-oracled.
+    */
+  private def qAnova(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.anovaF(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("cohort", pmod(col("user_id"), lit(4L))),
+        Seq("event_type"), "cohort", "value")
+      .orderBy(col("event_type"))
+
+  /** Pettitt changepoint screen over each event type's daily-total
+    * series (exact prefix-rank statistic, cleared-exp significance
+    * gate). Fully hash-oracled.
+    */
+  private def qPettitt(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .select(col("event_type"), datediff(col("day"), lit("1970-01-01"))
+        .cast("long").as("t"), col("cents"))
+    ops.Regression.pettittTest(daily, Seq("event_type"), "t", "cents")
+      .orderBy(col("event_type"))
+  }
+
+  /** Ranking eval (MRR/NDCG/AP @20): per event type, users ranked by
+    * exact total cent value; graded relevance from each user's best
+    * purchase. Fully hash-oracled.
+    */
+  private def qRankingMetrics(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+    val rel = ev.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "purchase", col("value"))).as("_mpv"))
+      .select(col("user_id"),
+        when(col("_mpv") > 300.0, 2L).when(col("_mpv") > 150.0, 1L)
+          .otherwise(0L).as("rel"))
+    val ranked = ev.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("cents").desc, col("user_id"))).cast("long"))
+      .join(broadcast(rel), Seq("user_id"))
+    ops.Regression.rankingMetrics(ranked, Seq("event_type"), "rnk", "rel",
+        k = 20)
+      .orderBy(col("event_type"))
+  }
+
+  /** Decile lift table: users tiled by exact engagement cents (views +
+    * clicks), conversion = any purchase over 200. Fully hash-oracled.
+    */
+  private def qLiftDeciles(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id").isNotNull)
+    val ent = ev.groupBy(pmod(col("user_id"), lit(2L)).as("cohort"),
+        col("user_id"))
+      .agg(
+        sum(when(col("event_type").isin("view", "click"),
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase", col("value"))).as("_mpv"))
+      .withColumn("conv", coalesce(col("_mpv") > 200.0, lit(false)))
+    ops.Regression.liftDeciles(ent, Seq("cohort"), "user_id", "score",
+        "conv", nTiles = 10)
+      .orderBy(col("cohort"), col("tile"))
+  }
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3562,6 +3639,11 @@ object SparkEntry {
     "q_ttr" -> (qTtr _),
     "q_seasonality" -> (qSeasonality _),
     "q_rolling_z" -> (qRollingZ _),
+    "q_kruskal" -> (qKruskal _),
+    "q_anova" -> (qAnova _),
+    "q_pettitt" -> (qPettitt _),
+    "q_ranking_metrics" -> (qRankingMetrics _),
+    "q_lift_deciles" -> (qLiftDeciles _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1245,4 +1245,300 @@ object Regression {
         expr("(pos * 1000000) div n").as("rate_micro"),
         floor(col("_ic_iso") * 1000000.0).cast("long").as("iso_micro")): _*)
   }
+
+  /** Kruskal–Wallis H per group — the k-arm extension of [[mannWhitney]]
+    * (same doubled-midrank machinery): "do any of these k cohorts differ
+    * in location?" without normality assumptions.
+    *
+    *   H  = 12/(n(n+1)) · Σ_i R_i²/n_i − 3(n+1)
+    *   H' = H / (1 − Σ(t³−t)/(n³−n))             (tie-corrected)
+    *
+    * With doubled midranks `ra2_i = Σ 2·midrank`, each arm's
+    * `R_i²/n_i = ra2_i²/(4n_i)` is taken as the EXACT integral floor
+    * `ra2_i² div (4·n_i)` (one deterministic floor per arm, error < 1
+    * in rank² units — definitional, like every micro quantum here), so
+    * the cross-arm sum is an exact decimal, never an order-dependent
+    * float sum. H and H' are then fixed IEEE trees over exact integer
+    * aggregates, reported micro-floored. Ties are defined on the
+    * 10⁻⁴-quantized values (the mannWhitney convention). Groups with
+    * n ≤ 1 or all values tied (correction ≤ 0) report NULL
+    * `h_tie_micro`.
+    *
+    * Output: `(group…, n, k_arms, h_micro, h_tie_micro)`.
+    *
+    * Scale: identical shape to [[mannWhitney]] — one hash shuffle on
+    * the group key serves the rank window, the tie window, and both
+    * aggregations; the arm relation (k rows per group) is where all
+    * the arithmetic happens.
+    */
+  def kruskalWallis(df: DataFrame, groupCols: Seq[String], armCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "kruskalWallis needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(yCol).isNotNull && col(armCol).isNotNull)
+      .select(g ++ Seq(col(armCol).as("_kw_a"),
+        floor(col(yCol) * 10000).cast("long").as("_kw_y")): _*)
+    val rk = rank().over(Window.partitionBy(g: _*).orderBy(col("_kw_y")))
+    val tie = count(lit(1)).over(Window.partitionBy(g :+ col("_kw_y"): _*))
+    val ranked = rows
+      .withColumn("_kw_r2", lit(2L) * rk + tie - lit(1L))
+      .withColumn("_kw_t", tie)
+    val arms = ranked.groupBy(g :+ col("_kw_a"): _*).agg(
+      count(lit(1)).as("_kw_ni"),
+      sum(col("_kw_r2").cast(dec)).as("_kw_ra2"),
+      // Σ(t³−t) contribution of this arm's rows (t²−1 per row)
+      sum((col("_kw_t") * col("_kw_t") - 1L).cast(dec)).as("_kw_tiesum"))
+    val agg = arms.groupBy(g: _*).agg(
+      sum(col("_kw_ni")).as("n"),
+      count(lit(1)).as("k_arms"),
+      sum(expr(s"(_kw_ra2 * _kw_ra2) div (4 * cast(_kw_ni as $dec))")
+        .cast(dec)).as("_kw_s"),
+      sum(col("_kw_tiesum")).as("_kw_ties"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val h = lit(12.0) * d(col("_kw_s")) / (d(col("n")) * (d(col("n")) + 1.0)) -
+      lit(3.0) * (d(col("n")) + 1.0)
+    val corr = lit(1.0) - d(col("_kw_ties")) /
+      (d(col("n").cast(dec) * col("n") * col("n") - col("n")))
+    agg.select(g ++ Seq(col("n"), col("k_arms"),
+      when(col("n") > 1L, floor(h * 1000000.0).cast("long")).as("h_micro"),
+      when(col("n") > 1L && corr > 0.0,
+        floor(h / corr * 1000000.0).cast("long")).as("h_tie_micro")): _*)
+  }
+
+  /** One-way ANOVA F per group — the parametric k-arm twin of
+    * [[kruskalWallis]] (and the k-arm extension of [[welchTTest]]'s
+    * pooled-variance ancestor): between/within variance ratio over k
+    * cohort arms.
+    *
+    *   SSB = Σ_i s_i²/n_i − S²/n,   SSW = Q − Σ_i s_i²/n_i
+    *   F   = (SSB/(k−1)) / (SSW/(n−k))
+    *
+    * on 10⁻⁴-quantized values: n_i/s_i/q_i are exact decimal moments,
+    * each `s_i² div n_i` is an exact integral floor (deterministic,
+    * error < 1 quantum² — the kruskalWallis rationale), so SSB/SSW are
+    * exact decimals and F is ONE double division of two fixed product
+    * trees, micro-floored. Degenerate groups (n ≤ k, or SSW ≤ 0 —
+    * all-identical arms) report NULL `f_micro`.
+    *
+    * Output: `(group…, n, k_arms, df1, df2, f_micro)`.
+    *
+    * Scale: ONE full-data hash aggregation onto (group, arm) cells with
+    * map-side partials; everything after runs on the k-row arm relation.
+    * Decimal headroom: s_i² ≲ 10³⁸ holds to ~10¹² rows/group at 10⁷
+    * quantized magnitudes.
+    */
+  def anovaF(df: DataFrame, groupCols: Seq[String], armCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "anovaF needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(yCol).isNotNull && col(armCol).isNotNull)
+      .select(g ++ Seq(col(armCol).as("_af_a"),
+        floor(col(yCol) * 10000).cast("long").as("_af_y")): _*)
+    val arms = rows.groupBy(g :+ col("_af_a"): _*).agg(
+      count(lit(1)).as("_af_ni"),
+      sum(col("_af_y").cast(dec)).as("_af_si"),
+      sum((col("_af_y").cast(dec) * col("_af_y")).cast(dec)).as("_af_qi"))
+    val agg = arms.groupBy(g: _*).agg(
+      sum(col("_af_ni")).as("n"),
+      count(lit(1)).as("k_arms"),
+      sum(col("_af_si")).as("_af_s"),
+      sum(col("_af_qi")).as("_af_q"),
+      sum(expr(s"(_af_si * _af_si) div cast(_af_ni as $dec)").cast(dec))
+        .as("_af_b"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val ssb = col("_af_b") - expr(s"(_af_s * _af_s) div cast(n as $dec)")
+    val ssw = col("_af_q") - col("_af_b")
+    val fOk = col("k_arms") > 1L && col("n") > col("k_arms") && ssw > 0.0
+    agg.select(g ++ Seq(col("n"), col("k_arms"),
+      (col("k_arms") - 1L).as("df1"), (col("n") - col("k_arms")).as("df2"),
+      when(fOk, floor(
+        d(ssb) * (d(col("n")) - d(col("k_arms"))) /
+          (d(ssw) * (d(col("k_arms")) - 1.0)) * 1000000.0).cast("long"))
+        .as("f_micro")): _*)
+  }
+
+  /** Pettitt changepoint test per group (Pettitt '79) — "did this series
+    * shift level, and when?" — the rank-based single-changepoint screen
+    * that pairs with [[mannKendall]]'s monotone-trend test (same
+    * robustness, same exact-rank machinery):
+    *
+    *   U_τ = 2·S_τ − τ(n+1)   where S_τ = Σ_{i≤τ} rank(x_i)
+    *   K   = max_{τ<n} |U_τ|,  significant iff 2·exp(−6K²/(n³+n²)) ≤ 0.05
+    *
+    * With doubled midranks, `U_τ = Σ_{i≤τ} 2·midrank_i − τ(n+1)` is an
+    * EXACT long for every prefix — one running sum in time order. The
+    * significance gate clears the exp: p ≤ 0.05 ⟺ 6K² ≥ −ln(0.025)·
+    * (n³+n²), compared as `6·K²·10⁶ ≥ 3688879·(n³+n²)` in exact
+    * decimals (the ln constant micro-floored — definitional boundary,
+    * no libm call on either engine). The changepoint is the EARLIEST τ
+    * attaining K (deterministic tie-break). Requires one row per
+    * distinct `tCol` value per group — feed an aggregated series (the
+    * [[theilSen]] contract); duplicate timestamps would make the
+    * prefix order engine-dependent.
+    *
+    * Output: `(group…, n, k_stat, cp_t, signif)` — `cp_t` the last
+    * index of the pre-shift segment; n < 2 reports NULL cp/signif.
+    *
+    * Scale: one group-key shuffle serves the rank window, the prefix
+    * window, and the final max-election; state is the per-group sort.
+    */
+  def pettittTest(df: DataFrame, groupCols: Seq[String], tCol: String,
+      xCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "pettittTest needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(tCol).isNotNull && col(xCol).isNotNull)
+      .select(g ++ Seq(col(tCol).cast("long").as("_pt_t"),
+        col(xCol).cast("long").as("_pt_x")): _*)
+    val rk = rank().over(Window.partitionBy(g: _*).orderBy(col("_pt_x")))
+    val tie = count(lit(1)).over(Window.partitionBy(g :+ col("_pt_x"): _*))
+    val wt = Window.partitionBy(g: _*).orderBy(col("_pt_t"))
+    val pre = rows
+      .withColumn("_pt_r2", lit(2L) * rk + tie - lit(1L))
+      .withColumn("_pt_tau", row_number().over(wt))
+      .withColumn("_pt_n", count(lit(1)).over(Window.partitionBy(g: _*)))
+      .withColumn("_pt_u",
+        sum(col("_pt_r2")).over(wt) - col("_pt_tau") * (col("_pt_n") + 1L))
+    val elect = pre.filter(col("_pt_tau") < col("_pt_n"))
+      .groupBy(g: _*).agg(
+        // earliest τ attaining max |U|: max(|U|, −t) then un-negate
+        max(struct(abs(col("_pt_u")).as("k"), (-col("_pt_t")).as("negt")))
+          .as("_pt_e"))
+      .select(g ++ Seq(col("_pt_e.k").as("k_stat"),
+        (-col("_pt_e.negt")).as("cp_t")): _*)
+    val ns = rows.groupBy(g: _*).agg(count(lit(1)).as("n"))
+    ns.join(elect, groupCols, "left")
+      .select(g ++ Seq(col("n"), col("k_stat"), col("cp_t"),
+        when(col("k_stat").isNotNull,
+          lit(6L).cast(dec) * col("k_stat") * col("k_stat") * lit(1000000L) >=
+            lit(3688879L).cast(dec) *
+              (col("n").cast(dec) * col("n") * col("n") +
+                col("n").cast(dec) * col("n"))).as("signif")): _*)
+  }
+
+  /** Grouped ranking-evaluation metrics — MRR@k, NDCG@k, AP@k per query
+    * group, the retrieval-quality triple for search / RAG / recommender
+    * offline eval (the ranking-side sibling of [[rocAuc]]):
+    *
+    *   MRR  = 1/rank of the first relevant hit within k
+    *   DCG  = Σ_{r≤k} (2^rel − 1)/log₂(r+1),  NDCG = DCG/IDCG
+    *   AP   = (Σ_{rel hits r≤k} precision@r) / min(R, k)
+    *
+    * Deterministic cross-engine: gains are exact integers
+    * (`2^rel − 1` via shiftleft), each 1/log₂(r+1) weight is the exact
+    * integral floor of `gain·693147·10⁶ div round(ln(r+1)·10⁶)` (ln
+    * micro-rounded — the charEntropy micro-nat rule; ln2 micro-floored
+    * at 693147), each precision@r is `hits·10⁶ div r`, and every sum
+    * runs over exact longs/decimals. IDCG re-weights the SAME gain
+    * multiset by ideal position (row_number on rel desc — position
+    * determines weight, so tie order cannot change the sum). NDCG/AP
+    * divide once at the end (`div`, exact). Groups with no relevant
+    * docs report 0 MRR/AP and NULL NDCG (IDCG = 0).
+    *
+    * Input: one row per (group…, rank, rel) — `rankCol` 1-based and
+    * unique per group, `relCol` a small non-negative integer grade
+    * (≤ 30 for shiftleft headroom).
+    *
+    * Output: `(group…, n_docs, n_rel, mrr_micro, ndcg_micro, ap_micro)`.
+    *
+    * Scale: one group-key shuffle serves both position windows and the
+    * final aggregation; per-group state is the sort — run per query
+    * list (≤ 10³ candidates), the natural shape of ranking eval.
+    */
+  def rankingMetrics(df: DataFrame, groupCols: Seq[String], rankCol: String,
+      relCol: String, k: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "rankingMetrics needs group columns")
+    require(k > 0, "rankingMetrics needs positive k")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(rankCol).isNotNull && col(relCol).isNotNull)
+      .select(g ++ Seq(col(rankCol).cast("long").as("_rm_r"),
+        col(relCol).cast("long").as("_rm_rel")): _*)
+    val gain = expr("shiftleft(1L, cast(_rm_rel as int)) - 1L")
+    val ideal = row_number().over(Window.partitionBy(g: _*)
+      .orderBy(col("_rm_rel").desc, col("_rm_r")))
+    val pre = rows
+      .withColumn("_rm_g", gain)
+      .withColumn("_rm_ir", ideal)
+      .withColumn("_rm_hits", sum(when(col("_rm_rel") > 0L, 1L).otherwise(0L))
+        .over(Window.partitionBy(g: _*).orderBy(col("_rm_r"))))
+    val agg = pre.groupBy(g: _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("_rm_rel") > 0L, 1L).otherwise(0L)).as("n_rel"),
+      sum(when(col("_rm_r") <= k && col("_rm_g") > 0L,
+        expr(s"(cast(_rm_g as $dec) * 693147 * 1000000) div " +
+          "cast(round(ln(cast(_rm_r + 1 as double)) * 1e6) " +
+          s"as $dec)").cast(dec)).otherwise(lit(0L).cast(dec))).as("_rm_dcg"),
+      sum(when(col("_rm_ir") <= k && col("_rm_g") > 0L,
+        expr(s"(cast(_rm_g as $dec) * 693147 * 1000000) div " +
+          "cast(round(ln(cast(_rm_ir + 1 as double)) * 1e6) " +
+          s"as $dec)").cast(dec)).otherwise(lit(0L).cast(dec))).as("_rm_idcg"),
+      min(when(col("_rm_rel") > 0L && col("_rm_r") <= k, col("_rm_r")))
+        .as("_rm_first"),
+      sum(when(col("_rm_rel") > 0L && col("_rm_r") <= k,
+        expr("(_rm_hits * 1000000) div _rm_r")).otherwise(lit(0L)))
+        .as("_rm_apsum"))
+    agg.select(g ++ Seq(col("n_docs"), col("n_rel"),
+      coalesce(expr("1000000 div _rm_first"), lit(0L)).as("mrr_micro"),
+      when(col("_rm_idcg") > 0L,
+        expr("(_rm_dcg * 1000000) div _rm_idcg").cast("long"))
+        .as("ndcg_micro"),
+      when(col("n_rel") > 0L,
+        expr(s"_rm_apsum div least(n_rel, ${k.toLong})"))
+        .otherwise(lit(0L)).as("ap_micro")): _*)
+  }
+
+  /** Grouped decile lift table — the "is the model's top decile actually
+    * converting?" report that turns a score column into the classic
+    * gains chart ([[rocAuc]] tells you ranking skill; this tells you
+    * where the conversions concentrate):
+    *
+    * Entities are tiled into `nTiles` equal buckets by score descending
+    * (ntile — both engines implement the SQL-standard first-(n mod b)-
+    * buckets-get-one-extra rule) with the id as a total-order tie-break
+    * (ntile DOES depend on order within ties, unlike NDCG's weights),
+    * then each tile reports its conversion rate and the cumulative
+    * lift of tiles 1..i vs the group base rate:
+    *
+    *   lift_i = (cumConv_i / cumN_i) / (conv / n)
+    *          = cumConv_i·n·10⁶ div (cumN_i·conv)      (exact integers)
+    *
+    * Output: `(group…, tile, n, conv, rate_micro, cum_lift_micro)`;
+    * groups with zero conversions report NULL lift.
+    *
+    * Scale: one group-key shuffle serves the ntile window, the
+    * cumulative window, and the aggregation; the lift arithmetic runs
+    * on the nTiles-row relation. Entities per group are whatever the
+    * upstream entity aggregation produced — already reduced, not raw
+    * events.
+    */
+  def liftDeciles(df: DataFrame, groupCols: Seq[String], idCol: String,
+      scoreCol: String, convCol: String, nTiles: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "liftDeciles needs group columns")
+    require(nTiles > 0, "liftDeciles needs positive nTiles")
+    val g = groupCols.map(col)
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(g ++ Seq(col(idCol).as("_ld_id"),
+        floor(col(scoreCol) * 10000).cast("long").as("_ld_s"),
+        when(col(convCol), 1L).otherwise(0L).as("_ld_c")): _*)
+    val tiled = rows.withColumn("tile",
+      ntile(nTiles).over(Window.partitionBy(g: _*)
+        .orderBy(col("_ld_s").desc, col("_ld_id"))).cast("long"))
+    val cells = tiled.groupBy(g :+ col("tile"): _*).agg(
+      count(lit(1)).as("n"), sum(col("_ld_c")).as("conv"))
+    val wc = Window.partitionBy(g: _*).orderBy(col("tile"))
+    val wg = Window.partitionBy(g: _*)
+    cells
+      .withColumn("_ld_cn", sum(col("n")).over(wc))
+      .withColumn("_ld_cc", sum(col("conv")).over(wc))
+      .withColumn("_ld_tn", sum(col("n")).over(wg))
+      .withColumn("_ld_tc", sum(col("conv")).over(wg))
+      .select(g ++ Seq(col("tile"), col("n"), col("conv"),
+        expr("(conv * 1000000) div n").as("rate_micro"),
+        when(col("_ld_tc") > 0L,
+          expr("(_ld_cc * _ld_tn * 1000000) div (_ld_cn * _ld_tc)"))
+          .as("cum_lift_micro")): _*)
+  }
 }

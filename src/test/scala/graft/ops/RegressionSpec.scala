@@ -550,4 +550,146 @@ class RegressionSpec extends SparkSpec {
     val out = Regression.kendallTau(df, Seq("grp"), "id", "x", "y").collect()
     assert(out.isEmpty)
   }
+
+  test("kruskalWallis: singleton arms make the floors exact; hand H") {
+    // arms {1},{2},{3}: ranks 1,2,3 → doubled 2,4,6; terms 4//4, 16//4,
+    // 36//4 = 1+4+9 = 14 (exact); H = 12·14/(3·4) − 3·4 = 2.0
+    val d = Seq(("g", "a", 1.0), ("g", "b", 2.0), ("g", "c", 3.0))
+      .toDF("grp", "arm", "y")
+    val r = Regression.kruskalWallis(d, Seq("grp"), "arm", "y")
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 2000000L)
+    assert(r.getLong(4) == 2000000L) // no ties → correction is 1
+  }
+
+  test("kruskalWallis: tie correction divides H by 1 − Σ(t³−t)/(n³−n)") {
+    // A={1,1}, B={2,2}: doubled midranks 3,3,7,7 → ra2 6,14; terms
+    // 36//8=4, 196//8=24 → S=28; H = 12·28/20 − 15 = 1.8; every row in a
+    // 2-tie contributes t²−1=3 → 12; corr = 1 − 12/60 = 0.8 → H' = 2.25
+    val d = Seq(("g", "a", 1.0), ("g", "a", 1.0), ("g", "b", 2.0),
+      ("g", "b", 2.0)).toDF("grp", "arm", "y")
+    val r = Regression.kruskalWallis(d, Seq("grp"), "arm", "y")
+      .collect().head
+    assert(r.getLong(3) == 1800000L)
+    assert(r.getLong(4) == 2250000L)
+  }
+
+  test("kruskalWallis: an all-tied group zeroes the correction → NULL H'") {
+    val d = Seq(("g", "a", 5.0), ("g", "a", 5.0)).toDF("grp", "arm", "y")
+    val r = Regression.kruskalWallis(d, Seq("grp"), "arm", "y")
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("h_tie_micro")))
+  }
+
+  test("anovaF: two clean arms give the textbook F = 13.5") {
+    // A={1,2,3}, B={4,5,6}: SSB = 13.5, SSW = 4 (y² units), df 1 and 4
+    // → F = (13.5/1)/(4/4) = 13.5
+    val d = (Seq(1, 2, 3).map(y => ("g", "a", y.toDouble)) ++
+      Seq(4, 5, 6).map(y => ("g", "b", y.toDouble))).toDF("grp", "arm", "y")
+    val r = Regression.anovaF(d, Seq("grp"), "arm", "y").collect().head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 4L)
+    assert(r.getLong(5) == 13500000L)
+  }
+
+  test("anovaF guards: one arm, or zero within-variance, yields NULL F") {
+    val one = Seq(("g", "a", 1.0), ("g", "a", 2.0)).toDF("grp", "arm", "y")
+    val r1 = Regression.anovaF(one, Seq("grp"), "arm", "y").collect().head
+    assert(r1.isNullAt(r1.fieldIndex("f_micro")))
+    val const = Seq(("g", "a", 1.0), ("g", "a", 1.0), ("g", "b", 2.0),
+      ("g", "b", 2.0)).toDF("grp", "arm", "y")
+    val r2 = Regression.anovaF(const, Seq("grp"), "arm", "y").collect().head
+    assert(r2.isNullAt(r2.fieldIndex("f_micro")))
+  }
+
+  test("pettittTest: level shift located at the true changepoint") {
+    // x = 1,2,3,10,11,12 → U = −5,−8,−9,−8,−5 → K = 9 at τ = 3
+    val d = Seq(1L, 2L, 3L, 10L, 11L, 12L).zipWithIndex
+      .map { case (x, i) => ("g", (i + 1).toLong, x) }
+      .toDF("grp", "t", "x")
+    val r = Regression.pettittTest(d, Seq("grp"), "t", "x").collect().head
+    assert(r.getLong(1) == 6L)
+    assert(r.getLong(2) == 9L)
+    assert(r.getLong(3) == 3L)
+    assert(!r.getBoolean(r.fieldIndex("signif"))) // n = 6 is far from 0.05
+  }
+
+  test("pettittTest: |U| ties elect the EARLIEST τ; n=1 reports NULLs") {
+    // x = 1,2,2,1 → U = −2,0,2 → K = 2 tied at τ∈{1,3} → cp_t = 1
+    val d = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 2L), ("g", 4L, 1L),
+      ("solo", 1L, 9L)).toDF("grp", "t", "x")
+    val out = Regression.pettittTest(d, Seq("grp"), "t", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getLong(2) == 2L && out("g").getLong(3) == 1L)
+    val solo = out("solo")
+    assert(solo.getLong(1) == 1L && solo.isNullAt(2) && solo.isNullAt(3) &&
+      solo.isNullAt(solo.fieldIndex("signif")))
+  }
+
+  test("rankingMetrics: perfect ranking hits the 10⁶ endpoints") {
+    val d = Seq(("q", 1L, 2L), ("q", 2L, 1L), ("q", 3L, 0L))
+      .toDF("grp", "rnk", "rel")
+    val r = Regression.rankingMetrics(d, Seq("grp"), "rnk", "rel", k = 10)
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getLong(r.fieldIndex("mrr_micro")) == 1000000L)
+    assert(r.getLong(r.fieldIndex("ndcg_micro")) == 1000000L)
+    assert(r.getLong(r.fieldIndex("ap_micro")) == 1000000L)
+  }
+
+  test("rankingMetrics: bottom-ranked single hit — exact thirds, NDCG ½") {
+    // only rank 3 relevant of 3: MRR = AP = ⌊10⁶/3⌋; DCG uses ln4 =
+    // 2·ln2 so NDCG lands exactly on 500000
+    val d = Seq(("q", 1L, 0L), ("q", 2L, 0L), ("q", 3L, 1L))
+      .toDF("grp", "rnk", "rel")
+    val r = Regression.rankingMetrics(d, Seq("grp"), "rnk", "rel", k = 10)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("mrr_micro")) == 333333L)
+    assert(r.getLong(r.fieldIndex("ndcg_micro")) == 500000L)
+    assert(r.getLong(r.fieldIndex("ap_micro")) == 333333L)
+  }
+
+  test("rankingMetrics: no relevant docs → zero MRR/AP, NULL NDCG; " +
+      "relevance beyond k is invisible to MRR/AP but counts in n_rel") {
+    val d = Seq(("none", 1L, 0L), ("none", 2L, 0L),
+      ("far", 1L, 0L), ("far", 2L, 1L)).toDF("grp", "rnk", "rel")
+    val out = Regression.rankingMetrics(d, Seq("grp"), "rnk", "rel", k = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val none = out("none")
+    assert(none.getLong(none.fieldIndex("mrr_micro")) == 0L)
+    assert(none.isNullAt(none.fieldIndex("ndcg_micro")))
+    assert(none.getLong(none.fieldIndex("ap_micro")) == 0L)
+    val far = out("far")
+    assert(far.getLong(far.fieldIndex("n_rel")) == 1L)
+    assert(far.getLong(far.fieldIndex("mrr_micro")) == 0L)
+    assert(far.getLong(far.fieldIndex("ap_micro")) == 0L)
+  }
+
+  test("liftDeciles: concentrated conversions produce the classic curve") {
+    // 10 users, scores 10..1, conversions at score-ranks 1,2,5; 5 tiles
+    // of 2 → rates 10⁶, 0, 5·10⁵, 0, 0; cumulative lift ends at 10⁶
+    val d = (1 to 10).map(i =>
+      ("g", i.toLong, (11 - i).toDouble, Set(1, 2, 5).contains(i)))
+      .toDF("grp", "id", "score", "conv")
+    val out = Regression.liftDeciles(d, Seq("grp"), "id", "score", "conv",
+        nTiles = 5)
+      .collect().map(r => r.getLong(r.fieldIndex("tile")) -> r).toMap
+    assert(out(1).getLong(out(1).fieldIndex("rate_micro")) == 1000000L)
+    assert(out(3).getLong(out(3).fieldIndex("rate_micro")) == 500000L)
+    assert(out(1).getLong(out(1).fieldIndex("cum_lift_micro")) == 3333333L)
+    assert(out(2).getLong(out(2).fieldIndex("cum_lift_micro")) == 1666666L)
+    assert(out(5).getLong(out(5).fieldIndex("cum_lift_micro")) == 1000000L)
+  }
+
+  test("liftDeciles: id breaks score ties; zero conversions → NULL lift") {
+    val d = Seq(("g", 2L, 5.0, false), ("g", 1L, 5.0, false),
+      ("g", 3L, 1.0, false)).toDF("grp", "id", "score", "conv")
+    val out = Regression.liftDeciles(d, Seq("grp"), "id", "score", "conv",
+        nTiles = 2)
+      .collect().map(r => r.getLong(r.fieldIndex("tile")) -> r).toMap
+    assert(out(1).getLong(out(1).fieldIndex("n")) == 2L) // ids 1,2 by tie-break
+    assert(out(2).getLong(out(2).fieldIndex("n")) == 1L)
+    assert(out(1).isNullAt(out(1).fieldIndex("cum_lift_micro")))
+  }
 }
