@@ -5277,5 +5277,57 @@ object OracleSql {
         |    THEN CAST((cc * tn * 1000000) // (cn * tc) AS BIGINT)
         |  END AS cum_lift_micro
         |FROM w ORDER BY cohort, tile""".stripMargin,
+
+    // FIM PSM rewrite: seeded-md5 16-bit cuts mod (len−1), char-based
+    // substring on both engines; short docs degrade to pure prefix.
+    "q_fim" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, text, len,
+         |    CASE WHEN len >= 64 THEN
+         |      1 + ${hex4("substr(md5('fima:' || doc_id), 1, 4)")}
+         |        % (len - 1) END AS c1,
+         |    CASE WHEN len >= 64 THEN
+         |      1 + ${hex4("substr(md5('fimb:' || doc_id), 1, 4)")}
+         |        % (len - 1) END AS c2
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id, text, len, least(c1, c2) AS lo,
+         |    greatest(c1, c2) AS hi
+         |  FROM c)
+         |SELECT doc_id AS doc, len AS n_chars, CAST(lo AS BIGINT) AS lo,
+         |  CAST(hi AS BIGINT) AS hi,
+         |  CASE WHEN lo IS NULL THEN '<PRE>' || text || '<SUF><MID>'
+         |    ELSE '<PRE>' || substr(text, 1, CAST(lo AS INTEGER))
+         |      || '<SUF>' || substr(text, CAST(hi + 1 AS INTEGER),
+         |        CAST(len - hi AS INTEGER))
+         |      || '<MID>' || substr(text, CAST(lo + 1 AS INTEGER),
+         |        CAST(hi - lo AS INTEGER))
+         |  END AS fim_text
+         |FROM s ORDER BY doc""".stripMargin,
+
+    // Gini: Σ(2i−1)x − nΣx over ascending order statistics (tie-order
+    // invariant), one exact integral micro division.
+    "q_gini" ->
+      """WITH r AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |rk AS (
+        |  SELECT lang, x,
+        |    row_number() OVER (PARTITION BY lang ORDER BY x) AS i
+        |  FROM r),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS s,
+        |    sum((2 * CAST(i AS HUGEINT) - 1) * x) AS w
+        |  FROM rk GROUP BY 1)
+        |SELECT lang, n, CAST(s AS BIGINT) AS sum_val,
+        |  CASE WHEN s > 0 THEN
+        |    CAST(((w - CAST(n AS HUGEINT) * s) * 1000000)
+        |      // (CAST(n AS HUGEINT) * s) AS BIGINT)
+        |  END AS gini_micro
+        |FROM agg ORDER BY lang""".stripMargin,
   )
 }

@@ -3408,6 +3408,22 @@ object SparkEntry {
       .orderBy(col("cohort"), col("tile"))
   }
 
+  /** Fill-in-middle PSM rewrite of the documents corpus — seeded md5
+    * cut points, short docs degrade to pure prefix. Fully hash-oracled.
+    */
+  private def qFim(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.fimSplit(t(s, dir, "documents"), "doc_id", "text",
+        seed = "fim", minChars = 64)
+      .orderBy(col("doc"))
+
+  /** Gini inequality of document length per language — exact
+    * order-statistic numerator, one micro division. Fully hash-oracled.
+    */
+  private def qGini(s: SparkSession, dir: String): DataFrame =
+    ops.RobustStats.giniCoefficient(
+        t(s, dir, "documents"), Seq("lang"), "n_chars")
+      .orderBy(col("lang"))
+
   // --------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3644,6 +3660,8 @@ object SparkEntry {
     "q_pettitt" -> (qPettitt _),
     "q_ranking_metrics" -> (qRankingMetrics _),
     "q_lift_deciles" -> (qLiftDeciles _),
+    "q_fim" -> (qFim _),
+    "q_gini" -> (qGini _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -220,4 +220,48 @@ object RobustStats {
           .as("var_cents2"),
         col("min_cents"), col("max_cents")): _*)
   }
+
+  /** Grouped Gini coefficient — the inequality index of a non-negative
+    * quantity's distribution (token budgets across sources, revenue
+    * across customers, sample counts across strata): 0 = perfectly even,
+    * →1 = one member holds everything. The mean-difference form over the
+    * ascending order statistics is exact integer arithmetic end-to-end:
+    *
+    *   G = Σ_i (2i − n − 1)·x_(i)  /  (n · Σx)
+    *
+    * Ties need no tie-break: swapping equal x values permutes equal
+    * terms, so any rank order yields the same sum — the numerator is a
+    * plain long/decimal aggregation over `row_number` ranks, and the
+    * result is ONE integral micro division. Groups with Σx = 0 report
+    * NULL (inequality of nothing is undefined).
+    *
+    * Output: `(group…, n, sum_val, gini_micro)`.
+    *
+    * Scale: one group-key shuffle serves the rank window and the final
+    * aggregation; per-group state is the sort (Spark external-sorts —
+    * no buffering). This is the [[mannWhitney]] shape, not the exact-
+    * percentile shape.
+    */
+  def giniCoefficient(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "giniCoefficient needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).cast("long").as("_gi_x"): _*)
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(g: _*).orderBy(col("_gi_x")))
+    val agg = rows.withColumn("_gi_i", rn.cast("long"))
+      .groupBy(g: _*).agg(
+        count(lit(1)).as("n"),
+        sum(col("_gi_x").cast(dec)).as("_gi_s"),
+        sum(((lit(2L) * col("_gi_i") - lit(1L)).cast(dec) * col("_gi_x"))
+          .cast(dec)).as("_gi_w"))
+    agg.select(g ++ Seq(col("n"),
+      expr("cast(_gi_s as bigint)").as("sum_val"),
+      when(col("_gi_s") > 0L, expr(
+        s"((_gi_w - cast(n as $dec) * _gi_s) * 1000000) div " +
+          s"(cast(n as $dec) * _gi_s)").cast("long")).as("gini_micro")): _*)
+  }
 }

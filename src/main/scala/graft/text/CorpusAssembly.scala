@@ -799,4 +799,52 @@ object CorpusAssembly {
           expr("(n_docs * bucket - sum_tokens) * 1000000 div (n_docs * bucket)"))
           .otherwise(lit(0L)).as("waste_micro"))
   }
+
+  /** Fill-in-middle (FIM) training transform — rewrite each document into
+    * the PSM form `<PRE>prefix<SUF>suffix<MID>middle` so an
+    * autoregressive model learns infilling (Bavarian et al. '22, "FIM").
+    * The two cut points are SEEDED CONTENT HASHES, not RNG (the
+    * [[seededBucket]] md5 arithmetic over the doc id): two independent
+    * 16-bit uniforms mod (len−1) give cuts in [1, len−1], ordered into
+    * `lo ≤ hi`; character slicing is exact on both engines (substring is
+    * character-based). Documents shorter than `minChars` pass through as
+    * pure prefix (`<PRE>text<SUF><MID>`, NULL cuts) — the degenerate PSM
+    * form — so the output stays one row per input document and the
+    * transform is loss-free for short tails.
+    *
+    * Output: `(doc, n_chars, lo, hi, fim_text)` — lo/hi are the
+    * prefix|middle and middle|suffix boundaries (prefix length = lo,
+    * middle length = hi−lo).
+    *
+    * Scale: a pure per-row projection — no shuffle, no state; exactly
+    * the shape you want for a 100 TB corpus rewrite (runs at scan
+    * speed, partitioning preserved).
+    */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+      seed: String = "fim", minChars: Int = 32): DataFrame = {
+    require(minChars >= 2, "fimSplit needs minChars >= 2 (len-1 > 0)")
+    val text = col(textCol)
+    val len = length(text).cast("long")
+    def u(salt: String) = conv(substring(md5(concat(lit(seed + salt + ":"),
+      col(idCol).cast("string"))), 1, 4), 16, 10).cast("long")
+    val eligible = len >= minChars.toLong
+    val c1 = when(eligible, lit(1L) + pmod(u("a"), len - 1L))
+    val c2 = when(eligible, lit(1L) + pmod(u("b"), len - 1L))
+    df.filter(text.isNotNull)
+      .select(col(idCol).as("doc"), text.as("_fs_t"), len.as("n_chars"),
+        least(c1, c2).as("lo"), greatest(c1, c2).as("hi"))
+      .select(col("doc"), col("n_chars"), col("lo"), col("hi"),
+        when(col("lo").isNull,
+          concat(lit("<PRE>"), col("_fs_t"), lit("<SUF><MID>")))
+          .otherwise(concat(
+            lit("<PRE>"),
+            col("_fs_t").substr(lit(1), col("lo").cast("int")),
+            lit("<SUF>"),
+            col("_fs_t").substr((col("hi") + 1L).cast("int"),
+              (col("n_chars") - col("hi")).cast("int")),
+            lit("<MID>"),
+            col("_fs_t").substr((col("lo") + 1L).cast("int"),
+              (col("hi") - col("lo")).cast("int"))))
+          .as("fim_text"))
+  }
 }

@@ -114,4 +114,33 @@ class RobustStatsSpec extends SparkSpec {
     assert(out(0).getLong(out(0).fieldIndex("n")) == 1L) // null dropped
     assert(out(1).getLong(out(1).fieldIndex("var_cents2")) == 0L)
   }
+
+  test("giniCoefficient: uniform is 0, concentrated approaches 1, " +
+      "hand value in between") {
+    import spark.implicits._
+    // even {5,5,5,5} → 0; one-holds-all {0,0,0,12} → (n−1)/n = 0.75;
+    // {1,2,3,4}: Σ(2i−n−1)x = −3·1 −1·2 +1·3 +3·4 = 10, n·Σx = 40 → 0.25
+    val df = (Seq.fill(4)(("even", 5L)) ++
+      Seq(("conc", 0L), ("conc", 0L), ("conc", 0L), ("conc", 12L)) ++
+      Seq(("mid", 1L), ("mid", 2L), ("mid", 3L), ("mid", 4L)))
+      .toDF("g", "x")
+    val out = RobustStats.giniCoefficient(df, Seq("g"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("even").getLong(out("even").fieldIndex("gini_micro")) == 0L)
+    assert(out("conc").getLong(out("conc").fieldIndex("gini_micro")) == 750000L)
+    assert(out("mid").getLong(out("mid").fieldIndex("gini_micro")) == 250000L)
+    assert(out("mid").getLong(out("mid").fieldIndex("sum_val")) == 10L)
+  }
+
+  test("giniCoefficient: all-zero group reports NULL; ties are " +
+      "order-invariant") {
+    import spark.implicits._
+    val df = (Seq(("zero", 0L), ("zero", 0L)) ++
+      Seq(("tie", 3L), ("tie", 3L), ("tie", 0L))).toDF("g", "x")
+    val out = RobustStats.giniCoefficient(df, Seq("g"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("zero").isNullAt(out("zero").fieldIndex("gini_micro")))
+    // {0,3,3}: Σ(2i−n−1)x = −2·0 + 0·3 + 2·3 = 6; n·Σx = 18 → 1/3
+    assert(out("tie").getLong(out("tie").fieldIndex("gini_micro")) == 333333L)
+  }
 }

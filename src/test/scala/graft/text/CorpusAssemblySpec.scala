@@ -480,4 +480,47 @@ class CorpusAssemblySpec extends SparkSpec {
       (4L, 2L, 7L, 8L, 1L, 125000L),
       (8L, 1L, 5L, 8L, 3L, 375000L)))
   }
+
+  test("fimSplit: segments reassemble to the original text, cuts in range") {
+    val docs = (1 to 20).map(i => (i.toLong, ("token%02d ".format(i)) * 12))
+      .toDF("doc_id", "text") // 96 chars each — all eligible at minChars=32
+    val out = CorpusAssembly.fimSplit(docs, "doc_id", "text", "fim", 32)
+      .collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_chars"))
+      val lo = r.getLong(r.fieldIndex("lo"))
+      val hi = r.getLong(r.fieldIndex("hi"))
+      assert(lo >= 1L && lo <= hi && hi <= n - 1L)
+      val fim = r.getString(r.fieldIndex("fim_text"))
+      // <PRE>P<SUF>S<MID>M reassembles as P+M+S
+      val body = fim.stripPrefix("<PRE>")
+      val Array(p, rest) = body.split("<SUF>", 2)
+      val Array(sfx, mid) = rest.split("<MID>", 2)
+      val orig = docs.where(col("doc_id") === r.getLong(0))
+        .collect().head.getString(1)
+      assert(p + mid + sfx == orig)
+      assert(p.length == lo && mid.length == hi - lo)
+    }
+    // seeded: same corpus + seed → identical cuts on a re-run
+    val again = CorpusAssembly.fimSplit(docs, "doc_id", "text", "fim", 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getLong(2),
+      r.getLong(3))).toSet)
+    // a different seed actually moves at least one cut
+    val moved = CorpusAssembly.fimSplit(docs, "doc_id", "text", "fim2", 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(moved != again)
+  }
+
+  test("fimSplit: short docs pass through as pure prefix with NULL cuts") {
+    val docs = Seq((1L, "tiny doc"), (2L, "x" * 40)).toDF("doc_id", "text")
+    val out = CorpusAssembly.fimSplit(docs, "doc_id", "text", "fim", 32)
+      .orderBy("doc").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("lo")) &&
+      out(0).isNullAt(out(0).fieldIndex("hi")))
+    assert(out(0).getString(out(0).fieldIndex("fim_text")) ==
+      "<PRE>tiny doc<SUF><MID>")
+    assert(!out(1).isNullAt(out(1).fieldIndex("lo"))) // 40 ≥ minChars
+  }
 }
