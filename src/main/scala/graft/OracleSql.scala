@@ -5329,5 +5329,155 @@ object OracleSql {
         |      // (CAST(n AS HUGEINT) * s) AS BIGINT)
         |  END AS gini_micro
         |FROM agg ORDER BY lang""".stripMargin,
+
+    // Brown–Forsythe: lower-median center per arm (order-statistic
+    // election), then the exact q_anova chain on |y − med| (same quanta as y).
+    "q_brown_forsythe" ->
+      """WITH r AS (
+        |  SELECT event_type, user_id % 4 AS a,
+        |    CAST(floor(value * 10000) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |w AS (
+        |  SELECT event_type, a, y,
+        |    row_number() OVER (PARTITION BY event_type, a ORDER BY y) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, a) AS cnt
+        |  FROM r),
+        |m AS (
+        |  SELECT event_type, a, y,
+        |    max(CASE WHEN rn = (cnt + 1) // 2 THEN y END)
+        |      OVER (PARTITION BY event_type, a) AS med
+        |  FROM w),
+        |z AS (
+        |  SELECT event_type, a, abs(y - med) AS zy FROM m),
+        |arms AS (
+        |  SELECT event_type, a, CAST(count(*) AS BIGINT) AS ni,
+        |    sum(CAST(zy AS HUGEINT)) AS si,
+        |    sum(CAST(zy AS HUGEINT) * zy) AS qi
+        |  FROM z GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, CAST(sum(ni) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k_arms,
+        |    sum(si) AS s, sum(qi) AS q,
+        |    sum((si * si) // CAST(ni AS HUGEINT)) AS b
+        |  FROM arms GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, k_arms,
+        |    b - (s * s) // CAST(n AS HUGEINT) AS ssb,
+        |    q - b AS ssw
+        |  FROM agg)
+        |SELECT event_type, n, k_arms, k_arms - 1 AS df1, n - k_arms AS df2,
+        |  CASE WHEN k_arms > 1 AND n > k_arms AND ssw > 0
+        |    THEN CAST(floor(CAST(ssb AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) - CAST(k_arms AS DOUBLE))
+        |      / (CAST(ssw AS DOUBLE) * (CAST(k_arms AS DOUBLE) - 1.0))
+        |      * 1000000.0) AS BIGINT)
+        |  END AS f_micro
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // Cochran–Armitage: cleared-denominator trend z over (score) cells,
+    // Abramowitz–Stegun rational p (the mann_kendall replica).
+    "q_cochran_armitage" ->
+      """WITH r AS (
+        |  SELECT user_id % 2 AS cohort,
+        |    CAST((day(ts) - 1) // 7 AS BIGINT) AS t,
+        |    event_type = 'purchase' AS s
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT cohort, t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS rr
+        |  FROM r GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT cohort, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(rr) AS BIGINT) AS r,
+        |    sum(CAST(t * n AS HUGEINT)) AS tn,
+        |    sum(CAST(t * rr AS HUGEINT)) AS tr,
+        |    sum(CAST(t * t AS HUGEINT) * n) AS ttn
+        |  FROM cells GROUP BY 1),
+        |v AS (
+        |  SELECT cohort, n, r,
+        |    CAST(n AS HUGEINT) * tr - CAST(r AS HUGEINT) * tn AS num,
+        |    CAST(r AS HUGEINT) * (n - r)
+        |      * (CAST(n AS HUGEINT) * ttn - tn * tn) AS rad,
+        |    CAST(n AS HUGEINT) * ttn - tn * tn AS svar
+        |  FROM agg),
+        |z AS (
+        |  SELECT cohort, n, r,
+        |    CASE WHEN r > 0 AND r < n AND svar > 0 THEN
+        |      CAST(floor(CAST(num AS DOUBLE)
+        |        / sqrt(CAST(rad AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * 1000000.0) AS BIGINT)
+        |    END AS z_micro
+        |  FROM v),
+        |pb AS (
+        |  SELECT *, 1.0 + zz * (0.0498673470 + zz * (0.0211410061
+        |    + zz * (0.0032776263 + zz * (0.0000380036
+        |    + zz * (0.0000488906 + zz * 0.0000053830))))) AS b
+        |  FROM (SELECT *, CAST(abs(z_micro) AS DOUBLE) / 1000000.0 AS zz
+        |        FROM z))
+        |SELECT cohort, n, r, z_micro,
+        |  CASE WHEN z_micro IS NOT NULL
+        |    THEN CAST(floor(1000000.0 / b16) AS BIGINT) END AS p_micro
+        |FROM (SELECT *, b8 * b8 AS b16 FROM
+        |      (SELECT *, b4 * b4 AS b8 FROM
+        |       (SELECT *, b2 * b2 AS b4 FROM
+        |        (SELECT *, b * b AS b2 FROM pb))))
+        |ORDER BY cohort""".stripMargin,
+
+    // HHI: mergeable Σx²/(Σx)² + top share, exact integral divisions.
+    "q_hhi" ->
+      """WITH cells AS (
+        |  SELECT lang, source,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(chars AS HUGEINT)) AS s,
+        |    sum(CAST(chars AS HUGEINT) * chars) AS q,
+        |    max(chars) AS m
+        |  FROM cells WHERE chars IS NOT NULL GROUP BY 1)
+        |SELECT lang, n, CAST(s AS BIGINT) AS sum_val,
+        |  CASE WHEN s > 0
+        |    THEN CAST((q * 1000000) // (s * s) AS BIGINT) END AS hhi_micro,
+        |  CASE WHEN s > 0
+        |    THEN CAST((CAST(m AS HUGEINT) * 1000000) // s AS BIGINT)
+        |  END AS top_share_micro
+        |FROM agg ORDER BY lang""".stripMargin,
+
+    // Zipf: token-type counts, total-order ranks, micro-nat ln points,
+    // cleared-denominator OLS slope with one integral division.
+    "q_zipf" ->
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(str_split(${norm("text")}, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT lang, term, CAST(count(*) AS BIGINT) AS f
+         |  FROM toks WHERE term <> '' GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT lang, f,
+         |    row_number() OVER (PARTITION BY lang ORDER BY f DESC, term)
+         |      AS r
+         |  FROM tf),
+         |pts AS (
+         |  SELECT lang, f,
+         |    CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |    CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM rk),
+         |agg AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(f) AS BIGINT) AS n_tokens,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx
+         |  FROM pts GROUP BY 1)
+         |SELECT lang, n_types, n_tokens,
+         |  CASE WHEN CAST(n_types AS HUGEINT) * sxx - sx * sx > 0 THEN
+         |    CAST(((CAST(n_types AS HUGEINT) * sxy - sx * sy) * 1000000)
+         |      // (CAST(n_types AS HUGEINT) * sxx - sx * sx) AS BIGINT)
+         |  END AS slope_micro
+         |FROM agg ORDER BY lang""".stripMargin,
   )
 }

@@ -3408,6 +3408,48 @@ object SparkEntry {
       .orderBy(col("cohort"), col("tile"))
   }
 
+  /** Brown–Forsythe spread-homogeneity check on the q_anova cohorts —
+    * exact lower-median centers, ANOVA F on |y − med|. Fully
+    * hash-oracled.
+    */
+  private def qBrownForsythe(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.brownForsythe(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("cohort", pmod(col("user_id"), lit(4L))),
+        Seq("event_type"), "cohort", "value")
+      .orderBy(col("event_type"))
+
+  /** Cochran–Armitage: does purchase propensity trend across the weeks
+    * of the month, per user cohort? Exact cleared-denominator z. Fully
+    * hash-oracled.
+    */
+  private def qCochranArmitage(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.cochranArmitage(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+          .withColumn("wk", expr("(dayofmonth(ts) - 1) div 7"))
+          .withColumn("is_purchase", col("event_type") === "purchase"),
+        Seq("cohort"), "wk", "is_purchase")
+      .orderBy(col("cohort"))
+
+  /** HHI concentration of characters across sources within each
+    * language — the mergeable twin of q_gini. Fully hash-oracled.
+    */
+  private def qHhi(s: SparkSession, dir: String): DataFrame =
+    ops.RobustStats.concentrationIndex(
+        t(s, dir, "documents").groupBy(col("lang"), col("source"))
+          .agg(sum(col("n_chars")).as("chars")),
+        Seq("lang"), "chars")
+      .orderBy(col("lang"))
+
+  /** Zipf rank–frequency slope of the token distribution per language —
+    * the corpus-naturalness gate. Fully hash-oracled.
+    */
+  private def qZipf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfFit(t(s, dir, "documents"), Seq("lang"), "text")
+      .orderBy(col("lang"))
+
   /** Fill-in-middle PSM rewrite of the documents corpus — seeded md5
     * cut points, short docs degrade to pure prefix. Fully hash-oracled.
     */
@@ -3662,6 +3704,10 @@ object SparkEntry {
     "q_lift_deciles" -> (qLiftDeciles _),
     "q_fim" -> (qFim _),
     "q_gini" -> (qGini _),
+    "q_brown_forsythe" -> (qBrownForsythe _),
+    "q_cochran_armitage" -> (qCochranArmitage _),
+    "q_hhi" -> (qHhi _),
+    "q_zipf" -> (qZipf _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

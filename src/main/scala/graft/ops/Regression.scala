@@ -1325,17 +1325,31 @@ object Regression {
     *
     * Scale: ONE full-data hash aggregation onto (group, arm) cells with
     * map-side partials; everything after runs on the k-row arm relation.
-    * Decimal headroom: s_i² ≲ 10³⁸ holds to ~10¹² rows/group at 10⁷
-    * quantized magnitudes.
+    * Capacity: the integral divisions return BIGINT, so the binding
+    * bound is `s_i²/n_i ≈ n_i·V̄² ≤ 9·10¹⁸` at quantized mean magnitude
+    * V̄ — e.g. V̄ = 10⁷ holds to ~10⁵ rows/arm; rescale the quantum down
+    * for wider arms (F is scale-invariant, only resolution changes).
     */
   def anovaF(df: DataFrame, groupCols: Seq[String], armCol: String,
       yCol: String): DataFrame = {
     require(groupCols.nonEmpty, "anovaF needs group columns")
     val g = groupCols.map(col)
-    val dec = "decimal(38,0)"
     val rows = df.filter(col(yCol).isNotNull && col(armCol).isNotNull)
       .select(g ++ Seq(col(armCol).as("_af_a"),
         floor(col(yCol) * 10000).cast("long").as("_af_y")): _*)
+    anovaFOnQuantized(rows, groupCols)
+  }
+
+  /** [[anovaF]]'s core on an already-quantized `(group…, _af_a, _af_y)`
+    * long frame — shared with [[brownForsythe]], whose |y − med| inputs
+    * are exact longs already (re-quantizing them ×10⁴ would push
+    * `s_i² div n_i` past the BIGINT the integral division returns —
+    * the overflow the capacity note bounds).
+    */
+  private def anovaFOnQuantized(rows: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
     val arms = rows.groupBy(g :+ col("_af_a"): _*).agg(
       count(lit(1)).as("_af_ni"),
       sum(col("_af_y").cast(dec)).as("_af_si"),
@@ -1488,6 +1502,103 @@ object Regression {
       when(col("n_rel") > 0L,
         expr(s"_rm_apsum div least(n_rel, ${k.toLong})"))
         .otherwise(lit(0L)).as("ap_micro")): _*)
+  }
+
+  /** Brown–Forsythe variance-homogeneity test per group — "do these k
+    * cohorts differ in SPREAD?" — the robust Levene variant that [[anovaF]]
+    * assumes away (ANOVA compares means under equal variances; this
+    * checks that assumption, and is itself a dispersion test): an ANOVA
+    * F computed on absolute deviations from each arm's MEDIAN.
+    *
+    * The arm center is the LOWER MEDIAN (1-based order statistic
+    * ⌊(n+1)/2⌋ of the 10⁻⁴-quantized values — the [[theilSen]] election:
+    * an actual value, selected purely by multiset order, so it is
+    * deterministic without a tie-break and EXACT — no interpolation,
+    * no percentile buffering beyond the sort). `z = |y − med|` is then
+    * exact long arithmetic and the rest IS [[anovaF]] on z (delegated,
+    * so the two share semantics by construction).
+    *
+    * Output: `(group…, n, k_arms, df1, df2, f_micro)` — f_micro NULL
+    * for degenerate groups (anovaF guards).
+    *
+    * Scale: ONE (group, arm) hash shuffle serves the rank window, the
+    * median election window, and feeds anovaF's aggregation; per-arm
+    * state is the sort.
+    */
+  def brownForsythe(df: DataFrame, groupCols: Seq[String], armCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "brownForsythe needs group columns")
+    val g = groupCols.map(col)
+    val rows = df.filter(col(yCol).isNotNull && col(armCol).isNotNull)
+      .select(g ++ Seq(col(armCol).as("_bf_a"),
+        floor(col(yCol) * 10000).cast("long").as("_bf_y")): _*)
+    val wa = Window.partitionBy(g :+ col("_bf_a"): _*)
+    val pre = rows
+      .withColumn("_bf_rn", row_number().over(wa.orderBy(col("_bf_y"))))
+      .withColumn("_bf_cnt", count(lit(1)).over(wa))
+    val z = pre
+      .withColumn("_bf_med", max(when(
+        col("_bf_rn") === expr("(_bf_cnt + 1) div 2"), col("_bf_y"))).over(wa))
+      // |y − med| is an exact long in the same 10⁻⁴ quanta as y — it
+      // feeds the anovaF core DIRECTLY (F is scale-invariant, and a
+      // second ×10⁴ quantization would overflow s_i² div n_i's BIGINT)
+      .select(g ++ Seq(col("_bf_a").as("_af_a"),
+        abs(col("_bf_y") - col("_bf_med")).as("_af_y")): _*)
+    anovaFOnQuantized(z, groupCols)
+  }
+
+  /** Cochran–Armitage trend test per group — "does the success rate TREND
+    * across these ordered categories?" (dose–response, week-over-week
+    * conversion drift): more powerful than [[chiSquare]]'s any-difference
+    * alternative when the categories carry an order.
+    *
+    * With integer category scores t, counts n_i (rows) and r_i
+    * (successes) per category, N = Σn, R = Σr:
+    *
+    *   z = (N·Σt·r − R·Σt·n) / √( R(N−R)(N·Σt²n − (Σt·n)²) / N )
+    *
+    * Numerator and the radicand's factors are EXACT decimals (cleared
+    * denominators — the cohenKappa discipline); z is one IEEE
+    * division + sqrt, micro-floored, with the two-sided p from
+    * [[normalPValueMicro]]'s rational CDF. Degenerate groups (R = 0,
+    * R = N, or zero score variance) report NULL z/p.
+    *
+    * Output: `(group…, n, r, z_micro, p_micro)`.
+    *
+    * Scale: ONE full-data hash aggregation onto (group, score) cells
+    * with map-side partials; the trend arithmetic runs on the ≤|scores|
+    * cell relation.
+    */
+  def cochranArmitage(df: DataFrame, groupCols: Seq[String],
+      scoreCol: String, successCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "cochranArmitage needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val cells = df.filter(col(scoreCol).isNotNull && col(successCol).isNotNull)
+      .select(g ++ Seq(col(scoreCol).cast("long").as("_ca_t"),
+        when(col(successCol), 1L).otherwise(0L).as("_ca_s")): _*)
+      .groupBy(g :+ col("_ca_t"): _*)
+      .agg(count(lit(1)).as("_ca_n"), sum(col("_ca_s")).as("_ca_r"))
+    val agg = cells.groupBy(g: _*).agg(
+      sum(col("_ca_n")).as("n"), sum(col("_ca_r")).as("r"),
+      sum((col("_ca_t") * col("_ca_n")).cast(dec)).as("_ca_tn"),
+      sum((col("_ca_t") * col("_ca_r")).cast(dec)).as("_ca_tr"),
+      sum((col("_ca_t") * col("_ca_t")).cast(dec) * col("_ca_n"))
+        .as("_ca_ttn"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val num = col("n").cast(dec) * col("_ca_tr") -
+      col("r").cast(dec) * col("_ca_tn")
+    val rad = col("r").cast(dec) * (col("n") - col("r")) *
+      (col("n").cast(dec) * col("_ca_ttn") - col("_ca_tn") * col("_ca_tn"))
+    val ok = col("r") > 0L && col("r") < col("n") &&
+      col("n").cast(dec) * col("_ca_ttn") - col("_ca_tn") * col("_ca_tn") > 0L
+    agg
+      .withColumn("z_micro", when(ok,
+        floor(d(num) / sqrt(d(rad) / d(col("n"))) * 1000000.0).cast("long")))
+      .withColumn("p_micro",
+        when(col("z_micro").isNotNull, normalPValueMicro(col("z_micro"))))
+      .select(g ++ Seq(col("n"), col("r"), col("z_micro"),
+        col("p_micro")): _*)
   }
 
   /** Grouped decile lift table — the "is the model's top decile actually

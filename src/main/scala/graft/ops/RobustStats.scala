@@ -221,6 +221,44 @@ object RobustStats {
         col("min_cents"), col("max_cents")): _*)
   }
 
+  /** Grouped Herfindahl–Hirschman concentration index — the MERGEABLE
+    * twin of [[giniCoefficient]] (HHI = Σ share²; 1/k = perfectly even
+    * across k members, 1 = one member holds everything), plus the top
+    * member's share:
+    *
+    *   hhi_micro = Σx²·10⁶ div (Σx)²,  top_share_micro = max·10⁶ div Σx
+    *
+    * Pure exact-integer aggregation — count/sum/sum-of-squares/max all
+    * combine associatively, so unlike Gini there is NO sort and no rank
+    * window: this is the form to run at 100 TB width (one shuffle of
+    * |groups| partial triples, map-side combined), with Gini reserved
+    * for the narrower audits where the order statistics matter.
+    * Groups with Σx = 0 report NULLs.
+    *
+    * Output: `(group…, n, sum_val, hhi_micro, top_share_micro)`.
+    */
+  def concentrationIndex(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "concentrationIndex needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).cast("long").as("_ci_x"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_ci_x").cast(dec)).as("_ci_s"),
+        sum((col("_ci_x").cast(dec) * col("_ci_x")).cast(dec)).as("_ci_q"),
+        max(col("_ci_x")).as("_ci_m"))
+      .select(g ++ Seq(col("n"),
+        expr("cast(_ci_s as bigint)").as("sum_val"),
+        when(col("_ci_s") > 0L,
+          expr("((_ci_q * 1000000) div (_ci_s * _ci_s))").cast("long"))
+          .as("hhi_micro"),
+        when(col("_ci_s") > 0L,
+          expr(s"((cast(_ci_m as $dec) * 1000000) div _ci_s)").cast("long"))
+          .as("top_share_micro")): _*)
+  }
+
   /** Grouped Gini coefficient — the inequality index of a non-negative
     * quantity's distribution (token budgets across sources, revenue
     * across customers, sample counts across strata): 0 = perfectly even,
@@ -240,7 +278,8 @@ object RobustStats {
     * Scale: one group-key shuffle serves the rank window and the final
     * aggregation; per-group state is the sort (Spark external-sorts —
     * no buffering). This is the [[mannWhitney]] shape, not the exact-
-    * percentile shape.
+    * percentile shape; [[concentrationIndex]] is the sort-free twin for
+    * full-width sweeps.
     */
   def giniCoefficient(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {

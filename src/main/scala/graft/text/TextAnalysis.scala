@@ -900,4 +900,64 @@ object TextAnalysis {
       }
     matched.groupBy(col("doc")).agg(count(lit(1)).as("hits"))
   }
+
+  /** Zipf rank–frequency fit per group — "is this corpus slice natural
+    * language?" The token rank–frequency law (freq ∝ rank^s, s ≈ −1)
+    * holds for organic text and breaks for boilerplate, spam and
+    * machine-generated filler, so the fitted log–log slope is a corpus
+    * health gate (and its drift across crawls a contamination signal).
+    *
+    * Token types aggregate to exact counts (the house normalize-split
+    * tokens), rank is `row_number` by (freq desc, term asc) — a total
+    * order, deterministic — and both coordinates quantize by the
+    * micro-nat ln rule (`round(ln·10⁶)`, the charEntropy discipline).
+    * The OLS slope then runs the [[graft.ops.Regression.linearTrend]]
+    * cleared-denominator arithmetic on exact decimals:
+    *
+    *   s = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)    (dimensionless)
+    *
+    * reported as ONE integral micro division (both engines truncate
+    * toward zero — the linearTrend pin). Groups with < 2 distinct ranks
+    * report NULL slope.
+    *
+    * Output: `(group…, n_types, n_tokens, slope_micro)`.
+    *
+    * Scale: a full-data (group, term) hash aggregation with map-side
+    * partials, then a rank window over |vocab| rows per group —
+    * vocabulary-sized, not corpus-sized; the moment aggregation
+    * re-shuffles only the vocab relation.
+    */
+  def zipfFit(df: DataFrame, groupCols: Seq[String],
+      textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "zipfFit needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val toks = df
+      .select(g :+ explode(graft.dedup.Dedup.tokensOf(col(textCol)))
+        .as("term"): _*)
+      .filter(col("term") =!= "")
+    val freq = toks.groupBy(g :+ col("term"): _*)
+      .agg(count(lit(1)).as("_zf_f"))
+    val rk = row_number().over(Window.partitionBy(g: _*)
+      .orderBy(col("_zf_f").desc, col("term")))
+    val pts = freq.withColumn("_zf_r", rk)
+      .select(g ++ Seq(col("_zf_f"),
+        round(log(col("_zf_r").cast("double")) * 1e6).cast("long")
+          .as("_zf_x"),
+        round(log(col("_zf_f").cast("double")) * 1e6).cast("long")
+          .as("_zf_y")): _*)
+    val agg = pts.groupBy(g: _*).agg(
+      count(lit(1)).as("n_types"),
+      sum(col("_zf_f")).as("n_tokens"),
+      sum(col("_zf_x").cast(dec)).as("_zf_sx"),
+      sum(col("_zf_y").cast(dec)).as("_zf_sy"),
+      sum((col("_zf_x").cast(dec) * col("_zf_y")).cast(dec)).as("_zf_sxy"),
+      sum((col("_zf_x").cast(dec) * col("_zf_x")).cast(dec)).as("_zf_sxx"))
+    agg.select(g ++ Seq(col("n_types"), col("n_tokens"),
+      when(expr(s"cast(n_types as $dec) * _zf_sxx - _zf_sx * _zf_sx") > 0L,
+        expr(s"((cast(n_types as $dec) * _zf_sxy - _zf_sx * _zf_sy) " +
+          s"* 1000000) div " +
+          s"(cast(n_types as $dec) * _zf_sxx - _zf_sx * _zf_sx)")
+          .cast("long")).as("slope_micro")): _*)
+  }
 }

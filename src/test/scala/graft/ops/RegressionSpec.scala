@@ -627,6 +627,58 @@ class RegressionSpec extends SparkSpec {
       solo.isNullAt(solo.fieldIndex("signif")))
   }
 
+  test("brownForsythe: hand F on |y − lower-median|; equal spreads ≈ 0") {
+    // A = {1,2,3,4,10}: med 3 → z = {2,1,0,1,7}; B = {5,…}: z = 0
+    // → SSB = 1.21e9, SSW = 3.08e9 (quanta²), F = 9.68/3.08
+    val d = (Seq(1, 2, 3, 4, 10).map(y => ("g", "a", y.toDouble)) ++
+      Seq.fill(5)(("g", "b", 5.0))).toDF("grp", "arm", "y")
+    val r = Regression.brownForsythe(d, Seq("grp"), "arm", "y")
+      .collect().head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 2L)
+    assert(r.getLong(r.fieldIndex("f_micro")) == 3142857L)
+  }
+
+  test("brownForsythe: identical-spread arms give F = 0; " +
+      "zero-deviation arms give NULL") {
+    val same = (Seq(1, 3).map(y => ("g", "a", y.toDouble)) ++
+      Seq(11, 13).map(y => ("g", "b", y.toDouble))).toDF("grp", "arm", "y")
+    val r1 = Regression.brownForsythe(same, Seq("grp"), "arm", "y")
+      .collect().head
+    assert(r1.getLong(r1.fieldIndex("f_micro")) == 0L)
+    val flat = Seq(("g", "a", 2.0), ("g", "a", 2.0), ("g", "b", 7.0),
+      ("g", "b", 7.0)).toDF("grp", "arm", "y")
+    val r2 = Regression.brownForsythe(flat, Seq("grp"), "arm", "y")
+      .collect().head
+    assert(r2.isNullAt(r2.fieldIndex("f_micro"))) // all z = 0 → SSW = 0
+  }
+
+  test("cochranArmitage: hand z on a clean dose-response; strong trend " +
+      "is significant") {
+    // t=0,1,2 with (n,r) = (10,1),(10,5),(10,9): num = 240,
+    // z = 240/√(135000/30) = 3.5777… → 3577708 micro
+    val d = (Seq.fill(1)(true) ++ Seq.fill(9)(false)).map(s => ("g", 0L, s)) ++
+      (Seq.fill(5)(true) ++ Seq.fill(5)(false)).map(s => ("g", 1L, s)) ++
+      (Seq.fill(9)(true) ++ Seq.fill(1)(false)).map(s => ("g", 2L, s))
+    val r = Regression.cochranArmitage(d.toDF("grp", "t", "s"),
+      Seq("grp"), "t", "s").collect().head
+    assert(r.getLong(1) == 30L && r.getLong(2) == 15L)
+    assert(r.getLong(r.fieldIndex("z_micro")) == 3577708L)
+    assert(r.getLong(r.fieldIndex("p_micro")) < 1000L) // p ≈ 0.00035
+  }
+
+  test("cochranArmitage guards: all-success, all-failure, or a single " +
+      "score level yield NULL z") {
+    val d = (Seq(("all", 0L, true), ("all", 1L, true)) ++
+      Seq(("none", 0L, false), ("none", 1L, false)) ++
+      Seq(("one", 3L, true), ("one", 3L, false))).toDF("grp", "t", "s")
+    val out = Regression.cochranArmitage(d, Seq("grp"), "t", "s")
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("all", "none", "one").foreach { k =>
+      assert(out(k).isNullAt(out(k).fieldIndex("z_micro")), k)
+      assert(out(k).isNullAt(out(k).fieldIndex("p_micro")), k)
+    }
+  }
+
   test("rankingMetrics: perfect ranking hits the 10⁶ endpoints") {
     val d = Seq(("q", 1L, 2L), ("q", 2L, 1L), ("q", 3L, 0L))
       .toDF("grp", "rnk", "rel")

@@ -143,4 +143,22 @@ class RobustStatsSpec extends SparkSpec {
     // {0,3,3}: Σ(2i−n−1)x = −2·0 + 0·3 + 2·3 = 6; n·Σx = 18 → 1/3
     assert(out("tie").getLong(out("tie").fieldIndex("gini_micro")) == 333333L)
   }
+
+  test("concentrationIndex: HHI endpoints 1/k and 1, top share, NULLs " +
+      "on an all-zero group") {
+    import spark.implicits._
+    val df = (Seq.fill(4)(("even", 5L)) ++
+      Seq(("conc", 0L), ("conc", 0L), ("conc", 0L), ("conc", 12L)) ++
+      Seq(("zero", 0L), ("zero", 0L))).toDF("g", "x")
+    val out = RobustStats.concentrationIndex(df, Seq("g"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("even").getLong(out("even").fieldIndex("hhi_micro")) == 250000L)
+    assert(out("even").getLong(
+      out("even").fieldIndex("top_share_micro")) == 250000L)
+    assert(out("conc").getLong(out("conc").fieldIndex("hhi_micro")) == 1000000L)
+    assert(out("conc").getLong(
+      out("conc").fieldIndex("top_share_micro")) == 1000000L)
+    assert(out("zero").isNullAt(out("zero").fieldIndex("hhi_micro")))
+    assert(out("zero").isNullAt(out("zero").fieldIndex("top_share_micro")))
+  }
 }

@@ -448,4 +448,34 @@ class TextAnalysisSpec extends SparkSpec {
     val z = out(1)
     assert((1 to 9).forall(i => z.getLong(i) == 0L))
   }
+
+  test("zipfFit: a 2:1 frequency pair is exactly slope −10⁶; flat " +
+      "frequencies are slope 0; one type is NULL") {
+    // freqs {2,1}: points (0, ln2) and (ln2, 0) in micro-nats → the
+    // cleared-denominator slope is −693147²·10⁶ // 693147² = −10⁶ exact
+    val df = Seq(("pair", "b b a"), ("flat", "a b"), ("solo", "x x x"))
+      .toDF("g", "t")
+    val out = TextAnalysis.zipfFit(df, Seq("g"), "t")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("pair").getLong(out("pair").fieldIndex("n_types")) == 2L)
+    assert(out("pair").getLong(out("pair").fieldIndex("n_tokens")) == 3L)
+    assert(out("pair").getLong(out("pair").fieldIndex("slope_micro")) ==
+      -1000000L)
+    assert(out("flat").getLong(out("flat").fieldIndex("slope_micro")) == 0L)
+    assert(out("solo").isNullAt(out("solo").fieldIndex("slope_micro")))
+  }
+
+  test("zipfFit: natural-ish text slopes negative; rank ties break by " +
+      "term so re-runs are identical") {
+    val text = (1 to 50).flatMap(r => Seq.fill(51 - r)(s"tok$r"))
+      .mkString(" ")
+    val df = Seq(("g", text)).toDF("g", "t")
+    val a = TextAnalysis.zipfFit(df, Seq("g"), "t").collect().head
+    val b = TextAnalysis.zipfFit(df, Seq("g"), "t").collect().head
+    assert(a.getLong(a.fieldIndex("slope_micro")) ==
+      b.getLong(b.fieldIndex("slope_micro")))
+    assert(a.getLong(a.fieldIndex("slope_micro")) < 0L)
+    assert(a.getLong(a.fieldIndex("n_types")) == 50L)
+    assert(a.getLong(a.fieldIndex("n_tokens")) == 1275L)
+  }
 }
