@@ -476,4 +476,50 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("Join"), s"v must be a literal, not a join:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("session-6 k-arm tests: rank/median windows and the arm agg share one group shuffle") {
+    // kruskal/anova/brown-forsythe are the mannWhitney shape — a group-
+    // (or arm-)keyed window feeding hash aggregations, never a join
+    for (q <- Seq("q_kruskal", "q_anova", "q_brown_forsythe")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q must be window+agg only:\n${p.take(1500)}")
+      val key = if (q == "q_kruskal") "cohort" else "event_type"
+      assert(p.contains(s"hashpartitioning($key"),
+        s"$q should partition by $key:\n${p.take(2000)}")
+    }
+  }
+
+  test("session-6 fim rewrite is a pure projection (no exchange beyond the output sort)") {
+    val p = planOf("q_fim")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"fim should be scan→project→sort, saw $exchanges exchanges:\n${p.take(1500)}")
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
+  test("session-6 concentration: hhi is agg-only (the mergeable twin); gini windows the group key") {
+    val pHhi = planOf("q_hhi")
+    assert(!pHhi.contains("Window"), s"hhi must not sort:\n${pHhi.take(1500)}")
+    assert(!pHhi.contains("Join"), pHhi.take(1500))
+    val pGini = planOf("q_gini")
+    assert(pGini.contains("hashpartitioning(lang"),
+      s"gini rank window should partition by lang:\n${pGini.take(2000)}")
+    assert(!pGini.contains("Join"), pGini.take(1500))
+  }
+
+  test("session-6 ranking metrics: position windows and the metric agg share the query-group shuffle") {
+    val p = planOf("q_ranking_metrics")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("hashpartitioning(event_type"),
+      s"windows should partition by event_type:\n${p.take(2000)}")
+    // the per-user relevance side is tiny and must ride a broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("session-6 zipf: vocab-sized rank window, moment agg off the vocab relation") {
+    val p = planOf("q_zipf")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("hashpartitioning(lang"),
+      s"rank window should partition by lang:\n${p.take(2000)}")
+  }
 }
