@@ -5479,5 +5479,63 @@ object OracleSql {
          |      // (CAST(n_types AS HUGEINT) * sxx - sx * sx) AS BIGINT)
          |  END AS slope_micro
          |FROM agg ORDER BY lang""".stripMargin,
+
+    // Bradley–Terry: Hunter '04 MM fixed point, 8 unrolled iterations
+    // of exact integral divisions + per-pass normalization (Σπ = N·10⁶)
+    // — the pageRank unrolled-CTE discipline.
+    "q_bradley_terry" -> bradleyTerrySql,
   )
+
+  private def bradleyTerrySql: String = {
+    val base =
+      """WITH cents AS MATERIALIZED (
+        |  SELECT user_id AS u, event_type AS t,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mt AS MATERIALIZED (
+        |  SELECT CASE WHEN a.c > b.c THEN a.t ELSE b.t END AS w,
+        |    CASE WHEN a.c > b.c THEN b.t ELSE a.t END AS l
+        |  FROM cents a JOIN cents b
+        |    ON a.u = b.u AND a.t < b.t AND a.c <> b.c),
+        |pairs AS MATERIALIZED (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(win) AS BIGINT) AS w
+        |  FROM (SELECT w AS a, l AS b, 1 AS win FROM mt
+        |        UNION ALL SELECT l AS a, w AS b, 0 AS win FROM mt)
+        |  GROUP BY 1, 2),
+        |stats AS MATERIALIZED (
+        |  SELECT a AS item, CAST(sum(w) AS BIGINT) AS wins,
+        |    CAST(sum(n) AS BIGINT) AS n_matches
+        |  FROM pairs GROUP BY 1),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS nitems FROM stats),
+        |r0 AS MATERIALIZED (SELECT item, CAST(1000000 AS HUGEINT) AS r FROM stats)"""
+        .stripMargin
+    val iters = (1 to 8).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT p.a, sum((CAST(p.n AS HUGEINT) * 1000000000000)
+         |    // greatest(ra.r + rb.r, 1)) AS d
+         |  FROM pairs p
+         |  JOIN r${k - 1} ra ON p.a = ra.item
+         |  JOIN r${k - 1} rb ON p.b = rb.item
+         |  GROUP BY p.a),
+         |p$k AS MATERIALIZED (
+         |  SELECT s.item, (CAST(s.wins AS HUGEINT) * 1000000000000)
+         |    // greatest(d.d, 1) AS pr
+         |  FROM stats s JOIN d$k d ON s.item = d.a),
+         |s$k AS MATERIALIZED (SELECT sum(pr) AS s FROM p$k),
+         |r$k AS MATERIALIZED (
+         |  SELECT item, CASE WHEN s$k.s > 0
+         |    THEN (pr * nitems * 1000000) // s$k.s ELSE pr END AS r
+         |  FROM p$k, s$k, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT st.item, st.wins, st.n_matches,
+       |  CAST(r8.r AS BIGINT) AS rating_micro
+       |FROM stats st JOIN r8 ON st.item = r8.item
+       |ORDER BY st.item""".stripMargin
+  }
 }

@@ -3450,6 +3450,32 @@ object SparkEntry {
     TextAnalysis.zipfFit(t(s, dir, "documents"), Seq("lang"), "text")
       .orderBy(col("lang"))
 
+  /** Bradley–Terry strengths of the five event types from per-user
+    * pairwise "which type carries more of this user's cents" matches —
+    * 8 exact fixed-point MM iterations. Fully hash-oracled (unrolled
+    * CTEs).
+    */
+  private def qBradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    val cents = t(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("c"))
+    val a = cents.select(col("user_id").as("u"), col("event_type").as("ta"),
+      col("c").as("ca"))
+    val b = cents.select(col("user_id").as("u2"), col("event_type").as("tb"),
+      col("c").as("cb"))
+    val matches = a.join(b, col("u") === col("u2") &&
+        col("ta") < col("tb") && col("ca") =!= col("cb"))
+      .select(
+        when(col("ca") > col("cb"), col("ta")).otherwise(col("tb"))
+          .as("winner"),
+        when(col("ca") > col("cb"), col("tb")).otherwise(col("ta"))
+          .as("loser"))
+    ops.BradleyTerry.ratings(matches, "winner", "loser", iters = 8)
+      .orderBy(col("item"))
+  }
+
   /** Fill-in-middle PSM rewrite of the documents corpus — seeded md5
     * cut points, short docs degrade to pure prefix. Fully hash-oracled.
     */
@@ -3708,6 +3734,7 @@ object SparkEntry {
     "q_cochran_armitage" -> (qCochranArmitage _),
     "q_hhi" -> (qHhi _),
     "q_zipf" -> (qZipf _),
+    "q_bradley_terry" -> (qBradleyTerry _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
