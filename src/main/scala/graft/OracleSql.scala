@@ -5484,6 +5484,35 @@ object OracleSql {
     // of exact integral divisions + per-pass normalization (Σπ = N·10⁶)
     // — the pageRank unrolled-CTE discipline.
     "q_bradley_terry" -> bradleyTerrySql,
+
+    // Harmonic centrality: per-probe BFS frontier keyed (probe, node),
+    // 4 unrolled min-depth rounds (MATERIALIZED — the frontier is read
+    // twice per round), exact 10⁶//d reciprocal sums.
+    "q_harmonic" -> {
+      val iter = (1 to 4).map { i =>
+        s"""it$i AS MATERIALIZED (
+           |  SELECT probe, node, min(depth) AS depth FROM (
+           |    SELECT p.probe, e.dst AS node, p.depth + 1 AS depth
+           |    FROM it${i - 1} p JOIN e0 e ON p.node = e.src
+           |    UNION ALL SELECT probe, node, depth FROM it${i - 1})
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b AS src, a AS dst FROM pairs),
+         |it0 AS MATERIALIZED (
+         |  SELECT DISTINCT a AS probe, a AS node, 0 AS depth FROM pairs
+         |  WHERE a % 400 = 0),
+         |$iter
+         |SELECT CAST(probe AS BIGINT) AS probe,
+         |  CAST(count(*) AS BIGINT) AS reached,
+         |  CAST(sum(1000000 // depth) AS BIGINT) AS harmonic_micro
+         |FROM it4 WHERE depth > 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 
   private def bradleyTerrySql: String = {

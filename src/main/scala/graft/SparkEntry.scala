@@ -3450,6 +3450,21 @@ object SparkEntry {
     TextAnalysis.zipfFit(t(s, dir, "documents"), Seq("lang"), "text")
       .orderBy(col("lang"))
 
+  /** Bounded-radius harmonic centrality of every 200th part through the
+    * supply graph (4-hop balls, exact reciprocal-distance sums) — fully
+    * hash-oracled against DuckDB's unrolled BFS replica.
+    */
+  private def qHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supplyPairs(s, dir)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val probes = pairs.select(col("a").as("node"))
+      .filter(pmod(col("node"), lit(400L)) === 0L).distinct()
+    graft.graph.GraphOps.harmonicCentrality(edges, probes, rounds = 4,
+        dedupEdges = false)
+      .orderBy(col("probe"))
+  }
+
   /** Bradley–Terry strengths of the five event types from per-user
     * pairwise "which type carries more of this user's cents" matches —
     * 8 exact fixed-point MM iterations. Fully hash-oracled (unrolled
@@ -3735,6 +3750,7 @@ object SparkEntry {
     "q_hhi" -> (qHhi _),
     "q_zipf" -> (qZipf _),
     "q_bradley_terry" -> (qBradleyTerry _),
+    "q_harmonic" -> (qHarmonic _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

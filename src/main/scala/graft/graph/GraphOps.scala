@@ -626,6 +626,86 @@ object GraphOps {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  /** Bounded-radius harmonic centrality from a probe set — "how close is
+    * this node to everything around it?" (hub detection, seed selection
+    * for crawls, representative-node election), the centrality that
+    * stays well-defined on disconnected graphs because unreachable
+    * nodes contribute 0 rather than ∞:
+    *
+    *   H_h(p) = Σ_{v ≠ p, d(p,v) ≤ h} 1/d(p,v)
+    *
+    * Per-probe BFS as ONE relational frontier keyed (probe, node) —
+    * the [[bfsDepths]] step with the probe carried through — for a
+    * FIXED `rounds` horizon, then each reciprocal distance is the exact
+    * integral `10⁶ div d` and the sum an exact long. Probes with no
+    * edges report (0, 0).
+    *
+    * Output: `(probe, reached, harmonic_micro)` — `reached` = nodes
+    * within the horizon (excluding the probe itself).
+    *
+    * Scale: state is Σ_p |ball_h(p)| — choose the probe SAMPLE and the
+    * horizon so probes×ball fits a shuffle (the exact-all-pairs form is
+    * |V|² and is precisely what this bounds away); each round is one
+    * frontier⋈edges join plus a min-aggregation at graph-sized
+    * parallelism, localCheckpointed every 2 rounds (the pageRank
+    * lineage rule).
+    */
+  def harmonicCentrality(edges: DataFrame, probes: DataFrame,
+      rounds: Int = 4, dedupEdges: Boolean = true): DataFrame = {
+    require(rounds >= 1, "harmonicCentrality needs at least one round")
+    val e0 = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val e = (if (dedupEdges) e0.distinct() else e0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nE = e.count()
+    val spark = edges.sparkSession
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    val allE = e.repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val p0 = probes.select(col("node").cast("long")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      def step(d: DataFrame): DataFrame = d
+        .join(allE, col("node") === col("src"))
+        .select(col("probe"), col("dst").as("node"),
+          (col("depth") + 1L).as("depth"))
+        .union(d.select(col("probe"), col("node"), col("depth")))
+        .groupBy(col("probe"), col("node"))
+        .agg(min(col("depth")).as("depth"))
+      var depths = p0
+        .select(col("node").as("probe"), col("node"), lit(0L).as("depth"))
+        .localCheckpoint(true)
+      var i = 0
+      while (i < rounds) {
+        val span = math.min(2, rounds - i)
+        var plan = depths
+        for (_ <- 1 to span) plan = step(plan)
+        val next = plan.localCheckpoint(true)
+        depths.unpersist(blocking = false)
+        depths = next
+        i += span
+      }
+      val sums = depths.filter(col("depth") > 0L)
+        .groupBy(col("probe"))
+        .agg(count(lit(1)).as("_hc_n"),
+          sum(expr("1000000 div depth")).as("_hc_h"))
+      val out = p0.select(col("node").as("probe"))
+        .join(sums, Seq("probe"), "left")
+        .select(col("probe"),
+          coalesce(col("_hc_n"), lit(0L)).as("reached"),
+          coalesce(col("_hc_h"), lit(0L)).as("harmonic_micro"))
+        .localCheckpoint(true)
+      e.unpersist(blocking = false)
+      allE.unpersist(blocking = false)
+      p0.unpersist(blocking = false)
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Degree distribution: how many nodes have each exact out-degree —
     * the first diagnostic a graph job runs (a power-law tail predicts
     * skewed reducers; the max degree bounds the triangle/join fan-out).

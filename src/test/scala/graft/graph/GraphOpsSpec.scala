@@ -348,4 +348,29 @@ class GraphOpsSpec extends SparkSpec {
     // minCommon filters below-threshold pairs
     assert(GraphOps.linkPrediction(sq, minCommon = 3L).count() == 0L)
   }
+
+  test("harmonicCentrality: exact reciprocal sums on a path; center beats the end") {
+    // undirected path 1–2–3–4–5, probes {1, 3}, horizon 4:
+    // H(1) = 1 + 1/2 + 1/3 + 1/4 → 1e6+5e5+333333+250000 = 2083333
+    // H(3) = 2·1 + 2·1/2 = 3e6 (the center is closer to everything)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val probes = Seq(1L, 3L).toDF("node")
+    val out = GraphOps.harmonicCentrality(edges, probes, rounds = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((4L, 2083333L)))
+    assert(out(3L) == ((4L, 3000000L)))
+  }
+
+  test("harmonicCentrality: the horizon truncates the ball; edgeless probes report zero") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.harmonicCentrality(edges, Seq(1L, 9L).toDF("node"),
+        rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == ((1L, 1000000L))) // only node 2 is within one hop
+    assert(out(9L) == ((0L, 0L))) // probe with no edges
+  }
 }
