@@ -5485,6 +5485,89 @@ object OracleSql {
     // — the pageRank unrolled-CTE discipline.
     "q_bradley_terry" -> bradleyTerrySql,
 
+    // Split-conformal: seeded-md5 halves, order-statistic q̂ at
+    // k = ⌈(n+1)·90/100⌉, one integral coverage division.
+    "q_conformal" ->
+      s"""WITH r AS (
+         |  SELECT event_type, event_id AS id,
+         |    CAST(floor(value * 10000) AS BIGINT) AS s,
+         |    ${hex4("substr(md5('conf:' || event_id), 1, 4)")} % 2 = 0
+         |      AS cal
+         |  FROM events
+         |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+         |c AS (
+         |  SELECT event_type, s,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY s, id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nc
+         |  FROM r WHERE cal),
+         |q AS (
+         |  SELECT event_type, CAST(max(nc) AS BIGINT) AS n_cal,
+         |    CAST(max(((nc + 1) * 90 + 99) // 100) AS BIGINT) AS k,
+         |    max(CASE WHEN rn = ((nc + 1) * 90 + 99) // 100 THEN s END)
+         |      AS qhat_q4
+         |  FROM c GROUP BY 1),
+         |e AS (SELECT event_type, s FROM r WHERE NOT cal)
+         |SELECT e.event_type, max(n_cal) AS n_cal,
+         |  CAST(count(*) AS BIGINT) AS n_eval, max(k) AS k,
+         |  max(qhat_q4) AS qhat_q4,
+         |  CASE WHEN max(qhat_q4) IS NULL THEN 1000000
+         |    ELSE CAST((sum(CASE WHEN e.s <= q.qhat_q4 THEN 1 ELSE 0 END)
+         |      * 1000000) // count(*) AS BIGINT)
+         |  END AS coverage_micro
+         |FROM e JOIN q ON e.event_type = q.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // RFM: exact cents triples, corpus-max recency anchor, three
+    // total-order ntiles (worst-first so tile 5 = best).
+    "q_rfm" ->
+      """WITH ent AS (
+        |  SELECT user_id AS entity, max(ts) AS last_ts,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1),
+        |mx AS (SELECT max(last_ts) AS max_ts FROM ent),
+        |rd AS (
+        |  SELECT entity, freq, monetary_cents,
+        |    CAST(CAST(max_ts AS DATE) - CAST(last_ts AS DATE) AS BIGINT)
+        |      AS r_days
+        |  FROM ent, mx)
+        |SELECT entity, r_days, freq, monetary_cents,
+        |  CAST(ntile(5) OVER (ORDER BY r_days DESC, entity) AS BIGINT)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY freq ASC, entity) AS BIGINT)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary_cents ASC, entity)
+        |    AS BIGINT) AS m_score
+        |FROM rd ORDER BY entity""".stripMargin,
+
+    // MDE: exact cleared-denominator variance, micro-pinned z-sum
+    // constant, one IEEE multiply + sqrt.
+    "q_mde" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT)) AS s,
+        |    sum(CAST(c AS HUGEINT) * c) AS ss
+        |  FROM r GROUP BY 1),
+        |v AS (
+        |  SELECT event_type, n,
+        |    CAST((n * ss - s * s) // (CAST(n AS HUGEINT) * n) AS BIGINT)
+        |      AS var_cents2
+        |  FROM agg)
+        |SELECT event_type, n, var_cents2,
+        |  CASE WHEN n > 1 AND var_cents2 > 0 THEN
+        |    CAST(floor(2801585.0 * sqrt(2.0 * CAST(var_cents2 AS DOUBLE)
+        |      / CAST(n AS DOUBLE))) AS BIGINT)
+        |  END AS mde_microcents
+        |FROM v ORDER BY event_type""".stripMargin,
+
     // Harmonic centrality: per-probe BFS frontier keyed (probe, node),
     // 4 unrolled min-depth rounds (MATERIALIZED — the frontier is read
     // twice per round), exact 10⁶//d reciprocal sums.

@@ -3450,6 +3450,34 @@ object SparkEntry {
     TextAnalysis.zipfFit(t(s, dir, "documents"), Seq("lang"), "text")
       .orderBy(col("lang"))
 
+  /** Split-conformal calibration of event values per type — seeded-md5
+    * halves, order-statistic q̂ at 90% target coverage. Fully
+    * hash-oracled.
+    */
+  private def qConformal(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.conformalCalibration(
+        t(s, dir, "events"), Seq("event_type"), "event_id", "value",
+        covPct = 90, seed = "conf")
+      .orderBy(col("event_type"))
+
+  /** RFM quintile segmentation of users from the events stream — exact
+    * cents, corpus-max recency anchor, total-order ntiles. Fully
+    * hash-oracled.
+    */
+  private def qRfm(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.rfmSegments(
+        t(s, dir, "events"), "user_id", "ts", "value")
+      .orderBy(col("entity"))
+
+  /** Minimum detectable effect of the event-value metric per type at
+    * the observed arm sizes — exact moments, one IEEE sqrt. Fully
+    * hash-oracled.
+    */
+  private def qMde(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.minDetectableEffect(
+        t(s, dir, "events"), Seq("event_type"), "value")
+      .orderBy(col("event_type"))
+
   /** Bounded-radius harmonic centrality of every 200th part through the
     * supply graph (4-hop balls, exact reciprocal-distance sums) — fully
     * hash-oracled against DuckDB's unrolled BFS replica.
@@ -3751,6 +3779,9 @@ object SparkEntry {
     "q_zipf" -> (qZipf _),
     "q_bradley_terry" -> (qBradleyTerry _),
     "q_harmonic" -> (qHarmonic _),
+    "q_conformal" -> (qConformal _),
+    "q_rfm" -> (qRfm _),
+    "q_mde" -> (qMde _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -484,4 +484,54 @@ object EventOps {
         (col("z_micro").isNotNull &&
           abs(col("z_micro")) > 2000000L).as("is_spike")): _*)
   }
+
+  /** RFM segmentation — the classic customer/entity value grid
+    * (recency, frequency, monetary), each scored into quintiles with 5 =
+    * best: how recently did the entity act, how often, and for how much.
+    * The data-pipeline reading: which users/domains/sources deserve
+    * recrawl or retention effort.
+    *
+    * Deterministic cross-engine: recency is whole days behind the
+    * CORPUS max timestamp (a single-row broadcast — data-derived, so
+    * re-runs and engines agree without a wall clock); monetary is exact
+    * cents; every quintile is `ntile(5)` over a TOTAL order (metric,
+    * then entity id — the liftDeciles tie rule, since ntile DOES depend
+    * on order within ties). Orders are arranged worst-first so tile 5
+    * is always the best (most recent / most frequent / biggest).
+    *
+    * Output: `(entity, r_days, freq, monetary_cents, r_score, f_score,
+    * m_score)`.
+    *
+    * Scale: one full-data aggregation to per-entity triples (map-side
+    * partials), then three window passes over the |entities| relation.
+    * The three ntiles share one global sort partition — at 100 TB
+    * entity counts, swap ntile for percent_rank-bucketing over a
+    * range-partitioned sort, or score within a grouping key; this form
+    * is the single-tenant report.
+    */
+  def rfmSegments(events: DataFrame, idCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ent = events
+      .filter(col(idCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(idCol).as("entity"))
+      .agg(max(col(tsCol)).as("_rfm_last"),
+        count(lit(1)).as("freq"),
+        sum(floor(col(valueCol) * 100).cast("long")).as("monetary_cents"))
+    val mx = ent.agg(max(col("_rfm_last")).as("_rfm_max"))
+    val w = (o: Seq[org.apache.spark.sql.Column]) =>
+      ntile(5).over(Window.orderBy(o: _*)).cast("long")
+    ent.crossJoin(broadcast(mx))
+      .withColumn("r_days",
+        datediff(col("_rfm_max").cast("date"), col("_rfm_last").cast("date"))
+          .cast("long"))
+      .withColumn("r_score",
+        w(Seq(col("r_days").desc, col("entity")))) // most stale → tile 1
+      .withColumn("f_score", w(Seq(col("freq").asc, col("entity"))))
+      .withColumn("m_score", w(Seq(col("monetary_cents").asc, col("entity"))))
+      .select(col("entity"), col("r_days"), col("freq"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"))
+  }
 }

@@ -1601,6 +1601,105 @@ object Regression {
         col("p_micro")): _*)
   }
 
+  /** Split-conformal calibration per group — the distribution-free
+    * prediction-band primitive (Vovk; Angelopoulos–Bates '21): hold out
+    * a seeded calibration half, take its ⌈(n_cal+1)·cov⌉-th smallest
+    * nonconformity score as the threshold q̂, and report the EMPIRICAL
+    * coverage of `score ≤ q̂` on the other half — the "is my model's
+    * uncertainty honest?" audit for LLM scoring/abstention pipelines.
+    *
+    * Deterministic end-to-end: the split is a seeded md5 bit (content
+    * hash, not RNG — the CorpusAssembly discipline), scores quantize to
+    * 10⁻⁴, q̂ is an ORDER STATISTIC (value multiset-determined — no
+    * interpolation), k = ⌈(n+1)·covPct/100⌉ in exact integers, and
+    * coverage is one integral micro division. k > n_cal (tiny groups)
+    * means the conformal quantile is +∞: NULL q̂, coverage 10⁶.
+    *
+    * Output: `(group…, n_cal, n_eval, k, qhat_q4, coverage_micro)` —
+    * q̂ in 10⁻⁴ score units.
+    *
+    * Scale: one group shuffle for the calibration rank window; the
+    * |groups|-row q̂ relation broadcasts back onto the eval half. For
+    * honest conformal behavior coverage_micro ≈ covPct·10⁴ — drift
+    * below it flags score distribution shift between the halves.
+    */
+  def conformalCalibration(df: DataFrame, groupCols: Seq[String],
+      idCol: String, scoreCol: String, covPct: Int = 90,
+      seed: String = "conf"): DataFrame = {
+    require(groupCols.nonEmpty, "conformalCalibration needs group columns")
+    require(covPct > 0 && covPct < 100, "covPct must be in (0, 100)")
+    val g = groupCols.map(col)
+    val rows = df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .select(g ++ Seq(col(idCol).as("_cc_id"),
+        floor(col(scoreCol) * 10000).cast("long").as("_cc_s"),
+        (conv(substring(md5(concat(lit(seed + ":"),
+          col(idCol).cast("string"))), 1, 4), 16, 10).cast("long") % 2 === 0L)
+          .as("_cc_cal")): _*)
+    val cal = rows.filter(col("_cc_cal"))
+      .withColumn("_cc_rn", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col("_cc_s"), col("_cc_id"))))
+      .withColumn("_cc_nc", count(lit(1)).over(Window.partitionBy(g: _*)))
+      .withColumn("_cc_k",
+        expr(s"((_cc_nc + 1) * $covPct + 99) div 100"))
+    val qhat = cal.groupBy(g: _*).agg(
+      max(col("_cc_nc")).as("n_cal"), max(col("_cc_k")).as("k"),
+      max(when(col("_cc_rn") === col("_cc_k"), col("_cc_s"))).as("qhat_q4"))
+    val ev = rows.filter(!col("_cc_cal"))
+    ev.join(broadcast(qhat), groupCols)
+      .groupBy(g: _*)
+      .agg(max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_eval"), max(col("k")).as("k"),
+        max(col("qhat_q4")).as("qhat_q4"),
+        sum(when(col("_cc_s") <= col("qhat_q4"), 1L).otherwise(0L))
+          .as("_cc_cov"))
+      .select(g ++ Seq(col("n_cal"), col("n_eval"), col("k"),
+        col("qhat_q4"),
+        when(col("qhat_q4").isNull, lit(1000000L))
+          .otherwise(expr("(_cc_cov * 1000000) div n_eval"))
+          .as("coverage_micro")): _*)
+  }
+
+  /** Minimum detectable effect per group — the experiment-design
+    * companion to [[welchTTest]]/[[cuped]]: with this metric's variance
+    * and n subjects PER ARM, the smallest true lift a two-sided
+    * α = 0.05 test detects with 80% power,
+    *
+    *   MDE = (z₀.₉₇₅ + z₀.₈₀)·√(2σ²/n)
+    *
+    * Variance comes from the exact cleared-denominator moments on
+    * cents-quantized values (`(n·Σy² − (Σy)²) div n²`, the
+    * mergeableStats identity); the z-sum is the micro-pinned constant
+    * 2 801 585 (1 959 964 + 841 621 — definitional, no inverse-CDF call
+    * on either engine), and the output is one fixed IEEE
+    * multiply + sqrt, floored to MICRO-CENTS. Groups with n ≤ 1 or zero
+    * variance report NULL.
+    *
+    * Output: `(group…, n, var_cents2, mde_microcents)`.
+    *
+    * Scale: a pure partial-aggregable groupBy — the [[linearTrend]]
+    * shape, one shuffle of |groups| moment rows at any corpus width.
+    */
+  def minDetectableEffect(df: DataFrame, groupCols: Seq[String],
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "minDetectableEffect needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val agg = df.filter(col(yCol).isNotNull)
+      .select(g :+ floor(col(yCol) * 100).cast("long").as("_md_c"): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_md_c").cast(dec)).as("_md_s"),
+        sum((col("_md_c").cast(dec) * col("_md_c")).cast(dec)).as("_md_ss"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val v = expr(s"(n * _md_ss - _md_s * _md_s) div (cast(n as $dec) * n)")
+    agg
+      .withColumn("var_cents2", v)
+      .select(g ++ Seq(col("n"), col("var_cents2"),
+        when(col("n") > 1L && col("var_cents2") > 0L,
+          floor(lit(2801585.0) * sqrt(lit(2.0) * d(col("var_cents2")) /
+            d(col("n")))).cast("long")).as("mde_microcents")): _*)
+  }
+
   /** Grouped decile lift table — the "is the model's top decile actually
     * converting?" report that turns a score column into the classic
     * gains chart ([[rocAuc]] tells you ranking skill; this tells you

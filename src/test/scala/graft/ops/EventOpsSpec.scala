@@ -294,4 +294,28 @@ class EventOpsSpec extends SparkSpec {
     assert(r1.getLong(r1.fieldIndex("acf_micro")) == acfRef(xs, 1))
     assert(r1.getLong(r1.fieldIndex("acf_micro")) == -937500L)
   }
+
+  test("rfmSegments: exact triples, recency anchored to the corpus max, " +
+      "worst-first quintiles put the best entity in tile 5") {
+    import java.sql.Timestamp
+    // user i: one event on day i of Jan 2024, value i → user 10 is the
+    // most recent, most valuable; ties on freq break by entity id
+    val df = (1 to 10).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-$i%02d 12:00:00"), i * 1.0))
+      .toDF("u", "ts", "v")
+    val out = EventOps.rfmSegments(df, "u", "ts", "v")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getLong(out(10L).fieldIndex("r_days")) == 0L)
+    assert(out(1L).getLong(out(1L).fieldIndex("r_days")) == 9L)
+    assert(out(10L).getLong(out(10L).fieldIndex("monetary_cents")) == 1000L)
+    assert(out(10L).getLong(out(10L).fieldIndex("r_score")) == 5L)
+    assert(out(10L).getLong(out(10L).fieldIndex("m_score")) == 5L)
+    assert(out(1L).getLong(out(1L).fieldIndex("r_score")) == 1L)
+    assert(out(1L).getLong(out(1L).fieldIndex("m_score")) == 1L)
+    // all-equal frequency: the quintile is decided purely by the id
+    // tie-break — entities 1,2 → tile 1, …, 9,10 → tile 5
+    assert(out(1L).getLong(out(1L).fieldIndex("f_score")) == 1L)
+    assert(out(10L).getLong(out(10L).fieldIndex("f_score")) == 5L)
+    assert(out(5L).getLong(out(5L).fieldIndex("f_score")) == 3L)
+  }
 }

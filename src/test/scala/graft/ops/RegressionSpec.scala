@@ -718,6 +718,59 @@ class RegressionSpec extends SparkSpec {
     assert(far.getLong(far.fieldIndex("ap_micro")) == 0L)
   }
 
+  test("conformalCalibration: q̂ is the independently recomputed order " +
+      "statistic; halves partition the rows") {
+    // independent replica of the seeded split (md5 first 16 bits, % 2)
+    def isCal(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"conf:$id".getBytes("UTF-8"))
+      val h16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      h16 % 2 == 0
+    }
+    val scores = (1L to 200L).map(i => ("g", i, (i * 7 % 101).toDouble))
+    val out = Regression.conformalCalibration(
+      scores.toDF("grp", "id", "score"), Seq("grp"), "id", "score",
+      covPct = 90, seed = "conf").collect().head
+    val cal = scores.filter(r => isCal(r._2)).map(r => (r._3 * 10000).toLong)
+      .sorted
+    val ev = scores.filterNot(r => isCal(r._2))
+      .map(r => (r._3 * 10000).toLong)
+    assert(out.getLong(out.fieldIndex("n_cal")) == cal.length)
+    assert(out.getLong(out.fieldIndex("n_eval")) == ev.length)
+    val k = ((cal.length + 1) * 90 + 99) / 100
+    assert(out.getLong(out.fieldIndex("k")) == k)
+    val qhat = cal(k.toInt - 1)
+    assert(out.getLong(out.fieldIndex("qhat_q4")) == qhat)
+    val cov = ev.count(_ <= qhat) * 1000000L / ev.length
+    assert(out.getLong(out.fieldIndex("coverage_micro")) == cov)
+  }
+
+  test("conformalCalibration: a tiny calibration half means q̂ = ∞ " +
+      "(NULL, full coverage)") {
+    // 2 rows: whichever lands in cal has k = ⌈3·0.9⌉ = 3 > 1 → NULL q̂
+    val d = Seq(("g", 1L, 5.0), ("g", 2L, 7.0), ("g", 4L, 6.0))
+      .toDF("grp", "id", "score")
+    val rows = Regression.conformalCalibration(d, Seq("grp"), "id",
+      "score", covPct = 90).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(r.fieldIndex("qhat_q4")))
+        assert(r.getLong(r.fieldIndex("coverage_micro")) == 1000000L)
+    }
+  }
+
+  test("minDetectableEffect: hand variance and the pinned z-sum; " +
+      "degenerate groups NULL") {
+    // {0, 2}: var = 10000 cents², MDE = ⌊2801585·√(2·10⁴/2)⌋ = 2801585·100
+    val d = Seq(("g", 0.0), ("g", 2.0), ("flat", 3.0), ("flat", 3.0))
+      .toDF("grp", "y")
+    val out = Regression.minDetectableEffect(d, Seq("grp"), "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getLong(out("g").fieldIndex("var_cents2")) == 10000L)
+    assert(out("g").getLong(out("g").fieldIndex("mde_microcents")) ==
+      280158500L)
+    assert(out("flat").isNullAt(out("flat").fieldIndex("mde_microcents")))
+  }
+
   test("liftDeciles: concentrated conversions produce the classic curve") {
     // 10 users, scores 10..1, conversions at score-ranks 1,2,5; 5 tiles
     // of 2 → rates 10⁶, 0, 5·10⁵, 0, 0; cumulative lift ends at 10⁶
