@@ -5485,6 +5485,144 @@ object OracleSql {
     // — the pageRank unrolled-CTE discipline.
     "q_bradley_terry" -> bradleyTerrySql,
 
+    // N-gram novelty: distinct 3-gram shingles (the dedup replica),
+    // ref set from src0, left-semi match counting, one micro division.
+    "q_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, source,
+         |    str_split(${norm("text")}, ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |sh AS (
+         |  SELECT doc, source, list_distinct(CASE WHEN len(t) >= 3
+         |    THEN [array_to_string(t[i:i+2], ' ')
+         |      FOR i IN generate_series(1, len(t) - 2)]
+         |    ELSE [array_to_string(t, ' ')] END) AS shs
+         |  FROM toks),
+         |ex AS (SELECT doc, source, unnest(shs) AS g FROM sh),
+         |ref AS (SELECT DISTINCT g FROM ex WHERE source = 'src0'),
+         |tgt AS (SELECT doc, g FROM ex WHERE source <> 'src0'),
+         |sizes AS (
+         |  SELECT doc, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM tgt GROUP BY 1),
+         |mt AS (
+         |  SELECT t.doc, CAST(count(*) AS BIGINT) AS m
+         |  FROM tgt t JOIN ref r ON t.g = r.g GROUP BY 1)
+         |SELECT s.doc, s.n_grams,
+         |  s.n_grams - coalesce(m, 0) AS n_novel,
+         |  CAST(((s.n_grams - coalesce(m, 0)) * 1000000) // s.n_grams
+         |    AS BIGINT) AS novelty_micro
+         |FROM sizes s LEFT JOIN mt ON s.doc = mt.doc
+         |ORDER BY s.doc""".stripMargin,
+
+    // Subclassified ATE: covariate-quintile strata (total-order ntile),
+    // exact per-arm micro means, size-weighted integral average.
+    "q_subclass_ate" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id AS id, (user_id % 2 = 0) AS t,
+        |    CAST(day(ts) AS BIGINT) AS x,
+        |    CAST(floor(value * 10000) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |st AS (
+        |  SELECT event_type, t, y,
+        |    ntile(5) OVER (PARTITION BY event_type ORDER BY x, id) AS s
+        |  FROM r),
+        |cells AS (
+        |  SELECT event_type, s,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    sum(CASE WHEN t THEN CAST(y AS HUGEINT) ELSE 0 END) AS sty,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    sum(CASE WHEN NOT t THEN CAST(y AS HUGEINT) ELSE 0 END) AS scy
+        |  FROM st GROUP BY 1, 2),
+        |v AS (
+        |  SELECT event_type, nt + nc AS ns,
+        |    CASE WHEN nt > 0 AND nc > 0 THEN
+        |      (sty * 1000000) // CAST(nt AS HUGEINT)
+        |        - (scy * 1000000) // CAST(nc AS HUGEINT)
+        |    END AS diff
+        |  FROM cells)
+        |SELECT event_type, CAST(sum(ns) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN diff IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_strata_used,
+        |  CASE WHEN sum(CASE WHEN diff IS NOT NULL THEN ns ELSE 0 END) > 0
+        |    THEN CAST(sum(CASE WHEN diff IS NOT NULL
+        |        THEN CAST(ns AS HUGEINT) * diff ELSE 0 END)
+        |      // CAST(sum(CASE WHEN diff IS NOT NULL THEN ns ELSE 0 END)
+        |        AS HUGEINT) AS BIGINT)
+        |  END AS ate_micro
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Centroid cosine: counts cancel, so the statistic runs on exact
+    // per-(label, dim) integer sum vectors; one IEEE division per pair.
+    "q_centroid_sim" ->
+      """WITH qz AS (
+        |  SELECT vec_id AS id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |e AS (
+        |  SELECT id, label, unnest(generate_series(1, len(v))) AS i,
+        |    unnest(v) AS q
+        |  FROM qz),
+        |s AS (
+        |  SELECT label, i, sum(CAST(q AS HUGEINT)) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |cnt AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n FROM qz GROUP BY 1),
+        |nr AS (SELECT label, sum(sv * sv) AS n2 FROM s GROUP BY 1),
+        |d AS (
+        |  SELECT a.label AS la, b.label AS lb, sum(a.sv * b.sv) AS dot
+        |  FROM s a JOIN s b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT CAST(la AS BIGINT) AS label_a, CAST(lb AS BIGINT) AS label_b,
+        |  na.n AS n_a, nb.n AS n_b,
+        |  CASE WHEN ra.n2 > 0 AND rb.n2 > 0 THEN
+        |    CAST(floor(CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(ra.n2 AS DOUBLE)) * sqrt(CAST(rb.n2 AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT)
+        |  END AS cos_micro
+        |FROM d JOIN cnt na ON la = na.label JOIN cnt nb ON lb = nb.label
+        |  JOIN nr ra ON la = ra.label JOIN nr rb ON lb = rb.label
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Centroid outliers: n²d² = n²Σx² − 2nΣxs + Σs² exact per vector;
+    // far flag vs 4× the label's integral-division mean.
+    "q_centroid_outliers" ->
+      """WITH qz AS (
+        |  SELECT vec_id AS id, label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+        |    AND vec_id IS NOT NULL),
+        |e AS (
+        |  SELECT id, label, unnest(generate_series(1, len(v))) AS i,
+        |    unnest(v) AS q
+        |  FROM qz),
+        |aa AS (
+        |  SELECT id, label, sum(CAST(q AS HUGEINT) * q) AS a2
+        |  FROM e GROUP BY 1, 2),
+        |s AS (
+        |  SELECT label, i, sum(CAST(q AS HUGEINT)) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT label, sum(sv * sv) AS cc FROM s GROUP BY 1),
+        |n AS (
+        |  SELECT label, CAST(count(*) AS HUGEINT) AS n FROM qz GROUP BY 1),
+        |b AS (
+        |  SELECT e.id, e.label, sum(CAST(e.q AS HUGEINT) * s.sv) AS bb
+        |  FROM e JOIN s ON e.label = s.label AND e.i = s.i
+        |  GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT aa.id, aa.label,
+        |    n.n * n.n * aa.a2 - 2 * n.n * b.bb + c.cc AS d2
+        |  FROM aa JOIN b ON aa.id = b.id AND aa.label = b.label
+        |  JOIN c ON aa.label = c.label JOIN n ON aa.label = n.label),
+        |m AS (SELECT label, sum(d2) // count(*) AS mean FROM d2 GROUP BY 1)
+        |SELECT d2.id, CAST(d2.label AS BIGINT) AS label,
+        |  CAST(d2.d2 AS BIGINT) AS dist2n2,
+        |  d2.d2 > 4 * m.mean AS is_far
+        |FROM d2 JOIN m ON d2.label = m.label ORDER BY d2.id""".stripMargin,
+
     // Split-conformal: seeded-md5 halves, order-statistic q̂ at
     // k = ⌈(n+1)·90/100⌉, one integral coverage division.
     "q_conformal" ->

@@ -3450,6 +3450,49 @@ object SparkEntry {
     TextAnalysis.zipfFit(t(s, dir, "documents"), Seq("lang"), "text")
       .orderBy(col("lang"))
 
+  /** N-gram novelty of every non-src0 document against the src0
+    * reference corpus — distinct-shingle left-semi counting. Fully
+    * hash-oracled.
+    */
+  private def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.ngramNovelty(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc"))
+  }
+
+  /** Subclassified treatment effect of the even-user "arm" on event
+    * value, stratified on day-of-month quintiles per type. Fully
+    * hash-oracled.
+    */
+  private def qSubclassAte(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.subclassifiedAte(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("treated", col("user_id") % 2 === 0)
+          .withColumn("dom", dayofmonth(col("ts"))),
+        Seq("event_type"), "event_id", "treated", "dom", "value",
+        nStrata = 5)
+      .orderBy(col("event_type"))
+
+  /** Pairwise cosine similarity of per-label embedding centroids —
+    * exact integer sum vectors (counts cancel in the cosine). Fully
+    * hash-oracled.
+    */
+  private def qCentroidSim(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidSimilarity(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      .orderBy(col("label_a"), col("label_b"))
+
+  /** Per-vector exact n²·d² distance to the label centroid with a
+    * cleared-denominator far-point flag. Fully hash-oracled.
+    */
+  private def qCentroidOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      .orderBy(col("id"))
+
   /** Split-conformal calibration of event values per type — seeded-md5
     * halves, order-statistic q̂ at 90% target coverage. Fully
     * hash-oracled.
@@ -3782,6 +3825,10 @@ object SparkEntry {
     "q_conformal" -> (qConformal _),
     "q_rfm" -> (qRfm _),
     "q_mde" -> (qMde _),
+    "q_centroid_sim" -> (qCentroidSim _),
+    "q_centroid_outliers" -> (qCentroidOutliers _),
+    "q_novelty" -> (qNovelty _),
+    "q_subclass_ate" -> (qSubclassAte _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1601,6 +1601,68 @@ object Regression {
         col("p_micro")): _*)
   }
 
+  /** Subclassification (stratified-adjustment) treatment-effect estimate
+    * per group — the causal companion to [[diffInDiff]]/[[cuped]] when
+    * the confounder is OBSERVED: stratify on the covariate, difference
+    * the arms within each stratum, and size-weight the per-stratum
+    * differences (Cochran '68 — five strata remove ~90% of the bias of
+    * the crude comparison):
+    *
+    *   ATE = Σ_s n_s · (ȳ_T,s − ȳ_C,s) / Σ_s n_s     (valid strata only)
+    *
+    * Strata are `ntile(nStrata)` over a TOTAL order (covariate, id —
+    * the liftDeciles rule); each arm mean is an exact integral micro
+    * division of decimal sums over 10⁻⁴-quantized y; the weighted
+    * average is one more integral division. Strata missing an arm are
+    * excluded (and counted out of the denominator). Groups with no
+    * valid stratum report NULL.
+    *
+    * Output: `(group…, n, n_strata_used, ate_micro)`.
+    *
+    * Scale: one group shuffle for the ntile window, then a strictly
+    * reducing (group, stratum) aggregation; the ATE arithmetic runs on
+    * the ≤nStrata cell relation.
+    */
+  def subclassifiedAte(df: DataFrame, groupCols: Seq[String], idCol: String,
+      armCol: String, xCol: String, yCol: String,
+      nStrata: Int = 5): DataFrame = {
+    require(groupCols.nonEmpty, "subclassifiedAte needs group columns")
+    require(nStrata > 0, "subclassifiedAte needs positive nStrata")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val rows = df.filter(col(yCol).isNotNull && col(armCol).isNotNull &&
+        col(xCol).isNotNull)
+      .select(g ++ Seq(col(idCol).as("_sa_id"), col(armCol).as("_sa_t"),
+        col(xCol).cast("long").as("_sa_x"),
+        floor(col(yCol) * 10000).cast("long").as("_sa_y")): _*)
+    val strat = rows.withColumn("_sa_s",
+      ntile(nStrata).over(Window.partitionBy(g: _*)
+        .orderBy(col("_sa_x"), col("_sa_id"))).cast("long"))
+    val cells = strat.groupBy(g :+ col("_sa_s"): _*).agg(
+      sum(when(col("_sa_t"), 1L).otherwise(0L)).as("_sa_nt"),
+      sum(when(col("_sa_t"), col("_sa_y")).otherwise(lit(0L)).cast(dec))
+        .as("_sa_st"),
+      sum(when(!col("_sa_t"), 1L).otherwise(0L)).as("_sa_nc"),
+      sum(when(!col("_sa_t"), col("_sa_y")).otherwise(lit(0L)).cast(dec))
+        .as("_sa_sc"))
+    val valid = col("_sa_nt") > 0L && col("_sa_nc") > 0L
+    val diff = expr("(_sa_st * 1000000) div cast(_sa_nt as decimal(38,0))") -
+      expr("(_sa_sc * 1000000) div cast(_sa_nc as decimal(38,0))")
+    cells
+      .withColumn("_sa_diff", when(valid, diff))
+      .groupBy(g: _*)
+      .agg(sum(col("_sa_nt") + col("_sa_nc")).as("n"),
+        sum(when(valid, 1L).otherwise(0L)).as("n_strata_used"),
+        sum(when(valid, (col("_sa_nt") + col("_sa_nc")).cast(dec) *
+          col("_sa_diff")).otherwise(lit(0L).cast(dec))).as("_sa_w"),
+        sum(when(valid, col("_sa_nt") + col("_sa_nc")).otherwise(0L))
+          .as("_sa_nu"))
+      .select(g ++ Seq(col("n"), col("n_strata_used"),
+        when(col("_sa_nu") > 0L,
+          expr(s"_sa_w div cast(_sa_nu as $dec)").cast("long"))
+          .as("ate_micro")): _*)
+  }
+
   /** Split-conformal calibration per group — the distribution-free
     * prediction-band primitive (Vovk; Angelopoulos–Bates '21): hold out
     * a seeded calibration half, take its ⌈(n_cal+1)·cov⌉-th smallest

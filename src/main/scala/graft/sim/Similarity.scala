@@ -1190,4 +1190,115 @@ object Similarity {
       .select(col("id"), col("cid").as("cell"), col("ccos").as("centroid_cos"),
         col("component"), (col("id") === col("rep_id")).as("keep"))
   }
+
+  /** Pairwise cosine similarity between per-label embedding centroids —
+    * "are these two classes/languages/clusters semantically close?"
+    * (mixture design, label-confusion screening, cluster merging). The
+    * count cancels in the cosine — cos(s_a/n_a, s_b/n_b) = cos(s_a, s_b)
+    * — so the whole statistic runs on the exact per-(label, dim)
+    * integer SUM relation: dot and norms are exact decimals, and each
+    * pair is ONE fixed IEEE division, micro-floored. Degenerate
+    * centroids (all-zero sum vector) report NULL.
+    *
+    * Output: one row per unordered label pair `(label_a < label_b)`:
+    * `(label_a, label_b, n_a, n_b, cos_micro)`.
+    *
+    * Scale: the data pass is one posexplode → (label, dim) hash
+    * aggregation (map-side partials — |labels|·dim cells out, corpus
+    * size irrelevant); the pair join runs on that cell relation,
+    * |labels|²·dim tuples — broadcast-scale for any real label set.
+    */
+  def centroidSimilarity(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val qz = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("long").as("label"),
+        quantize(col(vecCol)).as("_cs_v"))
+    val dims = qz.select(col("label"),
+      posexplode(col("_cs_v")).as(Seq("dim", "q")))
+    val sums = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q").cast(dec)).as("_cs_s"))
+      .persist() // feeds the norm agg AND both sides of the pair join
+    val counts = qz.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val norms = sums.groupBy(col("label"))
+      .agg(sum((col("_cs_s") * col("_cs_s")).cast(dec)).as("_cs_n2"))
+    val a = sums.select(col("label").as("la"), col("dim"),
+      col("_cs_s").as("sa"))
+    val b = sums.select(col("label").as("lb"), col("dim").as("_cs_d2"),
+      col("_cs_s").as("sb"))
+    val dot = a.join(b, col("dim") === col("_cs_d2") && col("la") < col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum((col("sa") * col("sb")).cast(dec)).as("_cs_dot"))
+    dot
+      .join(broadcast(counts.select(col("label").as("la"), col("n").as("n_a"))),
+        Seq("la"))
+      .join(broadcast(counts.select(col("label").as("lb"), col("n").as("n_b"))),
+        Seq("lb"))
+      .join(broadcast(norms.select(col("label").as("la"),
+        col("_cs_n2").as("_cs_na"))), Seq("la"))
+      .join(broadcast(norms.select(col("label").as("lb"),
+        col("_cs_n2").as("_cs_nb"))), Seq("lb"))
+      .select(col("la").as("label_a"), col("lb").as("label_b"),
+        col("n_a"), col("n_b"),
+        when(col("_cs_na") > 0L && col("_cs_nb") > 0L,
+          floor(col("_cs_dot").cast("double") /
+            (sqrt(col("_cs_na").cast("double")) *
+              sqrt(col("_cs_nb").cast("double"))) * 1000000.0).cast("long"))
+          .as("cos_micro"))
+  }
+
+  /** Per-vector distance to its label centroid with an exact
+    * cleared-denominator flag — the embedding-space mislabeling/outlier
+    * screen (poisoned samples, encoder drift, wrong-language vectors):
+    *
+    *   n²·d²(x, s/n) = n²·Σx² − 2n·Σx·s + Σs²       (exact integers)
+    *
+    * so every vector's squared centroid distance is an exact long in
+    * n²-scaled quanta² — comparable WITHIN a label without any float.
+    * `is_far` flags vectors whose n²d² exceeds `factor ×` the label
+    * mean (mean as one integral division — deterministic, no
+    * percentile state).
+    *
+    * Output: `(id, label, dist2n2, is_far)`.
+    *
+    * Scale: Σx² is a per-row codegen dot (no explode); the cross term
+    * joins the exploded vector against the |labels|·dim broadcast sum
+    * relation; the flag join broadcasts |labels| means. One corpus
+    * pass + one explode pass, no pairwise stage anywhere.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, factor: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val qz = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(labelCol).cast("long").as("label"),
+        quantize(col(vecCol)).as("_co_v"))
+      .withColumn("_co_a", graft.GraftFunctions.dotI64(col("_co_v"),
+        col("_co_v")))
+    val dims = qz.select(col("id"), col("label"),
+      posexplode(col("_co_v")).as(Seq("dim", "q")))
+    val sums = dims.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q").cast(dec)).as("_co_s"))
+      .persist() // feeds C and the per-vector cross term
+    val cByLabel = sums.groupBy(col("label"))
+      .agg(sum((col("_co_s") * col("_co_s")).cast(dec)).as("_co_c"))
+    val nByLabel = qz.groupBy(col("label")).agg(count(lit(1)).as("_co_n"))
+    val cross = dims.join(broadcast(sums), Seq("label", "dim"))
+      .groupBy(col("id"), col("label"))
+      .agg(sum((col("q") * col("_co_s")).cast(dec)).as("_co_b"))
+    val d2 = qz.select(col("id"), col("label"), col("_co_a"))
+      .join(cross, Seq("id", "label"))
+      .join(broadcast(cByLabel), Seq("label"))
+      .join(broadcast(nByLabel), Seq("label"))
+      .select(col("id"), col("label"),
+        expr(s"cast(cast(_co_n as $dec) * _co_n * _co_a " +
+          "- 2 * _co_n * _co_b + _co_c as decimal(38,0))").as("_co_d2"))
+    val means = d2.groupBy(col("label"))
+      .agg(expr(s"sum(_co_d2) div count(1)").as("_co_mean"))
+    d2.join(broadcast(means), Seq("label"))
+      .select(col("id"), col("label"),
+        col("_co_d2").cast("long").as("dist2n2"),
+        (col("_co_d2") > lit(factor).cast(dec) * col("_co_mean"))
+          .as("is_far"))
+  }
 }

@@ -901,6 +901,47 @@ object TextAnalysis {
     matched.groupBy(col("doc")).agg(count(lit(1)).as("hits"))
   }
 
+  /** Per-document n-gram novelty against a reference corpus — "how much
+    * of this document is NEW text?" — the graded companion to the
+    * binary contamination/decontamination pair (those flag ANY overlap
+    * with a benchmark; this measures the novel fraction against any
+    * standing corpus — dedup-pressure forecasting for an incremental
+    * crawl, TEMPLATE detection when novelty ≈ 0, memorization screening
+    * of generated data against its training source):
+    *
+    *   novelty = |shingles(doc) \\ shingles(ref)| / |shingles(doc)|
+    *
+    * Distinct word n-gram shingles on both sides (the dedup family's
+    * shingle expression), counted by one left-semi equi-join — exact
+    * integers, one integral micro division. Short docs collapse to the
+    * whole-text shingle (the shingles contract), so every non-null doc
+    * reports.
+    *
+    * Output: `(doc, n_grams, n_novel, novelty_micro)`.
+    *
+    * Scale: the shingle equi-join is the q_contamination shape —
+    * broadcast the reference's distinct-shingle relation when it fits,
+    * shuffle-join otherwise; never pairwise. Reference distinctness is
+    * one hash aggregation with map-side partials.
+    */
+  def ngramNovelty(target: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val tg = target.filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        explode(graft.dedup.Dedup.shingles(col(textCol), n)).as("g"))
+    val refs = reference.filter(col(textCol).isNotNull)
+      .select(explode(graft.dedup.Dedup.shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val sizes = tg.groupBy(col("doc")).agg(count(lit(1)).as("n_grams"))
+    val matched = tg.join(refs, Seq("g"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("_nn_m"))
+    sizes.join(matched, Seq("doc"), "left")
+      .withColumn("n_novel",
+        col("n_grams") - coalesce(col("_nn_m"), lit(0L)))
+      .select(col("doc"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_grams").as("novelty_micro"))
+  }
+
   /** Zipf rank–frequency fit per group — "is this corpus slice natural
     * language?" The token rank–frequency law (freq ∝ rank^s, s ≈ −1)
     * holds for organic text and breaks for boilerplate, spam and

@@ -718,6 +718,33 @@ class RegressionSpec extends SparkSpec {
     assert(far.getLong(far.fieldIndex("ap_micro")) == 0L)
   }
 
+  test("subclassifiedAte: size-weighted within-stratum differences, " +
+      "hand ATE") {
+    // two strata of 4 (x-ntile): s1 diff = 11 − 1 = 10, s2 diff = 20 − 0
+    // → ATE = (4·10 + 4·20)/8 = 15 y-units = 15·10¹⁰ micro-quanta
+    val d = Seq(
+      ("g", 1L, true, 1L, 10.0), ("g", 2L, true, 2L, 12.0),
+      ("g", 3L, false, 3L, 0.0), ("g", 4L, false, 4L, 2.0),
+      ("g", 5L, true, 5L, 20.0), ("g", 6L, false, 6L, 0.0),
+      ("g", 7L, false, 7L, 0.0), ("g", 8L, false, 8L, 0.0))
+      .toDF("grp", "id", "t", "x", "y")
+    val r = Regression.subclassifiedAte(d, Seq("grp"), "id", "t", "x", "y",
+      nStrata = 2).collect().head
+    assert(r.getLong(r.fieldIndex("n")) == 8L)
+    assert(r.getLong(r.fieldIndex("n_strata_used")) == 2L)
+    assert(r.getLong(r.fieldIndex("ate_micro")) == 150000000000L)
+  }
+
+  test("subclassifiedAte: strata missing an arm are excluded; one-arm " +
+      "groups report NULL") {
+    val d = Seq(("g", 1L, true, 1L, 5.0), ("g", 2L, true, 2L, 7.0))
+      .toDF("grp", "id", "t", "x", "y")
+    val r = Regression.subclassifiedAte(d, Seq("grp"), "id", "t", "x", "y",
+      nStrata = 2).collect().head
+    assert(r.getLong(r.fieldIndex("n_strata_used")) == 0L)
+    assert(r.isNullAt(r.fieldIndex("ate_micro")))
+  }
+
   test("conformalCalibration: q̂ is the independently recomputed order " +
       "statistic; halves partition the rows") {
     // independent replica of the seeded split (md5 first 16 bits, % 2)

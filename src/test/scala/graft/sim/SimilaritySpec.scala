@@ -463,4 +463,38 @@ class SimilaritySpec extends SparkSpec {
         s"dim $i: ${v(i) / 1e6} vs ${v0(i)}")
     }
   }
+
+  test("centroidSimilarity: counts cancel — orthogonal, diagonal, and opposite centroids") {
+    import spark.implicits._
+    // l0 = two copies of (1,0); l1 = two of (0,1); l2 = (1,0)+(0,1);
+    // l3 = two of (-1,0); l9 = a zero vector (degenerate centroid)
+    val df = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(0f, 1f), 1),
+      (5L, Seq(1f, 0f), 2), (6L, Seq(0f, 1f), 2),
+      (7L, Seq(-1f, 0f), 3), (8L, Seq(-1f, 0f), 3),
+      (9L, Seq(0f, 0f), 9)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidSimilarity(df, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out((0L, 1L)).getLong(4) == 0L)
+    assert(out((0L, 2L)).getLong(4) == 707106L) // cos 45 deg, floored
+    assert(out((0L, 3L)).getLong(4) == -1000000L)
+    assert(out((0L, 9L)).isNullAt(4)) // zero centroid -> NULL
+    assert(out((0L, 1L)).getLong(2) == 2L && out((0L, 1L)).getLong(3) == 2L)
+  }
+
+  test("centroidOutliers: hand n2d2 values; only the genuinely far point flags") {
+    import spark.implicits._
+    // six zero vectors + (14,0): n=7, s=14000 quanta; zeros read 1.96e8,
+    // the outlier 36*1.96e8; mean = 1.176e9 so only the outlier exceeds 4x
+    val df = ((1 to 6).map(i => (i.toLong, Seq(0f, 0f), 0)) :+
+      ((7L, Seq(14f, 0f), 0))).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(out(1L).fieldIndex("dist2n2")) == 196000000L)
+    assert(out(7L).getLong(out(7L).fieldIndex("dist2n2")) == 7056000000L)
+    assert(out(7L).getBoolean(out(7L).fieldIndex("is_far")))
+    assert((1 to 6).forall(i => !out(i.toLong).getBoolean(
+      out(i.toLong).fieldIndex("is_far"))))
+  }
 }

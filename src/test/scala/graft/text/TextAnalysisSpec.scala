@@ -449,6 +449,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert((1 to 9).forall(i => z.getLong(i) == 0L))
   }
 
+  test("ngramNovelty: exact novel fractions incl. whole-text collapse " +
+      "for short docs") {
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val tgt = Seq(
+      (1L, "a b c d"), // both shingles known → 0
+      (2L, "x y z w"), // both novel → 10⁶
+      (3L, "a b c x"), // "a b c" known, "b c x" novel → ½
+      (4L, "hi")) // short: whole-text shingle, novel → 10⁶
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(tgt, ref, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(3) == 0L && out(1L).getLong(1) == 2L)
+    assert(out(2L).getLong(3) == 1000000L)
+    assert(out(3L).getLong(3) == 500000L && out(3L).getLong(2) == 1L)
+    assert(out(4L).getLong(3) == 1000000L && out(4L).getLong(1) == 1L)
+  }
+
   test("zipfFit: a 2:1 frequency pair is exactly slope −10⁶; flat " +
       "frequencies are slope 0; one type is NULL") {
     // freqs {2,1}: points (0, ln2) and (ln2, 0) in micro-nats → the
