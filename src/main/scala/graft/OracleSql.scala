@@ -5726,7 +5726,7 @@ object OracleSql {
          |  UNION SELECT b AS src, a AS dst FROM pairs),
          |it0 AS MATERIALIZED (
          |  SELECT DISTINCT a AS probe, a AS node, 0 AS depth FROM pairs
-         |  WHERE a % 400 = 0),
+         |  WHERE a % 1600 = 0),
          |$iter
          |SELECT CAST(probe AS BIGINT) AS probe,
          |  CAST(count(*) AS BIGINT) AS reached,

@@ -3521,7 +3521,7 @@ object SparkEntry {
         t(s, dir, "events"), Seq("event_type"), "value")
       .orderBy(col("event_type"))
 
-  /** Bounded-radius harmonic centrality of every 200th part through the
+  /** Bounded-radius harmonic centrality of every 800th part through the
     * supply graph (4-hop balls, exact reciprocal-distance sums) — fully
     * hash-oracled against DuckDB's unrolled BFS replica.
     */
@@ -3530,7 +3530,7 @@ object SparkEntry {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
     val probes = pairs.select(col("a").as("node"))
-      .filter(pmod(col("node"), lit(400L)) === 0L).distinct()
+      .filter(pmod(col("node"), lit(1600L)) === 0L).distinct()
     graft.graph.GraphOps.harmonicCentrality(edges, probes, rounds = 4,
         dedupEdges = false)
       .orderBy(col("probe"))

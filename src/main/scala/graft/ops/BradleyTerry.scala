@@ -77,6 +77,11 @@ object BradleyTerry {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
+      // Each step CHECKPOINTS π' before the normalizer reads it: the
+      // Σπ' broadcast makes π' appear TWICE in the plan, and a lazy
+      // chain doubles the whole subtree per iteration (2^iters blowup —
+      // a span-4 lazy chain measured 50 s where the eager form runs the
+      // 8 iterations in tiny per-step jobs).
       def step(r: DataFrame): DataFrame = {
         val ra = r.select(col("item").as("_ra_i"), col("r").as("_ra_r"))
         val rb = r.select(col("item").as("_rb_i"), col("r").as("_rb_r"))
@@ -94,6 +99,7 @@ object BradleyTerry {
             // sane scales) but ANSI integral division fails loudly on it
             expr(s"(cast(wins as $dec) * 1000000000000) div " +
               "greatest(_bt_d, 1L)").as("_bt_p"))
+          .localCheckpoint(true)
         val s = pr.agg(sum(col("_bt_p").cast(dec)).as("_bt_s"))
         pr.crossJoin(broadcast(s))
           .select(col("item"), when(col("_bt_s") > 0L,
@@ -104,13 +110,10 @@ object BradleyTerry {
         .localCheckpoint(true)
       var i = 0
       while (i < iters) {
-        val span = math.min(2, iters - i)
-        var plan = r
-        for (_ <- 1 to span) plan = step(plan)
-        val next = plan.localCheckpoint(true)
+        val next = step(r).localCheckpoint(true)
         r.unpersist(blocking = false)
         r = next
-        i += span
+        i += 1
       }
       val out = stats.join(r, Seq("item"))
         .select(col("item"), col("wins"), col("n_matches"),
