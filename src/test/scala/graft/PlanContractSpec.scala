@@ -522,4 +522,36 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(lang"),
       s"rank window should partition by lang:\n${p.take(2000)}")
   }
+
+  test("session-6 iterative ops (bradley-terry/harmonic) read their checkpointed relations") {
+    for (q <- Seq("q_bradley_terry", "q_harmonic")) {
+      val p = planOf(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q final plan should read the checkpointed iteration output:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), p.take(1500))
+    }
+  }
+
+  test("session-6 conformal/mde/subclass-ate: broadcast stat relations, reducing aggs, no cartesian") {
+    val pc = planOf("q_conformal")
+    assert(pc.contains("BroadcastHashJoin"),
+      s"q̂ relation must broadcast:\n${pc.take(2000)}")
+    assert(!pc.contains("CartesianProduct"), pc.take(1500))
+    val pm = planOf("q_mde")
+    assert(!pm.contains("Join") && !pm.contains("Window"),
+      s"mde must be agg-only:\n${pm.take(1500)}")
+    val ps = planOf("q_subclass_ate")
+    assert(!ps.contains("Join"), ps.take(1500))
+    assert(ps.contains("hashpartitioning(event_type"),
+      s"strata window should partition by event_type:\n${ps.take(2000)}")
+  }
+
+  test("session-6 centroid/novelty: keyed joins only, small sides broadcast") {
+    for (q <- Seq("q_centroid_sim", "q_centroid_outliers", "q_novelty")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q should broadcast its small side:\n${p.take(2000)}")
+    }
+  }
 }
