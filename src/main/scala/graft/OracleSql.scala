@@ -5485,6 +5485,60 @@ object OracleSql {
     // — the pageRank unrolled-CTE discipline.
     "q_bradley_terry" -> bradleyTerrySql,
 
+    // Mutual information: the charEntropy count identity on micro-nat
+    // qln terms — N·MI = Σn_xy·qln − Σn_x·qln − Σn_y·qln + N·qln(N).
+    "q_mutual_info" ->
+      """WITH r AS (
+        |  SELECT user_id % 2 AS cohort, event_type AS x,
+        |    dayofweek(ts) + 1 AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT cohort, x, y, CAST(count(*) AS BIGINT) AS n
+        |  FROM r GROUP BY 1, 2, 3),
+        |joint AS (
+        |  SELECT cohort,
+        |    sum(CAST(n AS HUGEINT)
+        |      * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)) AS txy,
+        |    CAST(sum(n) AS BIGINT) AS nn
+        |  FROM cells GROUP BY 1),
+        |mx AS (
+        |  SELECT cohort, x, CAST(sum(n) AS BIGINT) AS nx
+        |  FROM cells GROUP BY 1, 2),
+        |tx AS (
+        |  SELECT cohort, sum(CAST(nx AS HUGEINT)
+        |    * CAST(round(ln(CAST(nx AS DOUBLE)) * 1e6) AS BIGINT)) AS tx
+        |  FROM mx GROUP BY 1),
+        |my AS (
+        |  SELECT cohort, y, CAST(sum(n) AS BIGINT) AS ny
+        |  FROM cells GROUP BY 1, 2),
+        |ty AS (
+        |  SELECT cohort, sum(CAST(ny AS HUGEINT)
+        |    * CAST(round(ln(CAST(ny AS DOUBLE)) * 1e6) AS BIGINT)) AS ty
+        |  FROM my GROUP BY 1),
+        |f AS (
+        |  SELECT j.cohort, nn,
+        |    txy - tx.tx - ty.ty + CAST(nn AS HUGEINT)
+        |      * CAST(round(ln(CAST(nn AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS minum,
+        |    CAST(nn AS HUGEINT)
+        |      * CAST(round(ln(CAST(nn AS DOUBLE)) * 1e6) AS BIGINT)
+        |      - tx.tx AS hxn,
+        |    CAST(nn AS HUGEINT)
+        |      * CAST(round(ln(CAST(nn AS DOUBLE)) * 1e6) AS BIGINT)
+        |      - ty.ty AS hyn
+        |  FROM joint j JOIN tx ON j.cohort = tx.cohort
+        |  JOIN ty ON j.cohort = ty.cohort)
+        |SELECT cohort, nn AS n,
+        |  CAST(minum // CAST(nn AS HUGEINT) AS BIGINT) AS mi_micro,
+        |  CAST(hxn // CAST(nn AS HUGEINT) AS BIGINT) AS h_x_micro,
+        |  CAST(hyn // CAST(nn AS HUGEINT) AS BIGINT) AS h_y_micro,
+        |  CASE WHEN least(hxn, hyn) > 0 THEN
+        |    CAST((minum * 1000000) // least(hxn, hyn) AS BIGINT)
+        |  END AS nmi_micro
+        |FROM f ORDER BY cohort""".stripMargin,
+
     // N-gram novelty: distinct 3-gram shingles (the dedup replica),
     // ref set from src0, left-semi match counting, one micro division.
     "q_novelty" ->

@@ -3450,6 +3450,19 @@ object SparkEntry {
     TextAnalysis.zipfFit(t(s, dir, "documents"), Seq("lang"), "text")
       .orderBy(col("lang"))
 
+  /** Mutual information between event type and day-of-week per user
+    * cohort — exact micro-nat count identity, NMI against the smaller
+    * marginal entropy. Fully hash-oracled.
+    */
+  private def qMutualInfo(s: SparkSession, dir: String): DataFrame =
+    sketch.Profiler.mutualInformation(
+        t(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+          .withColumn("dow", dayofweek(col("ts"))),
+        Seq("cohort"), "event_type", "dow")
+      .orderBy(col("cohort"))
+
   /** N-gram novelty of every non-src0 document against the src0
     * reference corpus — distinct-shingle left-semi counting. Fully
     * hash-oracled.
@@ -3829,6 +3842,7 @@ object SparkEntry {
     "q_centroid_outliers" -> (qCentroidOutliers _),
     "q_novelty" -> (qNovelty _),
     "q_subclass_ate" -> (qSubclassAte _),
+    "q_mutual_info" -> (qMutualInfo _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -270,4 +270,74 @@ object Profiler {
           (col("n_violating") === 0L).as("fd_holds"))
     }.reduce(_ unionAll _)
   }
+
+  /** Grouped mutual information between two categorical columns — the
+    * GRADED dependence profile that [[fdCheck]]'s boolean and
+    * chi-square's any-difference test bracket: 0 = independent, and MI
+    * normalized by the smaller marginal entropy (NMI) = 1 when one
+    * column determines the other. The feature-selection / redundancy
+    * screen ("does source tell you anything about lang?").
+    *
+    * Everything reduces to the charEntropy count identity on exact
+    * micro-nat terms (`qln = round(ln·10⁶)`, exact long/decimal sums):
+    *
+    *   N·MI = Σ n_xy·qln(n_xy) − Σ n_x·qln(n_x) − Σ n_y·qln(n_y)
+    *          + N·qln(N)
+    *   N·H(X) = N·qln(N) − Σ n_x·qln(n_x)       (ditto H(Y))
+    *   NMI    = N·MI·10⁶ div min(N·H(X), N·H(Y))
+    *
+    * — every reported value is one integral division of exact decimals
+    * (truncation toward zero pins both engines; rounding can leave MI a
+    * few micro-nats below 0 on exactly independent data — definitional,
+    * like every micro quantum here). Degenerate groups (a constant
+    * column → min entropy 0) report NULL nmi.
+    *
+    * Output: `(group…, n, mi_micro, h_x_micro, h_y_micro, nmi_micro)`.
+    *
+    * Scale: ONE full-data hash aggregation onto (group, x, y) cells
+    * with map-side partials; margins and every term re-aggregate the
+    * cell relation (|X|·|Y| rows per group), and the three term
+    * relations join back on the group key alone — broadcast-scale.
+    */
+  def mutualInformation(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "mutualInformation needs group columns")
+    val g = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    def qln(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(g ++ Seq(col(xCol).as("_mi_x"), col(yCol).as("_mi_y")): _*)
+      .groupBy(g ++ Seq(col("_mi_x"), col("_mi_y")): _*)
+      .agg(count(lit(1)).as("_mi_n"))
+      .persist() // feeds the joint term and both margins
+    val joint = cells.groupBy(g: _*)
+      .agg(sum((col("_mi_n").cast(dec) * qln(col("_mi_n"))).cast(dec))
+        .as("_mi_txy"),
+        sum(col("_mi_n")).as("n"))
+    val tx = cells.groupBy(g :+ col("_mi_x"): _*)
+      .agg(sum(col("_mi_n")).as("_mi_nx"))
+      .groupBy(g: _*)
+      .agg(sum((col("_mi_nx").cast(dec) * qln(col("_mi_nx"))).cast(dec))
+        .as("_mi_tx"))
+    val ty = cells.groupBy(g :+ col("_mi_y"): _*)
+      .agg(sum(col("_mi_n")).as("_mi_ny"))
+      .groupBy(g: _*)
+      .agg(sum((col("_mi_ny").cast(dec) * qln(col("_mi_ny"))).cast(dec))
+        .as("_mi_ty"))
+    val tn = col("n").cast(dec) * qln(col("n"))
+    joint.join(broadcast(tx), groupCols).join(broadcast(ty), groupCols)
+      .withColumn("_mi_tn", tn)
+      .withColumn("_mi_nmi_num",
+        col("_mi_txy") - col("_mi_tx") - col("_mi_ty") + col("_mi_tn"))
+      .withColumn("_mi_hx_n", col("_mi_tn") - col("_mi_tx"))
+      .withColumn("_mi_hy_n", col("_mi_tn") - col("_mi_ty"))
+      .select(g ++ Seq(col("n"),
+        expr(s"_mi_nmi_num div cast(n as $dec)").as("mi_micro"),
+        expr(s"_mi_hx_n div cast(n as $dec)").as("h_x_micro"),
+        expr(s"_mi_hy_n div cast(n as $dec)").as("h_y_micro"),
+        when(least(col("_mi_hx_n"), col("_mi_hy_n")) > 0L,
+          expr("(_mi_nmi_num * 1000000) div " +
+            "least(_mi_hx_n, _mi_hy_n)").cast("long")).as("nmi_micro")): _*)
+  }
 }
