@@ -5485,6 +5485,72 @@ object OracleSql {
     // — the pageRank unrolled-CTE discipline.
     "q_bradley_terry" -> bradleyTerrySql,
 
+    // Neyman allocation: micro-floored σ BEFORE the weight products
+    // (quantize-then-sum), exact integral budget split.
+    "q_neyman" ->
+      """WITH r AS (
+        |  SELECT event_type AS stratum,
+        |    CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |agg AS (
+        |  SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT)) AS s,
+        |    sum(CAST(c AS HUGEINT) * c) AS ss
+        |  FROM r GROUP BY 1),
+        |v AS (
+        |  SELECT stratum, n,
+        |    (n * ss - s * s) // (CAST(n AS HUGEINT) * n) AS var
+        |  FROM agg),
+        |sg AS (
+        |  SELECT stratum, n,
+        |    CASE WHEN n > 1 AND var > 0
+        |      THEN CAST(floor(sqrt(CAST(var AS DOUBLE)) * 1000000.0)
+        |        AS BIGINT)
+        |      ELSE 0 END AS sigma_microcents
+        |  FROM v),
+        |w AS (
+        |  SELECT *, CAST(n AS HUGEINT) * sigma_microcents AS wt FROM sg),
+        |t AS (SELECT sum(wt) AS tw FROM w)
+        |SELECT stratum, n, sigma_microcents,
+        |  CASE WHEN tw > 0 THEN CAST((10000 * wt) // tw AS BIGINT)
+        |    ELSE 0 END AS alloc
+        |FROM w, t ORDER BY stratum""".stripMargin,
+
+    // Operating point: descending-threshold cumulative cells (the
+    // prCurve shape), min-threshold election at target precision.
+    "q_operating_point" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(floor(value * 10000) AS BIGINT) AS thr,
+        |    CASE WHEN (user_id + event_id) % 5 < 2 THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |cells AS (
+        |  SELECT event_type, thr, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS p
+        |  FROM r GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, thr,
+        |    sum(p) OVER (PARTITION BY event_type ORDER BY thr DESC
+        |      ROWS UNBOUNDED PRECEDING) AS ctp,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY thr DESC
+        |      ROWS UNBOUNDED PRECEDING) AS cn,
+        |    sum(p) OVER (PARTITION BY event_type) AS tp
+        |  FROM cells),
+        |q AS (
+        |  SELECT event_type, thr, ctp, cn - ctp AS fp,
+        |    (ctp * 1000000) // cn AS prec,
+        |    CASE WHEN tp > 0 THEN (ctp * 1000000) // tp END AS recall,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY thr) AS rn
+        |  FROM sc WHERE (ctp * 1000000) // cn >= 500000 AND tp > 0)
+        |SELECT g.event_type, q.thr AS thr_q4, CAST(q.ctp AS BIGINT) AS tp,
+        |  CAST(q.fp AS BIGINT) AS fp, CAST(q.prec AS BIGINT) AS prec_micro,
+        |  CAST(q.recall AS BIGINT) AS recall_micro
+        |FROM (SELECT DISTINCT event_type FROM cells) g
+        |LEFT JOIN q ON g.event_type = q.event_type AND q.rn = 1
+        |ORDER BY g.event_type""".stripMargin,
+
     // Mutual information: the charEntropy count identity on micro-nat
     // qln terms — N·MI = Σn_xy·qln − Σn_x·qln − Σn_y·qln + N·qln(N).
     "q_mutual_info" ->

@@ -3450,6 +3450,28 @@ object SparkEntry {
     TextAnalysis.zipfFit(t(s, dir, "documents"), Seq("lang"), "text")
       .orderBy(col("lang"))
 
+  /** Neyman-optimal labeling-budget allocation across event types —
+    * micro-floored σ, exact integer weights and allocation. Fully
+    * hash-oracled.
+    */
+  private def qNeyman(s: SparkSession, dir: String): DataFrame =
+    CorpusAssembly.neymanAllocation(
+        t(s, dir, "events"), "event_type", "value", k = 10000L)
+      .orderBy(col("stratum"))
+
+  /** Max-recall threshold at ≥50% precision per event type — the
+    * decision step after the PR curve, exact cell arithmetic. Fully
+    * hash-oracled.
+    */
+  private def qOperatingPoint(s: SparkSession, dir: String): DataFrame =
+    ops.Regression.operatingPoint(
+        t(s, dir, "events").filter(col("user_id").isNotNull)
+          .withColumn("lbl",
+            pmod(col("user_id") + col("event_id"), lit(5L)) < 2L),
+        Seq("event_type"), "lbl", "value",
+        targetPrecisionMicro = 500000L)
+      .orderBy(col("event_type"))
+
   /** Mutual information between event type and day-of-week per user
     * cohort — exact micro-nat count identity, NMI against the smaller
     * marginal entropy. Fully hash-oracled.
@@ -3843,6 +3865,8 @@ object SparkEntry {
     "q_novelty" -> (qNovelty _),
     "q_subclass_ate" -> (qSubclassAte _),
     "q_mutual_info" -> (qMutualInfo _),
+    "q_neyman" -> (qNeyman _),
+    "q_operating_point" -> (qOperatingPoint _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

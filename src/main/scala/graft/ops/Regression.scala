@@ -1601,6 +1601,60 @@ object Regression {
         col("p_micro")): _*)
   }
 
+  /** Operating-point selection per group — "what threshold do I ship?"
+    * — the decision step after [[prCurve]]: among all score cutoffs
+    * whose cumulative precision meets the target, pick the LOWEST (=
+    * maximum recall at acceptable precision). Scanning thresholds
+    * descending, predicting positive at `score ≥ t`:
+    *
+    *   prec(t) = cumTP/cumN,  recall(t) = cumTP/P
+    *
+    * Scores quantize to 10⁻⁴ (the prCurve convention), cumulative
+    * counts are exact window sums over the DISTINCT-score cell
+    * relation, precision/recall are integral micro divisions, and the
+    * winner is a min(struct) election keyed by threshold — every group
+    * reports (NULL operating point when no cutoff reaches the target).
+    *
+    * Output: `(group…, thr_q4, tp, fp, prec_micro, recall_micro)`.
+    *
+    * Scale: one group shuffle shared by the score-cell aggregation and
+    * the cumulative window (the prCurve shape — windows never see raw
+    * rows); the election is a plain aggregation.
+    */
+  def operatingPoint(df: DataFrame, groupCols: Seq[String],
+      labelCol: String, scoreCol: String,
+      targetPrecisionMicro: Long = 800000L): DataFrame = {
+    require(groupCols.nonEmpty, "operatingPoint needs group columns")
+    val g = groupCols.map(col)
+    val cells = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(g ++ Seq(floor(col(scoreCol) * 10000).cast("long").as("thr_q4"),
+        when(col(labelCol), 1L).otherwise(0L).as("_op_y")): _*)
+      .groupBy(g :+ col("thr_q4"): _*)
+      .agg(count(lit(1)).as("_op_n"), sum(col("_op_y")).as("_op_p"))
+    val desc = Window.partitionBy(g: _*).orderBy(col("thr_q4").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(g: _*)
+    val scored = cells
+      .withColumn("_op_ctp", sum(col("_op_p")).over(desc))
+      .withColumn("_op_cn", sum(col("_op_n")).over(desc))
+      .withColumn("_op_tp", sum(col("_op_p")).over(all))
+      .withColumn("prec_micro", expr("(_op_ctp * 1000000) div _op_cn"))
+      .withColumn("recall_micro", when(col("_op_tp") > 0L,
+        expr("(_op_ctp * 1000000) div _op_tp")))
+    val elect = scored.filter(col("prec_micro") >= targetPrecisionMicro &&
+        col("_op_tp") > 0L)
+      .groupBy(g: _*)
+      .agg(min(struct(col("thr_q4"), (col("_op_ctp")).as("tp"),
+        (col("_op_cn") - col("_op_ctp")).as("fp"),
+        col("prec_micro"), col("recall_micro"))).as("_op_e"))
+    val groups = cells.select(g: _*).distinct()
+    groups.join(elect, groupCols, "left")
+      .select(g ++ Seq(col("_op_e.thr_q4").as("thr_q4"),
+        col("_op_e.tp").as("tp"), col("_op_e.fp").as("fp"),
+        col("_op_e.prec_micro").as("prec_micro"),
+        col("_op_e.recall_micro").as("recall_micro")): _*)
+  }
+
   /** Subclassification (stratified-adjustment) treatment-effect estimate
     * per group — the causal companion to [[diffInDiff]]/[[cuped]] when
     * the confounder is OBSERVED: stratify on the covariate, difference

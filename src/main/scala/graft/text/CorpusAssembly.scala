@@ -800,6 +800,53 @@ object CorpusAssembly {
           .otherwise(lit(0L)).as("waste_micro"))
   }
 
+  /** Neyman-optimal sampling allocation across strata — "given a budget
+    * of k samples, how many should each stratum contribute?" (eval-set
+    * construction, labeling-budget planning, QA sampling): the
+    * variance-minimizing allocation n_h ∝ N_h·σ_h (Neyman '34), which
+    * beats proportional allocation exactly when strata differ in
+    * spread.
+    *
+    * Deterministic: σ_h comes from the exact cleared-denominator
+    * variance on cents-quantized values, then is micro-FLOORED before
+    * any multiplication (quantize-then-sum — a float Σ N_h·σ_h would be
+    * order-dependent); weights and the final `k·w_h div Σw` allocation
+    * are exact integer arithmetic. Zero-variance or singleton strata
+    * get weight 0 (they need 1 sample for a mean, not a spread —
+    * callers top up; floors also mean Σ alloc ≤ k, the usual
+    * largest-remainder top-up being a display concern).
+    *
+    * Output: `(stratum, n, sigma_microcents, alloc)`.
+    *
+    * Scale: one partial-aggregable moment pass onto |strata| rows; the
+    * weight normalization is a single-row broadcast.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+      k: Long): DataFrame = {
+    require(k > 0, "neymanAllocation needs a positive budget")
+    val dec = "decimal(38,0)"
+    val agg = df.filter(col(valueCol).isNotNull && col(strataCol).isNotNull)
+      .select(col(strataCol).as("stratum"),
+        floor(col(valueCol) * 100).cast("long").as("_na_c"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_na_c").cast(dec)).as("_na_s"),
+        sum((col("_na_c").cast(dec) * col("_na_c")).cast(dec)).as("_na_ss"))
+      .withColumn("_na_var",
+        expr(s"(n * _na_ss - _na_s * _na_s) div (cast(n as $dec) * n)"))
+      .withColumn("sigma_microcents", when(col("n") > 1L && col("_na_var") > 0L,
+        floor(sqrt(col("_na_var").cast("double")) * 1000000.0).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("_na_w",
+        col("n").cast(dec) * col("sigma_microcents"))
+    val tot = agg.agg(sum(col("_na_w")).as("_na_tw"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n"), col("sigma_microcents"),
+        when(col("_na_tw") > 0L,
+          expr(s"(${k}L * _na_w) div _na_tw").cast("long"))
+          .otherwise(lit(0L)).as("alloc"))
+  }
+
   /** Fill-in-middle (FIM) training transform — rewrite each document into
     * the PSM form `<PRE>prefix<SUF>suffix<MID>middle` so an
     * autoregressive model learns infilling (Bavarian et al. '22, "FIM").

@@ -718,6 +718,26 @@ class RegressionSpec extends SparkSpec {
     assert(far.getLong(far.fieldIndex("ap_micro")) == 0L)
   }
 
+  test("operatingPoint: lowest threshold meeting target precision wins; " +
+      "no-positive groups report NULL") {
+    // desc scan: prec(≥4)=1, prec(≥3)=1/2, prec(≥2)=2/3, prec(≥1)=1/2
+    // → at target 0.6 the qualifying thresholds are 4 and 2; pick 2
+    val d = Seq(("g", 4.0, true), ("g", 3.0, false), ("g", 2.0, true),
+      ("g", 1.0, false), ("z", 5.0, false), ("z", 6.0, false))
+      .toDF("grp", "score", "lbl")
+    val out = Regression.operatingPoint(d, Seq("grp"), "lbl", "score",
+        targetPrecisionMicro = 600000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getLong(g.fieldIndex("thr_q4")) == 20000L)
+    assert(g.getLong(g.fieldIndex("tp")) == 2L)
+    assert(g.getLong(g.fieldIndex("fp")) == 1L)
+    assert(g.getLong(g.fieldIndex("prec_micro")) == 666666L)
+    assert(g.getLong(g.fieldIndex("recall_micro")) == 1000000L)
+    val z = out("z")
+    assert(z.isNullAt(z.fieldIndex("thr_q4")))
+  }
+
   test("subclassifiedAte: size-weighted within-stratum differences, " +
       "hand ATE") {
     // two strata of 4 (x-ntile): s1 diff = 11 − 1 = 10, s2 diff = 20 − 0

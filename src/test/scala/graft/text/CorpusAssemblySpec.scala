@@ -513,6 +513,23 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(moved != again)
   }
 
+  test("neymanAllocation: budget splits on N·σ; flat strata get zero") {
+    // A: σ = 100 cents → w = 2e8; B: σ = 200 → w = 4e8; C flat → 0
+    // k = 300 → 100 / 200 / 0
+    val df = Seq(("A", 0.0), ("A", 2.0), ("B", 0.0), ("B", 4.0),
+      ("C", 5.0), ("C", 5.0)).toDF("s", "v")
+    val out = CorpusAssembly.neymanAllocation(df, "s", "v", k = 300L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getLong(out("A").fieldIndex("sigma_microcents")) ==
+      100000000L)
+    assert(out("B").getLong(out("B").fieldIndex("sigma_microcents")) ==
+      200000000L)
+    assert(out("C").getLong(out("C").fieldIndex("sigma_microcents")) == 0L)
+    assert(out("A").getLong(out("A").fieldIndex("alloc")) == 100L)
+    assert(out("B").getLong(out("B").fieldIndex("alloc")) == 200L)
+    assert(out("C").getLong(out("C").fieldIndex("alloc")) == 0L)
+  }
+
   test("fimSplit: short docs pass through as pure prefix with NULL cuts") {
     val docs = Seq((1L, "tiny doc"), (2L, "x" * 40)).toDF("doc_id", "text")
     val out = CorpusAssembly.fimSplit(docs, "doc_id", "text", "fim", 32)
