@@ -796,6 +796,11 @@ object GraphOps {
       // half-step: push `fromCol` mass along (joinKey → outKey), L1-normalize
       def half(scores: DataFrame, edgeRel: DataFrame, joinKey: String,
           outKey: String, fromCol: String, outCol: String): DataFrame = {
+        // The Σ broadcast re-references `raw`, but unlike bradleyTerry
+        // the duplicated subtree re-reads the PERSISTED pre-partitioned
+        // edge caches, so an eager checkpoint here buys nothing
+        // (measured: 13.7 s either way at sf0.1) — the cost is the
+        // inherent 12 half-step joins, left lazy for simplicity.
         val raw = scores
           .join(edgeRel, col("node") === col(joinKey))
           .groupBy(col(outKey).as("_h_n"))
