@@ -5485,6 +5485,28 @@ object OracleSql {
     // — the pageRank unrolled-CTE discipline.
     "q_bradley_terry" -> bradleyTerrySql,
 
+    // Candidate keys: per-candidate strictly-reducing exact counts.
+    "q_key_candidates" -> {
+      def one(csv: String, cols: String, nonnull: String): String =
+        s"""SELECT '$csv' AS key_cols,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+           |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_nonnull,
+           |  CAST(count(*) AS BIGINT) AS n_distinct,
+           |  CAST(coalesce(max(cnt), 0) AS BIGINT) AS max_dup,
+           |  count(*) = coalesce(sum(cnt), 0) AS is_unique,
+           |  count(*) = coalesce(sum(cnt), 0) AND coalesce(sum(cnt), 0)
+           |    = (SELECT count(*) FROM orders) AS is_key
+           |FROM (SELECT $cols, count(*) AS cnt FROM orders
+           |      WHERE $nonnull GROUP BY $cols)""".stripMargin
+      Seq(
+        one("o_orderkey", "o_orderkey", "o_orderkey IS NOT NULL"),
+        one("o_custkey", "o_custkey", "o_custkey IS NOT NULL"),
+        one("o_custkey,o_orderdate", "o_custkey, o_orderdate",
+          "o_custkey IS NOT NULL AND o_orderdate IS NOT NULL"),
+        one("o_orderdate", "o_orderdate", "o_orderdate IS NOT NULL"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_cols")
+    },
+
     // Neyman allocation: micro-floored σ BEFORE the weight products
     // (quantize-then-sum), exact integral budget split.
     "q_neyman" ->

@@ -3450,6 +3450,15 @@ object SparkEntry {
     TextAnalysis.zipfFit(t(s, dir, "documents"), Seq("lang"), "text")
       .orderBy(col("lang"))
 
+  /** Candidate-key audit of the orders table — which column sets are
+    * unique keys? Exact reducing aggregations. Fully hash-oracled.
+    */
+  private def qKeyCandidates(s: SparkSession, dir: String): DataFrame =
+    sketch.Profiler.keyCandidates(t(s, dir, "orders"), Seq(
+        Seq("o_orderkey"), Seq("o_custkey"),
+        Seq("o_custkey", "o_orderdate"), Seq("o_orderdate")))
+      .orderBy(col("key_cols"))
+
   /** Neyman-optimal labeling-budget allocation across event types —
     * micro-floored σ, exact integer weights and allocation. Fully
     * hash-oracled.
@@ -3867,6 +3876,7 @@ object SparkEntry {
     "q_mutual_info" -> (qMutualInfo _),
     "q_neyman" -> (qNeyman _),
     "q_operating_point" -> (qOperatingPoint _),
+    "q_key_candidates" -> (qKeyCandidates _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

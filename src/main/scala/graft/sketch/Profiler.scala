@@ -271,6 +271,46 @@ object Profiler {
     }.reduce(_ unionAll _)
   }
 
+  /** Candidate-key audit — for each proposed column set, is it a unique
+    * key of the frame? The constraint-discovery pass that pairs with
+    * [[fdCheck]] (FDs) and [[inclusionDeps]] (INDs) to complete the
+    * classic profiling triad; run before choosing dedup keys, merge
+    * keys, or bucketing columns.
+    *
+    * Per candidate: total rows, rows with a fully non-null key,
+    * distinct key values among those, and the worst duplication factor.
+    * `is_unique` = no two non-null rows share the key; `is_key` adds
+    * the no-NULLs requirement (a primary-key candidate). Exact counts —
+    * each candidate is ONE strictly-reducing hash aggregation (the
+    * distinct state is the key's value set: run on the candidates you
+    * actually propose, not every combination; at 100 TB widths screen
+    * first with [[profileColumns]]' HLL estimates).
+    *
+    * Output: one row per candidate:
+    * `(key_cols, n_rows, n_nonnull, n_distinct, max_dup, is_unique,
+    * is_key)`.
+    */
+  def keyCandidates(df: DataFrame,
+      candidates: Seq[Seq[String]]): DataFrame = {
+    require(candidates.nonEmpty, "keyCandidates needs candidates")
+    candidates.map { cs =>
+      require(cs.nonEmpty, "empty candidate column set")
+      val nonnull = cs.map(col(_).isNotNull).reduce(_ && _)
+      val groups = df.filter(nonnull)
+        .groupBy(cs.map(col): _*).agg(count(lit(1)).as("_kc_n"))
+        .agg(count(lit(1)).as("n_distinct"),
+          coalesce(sum(col("_kc_n")), lit(0L)).as("n_nonnull"),
+          coalesce(max(col("_kc_n")), lit(0L)).as("max_dup"))
+      val total = df.agg(count(lit(1)).as("n_rows"))
+      total.crossJoin(broadcast(groups))
+        .select(lit(cs.mkString(",")).as("key_cols"), col("n_rows"),
+          col("n_nonnull"), col("n_distinct"), col("max_dup"),
+          (col("n_distinct") === col("n_nonnull")).as("is_unique"),
+          (col("n_distinct") === col("n_nonnull") &&
+            col("n_nonnull") === col("n_rows")).as("is_key"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Grouped mutual information between two categorical columns — the
     * GRADED dependence profile that [[fdCheck]]'s boolean and
     * chi-square's any-difference test bracket: 0 = independent, and MI
