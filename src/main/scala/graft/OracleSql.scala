@@ -5485,6 +5485,40 @@ object OracleSql {
     // — the pageRank unrolled-CTE discipline.
     "q_bradley_terry" -> bradleyTerrySql,
 
+    // Decomposition: centered-window integral trend, dow means of the
+    // detrended series, residual by subtraction — all truncating divs.
+    "q_decompose" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS x_cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, x_cents,
+        |    sum(x_cents) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ws,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+        |  FROM d),
+        |tt AS (
+        |  SELECT event_type, day, x_cents,
+        |    CAST(ws // wn AS BIGINT) AS trend_cents,
+        |    x_cents - ws // wn AS det,
+        |    dayofweek(day) + 1 AS dow
+        |  FROM t),
+        |s AS (
+        |  SELECT event_type, dow,
+        |    CAST(sum(CAST(det AS HUGEINT)) // CAST(count(*) AS HUGEINT)
+        |      AS BIGINT) AS seasonal_cents
+        |  FROM tt GROUP BY 1, 2)
+        |SELECT tt.event_type, tt.day, tt.x_cents, tt.trend_cents,
+        |  s.seasonal_cents,
+        |  CAST(tt.x_cents - tt.trend_cents - s.seasonal_cents AS BIGINT)
+        |    AS residual_cents
+        |FROM tt JOIN s ON tt.event_type = s.event_type AND tt.dow = s.dow
+        |ORDER BY tt.event_type, tt.day""".stripMargin,
+
     // Candidate keys: per-candidate strictly-reducing exact counts.
     "q_key_candidates" -> {
       def one(csv: String, cols: String, nonnull: String): String =

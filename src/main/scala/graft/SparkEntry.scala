@@ -3450,6 +3450,16 @@ object SparkEntry {
     TextAnalysis.zipfFit(t(s, dir, "documents"), Seq("lang"), "text")
       .orderBy(col("lang"))
 
+  /** Additive trend/seasonal/residual decomposition of each event
+    * type's daily cents series — exact integral means, centered 7-row
+    * trend. Fully hash-oracled.
+    */
+  private def qDecompose(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.decompose(
+        t(s, dir, "events"), Seq("event_type"), "ts", "value",
+        halfWindow = 3)
+      .orderBy(col("event_type"), col("day"))
+
   /** Candidate-key audit of the orders table — which column sets are
     * unique keys? Exact reducing aggregations. Fully hash-oracled.
     */
@@ -3877,6 +3887,7 @@ object SparkEntry {
     "q_neyman" -> (qNeyman _),
     "q_operating_point" -> (qOperatingPoint _),
     "q_key_candidates" -> (qKeyCandidates _),
+    "q_decompose" -> (qDecompose _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -485,6 +485,64 @@ object EventOps {
           abs(col("z_micro")) > 2000000L).as("is_spike")): _*)
   }
 
+  /** Additive seasonal-trend decomposition of a daily series — the
+    * classic-decomposition form of STL (trend by centered moving
+    * average, seasonal by day-of-week means of the detrended series,
+    * residual as what's left) — the "is this spike seasonality or an
+    * anomaly?" splitter that [[rollingZ]] and [[cusum]] assume has
+    * already happened:
+    *
+    *   trend_t    = centered (2h+1)-row mean        (integral div)
+    *   seasonal_d = mean of (x − trend) over dow d  (integral div)
+    *   residual_t = x_t − trend_t − seasonal_{dow(t)}
+    *
+    * Exact cents arithmetic end-to-end — window sums and dow sums are
+    * exact longs/decimals, each mean ONE truncating integral division
+    * (both engines truncate toward zero on the negative detrended
+    * values — the linearTrend pin). Edge rows average over the rows
+    * actually in the window (count-divided, not padded). Feed a
+    * GAP-FREE series ([[gapFill]] first if days can be missing — the
+    * row window means "7 calendar days" only when days are dense).
+    *
+    * Output: `(key…, day, x_cents, trend_cents, seasonal_cents,
+    * residual_cents)`.
+    *
+    * Scale: one hash aggregation onto (key, day) cells, one key-
+    * partitioned window pass, one ≤7-row-per-key seasonal relation
+    * broadcast back. Windows never see raw events.
+    */
+  def decompose(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, halfWindow: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "decompose needs key columns")
+    require(halfWindow >= 1, "decompose needs halfWindow >= 1")
+    val g = keyCols.map(col)
+    val dec = "decimal(38,0)"
+    val daily = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(tsCol).cast("date").as("day"): _*)
+      .agg(sum(floor(col(valueCol) * 100).cast("long")).as("x_cents"))
+    val w = Window.partitionBy(g: _*).orderBy(col("day"))
+      .rowsBetween(-halfWindow, halfWindow)
+    val t = daily
+      .withColumn("_dc_ws", sum(col("x_cents")).over(w))
+      .withColumn("_dc_wn", count(lit(1)).over(w))
+      .withColumn("trend_cents", expr("_dc_ws div _dc_wn"))
+      .withColumn("_dc_det", col("x_cents") - col("trend_cents"))
+      .withColumn("_dc_dow", dayofweek(col("day")))
+    val seas = t.groupBy(g :+ col("_dc_dow"): _*)
+      .agg(sum(col("_dc_det").cast(dec)).as("_dc_ss"),
+        count(lit(1)).as("_dc_sn"))
+      .select(g ++ Seq(col("_dc_dow"),
+        expr(s"(_dc_ss div cast(_dc_sn as $dec))").cast("long")
+          .as("seasonal_cents")): _*)
+    t.join(broadcast(seas), keyCols :+ "_dc_dow")
+      .select(g ++ Seq(col("day"), col("x_cents"), col("trend_cents"),
+        col("seasonal_cents"),
+        (col("x_cents") - col("trend_cents") - col("seasonal_cents"))
+          .as("residual_cents")): _*)
+  }
+
   /** RFM segmentation — the classic customer/entity value grid
     * (recency, frequency, monetary), each scored into quintiles with 5 =
     * best: how recently did the entity act, how often, and for how much.

@@ -295,6 +295,34 @@ class EventOpsSpec extends SparkSpec {
     assert(r1.getLong(r1.fieldIndex("acf_micro")) == -937500L)
   }
 
+  test("decompose: constant series is pure trend; a spike lands in the " +
+      "residual; reconstruction is exact by construction") {
+    import java.sql.Timestamp
+    def day(i: Int) = Timestamp.valueOf(f"2024-01-$i%02d 08:00:00")
+    val flat = (1 to 10).map(i => ("flat", day(i), 7.0))
+    val spiky = (1 to 14).map(i =>
+      ("spiky", day(i), if (i == 8) 50.0 else 7.0))
+    val out = EventOps.decompose((flat ++ spiky).toDF("k", "ts", "v"),
+      Seq("k"), "ts", "v").collect()
+    val byKey = out.groupBy(_.getString(0))
+    byKey("flat").foreach { r =>
+      assert(r.getLong(r.fieldIndex("trend_cents")) == 700L)
+      assert(r.getLong(r.fieldIndex("seasonal_cents")) == 0L)
+      assert(r.getLong(r.fieldIndex("residual_cents")) == 0L)
+    }
+    out.foreach { r => // additive identity holds exactly everywhere
+      assert(r.getLong(r.fieldIndex("x_cents")) ==
+        r.getLong(r.fieldIndex("trend_cents")) +
+          r.getLong(r.fieldIndex("seasonal_cents")) +
+          r.getLong(r.fieldIndex("residual_cents")))
+    }
+    val sp = byKey("spiky")
+      .map(r => r.getDate(r.fieldIndex("day")).toString ->
+        r.getLong(r.fieldIndex("residual_cents"))).toMap
+    assert(sp("2024-01-08") > sp.removed("2024-01-08").values.max,
+      sp.toString) // the spike dominates every other residual
+  }
+
   test("rfmSegments: exact triples, recency anchored to the corpus max, " +
       "worst-first quintiles put the best entity in tile 5") {
     import java.sql.Timestamp
