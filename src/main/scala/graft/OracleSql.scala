@@ -5485,6 +5485,53 @@ object OracleSql {
     // — the pageRank unrolled-CTE discipline.
     "q_bradley_terry" -> bradleyTerrySql,
 
+    // 3-step paths: two leads over the (user, ts, id) total order,
+    // exact counts, total-order top-k.
+    "q_paths3" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS c
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (
+        |  SELECT event_type AS step1, b AS step2, c AS step3,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE b IS NOT NULL AND c IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY n DESC, step1,
+        |    step2, step3) AS BIGINT) AS rank
+        |  FROM p)
+        |SELECT step1, step2, step3, n, rank FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // Language confusion: the q_lang_id scoring chain grouped into a
+    // declared-vs-predicted agreement matrix.
+    "q_lang_confusion" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    ${langScore("text", stopEn)} AS s_en,
+         |    ${langScore("text", stopDe)} AS s_de,
+         |    ${langScore("text", stopFr)} AS s_fr,
+         |    ${langScore("text", stopEs)} AS s_es
+         |  FROM documents),
+         |b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN best <= 0 THEN 'und'
+         |         WHEN s_en = best THEN 'en'
+         |         WHEN s_de = best THEN 'de'
+         |         WHEN s_fr = best THEN 'fr'
+         |         WHEN s_es = best THEN 'es'
+         |         ELSE 'und' END AS pred_lang
+         |  FROM b)
+         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Decomposition: centered-window integral trend, dow means of the
     // detrended series, residual by subtraction — all truncating divs.
     "q_decompose" ->

@@ -3450,6 +3450,25 @@ object SparkEntry {
     TextAnalysis.zipfFit(t(s, dir, "documents"), Seq("lang"), "text")
       .orderBy(col("lang"))
 
+  /** Top-20 3-step event paths over each user's time-ordered stream —
+    * two leads, exact counts, total-order ranking. Fully hash-oracled.
+    */
+  private def qPaths3(s: SparkSession, dir: String): DataFrame =
+    ops.EventOps.pathTrigrams(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        k = 20)
+      .orderBy(col("rank"))
+
+  /** Declared-vs-predicted language confusion counts — the langId
+    * pipeline composed into an agreement matrix. Fully hash-oracled.
+    */
+  private def qLangConfusion(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+
   /** Additive trend/seasonal/residual decomposition of each event
     * type's daily cents series — exact integral means, centered 7-row
     * trend. Fully hash-oracled.
@@ -3888,6 +3907,8 @@ object SparkEntry {
     "q_operating_point" -> (qOperatingPoint _),
     "q_key_candidates" -> (qKeyCandidates _),
     "q_decompose" -> (qDecompose _),
+    "q_paths3" -> (qPaths3 _),
+    "q_lang_confusion" -> (qLangConfusion _),
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -485,6 +485,43 @@ object EventOps {
           abs(col("z_micro")) > 2000000L).as("is_spike")): _*)
   }
 
+  /** Top-k 3-step event paths — the sequence-mining extension of
+    * [[transitionMatrix]] (2-step): which (a → b → c) journeys dominate
+    * the stream? The path-shape probe behind funnel design and
+    * session-template discovery.
+    *
+    * Per user, events order by (ts, tie) — callers pass a tie-break id
+    * so the sequence is a TOTAL order (the transitionMatrix rule) —
+    * and two `lead`s emit each length-3 window. Counts are exact; the
+    * top-k election is `row_number` over (count desc, path) — a total
+    * order, deterministic.
+    *
+    * Output: `(step1, step2, step3, n, rank)`, rank ≤ k.
+    *
+    * Scale: one user-keyed shuffle for the sequence window, a hash
+    * aggregation onto ≤|types|³ path cells, and the ranking window runs
+    * over that cell relation — global but vocabulary-sized, never
+    * event-sized.
+    */
+  def pathTrigrams(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "pathTrigrams needs positive k")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val seq = events.filter(col(userCol).isNotNull &&
+        col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("_p3_b", lead(col(typeCol), 1).over(w))
+      .withColumn("_p3_c", lead(col(typeCol), 2).over(w))
+      .filter(col("_p3_b").isNotNull && col("_p3_c").isNotNull)
+    seq.groupBy(col(typeCol).as("step1"), col("_p3_b").as("step2"),
+        col("_p3_c").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc,
+        col("step1"), col("step2"), col("step3"))).cast("long"))
+      .filter(col("rank") <= k.toLong)
+  }
+
   /** Additive seasonal-trend decomposition of a daily series — the
     * classic-decomposition form of STL (trend by centered moving
     * average, seasonal by day-of-week means of the detrended series,

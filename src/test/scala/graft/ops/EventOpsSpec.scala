@@ -295,6 +295,23 @@ class EventOpsSpec extends SparkSpec {
     assert(r1.getLong(r1.fieldIndex("acf_micro")) == -937500L)
   }
 
+  test("pathTrigrams: windows slide within a user, never across; " +
+      "count-desc then path tie-break") {
+    import java.sql.Timestamp
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-01 08:$i%02d:00")
+    // u1: a b c d → (a,b,c), (b,c,d); u2: a b c → (a,b,c)
+    val ev = Seq((1L, ts(1), "a", 1L), (1L, ts(2), "b", 2L),
+      (1L, ts(3), "c", 3L), (1L, ts(4), "d", 4L),
+      (2L, ts(1), "a", 5L), (2L, ts(2), "b", 6L), (2L, ts(3), "c", 7L))
+      .toDF("u", "ts", "t", "id")
+    val out = EventOps.pathTrigrams(ev, "u", "ts", "t", "id", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))
+        -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", "b", "c")) == ((2L, 1L)))
+    assert(out(("b", "c", "d")) == ((1L, 2L)))
+    assert(out.size == 2) // no cross-user (c,d,a)-style windows
+  }
+
   test("decompose: constant series is pure trend; a spike lands in the " +
       "residual; reconstruction is exact by construction") {
     import java.sql.Timestamp
