@@ -73,6 +73,11 @@ object Bench {
     // headline total (and failure list) must come AFTER the long per-query
     // map or a truncated capture loses them (this cost round 3 its total).
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"failed":$failed,"value":$total}""")
+    // The per-query map outgrew the driver's ~4 KB stdout tail in round 9
+    // (255 queries truncated the line's HEAD, so even trailing fields were
+    // unparseable). A compact summary line LAST always fits in the tail and
+    // parses on its own.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"value":$total}""")
     spark.stop()
   }
 }

@@ -50,38 +50,45 @@ object OracleSql {
     * (q_pca_power, q_remove_top): quantized embeddings, exact HUGEINT
     * scatter matrix, 8 unrolled fixed-point iterations ending in `v8`;
     * also exposes `e` (per-dim rows) for downstream projections.
+    *
+    * Every CTE is declared `AS MATERIALIZED`: without the hint DuckDB
+    * re-inlines each `v_k`'s whole upstream subtree (qz/e/pp/c) into
+    * every downstream reference, which is exponential in the iteration
+    * count — measured 517 s for q_remove_top at sf0.01 vs 0.3 s
+    * materialized (identical results; the hint changes evaluation
+    * order only).
     */
   private def pcaPowerCtes: String = {
     val steps = (1 to 8).map { t =>
-      s"""w$t AS (
+      s"""w$t AS MATERIALIZED (
          |  SELECT c.i, sum(c.c * v.v) AS w
          |  FROM c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
-         |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
-         |v$t AS (
+         |m$t AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$t),
+         |v$t AS MATERIALIZED (
          |  SELECT i, CASE WHEN m = 0 THEN CAST(0 AS HUGEINT)
          |    ELSE (w * 1000000 - (((w * 1000000) % m) + m) % m) // m
          |  END AS v
          |  FROM w$t, m$t)""".stripMargin
     }.mkString(",\n")
-    s"""qz AS (
+    s"""qz AS MATERIALIZED (
        |  SELECT vec_id AS id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
        |  FROM embeddings),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT id, unnest(generate_series(1, len(v))) AS i,
        |    unnest(v) AS q
        |  FROM qz),
-       |ds AS (
+       |ds AS MATERIALIZED (
        |  SELECT i, CAST(sum(q) AS HUGEINT) AS s,
        |    CAST(count(*) AS HUGEINT) AS n
        |  FROM e GROUP BY i),
-       |pp AS (
+       |pp AS MATERIALIZED (
        |  SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS p
        |  FROM e a JOIN e b ON a.id = b.id GROUP BY 1, 2),
-       |c AS (
+       |c AS MATERIALIZED (
        |  SELECT pp.i, pp.j, da.n * pp.p - da.s * db.s AS c
        |  FROM pp JOIN ds da ON pp.i = da.i JOIN ds db ON pp.j = db.i),
-       |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM ds),
+       |v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM ds),
        |$steps""".stripMargin
   }
 
@@ -3254,8 +3261,8 @@ object OracleSql {
     // cleared-denominator projection removal per (id, dim).
     "q_remove_top" ->
       s"""WITH $pcaPowerCtes,
-         |vv AS (SELECT CAST(sum(v * v) AS HUGEINT) AS vv FROM v8),
-         |qv AS (
+         |vv AS MATERIALIZED (SELECT CAST(sum(v * v) AS HUGEINT) AS vv FROM v8),
+         |qv AS MATERIALIZED (
          |  SELECT e.id, CAST(sum(CAST(e.q AS HUGEINT) * v.v) AS HUGEINT)
          |    AS qv
          |  FROM e JOIN v8 v ON e.i = v.i GROUP BY e.id)
@@ -5100,9 +5107,9 @@ object OracleSql {
         |      / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE) AS corr
         |  FROM agg)
         |SELECT cohort, n, k_arms,
-        |  CASE WHEN n > 1
+        |  CASE WHEN n > 1 AND k_arms > 1
         |    THEN CAST(floor(hv * 1000000.0) AS BIGINT) END AS h_micro,
-        |  CASE WHEN n > 1 AND corr > 0.0
+        |  CASE WHEN n > 1 AND k_arms > 1 AND corr > 0.0
         |    THEN CAST(floor(hv / corr * 1000000.0) AS BIGINT)
         |  END AS h_tie_micro
         |FROM h ORDER BY cohort""".stripMargin,
@@ -5773,7 +5780,7 @@ object OracleSql {
         |        THEN CAST(ns AS HUGEINT) * diff ELSE 0 END)
         |      // CAST(sum(CASE WHEN diff IS NOT NULL THEN ns ELSE 0 END)
         |        AS HUGEINT) AS BIGINT)
-        |  END AS ate_micro
+        |  END AS ate_micro_q4
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Centroid cosine: counts cancel, so the statistic runs on exact
@@ -5868,16 +5875,24 @@ object OracleSql {
          |    max(CASE WHEN rn = ((nc + 1) * 90 + 99) // 100 THEN s END)
          |      AS qhat_q4
          |  FROM c GROUP BY 1),
-         |e AS (SELECT event_type, s FROM r WHERE NOT cal)
-         |SELECT e.event_type, max(n_cal) AS n_cal,
-         |  CAST(count(*) AS BIGINT) AS n_eval, max(k) AS k,
-         |  max(qhat_q4) AS qhat_q4,
-         |  CASE WHEN max(qhat_q4) IS NULL THEN 1000000
-         |    ELSE CAST((sum(CASE WHEN e.s <= q.qhat_q4 THEN 1 ELSE 0 END)
-         |      * 1000000) // count(*) AS BIGINT)
+         |e AS (SELECT event_type, s FROM r WHERE NOT cal),
+         |ea AS (
+         |  SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_eval,
+         |    CAST(sum(CASE WHEN e.s <= q.qhat_q4 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cov
+         |  FROM e LEFT JOIN q ON e.event_type = q.event_type
+         |  GROUP BY 1),
+         |grp AS (SELECT DISTINCT event_type FROM r)
+         |SELECT grp.event_type, coalesce(q.n_cal, 0) AS n_cal,
+         |  coalesce(ea.n_eval, 0) AS n_eval, q.k, q.qhat_q4,
+         |  CASE WHEN coalesce(ea.n_eval, 0) = 0 THEN NULL
+         |    WHEN q.qhat_q4 IS NULL THEN 1000000
+         |    ELSE CAST((ea.cov * 1000000) // ea.n_eval AS BIGINT)
          |  END AS coverage_micro
-         |FROM e JOIN q ON e.event_type = q.event_type
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM grp
+         |LEFT JOIN q ON grp.event_type = q.event_type
+         |LEFT JOIN ea ON grp.event_type = ea.event_type
+         |ORDER BY 1""".stripMargin,
 
     // RFM: exact cents triples, corpus-max recency anchor, three
     // total-order ntiles (worst-first so tile 5 = best).

@@ -2003,8 +2003,13 @@ object SparkEntry {
 
   // ----------------------------------- rows-only queries (no SQL oracle)
 
-  /** T2 — clean_text incl. NFKC (no DuckDB NFKC → rows-only; semantics
-    * pinned by TextOpsSpec fixtures).
+  /** T2 — clean_text incl. NFKC. Hash-oracled despite DuckDB lacking
+    * NFKC: the documents corpus is verified NFKC-stable at every SF
+    * (pure ASCII lowercase + spaces — NFKC(text) == text), so the only
+    * NFKC-active characters are in the constant " ﬁ№①" suffix this
+    * query appends, whose normal form ("fi№1") the oracle hard-codes.
+    * The NFKC delta on arbitrary input stays pinned by TextOpsSpec
+    * fixtures (ligatures, circled digits, fullwidth forms).
     */
   private def qCleanText(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -3287,14 +3292,27 @@ object SparkEntry {
   }
 
   /** Misra–Gries top-20 users per event type — the bounded-memory twin
-    * of q_heavy_hitters. Partition-dependent summary (which keys
-    * survive decrements depends on arrival order) → rows-only;
-    * MisraGriesSpec pins the frequency guarantee and error interval.
+    * of q_heavy_hitters. The summary is arrival-order-dependent, so the
+    * REGISTERED query pins a deterministic order: repartition by group
+    * (each group's whole stream in one partition) + sortWithinPartitions
+    * by (group, key) — a key-sorted stream whose MG summary is a pure
+    * function of the data, independent of cluster size or core count.
+    * That makes it fully hash-oracle-able: the DuckDB oracle replays the
+    * same stream as per-key RUNS through a 150-step recursive CTE (the
+    * closed-form run update: a run of c occurrences against a full
+    * k-counter set decrements everything by min(c, min-count) and
+    * inserts the new key iff c exceeds that min). The operator itself
+    * stays order-agnostic (MisraGriesSpec pins the frequency guarantee
+    * across partitionings).
     */
-  private def qMisraGries(s: SparkSession, dir: String): DataFrame =
-    graft.sketch.Sketches.misraGries(
-        t(s, dir, "events"), "event_type", "user_id", k = 20)
+  private def qMisraGries(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("user_id"))
+    graft.sketch.Sketches.misraGries(ev, "event_type", "user_id", k = 20)
       .orderBy(col("event_type"), col("mg_rank"))
+  }
 
   /** Flesch reading ease per document — vowel-group syllables, cleared
     * to integral divisions. Fully hash-oracled.
@@ -3555,7 +3573,9 @@ object SparkEntry {
     */
   private def qCentroidSim(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidSimilarity(
-        t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        t(s, dir, "embeddings")
+          .withColumn("label", col("label").cast("long")),
+        "vec_id", "embedding", "label")
       .orderBy(col("label_a"), col("label_b"))
 
   /** Per-vector exact n²·d² distance to the label centroid with a
@@ -3563,7 +3583,9 @@ object SparkEntry {
     */
   private def qCentroidOutliers(s: SparkSession, dir: String): DataFrame =
     Similarity.centroidOutliers(
-        t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        t(s, dir, "embeddings")
+          .withColumn("label", col("label").cast("long")),
+        "vec_id", "embedding", "label")
       .orderBy(col("id"))
 
   /** Split-conformal calibration of event values per type — seeded-md5

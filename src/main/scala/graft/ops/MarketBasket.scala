@@ -72,18 +72,29 @@ object MarketBasket {
     * Ranking ties break on item id ascending — deterministic top-k.
     *
     * Scale levers, in the order they matter at 100 TB:
-    * `minSupport` prunes the pair tail (rare pairs are noise AND
-    * volume); `neighborCap` keeps each item's top-capped neighbor list
-    * (row_number over the item partition — bounds the per-user candidate
-    * explode by |owned|·cap regardless of item popularity, the standard
-    * production mitigation for hot-item skew); the final top-k is a
-    * user-partitioned window over the scored relation. Baskets dedup
-    * first (set semantics) and the basket self-join cost is
-    * Σ basket_size², as [[itemPairs]].
+    * `basketCap` bounds the quadratic pair self-join per basket —
+    * co-occurrence pairs are generated from at most `basketCap` items
+    * per basket (the RAREST items by global frequency, item-id
+    * tie-break: rare co-occurrences carry the similarity signal, while
+    * a 100k-item power-law basket is 10¹⁰ pairs in ONE reducer task
+    * without the cap — the standard production mitigation, a documented
+    * approximation that is EXACT whenever every basket holds ≤ cap
+    * items). Pair cost is therefore Σ min(basket_size, cap)², not
+    * Σ basket_size². `minSupport` prunes the pair tail (rare pairs are
+    * noise AND volume); `neighborCap` keeps each item's top-capped
+    * neighbor list (row_number over the item partition — bounds the
+    * per-user candidate explode by |owned|·cap regardless of item
+    * popularity); the final top-k is a user-partitioned window over the
+    * scored relation. Scoring and owned-item exclusion use the FULL
+    * (uncapped) ownership relation — those joins are linear per owned
+    * item, so only the quadratic stage needs the cap. Baskets dedup
+    * first (set semantics).
     */
   def recommendItems(df: DataFrame, basketCol: String, itemCol: String,
-      k: Int = 3, minSupport: Long = 2L, neighborCap: Int = 50): DataFrame = {
-    require(k >= 1 && neighborCap >= 1, "recommendItems needs k, cap >= 1")
+      k: Int = 3, minSupport: Long = 2L, neighborCap: Int = 50,
+      basketCap: Int = 1000): DataFrame = {
+    require(k >= 1 && neighborCap >= 1 && basketCap >= 2,
+      "recommendItems needs k, neighborCap >= 1 and basketCap >= 2")
     // the ownership relation feeds five plans (counts, both self-join
     // sides, scoring, exclusion) — persist or pay the source join 5×
     val items = df
@@ -92,8 +103,19 @@ object MarketBasket {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val itemCnt = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    val pairs = items.select(col("basket"), col("item").as("a"))
-      .join(items.select(col("basket"), col("item").as("b")), "basket")
+    // hot-basket mitigation: only the RAREST `basketCap` items per
+    // basket enter the quadratic self-join (rare co-occurrences carry
+    // the cosine signal; a power-law outlier basket otherwise lands
+    // size² pairs in one task). Frequencies come from the FULL
+    // ownership relation, so capping never distorts cnt_a/cnt_b.
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("basket")).orderBy(col("cnt").asc, col("item").asc)
+    val capped = items.join(itemCnt, "item")
+      .withColumn("_rc_bn", row_number().over(wb))
+      .filter(col("_rc_bn") <= basketCap)
+      .select(col("basket"), col("item"))
+    val pairs = capped.select(col("basket"), col("item").as("a"))
+      .join(capped.select(col("basket"), col("item").as("b")), "basket")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("supp"))

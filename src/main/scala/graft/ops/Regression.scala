@@ -1300,9 +1300,12 @@ object Regression {
       lit(3.0) * (d(col("n")) + 1.0)
     val corr = lit(1.0) - d(col("_kw_ties")) /
       (d(col("n").cast(dec) * col("n") * col("n") - col("n")))
+    // k_arms = 1 has no between-arm contrast — H degenerates (floor
+    // loss can even push it negative); NULL, mirroring anovaF's guard.
     agg.select(g ++ Seq(col("n"), col("k_arms"),
-      when(col("n") > 1L, floor(h * 1000000.0).cast("long")).as("h_micro"),
-      when(col("n") > 1L && corr > 0.0,
+      when(col("n") > 1L && col("k_arms") > 1L,
+        floor(h * 1000000.0).cast("long")).as("h_micro"),
+      when(col("n") > 1L && col("k_arms") > 1L && corr > 0.0,
         floor(h / corr * 1000000.0).cast("long")).as("h_tie_micro")): _*)
   }
 
@@ -1671,7 +1674,11 @@ object Regression {
     * excluded (and counted out of the denominator). Groups with no
     * valid stratum report NULL.
     *
-    * Output: `(group…, n, n_strata_used, ate_micro)`.
+    * Output: `(group…, n, n_strata_used, ate_micro_q4)`. The unit is
+    * MICRO-QUANTA: y quantizes to 10⁻⁴ y-units first, then means take
+    * a 10⁶ micro division, so `ate_micro_q4` is the ATE in 10⁻¹⁰
+    * y-units (an ATE of 15 y-units reads 15·10¹⁰) — named `_q4` to
+    * keep the repo's `*_micro` = 10⁻⁶-of-input convention honest.
     *
     * Scale: one group shuffle for the ntile window, then a strictly
     * reducing (group, stratum) aggregation; the ATE arithmetic runs on
@@ -1714,7 +1721,7 @@ object Regression {
       .select(g ++ Seq(col("n"), col("n_strata_used"),
         when(col("_sa_nu") > 0L,
           expr(s"_sa_w div cast(_sa_nu as $dec)").cast("long"))
-          .as("ate_micro")): _*)
+          .as("ate_micro_q4")): _*)
   }
 
   /** Split-conformal calibration per group — the distribution-free
@@ -1732,7 +1739,13 @@ object Regression {
     * means the conformal quantile is +∞: NULL q̂, coverage 10⁶.
     *
     * Output: `(group…, n_cal, n_eval, k, qhat_q4, coverage_micro)` —
-    * q̂ in 10⁻⁴ score units.
+    * q̂ in 10⁻⁴ score units. EVERY group appears (left-joins from the
+    * distinct group relation, the operatingPoint/pettittTest
+    * convention): a group whose seeded split leaves the calibration
+    * half empty reports n_cal 0 / NULL k and q̂ / coverage 10⁶ (the
+    * conformal quantile is +∞), and one with an empty eval half
+    * reports n_eval 0 / NULL coverage — so callers can tell "group
+    * too small to calibrate" from "group absent".
     *
     * Scale: one group shuffle for the calibration rank window; the
     * |groups|-row q̂ relation broadcasts back onto the eval half. For
@@ -1761,18 +1774,23 @@ object Regression {
       max(col("_cc_nc")).as("n_cal"), max(col("_cc_k")).as("k"),
       max(when(col("_cc_rn") === col("_cc_k"), col("_cc_s"))).as("qhat_q4"))
     val ev = rows.filter(!col("_cc_cal"))
-    ev.join(broadcast(qhat), groupCols)
+    val evAgg = ev.join(broadcast(qhat.select(g :+ col("qhat_q4"): _*)),
+        groupCols, "left")
       .groupBy(g: _*)
-      .agg(max(col("n_cal")).as("n_cal"),
-        count(lit(1)).as("n_eval"), max(col("k")).as("k"),
-        max(col("qhat_q4")).as("qhat_q4"),
+      .agg(count(lit(1)).as("n_eval"),
         sum(when(col("_cc_s") <= col("qhat_q4"), 1L).otherwise(0L))
           .as("_cc_cov"))
-      .select(g ++ Seq(col("n_cal"), col("n_eval"), col("k"),
-        col("qhat_q4"),
-        when(col("qhat_q4").isNull, lit(1000000L))
+    rows.select(g: _*).distinct()
+      .join(broadcast(qhat), groupCols, "left")
+      .join(evAgg, groupCols, "left")
+      .select(g ++ Seq(
+        coalesce(col("n_cal"), lit(0L)).as("n_cal"),
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        col("k"), col("qhat_q4"),
+        when(coalesce(col("n_eval"), lit(0L)) === 0L, lit(null))
+          .when(col("qhat_q4").isNull, lit(1000000L))
           .otherwise(expr("(_cc_cov * 1000000) div n_eval"))
-          .as("coverage_micro")): _*)
+          .cast("long").as("coverage_micro")): _*)
   }
 
   /** Minimum detectable effect per group — the experiment-design

@@ -1211,8 +1211,11 @@ object Similarity {
   def centroidSimilarity(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val dec = "decimal(38,0)"
+    // label keeps its NATIVE type — languages/classes are typically
+    // strings, and a silent cast-to-long would NULL every non-numeric
+    // label (collapsing the whole corpus into one NULL centroid).
     val qz = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull)
-      .select(col(labelCol).cast("long").as("label"),
+      .select(col(labelCol).as("label"),
         quantize(col(vecCol)).as("_cs_v"))
     val dims = qz.select(col("label"),
       posexplode(col("_cs_v")).as(Seq("dim", "q")))
@@ -1269,9 +1272,10 @@ object Similarity {
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, factor: Int = 4): DataFrame = {
     val dec = "decimal(38,0)"
+    // native-type label, as centroidSimilarity — no silent cast-to-NULL
     val qz = df.filter(col(vecCol).isNotNull && col(labelCol).isNotNull &&
         col(idCol).isNotNull)
-      .select(col(idCol).as("id"), col(labelCol).cast("long").as("label"),
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
         quantize(col(vecCol)).as("_co_v"))
       .withColumn("_co_a", graft.GraftFunctions.dotI64(col("_co_v"),
         col("_co_v")))

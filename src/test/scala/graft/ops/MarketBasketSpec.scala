@@ -117,4 +117,39 @@ class MarketBasketSpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getString(2)).toSeq
     assert(b1f == Seq("B", "C"))
   }
+
+  test("recommendItems: basketCap is exact when every basket fits under it") {
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (2L, "C"),
+      (3L, "B"), (3L, "C"), (4L, "A"), (4L, "C")).toDF("u", "i")
+    def rows(cap: Int) = MarketBasket.recommendItems(df, "u", "i", k = 5,
+        minSupport = 2L, neighborCap = 10, basketCap = cap)
+      .orderBy("basket", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // largest basket holds 3 items: any cap >= 3 must be EXACTLY the
+    // uncapped result (the documented approximation contract)
+    assert(rows(3) == rows(1000) && rows(3).nonEmpty)
+  }
+
+  test("recommendItems: basketCap keeps the rarest items of a hot basket") {
+    // basket 1 is hot: {A, B, C, D}. Global counts: A=3, B=2, C=2, D=1
+    // (rarity order D < B=C < A, id tie-break B before C). cap=2 keeps
+    // {D, B} in basket 1 — so pair (A, x) support comes only from the
+    // small baskets, and D still pairs with B.
+    val df = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"), (1L, "D"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C")).toDF("u", "i")
+    val pairsSeen = MarketBasket.recommendItems(df, "u", "i", k = 5,
+        minSupport = 1L, neighborCap = 10, basketCap = 2)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    // basket 2 owns {A, B}: with cap=2, surviving pairs are
+    // (A,B) supp1 [basket2], (A,C) supp1 [basket3], (B,D) supp1
+    // [basket1 capped to {D,B}] -> candidates for basket 2: C via A,
+    // D via B. Uncapped it would also see C via B (basket 1's B-C pair).
+    assert(pairsSeen.contains((2L, "C")) && pairsSeen.contains((2L, "D")))
+    // basket 3 owns {A, C}: candidates B via A only (C-D pair was
+    // capped away along with every basket-1 pair involving A or C)
+    assert(pairsSeen.filter(_._1 == 3L) == Set((3L, "B")))
+  }
 }

@@ -582,6 +582,19 @@ class RegressionSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("h_tie_micro")))
   }
 
+  test("kruskalWallis: a single-arm group has no contrast → NULL H " +
+      "(the anovaF guard)") {
+    // one arm, two distinct values: floor loss would otherwise report a
+    // meaningless (even negative) H for a question that can't be asked
+    val d = Seq(("g", "only", 1.0), ("g", "only", 2.0))
+      .toDF("grp", "arm", "y")
+    val r = Regression.kruskalWallis(d, Seq("grp"), "arm", "y")
+      .collect().head
+    assert(r.getLong(r.fieldIndex("k_arms")) == 1L)
+    assert(r.isNullAt(r.fieldIndex("h_micro")))
+    assert(r.isNullAt(r.fieldIndex("h_tie_micro")))
+  }
+
   test("anovaF: two clean arms give the textbook F = 13.5") {
     // A={1,2,3}, B={4,5,6}: SSB = 13.5, SSW = 4 (y² units), df 1 and 4
     // → F = (13.5/1)/(4/4) = 13.5
@@ -752,7 +765,7 @@ class RegressionSpec extends SparkSpec {
       nStrata = 2).collect().head
     assert(r.getLong(r.fieldIndex("n")) == 8L)
     assert(r.getLong(r.fieldIndex("n_strata_used")) == 2L)
-    assert(r.getLong(r.fieldIndex("ate_micro")) == 150000000000L)
+    assert(r.getLong(r.fieldIndex("ate_micro_q4")) == 150000000000L)
   }
 
   test("subclassifiedAte: strata missing an arm are excluded; one-arm " +
@@ -762,7 +775,7 @@ class RegressionSpec extends SparkSpec {
     val r = Regression.subclassifiedAte(d, Seq("grp"), "id", "t", "x", "y",
       nStrata = 2).collect().head
     assert(r.getLong(r.fieldIndex("n_strata_used")) == 0L)
-    assert(r.isNullAt(r.fieldIndex("ate_micro")))
+    assert(r.isNullAt(r.fieldIndex("ate_micro_q4")))
   }
 
   test("conformalCalibration: q̂ is the independently recomputed order " +
@@ -800,9 +813,35 @@ class RegressionSpec extends SparkSpec {
     val rows = Regression.conformalCalibration(d, Seq("grp"), "id",
       "score", covPct = 90).collect()
     rows.foreach { r =>
-      if (r.isNullAt(r.fieldIndex("qhat_q4")))
+      if (r.isNullAt(r.fieldIndex("qhat_q4")) &&
+          r.getLong(r.fieldIndex("n_eval")) > 0L)
         assert(r.getLong(r.fieldIndex("coverage_micro")) == 1000000L)
     }
+  }
+
+  test("conformalCalibration: groups with an empty half still report " +
+      "(degenerate, not absent)") {
+    // id 2 is NOT calibration under the default seed (md5('conf:2')
+    // first 16 bits are odd), id 4 IS — so "evonly" has an empty
+    // calibration half and "calonly" an empty eval half; both groups
+    // must still appear with honest zero counts.
+    val d = Seq(("evonly", 2L, 5.0), ("calonly", 4L, 6.0))
+      .toDF("grp", "id", "score")
+    val out = Regression.conformalCalibration(d, Seq("grp"), "id",
+      "score", covPct = 90).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("evonly", "calonly"))
+    val evOnly = out("evonly")
+    assert(evOnly.getLong(evOnly.fieldIndex("n_cal")) == 0L)
+    assert(evOnly.getLong(evOnly.fieldIndex("n_eval")) == 1L)
+    assert(evOnly.isNullAt(evOnly.fieldIndex("qhat_q4")))
+    // empty calibration half -> q̂ = +∞ -> full coverage
+    assert(evOnly.getLong(evOnly.fieldIndex("coverage_micro")) == 1000000L)
+    val calOnly = out("calonly")
+    assert(calOnly.getLong(calOnly.fieldIndex("n_cal")) == 1L)
+    assert(calOnly.getLong(calOnly.fieldIndex("n_eval")) == 0L)
+    // nothing to measure coverage on -> NULL, distinguishable from 0
+    assert(calOnly.isNullAt(calOnly.fieldIndex("coverage_micro")))
   }
 
   test("minDetectableEffect: hand variance and the pinned z-sum; " +

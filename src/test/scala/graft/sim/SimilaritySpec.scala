@@ -469,11 +469,11 @@ class SimilaritySpec extends SparkSpec {
     // l0 = two copies of (1,0); l1 = two of (0,1); l2 = (1,0)+(0,1);
     // l3 = two of (-1,0); l9 = a zero vector (degenerate centroid)
     val df = Seq(
-      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),
-      (3L, Seq(0f, 1f), 1), (4L, Seq(0f, 1f), 1),
-      (5L, Seq(1f, 0f), 2), (6L, Seq(0f, 1f), 2),
-      (7L, Seq(-1f, 0f), 3), (8L, Seq(-1f, 0f), 3),
-      (9L, Seq(0f, 0f), 9)).toDF("vec_id", "embedding", "label")
+      (1L, Seq(1f, 0f), 0L), (2L, Seq(1f, 0f), 0L),
+      (3L, Seq(0f, 1f), 1L), (4L, Seq(0f, 1f), 1L),
+      (5L, Seq(1f, 0f), 2L), (6L, Seq(0f, 1f), 2L),
+      (7L, Seq(-1f, 0f), 3L), (8L, Seq(-1f, 0f), 3L),
+      (9L, Seq(0f, 0f), 9L)).toDF("vec_id", "embedding", "label")
     val out = Similarity.centroidSimilarity(df, "vec_id", "embedding", "label")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
     assert(out((0L, 1L)).getLong(4) == 0L)
@@ -483,12 +483,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out((0L, 1L)).getLong(2) == 2L && out((0L, 1L)).getLong(3) == 2L)
   }
 
+  test("centroidSimilarity/centroidOutliers: string labels keep their native type") {
+    import spark.implicits._
+    // language-code labels — a silent cast-to-long would NULL them all
+    val df = Seq(
+      (1L, Seq(1f, 0f), "en"), (2L, Seq(1f, 0f), "en"),
+      (3L, Seq(0f, 1f), "ru"), (4L, Seq(0f, 1f), "ru")
+    ).toDF("vec_id", "embedding", "label")
+    val sim = Similarity.centroidSimilarity(df, "vec_id", "embedding", "label")
+      .collect()
+    assert(sim.length == 1)
+    assert(sim.head.getString(0) == "en" && sim.head.getString(1) == "ru")
+    assert(sim.head.getLong(4) == 0L) // orthogonal centroids
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "en", 3L -> "ru", 4L -> "ru"))
+  }
+
   test("centroidOutliers: hand n2d2 values; only the genuinely far point flags") {
     import spark.implicits._
     // six zero vectors + (14,0): n=7, s=14000 quanta; zeros read 1.96e8,
     // the outlier 36*1.96e8; mean = 1.176e9 so only the outlier exceeds 4x
-    val df = ((1 to 6).map(i => (i.toLong, Seq(0f, 0f), 0)) :+
-      ((7L, Seq(14f, 0f), 0))).toDF("vec_id", "embedding", "label")
+    val df = ((1 to 6).map(i => (i.toLong, Seq(0f, 0f), 0L)) :+
+      ((7L, Seq(14f, 0f), 0L))).toDF("vec_id", "embedding", "label")
     val out = Similarity.centroidOutliers(df, "vec_id", "embedding", "label")
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getLong(out(1L).fieldIndex("dist2n2")) == 196000000L)
