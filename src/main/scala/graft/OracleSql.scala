@@ -4732,6 +4732,83 @@ object OracleSql {
         |FROM r WHERE hh_rank <= 10
         |ORDER BY event_type, hh_rank""".stripMargin,
 
+    // Misra–Gries replica: the registered query pins a key-sorted,
+    // one-partition-per-group stream, so the summary is a pure function
+    // of the data. The oracle replays that stream as per-key RUNS
+    // through a recursive CTE (one step per distinct key — ~150/group):
+    // a run of c occurrences against a full k-counter set decrements
+    // every counter by min(c, m) where m is the current minimum count
+    // (zeros evicted), and inserts the new key with c−m iff c > m —
+    // the closed form of per-occurrence MG on a sorted stream.
+    "q_misra_gries" ->
+      """WITH RECURSIVE runs AS MATERIALIZED (
+        |  SELECT event_type AS g, user_id AS uk,
+        |    CAST(count(*) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY event_type ORDER BY user_id) AS BIGINT) AS rid
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |nr AS MATERIALIZED (
+        |  SELECT g, max(rid) AS mr, CAST(sum(c) AS BIGINT) AS n
+        |  FROM runs GROUP BY 1),
+        |rec AS (
+        |  SELECT g, CAST(0 AS BIGINT) AS rid,
+        |    CAST([] AS STRUCT(k BIGINT, cnt BIGINT)[]) AS st
+        |  FROM (SELECT DISTINCT g FROM runs)
+        |  UNION ALL
+        |  SELECT p.g, r.rid,
+        |    CASE
+        |      WHEN len(p.st) < 20
+        |        THEN list_append(p.st, {'k': r.uk, 'cnt': r.c})
+        |      WHEN r.c <= list_min(list_transform(p.st, s -> s.cnt)) THEN
+        |        list_transform(
+        |          list_filter(p.st, s -> s.cnt - r.c > 0),
+        |          s -> {'k': s.k, 'cnt': s.cnt - r.c})
+        |      ELSE list_append(
+        |        list_transform(
+        |          list_filter(p.st, s -> s.cnt -
+        |            list_min(list_transform(p.st, s2 -> s2.cnt)) > 0),
+        |          s -> {'k': s.k, 'cnt': s.cnt -
+        |            list_min(list_transform(p.st, s2 -> s2.cnt))}),
+        |        {'k': r.uk, 'cnt': r.c -
+        |          list_min(list_transform(p.st, s2 -> s2.cnt))})
+        |    END
+        |  FROM rec p JOIN runs r ON r.g = p.g AND r.rid = p.rid + 1),
+        |fin AS (
+        |  SELECT rec.g, unnest(rec.st) AS s
+        |  FROM rec JOIN nr ON rec.g = nr.g AND rec.rid = nr.mr),
+        |m AS (SELECT g, CAST(sum(s.cnt) AS BIGINT) AS msum
+        |  FROM fin GROUP BY 1)
+        |SELECT fin.g AS event_type, CAST(s.k AS VARCHAR) AS user_id,
+        |  CAST(row_number() OVER (PARTITION BY fin.g
+        |    ORDER BY s.cnt DESC, CAST(s.k AS VARCHAR)) AS BIGINT) AS mg_rank,
+        |  s.cnt AS est,
+        |  (nr.n - m.msum) // 21 AS err_max, nr.n AS n
+        |FROM fin JOIN nr ON fin.g = nr.g JOIN m ON fin.g = m.g
+        |QUALIFY mg_rank <= 20
+        |ORDER BY event_type, mg_rank""".stripMargin,
+
+    // clean_text replica: same op order as TextOps.cleanText (trim →
+    // newline/CR replace → whitespace collapse → normalize → char
+    // strip) over the SAME concatenated string. The corpus is verified
+    // NFKC-stable at every SF (ASCII lowercase + spaces), so NFKC only
+    // acts on the query's constant " ﬁ№①" suffix — emulated by three
+    // replace()s at the end (ﬁ→fi, №→No, ①→1 — NUMERO SIGN is a
+    // compatibility character too). NULL text short-circuits because
+    // Spark's concat(NULL, lit) is NULL → "".
+    "q_clean_text" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN ''
+         |    ELSE replace(replace(replace(
+         |      regexp_replace(regexp_replace(regexp_replace(
+         |        regexp_replace(trim(text || ' ﬁ№①'), chr(10), ' ', 'g'),
+         |        chr(13), '', 'g'), '\\s{2,}', ' ', 'g'),
+         |        '[^\\p{L}\\p{N}_\\s.,;:№\\-]', '', 'g'),
+         |      'ﬁ', 'fi'), '№', 'No'), '①', '1')
+         |  END AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     // PR curve: suffix sums over occupied bins; F1 cleared to one
     // integral division. Integer aggregates CAST to BIGINT.
     "q_pr_curve" ->
