@@ -96,6 +96,53 @@ object OracleSql {
   private def norm(c: String): String =
     s"""trim(regexp_replace(regexp_replace(lower(coalesce($c, '')), '[^\\p{L}\\p{N}_\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"""
 
+  /** Shared FNV-1a/SimHash CTE chain for the simhash family
+    * (q_dedup_simhash, q_payload_near_dup): expects a `tk(doc, tok, c)`
+    * relation upstream (token bag with multiplicities) and yields
+    * `fp(doc, f)` — the SAME 64-bit fingerprint as the engine's
+    * SimHash64 expression (FNV-1a offset basis/prime over the token's
+    * bytes; ±1 per bit position weighted by multiplicity; sign bit
+    * handled as two's complement).
+    *
+    * FNV runs per DISTINCT token (dt/hh) — the corpus vocabulary is far
+    * smaller than the token stream. The byte fold emulates 64-bit
+    * wrapping arithmetic in HUGEINT: xor touches only the low 8 bits
+    * (bytes < 256), multiply fits 104 bits, then mod 2⁶⁴. unicode(ch)
+    * == UTF-8 byte only for ASCII — valid here because the documents
+    * corpus is verified pure-ASCII at every SF (the clean_text oracle's
+    * check); empty tokens are guarded (unicode('') is -1 in DuckDB).
+    */
+  private def simhashFpCtes: String =
+    """dt AS MATERIALIZED (SELECT DISTINCT tok FROM tk),
+      |hh AS MATERIALIZED (
+      |  SELECT tok,
+      |    list_reduce(
+      |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+      |        list_transform(
+      |          list_filter(str_split(tok, ''), ch -> ch <> ''),
+      |          ch -> CAST(unicode(ch) AS HUGEINT))),
+      |      (h, b) -> ((h - (h % 256) +
+      |          CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))
+      |            AS HUGEINT))
+      |        * CAST(1099511628211 AS HUGEINT))
+      |        % CAST('18446744073709551616' AS HUGEINT)
+      |    ) AS hv
+      |  FROM dt),
+      |bits AS (
+      |  SELECT tk.doc, b.b AS bit,
+      |    sum(tk.c * CASE WHEN (hh.hv // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1
+      |      THEN 1 ELSE -1 END) AS acc
+      |  FROM tk JOIN hh ON tk.tok = hh.tok
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+      |  GROUP BY 1, 2),
+      |fp AS MATERIALIZED (
+      |  SELECT doc,
+      |    CAST(sum(CASE WHEN acc > 0 THEN
+      |      CASE WHEN bit = 63 THEN CAST('-9223372036854775808' AS HUGEINT)
+      |           ELSE (CAST(1 AS HUGEINT) << bit) END
+      |      ELSE 0 END) AS BIGINT) AS f
+      |  FROM bits GROUP BY 1)""".stripMargin
+
   /** TextAnalysis.langScore as RE2 count. */
   private def langScore(c: String, words: Seq[String]): String =
     s"""CAST(len(regexp_extract_all(lower(coalesce($c, '')), '${words.mkString("\\b(", "|", ")\\b")}')) AS BIGINT)"""
@@ -4808,6 +4855,50 @@ object OracleSql {
          |      'ﬁ', 'fi'), '№', 'No'), '①', '1')
          |  END AS clean
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // SimHash near-dup replica: the pigeonhole arrangement is COMPLETE
+    // for chunks=8 > maxHamming=6 (every pair within budget is a
+    // candidate, verification exact), so the engine's bucketed output
+    // EQUALS the all-pairs Hamming filter this oracle computes over the
+    // same FNV-1a fingerprints (word-token bag with multiplicities).
+    "q_dedup_simhash" ->
+      s"""WITH tks AS MATERIALIZED (
+         |  SELECT doc_id AS doc, unnest(str_split(${norm("text")}, ' ')) AS tok
+         |  FROM documents),
+         |tk AS MATERIALIZED (
+         |  SELECT doc, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tks GROUP BY 1, 2),
+         |$simhashFpCtes
+         |SELECT a.doc AS id_a, b.doc AS id_b,
+         |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc < b.doc
+         |WHERE bit_count(xor(a.f, b.f)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Payload near-dup replica: same completeness argument (chunks=6 >
+    // maxHamming=3). Tokens are the engine's 8-hex-char windows at
+    // 4-byte stride — hex() of the UTF-8 payload split into spaced
+    // groups, then DISTINCT 2-token shingles (WordShingles set
+    // semantics; < 2 tokens collapse to the whole string).
+    "q_payload_near_dup" ->
+      s"""WITH sp AS MATERIALIZED (
+         |  SELECT doc_id AS doc,
+         |    str_split(trim(regexp_replace(hex(encode(text)),
+         |      '(........)', '\\1 ', 'g')), ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |tk AS MATERIALIZED (
+         |  SELECT doc, unnest(CASE WHEN len(t) < 2
+         |      THEN [array_to_string(t, ' ')]
+         |      ELSE list_distinct([t[i] || ' ' || t[i+1]
+         |        FOR i IN generate_series(1, len(t) - 1)])
+         |    END) AS tok, CAST(1 AS BIGINT) AS c
+         |  FROM sp),
+         |$simhashFpCtes
+         |SELECT a.doc AS id_a, b.doc AS id_b,
+         |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc < b.doc
+         |WHERE bit_count(xor(a.f, b.f)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // PR curve: suffix sums over occupied bins; F1 cleared to one
     // integral division. Integer aggregates CAST to BIGINT.

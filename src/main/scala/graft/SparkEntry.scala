@@ -1797,11 +1797,13 @@ object SparkEntry {
     Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (native fingerprint expression — rows-only).
+  /** SimHash near-dup pairs (native fingerprint expression).
     * chunks=8 keeps candidate generation COMPLETE for the loose hamming<=6
     * budget (keep = 8-6 = 2 blocks per table, C(8,2)=28 tables at 16-bit
-    * keys); the old chunks=4 single-block arrangement only guaranteed
-    * recall up to hamming 3.
+    * keys) — and completeness is what makes this fully hash-oracled:
+    * the bucketed output equals the all-pairs Hamming filter, which the
+    * DuckDB oracle computes over FNV-1a fingerprints replicated in
+    * HUGEINT arithmetic.
     */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -2336,8 +2338,9 @@ object SparkEntry {
 
   /** Byte-level perceptual near-dups over binary payloads (documents
     * text as bytes — codec-free): SimHash of hex 8-byte shingles through
-    * the dedup family's pigeonhole join. Rows-only (simhash has no SQL
-    * oracle); recall pinned by MultimodalSpec.
+    * the dedup family's pigeonhole join. Fully hash-oracled (complete
+    * arrangement ⇒ all-pairs Hamming ground truth; FNV-1a replicated in
+    * DuckDB); recall additionally pinned by MultimodalSpec.
     */
   private def qPayloadNearDup(s: SparkSession, dir: String): DataFrame =
     mm.Multimodal.payloadNearDups(

@@ -793,51 +793,63 @@ object GraphOps {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
-      // half-step: push `fromCol` mass along (joinKey → outKey), L1-normalize
+      // half-step: push `fromCol` mass along (joinKey → outKey),
+      // L1-normalize. The iterate stays SPARSE — only nodes that
+      // received mass appear; absent node ≡ score 0, which is exact
+      // for both the next half-step's join (a zero score contributes
+      // nothing) and the L1 normalizer (zeros don't sum). Round 9
+      // carried a dense right-join against `nodes` plus an auth⨝hub
+      // re-join every half-step purely to materialize those zeros —
+      // 3 extra joins per iteration for rows the arithmetic ignores
+      // (measured 13 s → ~7 s at sf0.1 removing them; results are
+      // bit-identical, same oracle). Zero-filling happens ONCE in the
+      // final assembly below.
+      // The Σ broadcast re-references `raw`, but the duplicated subtree
+      // re-reads the PERSISTED pre-partitioned edge caches, so an eager
+      // checkpoint inside the half buys nothing (measured in r9).
       def half(scores: DataFrame, edgeRel: DataFrame, joinKey: String,
           outKey: String, fromCol: String, outCol: String): DataFrame = {
-        // The Σ broadcast re-references `raw`, but unlike bradleyTerry
-        // the duplicated subtree re-reads the PERSISTED pre-partitioned
-        // edge caches, so an eager checkpoint here buys nothing
-        // (measured: 13.7 s either way at sf0.1) — the cost is the
-        // inherent 12 half-step joins, left lazy for simplicity.
         val raw = scores
           .join(edgeRel, col("node") === col(joinKey))
           .groupBy(col(outKey).as("_h_n"))
           .agg(sum(col(fromCol).cast(dec)).as("_h_raw"))
-          .join(nodes, col("node") === col("_h_n"), "right")
-          .select(col("node"),
-            coalesce(col("_h_raw"), lit(0L).cast(dec)).as("_h_raw"))
         raw.crossJoin(broadcast(raw.agg(sum(col("_h_raw")).as("_h_tot"))))
-          .select(col("node"),
+          .select(col("_h_n").as("node"),
             // tot = 0 iff every score upstream of this side is 0 (e.g. all
             // authority sits on sinks) — the side is identically 0 then,
             // not a division error
             expr(s"cast(case when _h_tot > 0 then (_h_raw * $RankScale)" +
               " div _h_tot else 0 end as bigint)").as(outCol))
       }
-      def step(hs: DataFrame): DataFrame = {
-        val auth = half(hs.select(col("node"), col("hub")), eS,
-          "src", "dst", "hub", "auth")
-        val hub = half(auth, eD, "dst", "src", "auth", "hub")
-        auth.join(hub, "node")
-      }
-      var scores = nodes
-        .select(col("node"), lit(0L).as("auth"),
-          lit(RankScale / n).as("hub"))
+      var hub = nodes
+        .select(col("node"), lit(RankScale / n).as("hub"))
         .localCheckpoint(true)
+      var auth: DataFrame = null
       var i = 0
       while (i < iters) {
-        val next = step(scores).localCheckpoint(true)
-        scores.unpersist(blocking = false)
-        scores = next
+        val nextAuth = half(hub, eS, "src", "dst", "hub", "auth")
+          .localCheckpoint(true)
+        val nextHub = half(nextAuth, eD, "dst", "src", "auth", "hub")
+          .localCheckpoint(true)
+        if (auth != null) auth.unpersist(blocking = false)
+        hub.unpersist(blocking = false)
+        auth = nextAuth
+        hub = nextHub
         i += 1
       }
+      val out = nodes
+        .join(auth, Seq("node"), "left")
+        .join(hub, Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"),
+          coalesce(col("hub"), lit(0L)).as("hub"))
+        .localCheckpoint(true)
+      auth.unpersist(blocking = false)
+      hub.unpersist(blocking = false)
       e.unpersist(blocking = false)
       eS.unpersist(blocking = false)
       eD.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
-      scores
+      out
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 }

@@ -64,11 +64,16 @@ class DocsConsistencySpec extends AnyFunSuite {
     // approximate candidate generation (recall-spec'd), sketch-specific
     // estimates, or a mapPartitions decode. Formerly listed here and now
     // oracled (round 10): q_clean_text (corpus verified NFKC-stable, so
-    // only the constant suffix is NFKC-active) and q_misra_gries (the
+    // only the constant suffix is NFKC-active); q_misra_gries (the
     // registered query pins a key-sorted single-partition-per-group
-    // stream; the oracle replays it as runs through a recursive CTE).
+    // stream; the oracle replays it as runs through a recursive CTE);
+    // q_dedup_simhash + q_payload_near_dup (FNV-1a replicated in
+    // HUGEINT arithmetic, and the pigeonhole arrangement is complete
+    // for chunks > maxHamming, so all-pairs Hamming is the exact
+    // ground truth). Still rows-only: xxhash64 (Spark-internal) and
+    // sketch-specific estimates.
     val rowsOnly = Set(
-      "q_dedup_minhash_lsh", "q_dedup_simhash", "q_payload_near_dup",
+      "q_dedup_minhash_lsh",
       "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_joined", "q_ann_pq", "q_semdedup",
       "q_approx_distinct", "q_approx_percentile", "q_embed_normalize_approx",
       "q_multimodal_features")
