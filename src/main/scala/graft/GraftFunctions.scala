@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.expr.{DamerauLevenshtein, DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles, WordpieceTokens, ZOrder2}
+import graft.expr.{BpeMergeStep, BpeTokens, DamerauLevenshtein, DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles, WordpieceTokens, ZOrder2}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -35,7 +35,31 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException(
         "wordpiece(stringCol, 'piece piece ##piece ...' literal)")
     }),
+    "bpe_merge_step" -> (exprs => exprs match {
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(l, _),
+          org.apache.spark.sql.catalyst.expressions.Literal(r, _))
+          if l != null && r != null =>
+        BpeMergeStep(c, l.toString, r.toString)
+      case _ => throw new IllegalArgumentException(
+        "bpe_merge_step(arrayCol, 'left' literal, 'right' literal)")
+    }),
+    "bpe_tokens" -> (exprs => exprs match {
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(m, _))
+          if m != null =>
+        BpeTokens(c, GraftFunctions.parseMerges(m.toString))
+      case _ => throw new IllegalArgumentException(
+        "bpe_tokens(stringCol, 'l r l r ...' flat merge-list literal)")
+    }),
   )
+
+  /** Flat `l r l r …` space-separated merge-list codec: symbols come
+    * from normalizeText words, so they can never contain a space.
+    */
+  private[graft] def parseMerges(flat: String): Seq[(String, String)] = {
+    val parts = flat.split(" ").toSeq.filter(_.nonEmpty)
+    require(parts.length % 2 == 0, "merge list must pair up")
+    parts.grouped(2).map(p => (p(0), p(1))).toSeq
+  }
 
   private val registered =
     java.util.Collections.newSetFromMap(
@@ -79,4 +103,20 @@ object GraftFunctions {
   def wordpiece(c: Column, vocab: Seq[String]): Column =
     call_function("wordpiece", c,
       org.apache.spark.sql.functions.lit(vocab.mkString(" ")))
+
+  /** One greedy BPE merge pass of (left, right) over an array<string>
+    * symbol column — the trainer's per-word state transition.
+    */
+  def bpeMergeStep(syms: Column, left: String, right: String): Column =
+    call_function("bpe_merge_step", syms,
+      org.apache.spark.sql.functions.lit(left),
+      org.apache.spark.sql.functions.lit(right))
+
+  /** BPE subword tokens of a pre-normalized string under a trained
+    * rank-ordered merge list.
+    */
+  def bpeTokens(c: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_tokens", c,
+      org.apache.spark.sql.functions.lit(
+        merges.map(p => s"${p._1} ${p._2}").mkString(" ")))
 }

@@ -96,6 +96,63 @@ object OracleSql {
   private def norm(c: String): String =
     s"""trim(regexp_replace(regexp_replace(lower(coalesce($c, '')), '[^\\p{L}\\p{N}_\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"""
 
+  /** Shared BPE training chain (q_bpe_train, q_bpe_encode): word-type
+    * counts off the documents corpus, char-split positional state st0,
+    * then `n` unrolled merge steps. Step k elects the best pair b_k
+    * (max summed count, overlaps included, lexicographic (l, r)
+    * tie-break) and rewrites the state: match positions (kp_k, greedy
+    * island parity), consumed rights dropped, positions renumbered.
+    * The engine stops early under its best-count < minCount guard; the
+    * oracle unrolls unconditionally, so the registered nMerges must
+    * leave every elected count ≥ minCount at every shipped SF (the
+    * 8th-best pair count is ≥ 1831 at sf0.01 — verified, nowhere near
+    * the minCount = 2 floor).
+    */
+  private def bpeCtes(n: Int): String = {
+    val steps = (1 to n).map { k =>
+      val p = k - 1
+      s"""pr$k AS MATERIALIZED (
+         |  SELECT a.sym AS l, b.sym AS r, CAST(sum(a.cnt) AS BIGINT) AS c
+         |  FROM st$p a JOIN st$p b ON a.w = b.w AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT l, r, c FROM pr$k ORDER BY c DESC, l, r LIMIT 1),
+         |mt$k AS MATERIALIZED (
+         |  SELECT a.w, a.pos FROM st$p a
+         |  JOIN st$p b ON a.w = b.w AND b.pos = a.pos + 1
+         |  JOIN b$k x ON a.sym = x.l AND b.sym = x.r),
+         |kp$k AS MATERIALIZED (
+         |  SELECT w, pos FROM (
+         |    SELECT w, pos, pos - min(pos) OVER (PARTITION BY w, isl) AS off FROM (
+         |      SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS isl
+         |      FROM mt$k))
+         |  WHERE off % 2 = 0),
+         |st$k AS MATERIALIZED (
+         |  SELECT w, cnt, row_number() OVER (PARTITION BY w ORDER BY opos) AS pos, sym
+         |  FROM (
+         |    SELECT s.w, s.cnt, s.pos AS opos,
+         |      CASE WHEN k1.pos IS NOT NULL THEN (SELECT l || r FROM b$k)
+         |        ELSE s.sym END AS sym
+         |    FROM st$p s
+         |    LEFT JOIN kp$k k1 ON s.w = k1.w AND s.pos = k1.pos
+         |    LEFT JOIN kp$k k2 ON s.w = k2.w AND s.pos = k2.pos + 1
+         |    WHERE k2.pos IS NULL))""".stripMargin
+    }.mkString(",\n")
+    s"""docs AS MATERIALIZED (
+       |  SELECT doc_id AS doc, ${norm("text")} AS nt FROM documents),
+       |docw AS MATERIALIZED (
+       |  SELECT doc, unnest(generate_series(1, len(str_split(nt, ' ')))) AS wpos,
+       |    unnest(str_split(nt, ' ')) AS w
+       |  FROM docs WHERE nt != ''),
+       |words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM docw WHERE w != '' GROUP BY w),
+       |st0 AS MATERIALIZED (
+       |  SELECT w, cnt, unnest(generate_series(1, len(w))) AS pos,
+       |    unnest(str_split(w, '')) AS sym
+       |  FROM words),
+       |$steps""".stripMargin
+  }
+
   /** Shared FNV-1a/SimHash CTE chain for the simhash family
     * (q_dedup_simhash, q_payload_near_dup): expects a `tk(doc, tok, c)`
     * relation upstream (token bag with multiplicities) and yields
@@ -923,6 +980,44 @@ object OracleSql {
          |  CAST(coalesce(s.sup, 0) AS BIGINT) AS support
          |FROM r3 e LEFT JOIN sf s ON e.a = s.a AND e.b = s.b
          |ORDER BY src, dst""".stripMargin
+    },
+
+    // BPE trainer replica: the full learn_bpe loop unrolled — per step,
+    // adjacent-pair counts off the positional word-type state (overlaps
+    // included, as get_stats), 1-row argmax with count-desc/lexicographic
+    // tie-break, then the greedy single-pass merge: match positions
+    // grouped into islands of CONSECUTIVE positions keep even offsets
+    // (provably the left-to-right scan — islands need sym L = R, and the
+    // scan takes every other match in a run), consumed right positions
+    // drop, positions renumber. Every CTE is MATERIALIZED (each state
+    // feeds 4 downstream CTEs; the round-9 exponential-reinline lesson).
+    "q_bpe_train" -> {
+      s"""WITH ${bpeCtes(8)}
+         |SELECT CAST(rank AS BIGINT) AS rank, l AS "left", r AS "right",
+         |  c AS pair_count
+         |FROM (${(1 to 8).map(k =>
+             s"SELECT $k AS rank, l, r, c FROM b$k").mkString(" UNION ALL ")})
+         |ORDER BY rank""".stripMargin
+    },
+
+    // BPE encode replica: the trained word-type states ARE the
+    // segmentation of every in-corpus word (in-rank-order application —
+    // canonical for a trained list), so encode = join the positional
+    // word relation back to st8 and re-aggregate per doc.
+    "q_bpe_encode" -> {
+      s"""WITH ${bpeCtes(8)},
+         |seg AS MATERIALIZED (
+         |  SELECT w, string_agg(sym, ' ' ORDER BY pos) AS seg,
+         |    CAST(count(*) AS BIGINT) AS ntok
+         |  FROM st8 GROUP BY w),
+         |agg AS (
+         |  SELECT d.doc, CAST(sum(s.ntok) AS BIGINT) AS n_tokens,
+         |    string_agg(s.seg, ' ' ORDER BY d.wpos) AS bpe_text
+         |  FROM docw d JOIN seg s ON d.w = s.w WHERE d.w != '' GROUP BY d.doc)
+         |SELECT d.doc_id AS doc, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  coalesce(a.bpe_text, '') AS bpe_text
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc
+         |ORDER BY doc""".stripMargin
     },
 
     // WordPiece replica: segment the DISTINCT word types by 4 unrolled

@@ -800,6 +800,44 @@ object SparkEntry {
         array_join(col("_wp"), " ").as("subword_text"))
       .orderBy(col("doc"))
 
+  /** Shared trained BPE model for q_bpe_train / q_bpe_encode, memoized
+    * per (session, dir) like [[supplyPairs]]: training costs 8 driver
+    * round-trips of one row each over the vocabulary-sized word-type
+    * frame. minCount = 2 never binds on this corpus (the 8th-best pair
+    * count is ≥ 1831 at sf0.01) — required, because the oracle unrolls
+    * exactly 8 steps unconditionally.
+    */
+  private val bpeModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, text.Bpe.Model)]()
+  private def bpeModelOf(s: SparkSession, dir: String): text.Bpe.Model =
+    bpeModelCache.compute(dir, (_, prev) =>
+      if (prev != null && (prev._1 eq s)) prev
+      else (s, text.Bpe.train(t(s, dir, "documents"), "text", nMerges = 8)))._2
+
+  /** BPE merge-pair TRAINING over the documents corpus (Sennrich '16
+    * learn_bpe): the 8-row trained merge table, fully hash-oracled
+    * against DuckDB's unrolled replica of the whole loop — pair counts,
+    * argmax elections, and greedy merge passes included.
+    */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    text.Bpe.mergesDf(s, bpeModelOf(s, dir)).orderBy(col("rank"))
+
+  /** BPE corpus encoding with the trained merges: per doc, the subword
+    * count and the full segmentation — the token-budget relation a
+    * learned tokenizer implies, hash-matching the oracle's word-type
+    * replay joined back to document order.
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val m = bpeModelOf(s, dir)
+    t(s, dir, "documents")
+      .select(col("doc_id").as("doc"),
+        text.Bpe.tokens(col("text"), m).as("_tk"))
+      .select(col("doc"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        array_join(col("_tk"), " ").as("bpe_text"))
+      .orderBy(col("doc"))
+  }
+
   /** Link prediction over the frequent co-purchase graph (off the
     * shared [[coPurchasePairs]] relation): common-neighbor, Jaccard,
     * and Adamic–Adar scores for the 50 strongest NON-adjacent part
@@ -3817,6 +3855,8 @@ object SparkEntry {
     "q_ktruss" -> (qKTruss _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_wordpiece" -> (qWordpiece _),
+    "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),
