@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 
-import graft.expr.{BpeMergeStep, BpeTokens, DamerauLevenshtein, DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles, WordpieceTokens, ZOrder2}
+import graft.expr.{AcFindAll, BpeMergeStep, BpeTokens, DamerauLevenshtein, DotI64, NfkcNormalize, RollingHash64, SimHash64, WordShingles, WordpieceTokens, ZOrder2}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -42,6 +42,13 @@ object GraftFunctions {
         BpeMergeStep(c, l.toString, r.toString)
       case _ => throw new IllegalArgumentException(
         "bpe_merge_step(arrayCol, 'left' literal, 'right' literal)")
+    }),
+    "ac_find_all" -> (exprs => exprs match {
+      case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(d, _))
+          if d != null =>
+        AcFindAll(c, d.toString.split(",").toSeq.filter(_.nonEmpty))
+      case _ => throw new IllegalArgumentException(
+        "ac_find_all(stringCol, 'term,term,...' literal)")
     }),
     "bpe_tokens" -> (exprs => exprs match {
       case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(m, _))
@@ -111,6 +118,16 @@ object GraftFunctions {
     call_function("bpe_merge_step", syms,
       org.apache.spark.sql.functions.lit(left),
       org.apache.spark.sql.functions.lit(right))
+
+  /** All Aho–Corasick dictionary matches (term, 1-based pos) in a
+    * string; terms are comma-separated so multi-word phrase terms pass
+    * through (normalized text never contains a comma).
+    */
+  def acFindAll(c: Column, terms: Seq[String]): Column = {
+    require(terms.forall(!_.contains(",")), "ac terms cannot contain commas")
+    call_function("ac_find_all", c,
+      org.apache.spark.sql.functions.lit(terms.mkString(",")))
+  }
 
   /** BPE subword tokens of a pre-normalized string under a trained
     * rank-ordered merge list.

@@ -982,6 +982,44 @@ object OracleSql {
          |ORDER BY src, dst""".stripMargin
     },
 
+    // Interval-overlap replica: the plain inequality join the bucketed
+    // plan must equal exactly (closed intervals, touching counts).
+    "q_interval_overlap" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_orderkey*10 + l_linenumber AS id, l_partkey AS part,
+        |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS lo,
+        |    datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+        |      + 1 + CAST(l_quantity AS BIGINT) % 30 AS hi
+        |  FROM lineitem)
+        |SELECT CAST(a.part AS BIGINT) AS part, CAST(a.id AS BIGINT) AS a_id,
+        |  CAST(b.id AS BIGINT) AS b_id,
+        |  CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS BIGINT)
+        |    AS overlap_days
+        |FROM li a JOIN li b ON a.part = b.part AND a.id < b.id
+        |  AND a.lo <= b.hi AND b.lo <= a.hi
+        |ORDER BY part, a_id, b_id""".stripMargin,
+
+    // Aho–Corasick replica: all-positions substr scan — every (doc,
+    // term, start) where the term matches verbatim in the normalized
+    // text (overlapping/nested matches included by construction, the
+    // exact all-occurrences semantics the automaton reports).
+    "q_dict_tag" -> {
+      val tm = Seq("scan", "can", "an", "spark", "park", "ar", "table",
+        "able", "the line", "filter").map(t => s"('$t')").mkString(", ")
+      s"""WITH docs AS MATERIALIZED (
+         |  SELECT doc_id AS doc, ${norm("text")} AS nt FROM documents),
+         |tm(term) AS (VALUES $tm),
+         |ppos AS MATERIALIZED (
+         |  SELECT doc, nt, unnest(generate_series(1, len(nt))) AS p FROM docs),
+         |hits AS (
+         |  SELECT q.doc, t.term, q.p FROM ppos q
+         |  JOIN tm t ON substr(q.nt, q.p, len(t.term)) = t.term)
+         |SELECT doc, term, CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(min(p) AS BIGINT) AS first_pos
+         |FROM hits GROUP BY doc, term
+         |ORDER BY doc, term""".stripMargin
+    },
+
     // BPE trainer replica: the full learn_bpe loop unrolled — per step,
     // adjacent-pair counts off the positional word-type state (overlaps
     // included, as get_stats), 1-row argmax with count-desc/lexicographic

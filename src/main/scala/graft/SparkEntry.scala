@@ -800,6 +800,53 @@ object SparkEntry {
         array_join(col("_wp"), " ").as("subword_text"))
       .orderBy(col("doc"))
 
+  /** Interval-overlap join over per-part shipment transit windows
+    * ([ship, ship + 1 + qty%30] days): all same-part line-item pairs
+    * whose windows overlap, via the bin-bucketed
+    * [[graft.ops.RangeJoin.intervalOverlap]] (emitted once in the
+    * max-lo bin, no distinct). Hash-oracled against DuckDB's plain
+    * inequality join.
+    */
+  private def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+        col("l_partkey").as("part"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1992-01-01")))
+          .cast("long").as("lo"),
+        (col("l_quantity").cast("long") % 30).as("_q"))
+      .select(col("id"), col("part"), col("lo"),
+        (col("lo") + 1 + col("_q")).as("hi"))
+    val a = base.select(col("id").as("a_id"), col("part").as("a_part"),
+      col("lo").as("a_lo"), col("hi").as("a_hi"))
+    val b = base.select(col("id").as("b_id"), col("part").as("b_part"),
+      col("lo").as("b_lo"), col("hi").as("b_hi"))
+    ops.RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+        binWidth = 16.0, keyL = Seq("a_part"), keyR = Seq("b_part"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_part").as("part"), col("a_id"), col("b_id"),
+        (least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo"))
+          + 1).cast("long").as("overlap_days"))
+      .orderBy(col("part"), col("a_id"), col("b_id"))
+  }
+
+  /** Demo gazetteer for q_dict_tag: nested terms ("scan" ⊃ "can" ⊃
+    * "an"; "spark" ⊃ "park" ⊃ "ar"; "table" ⊃ "able") exercise the
+    * failure-link outputs, and the two-word phrase exercises
+    * cross-word matching over the normalized text.
+    */
+  private val DictTagTerms = Seq("scan", "can", "an", "spark", "park",
+    "ar", "table", "able", "the line", "filter")
+
+  /** One-pass Aho–Corasick dictionary tagging over the documents
+    * corpus: per (doc, term) occurrence counts + first position for
+    * the demo gazetteer — overlapping/nested matches all counted.
+    * Hash-oracled against DuckDB's all-positions substr replica.
+    */
+  private def qDictTag(s: SparkSession, dir: String): DataFrame =
+    text.TextAnalysis.dictionaryTag(t(s, dir, "documents"), "doc_id",
+        "text", DictTagTerms)
+      .orderBy(col("doc"), col("term"))
+
   /** Shared trained BPE model for q_bpe_train / q_bpe_encode, memoized
     * per (session, dir) like [[supplyPairs]]: training costs 8 driver
     * round-trips of one row each over the vocabulary-sized word-type
@@ -3857,6 +3904,8 @@ object SparkEntry {
     "q_wordpiece" -> (qWordpiece _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_dict_tag" -> (qDictTag _),
+    "q_interval_overlap" -> (qIntervalOverlap _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

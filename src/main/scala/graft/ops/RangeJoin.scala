@@ -41,4 +41,50 @@ object RangeJoin {
           Cols.q(pointCol) >= Cols.q(loCol) && Cols.q(pointCol) <= Cols.q(hiCol))
       .drop("_bin")
   }
+
+  /** Interval-overlap join (CLOSED intervals, touching endpoints
+    * overlap): every (left, right) pair with `lo_l ≤ hi_r ∧ lo_r ≤
+    * hi_l`, optionally restricted to equal `keyL(i) = keyR(i)` columns
+    * — the per-entity form that keeps candidate volume sane (validity
+    * windows per entity, session co-occurrence per user, shipment
+    * window collisions per part).
+    *
+    * Bin-bucketed like [[pointInInterval]], both sides exploding to
+    * their covered bins; a pair is emitted ONLY in the bin of
+    * `max(lo_l, lo_r)` — the first bin both intervals cover, which
+    * exists iff they overlap — so each pair appears exactly once with
+    * NO distinct. Column names must not collide across sides (alias
+    * first); `lo ≤ hi` is the caller's contract.
+    *
+    * Scale: shuffle is Σ span/binWidth rows per side, equi-joined on
+    * (key…, bin) — hash-partitionable, AQE skew-split applies. binWidth
+    * ≈ median interval width balances explode fan-out against per-bin
+    * candidate density, exactly as in the point form.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      loL: String, hiL: String,
+      loR: String, hiR: String,
+      binWidth: Double,
+      keyL: Seq[String] = Nil,
+      keyR: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0)
+    require(keyL.length == keyR.length, "key column lists must pair up")
+    val l = left.withColumn("_binl", explode(sequence(
+      floor(Cols.q(loL) / binWidth).cast("long"),
+      floor(Cols.q(hiL) / binWidth).cast("long"))))
+    val r = right.withColumn("_binr", explode(sequence(
+      floor(Cols.q(loR) / binWidth).cast("long"),
+      floor(Cols.q(hiR) / binWidth).cast("long"))))
+    val keyEq = keyL.zip(keyR)
+      .map { case (a, b) => l(a) === r(b) }
+      .foldLeft(lit(true))(_ && _)
+    l.join(r,
+        l("_binl") === r("_binr") && keyEq &&
+          Cols.q(loL) <= Cols.q(hiR) && Cols.q(loR) <= Cols.q(hiL) &&
+          l("_binl") ===
+            floor(greatest(Cols.q(loL), Cols.q(loR)) / binWidth).cast("long"))
+      .drop("_binl").drop("_binr")
+  }
 }

@@ -901,6 +901,29 @@ object TextAnalysis {
     matched.groupBy(col("doc")).agg(count(lit(1)).as("hits"))
   }
 
+  /** Dictionary tagging via one Aho–Corasick pass ([[graft.expr
+    * .AcFindAll]]): per (document, term), the occurrence count and first
+    * 1-based character position of every dictionary term in the
+    * NORMALIZED text (the dedup tokenization contract) — overlapping and
+    * nested matches all counted ("scan" hits `scan`, `can`, and `an`).
+    * The blocklist / PII-term-list / gazetteer primitive: cost is one
+    * automaton pass per document REGARDLESS of dictionary size, where
+    * the naive plan is |dict| regex passes over the corpus; the
+    * automaton compiles once on the driver and ships as a codegen
+    * reference object. Documents with no hit for a term are absent
+    * (inner semantics — the tag relation, not a dense matrix).
+    */
+  def dictionaryTag(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "dictionaryTag needs a non-empty dictionary")
+    df.select(col(idCol).as("doc"),
+        explode(graft.GraftFunctions.acFindAll(
+          graft.dedup.Dedup.normalizeText(col(textCol)), terms)).as("m"))
+      .groupBy(col("doc"), col("m.term").as("term"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("m.pos")).cast("long").as("first_pos"))
+  }
+
   /** Per-document n-gram novelty against a reference corpus — "how much
     * of this document is NEW text?" — the graded companion to the
     * binary contamination/decontamination pair (those flag ANY overlap

@@ -1,0 +1,52 @@
+package graft.expr
+
+import graft.{GraftFunctions, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class AcFindAllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def find(text: String, dict: Seq[String]): Seq[(String, Int)] =
+    Seq(text).toDF("t")
+      .select(explode(GraftFunctions.acFindAll(col("t"), dict)).as("m"))
+      .select(col("m.term"), col("m.pos"))
+      .as[(String, Int)].collect().toSeq
+
+  test("nested terms all report with 1-based positions") {
+    val r = find("a scan here", Seq("scan", "can", "an"))
+    assert(r.toSet == Set(("scan", 3), ("can", 4), ("an", 5)))
+  }
+
+  test("overlapping occurrences of one term all report") {
+    assert(find("aaaa", Seq("aa")) == Seq(("aa", 1), ("aa", 2), ("aa", 3)))
+  }
+
+  test("failure links carry matches across branch switches") {
+    // after reading "she", failing from the s-h-e branch must still
+    // find "he"; then "hers" via the h-e-r-s branch
+    val r = find("shers", Seq("she", "he", "hers"))
+    assert(r.toSet == Set(("she", 1), ("he", 2), ("hers", 2)))
+  }
+
+  test("phrase terms match across spaces; scan order is by end position") {
+    val r = find("the line is fine", Seq("the line", "line", "in", "fine"))
+    assert(r == Seq(("in", 6), ("the line", 1), ("line", 5),
+      ("in", 14), ("fine", 13)))
+  }
+
+  test("no match on empty text; a term longer than the text never fires") {
+    assert(find("", Seq("x")).isEmpty)
+    assert(find("ab", Seq("abc")).isEmpty)
+  }
+
+  test("dictionaryTag aggregates hits and first positions per doc") {
+    val df = Seq((1L, "Scan the scan!"), (2L, "nothing here")).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis
+      .dictionaryTag(df, "doc_id", "text", Seq("scan", "an", "not"))
+      .orderBy(col("doc"), col("term"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // normalized: "scan the scan" → scan@1,10 an@3,12; doc 2: not@1
+    assert(r == Seq((1L, "an", 2L, 3L), (1L, "scan", 2L, 1L),
+      (2L, "not", 1L, 1L)))
+  }
+}
