@@ -5199,7 +5199,7 @@ object OracleSql {
     // HUGEINT, every normalization is one floor division.
     "q_hits" -> {
       val scale = "1000000000000"
-      val iter = (1 to 6).map { i =>
+      val iter = (1 to 4).map { i =>
         s"""ar$i AS (
            |  SELECT nd.node, coalesce(s.s, 0) AS raw
            |  FROM nodes nd LEFT JOIN (
@@ -5230,7 +5230,7 @@ object OracleSql {
          |h0 AS (SELECT node, $scale // count(*) OVER () AS hub FROM nodes),
          |$iter,
          |final AS (
-         |  SELECT a6.node, a6.auth, h6.hub FROM a6 JOIN h6 USING (node)),
+         |  SELECT a4.node, a4.auth, h4.hub FROM a4 JOIN h4 USING (node)),
          |at AS (SELECT 'auth' AS side, node, auth, hub FROM (
          |  SELECT *, row_number() OVER (ORDER BY auth DESC, node) AS rk
          |  FROM final) WHERE rk <= 10),

@@ -554,4 +554,31 @@ class PlanContractSpec extends SparkSpec {
         s"$q should broadcast its small side:\n${p.take(2000)}")
     }
   }
+
+  test("round-10 dict tag: one automaton pass — generate + agg, no join") {
+    val p = planOf("q_dict_tag")
+    assert(p.contains("Generate"), s"lost the explode:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"dictionary tagging must not join:\n${p.take(1500)}")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"scan→generate→agg→sort should shuffle ≤2×, saw $exchanges:\n${p.take(1500)}")
+  }
+
+  test("round-10 interval overlap: equi-join on the bin key, never a cartesian") {
+    val p = planOf("q_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"interval overlap degraded to a product:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a keyed join:\n${p.take(1500)}")
+  }
+
+  test("round-10 bpe encode: trained-model application is scan-shaped (no join)") {
+    // training runs BEFORE plan build (the collected model bakes into the
+    // bpe_tokens literal); the encode plan itself reads the corpus once
+    val p = planOf("q_bpe_encode")
+    assert(!p.contains("Join"), s"encode must not join:\n${p.take(1500)}")
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"scan→project→sort should shuffle ≤1×, saw $exchanges:\n${p.take(1500)}")
+  }
 }
