@@ -2266,6 +2266,35 @@ object OracleSql {
          |SELECT u AS doc, least(u, min(v)) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc""".stripMargin,
 
+    // Leakage-safe split replica: near-dup closure (the shared recursive
+    // chain), split key = component rep (singletons = own id), then the
+    // q_hash_split md5-bucket arithmetic on the KEY instead of the doc.
+    "q_safe_split" ->
+      s"""WITH RECURSIVE $ngramCtes,
+         |pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |labels AS (SELECT u AS doc, least(u, min(v)) AS rep
+         |  FROM reach GROUP BY u),
+         |k AS (
+         |  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc),
+         |h AS (SELECT doc_id, split_key,
+         |  md5(CAST(split_key AS VARCHAR)) AS hx FROM k),
+         |b AS (SELECT doc_id, split_key,
+         |  ${hex4("hx")} % 100 AS bucket FROM h)
+         |SELECT doc_id, CAST(split_key AS BIGINT) AS split_key,
+         |  CAST(bucket AS BIGINT) AS bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
     "q_dedup_against" ->
       s"""WITH refk AS (
          |  SELECT DISTINCT md5(${norm("text")}) AS k

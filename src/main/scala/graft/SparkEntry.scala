@@ -2319,6 +2319,19 @@ object SparkEntry {
         TextAnalysis.hashSplit(col("doc_id"), 80, 10).as("split"))
       .orderBy(col("doc_id"))
 
+  /** Leakage-safe split off the n-gram Jaccard near-dup relation: every
+    * near-dup cluster lands WHOLE in one of train/val/test (split key =
+    * component representative; singletons = own id ≡ plain hashSplit).
+    * Hash-oracled via the recursive-closure + md5-bucket replica.
+    */
+  private def qSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+    text.TextAnalysis.leakageSafeSplit(docs, "doc_id", pairs, 80, 10)
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark-contamination pairs: corpus docs sharing >= 2 distinct
     * word trigrams with the benchmark slice (doc_id % 97), self-pairs
     * excluded — the decontamination pass over pretraining corpora.
@@ -3911,6 +3924,7 @@ object SparkEntry {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_dict_tag" -> (qDictTag _),
     "q_interval_overlap" -> (qIntervalOverlap _),
+    "q_safe_split" -> (qSafeSplit _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

@@ -503,6 +503,36 @@ object TextAnalysis {
     when(b < trainPct, "train").when(b < trainPct + valPct, "val").otherwise("test")
   }
 
+  /** Leakage-safe train/val/test split: assignment hashes the near-dup
+    * CLUSTER representative, not the document — a per-doc [[hashSplit]]
+    * puts the two halves of a near-duplicate pair in different splits
+    * whenever their ids hash apart, leaking eval content into training
+    * (the concern behind Lee '22 §6 / benchmark decontamination; dedup
+    * alone doesn't fix it when near-dups are intentionally KEPT).
+    * `pairs` is any near-dup relation `(id_a, id_b)` — n-gram Jaccard,
+    * MinHash bands, SimHash buckets; components come from
+    * [[graft.dedup.Dedup.connectedComponents]], the representative is
+    * the component's min id, and singletons key their own id — so with
+    * no pairs at all the assignment degenerates to `hashSplit(id)`
+    * EXACTLY (spec-pinned).
+    *
+    * Scale: component state is bounded by the dedup family's machinery;
+    * the join-back relation holds only CLUSTERED docs (broadcast-sized
+    * at sane near-dup density) and the split itself stays a pure
+    * projection on (id, split_key).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int, valPct: Int): DataFrame = {
+    val comps = graft.dedup.Dedup.connectedComponents(pairs)
+      .select(col("doc").as("_ls_doc"), col("cluster_id").as("_ls_rep"))
+    docs.join(comps, col(idCol) === col("_ls_doc"), "left")
+      .select(col(idCol),
+        coalesce(col("_ls_rep"), col(idCol)).as("split_key"))
+      .select(col(idCol), col("split_key"),
+        hashBucket(col("split_key"), 100).as("bucket"),
+        hashSplit(col("split_key"), trainPct, valPct).as("split"))
+  }
+
   // ------------------------------------------------- contamination checking
 
   /** Benchmark-contamination pairs: corpus documents sharing at least

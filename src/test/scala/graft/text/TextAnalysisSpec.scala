@@ -6,6 +6,35 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("leakageSafeSplit: clusters never straddle; singletons equal hashSplit") {
+    val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two clusters: {3,17,41} (transitively via 17) and {8,9}
+    val pairs = Seq((3L, 17L), (17L, 41L), (8L, 9L)).toDF("id_a", "id_b")
+    val out = TextAnalysis.leakageSafeSplit(docs, "doc_id", pairs, 80, 10)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 60)
+    // whole-cluster assignment: every member carries the min-id key
+    Seq(3L, 17L, 41L).foreach(d => assert(out(d)._2 == 3L && out(d)._4 == out(3L)._4))
+    Seq(8L, 9L).foreach(d => assert(out(d)._2 == 8L && out(d)._4 == out(8L)._4))
+    // singletons: identical to the plain per-doc hashSplit
+    val plain = docs.filter(!col("doc_id").isin(3L, 17L, 41L, 8L, 9L))
+      .select(col("doc_id"), TextAnalysis.hashSplit(col("doc_id"), 80, 10).as("s"))
+      .as[(Long, String)].collect().toMap
+    plain.foreach { case (d, s) =>
+      assert(out(d)._2 == d && out(d)._4 == s, s"singleton $d drifted")
+    }
+    // empty pair relation degenerates to hashSplit on every doc
+    val plainAll = docs
+      .select(col("doc_id"), TextAnalysis.hashSplit(col("doc_id"), 80, 10).as("s"))
+      .as[(Long, String)].collect().toMap
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    TextAnalysis.leakageSafeSplit(docs, "doc_id", none, 80, 10)
+      .as[(Long, Long, Long, String)].collect()
+      .foreach { case (d, key, _, s) =>
+        assert(key == d && s == plainAll(d))
+      }
+  }
+
   test("langId picks the profile with most stopword hits") {
     val r = Seq(
       "the cat and the dog of the house is in a tree",
