@@ -2266,6 +2266,18 @@ object OracleSql {
          |SELECT u AS doc, least(u, min(v)) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc""".stripMargin,
 
+    // Fuzzy-join replica: the naive levenshtein inequality join over
+    // name types the q-gram-prefiltered plan must equal exactly.
+    "q_fuzzy_join" ->
+      """WITH ty AS MATERIALIZED (
+        |  SELECT p_name, CAST(count(*) AS BIGINT) AS cnt FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+        |  CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs
+        |FROM ty a JOIN ty b ON a.p_name < b.p_name
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
     // Leakage-safe split replica: near-dup closure (the shared recursive
     // chain), split key = component rep (singletons = own id), then the
     // q_hash_split md5-bucket arithmetic on the KEY instead of the doc.

@@ -2319,6 +2319,30 @@ object SparkEntry {
         TextAnalysis.hashSplit(col("doc_id"), 80, 10).as("split"))
       .orderBy(col("doc_id"))
 
+  /** Edit-distance threshold join over part-name TYPES (levenshtein ≤ 2
+    * via q-gram prefix filtering, verified exact): matching name pairs
+    * with their edit distance and the row-pair multiplicity the
+    * type-level join stands for. Pre-aggregating to types is the scale
+    * pattern for low-cardinality string columns — the join's working
+    * set is the type relation, never the row count. Hash-oracled
+    * against DuckDB's naive inequality join.
+    */
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val types = t(s, dir, "part")
+      .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+    val rel = types.select(col("p_name").as("id"), col("p_name").as("str"))
+    val pairs = graft.dedup.FuzzyJoin.editDistancePairs(rel, rel, maxDist = 2)
+      .filter(col("a_str") < col("b_str"))
+    pairs
+      .join(types.select(col("p_name").as("a_str"), col("cnt").as("_ca")),
+        Seq("a_str"))
+      .join(types.select(col("p_name").as("b_str"), col("cnt").as("_cb")),
+        Seq("b_str"))
+      .select(col("a_str").as("name_a"), col("b_str").as("name_b"),
+        col("edit_dist"), (col("_ca") * col("_cb")).as("n_pairs"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** Leakage-safe split off the n-gram Jaccard near-dup relation: every
     * near-dup cluster lands WHOLE in one of train/val/test (split key =
     * component representative; singletons = own id ≡ plain hashSplit).
@@ -3925,6 +3949,7 @@ object SparkEntry {
     "q_dict_tag" -> (qDictTag _),
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_safe_split" -> (qSafeSplit _),
+    "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),
