@@ -2266,6 +2266,104 @@ object OracleSql {
          |SELECT u AS doc, least(u, min(v)) AS cluster_id
          |FROM reach GROUP BY u ORDER BY doc""".stripMargin,
 
+    // Label-vote replica: gold-join accuracy floor-division weights,
+    // left-join prior 500000, mass aggregation, row_number election
+    // (mass desc, label asc == the engine's min(struct(-mass, label))).
+    "q_label_vote" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT l_orderkey AS item, l_suppkey % 31 AS rater,
+        |    l_returnflag AS label
+        |  FROM lineitem),
+        |g AS MATERIALIZED (
+        |  SELECT o_orderkey AS item,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'R'
+        |         WHEN o_orderstatus = 'O' THEN 'N' ELSE 'A' END AS glabel
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |w AS MATERIALIZED (
+        |  SELECT rater,
+        |    (sum(CASE WHEN label = glabel THEN 1 ELSE 0 END) * 1000000)
+        |      // count(*) AS w
+        |  FROM v JOIN g USING (item) GROUP BY rater),
+        |m AS MATERIALIZED (
+        |  SELECT item, label, CAST(sum(coalesce(w.w, 500000)) AS BIGINT) AS mass,
+        |    CAST(count(*) AS BIGINT) AS votes
+        |  FROM v LEFT JOIN w USING (rater) GROUP BY item, label),
+        |e AS (
+        |  SELECT item, label, mass,
+        |    row_number() OVER (PARTITION BY item ORDER BY mass DESC, label) AS rk,
+        |    sum(votes) OVER (PARTITION BY item) AS n_votes,
+        |    count(*) OVER (PARTITION BY item) AS n_labels
+        |  FROM m)
+        |SELECT CAST(item AS BIGINT) AS item, label,
+        |  CAST(mass AS BIGINT) AS weight_micro,
+        |  CAST(n_votes AS BIGINT) AS n_votes,
+        |  CAST(n_labels AS BIGINT) AS n_labels
+        |FROM e WHERE rk = 1 ORDER BY item""".stripMargin,
+
+    // Stupid Backoff replica: positional trigram joins over the train
+    // slice's count relations, the engine's CASE tiers, round(ln·1e6)
+    // per trigram (the lm_score quantization), floored mean quotient.
+    "q_lm_backoff" ->
+      s"""WITH docs AS MATERIALIZED (
+         |  SELECT doc_id AS doc, ${norm("text")} AS nt FROM documents),
+         |post AS MATERIALIZED (
+         |  SELECT doc, unnest(generate_series(1, len(str_split(nt, ' ')))) AS p,
+         |    unnest(str_split(nt, ' ')) AS w
+         |  FROM docs WHERE nt != ''),
+         |train AS MATERIALIZED (SELECT * FROM post WHERE doc % 3 != 0),
+         |uni AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS uc FROM train GROUP BY w),
+         |bi AS MATERIALIZED (
+         |  SELECT a.w AS x1, b.w AS x2, CAST(count(*) AS BIGINT) AS bc
+         |  FROM train a JOIN train b ON a.doc = b.doc AND b.p = a.p + 1
+         |  GROUP BY 1, 2),
+         |tri AS MATERIALIZED (
+         |  SELECT a.w AS w1, b.w AS w2, c.w AS w3, CAST(count(*) AS BIGINT) AS tc
+         |  FROM train a JOIN train b ON a.doc = b.doc AND b.p = a.p + 1
+         |  JOIN train c ON a.doc = c.doc AND c.p = a.p + 2
+         |  GROUP BY 1, 2, 3),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM train),
+         |occ AS MATERIALIZED (
+         |  SELECT a.doc, a.w AS w1, b.w AS w2, c.w AS w3
+         |  FROM post a JOIN post b ON a.doc = b.doc AND b.p = a.p + 1
+         |  JOIN post c ON a.doc = c.doc AND c.p = a.p + 2),
+         |sc AS MATERIALIZED (
+         |  SELECT o.doc,
+         |    CASE WHEN t.tc IS NOT NULL THEN 0
+         |         WHEN b23.bc IS NOT NULL THEN 1
+         |         WHEN u3.uc IS NOT NULL THEN 2 ELSE 3 END AS tier,
+         |    CASE WHEN t.tc IS NOT NULL
+         |        THEN CAST(round(ln(CAST(t.tc AS DOUBLE) / b12.bc) * 1e6) AS BIGINT)
+         |      WHEN b23.bc IS NOT NULL
+         |        THEN CAST(round(ln(0.4 * b23.bc / u2.uc) * 1e6) AS BIGINT)
+         |      WHEN u3.uc IS NOT NULL
+         |        THEN CAST(round(ln(0.16 * u3.uc / nn.n) * 1e6) AS BIGINT)
+         |      END AS lp6
+         |  FROM occ o
+         |  LEFT JOIN tri t ON o.w1 = t.w1 AND o.w2 = t.w2 AND o.w3 = t.w3
+         |  LEFT JOIN bi b12 ON o.w1 = b12.x1 AND o.w2 = b12.x2
+         |  LEFT JOIN bi b23 ON o.w2 = b23.x1 AND o.w3 = b23.x2
+         |  LEFT JOIN uni u2 ON o.w2 = u2.w
+         |  LEFT JOIN uni u3 ON o.w3 = u3.w
+         |  CROSS JOIN nn),
+         |agg AS (
+         |  SELECT doc,
+         |    CAST(sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+         |    CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+         |    CAST(sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+         |    CAST(sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |    CASE WHEN sum(CASE WHEN tier < 3 THEN 1 ELSE 0 END) > 0
+         |      THEN CAST(floor(CAST(sum(lp6) AS DOUBLE)
+         |        / sum(CASE WHEN tier < 3 THEN 1 ELSE 0 END)) AS BIGINT) / 1e6
+         |      END AS sb_score
+         |  FROM sc GROUP BY doc)
+         |SELECT d.doc_id AS doc,
+         |  coalesce(a.n_tri, 0) AS n_tri, coalesce(a.n_bi, 0) AS n_bi,
+         |  coalesce(a.n_uni, 0) AS n_uni, coalesce(a.n_oov, 0) AS n_oov,
+         |  a.sb_score
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc
+         |ORDER BY doc""".stripMargin,
+
     // Fuzzy-join replica: the naive levenshtein inequality join over
     // name types the q-gram-prefiltered plan must equal exactly.
     "q_fuzzy_join" ->

@@ -2319,6 +2319,39 @@ object SparkEntry {
         TextAnalysis.hashSplit(col("doc_id"), 80, 10).as("split"))
       .orderBy(col("doc_id"))
 
+  /** Gold-calibrated weighted label election: line items vote their
+    * return flag per order (rater = supplier mod 31), a gold slice
+    * (orders ≡ 0 mod 7, fixed status→flag mapping) calibrates rater
+    * accuracy in exact micro-units, and each order elects the label
+    * with the highest weighted mass. Fully hash-oracled.
+    */
+  private def qLabelVote(s: SparkSession, dir: String): DataFrame = {
+    val votes = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("item"),
+      (col("l_suppkey") % 31).as("rater"),
+      col("l_returnflag").as("label"))
+    val gold = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("item"),
+        when(col("o_orderstatus") === "F", "R")
+          .when(col("o_orderstatus") === "O", "N")
+          .otherwise("A").as("label"))
+    ops.LabelVote.weightedVote(votes, gold)
+      .orderBy(col("item"))
+  }
+
+  /** Stupid Backoff trigram LM scoring: train on the doc_id % 3 != 0
+    * slice, score EVERY document — held-out docs exercise the
+    * bigram/unigram backoff tiers (a corpus scored on itself hits the
+    * trigram tier everywhere). Per-doc tier counts + the floored
+    * micro-nat mean score, fully hash-oracled.
+    */
+  private def qLmBackoff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    text.TextAnalysis.stupidBackoffScore(
+        docs.filter(col("doc_id") % 3 =!= 0), docs, "doc_id", "text")
+      .orderBy(col("doc"))
+  }
+
   /** Edit-distance threshold join over part-name TYPES (levenshtein ≤ 2
     * via q-gram prefix filtering, verified exact): matching name pairs
     * with their edit distance and the row-pair multiplicity the
@@ -3950,6 +3983,8 @@ object SparkEntry {
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_safe_split" -> (qSafeSplit _),
     "q_fuzzy_join" -> (qFuzzyJoin _),
+    "q_lm_backoff" -> (qLmBackoff _),
+    "q_label_vote" -> (qLabelVote _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

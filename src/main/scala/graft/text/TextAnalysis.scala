@@ -733,6 +733,97 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_score"))
   }
 
+  /** Stupid Backoff trigram LM scoring (Brants et al. EMNLP '07 §4 —
+    * the web-scale LM quality filter that skips discount estimation
+    * entirely): each scoring-corpus trigram (w1 w2 w3) takes
+    * `S = c(w1w2w3)/c(w1w2)` when the trigram is in the TRAIN corpus,
+    * backs off to `0.4·c(w2w3)/c(w2)`, then to `0.16·c(w3)/N`; tokens
+    * whose unigram is unseen are counted OOV and excluded from the
+    * score (no smoothing — the paper's S is not a probability). Scores
+    * are per-trigram ln in integer micro-nats (the lm_score rules:
+    * round(ln·1e6) per trigram, exact long sums, floor of the
+    * bit-identical mean quotient), so the whole thing hash-oracles.
+    *
+    * Train and score corpora are SEPARATE inputs — scoring a held-out
+    * slice is what exercises the backoff tiers (a corpus scored on
+    * itself hits the trigram tier on every token); the per-doc tier
+    * counts (n_tri/n_bi/n_uni/n_oov) come out alongside the score as
+    * the filter diagnostics.
+    *
+    * Scale: count relations are vocabulary-shaped (uni ≤ |V|, bi/tri ≤
+    * observed n-grams) and every scoring join is an equi-join AQE can
+    * broadcast when counts fit; the trigram stream is a zip of three
+    * array slices — a pure projection, never a positional self-join.
+    * N rides a single-row broadcast.
+    */
+  def stupidBackoffScore(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol).as("doc"),
+      filter(graft.dedup.Dedup.tokensOf(col(textCol)), t => t =!= "").as("_t"))
+    def trigrams(df: DataFrame) = toks(df)
+      .filter(size(col("_t")) >= 3)
+      .select(col("doc"),
+        slice(col("_t"), lit(1), size(col("_t")) - 2).as("a"),
+        slice(col("_t"), lit(2), size(col("_t")) - 2).as("b"),
+        slice(col("_t"), lit(3), size(col("_t")) - 2).as("c"))
+      .select(col("doc"), explode(arrays_zip(col("a"), col("b"), col("c"))).as("tg"))
+      .select(col("doc"), col("tg.a").as("w1"), col("tg.b").as("w2"),
+        col("tg.c").as("w3"))
+
+    val trainToks = toks(train).select(col("doc"), explode(col("_t")).as("w"))
+    val uni = trainToks.groupBy(col("w")).agg(count(lit(1)).as("uc"))
+    val bi = toks(train).filter(size(col("_t")) >= 2)
+      .select(col("doc"),
+        slice(col("_t"), lit(1), size(col("_t")) - 1).as("a"),
+        slice(col("_t"), lit(2), size(col("_t")) - 1).as("b"))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("bg"))
+      .groupBy(col("bg.a").as("x1"), col("bg.b").as("x2"))
+      .agg(count(lit(1)).as("bc"))
+    val tri = trigrams(train)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tc"))
+    val n = trainToks.agg(count(lit(1)).cast("double").as("n"))
+
+    val perTri = trigrams(score)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("x1").as("w1"), col("x2").as("w2"),
+        col("bc").as("bc12")), Seq("w1", "w2"), "left")
+      .join(bi.select(col("x1").as("w2"), col("x2").as("w3"),
+        col("bc").as("bc23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("uc").as("uc2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("uc").as("uc3")), Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("tier",
+        when(col("tc").isNotNull, lit(0))
+          .when(col("bc23").isNotNull, lit(1))
+          .when(col("uc3").isNotNull, lit(2))
+          .otherwise(lit(3)))
+      .withColumn("lp6",
+        when(col("tier") === 0,
+          round(log(col("tc").cast("double") / col("bc12")) * 1e6))
+        .when(col("tier") === 1,
+          round(log(lit(0.4) * col("bc23") / col("uc2")) * 1e6))
+        .when(col("tier") === 2,
+          round(log(lit(0.16) * col("uc3") / col("n")) * 1e6))
+        .cast("long"))
+
+    val scored = perTri.groupBy(col("doc")).agg(
+      sum(when(col("tier") === 0, 1L).otherwise(0L)).as("n_tri"),
+      sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_bi"),
+      sum(when(col("tier") === 2, 1L).otherwise(0L)).as("n_uni"),
+      sum(when(col("tier") === 3, 1L).otherwise(0L)).as("n_oov"),
+      when(sum(when(col("tier") < 3, 1L).otherwise(0L)) > 0L,
+        floor(sum(col("lp6")) / sum(when(col("tier") < 3, 1L).otherwise(0L)))
+          .cast("long") / 1e6).as("sb_score"))
+    score.select(col(idCol).as("doc")).distinct()
+      .join(scored, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("sb_score"))
+  }
+
   /** Word n-gram document frequency per group: in how many documents of
     * each group does each n-gram appear (shingles are distinct per doc),
     * top-k per group by (count desc, n-gram asc). The corpus-level n-gram

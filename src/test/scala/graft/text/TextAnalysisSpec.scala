@@ -6,6 +6,35 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("stupidBackoffScore: tiers fire in order with hand-checked micro-nats") {
+    val train = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    // uni: the 2, cat 2, sat 1, ran 1 (N = 6); bi: (the,cat) 2,
+    // (cat,sat) 1, (cat,ran) 1; tri: (the,cat,sat) 1, (the,cat,ran) 1
+    val score = Seq(
+      (10L, "the cat sat"),   // tri tier: ln(1/2)        = -0.693147
+      (11L, "dog cat sat"),   // bi  tier: ln(0.4*1/2)    = -1.609438
+      (12L, "sat sat ran"),   // uni tier: ln(0.16*1/6)   = -3.624341
+      (13L, "cat dog xyz"),   // oov (xyz unseen)
+      (14L, "hi")             // too short: no trigrams, null score
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.stupidBackoffScore(train, score, "doc_id", "text")
+      .orderBy(col("doc"))
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect()
+    assert(r(0) == ((10L, 1L, 0L, 0L, 0L, Some(-0.693147))))
+    assert(r(1) == ((11L, 0L, 1L, 0L, 0L, Some(-1.609438))))
+    assert(r(2) == ((12L, 0L, 0L, 1L, 0L, Some(-3.624341))))
+    assert(r(3) == ((13L, 0L, 0L, 0L, 1L, None)))
+    assert(r(4) == ((14L, 0L, 0L, 0L, 0L, None)))
+  }
+
+  test("stupidBackoffScore: self-scored corpus hits the trigram tier everywhere") {
+    val docs = Seq((1L, "a b c d e"), (2L, "b c d e f")).toDF("doc_id", "text")
+    val r = TextAnalysis.stupidBackoffScore(docs, docs, "doc_id", "text")
+      .agg(sum(col("n_bi") + col("n_uni") + col("n_oov")),
+        sum(col("n_tri"))).as[(Long, Long)].collect()(0)
+    assert(r == ((0L, 6L)))
+  }
+
   test("leakageSafeSplit: clusters never straddle; singletons equal hashSplit") {
     val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // two clusters: {3,17,41} (transitively via 17) and {8,9}
