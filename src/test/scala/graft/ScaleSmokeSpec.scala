@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, FuzzyJoin}
 import graft.sim.Similarity
 
 /** Measured scaling curve for the candidate-generation machinery: a 10×
@@ -122,5 +122,38 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(d1 > 0, "planted disclaimer spans not detected at 1x")
     assert(d10 >= 8 * d1 && d10 <= 12 * d1, s"non-linear span growth: $d1 -> $d10")
     assert(t10 <= 30 * (t1 + 0.2), f"runtime blowup: $t1%.2fs -> $t10%.2fs")
+  }
+
+  test("fuzzy join candidate structure scales EXACTLY 10x from 1x to 10x") {
+    // digit bases (length 8) + a per-replica 4-letter suffix: equal
+    // total lengths and a fully-mismatched 4-char letter block put every
+    // cross-replica pair at distance ≥ 3 > maxDist, while intra-replica
+    // distances are untouched (same suffix both sides) — so the true
+    // pair relation of the 10× pool is EXACTLY 10 disjoint copies and
+    // the exact-verified output must multiply by exactly 10.
+    val rnd = new scala.util.Random(31)
+    val b = {
+      var prev = "00000000"
+      (1 to 240).map { i =>
+        val s =
+          if (i % 5 == 0) prev.updated(2, 'x').updated(5, 'y') // planted 2-edit pair
+          else (1 to 8).map(_ => ('0' + rnd.nextInt(10)).toChar).mkString
+        prev = s
+        (i.toLong, s)
+      }
+    }
+    def pool(reps: Int) = b.flatMap { case (i, s) =>
+      (0 until reps).map(k =>
+        (i + k * 100000L, s + ("" + ('a' + k).toChar) * 4))
+    }
+    def count(rows: Seq[(Long, String)]): Long = {
+      val df = rows.toDF("id", "str")
+      FuzzyJoin.editDistancePairs(df, df, maxDist = 2)
+        .filter(col("a_id") < col("b_id")).count()
+    }
+    val c1 = count(pool(1))
+    val c10 = count(pool(10))
+    assert(c1 > 0, "no near pairs at 1x — the planted variants vanished")
+    assert(c10 == 10 * c1, s"fuzzy pair structure must be exactly 10x: $c1 -> $c10")
   }
 }
