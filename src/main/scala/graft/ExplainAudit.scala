@@ -27,7 +27,9 @@ object ExplainAudit {
       "q_classifier_score", "q_countmin", "q_bloom",
       "q_hll", "q_hll_overlap", "q_bloom_join", "q_scd2", "q_pagerank",
       "q_weighted_sample", "q_profile", "q_corpus_diff",
-      "q_embed_normalize", "q_embed_normalize_approx")
+      "q_embed_normalize", "q_embed_normalize_approx",
+      "q_bpe_encode", "q_dict_tag", "q_interval_overlap", "q_safe_split",
+      "q_fuzzy_join", "q_lm_backoff", "q_label_vote")
     interesting.foreach { name =>
       println(s"########## $name")
       println(SparkEntry.queries(name)(spark, d)

@@ -742,6 +742,29 @@ object OracleSql {
         |  vt IS NULL AS is_current
         |FROM iv ORDER BY user_id, vf""".stripMargin,
 
+    // Streaming temporal-enrich replica: the batch interval join
+    // against the q_scd2 CTE chain — every event falls in exactly one
+    // [vf, vt) interval of its user (intervals start at the user's
+    // first event and partition the timeline).
+    "q_stream_asof" ->
+      """WITH ord AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev, lag(ts) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |changes AS (
+        |  SELECT * FROM ord
+        |  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev),
+        |iv AS (
+        |  SELECT user_id, event_type, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM changes)
+        |SELECT e.event_id, e.user_id, i.event_type AS state_type,
+        |  i.vt IS NULL AS is_current
+        |FROM events e JOIN iv i ON e.user_id = i.user_id
+        |  AND e.ts >= i.vf AND (i.vt IS NULL OR e.ts < i.vt)
+        |ORDER BY event_id""".stripMargin,
+
     // Fixed-point PageRank, iterations unrolled (DuckDB disallows
     // aggregates in recursive CTE terms): rank0 = SCALE//N, rank' =
     // (15*SCALE)//(100*N) + (17 * sum(rank//deg)) // 20 — pure integer

@@ -1550,6 +1550,44 @@ object SparkEntry {
     s.table(sink).orderBy(col("event_id"))
   }
 
+  /** Streaming temporal enrichment under the correctness gate: events
+    * replay through a MemoryStream and probe the SCD-2 validity
+    * intervals built from the SAME events table for the state valid at
+    * each event's timestamp — the stream-side as-of join, stateless
+    * per micro-batch. Hash-oracled against the batch interval join.
+    */
+  private def qStreamAsof(s: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = t(s, dir, "events")
+    val dim = ops.EventOps.scd2Intervals(
+        ev, "user_id", "ts", "event_id", "event_type")
+      .select(col("user_id").as("d_user"),
+        col("event_type").as("state_type"),
+        col("valid_from_ts"), col("valid_to_ts"))
+    val src = ev.select(col("event_id"), col("user_id"), col("ts"))
+      .orderBy(col("event_id"))
+    val n = src.count()
+    val rows = src.toLocalIterator().asScala
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val enriched = StreamingOps.streamStaticTemporalEnrich(
+        mem.toDF().toDF("event_id", "user_id", "ts"), dim,
+        Seq("user_id" -> "d_user"), "ts", "valid_from_ts", "valid_to_ts")
+      .select(col("event_id"), col("user_id"), col("state_type"),
+        col("valid_to_ts").isNull.as("is_current"))
+    val sink = "q_stream_asof_sink"
+    val q = enriched.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      rows.grouped(math.max(2000, (n / 2 + 1).toInt))
+        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+    } finally q.stop()
+    s.table(sink).orderBy(col("event_id"))
+  }
+
   /** Structured Streaming under the correctness gate: the events table is
     * replayed through a MemoryStream in micro-batches into the SAME
     * watermarked tumbling-agg plan the batch query uses; the finished
@@ -3985,6 +4023,7 @@ object SparkEntry {
     "q_fuzzy_join" -> (qFuzzyJoin _),
     "q_lm_backoff" -> (qLmBackoff _),
     "q_label_vote" -> (qLabelVote _),
+    "q_stream_asof" -> (qStreamAsof _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

@@ -129,6 +129,39 @@ object StreamingOps {
       keys: Seq[String], joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), keys, joinType)
 
+  /** Stream-static TEMPORAL enrichment — the time-travel dimension
+    * join: each event probes a validity-interval dimension (the
+    * [[graft.ops.EventOps.scd2Intervals]] shape) for the row valid AT
+    * the event's timestamp: key equality + `from ≤ ts < to`, with a
+    * NULL `to` meaning the open current interval. `keys` maps stream
+    * column → dim column so pre-aliased dims keep the output
+    * unambiguous.
+    *
+    * STATELESS like [[streamStaticEnrich]] (no watermark, no state
+    * store — the spec pins `stateOperators.isEmpty`): the non-equi
+    * conjuncts ride the same per-micro-batch broadcast hash join as
+    * the equi keys, and a dim refresh (the history table growing a new
+    * interval) lands on the next micro-batch. The streaming face of
+    * the batch as-of/range join family.
+    *
+    * Scale: same dimension contract as streamStaticEnrich — the
+    * interval table must stay broadcast-sized; beyond that, drop the
+    * hint and Spark shuffles each micro-batch (or compact history
+    * with [[graft.ops.AsOfJoin]] forms batch-side first).
+    */
+  def streamStaticTemporalEnrich(stream: DataFrame, dim: DataFrame,
+      keys: Seq[(String, String)], tsCol: String,
+      fromCol: String, toCol: String,
+      joinType: String = "left"): DataFrame = {
+    require(keys.nonEmpty, "temporal enrich needs at least one key pair")
+    val d = broadcast(dim)
+    val cond = keys.map { case (sk, dk) => stream(sk) === d(dk) }
+      .reduce(_ && _) &&
+      stream(tsCol) >= d(fromCol) &&
+      (d(toCol).isNull || stream(tsCol) < d(toCol))
+    stream.join(d, cond, joinType)
+  }
+
   // ------------------------------------------- custom state (gap sessions)
 
   final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)

@@ -60,4 +60,38 @@ class StreamStaticJoinSpec extends SparkSpec {
       assert(out == Map(1L -> "even", 2L -> "odd", 3L -> "even"))
     } finally query.stop()
   }
+
+  test("streamStaticTemporalEnrich: interval probe, half-open bounds, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1's state history: [10:00, 11:00) = "a", [11:00, ∞) = "b"
+    val dim = Seq(
+      (1L, "a", Timestamp.valueOf("2024-01-01 10:00:00"),
+        Some(Timestamp.valueOf("2024-01-01 11:00:00"))),
+      (1L, "b", Timestamp.valueOf("2024-01-01 11:00:00"),
+        None.asInstanceOf[Option[Timestamp]]))
+      .toDF("d_user", "state", "vf", "vt")
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val enriched = StreamingOps.streamStaticTemporalEnrich(
+        mem.toDF().toDF("id", "user_id", "ts"), dim,
+        Seq("user_id" -> "d_user"), "ts", "vf", "vt")
+      .select(col("id"), col("state"))
+    val query = enriched.writeStream.format("memory")
+      .queryName("stream_temporal_enrich").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, 1L, Timestamp.valueOf("2024-01-01 10:30:00")),  // inside [10,11) → a
+        (2L, 1L, Timestamp.valueOf("2024-01-01 11:00:00")),  // AT the bound → b
+        (3L, 1L, Timestamp.valueOf("2024-01-01 09:00:00")),  // before history → null
+        (4L, 2L, Timestamp.valueOf("2024-01-01 10:30:00")))  // unknown key → null
+      query.processAllAvailable()
+      mem.addData((5L, 1L, Timestamp.valueOf("2024-01-01 23:00:00"))) // open interval
+      query.processAllAvailable()
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "temporal stream-static join must not create a state store")
+      val out = spark.sql("select id, state from stream_temporal_enrich")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(out == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None,
+        4L -> None, 5L -> Some("b")))
+    } finally query.stop()
+  }
 }
