@@ -2399,6 +2399,30 @@ object OracleSql {
         |  AND levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
 
+    // Luhn replica: same planted candidates, the mod-10 fold as a list
+    // comprehension over the reversed digits.
+    "q_pii_luhn" ->
+      """WITH planted AS (
+        |  SELECT doc_id AS doc,
+        |    text || CASE WHEN doc_id % 4 = 0 THEN ' card 4111111111111111 on file'
+        |                 WHEN doc_id % 4 = 2 THEN ' card 4111111111111112 on file'
+        |                 ELSE '' END AS t
+        |  FROM documents),
+        |cand AS (
+        |  SELECT doc, unnest(regexp_extract_all(t, '\d{13,16}')) AS candidate
+        |  FROM planted),
+        |luhn AS (
+        |  SELECT doc, candidate,
+        |    list_sum([CASE WHEN i % 2 = 0 THEN
+        |        CASE WHEN 2 * CAST(reverse(candidate)[i] AS INTEGER) > 9
+        |          THEN 2 * CAST(reverse(candidate)[i] AS INTEGER) - 9
+        |          ELSE 2 * CAST(reverse(candidate)[i] AS INTEGER) END
+        |      ELSE CAST(reverse(candidate)[i] AS INTEGER) END
+        |      FOR i IN generate_series(1, len(candidate))]) AS s
+        |  FROM cand)
+        |SELECT doc, candidate, (len(candidate) > 0 AND s % 10 = 0) AS luhn_valid
+        |FROM luhn ORDER BY doc, candidate""".stripMargin,
+
     // Leakage-safe split replica: near-dup closure (the shared recursive
     // chain), split key = component rep (singletons = own id), then the
     // q_hash_split md5-bucket arithmetic on the KEY instead of the doc.

@@ -2414,6 +2414,22 @@ object SparkEntry {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Card-number PII detection with Luhn verification over planted
+    * candidates (the corpus has no natural digit runs): docs ≡ 0 mod 4
+    * carry a checksum-VALID card number, docs ≡ 2 mod 4 an invalid
+    * one — the regex finds both, the mod-10 filter tells them apart.
+    * Hash-oracled against DuckDB's list-comprehension Luhn.
+    */
+  private def qPiiLuhn(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" card 4111111111111111 on file"))
+          .when(col("doc_id") % 4 === 2, lit(" card 4111111111111112 on file"))
+          .otherwise(lit(""))).as("text"))
+    text.TextAnalysis.cardCandidates(planted, "doc_id", "text")
+      .orderBy(col("doc"), col("candidate"))
+  }
+
   /** Leakage-safe split off the n-gram Jaccard near-dup relation: every
     * near-dup cluster lands WHOLE in one of train/val/test (split key =
     * component representative; singletons = own id ≡ plain hashSplit).
@@ -4024,6 +4040,7 @@ object SparkEntry {
     "q_lm_backoff" -> (qLmBackoff _),
     "q_label_vote" -> (qLabelVote _),
     "q_stream_asof" -> (qStreamAsof _),
+    "q_pii_luhn" -> (qPiiLuhn _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

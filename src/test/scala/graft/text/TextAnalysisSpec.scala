@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("luhnValid: canonical numbers; cardCandidates extracts and verdicts") {
+    val flags = Seq("79927398713", "79927398710", "4111111111111111",
+      "4111111111111112", "", "0000000000000000")
+      .toDF("d").select(TextAnalysis.luhnValid(col("d")).as("v"))
+      .as[Boolean].collect().toSeq
+    // 79927398713 is ISO 7812's worked example; all-zeros checksums too
+    assert(flags == Seq(true, false, true, false, false, true))
+    val r = TextAnalysis.cardCandidates(
+        Seq((1L, "pay 4111111111111111 or 4111111111111112 now"),
+          (2L, "no digits here")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(r == Set((1L, "4111111111111111", true),
+      (1L, "4111111111111112", false)))
+  }
+
   test("stupidBackoffScore: tiers fire in order with hand-checked micro-nats") {
     val train = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
     // uni: the 2, cat 2, sat 1, ran 1 (N = 6); bi: (the,cat) 2,
