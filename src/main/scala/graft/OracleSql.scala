@@ -2452,6 +2452,52 @@ object OracleSql {
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
 
+    // Near-dup admission replica: the planted union, naive all-pairs
+    // shingle overlap, cross-boundary filter (target ≡ id ≥ 1e6 or
+    // id % 7 != 0), anti-join on the dirty target ids.
+    "q_dedup_against_near" -> {
+      val normU = norm("u.text")
+      s"""WITH refc AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+         |tgt AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    array_to_string(t[1:len(t) - 1], ' ') AS text
+         |  FROM (SELECT doc_id, str_split(text, ' ') AS t
+         |        FROM refc WHERE doc_id % 3 = 0)),
+         |u AS MATERIALIZED (
+         |  SELECT * FROM tgt UNION ALL SELECT * FROM refc),
+         |sh AS MATERIALIZED (
+         |  SELECT doc, list_distinct(CASE WHEN len(t) >= 3
+         |    THEN [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)]
+         |    ELSE [array_to_string(t, ' ')] END) AS shs
+         |  FROM (SELECT doc_id AS doc, str_split($normU, ' ') AS t FROM u)),
+         |ex AS MATERIALIZED (SELECT doc, unnest(shs) AS s FROM sh),
+         |sizes AS MATERIALIZED (SELECT doc, count(*) AS n_sh FROM ex GROUP BY doc),
+         |common AS MATERIALIZED (
+         |  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    CAST(n_common AS DOUBLE)
+         |      / CAST(za.n_sh + zb.n_sh - n_common AS DOUBLE) AS jaccard
+         |  FROM common
+         |  JOIN sizes za ON id_a = za.doc
+         |  JOIN sizes zb ON id_b = zb.doc),
+         |dirty AS (
+         |  SELECT DISTINCT CASE WHEN (id_a >= 1000000 OR id_a % 7 != 0)
+         |    THEN id_a ELSE id_b END AS d
+         |  FROM scored
+         |  WHERE jaccard >= 0.8
+         |    AND ((id_a >= 1000000 OR id_a % 7 != 0)
+         |      != (id_b >= 1000000 OR id_b % 7 != 0)))
+         |SELECT doc_id FROM tgt
+         |WHERE doc_id NOT IN (SELECT d FROM dirty)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q_dedup_against" ->
       s"""WITH refk AS (
          |  SELECT DISTINCT md5(${norm("text")}) AS k

@@ -2414,6 +2414,29 @@ object SparkEntry {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Incremental-ingest NEAR-dup admission: the reference slice
+    * (doc_id ≡ 0 mod 7) is the standing corpus; the target (everything
+    * else, plus planted near-copies of every 3rd reference doc with
+    * the last token dropped) is the incoming batch. Admitted = target
+    * docs with no cross-corpus n-gram Jaccard ≥ 0.8 pair — planted
+    * copies must all reject. Hash-oracled against the naive all-pairs
+    * replica with the same cross-boundary filter.
+    */
+  private def qDedupAgainstNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    val planted = ref.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')")
+          .as("text"))
+    val target = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .unionAll(planted)
+    Dedup.deduplicateAgainstNear(target, ref, "doc_id", "text")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Card-number PII detection with Luhn verification over planted
     * candidates (the corpus has no natural digit runs): docs ≡ 0 mod 4
     * carry a checksum-VALID card number, docs ≡ 2 mod 4 an invalid
@@ -4041,6 +4064,7 @@ object SparkEntry {
     "q_label_vote" -> (qLabelVote _),
     "q_stream_asof" -> (qStreamAsof _),
     "q_pii_luhn" -> (qPiiLuhn _),
+    "q_dedup_against_near" -> (qDedupAgainstNear _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

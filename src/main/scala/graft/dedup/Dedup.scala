@@ -790,6 +790,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus NEAR-dup pairs — the incremental-ingest admission
+    * gate's candidate relation: every (target doc, reference doc) pair
+    * at or above the n-gram Jaccard threshold, computed by the SAME
+    * rarity-prefix machinery as [[ngramJaccardPairs]] over the tagged
+    * union, keeping only pairs that CROSS the corpus boundary
+    * (within-target and within-reference pairs are someone else's
+    * query). The near-dup completion of the exact-key
+    * [[deduplicateAgainst]]: a standing corpus rejects new documents
+    * that are ALMOST verbatim copies, not just byte-identical ones.
+    *
+    * Ids must be globally distinct across the two frames (the caller's
+    * contract, as in any cross-corpus join). Scale: identical to
+    * ngramJaccardPairs (the union just widens the corpus); the
+    * membership marker is a broadcast-sized id relation.
+    */
+  def ngramJaccardAgainst(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val u = target.select(col(idCol), col(textCol))
+      .unionAll(reference.select(col(idCol), col(textCol)))
+    val pairs = ngramJaccardPairs(u, idCol, textCol, shingleN, threshold)
+    val mark = target.select(col(idCol).as("_na_id")).distinct()
+      .withColumn("_na_m", lit(1))
+    pairs
+      .join(mark.select(col("_na_id").as("id_a"), col("_na_m").as("_ma")),
+        Seq("id_a"), "left")
+      .join(mark.select(col("_na_id").as("id_b"), col("_na_m").as("_mb")),
+        Seq("id_b"), "left")
+      .filter(coalesce(col("_ma"), lit(0)) + coalesce(col("_mb"), lit(0)) === 1)
+      .select(
+        when(col("_ma").isNotNull, col("id_a")).otherwise(col("id_b"))
+          .as("target_id"),
+        when(col("_ma").isNotNull, col("id_b")).otherwise(col("id_a"))
+          .as("ref_id"),
+        col("jaccard"))
+  }
+
+  /** The admitted slice of `target`: documents with NO near-dup in the
+    * standing `reference` corpus (left-anti on the distinct flagged
+    * ids — build side |flagged docs|, not |pairs|, the decontaminate
+    * materialization rule).
+    */
+  def deduplicateAgainstNear(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val dirty = ngramJaccardAgainst(target, reference, idCol, textCol,
+        shingleN, threshold)
+      .select(col("target_id").as(idCol)).distinct()
+    target.join(dirty, Seq(idCol), "left_anti")
+  }
+
   /** Fellegi–Sunter record-linkage scoring (JASA '69) over candidate
     * pairs: each compared field contributes its trained log-odds weight —
     * `wAgree` (≈ ln(m/u)) on agreement, `wDisagree` (≈ ln((1−m)/(1−u)))

@@ -370,4 +370,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getString(1)).toSeq
     assert(normEq == Seq("unchanged"))
   }
+
+  test("ngramJaccardAgainst: cross-corpus pairs only; near admission gate") {
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val target = Seq(
+      // near-copy of ref 100 (last token dropped)
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      // unique doc
+      (2L, "completely different words live here today"),
+      // within-TARGET near pair of doc 2 — must NOT appear (cross only)
+      (3L, "completely different words live here today yes")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardAgainst(target, ref, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select("target_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L)))
+    val admitted = Dedup.deduplicateAgainstNear(target, ref, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(2L, 3L))
+  }
 }
