@@ -2452,6 +2452,32 @@ object OracleSql {
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
 
+    // Merkle commitment replica: md5-bucketed shards, ordered
+    // string_agg folds — leaf order is the STRING id order (the
+    // engine's struct sort on the stringified id).
+    "q_merkle" -> {
+      s"""WITH leaves AS MATERIALIZED (
+         |  SELECT CAST(doc_id AS VARCHAR) AS id,
+         |    ${hex4("md5(CAST(doc_id AS VARCHAR))")} % 16 AS shard,
+         |    CAST(doc_id AS VARCHAR) || ':' || md5(coalesce(text, '')) AS leaf
+         |  FROM documents),
+         |sh AS MATERIALIZED (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    md5(string_agg(leaf, '' ORDER BY id)) AS hash
+         |  FROM leaves GROUP BY shard),
+         |root AS (
+         |  SELECT CAST(1 AS BIGINT) AS level, CAST(-1 AS BIGINT) AS shard,
+         |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |    md5(string_agg(hash, '' ORDER BY shard)) AS hash
+         |  FROM sh)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS level, CAST(shard AS BIGINT) AS shard,
+         |    n_docs, hash
+         |  FROM sh
+         |  UNION ALL SELECT * FROM root)
+         |ORDER BY level, shard""".stripMargin
+    },
+
     // Near-dup admission replica: the planted union, naive all-pairs
     // shingle overlap, cross-boundary filter (target ≡ id ≥ 1e6 or
     // id % 7 != 0), anti-join on the dirty target ids.

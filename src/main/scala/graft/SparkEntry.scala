@@ -2414,6 +2414,16 @@ object SparkEntry {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Merkle corpus commitment over the documents snapshot (16 shards):
+    * shard-level content hashes + the root — the reproducibility
+    * receipt whose shard rows localize any change to |corpus|/16 docs.
+    * Hash-oracled against DuckDB's ordered string_agg replica.
+    */
+  private def qMerkle(s: SparkSession, dir: String): DataFrame =
+    Dedup.corpusCommitment(t(s, dir, "documents"), "doc_id", "text",
+        nShards = 16)
+      .orderBy(col("level"), col("shard"))
+
   /** Incremental-ingest NEAR-dup admission: the reference slice
     * (doc_id ≡ 0 mod 7) is the standing corpus; the target (everything
     * else, plus planted near-copies of every 3rd reference doc with
@@ -4065,6 +4075,7 @@ object SparkEntry {
     "q_stream_asof" -> (qStreamAsof _),
     "q_pii_luhn" -> (qPiiLuhn _),
     "q_dedup_against_near" -> (qDedupAgainstNear _),
+    "q_merkle" -> (qMerkle _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

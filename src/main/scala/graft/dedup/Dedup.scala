@@ -790,6 +790,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Merkle-style corpus commitment — the reproducibility receipt for
+    * a corpus snapshot: every document hashes to a leaf
+    * `md5(id || ':' || md5(text))`, leaves aggregate in id order into
+    * `nShards` md5-bucketed shard hashes, and the shard hashes
+    * aggregate in shard order into one root. Two corpora are
+    * byte-identical iff the roots match; when they differ, the shard
+    * level LOCALIZES the change to |corpus|/nShards documents before
+    * [[snapshotDiff]] pinpoints rows — the Merkle payoff that a single
+    * corpus-wide checksum can't give. Content is the RAW text
+    * (integrity commitment, not semantic identity — snapshotDiff's
+    * normalized fingerprints answer the other question).
+    *
+    * Output: one row per non-empty shard `(level 0, shard, n_docs,
+    * hash)` plus the root `(level 1, -1, total, hash)`. Deterministic
+    * under any partitioning (spec-pinned): ordered string_agg inside
+    * md5-bucketed shards, shard order for the root.
+    *
+    * Scale: the only order-sensitive aggregations are per-shard
+    * (bounded by |corpus|/nShards — size nShards so a shard's leaf
+    * string fits comfortably in an executor) and the nShards-row root
+    * fold. Leaves never leave their shard task after the one bucket
+    * shuffle.
+    */
+  def corpusCommitment(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int = 64): DataFrame = {
+    require(nShards >= 1, "corpusCommitment needs at least one shard")
+    val leaves = df.select(col(idCol).cast("string").as("_cc_id"),
+        md5(coalesce(col(textCol), lit(""))).as("_cc_h"))
+      .select(col("_cc_id"),
+        graft.text.TextAnalysis.hashBucket(col("_cc_id"), nShards)
+          .as("shard"),
+        concat(col("_cc_id"), lit(":"), col("_cc_h")).as("_cc_leaf"))
+    val shards = leaves.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("", array_sort(collect_list(
+          struct(col("_cc_id"), col("_cc_leaf"))))
+          .getField("_cc_leaf"))).as("hash"))
+    val root = shards.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+      md5(concat_ws("", array_sort(collect_list(
+        struct(col("shard"), col("hash")))).getField("hash"))).as("hash"))
+      .select(lit(1L).as("level"), lit(-1L).as("shard"),
+        col("n_docs"), col("hash"))
+    shards.select(lit(0L).as("level"), col("shard").cast("long").as("shard"),
+        col("n_docs"), col("hash"))
+      .unionAll(root)
+  }
+
   /** Cross-corpus NEAR-dup pairs — the incremental-ingest admission
     * gate's candidate relation: every (target doc, reference doc) pair
     * at or above the n-gram Jaccard threshold, computed by the SAME

@@ -371,6 +371,28 @@ class DedupSpec extends SparkSpec {
     assert(normEq == Seq("unchanged"))
   }
 
+  test("corpusCommitment: partitioning-invariant; one edit flips one shard + root") {
+    val docs = (1L to 80L).map(i => (i, s"document number $i body")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Dedup.corpusCommitment(df, "doc_id", "text", nShards = 8)
+        .as[(Long, Long, Long, String)].collect().toSet
+    val a = rows(docs.repartition(1))
+    val b = rows(docs.repartition(13))
+    assert(a == b, "commitment must not depend on partitioning")
+    assert(a.count(_._1 == 0L) == 8 && a.count(_._1 == 1L) == 1)
+    assert(a.find(_._1 == 1L).get._3 == 80L)
+    // edit ONE doc: exactly its shard hash and the root change
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 42L, lit("tampered")).otherwise(col("text")))
+    val c = rows(edited)
+    val changed = (a -- c).map(r => (r._1, r._2))
+    assert(changed.size == 2 && changed.contains((1L, -1L)),
+      s"one edit must flip exactly one shard + the root, got $changed")
+    // empty corpus: just the empty root
+    val e = rows(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(e.size == 1 && e.head._1 == 1L && e.head._3 == 0L)
+  }
+
   test("ngramJaccardAgainst: cross-corpus pairs only; near admission gate") {
     val ref = Seq(
       (100L, "alpha beta gamma delta epsilon zeta eta theta"),
