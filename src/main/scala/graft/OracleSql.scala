@@ -2452,6 +2452,30 @@ object OracleSql {
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
 
+    // Int8 quantization-audit replica: same micro quantization, the
+    // ceil-div scale, round-half-up-on-|x| codes, exact error sums —
+    // all non-negative integer floor divisions (// == div here).
+    "q_int8_quant" ->
+      """WITH qz AS MATERIALIZED (
+        |  SELECT vec_id AS id,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS x
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |sc AS MATERIALIZED (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS n_dims,
+        |    greatest((max(abs(x)) + 126) // 127, 1) AS scale
+        |  FROM qz GROUP BY id),
+        |er AS (
+        |  SELECT q.id, sc.n_dims, sc.scale,
+        |    abs(abs(q.x) - ((2 * abs(q.x) + sc.scale) // (2 * sc.scale))
+        |      * sc.scale) AS e
+        |  FROM qz q JOIN sc USING (id))
+        |SELECT id, n_dims, CAST(scale AS BIGINT) AS scale,
+        |  CAST(max(e) AS BIGINT) AS max_abs_err,
+        |  CAST(sum(e) AS BIGINT) AS sum_abs_err
+        |FROM er GROUP BY id, n_dims, scale
+        |ORDER BY id""".stripMargin,
+
     // Merkle commitment replica: md5-bucketed shards, ordered
     // string_agg folds — leaf order is the STRING id order (the
     // engine's struct sort on the stringified id).

@@ -2414,6 +2414,16 @@ object SparkEntry {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Int8 embedding-compression audit over the embeddings corpus:
+    * per-vector int8 scale + exact reconstruction error of symmetric
+    * round-half-up coding — the 4×-compression decision relation.
+    * Fully hash-oracled (non-negative integer floor divisions only).
+    */
+  private def qInt8Quant(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.int8QuantReport(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy(col("id"))
+
   /** Merkle corpus commitment over the documents snapshot (16 shards):
     * shard-level content hashes + the root — the reproducibility
     * receipt whose shard rows localize any change to |corpus|/16 docs.
@@ -4076,6 +4086,7 @@ object SparkEntry {
     "q_pii_luhn" -> (qPiiLuhn _),
     "q_dedup_against_near" -> (qDedupAgainstNear _),
     "q_merkle" -> (qMerkle _),
+    "q_int8_quant" -> (qInt8Quant _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

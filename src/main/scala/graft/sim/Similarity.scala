@@ -58,6 +58,42 @@ object Similarity {
   def quantizedNorm(qa: Column): Column =
     sqrt(quantizedDot(qa, qa).cast("double"))
 
+  /** Symmetric per-vector int8 quantization AUDIT — the storage-
+    * compression decision relation for an embedding corpus (4×
+    * smaller than float32; the vector-DB default next to [[pqTopK]]'s
+    * one-byte-per-subspace codes): per vector, the int8 scale
+    * `s = max(⌈max|x| / 127⌉, 1)` over the micro-quantized
+    * coordinates, and the EXACT reconstruction error of
+    * round-half-up-on-|x| coding (`q = (2|x| + s) div (2s)`,
+    * reconstruction `sign·q·s`). All arithmetic is non-negative
+    * integer floor division — truncation == floor on both engines, so
+    * max/sum absolute error hash-oracle exactly (the
+    * sign-reapplication trick dodges the Spark-truncates /
+    * DuckDB-floors divergence on negatives).
+    *
+    * Scale: one posexplode pass + two (id)-keyed hash aggregations —
+    * per-vector state is (maxabs, n, errors), never the matrix; codes
+    * themselves are a projection away when a caller materializes them.
+    */
+  def int8QuantReport(df: DataFrame, idCol: String, vecCol: String,
+      quantScale: Int = 1000): DataFrame = {
+    val q = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(quantize(col(vecCol), quantScale)).as(Seq("pos", "x")))
+    val scales = q.groupBy(col("id")).agg(
+      max(abs(col("x"))).as("_i8_max"),
+      count(lit(1)).as("n_dims"))
+      .select(col("id"), col("n_dims"),
+        greatest(expr("(_i8_max + 126) div 127"), lit(1L)).as("scale"))
+    q.join(scales, Seq("id"))
+      .withColumn("_i8_q", expr("(2 * abs(x) + scale) div (2 * scale)"))
+      .withColumn("_i8_e", abs(abs(col("x")) - col("_i8_q") * col("scale")))
+      .groupBy(col("id"), col("n_dims"), col("scale"))
+      .agg(max(col("_i8_e")).as("max_abs_err"),
+        sum(col("_i8_e")).as("sum_abs_err"))
+  }
+
   /** Per-dimension robust normalization of an embedding column —
     * `(x − median_dim) / MAD_dim` in floored micro-units — the feature
     * standardization pass before distance-based stages (ANN, k-means,

@@ -514,4 +514,18 @@ class SimilaritySpec extends SparkSpec {
     assert((1 to 6).forall(i => !out(i.toLong).getBoolean(
       out(i.toLong).fieldIndex("is_far"))))
   }
+
+  test("int8QuantReport: hand-checked scale, half-up coding, exact errors") {
+    // micro units [500, 250, 2, -2]: scale = ceil(500/127) = 4;
+    // codes 125/63/1/1 → recon 500/252/4/4 → errors 0/2/2/2
+    // (the |x| = 2 half rounds UP); zero vector takes the scale-1 guard
+    val df = Seq(
+      (1L, Seq(0.5f, 0.25f, 0.002f, -0.002f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.int8QuantReport(df, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r(1L) == ((1L, 4L, 4L, 2L, 6L)))
+    assert(r(2L) == ((2L, 2L, 1L, 0L, 0L)))
+  }
 }
