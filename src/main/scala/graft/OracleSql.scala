@@ -2476,6 +2476,136 @@ object OracleSql {
         |FROM er GROUP BY id, n_dims, scale
         |ORDER BY id""".stripMargin,
 
+    // Skip-gram replica: same 40-bit seeded-md5 uniforms over
+    // (doc, 0-based position), keep iff u < sqrt(tNum·N / tDen·c(w))
+    // (sqrt is correctly rounded — both engines compare identical
+    // doubles), survivors re-sequenced per doc BEFORE windowing, pairs
+    // via a positional self-join on the re-sequenced rank.
+    "q_skipgram" ->
+      s"""WITH docs AS MATERIALIZED (
+         |  SELECT doc_id AS doc, ${norm("text")} AS nt FROM documents),
+         |post AS MATERIALIZED (
+         |  SELECT doc, unnest(generate_series(1, len(str_split(nt, ' ')))) AS p1,
+         |    unnest(str_split(nt, ' ')) AS w
+         |  FROM docs WHERE nt != ''),
+         |uni AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS uc FROM post GROUP BY w),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM post),
+         |kept AS MATERIALIZED (
+         |  SELECT doc, p1, w FROM post JOIN uni USING (w) CROSS JOIN nn
+         |  WHERE CAST(${hexN("substr(md5('sg:' || doc || ':' || (p1 - 1)), 1, 10)", 10)} + 1 AS DOUBLE)
+         |      / 1099511627776.0
+         |    < sqrt(CAST(1 * n AS DOUBLE) / CAST(200 * uc AS DOUBLE))),
+         |r AS MATERIALIZED (
+         |  SELECT doc, w,
+         |    row_number() OVER (PARTITION BY doc ORDER BY p1) AS rp
+         |  FROM kept),
+         |ord AS MATERIALIZED (
+         |  SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS c
+         |  FROM r a JOIN r b ON a.doc = b.doc AND b.rp - a.rp BETWEEN 1 AND 2
+         |  GROUP BY 1, 2)
+         |SELECT center, context, CAST(sum(c) AS BIGINT) AS n_pairs FROM (
+         |  SELECT wa AS center, wb AS context, c FROM ord
+         |  UNION ALL SELECT wb AS center, wa AS context, c FROM ord)
+         |GROUP BY center, context
+         |ORDER BY center, context""".stripMargin,
+
+    // Corpus-BLEU replica: candidate = tokens at 1-based position
+    // p % 7 != 0 re-sequenced (the array_join makes dropped-boundary
+    // grams contiguous — hence row_number, not p, on the cand side);
+    // n-grams with multiplicity via consecutive-position self-joins;
+    // clipping per (pair, gram); micro-nat lns of exact-integer ratios;
+    // exact ceil-division brevity penalty.
+    "q_bleu" ->
+      s"""WITH docs AS MATERIALIZED (
+         |  SELECT doc_id AS doc, lang, ${norm("text")} AS nt FROM documents),
+         |post AS MATERIALIZED (
+         |  SELECT doc, lang,
+         |    unnest(generate_series(1, len(str_split(nt, ' ')))) AS p1,
+         |    unnest(str_split(nt, ' ')) AS w
+         |  FROM docs WHERE nt != ''),
+         |cpost AS MATERIALIZED (
+         |  SELECT doc, lang, w,
+         |    row_number() OVER (PARTITION BY doc ORDER BY p1) AS q
+         |  FROM post WHERE p1 % 7 != 0),
+         |cgc AS MATERIALIZED (
+         |  SELECT doc, lang, n, gram, CAST(count(*) AS BIGINT) AS ccnt FROM (
+         |    SELECT doc, lang, 1 AS n, w AS gram FROM cpost
+         |    UNION ALL SELECT a.doc, a.lang, 2, a.w || ' ' || b.w
+         |      FROM cpost a JOIN cpost b ON a.doc = b.doc AND b.q = a.q + 1
+         |    UNION ALL SELECT a.doc, a.lang, 3, a.w || ' ' || b.w || ' ' || c.w
+         |      FROM cpost a JOIN cpost b ON a.doc = b.doc AND b.q = a.q + 1
+         |      JOIN cpost c ON a.doc = c.doc AND c.q = a.q + 2
+         |    UNION ALL
+         |      SELECT a.doc, a.lang, 4,
+         |        a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
+         |      FROM cpost a JOIN cpost b ON a.doc = b.doc AND b.q = a.q + 1
+         |      JOIN cpost c ON a.doc = c.doc AND c.q = a.q + 2
+         |      JOIN cpost d ON a.doc = d.doc AND d.q = a.q + 3)
+         |  GROUP BY doc, lang, n, gram),
+         |rgc AS MATERIALIZED (
+         |  SELECT doc, n, gram, CAST(count(*) AS BIGINT) AS rcnt FROM (
+         |    SELECT doc, 1 AS n, w AS gram FROM post
+         |    UNION ALL SELECT a.doc, 2, a.w || ' ' || b.w
+         |      FROM post a JOIN post b ON a.doc = b.doc AND b.p1 = a.p1 + 1
+         |    UNION ALL SELECT a.doc, 3, a.w || ' ' || b.w || ' ' || c.w
+         |      FROM post a JOIN post b ON a.doc = b.doc AND b.p1 = a.p1 + 1
+         |      JOIN post c ON a.doc = c.doc AND c.p1 = a.p1 + 2
+         |    UNION ALL
+         |      SELECT a.doc, 4, a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
+         |      FROM post a JOIN post b ON a.doc = b.doc AND b.p1 = a.p1 + 1
+         |      JOIN post c ON a.doc = c.doc AND c.p1 = a.p1 + 2
+         |      JOIN post d ON a.doc = d.doc AND d.p1 = a.p1 + 3)
+         |  GROUP BY doc, n, gram),
+         |pn AS MATERIALIZED (
+         |  SELECT c.lang, c.n, CAST(sum(c.ccnt) AS BIGINT) AS tot,
+         |    CAST(sum(least(c.ccnt, coalesce(r.rcnt, 0))) AS BIGINT) AS mat
+         |  FROM cgc c LEFT JOIN rgc r
+         |    ON c.doc = r.doc AND c.n = r.n AND c.gram = r.gram
+         |  GROUP BY 1, 2),
+         |fin AS MATERIALIZED (
+         |  SELECT l.lang, l.n_pairs,
+         |    coalesce(cl.cand_len, 0) AS cand_len,
+         |    coalesce(rl.ref_len, 0) AS ref_len,
+         |    coalesce(w.m_1, 0) AS m_1, coalesce(w.t_1, 0) AS t_1,
+         |    coalesce(w.m_2, 0) AS m_2, coalesce(w.t_2, 0) AS t_2,
+         |    coalesce(w.m_3, 0) AS m_3, coalesce(w.t_3, 0) AS t_3,
+         |    coalesce(w.m_4, 0) AS m_4, coalesce(w.t_4, 0) AS t_4
+         |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs
+         |        FROM documents GROUP BY 1) l
+         |  LEFT JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS cand_len
+         |             FROM cpost GROUP BY 1) cl ON l.lang = cl.lang
+         |  LEFT JOIN (SELECT lang, CAST(count(*) AS BIGINT) AS ref_len
+         |             FROM post GROUP BY 1) rl ON l.lang = rl.lang
+         |  LEFT JOIN (SELECT lang,
+         |      CAST(coalesce(sum(CASE WHEN n = 1 THEN mat END), 0) AS BIGINT) AS m_1,
+         |      CAST(coalesce(sum(CASE WHEN n = 1 THEN tot END), 0) AS BIGINT) AS t_1,
+         |      CAST(coalesce(sum(CASE WHEN n = 2 THEN mat END), 0) AS BIGINT) AS m_2,
+         |      CAST(coalesce(sum(CASE WHEN n = 2 THEN tot END), 0) AS BIGINT) AS t_2,
+         |      CAST(coalesce(sum(CASE WHEN n = 3 THEN mat END), 0) AS BIGINT) AS m_3,
+         |      CAST(coalesce(sum(CASE WHEN n = 3 THEN tot END), 0) AS BIGINT) AS t_3,
+         |      CAST(coalesce(sum(CASE WHEN n = 4 THEN mat END), 0) AS BIGINT) AS m_4,
+         |      CAST(coalesce(sum(CASE WHEN n = 4 THEN tot END), 0) AS BIGINT) AS t_4
+         |    FROM pn GROUP BY lang) w ON l.lang = w.lang)
+         |SELECT lang, n_pairs, cand_len, ref_len,
+         |  m_1, t_1, m_2, t_2, m_3, t_3, m_4, t_4,
+         |  CASE WHEN cand_len > 0 THEN
+         |    CASE WHEN cand_len >= ref_len THEN 0
+         |      ELSE -(((ref_len - cand_len) * 1000000 + cand_len - 1) // cand_len)
+         |    END END AS bp_lmicro,
+         |  CASE WHEN cand_len > 0 AND m_1 > 0 AND m_2 > 0 AND m_3 > 0
+         |      AND m_4 > 0 THEN
+         |    (CASE WHEN cand_len >= ref_len THEN 0
+         |       ELSE -(((ref_len - cand_len) * 1000000 + cand_len - 1) // cand_len)
+         |     END)
+         |    + CAST(floor((
+         |        CAST(round(ln(CAST(m_1 AS DOUBLE) / t_1) * 1e6) AS BIGINT)
+         |      + CAST(round(ln(CAST(m_2 AS DOUBLE) / t_2) * 1e6) AS BIGINT)
+         |      + CAST(round(ln(CAST(m_3 AS DOUBLE) / t_3) * 1e6) AS BIGINT)
+         |      + CAST(round(ln(CAST(m_4 AS DOUBLE) / t_4) * 1e6) AS BIGINT)
+         |      ) / 4.0) AS BIGINT) END AS bleu_lmicro
+         |FROM fin ORDER BY lang""".stripMargin,
+
     // Merkle commitment replica: md5-bucketed shards, ordered
     // string_agg folds — leaf order is the STRING id order (the
     // engine's struct sort on the stringified id).

@@ -2414,6 +2414,34 @@ object SparkEntry {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Corpus-level BLEU per language: candidate = the document with every
+    * 7th normalized token dropped, reference = the document itself —
+    * rich partial n-gram overlap (runs of 6 kept tokens), a real brevity
+    * penalty (cand is 6/7 of ref), and clipping exercised on repeated
+    * grams. Log-domain micro-nat score, fully hash-oracled.
+    */
+  private def qBleu(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.dedup.Dedup.tokensOf(col("text"))
+    val pairs = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      array_join(filter(toks, (w, i) => w =!= "" && (i + 1) % 7 =!= 0), " ")
+        .as("cand"),
+      col("text").as("ref"))
+    text.TextAnalysis.bleuCorpus(pairs, "lang", "doc_id", "cand", "ref")
+      .orderBy(col("lang"))
+  }
+
+  /** Skip-gram (center, context) training pairs over the documents
+    * corpus: window 2, frequent-word subsampling at t = 1/200 (low
+    * enough that the corpus's common words actually get thinned at
+    * sf0.01 — the subsample path is exercised, not just compiled).
+    * Deterministic seeded-hash uniforms → fully hash-oracled.
+    */
+  private def qSkipGram(s: SparkSession, dir: String): DataFrame =
+    text.CorpusAssembly.skipGramPairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        window = 2, tNum = 1L, tDen = 200L)
+      .orderBy(col("center"), col("context"))
+
   /** Int8 embedding-compression audit over the embeddings corpus:
     * per-vector int8 scale + exact reconstruction error of symmetric
     * round-half-up coding — the 4×-compression decision relation.
@@ -4087,6 +4115,8 @@ object SparkEntry {
     "q_dedup_against_near" -> (qDedupAgainstNear _),
     "q_merkle" -> (qMerkle _),
     "q_int8_quant" -> (qInt8Quant _),
+    "q_skipgram" -> (qSkipGram _),
+    "q_bleu" -> (qBleu _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

@@ -894,4 +894,77 @@ object CorpusAssembly {
               (col("hi") - col("lo")).cast("int"))))
           .as("fim_text"))
   }
+
+  /** Skip-gram training-pair generation (word2vec, Mikolov '13 §2.3) —
+    * the (center, context) co-occurrence corpus an embedding trainer
+    * consumes, with the paper's frequent-word subsampling: an occurrence
+    * of word w survives with probability `sqrt(t / f(w))` (f = corpus
+    * frequency, t = tNum/tDen), and the surviving tokens are
+    * RE-SEQUENCED before windowing — dropping a stopword brings its
+    * neighbours into each other's windows, which is the point of the
+    * subsample (wider effective context for rare words).
+    *
+    * Determinism (no RNG): the per-occurrence uniform is the 40-bit
+    * seeded-md5 tail over (doc, position) — the [[weightedSample]]
+    * idiom — and the keep threshold is `sqrt` of one double division of
+    * exact long products (tNum·N / tDen·c(w)). sqrt is the one
+    * non-integer power IEEE requires correctly rounded (the
+    * [[temperatureMixture]] lesson), so both engines compare identical
+    * doubles and the output hash-oracles.
+    *
+    * Output: `(center, context, n_pairs)` — symmetric (each unordered
+    * co-occurrence within `window` surviving positions contributes both
+    * directions), aggregated to counts.
+    *
+    * Scale shape: explode → vocabulary-sized count relations (AQE
+    * broadcasts them) → one groupBy(doc) re-pack → `window` zip-slice
+    * projections (pure codegen, never a positional self-join) → two
+    * hash aggregations, the second over the observed-pair relation
+    * (≤ vocab², with map-side partials). No windows, no driver state;
+    * the long products stay under 2^63 up to ~10^15 tokens.
+    */
+  def skipGramPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int, tNum: Long = 1L, tDen: Long = 1000L,
+      seed: String = "sg"): DataFrame = {
+    require(window >= 1, "skipGramPairs needs window >= 1")
+    require(tNum >= 1 && tDen >= 1, "subsample threshold must be positive")
+    val occ = df.select(col(idCol).as("doc"),
+        posexplode(filter(graft.dedup.Dedup.tokensOf(col(textCol)),
+          t => t =!= "")))
+      .select(col("doc"), col("pos").cast("long").as("p"), col("col").as("w"))
+    val uni = occ.groupBy(col("w")).agg(count(lit(1)).as("uc"))
+    val nTot = occ.agg(count(lit(1)).as("n"))
+    val tail = conv(substring(md5(concat(lit(seed + ":"),
+        col("doc").cast("string"), lit(":"), col("p").cast("string"))),
+        1, 10), 16, 10).cast("long") + lit(1L)
+    val u = tail.cast("double") / lit(1099511627776.0) // 2^40 — u in (0, 1]
+    val keepProb = sqrt((col("n") * lit(tNum)).cast("double") /
+      (col("uc") * lit(tDen)).cast("double"))
+    val kept = occ.join(uni, Seq("w")).crossJoin(broadcast(nTot))
+      .filter(u < keepProb)
+      .select(col("doc"), col("p"), col("w"))
+    // Re-pack the survivors per doc in position order; field extraction
+    // over the struct array (`_sw.w`) stays in codegen (no HOF).
+    val arrs = kept.groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("p"), col("w")))).as("_sw"))
+      .select(col("doc"), col("_sw.w").as("t"))
+      .persist()
+    val ordPairs = (1 to window).map { d =>
+      arrs.filter(size(col("t")) >= d + 1)
+        .select(
+          slice(col("t"), lit(1), size(col("t")) - d).as("a"),
+          slice(col("t"), lit(1 + d), size(col("t")) - d).as("b"))
+        .select(explode(arrays_zip(col("a"), col("b"))).as("z"))
+        .select(col("z.a").as("wa"), col("z.b").as("wb"))
+    }.reduce(_ unionAll _)
+    // Aggregate ordered (left-before-right) pairs first, THEN mirror on
+    // the aggregated relation — symmetrizing before the agg would run
+    // the explode chain twice.
+    val ord = ordPairs.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c"))
+    ord.select(col("wa").as("center"), col("wb").as("context"), col("c"))
+      .unionAll(
+        ord.select(col("wb").as("center"), col("wa").as("context"), col("c")))
+      .groupBy(col("center"), col("context"))
+      .agg(sum(col("c")).as("n_pairs"))
+  }
 }

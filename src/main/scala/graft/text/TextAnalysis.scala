@@ -1179,4 +1179,87 @@ object TextAnalysis {
           s"(cast(n_types as $dec) * _zf_sxx - _zf_sx * _zf_sx)")
           .cast("long")).as("slope_micro")): _*)
   }
+
+  /** Corpus-level BLEU (Papineni '02 §2) per group — the generation-eval
+    * score every distillation / paraphrase / translation pipeline
+    * publishes: modified n-gram precision for n = 1..`maxN` with
+    * per-pair clipping (a candidate n-gram counts at most as often as
+    * it appears in its reference), summed over the group BEFORE the
+    * ratio (corpus BLEU, not averaged sentence BLEU), plus the brevity
+    * penalty on total lengths.
+    *
+    * Determinism: everything is exact integer counts until four ln
+    * calls on exact-integer ratios (bit-identical IEEE quotients, then
+    * the round·1e6 micro-nat rule), one floor of a ÷4.0 quotient, and
+    * an exact ceil-division brevity penalty — so the report
+    * hash-oracles. The score stays in LOG micro-nats (`bleu_lmicro` =
+    * 10⁶·ln BLEU ≤ 0; exp() is libm-dependent — the caller exponentiates
+    * for display). Groups where some precision is zero report NULL
+    * `bleu_lmicro` (log undefined — the standard smoothing decision is
+    * the caller's).
+    *
+    * Input: one row per (candidate, reference) pair; `idCol` names the
+    * pair. Output per group: pair count, total token lengths, per-n
+    * clipped matches `m_n` / candidate totals `t_n`, `bp_lmicro`
+    * (10⁶·min(0, 1−r/c)) and `bleu_lmicro`.
+    *
+    * Scale shape: tokenize once per side (persisted), n-grams with
+    * multiplicity via zip-slice projections (never positional
+    * self-joins), one (pair, n, gram) equi-join, then group-sized
+    * aggregations — no windows, no driver state, group cardinality out.
+    */
+  def bleuCorpus(pairs: DataFrame, groupCol: String, idCol: String,
+      candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "bleuCorpus needs 1 <= maxN <= 8")
+    def tk(c: String) = pairs.select(col(groupCol).as("grp"),
+        col(idCol).as("pid"),
+        filter(graft.dedup.Dedup.tokensOf(col(c)), t => t =!= "").as("_t"))
+      .persist()
+    val ctk = tk(candCol)
+    val rtk = tk(refCol)
+    // n-grams WITH multiplicity (wordShingles is distinct-per-doc —
+    // wrong tool here): zip n aliased slices, concat_ws in order.
+    def gramCounts(side: DataFrame, cntName: String) =
+      (1 to maxN).map { n =>
+        val sliced = (0 until n).map(j =>
+          slice(col("_t"), lit(j + 1), size(col("_t")) - (n - 1)).as(s"g$j"))
+        side.filter(size(col("_t")) >= n)
+          .select(Seq(col("grp"), col("pid")) ++ sliced: _*)
+          .select(col("grp"), col("pid"),
+            explode(arrays_zip((0 until n).map(j => col(s"g$j")): _*)).as("z"))
+          .select(col("grp"), col("pid"), lit(n).as("n"),
+            concat_ws(" ", (0 until n).map(j => col(s"z.g$j")): _*).as("gram"))
+      }.reduce(_ unionAll _)
+        .groupBy(col("grp"), col("pid"), col("n"), col("gram"))
+        .agg(count(lit(1)).as(cntName))
+    val joined = gramCounts(ctk, "ccnt")
+      .join(gramCounts(rtk, "rcnt").drop("grp"), Seq("pid", "n", "gram"), "left")
+    val perN = joined.groupBy(col("grp"), col("n")).agg(
+      sum(col("ccnt")).as("tot"),
+      sum(least(col("ccnt"), coalesce(col("rcnt"), lit(0L)))).as("mat"))
+    val wcols = (1 to maxN).flatMap(i => Seq(
+      coalesce(sum(when(col("n") === i, col("mat"))), lit(0L)).as(s"m_$i"),
+      coalesce(sum(when(col("n") === i, col("tot"))), lit(0L)).as(s"t_$i")))
+    val wide = perN.groupBy(col("grp")).agg(wcols.head, wcols.tail: _*)
+    val lens = ctk.groupBy(col("grp")).agg(
+        count(lit(1)).as("n_pairs"), sum(size(col("_t"))).cast("long").as("cand_len"))
+      .join(rtk.groupBy(col("grp"))
+        .agg(sum(size(col("_t"))).cast("long").as("ref_len")), Seq("grp"))
+    val c = col("cand_len"); val r = col("ref_len")
+    val bp = when(c >= r, lit(0L))
+      .otherwise(-expr("((ref_len - cand_len) * 1000000 + cand_len - 1) div cand_len"))
+    def qln(i: Int) =
+      round(log(col(s"m_$i").cast("double") / col(s"t_$i").cast("double")) * 1e6)
+        .cast("long")
+    val allPos = (1 to maxN).map(i => col(s"m_$i") > 0L).reduce(_ && _) && c > 0L
+    val sumQln = (1 to maxN).map(qln).reduce(_ + _)
+    lens.join(wide, Seq("grp"), "left")
+      .select(Seq(col("grp").as(groupCol), col("n_pairs"), c, r) ++
+        (1 to maxN).flatMap(i =>
+          Seq(coalesce(col(s"m_$i"), lit(0L)).as(s"m_$i"),
+            coalesce(col(s"t_$i"), lit(0L)).as(s"t_$i"))) ++ Seq(
+        when(c > 0L, bp).as("bp_lmicro"),
+        when(allPos, bp + floor(sumQln / lit(maxN.toDouble)).cast("long"))
+          .as("bleu_lmicro")): _*)
+  }
 }

@@ -581,4 +581,23 @@ class PlanContractSpec extends SparkSpec {
     assert(exchanges <= 1,
       s"scan→project→sort should shuffle ≤1×, saw $exchanges:\n${p.take(1500)}")
   }
+
+  test("round-10 skip-gram: keyed count join, zip-slice windows — no cartesian") {
+    // the only nested-loop is the 1-row N broadcast (the folded-constant
+    // pattern); the vocabulary join must stay keyed and the window pairs
+    // come from zip-slice projections, never a positional self-join
+    val p = planOf("q_skipgram")
+    assert(!p.contains("CartesianProduct"), s"skipgram planned a product:\n${p.take(2000)}")
+    assert(p.contains("Generate"), s"lost the explode:\n${p.take(1500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a keyed vocab join:\n${p.take(2000)}")
+  }
+
+  test("round-10 bleu: (pair, n, gram) equi-join only — no cartesian, no window") {
+    val p = planOf("q_bleu")
+    assert(!p.contains("CartesianProduct"), s"bleu planned a product:\n${p.take(2000)}")
+    assert(!p.contains("NestedLoop"), s"bleu planned a nested loop:\n${p.take(2000)}")
+    assert(p.contains("Generate"), s"lost the gram explode:\n${p.take(1500)}")
+    assert(!p.contains("Window"), s"bleu needs no window:\n${p.take(1500)}")
+  }
 }

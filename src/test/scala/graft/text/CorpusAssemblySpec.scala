@@ -530,6 +530,56 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(out("C").getLong(out("C").fieldIndex("alloc")) == 0L)
   }
 
+  test("skipGramPairs: window-1 and window-2 pair counts hand-checked") {
+    val d = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    // tNum=1e6 makes keepProb = sqrt(1e6·N/uc) >= 1 — no subsampling.
+    def run(w: Int) = CorpusAssembly
+      .skipGramPairs(d, "doc_id", "text", window = w, tNum = 1000000L, tDen = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(run(1) == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "b") -> 1L, ("c", "a") -> 1L, ("a", "c") -> 1L))
+    assert(run(2) == Map(("a", "b") -> 2L, ("b", "a") -> 2L, ("a", "c") -> 2L,
+      ("c", "a") -> 2L, ("b", "c") -> 1L, ("c", "b") -> 1L))
+  }
+
+  test("skipGramPairs: unsubsampled total matches the window-length identity") {
+    val w = 2
+    val out = CorpusAssembly.skipGramPairs(
+      docs, "doc_id", "text", window = w, tNum = 1000000L, tDen = 1L)
+    val total = out.agg(sum("n_pairs")).collect()(0).getLong(0)
+    // Each doc of L tokens contributes 2·Σ_{d=1..w} max(0, L−d) directed pairs.
+    val lens = docs.select(size(filter(graft.dedup.Dedup.tokensOf(col("text")),
+      t => t =!= ""))).collect().map(_.getInt(0))
+    val expected = lens.map(l =>
+      2L * (1 to w).map(d => math.max(0, l - d)).sum).sum
+    assert(total == expected)
+  }
+
+  test("skipGramPairs: symmetric, deterministic, and subsampling only removes") {
+    val sub = CorpusAssembly.skipGramPairs(
+      docs, "doc_id", "text", window = 2, tNum = 1L, tDen = 200L)
+    val rows = sub.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // symmetry: n(a,b) == n(b,a)
+    rows.foreach { case ((a, b), n) => assert(rows((b, a)) == n, s"($a,$b)") }
+    // deterministic across runs
+    val again = CorpusAssembly.skipGramPairs(
+      docs, "doc_id", "text", window = 2, tNum = 1L, tDen = 200L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows == again)
+    val full = CorpusAssembly.skipGramPairs(
+        docs, "doc_id", "text", window = 2, tNum = 1000000L, tDen = 1L)
+      .agg(sum("n_pairs")).collect()(0).getLong(0)
+    val subTotal = sub.agg(sum("n_pairs")).collect()(0).getLong(0)
+    assert(subTotal <= full)
+    // if any word crosses the frequency threshold, thinning must bite
+    val toks = docs.select(explode(filter(
+      graft.dedup.Dedup.tokensOf(col("text")), t => t =!= "")).as("w"))
+    val n = toks.count()
+    val maxUc = toks.groupBy("w").count().agg(max("count")).collect()(0).getLong(0)
+    if (maxUc * 200L > n) assert(subTotal < full, s"maxUc=$maxUc n=$n")
+  }
+
   test("fimSplit: short docs pass through as pure prefix with NULL cuts") {
     val docs = Seq((1L, "tiny doc"), (2L, "x" * 40)).toDF("doc_id", "text")
     val out = CorpusAssembly.fimSplit(docs, "doc_id", "text", "fim", 32)

@@ -569,4 +569,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.getLong(a.fieldIndex("n_types")) == 50L)
     assert(a.getLong(a.fieldIndex("n_tokens")) == 1275L)
   }
+
+  test("bleuCorpus: identical candidate and reference score log-BLEU 0") {
+    val pairs = Seq(("en", 1L, "the quick brown fox jumps over dogs"),
+      ("en", 2L, "pack my box with five dozen jugs"))
+      .toDF("lang", "id", "ref").withColumn("cand", col("ref"))
+    val r = TextAnalysis.bleuCorpus(pairs, "lang", "id", "cand", "ref")
+      .collect().head
+    (1 to 4).foreach { i =>
+      assert(r.getLong(r.fieldIndex(s"m_$i")) == r.getLong(r.fieldIndex(s"t_$i")))
+      assert(r.getLong(r.fieldIndex(s"t_$i")) > 0L)
+    }
+    assert(r.getLong(r.fieldIndex("bp_lmicro")) == 0L)
+    assert(r.getLong(r.fieldIndex("bleu_lmicro")) == 0L)
+  }
+
+  test("bleuCorpus: clipping hand-checked; zero higher-gram matches null the score") {
+    // cand "the cat the cat" vs ref "the cat sat":
+    //  unigrams m = min(2,1)+min(2,1) = 2 of t = 4
+    //  bigrams: cand {the cat ×2, cat the ×1}, ref {the cat, cat sat} → m=1/3
+    //  trigrams: no overlap → m_3 = 0 → bleu undefined (NULL)
+    val pairs = Seq(("g", 1L, "the cat the cat", "the cat sat"))
+      .toDF("lang", "id", "cand", "ref")
+    val r = TextAnalysis.bleuCorpus(pairs, "lang", "id", "cand", "ref")
+      .collect().head
+    assert(r.getLong(r.fieldIndex("cand_len")) == 4L)
+    assert(r.getLong(r.fieldIndex("ref_len")) == 3L)
+    assert(r.getLong(r.fieldIndex("m_1")) == 2L)
+    assert(r.getLong(r.fieldIndex("t_1")) == 4L)
+    assert(r.getLong(r.fieldIndex("m_2")) == 1L)
+    assert(r.getLong(r.fieldIndex("t_2")) == 3L)
+    assert(r.getLong(r.fieldIndex("m_3")) == 0L)
+    assert(r.getLong(r.fieldIndex("bp_lmicro")) == 0L) // cand longer than ref
+    assert(r.isNullAt(r.fieldIndex("bleu_lmicro")))
+  }
+
+  test("bleuCorpus: brevity penalty is the exact floor of 1e6·(1 − r/c)") {
+    // c=2, r=4 → log BP = 1 − 4/2 = −1 nat → −1000000 micro, exact.
+    val pairs = Seq(("g", 1L, "a b", "a b c d")).toDF("lang", "id", "cand", "ref")
+    val r = TextAnalysis.bleuCorpus(pairs, "lang", "id", "cand", "ref", maxN = 2)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("bp_lmicro")) == -1000000L)
+    // precisions are perfect (every cand gram is in ref) → bleu = bp
+    assert(r.getLong(r.fieldIndex("bleu_lmicro")) == -1000000L)
+  }
+
+  test("bleuCorpus: empty candidates and per-group independence") {
+    val pairs = Seq(
+      ("a", 1L, "", "some reference text"),
+      ("b", 2L, "x y", "x y")).toDF("lang", "id", "cand", "ref")
+    val out = TextAnalysis.bleuCorpus(pairs, "lang", "id", "cand", "ref",
+      maxN = 2).collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(a.fieldIndex("n_pairs")) == 1L)
+    assert(a.getLong(a.fieldIndex("cand_len")) == 0L)
+    assert(a.isNullAt(a.fieldIndex("bp_lmicro")))
+    assert(a.isNullAt(a.fieldIndex("bleu_lmicro")))
+    val b = out("b")
+    assert(b.getLong(b.fieldIndex("bleu_lmicro")) == 0L)
+  }
 }
