@@ -2510,6 +2510,52 @@ object OracleSql {
          |GROUP BY center, context
          |ORDER BY center, context""".stripMargin,
 
+    // Heaps replica: equal-width id-range checkpoints off two scalars,
+    // first-seen = min doc per type, cumulative windows over the
+    // checkpoint rows, zipf-style micro-nat OLS slope in HUGEINT.
+    "q_heaps" ->
+      s"""WITH docs AS MATERIALIZED (
+         |  SELECT doc_id AS doc, ${norm("text")} AS nt FROM documents),
+         |bounds AS MATERIALIZED (
+         |  SELECT min(doc) AS lo, max(doc) - min(doc) + 1 AS span FROM docs),
+         |post AS MATERIALIZED (
+         |  SELECT doc, unnest(str_split(nt, ' ')) AS w
+         |  FROM docs WHERE nt != ''),
+         |dt AS MATERIALIZED (
+         |  SELECT CAST(least(10, 1 + ((d.doc - b.lo) * 10) // b.span) AS BIGINT) AS ck,
+         |    CAST(count(*) AS BIGINT) AS nd, CAST(sum(d.ntok) AS BIGINT) AS nt
+         |  FROM (SELECT doc,
+         |      CASE WHEN nt = '' THEN 0 ELSE len(str_split(nt, ' ')) END AS ntok
+         |    FROM docs) d CROSS JOIN bounds b
+         |  GROUP BY 1),
+         |fb AS MATERIALIZED (
+         |  SELECT CAST(least(10, 1 + ((f.fd - b.lo) * 10) // b.span) AS BIGINT) AS ck,
+         |    CAST(count(*) AS BIGINT) AS nw
+         |  FROM (SELECT w, min(doc) AS fd FROM post GROUP BY w) f
+         |  CROSS JOIN bounds b GROUP BY 1),
+         |cum AS MATERIALIZED (
+         |  SELECT d.ck,
+         |    CAST(sum(d.nd) OVER (ORDER BY d.ck) AS BIGINT) AS cum_docs,
+         |    CAST(sum(d.nt) OVER (ORDER BY d.ck) AS BIGINT) AS cum_tokens,
+         |    CAST(sum(coalesce(f.nw, 0)) OVER (ORDER BY d.ck) AS BIGINT)
+         |      AS cum_types
+         |  FROM dt d LEFT JOIN fb f ON d.ck = f.ck),
+         |fit AS MATERIALIZED (
+         |  SELECT CASE WHEN k * sxx - sx * sx > 0 THEN
+         |      CAST(((k * sxy - sx * sy) * 1000000) // (k * sxx - sx * sx)
+         |        AS BIGINT) END AS beta_micro
+         |  FROM (
+         |    SELECT CAST(count(*) AS HUGEINT) AS k,
+         |      CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |      CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |      CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+         |    FROM (SELECT
+         |        CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |        CAST(round(ln(CAST(cum_types AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |      FROM cum WHERE cum_tokens > 0 AND cum_types > 0) p))
+         |SELECT c.ck, c.cum_docs, c.cum_tokens, c.cum_types, f.beta_micro
+         |FROM cum c CROSS JOIN fit f ORDER BY c.ck""".stripMargin,
+
     // Corpus-BLEU replica: candidate = tokens at 1-based position
     // p % 7 != 0 re-sequenced (the array_join makes dropped-boundary
     // grams contiguous — hence row_number, not p, on the cand side);

@@ -2414,6 +2414,17 @@ object SparkEntry {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Heaps'-law vocabulary-growth audit over the documents corpus: the
+    * cumulative (docs, tokens, types) curve at 10 equal-width id-range
+    * checkpoints plus the fitted log–log slope — the ingestion-health
+    * signal (β→0 = boilerplate flood, β→1 = vocabulary noise). Fully
+    * hash-oracled.
+    */
+  private def qHeaps(s: SparkSession, dir: String): DataFrame =
+    text.TextAnalysis.vocabGrowth(
+        t(s, dir, "documents"), "doc_id", "text", nCheckpoints = 10)
+      .orderBy(col("ck"))
+
   /** Corpus-level BLEU per language: candidate = the document with every
     * 7th normalized token dropped, reference = the document itself —
     * rich partial n-gram overlap (runs of 6 kept tokens), a real brevity
@@ -4117,6 +4128,7 @@ object SparkEntry {
     "q_int8_quant" -> (qInt8Quant _),
     "q_skipgram" -> (qSkipGram _),
     "q_bleu" -> (qBleu _),
+    "q_heaps" -> (qHeaps _),
     "q_bfs" -> (qBfs _),
     "q_link_pred" -> (qLinkPrediction _),
     "q_item_pairs" -> (qItemPairs _),

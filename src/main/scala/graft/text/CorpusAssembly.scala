@@ -957,14 +957,16 @@ object CorpusAssembly {
         .select(explode(arrays_zip(col("a"), col("b"))).as("z"))
         .select(col("z.a").as("wa"), col("z.b").as("wb"))
     }.reduce(_ unionAll _)
-    // Aggregate ordered (left-before-right) pairs first, THEN mirror on
-    // the aggregated relation — symmetrizing before the agg would run
-    // the explode chain twice.
-    val ord = ordPairs.groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("c"))
-    ord.select(col("wa").as("center"), col("wb").as("context"), col("c"))
-      .unionAll(
-        ord.select(col("wb").as("center"), col("wa").as("context"), col("c")))
+    // Mirror each ordered pair into both directions BEFORE the single
+    // aggregation (an explode of a 2-struct array doubles rows, not
+    // passes) — referencing the aggregated relation twice would instead
+    // duplicate the whole explode+agg subtree in the plan (audited).
+    ordPairs
+      .select(explode(array(
+        struct(col("wa").as("center"), col("wb").as("context")),
+        struct(col("wb").as("center"), col("wa").as("context")))).as("pr"))
+      .select(col("pr.center").as("center"), col("pr.context").as("context"))
       .groupBy(col("center"), col("context"))
-      .agg(sum(col("c")).as("n_pairs"))
+      .agg(count(lit(1)).as("n_pairs"))
   }
 }

@@ -1180,6 +1180,75 @@ object TextAnalysis {
           .cast("long")).as("slope_micro")): _*)
   }
 
+  /** Vocabulary-growth audit (Heaps' law, |V| ≈ K·N^β) — the corpus
+    * health curve that catches ingestion pathologies dedup can't see:
+    * β collapsing toward 0 means new data stops bringing new vocabulary
+    * (template/boilerplate floods); β near 1 means vocabulary explodes
+    * (mojibake, serial numbers, encoding noise). Reports the cumulative
+    * (docs, tokens, types) curve at `nCheckpoints` id-range checkpoints
+    * plus the fitted log–log slope `beta_micro` (10⁻⁶ units) on every
+    * row.
+    *
+    * Checkpoints are EQUAL-WIDTH doc-id ranges from the corpus min/max
+    * id (two scalars) — never an ntile over the document relation (a
+    * global sort at 100 TB). A type's checkpoint is where its FIRST
+    * occurrence (min doc id) lands, so cumulative types = running sum
+    * of per-checkpoint first-seen counts; empty id ranges simply don't
+    * appear. The fit reuses the [[zipfFit]] arithmetic: micro-nat
+    * quantized ln points, exact integer moment sums (≤ nCheckpoints
+    * rows — longs suffice), one cleared-denominator integral division.
+    *
+    * Scale shape: one token explode feeding two hash aggregations
+    * (per-doc counts, per-type min-doc), a 2-scalar broadcast for the
+    * bucket arithmetic, then everything further runs on the
+    * ≤ nCheckpoints-row relation (cumulative windows included). No
+    * corpus-width windows, no driver loops.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      nCheckpoints: Int = 10): DataFrame = {
+    require(nCheckpoints >= 2, "vocabGrowth needs >= 2 checkpoints")
+    val ids = df.select(col(idCol).cast("long").as("doc"))
+    val bounds = broadcast(ids.agg(min(col("doc")).as("_lo"),
+      (max(col("doc")) - min(col("doc")) + 1L).as("_span")))
+    def bucket(c: String) = least(lit(nCheckpoints.toLong),
+      lit(1L) + expr(s"(($c - _lo) * $nCheckpoints) div _span"))
+    val toks = df.select(col(idCol).cast("long").as("doc"),
+      filter(graft.dedup.Dedup.tokensOf(col(textCol)), t => t =!= "").as("_t"))
+    val docTok = toks.select(col("doc"), size(col("_t")).cast("long").as("ntok"))
+      .crossJoin(bounds)
+      .select(bucket("doc").as("ck"), col("ntok"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("nd"), sum(col("ntok")).as("nt"))
+    val firstSeen = toks.select(col("doc"), explode(col("_t")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc")).as("fd"))
+      .crossJoin(bounds)
+      .select(bucket("fd").as("ck"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("nw"))
+    val w = Window.orderBy(col("ck"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = docTok.join(firstSeen, Seq("ck"), "left")
+      .select(col("ck"), sum(col("nd")).over(w).as("cum_docs"),
+        sum(col("nt")).over(w).as("cum_tokens"),
+        sum(coalesce(col("nw"), lit(0L))).over(w).as("cum_types"))
+    // Heaps fit: ln-ln OLS over the checkpoint rows with positive
+    // counts; moment sums are exact longs (≤ nCheckpoints points).
+    val dec = "decimal(38,0)"
+    val pts = cum.filter(col("cum_tokens") > 0L && col("cum_types") > 0L)
+      .select(
+        round(log(col("cum_tokens").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("cum_types").cast("double")) * 1e6).cast("long").as("y"))
+    val fit = broadcast(pts.agg(count(lit(1)).as("k"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x").cast(dec) * col("y").cast(dec)).cast(dec)).as("sxy"),
+        sum((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).as("sxx"))
+      .select(when(expr(s"cast(k as $dec) * sxx - sx * sx") > 0L,
+        expr(s"((cast(k as $dec) * sxy - sx * sy) * 1000000) div " +
+          s"(cast(k as $dec) * sxx - sx * sx)").cast("long"))
+        .as("beta_micro")))
+    cum.crossJoin(fit)
+      .select(col("ck"), col("cum_docs"), col("cum_tokens"),
+        col("cum_types"), col("beta_micro"))
+  }
+
   /** Corpus-level BLEU (Papineni '02 §2) per group — the generation-eval
     * score every distillation / paraphrase / translation pipeline
     * publishes: modified n-gram precision for n = 1..`maxN` with

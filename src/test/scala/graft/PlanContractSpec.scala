@@ -593,6 +593,16 @@ class PlanContractSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"expected a keyed vocab join:\n${p.take(2000)}")
   }
 
+  test("round-10 heaps: corpus side is two hash aggs; windows only over checkpoint rows") {
+    // the data-width stages are hash aggregations; the only nested loops
+    // are the 2-scalar bounds broadcast and the 1-row fit broadcast
+    val p = planOf("q_heaps")
+    assert(!p.contains("CartesianProduct"), s"heaps planned a product:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), s"lost the hash aggs:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"checkpoint-row joins must stay broadcast-sized:\n${p.take(2000)}")
+  }
+
   test("round-10 bleu: (pair, n, gram) equi-join only — no cartesian, no window") {
     val p = planOf("q_bleu")
     assert(!p.contains("CartesianProduct"), s"bleu planned a product:\n${p.take(2000)}")

@@ -570,6 +570,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.getLong(a.fieldIndex("n_tokens")) == 1275L)
   }
 
+  test("vocabGrowth: hand-checked checkpoints, first-seen counts, and exact fit") {
+    val d = Seq((1L, "a b"), (2L, "a c"), (3L, ""), (4L, "d d d"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(d, "doc_id", "text", nCheckpoints = 2)
+      .orderBy("ck").collect()
+    assert(out.length == 2)
+    // ck1 = docs 1,2 (4 tokens, first-seen a,b,c); ck2 = docs 3,4
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3)) == ((1L, 2L, 4L, 3L)))
+    assert((out(1).getLong(0), out(1).getLong(1), out(1).getLong(2),
+      out(1).getLong(3)) == ((2L, 4L, 7L, 4L)))
+    // two points make the fit the exact two-point slope:
+    // (y2−y1)·1e6 div (x2−x1) on the micro-nat quantized lns
+    val Seq(x1, y1, x2, y2) = Seq(4L, 3L, 7L, 4L)
+      .map(v => math.round(math.log(v.toDouble) * 1e6))
+    val expected = (y2 - y1) * 1000000L / (x2 - x1)
+    assert(out(0).getLong(4) == expected)
+    assert(out(1).getLong(4) == expected)
+  }
+
+  test("vocabGrowth: cumulative curve is monotone and partitioning-stable") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val out = TextAnalysis.vocabGrowth(docs, "doc_id", "text")
+      .orderBy("ck").collect()
+    assert(out.length >= 2)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) >= a.getLong(1)) // docs
+      assert(b.getLong(2) >= a.getLong(2)) // tokens
+      assert(b.getLong(3) >= a.getLong(3)) // types
+    }
+    out.foreach(r => assert(r.getLong(3) <= r.getLong(2))) // |V| <= N
+    // the synthetic corpus is template-generated: 31 distinct tokens,
+    // vocabulary saturates in checkpoint 1 — β = 0 exactly, which is
+    // precisely the boilerplate-flood signal the audit exists to raise
+    val beta = out.head.getLong(4)
+    assert(beta >= 0L && beta < 1000000L, s"beta=$beta")
+    assert(out.last.getLong(3) == out.head.getLong(3)) // saturated |V|
+    val again = TextAnalysis.vocabGrowth(docs.repartition(7), "doc_id", "text")
+      .orderBy("ck").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("vocabGrowth: a growing vocabulary fits a positive sublinear beta") {
+    // doc k introduces one new type among k repeated fillers: types grow
+    // ~linearly in docs while tokens grow ~quadratically → 0 < β < 1
+    val d = (1 to 40).map(k =>
+      (k.toLong, (s"new$k" +: Seq.fill(k)("filler")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(d, "doc_id", "text", nCheckpoints = 5)
+      .orderBy("ck").collect()
+    val beta = out.head.getLong(4)
+    assert(beta > 0L && beta < 1000000L, s"beta=$beta")
+  }
+
   test("bleuCorpus: identical candidate and reference score log-BLEU 0") {
     val pairs = Seq(("en", 1L, "the quick brown fox jumps over dogs"),
       ("en", 2L, "pack my box with five dozen jugs"))
