@@ -596,6 +596,32 @@ object OracleSql {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // Sketched twin: exact columns recomputed (q_percentiles arithmetic);
+    // the engine-side GK drift boolean must be all-true.
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // HLL rollup contract: exact distinct counts at both levels; the
+    // engine-side sketch-drift boolean must be all-true.
+    "q_approx_distinct" ->
+      """WITH fine AS (
+        |  SELECT l_returnflag, l_linestatus, FALSE AS is_total,
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_distinct
+        |  FROM lineitem GROUP BY 1, 2),
+        |coarse AS (
+        |  SELECT l_returnflag, CAST(NULL AS VARCHAR) AS l_linestatus,
+        |    TRUE AS is_total,
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_distinct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, l_linestatus, is_total, exact_distinct,
+        |  TRUE AS approx_ok
+        |FROM (SELECT * FROM fine UNION ALL SELECT * FROM coarse)
+        |ORDER BY l_returnflag, l_linestatus NULLS FIRST""".stripMargin,
+
     // Binned-quantile sketch: identical double arithmetic on both sides —
     // q is CAST to DOUBLE (a DuckDB decimal literal would make q*n exact
     // and flip ceil() against Spark's double product).
@@ -2151,6 +2177,49 @@ object OracleSql {
          |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
          |FROM scored WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
+    // MinHash+LSH with the replayable affine family: the 60-bit md5 base
+    // hash and the (a·h + b) mod 2⁶¹−1 permutations are recomputed in
+    // HUGEINT (h < 2⁶⁰, a < 2⁶¹ ⇒ product < 2¹²¹, inside int128), the
+    // banding replayed via md5(string_agg) band keys — the oracle
+    // reproduces WHICH pairs collide, then the exact-Jaccard filter.
+    // Coefficients come from the same driver-side generator the engine
+    // bakes into its plan (Dedup.minhashCoeffs), so the SQL text and the
+    // Spark literals cannot drift independently.
+    "q_dedup_minhash_lsh" -> {
+      val coeffs = graft.dedup.Dedup.minhashCoeffs(64)
+      val p = graft.dedup.Dedup.MinhashPrime
+      val coValues = coeffs.zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(",\n    ")
+      s"""WITH $ngramCtes,
+         |dv AS MATERIALIZED (SELECT DISTINCT s FROM ex),
+         |hv AS MATERIALIZED (
+         |  SELECT s, CAST(${hexN("substr(md5('mh:' || s), 1, 15)", 15)}
+         |    AS HUGEINT) AS h
+         |  FROM dv),
+         |co AS (SELECT * FROM (VALUES
+         |    $coValues) AS t(i, a, b)),
+         |mh AS MATERIALIZED (
+         |  SELECT ex.doc, co.i,
+         |    min(CAST((hv.h * CAST(co.a AS HUGEINT) + CAST(co.b AS HUGEINT))
+         |      % CAST($p AS HUGEINT) AS BIGINT)) AS m
+         |  FROM ex JOIN hv USING (s) CROSS JOIN co
+         |  GROUP BY 1, 2),
+         |banded AS MATERIALIZED (
+         |  SELECT doc, i // 4 AS band,
+         |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bk
+         |  FROM mh GROUP BY doc, i // 4),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bk = b.bk AND a.doc < b.doc),
+         |verified AS (
+         |  SELECT s.id_a, s.id_b, s.jaccard
+         |  FROM scored s JOIN cand c ON s.id_a = c.id_a AND s.id_b = c.id_b
+         |  WHERE s.jaccard >= 0.8)
+         |SELECT id_a, id_b, jaccard FROM verified
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     // Fellegi–Sunter over sorted-neighborhood blocks: row_number
     // replica of the blocking, then per-field levenshtein CASE weights
     // summed as exact longs.
@@ -2806,6 +2875,29 @@ object OracleSql {
         |      ELSE CAST(0 AS BIGINT) END AS nm
         |  FROM j JOIN mad d USING (dim))
         |SELECT id, CAST(dim AS BIGINT) AS dim, nm
+        |FROM n ORDER BY id, dim""".stripMargin,
+
+    // Sketched twin: the exact nm column is recomputed (same arithmetic as
+    // q_embed_normalize); the engine-side drift boolean must be all-true.
+    "q_embed_normalize_approx" ->
+      """WITH qz AS (
+        |  SELECT vec_id AS id,
+        |    unnest(generate_series(1, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS q
+        |  FROM embeddings),
+        |med AS (SELECT dim, median(q) AS med FROM qz GROUP BY dim),
+        |j AS (SELECT qz.id, qz.dim, qz.q, med.med FROM qz JOIN med USING (dim)),
+        |mad AS (SELECT dim, median(abs(CAST(q AS DOUBLE) - med)) AS mad
+        |  FROM j GROUP BY dim),
+        |n AS (
+        |  SELECT j.id, j.dim,
+        |    CASE WHEN d.mad <> 0
+        |      THEN CAST(floor(((CAST(j.q AS DOUBLE) - j.med) / d.mad)
+        |        * 1000000.0) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS nm
+        |  FROM j JOIN mad d USING (dim))
+        |SELECT id, CAST(dim AS BIGINT) AS dim, nm, TRUE AS approx_ok
         |FROM n ORDER BY id, dim""".stripMargin,
 
     "q_ann_brute_force" ->

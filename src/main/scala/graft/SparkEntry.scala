@@ -423,21 +423,37 @@ object SparkEntry {
   /** The 100 TB form of [[qPercentiles]]: `percentile_approx` keeps a
     * bounded mergeable sketch per group (state O(accuracy), not O(rows)),
     * so partial aggregation works and no reducer ever buffers a group's
-    * raw values. Rows-only check: the estimate is sketch-specific (exact
-    * only up to rank error ~1/accuracy), so there is no cross-engine
-    * oracle — PropertiesSpec-style bounds vs the exact form live in the
-    * spec, and the deterministic mergeable alternative (binned quantiles)
-    * is hash-oracled separately.
+    * raw values. The estimate itself is sketch-specific (GK observed
+    * value, rank error ≤ n/accuracy), so the HASH-CHECKED contract is
+    * `(group, exact med/p90, approx_ok)`: the exact interpolated
+    * percentiles plus an in-plan boolean that each estimate lands within
+    * max(1 unit, 2% relative) of exact — far looser than the GK
+    * guarantee (rank err 20 in a 200k-row group ⇒ ≲1 quantity unit /
+    * ≲10 price units at this density), far tighter than "any number".
+    * DuckDB recomputes the exact columns and asserts the boolean
+    * all-true. Production callers run the sketch alone; the exact twin
+    * in this plan IS the verification (the q_embed_normalize_approx
+    * recipe).
     */
-  private def qApproxPercentile(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  private def qApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ex = li.groupBy(col("l_returnflag"))
+      .agg(round(median(col("l_quantity")), 4).as("med_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
+    val ap = li.groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_quantity").cast("double"), lit(0.5), lit(10000))
-          .as("med_qty_est"),
+          .as("_med_est"),
         percentile_approx(col("l_extendedprice").cast("double"), lit(0.9), lit(10000))
-          .as("p90_price_est"))
+          .as("_p90_est"))
+    def within(est: Column, exact: Column): Column =
+      abs(est - exact) <= greatest(lit(1.0), abs(exact) * 0.02)
+    ex.join(ap, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("med_qty"), col("p90_price"),
+        (within(col("_med_est"), col("med_qty")) &&
+          within(col("_p90_est"), col("p90_price"))).as("approx_ok"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Mergeable binned-quantile sketch: fixed-bin histogram (bin counts
     * add across partitions/time — the HLL composition law, but
@@ -1913,11 +1929,18 @@ object SparkEntry {
       .orderBy(col("doc"))
   }
 
-  /** MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
-    * the ScalaTest spec verifies planted duplicates are found).
+  /** MinHash+LSH near-dup pairs, fully hash-oracled: `replayable = true`
+    * swaps the Spark-internal xxhash64 family for a seeded-md5 base hash
+    * + affine permutations mod 2⁶¹−1 (exact decimal arithmetic DuckDB
+    * replays in HUGEINT), so the ORACLE REPRODUCES THE BANDING — which
+    * candidate pairs collide, not just the Jaccard filter. Production
+    * callers keep the default xxhash64 family (same plan shape, cheaper
+    * hashes); MinhashSpec pins that both families find the planted
+    * duplicates.
     */
   private def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        replayable = true)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash near-dup pairs (native fingerprint expression).
@@ -1945,13 +1968,32 @@ object SparkEntry {
       .orderBy(col("id"), col("dim"))
 
   /** Sketched (percentile_approx) twin of q_embed_normalize — the 100 TB
-    * path where a dimension's values no longer fit one reducer. Rows-only
-    * (the sketch is engine-specific); RobustNormalizeApproxSpec pins the
-    * approx↔exact agreement.
+    * path where a dimension's values no longer fit one reducer. The
+    * sketch estimate itself is engine-specific (GK returns an observed
+    * value where the exact percentile interpolates), so the HASH-CHECKED
+    * contract is `(id, dim, nm_exact, approx_ok)`: the exact normalized
+    * value plus an in-plan boolean that the sketched value lands within
+    * the drift bound RobustNormalizeApproxSpec pins (med/MAD drift
+    * ≤ max(2 quant units, 5% of MAD) propagated through the division ⇒
+    * nm drift ≤ max(2·10⁶·2/MAD, ~7%·|nm|); 20 000 micro absorbs the
+    * additive term at the corpus's MAD floor). DuckDB recomputes the
+    * exact column and asserts the boolean all-true — the same
+    * exact-twin-plus-bound recipe as q_approx_percentile/_distinct.
+    * Production callers use [[Similarity.robustNormalizeApprox]] alone
+    * (one pass, no exact join); the exact join here IS the verification.
     */
-  private def qEmbedNormalizeApprox(s: SparkSession, dir: String): DataFrame =
-    Similarity.robustNormalizeApprox(t(s, dir, "embeddings"), "vec_id", "embedding")
-      .orderBy(col("id"))
+  private def qEmbedNormalizeApprox(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ex = Similarity.robustNormalizeRows(emb, "vec_id", "embedding")
+    val ap = Similarity.robustNormalizeApproxRows(emb, "vec_id", "embedding")
+      .withColumnRenamed("nm", "nm_ap")
+    ex.join(ap, Seq("id", "dim"))
+      .select(col("id"), col("dim"), col("nm"),
+        (abs(col("nm_ap") - col("nm")).cast("double") <=
+          greatest(lit(20000.0), abs(col("nm")).cast("double") * 0.07))
+          .as("approx_ok"))
+      .orderBy(col("id"), col("dim"))
+  }
 
   /** JL ±1 projection of the embedding table to 16 exact-integer dims,
     * one scalar row per (vec_id, j) for the same comparator reason.
@@ -2211,14 +2253,40 @@ object SparkEntry {
   /** Mergeable HLL distinct-count sketches: per-(flag, status) estimates
     * plus per-flag totals obtained by MERGING the finer sketches — the
     * composable cardinality pattern that replaces exact count-distinct at
-    * scale (rows-only: estimates are DataSketches-specific and shift
-    * within the error bounds with the partial-merge tree, so no DuckDB
-    * oracle; SketchesSpec pins the bounds instead).
+    * scale. The estimates are DataSketches-specific (they shift within
+    * the error bounds with the partial-merge tree), so the HASH-CHECKED
+    * contract is `(group, is_total, exact_distinct, approx_ok)`: exact
+    * counts plus an in-plan boolean that each HLL estimate lands within
+    * max(2, 5% relative) of exact — 3σ of the lgK=12 sketch's 1.6% RSE,
+    * and the sketch is exact outright at these sub-4k cardinalities
+    * (sparse mode). DuckDB recomputes the exact counts and asserts the
+    * boolean all-true; SketchesSpec keeps the tighter bound checks.
     */
-  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    sketch.Sketches.rollupDistinct(t(s, dir, "lineitem"),
-        "l_returnflag", "l_linestatus", "l_suppkey")
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sk = sketch.Sketches.rollupDistinct(li,
+      "l_returnflag", "l_linestatus", "l_suppkey")
+    val statusType = li.schema("l_linestatus").dataType
+    val exact = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(countDistinct(col("l_suppkey")).as("exact_distinct"))
+      .withColumn("is_total", lit(false))
+      .unionByName(li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("exact_distinct"))
+        .withColumn("l_linestatus", lit(null).cast(statusType))
+        .withColumn("is_total", lit(true)))
+    sk.as("sk").join(exact.as("ex"),
+        col("sk.l_returnflag") === col("ex.l_returnflag") &&
+          col("sk.l_linestatus") <=> col("ex.l_linestatus") &&
+          col("sk.is_total") === col("ex.is_total"))
+      .select(col("sk.l_returnflag").as("l_returnflag"),
+        col("sk.l_linestatus").as("l_linestatus"),
+        col("sk.is_total").as("is_total"),
+        col("ex.exact_distinct").as("exact_distinct"),
+        (abs(col("sk.approx_distinct") - col("ex.exact_distinct").cast("double")) <=
+          greatest(lit(2.0), col("ex.exact_distinct").cast("double") * 0.05))
+          .as("approx_ok"))
       .orderBy(col("l_returnflag"), col("l_linestatus").asc_nulls_first)
+  }
 
   // ------------------------------------------------------- text analysis
 

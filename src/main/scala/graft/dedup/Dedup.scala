@@ -70,11 +70,63 @@ object Dedup {
     * pair instead of shingle text.
     */
   def minhashSignatures(sets: DataFrame, docCol: String, shCol: String,
-      numHashes: Int): DataFrame = {
-    val ex = sets.select(col(docCol), explode(col(shCol)).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+      numHashes: Int): DataFrame =
+    minhashSignatures(sets, docCol, shCol, numHashes, replayable = false)
+
+  /** Mersenne prime 2⁶¹−1 — the modulus of the replayable affine MinHash
+    * family (universal hashing over the prime field GF(M61)).
+    */
+  val MinhashPrime: Long = (1L << 61) - 1
+
+  /** Deterministic affine coefficients (aᵢ ∈ [1, p−1], bᵢ ∈ [0, p−1]) of
+    * the replayable MinHash family, derived from md5 of a fixed seed
+    * string per permutation — pure driver-side arithmetic, so the oracle
+    * generator computes the SAME constants and bakes them into SQL text.
+    */
+  def minhashCoeffs(numHashes: Int): IndexedSeq[(Long, Long)] = {
+    def h61(seed: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+      (BigInt(1, d) mod BigInt(MinhashPrime)).toLong
+    }
+    IndexedSeq.tabulate(numHashes)(i =>
+      (h61(s"mh-a:$i") % (MinhashPrime - 1) + 1, h61(s"mh-b:$i")))
+  }
+
+  /** 60-bit base hash of a shingle string, oracle-replayable: the first
+    * 15 hex chars of md5 parsed as an integer (DuckDB spells the parse as
+    * strpos arithmetic). Positive and < 2⁶⁰ < p, so it is already a field
+    * element.
+    */
+  private def md5Hash60(s: Column): Column =
+    conv(substring(md5(concat(lit("mh:"), s)), 1, 15), 16, 10)
+      .cast("decimal(19,0)")
+
+  /** [[minhashSignatures]] with a hash-family switch. The default
+    * (xxhash64 base hash + per-permutation re-hash) is the production
+    * path — fastest, but Spark-internal. `replayable = true` swaps in a
+    * seeded-md5 base hash and the textbook affine permutations
+    * `(aᵢ·h + bᵢ) mod (2⁶¹−1)` in exact decimal(38,0) arithmetic
+    * (h < 2⁶⁰, aᵢ < 2⁶¹ ⇒ the product is < 2¹²¹ ≈ 37 digits — inside
+    * decimal(38,0) and DuckDB's HUGEINT, so ANSI mode never overflows
+    * and both engines agree bit-for-bit; this is how q_dedup_minhash_lsh
+    * is hash-oracled). One md5 per shingle OCCURRENCE + numHashes
+    * decimal fmas — heavier than xxhash64 but still codegen'd,
+    * partition-parallel, and shuffle-shape-identical.
+    */
+  def minhashSignatures(sets: DataFrame, docCol: String, shCol: String,
+      numHashes: Int, replayable: Boolean): DataFrame = {
+    val ex0 = sets.select(col(docCol), explode(col(shCol)).as("s"))
+    val ex =
+      if (replayable) ex0.withColumn("h", md5Hash60(col("s")))
+      else ex0.withColumn("h", xxhash64(col("s")))
+    val coeffs = if (replayable) minhashCoeffs(numHashes) else null
     val mins = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("h"))).as(s"_m$i")
+      if (replayable) {
+        val (a, b) = coeffs(i)
+        min(pmod(col("h") * lit(BigDecimal(a)) + lit(BigDecimal(b)),
+          lit(BigDecimal(MinhashPrime))).cast("long")).as(s"_m$i")
+      } else min(xxhash64(lit(i), col("h"))).as(s"_m$i")
     }
     ex.groupBy(col(docCol))
       .agg(mins.head, mins.tail: _*)
@@ -100,7 +152,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      replayable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val r = numHashes / bands
 
@@ -116,10 +169,20 @@ object Dedup {
     val sets = df
       .select(col(idCol).as("doc"), shingles(col(textCol), shingleN).as("sh"))
       .persist()
-    val sigs = minhashSignatures(sets, "doc", "sh", numHashes)
+    val sigs = minhashSignatures(sets, "doc", "sh", numHashes, replayable)
 
+    // Band key: replayable mode compresses the band's r min-hash values
+    // through md5 of their comma-joined decimal form (replayed in DuckDB
+    // as md5(string_agg(...))); production mode keeps Spark's native
+    // hash(). Either way the join is a plain equi-join on (band, key).
+    def bandKey(b: Int): Column =
+      if (replayable)
+        md5(concat_ws(",",
+          (b * r until (b + 1) * r).map(j =>
+            element_at(col("sig"), j + 1).cast("string")): _*))
+      else hash(slice(col("sig"), b * r + 1, r)).cast("string")
     val bandKeys = array((0 until bands).map { b =>
-      struct(lit(b).as("band"), hash(slice(col("sig"), b * r + 1, r)).as("bk"))
+      struct(lit(b).as("band"), bandKey(b).as("bk"))
     }: _*)
 
     val banded = sigs

@@ -159,6 +159,18 @@ object Similarity {
     * on the test tables (small-cardinality dims sketch exactly).
     */
   def robustNormalizeApprox(df: DataFrame, idCol: String, vecCol: String,
+      quantScale: Int = 1000, accuracy: Int = 10000): DataFrame =
+    robustNormalizeApproxRows(df, idCol, vecCol, quantScale, accuracy)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("nm")))),
+        x => x.getField("nm")).as("norm"))
+
+  /** Exploded form of [[robustNormalizeApprox]]: one scalar row per
+    * `(id, dim, nm)` with `dim` 1-based — the [[robustNormalizeRows]]
+    * shape for the sketched path (and the shape the driver's row-wise
+    * comparator can sort, which array cells are not).
+    */
+  def robustNormalizeApproxRows(df: DataFrame, idCol: String, vecCol: String,
       quantScale: Int = 1000, accuracy: Int = 10000): DataFrame = {
     val qz = df.select(col(idCol).as("id"),
         posexplode(quantize(col(vecCol), quantScale)).as(Seq("dim", "q")))
@@ -170,12 +182,10 @@ object Similarity {
       .agg(percentile_approx(abs(col("q").cast("double") - col("_med")),
         lit(0.5), lit(accuracy)).cast("double").as("_mad"))
     j.join(broadcast(mad), Seq("dim"))
-      .withColumn("_nm", when(col("_mad") =!= 0.0,
+      .withColumn("nm", when(col("_mad") =!= 0.0,
         floor(((col("q").cast("double") - col("_med")) / col("_mad"))
           * lit(1000000.0)).cast("long")).otherwise(lit(0L)))
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("_nm")))),
-        x => x.getField("_nm")).as("norm"))
+      .select(col("id"), (col("dim") + 1).cast("long").as("dim"), col("nm"))
   }
 
   /** Top principal component of an embedding corpus by FIXED-POINT

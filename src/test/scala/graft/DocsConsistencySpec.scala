@@ -70,12 +70,13 @@ class DocsConsistencySpec extends AnyFunSuite {
     // q_dedup_simhash + q_payload_near_dup (FNV-1a replicated in
     // HUGEINT arithmetic, and the pigeonhole arrangement is complete
     // for chunks > maxHamming, so all-pairs Hamming is the exact
-    // ground truth). Still rows-only: xxhash64 (Spark-internal) and
-    // sketch-specific estimates.
+    // ground truth). Round 11: q_approx_distinct / q_approx_percentile /
+    // q_embed_normalize_approx moved to contract oracles (exact twin
+    // computed in-plan + an all-true drift boolean; DuckDB recomputes
+    // the exact columns). Still rows-only: approximate candidate
+    // generation (recall-spec'd) and the mapPartitions binary decode.
     val rowsOnly = Set(
-      "q_dedup_minhash_lsh",
       "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_joined", "q_ann_pq", "q_semdedup",
-      "q_approx_distinct", "q_approx_percentile", "q_embed_normalize_approx",
       "q_multimodal_features")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
