@@ -3117,9 +3117,13 @@ object SparkEntry {
     val ui = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_partkey"))
+    // oracle-tractability predicate PUSHED into the scoring stage (the
+    // similarity matrix stays global, so scores are unchanged) — as a
+    // post-filter it ran the candidate explode + top-k window for every
+    // customer and discarded all but 60 baskets (bench's heaviest query)
     ops.MarketBasket.recommendItems(ui, "o_custkey", "l_partkey",
-        k = 3, minSupport = 2L, neighborCap = 20)
-      .filter(col("basket") <= 60L)
+        k = 3, minSupport = 2L, neighborCap = 20,
+        basketFilter = Some(col("basket") <= 60L))
       .orderBy(col("basket"), col("rank"))
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -90,9 +90,19 @@ object MarketBasket {
     * item, so only the quadratic stage needs the cap. Baskets dedup
     * first (set semantics).
     */
+  /** `basketFilter` restricts WHICH baskets get recommendations — pushed
+    * into the per-user scoring stage (the candidate explode, anti-join
+    * and top-k window run only for matching baskets) while the item-item
+    * similarity matrix keeps the FULL ownership relation, so the scores
+    * a surviving basket sees are identical to the unfiltered run.
+    * Serving a user segment (or one user) without this pushes the whole
+    * corpus through scoring and throws most of it away — the dominant
+    * cost of the query at every scale.
+    */
   def recommendItems(df: DataFrame, basketCol: String, itemCol: String,
       k: Int = 3, minSupport: Long = 2L, neighborCap: Int = 50,
-      basketCap: Int = 1000): DataFrame = {
+      basketCap: Int = 1000,
+      basketFilter: Option[Column] = None): DataFrame = {
     require(k >= 1 && neighborCap >= 1 && basketCap >= 2,
       "recommendItems needs k, neighborCap >= 1 and basketCap >= 2")
     // the ownership relation feeds five plans (counts, both self-join
@@ -140,11 +150,14 @@ object MarketBasket {
       .withColumn("_rc_rn", row_number().over(wn))
       .filter(col("_rc_rn") <= neighborCap)
       .drop("_rc_rn")
-    val scored = items.select(col("basket"), col("item").as("src"))
+    // scoring-side ownership: basketFilter applies HERE (and only here —
+    // itemCnt/capped/pairs above must stay global or similarities drift)
+    val served = basketFilter.fold(items)(items.filter)
+    val scored = served.select(col("basket"), col("item").as("src"))
       .join(neighbors, "src")
       .groupBy(col("basket"), col("dst"))
       .agg(sum(col("w_micro")).as("score_micro"))
-      .join(items.select(col("basket"), col("item").as("dst")),
+      .join(served.select(col("basket"), col("item").as("dst")),
         Seq("basket", "dst"), "left_anti")
     val wk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("basket"))
