@@ -32,10 +32,10 @@ object Bench {
     // Fixed name order: Map iteration order shifts when entries are added,
     // which silently reshuffles which queries pay residual warm-up — sorted
     // execution keeps per-query timings comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var best = Double.MaxValue
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       var i = 0
+      val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (i < runs && !failed) {
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column —
@@ -49,14 +49,35 @@ object Bench {
             failed = true
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (!failed && dt < best) best = dt
+        if (!failed) ts += dt
         // Drop blocks persisted inside operators (dedup/similarity reuse
         // frames) so runs don't inherit each other's storage pressure.
         spark.catalog.clearCache()
         i += 1
       }
-      // A crashed query must not look like a fast one: report -1.
-      name -> (if (failed) -1.0 else best)
+      (name, failed, ts.toSeq.sorted)
+    }
+    // A crashed query must not look like a fast one: report -1.
+    val results = timings.map { case (name, failed, ts) =>
+      name -> (if (failed) -1.0 else ts.head)
+    }
+    // Full per-run detail to a standalone file: the driver keeps only a
+    // ~4 KB stdout tail, which truncates most of the per-query map on a
+    // 271-query surface — the file is the judge's complete record (min
+    // AND median per query; medians separate real regressions from host
+    // noise that min-of-N alone can mask on a loaded box).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES_OUT",
+      "bench_queries.json")
+    try {
+      val detail = timings.map { case (name, failed, ts) =>
+        val med = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
+        val mn = if (failed || ts.isEmpty) -1.0 else ts.head
+        s""""$name":{"min":$mn,"median":${if (failed) -1.0 else med},"runs":[${ts.mkString(",")}]}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        s"""{"sf":"$sfDir","runs_per_query":$runs,"queries":$detail}""".getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH: could not write $outPath: ${e.getMessage}")
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
