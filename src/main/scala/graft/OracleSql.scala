@@ -2757,7 +2757,7 @@ object OracleSql {
          |tgt AS MATERIALIZED (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0
          |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id,
+         |  SELECT -doc_id - 1 AS doc_id,
          |    array_to_string(t[1:len(t) - 1], ' ') AS text
          |  FROM (SELECT doc_id, str_split(text, ' ') AS t
          |        FROM refc WHERE doc_id % 3 = 0)),
@@ -2782,12 +2782,12 @@ object OracleSql {
          |  JOIN sizes za ON id_a = za.doc
          |  JOIN sizes zb ON id_b = zb.doc),
          |dirty AS (
-         |  SELECT DISTINCT CASE WHEN (id_a >= 1000000 OR id_a % 7 != 0)
+         |  SELECT DISTINCT CASE WHEN (id_a < 0 OR id_a % 7 != 0)
          |    THEN id_a ELSE id_b END AS d
          |  FROM scored
          |  WHERE jaccard >= 0.8
-         |    AND ((id_a >= 1000000 OR id_a % 7 != 0)
-         |      != (id_b >= 1000000 OR id_b % 7 != 0)))
+         |    AND ((id_a < 0 OR id_a % 7 != 0)
+         |      != (id_b < 0 OR id_b % 7 != 0)))
          |SELECT doc_id FROM tgt
          |WHERE doc_id NOT IN (SELECT d FROM dirty)
          |ORDER BY doc_id""".stripMargin

@@ -2553,8 +2553,13 @@ object SparkEntry {
     val docs = t(s, dir, "documents")
     val ref = docs.filter(col("doc_id") % 7 === 0)
       .select(col("doc_id"), col("text"))
+    // Planted near-copies get NEGATIVE ids (-id-1): natural doc_ids are
+    // non-negative at every SF, so the ranges can never collide and the
+    // oracle's membership test (id < 0 OR id % 7 != 0) stays valid at
+    // any corpus size — a fixed +1e6 offset broke silently once natural
+    // ids reached 1e6.
     val planted = ref.filter(col("doc_id") % 3 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
+      .select((-col("doc_id") - 1L).as("doc_id"),
         expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')")
           .as("text"))
     val target = docs.filter(col("doc_id") % 7 =!= 0)

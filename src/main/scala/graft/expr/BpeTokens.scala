@@ -13,13 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * characters, then every merge is applied in rank order with the
   * single-pass greedy rule of [[BpeMergeStep]].
   *
-  * In-order application is canonical for a TRAINED list: rule k's
-  * output symbol can only appear as a component of rules > k (training
-  * creates symbols in rank order), so a later rule can never create a
-  * match for an earlier one — iterating rules once in rank order equals
-  * the lowest-rank-first priority-queue encode, and the segmentation of
+  * In-order application is canonical for a TRAINED list whose output
+  * symbols are pairwise distinct: rule k's output symbol then only
+  * appears as a component of rules > k (training creates symbols in
+  * rank order), so a later rule can never create a match for an
+  * earlier one — iterating rules once in rank order equals the
+  * lowest-rank-first priority-queue encode, and the segmentation of
   * every in-corpus word equals its final training state (the
-  * differential BpeSpec pins both).
+  * differential BpeSpec pins both). The caveat: two merges CAN emit
+  * the same string — e.g. (a,bc) after (ab,c) both yield "abc" — and
+  * then a later rule may recreate an earlier rule's left/right
+  * component, breaking the single-pass equivalence; [[graft.text.Bpe.
+  * train]] models never do at shipped corpora/merge counts (BpeSpec's
+  * differential run would catch it), but an externally supplied merge
+  * list with duplicate outputs is outside this expression's contract.
   *
   * The merge list is compiled once per expression instance and shipped
   * as a codegen reference object (the broadcast-dimension pattern at
@@ -73,11 +80,19 @@ object BpeTokens {
     while (wi < words.length) {
       val w = words(wi)
       if (w.nonEmpty) {
-        // char split, then each merge once in rank order (greedy pass)
-        var syms = new Array[UTF8String](w.length)
+        // CODE-POINT split, then each merge once in rank order (greedy
+        // pass). charAt would cut a supplementary-plane letter (kept by
+        // normalizeText's \p{L}) into lone surrogates — invalid UTF-8
+        // symbols that no trained merge could ever match — while
+        // Spark's split(w, "") in Bpe.train and DuckDB's str_split both
+        // split on code points; this keeps encoder, trainer and oracle
+        // on the same symbol alphabet.
+        val cps = w.codePoints().toArray
+        var syms = new Array[UTF8String](cps.length)
         var ci = 0
-        while (ci < w.length) {
-          syms(ci) = UTF8String.fromString(String.valueOf(w.charAt(ci)))
+        while (ci < cps.length) {
+          syms(ci) = UTF8String.fromString(
+            new String(Character.toChars(cps(ci))))
           ci += 1
         }
         var n = syms.length

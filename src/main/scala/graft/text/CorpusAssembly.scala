@@ -945,6 +945,10 @@ object CorpusAssembly {
       .select(col("doc"), col("p"), col("w"))
     // Re-pack the survivors per doc in position order; field extraction
     // over the struct array (`_sw.w`) stays in codegen (no HOF).
+    // Lazy persist, lineage kept: the re-packed survivor frame feeds all
+    // `window` offset projections. Released via spark.catalog.clearCache
+    // (the session-wide contract; Bench clears between queries) — loops
+    // over many corpora should clearCache between calls.
     val arrs = kept.groupBy(col("doc"))
       .agg(sort_array(collect_list(struct(col("p"), col("w")))).as("_sw"))
       .select(col("doc"), col("_sw.w").as("t"))

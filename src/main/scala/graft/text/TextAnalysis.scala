@@ -1067,13 +1067,29 @@ object TextAnalysis {
     * automaton compiles once on the driver and ships as a codegen
     * reference object. Documents with no hit for a term are absent
     * (inner semantics — the tag relation, not a dense matrix).
+    *
+    * Terms are normalized with the SAME rule as the text (lowercase,
+    * non-word → space, collapse, trim) before compiling the automaton —
+    * the text side is normalizeText output, so an uppercase or
+    * punctuated dictionary entry ("E-mail") would otherwise silently
+    * never match. The output `term` column carries the normalized form;
+    * terms that normalize to the same string dedup into one automaton
+    * entry, and terms that normalize away entirely are rejected.
     */
   def dictionaryTag(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "dictionaryTag needs a non-empty dictionary")
+    // driver-side twin of Dedup.normalizeText (Locale.ROOT: no
+    // locale-dependent case surprises; the corpus contract is ASCII)
+    val normed = terms.map(t =>
+      t.toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("[^\\p{L}\\p{N}_\\s]", " ")
+        .replaceAll("\\s+", " ").trim).filter(_.nonEmpty).distinct
+    require(normed.nonEmpty,
+      s"dictionaryTag: every term normalized to empty: $terms")
     df.select(col(idCol).as("doc"),
         explode(graft.GraftFunctions.acFindAll(
-          graft.dedup.Dedup.normalizeText(col(textCol)), terms)).as("m"))
+          graft.dedup.Dedup.normalizeText(col(textCol)), normed)).as("m"))
       .groupBy(col("doc"), col("m.term").as("term"))
       .agg(count(lit(1)).as("n_hits"),
         min(col("m.pos")).cast("long").as("first_pos"))
@@ -1280,6 +1296,12 @@ object TextAnalysis {
   def bleuCorpus(pairs: DataFrame, groupCol: String, idCol: String,
       candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, "bleuCorpus needs 1 <= maxN <= 8")
+    // Lazy persist, lineage kept: each side's token frame feeds maxN
+    // gram projections + the length aggregation. The blocks stay
+    // registered until spark.catalog.clearCache() — the session-wide
+    // release contract (minhashLshPairs/cosinePairs discipline; the
+    // Bench harness clears between queries). Callers looping over many
+    // corpora should clearCache between calls.
     def tk(c: String) = pairs.select(col(groupCol).as("grp"),
         col(idCol).as("pid"),
         filter(graft.dedup.Dedup.tokensOf(col(c)), t => t =!= "").as("_t"))
