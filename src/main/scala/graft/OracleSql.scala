@@ -281,6 +281,119 @@ object OracleSql {
       if (mult == 1L) term else s"$term * CAST($mult AS BIGINT)"
     }.mkString(" +\n ") + ")"
 
+  /** IVF top-k, FULLY replayed (q_ann_ivf at 16/4, q_ann_ivf_joined at
+    * 64/16 — the literal-projection and broadcast-join engine paths
+    * share every tiebreak and every double, so one statement serves
+    * both): the seeded-md5 training sample, the id-strided seed
+    * centroids, BOTH Lloyd iterations (exact integer dots, avg over
+    * exact-representable double sums, floor(x+0.5) for Scala's
+    * math.round half-up), the final full-corpus cell assignment, the
+    * nprobe probe ranking, and the exact re-ranking — every double is
+    * one fixed IEEE expression over exact integers, so both engines
+    * agree bit-for-bit. Assumes the sample holds >= nCells vectors
+    * (engine falls back to full-corpus training below that — outside
+    * this statement's domain; sample sizes 262/262/1057 at shipped
+    * SFs). Shapes: ~|corpus|·nCells·dim joined rows per assignment.
+    */
+  private def ivfOracleSql(nCells: Int, nprobe: Int): String = {
+    // one Lloyd step: score members against prevC, argmax per id
+    // (sim DESC, cid ASC — the engine's max-struct tiebreak), then
+    // per-(cid, dim) rounded means as the next centroid table
+    def lloyd(i: Int, prevC: String, outC: String): String =
+      s"""cn$i AS (SELECT cid, sqrt(CAST(sum(c*c) AS DOUBLE)) AS cn
+         |  FROM $prevC GROUP BY cid),
+         |dt$i AS MATERIALIZED (
+         |  SELECT e.id, c.cid, sum(e.x * c.c) AS dt
+         |  FROM exs e JOIN $prevC c ON c.dim = e.dim
+         |  GROUP BY 1, 2),
+         |sim$i AS (
+         |  SELECT d.id, d.cid,
+         |    CASE WHEN vn.vn * cn.cn = 0 THEN -2.0
+         |         ELSE CAST(d.dt AS DOUBLE) / (vn.vn * cn.cn) END AS sim
+         |  FROM dt$i d JOIN vn ON vn.id = d.id JOIN cn$i cn ON cn.cid = d.cid),
+         |asg$i AS MATERIALIZED (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+         |    FROM sim$i) WHERE rk = 1),
+         |$outC AS MATERIALIZED (
+         |  SELECT a.cid, e.dim,
+         |    CAST(floor(avg(CAST(e.x AS DOUBLE)) + 0.5) AS BIGINT) AS c
+         |  FROM asg$i a JOIN exs e ON e.id = a.id
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH q0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |ex AS MATERIALIZED (
+       |  SELECT id, unnest(generate_series(1, len(v))) AS dim,
+       |    unnest(v) AS x
+       |  FROM q0),
+       |vn AS MATERIALIZED (
+       |  SELECT id, sqrt(CAST(sum(x*x) AS DOUBLE)) AS vn
+       |  FROM ex GROUP BY id),
+       |samp AS MATERIALIZED (
+       |  SELECT id FROM (
+       |    SELECT id, md5('ivf-train:' || CAST(id AS VARCHAR)) AS hx FROM q0)
+       |  WHERE ${hex4("hx")} % 10000 < 5000),
+       |exs AS MATERIALIZED (
+       |  SELECT ex.* FROM ex JOIN samp USING (id)),
+       |st AS (SELECT greatest(1, count(*) // $nCells) AS stride FROM samp),
+       |seeds AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY s.id) - 1 AS cid, s.id
+       |  FROM samp s, st WHERE s.id % st.stride = 0
+       |  ORDER BY s.id LIMIT $nCells),
+       |c0 AS MATERIALIZED (
+       |  SELECT sd.cid, e.dim, e.x AS c
+       |  FROM seeds sd JOIN ex e ON e.id = sd.id),
+       |${lloyd(1, "c0", "c1")},
+       |${lloyd(2, "c1", "c2")},
+       |cnf AS (SELECT cid, sqrt(CAST(sum(c*c) AS DOUBLE)) AS cn
+       |  FROM c2 GROUP BY cid),
+       |dtf AS MATERIALIZED (
+       |  SELECT e.id, c.cid, sum(e.x * c.c) AS dt
+       |  FROM ex e JOIN c2 c ON c.dim = e.dim
+       |  GROUP BY 1, 2),
+       |simf AS MATERIALIZED (
+       |  SELECT d.id, d.cid,
+       |    CASE WHEN vn.vn * cn.cn = 0 THEN -2.0
+       |         ELSE CAST(d.dt AS DOUBLE) / (vn.vn * cn.cn) END AS sim
+       |  FROM dtf d JOIN vn ON vn.id = d.id JOIN cnf cn ON cn.cid = d.cid),
+       |asgf AS MATERIALIZED (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+       |    FROM simf) WHERE rk = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT id AS query_id, cid FROM (
+       |    SELECT id, cid,
+       |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+       |    FROM simf WHERE id < 10) WHERE rk <= $nprobe),
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, t.id AS neighbor_id
+       |  FROM probes p JOIN asgf t ON t.cid = p.cid AND t.id <> p.query_id),
+       |cdot AS MATERIALIZED (
+       |  SELECT c.query_id, c.neighbor_id, sum(eq.x * en.x) AS dt
+       |  FROM cand c
+       |  JOIN ex eq ON eq.id = c.query_id
+       |  JOIN ex en ON en.id = c.neighbor_id AND en.dim = eq.dim
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT d.query_id, d.neighbor_id,
+       |    CASE WHEN qv.vn * nv.vn = 0 THEN NULL
+       |         ELSE CAST(d.dt AS DOUBLE) / (qv.vn * nv.vn) END AS cosine
+       |  FROM cdot d
+       |  JOIN vn qv ON qv.id = d.query_id
+       |  JOIN vn nv ON nv.id = d.neighbor_id),
+       |rnk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rk
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
+       |FROM rnk WHERE rk <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** The HLL estimate CTE chain (q_hll's arithmetic) over a `regs`-shaped
     * relation `srcCte(keys..., reg, mreg)`, emitting `fin(keys...,
     * hll_estimate)`. `keys` are the group columns carried through.
@@ -2912,104 +3025,13 @@ object OracleSql {
     // full-corpus training below nCells — outside this statement's
     // domain). Shapes: ~|corpus|·nCells·dim joined rows per assignment
     // — 0.5M at sf0.01.
-    "q_ann_ivf" -> {
-      // one Lloyd step: score members against prevC, argmax per id
-      // (sim DESC, cid ASC — the engine's max-struct tiebreak), then
-      // per-(cid, dim) rounded means as the next centroid table
-      def lloyd(i: Int, prevC: String, outC: String): String =
-        s"""cn$i AS (SELECT cid, sqrt(CAST(sum(c*c) AS DOUBLE)) AS cn
-           |  FROM $prevC GROUP BY cid),
-           |dt$i AS MATERIALIZED (
-           |  SELECT e.id, c.cid, sum(e.x * c.c) AS dt
-           |  FROM exs e JOIN $prevC c ON c.dim = e.dim
-           |  GROUP BY 1, 2),
-           |sim$i AS (
-           |  SELECT d.id, d.cid,
-           |    CASE WHEN vn.vn * cn.cn = 0 THEN -2.0
-           |         ELSE CAST(d.dt AS DOUBLE) / (vn.vn * cn.cn) END AS sim
-           |  FROM dt$i d JOIN vn ON vn.id = d.id JOIN cn$i cn ON cn.cid = d.cid),
-           |asg$i AS MATERIALIZED (
-           |  SELECT id, cid FROM (
-           |    SELECT id, cid,
-           |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
-           |    FROM sim$i) WHERE rk = 1),
-           |$outC AS MATERIALIZED (
-           |  SELECT a.cid, e.dim,
-           |    CAST(floor(avg(CAST(e.x AS DOUBLE)) + 0.5) AS BIGINT) AS c
-           |  FROM asg$i a JOIN exs e ON e.id = a.id
-           |  GROUP BY 1, 2)""".stripMargin
-      s"""WITH q0 AS MATERIALIZED (
-         |  SELECT vec_id AS id, list_transform(embedding,
-         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-         |  FROM embeddings),
-         |ex AS MATERIALIZED (
-         |  SELECT id, unnest(generate_series(1, len(v))) AS dim,
-         |    unnest(v) AS x
-         |  FROM q0),
-         |vn AS MATERIALIZED (
-         |  SELECT id, sqrt(CAST(sum(x*x) AS DOUBLE)) AS vn
-         |  FROM ex GROUP BY id),
-         |samp AS MATERIALIZED (
-         |  SELECT id FROM (
-         |    SELECT id, md5('ivf-train:' || CAST(id AS VARCHAR)) AS hx FROM q0)
-         |  WHERE ${hex4("hx")} % 10000 < 5000),
-         |exs AS MATERIALIZED (
-         |  SELECT ex.* FROM ex JOIN samp USING (id)),
-         |st AS (SELECT greatest(1, count(*) // 16) AS stride FROM samp),
-         |seeds AS MATERIALIZED (
-         |  SELECT row_number() OVER (ORDER BY s.id) - 1 AS cid, s.id
-         |  FROM samp s, st WHERE s.id % st.stride = 0
-         |  ORDER BY s.id LIMIT 16),
-         |c0 AS MATERIALIZED (
-         |  SELECT sd.cid, e.dim, e.x AS c
-         |  FROM seeds sd JOIN ex e ON e.id = sd.id),
-         |${lloyd(1, "c0", "c1")},
-         |${lloyd(2, "c1", "c2")},
-         |cnf AS (SELECT cid, sqrt(CAST(sum(c*c) AS DOUBLE)) AS cn
-         |  FROM c2 GROUP BY cid),
-         |dtf AS MATERIALIZED (
-         |  SELECT e.id, c.cid, sum(e.x * c.c) AS dt
-         |  FROM ex e JOIN c2 c ON c.dim = e.dim
-         |  GROUP BY 1, 2),
-         |simf AS MATERIALIZED (
-         |  SELECT d.id, d.cid,
-         |    CASE WHEN vn.vn * cn.cn = 0 THEN -2.0
-         |         ELSE CAST(d.dt AS DOUBLE) / (vn.vn * cn.cn) END AS sim
-         |  FROM dtf d JOIN vn ON vn.id = d.id JOIN cnf cn ON cn.cid = d.cid),
-         |asgf AS MATERIALIZED (
-         |  SELECT id, cid FROM (
-         |    SELECT id, cid,
-         |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
-         |    FROM simf) WHERE rk = 1),
-         |probes AS MATERIALIZED (
-         |  SELECT id AS query_id, cid FROM (
-         |    SELECT id, cid,
-         |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
-         |    FROM simf WHERE id < 10) WHERE rk <= 4),
-         |cand AS MATERIALIZED (
-         |  SELECT p.query_id, t.id AS neighbor_id
-         |  FROM probes p JOIN asgf t ON t.cid = p.cid AND t.id <> p.query_id),
-         |cdot AS MATERIALIZED (
-         |  SELECT c.query_id, c.neighbor_id, sum(eq.x * en.x) AS dt
-         |  FROM cand c
-         |  JOIN ex eq ON eq.id = c.query_id
-         |  JOIN ex en ON en.id = c.neighbor_id AND en.dim = eq.dim
-         |  GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT d.query_id, d.neighbor_id,
-         |    CASE WHEN qv.vn * nv.vn = 0 THEN NULL
-         |         ELSE CAST(d.dt AS DOUBLE) / (qv.vn * nv.vn) END AS cosine
-         |  FROM cdot d
-         |  JOIN vn qv ON qv.id = d.query_id
-         |  JOIN vn nv ON nv.id = d.neighbor_id),
-         |rnk AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rk
-         |  FROM sc)
-         |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
-         |FROM rnk WHERE rk <= 5
-         |ORDER BY query_id, rank""".stripMargin
-    },
+    "q_ann_ivf" -> ivfOracleSql(nCells = 16, nprobe = 4),
+
+    // The broadcast-join form differs only in HOW Spark evaluates the
+    // argmax (relation join vs literals) — the arithmetic and tiebreaks
+    // are identical, so the replica is the same statement at the
+    // large-cell parameters.
+    "q_ann_ivf_joined" -> ivfOracleSql(nCells = 64, nprobe = 16),
 
     "q_ann_brute_force" ->
       """WITH qz AS (

@@ -75,10 +75,11 @@ class DocsConsistencySpec extends AnyFunSuite {
     // computed in-plan + an all-true drift boolean; DuckDB recomputes
     // the exact columns). Still rows-only: approximate candidate
     // generation (recall-spec'd) and the mapPartitions binary decode.
-    // q_ann_ivf is fully replayed (seeded sample, strided seeds, both
-    // Lloyd iterations, probe ranking) since round 11.
+    // q_ann_ivf AND q_ann_ivf_joined are fully replayed (seeded
+    // sample, strided seeds, both Lloyd iterations, probe ranking —
+    // one parameterized statement serves both paths) since round 11.
     val rowsOnly = Set(
-      "q_ann_lsh", "q_ann_ivf_joined", "q_ann_pq", "q_semdedup",
+      "q_ann_lsh", "q_ann_pq", "q_semdedup",
       "q_multimodal_features")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
