@@ -3073,6 +3073,65 @@ object OracleSql {
         |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, round(cosine, 6) AS cosine
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // Sign-LSH, FULLY replayed: the md5-parity Rademacher rows (the
+    // q_random_project sign matrix at 4×64), bucket bit = exact integer
+    // dot sign test, hamming-1 multi-probe by XOR, then the exact
+    // re-rank — the oracle reproduces WHICH candidates each query sees.
+    "q_ann_lsh" ->
+      """WITH qz AS MATERIALIZED (
+        |  SELECT vec_id AS id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |vn AS MATERIALIZED (
+        |  SELECT id, sqrt(CAST(list_sum(list_transform(
+        |    generate_series(1, len(v)), i -> v[i] * v[i])) AS DOUBLE)) AS vn
+        |  FROM qz),
+        |signs AS MATERIALIZED (
+        |  SELECT j, i,
+        |    CASE WHEN strpos('02468ace', substr(md5(CAST(j AS VARCHAR)
+        |      || '_' || CAST(i AS VARCHAR)), 1, 1)) > 0
+        |    THEN 1 ELSE -1 END AS s
+        |  FROM generate_series(1, 4) t1(j)
+        |  CROSS JOIN generate_series(1, 64) t2(i)),
+        |dots AS MATERIALIZED (
+        |  SELECT qz.id, sg.j, sum(sg.s * qz.v[sg.i]) AS d
+        |  FROM qz CROSS JOIN signs sg GROUP BY 1, 2),
+        |bk AS MATERIALIZED (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 << (j - 1) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM dots GROUP BY id),
+        |probes AS MATERIALIZED (
+        |  SELECT b.id AS query_id,
+        |    CASE WHEN t.p = 0 THEN b.bucket
+        |         ELSE xor(b.bucket, CAST(1 << (t.p - 1) AS BIGINT)) END
+        |      AS qbucket
+        |  FROM bk b CROSS JOIN generate_series(0, 4) t(p)
+        |  WHERE b.id < 10),
+        |cand AS MATERIALIZED (
+        |  SELECT p.query_id, c.id AS neighbor_id
+        |  FROM probes p JOIN bk c ON c.bucket = p.qbucket
+        |    AND c.id <> p.query_id),
+        |sc AS (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    CASE WHEN qn.vn * nn.vn = 0 THEN NULL
+        |         ELSE CAST(list_sum(list_transform(
+        |             generate_series(1, len(qv.v)),
+        |             i -> qv.v[i] * nv.v[i])) AS DOUBLE) / (qn.vn * nn.vn)
+        |    END AS cosine
+        |  FROM cand cd
+        |  JOIN qz qv ON qv.id = cd.query_id
+        |  JOIN qz nv ON nv.id = cd.neighbor_id
+        |  JOIN vn qn ON qn.id = cd.query_id
+        |  JOIN vn nn ON nn.id = cd.neighbor_id),
+        |rnk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rk
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
+        |FROM rnk WHERE rk <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q_dedup_embedding" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding,

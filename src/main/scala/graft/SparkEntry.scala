@@ -2030,8 +2030,13 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed approximate top-k (scale path — rows-only check; the
-    * spec measures recall against brute force).
+  /** LSH-bucketed approximate top-k, fully hash-oracled: `replayable =
+    * true` buckets on md5-parity Rademacher hyperplanes with exact
+    * integer sign tests (the signMatrix family q_random_project already
+    * replays in SQL), so the oracle reproduces the bucketing AND the
+    * hamming-1 multi-probe — which candidates each query sees, then the
+    * exact re-rank. The Gaussian family stays the API default;
+    * SimilaritySpec pins recall against brute force for both.
     */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2044,7 +2049,7 @@ object SparkEntry {
     val actual = emb.select(size(col("embedding"))).head().getInt(0)
     require(actual == dim, s"embedding width $actual != pinned LSH dim $dim")
     Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5,
-        nPlanes = 4, dim = dim)
+        nPlanes = 4, dim = dim, replayable = true)
       .orderBy(col("query_id"), col("rank"))
   }
 

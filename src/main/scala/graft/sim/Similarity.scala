@@ -883,6 +883,19 @@ object Similarity {
     * Recall/cost is tuned via nPlanes (fewer planes = bigger buckets =
     * higher recall, more compute).
     */
+  /** Rademacher sign-LSH bucket key over the QUANTIZED vector: bit i set
+    * iff Σ_j sign(i+1, j)·q_j > 0 with the [[signMatrix]] md5-parity ±1
+    * rows — an EXACT integer comparison, so the bucketing replays in any
+    * engine (the q_dedup_minhash_lsh discipline applied to sign-LSH;
+    * a ±1 hyperplane is as valid a random hyperplane as a Gaussian one —
+    * Achlioptas '03 for the JL form, Charikar '02 needs only symmetry).
+    */
+  def lshBucketSigns(qvec: Column, signs: Seq[Seq[Long]]): Column =
+    signs.zipWithIndex.map { case (row, i) =>
+      when(graft.GraftFunctions.dotI64(qvec, typedlit(row)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -892,7 +905,8 @@ object Similarity {
       k: Int,
       nPlanes: Int = 8,
       seed: Long = 42L,
-      dim: Int = 0): DataFrame = {
+      dim: Int = 0,
+      replayable: Boolean = false): DataFrame = {
     // dim must match the embedding width: a mismatched hyperplane length
     // makes zip_with pad with nulls, every plane dot goes null, and all
     // vectors silently collapse into bucket 0 (full brute force). Derive
@@ -900,9 +914,21 @@ object Similarity {
     val planeDim =
       if (dim > 0) dim
       else corpus.select(size(col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(1)
-    val planes = hyperplanes(planeDim, nPlanes, seed)
+    // replayable mode swaps the seeded-Gaussian hyperplanes for the
+    // md5-parity Rademacher rows and buckets on exact integer sign
+    // tests over the quantized vector — same recall story (sign-LSH
+    // needs only a symmetric hyperplane distribution), but every bucket
+    // decision is oracle-replayable; `seed` is ignored in this mode.
+    val planes =
+      if (replayable) Nil else hyperplanes(planeDim, nPlanes, seed)
+    val signs =
+      if (replayable) signMatrix(nPlanes, planeDim) else Nil
+    def bucketOf(rawVec: Column, qvec: Column): Column =
+      if (replayable) lshBucketSigns(qvec, signs)
+      else lshBucket(rawVec, planes)
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      quantize(col(vecCol)).as("cv"), lshBucket(col(vecCol), planes).as("bucket"))
+      quantize(col(vecCol)).as("cv"),
+      bucketOf(col(vecCol), quantize(col(vecCol))).as("bucket"))
       .withColumn("cn", quantizedNorm(col("cv")))
     // Compute the bucket once, derive the hamming-1 probes by XOR on the
     // materialized column — re-expanding the plane dot products per probe
@@ -911,7 +937,8 @@ object Similarity {
       (col("qb0") +: (0 until nPlanes).map(i =>
         col("qb0").bitwiseXOR(lit(1L << i)))): _*)
     val q = queries.select(col(queryIdCol).as("query_id"),
-        quantize(col(vecCol)).as("qv"), lshBucket(col(vecCol), planes).as("qb0"))
+        quantize(col(vecCol)).as("qv"),
+        bucketOf(col(vecCol), quantize(col(vecCol))).as("qb0"))
       .withColumn("qn", quantizedNorm(col("qv")))
       .select(col("query_id"), col("qv"), col("qn"), explode(probes).as("qbucket"))
     val w = Window.partitionBy(col("query_id"))

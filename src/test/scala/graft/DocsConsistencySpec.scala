@@ -78,8 +78,10 @@ class DocsConsistencySpec extends AnyFunSuite {
     // q_ann_ivf AND q_ann_ivf_joined are fully replayed (seeded
     // sample, strided seeds, both Lloyd iterations, probe ranking —
     // one parameterized statement serves both paths) since round 11.
+    // q_ann_lsh joined them via md5-parity Rademacher hyperplanes
+    // (exact integer sign tests replayed in SQL).
     val rowsOnly = Set(
-      "q_ann_lsh", "q_ann_pq", "q_semdedup",
+      "q_ann_pq", "q_semdedup",
       "q_multimodal_features")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
