@@ -295,7 +295,44 @@ object OracleSql {
     * this statement's domain; sample sizes 262/262/1057 at shipped
     * SFs). Shapes: ~|corpus|·nCells·dim joined rows per assignment.
     */
-  private def ivfOracleSql(nCells: Int, nprobe: Int): String = {
+  private def ivfOracleSql(nCells: Int, nprobe: Int): String =
+    s"""WITH ${ivfCellCtes(nCells)},
+       |probes AS MATERIALIZED (
+       |  SELECT id AS query_id, cid FROM (
+       |    SELECT id, cid,
+       |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
+       |    FROM simf WHERE id < 10) WHERE rk <= $nprobe),
+       |cand AS MATERIALIZED (
+       |  SELECT p.query_id, t.id AS neighbor_id
+       |  FROM probes p JOIN asgf t ON t.cid = p.cid AND t.id <> p.query_id),
+       |cdot AS MATERIALIZED (
+       |  SELECT c.query_id, c.neighbor_id, sum(eq.x * en.x) AS dt
+       |  FROM cand c
+       |  JOIN ex eq ON eq.id = c.query_id
+       |  JOIN ex en ON en.id = c.neighbor_id AND en.dim = eq.dim
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT d.query_id, d.neighbor_id,
+       |    CASE WHEN qv.vn * nv.vn = 0 THEN NULL
+       |         ELSE CAST(d.dt AS DOUBLE) / (qv.vn * nv.vn) END AS cosine
+       |  FROM cdot d
+       |  JOIN vn qv ON qv.id = d.query_id
+       |  JOIN vn nv ON nv.id = d.neighbor_id),
+       |rnk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rk
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
+       |FROM rnk WHERE rk <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The shared IVF cell chain: seeded-md5 sample, id-strided seeds,
+    * two unrolled Lloyd iterations, and the final full-corpus argmax —
+    * ending at `asgf(id, cid, sim)` / `simf(id, cid, sim)` with `ex`,
+    * `vn`, `q0` still in scope for consumers' own tails (the ANN probe
+    * ranking, semdedup's intra-cell edges).
+    */
+  private def ivfCellCtes(nCells: Int): String = {
     // one Lloyd step: score members against prevC, argmax per id
     // (sim DESC, cid ASC — the engine's max-struct tiebreak), then
     // per-(cid, dim) rounded means as the next centroid table
@@ -321,7 +358,7 @@ object OracleSql {
          |    CAST(floor(avg(CAST(e.x AS DOUBLE)) + 0.5) AS BIGINT) AS c
          |  FROM asg$i a JOIN exs e ON e.id = a.id
          |  GROUP BY 1, 2)""".stripMargin
-    s"""WITH q0 AS MATERIALIZED (
+    s"""q0 AS MATERIALIZED (
        |  SELECT vec_id AS id, list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
        |  FROM embeddings),
@@ -360,39 +397,62 @@ object OracleSql {
        |         ELSE CAST(d.dt AS DOUBLE) / (vn.vn * cn.cn) END AS sim
        |  FROM dtf d JOIN vn ON vn.id = d.id JOIN cnf cn ON cn.cid = d.cid),
        |asgf AS MATERIALIZED (
-       |  SELECT id, cid FROM (
-       |    SELECT id, cid,
+       |  SELECT id, cid, sim FROM (
+       |    SELECT id, cid, sim,
        |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
-       |    FROM simf) WHERE rk = 1),
-       |probes AS MATERIALIZED (
-       |  SELECT id AS query_id, cid FROM (
-       |    SELECT id, cid,
-       |      row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rk
-       |    FROM simf WHERE id < 10) WHERE rk <= $nprobe),
-       |cand AS MATERIALIZED (
-       |  SELECT p.query_id, t.id AS neighbor_id
-       |  FROM probes p JOIN asgf t ON t.cid = p.cid AND t.id <> p.query_id),
-       |cdot AS MATERIALIZED (
-       |  SELECT c.query_id, c.neighbor_id, sum(eq.x * en.x) AS dt
-       |  FROM cand c
-       |  JOIN ex eq ON eq.id = c.query_id
-       |  JOIN ex en ON en.id = c.neighbor_id AND en.dim = eq.dim
-       |  GROUP BY 1, 2),
-       |sc AS (
-       |  SELECT d.query_id, d.neighbor_id,
-       |    CASE WHEN qv.vn * nv.vn = 0 THEN NULL
-       |         ELSE CAST(d.dt AS DOUBLE) / (qv.vn * nv.vn) END AS cosine
-       |  FROM cdot d
-       |  JOIN vn qv ON qv.id = d.query_id
-       |  JOIN vn nv ON nv.id = d.neighbor_id),
-       |rnk AS (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rk
-       |  FROM sc)
-       |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
-       |FROM rnk WHERE rk <= 5
-       |ORDER BY query_id, rank""".stripMargin
+       |    FROM simf) WHERE rk = 1)""".stripMargin
   }
+
+  /** SemDeDup replica over the shared IVF cells (k=16, the q_ann_ivf
+    * parameters): intra-cell exact-cosine edges at eps, min-label
+    * connected components via the recursive closure, exemplar =
+    * argmin(clamped centroid similarity, id) per component — `keep` is
+    * true only for the exemplar (most peripheral representative).
+    */
+  private def semDedupOracleSql(eps: Double): String =
+    s"""WITH RECURSIVE ${ivfCellCtes(16)},
+       |cp AS MATERIALIZED (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.id < b.id),
+       |pdot AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dt
+       |  FROM cp c
+       |  JOIN ex ea ON ea.id = c.id_a
+       |  JOIN ex eb ON eb.id = c.id_b AND eb.dim = ea.dim
+       |  GROUP BY 1, 2),
+       |edges0 AS MATERIALIZED (
+       |  SELECT d.id_a, d.id_b
+       |  FROM pdot d
+       |  JOIN vn va ON va.id = d.id_a
+       |  JOIN vn vb ON vb.id = d.id_b
+       |  WHERE va.vn * vb.vn <> 0
+       |    AND CAST(d.dt AS DOUBLE) / (va.vn * vb.vn) >= $eps),
+       |uedges AS (
+       |  SELECT id_a AS u, id_b AS v FROM edges0
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM edges0),
+       |reach AS (
+       |  SELECT u, v FROM uedges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN uedges e ON r.v = e.u),
+       |comp AS (SELECT u AS id, least(u, min(v)) AS component
+       |  FROM reach GROUP BY u),
+       |lab AS MATERIALIZED (
+       |  SELECT a.id, a.cid,
+       |    least(CAST(1.0 AS DOUBLE), greatest(CAST(-1.0 AS DOUBLE), a.sim))
+       |      AS ccos,
+       |    coalesce(c.component, a.id) AS component
+       |  FROM asgf a LEFT JOIN comp c ON c.id = a.id),
+       |reps AS (
+       |  SELECT component, id AS rep_id FROM (
+       |    SELECT component, id,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY ccos ASC, id ASC) AS rk
+       |    FROM lab) WHERE rk = 1)
+       |SELECT l.id, CAST(l.cid AS BIGINT) AS cell, l.component,
+       |  (l.id = r.rep_id) AS keep
+       |FROM lab l JOIN reps r USING (component)
+       |ORDER BY l.id""".stripMargin
 
   /** The HLL estimate CTE chain (q_hll's arithmetic) over a `regs`-shaped
     * relation `srcCte(keys..., reg, mreg)`, emitting `fin(keys...,
@@ -3032,6 +3092,8 @@ object OracleSql {
     // are identical, so the replica is the same statement at the
     // large-cell parameters.
     "q_ann_ivf_joined" -> ivfOracleSql(nCells = 64, nprobe = 16),
+
+    "q_semdedup" -> semDedupOracleSql(eps = 0.92),
 
     "q_ann_brute_force" ->
       """WITH qz AS (

@@ -569,9 +569,14 @@ object Similarity {
       cents: Seq[(Int, IndexedSeq[Long])]): DataFrame =
     df.withColumn("_m", nearestCell(col(vCol), col(vnCol), cents))
       .withColumn("cid", col("_m").getField("cid"))
-      .withColumn("cang", acos(least(lit(1.0),
-        greatest(lit(-1.0),
-          coalesce(nanvl(col("_m").getField("s"), lit(-2.0)), lit(-2.0))))))
+      // csim = the [-1,1]-clamped similarity ITSELF — consumers that only
+      // rank by similarity (semanticDedup's exemplar election) read it
+      // directly: cos(acos(x)) is x mathematically but round-trips two
+      // transcendentals whose last-ulp rounding is not pinned across
+      // math libraries, while the clamp is one IEEE comparison.
+      .withColumn("csim", least(lit(1.0), greatest(lit(-1.0),
+        coalesce(nanvl(col("_m").getField("s"), lit(-2.0)), lit(-2.0)))))
+      .withColumn("cang", acos(col("csim")))
       .drop("_m")
 
   /** Join-path cell assignment — the large-k scale path: the pivot table
@@ -602,8 +607,9 @@ object Similarity {
         carried.map(cn => first(col(cn)).as(cn)): _*)
       .select(carried.map(col) :+
         col("_m").getField("cid").as("cid") :+
-        acos(least(lit(1.0), greatest(lit(-1.0),
-          col("_m").getField("s")))).as("cang"): _*)
+        least(lit(1.0), greatest(lit(-1.0),
+          col("_m").getField("s"))).as("csim"): _*)
+      .withColumn("cang", acos(col("csim")))
   }
 
   // ------------------------------------------------------------ IVF path
@@ -825,7 +831,7 @@ object Similarity {
     val indexed = assignCellsJoined(
       corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol), quantScale).as("cv0"))
         .withColumn("cn0", quantizedNorm(col("cv0"))),
-      "cv0", "cn0", cdf).drop("cang")
+      "cv0", "cn0", cdf).drop("cang", "csim")
     // Probe ranking: score every (query, cell) against the broadcast
     // centroid relation, keep each query's nprobe best cells (sim desc,
     // ties to the lowest cid — same order as the literal path).
@@ -1239,12 +1245,14 @@ object Similarity {
     val assigned0 =
       if (cents.size <= LiteralAssignMaxCells) assignCellsLit(base, "v", "vn", cents)
       else assignCellsJoined(base, "v", "vn", centroidsDF(df.sparkSession, cents))
-    // cang is the angle to the nearest centroid; cos(cang) recovers the
-    // [-1,1]-clamped similarity (degenerate -2 scores clamp to -1/π, so
-    // zero-norm vectors rank as maximally peripheral — kept, never
-    // silently preferred). Persisted: feeds both self-join sides and the
-    // final projection; released via clearCache (the family contract).
-    val assigned = assigned0.withColumn("ccos", cos(col("cang"))).persist()
+    // ccos is the [-1,1]-clamped similarity to the nearest centroid
+    // (the assignment paths' csim — read directly rather than through a
+    // cos(acos(x)) round-trip whose last-ulp rounding differs across
+    // math libraries; degenerate -2 scores clamp to -1, so zero-norm
+    // vectors rank as maximally peripheral — kept, never silently
+    // preferred). Persisted: feeds both self-join sides and the final
+    // projection; released via clearCache (the family contract).
+    val assigned = assigned0.withColumn("ccos", col("csim")).persist()
     val edges = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .withColumn("cosine", cosineFromNorms(quantizedDot(col("a.v"), col("b.v")),
