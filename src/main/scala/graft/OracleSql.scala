@@ -403,6 +403,132 @@ object OracleSql {
        |    FROM simf) WHERE rk = 1)""".stripMargin
   }
 
+  /** PQ (product-quantization) ADC top-k replica — the full pipeline:
+    * seeded-md5 training sample ('pq-train', fraction via 16-bit md5
+    * bucket), id-strided seed slices shared across subspaces, two Lloyd
+    * iterations with the L2 argmin's |c|²−2·c·x scores (exact BIGINT
+    * dots, ties to the lowest code), empty-cell dense re-indexing (the
+    * engine's toBooks), corpus encoding, ADC scoring through
+    * reconstruction norms with the refine·k cut, and the exact cosine
+    * re-rank. Every double is one fixed IEEE expression over
+    * exact-representable integers, so engines agree bit-for-bit.
+    * Assumes the sample holds >= ks vectors and the stride hits >= 1 id
+    * (holds at all shipped SFs; the engine falls back below that).
+    */
+  private def pqOracleSql(m: Int, ks: Int, sub: Int, refine: Int,
+      k: Int, trainPermille10k: Int): String = {
+    // one Lloyd step over the (mm, cid, pos, c) codebook relation
+    def lloyd(i: Int, prevB: String, outB: String): String =
+      s"""bn$i AS (SELECT mm, cid, sum(c*c) AS n2 FROM $prevB GROUP BY 1, 2),
+         |sd$i AS MATERIALIZED (
+         |  SELECT e.id, e.mm, b.cid, sum(e.x * b.c) AS dt
+         |  FROM exm e JOIN samp USING (id)
+         |  JOIN $prevB b ON b.mm = e.mm AND b.pos = e.pos
+         |  GROUP BY 1, 2, 3),
+         |as$i AS MATERIALIZED (
+         |  SELECT id, mm, cid FROM (
+         |    SELECT d.id, d.mm, d.cid,
+         |      row_number() OVER (PARTITION BY d.id, d.mm
+         |        ORDER BY CAST(n.n2 AS DOUBLE) - 2.0 * CAST(d.dt AS DOUBLE) ASC,
+         |          d.cid ASC) AS rk
+         |    FROM sd$i d JOIN bn$i n ON n.mm = d.mm AND n.cid = d.cid)
+         |  WHERE rk = 1),
+         |mu$i AS MATERIALIZED (
+         |  SELECT a.mm, a.cid, e.pos,
+         |    CAST(floor(avg(CAST(e.x AS DOUBLE)) + 0.5) AS BIGINT) AS c
+         |  FROM as$i a JOIN exm e ON e.id = a.id AND e.mm = a.mm
+         |  GROUP BY 1, 2, 3),
+         |$outB AS MATERIALIZED (
+         |  SELECT mm, dense_rank() OVER (PARTITION BY mm ORDER BY cid) - 1
+         |    AS cid, pos, c
+         |  FROM mu$i)""".stripMargin
+    s"""WITH q0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |ex AS MATERIALIZED (
+       |  SELECT id, unnest(generate_series(1, len(v))) AS dim,
+       |    unnest(v) AS x
+       |  FROM q0),
+       |exm AS MATERIALIZED (
+       |  SELECT id, (dim - 1) // $sub AS mm,
+       |    (dim - 1) % $sub + 1 AS pos, x
+       |  FROM ex),
+       |vn AS MATERIALIZED (
+       |  SELECT id, sqrt(CAST(sum(x*x) AS DOUBLE)) AS vn
+       |  FROM ex GROUP BY id),
+       |samp AS MATERIALIZED (
+       |  SELECT id FROM (
+       |    SELECT id, md5('pq-train:' || CAST(id AS VARCHAR)) AS hx FROM q0)
+       |  WHERE ${hex4("hx")} % 10000 < $trainPermille10k),
+       |st AS (SELECT greatest(1, count(*) // $ks) AS stride FROM samp),
+       |sids AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY s.id) - 1 AS cid, s.id
+       |  FROM samp s, st WHERE s.id % st.stride = 0
+       |  ORDER BY s.id LIMIT $ks),
+       |b0 AS MATERIALIZED (
+       |  SELECT e.mm, s.cid, e.pos, e.x AS c
+       |  FROM sids s JOIN exm e ON e.id = s.id),
+       |${lloyd(1, "b0", "b1")},
+       |${lloyd(2, "b1", "b2")},
+       |bnf AS MATERIALIZED (
+       |  SELECT mm, cid, sum(c*c) AS n2 FROM b2 GROUP BY 1, 2),
+       |cdf AS MATERIALIZED (
+       |  SELECT e.id, e.mm, b.cid, sum(e.x * b.c) AS dt
+       |  FROM exm e JOIN b2 b ON b.mm = e.mm AND b.pos = e.pos
+       |  GROUP BY 1, 2, 3),
+       |codes AS MATERIALIZED (
+       |  SELECT id, mm, cid, n2, dt FROM (
+       |    SELECT d.id, d.mm, d.cid, n.n2, d.dt,
+       |      row_number() OVER (PARTITION BY d.id, d.mm
+       |        ORDER BY CAST(n.n2 AS DOUBLE) - 2.0 * CAST(d.dt AS DOUBLE) ASC,
+       |          d.cid ASC) AS rk
+       |    FROM cdf d JOIN bnf n ON n.mm = d.mm AND n.cid = d.cid)
+       |  WHERE rk = 1),
+       |xhat AS MATERIALIZED (
+       |  SELECT id, sqrt(CAST(sum(n2) AS DOUBLE)) AS xn
+       |  FROM codes GROUP BY id),
+       |adc AS MATERIALIZED (
+       |  SELECT qd.id AS query_id, t.id AS neighbor_id, sum(qd.dt) AS dt
+       |  FROM codes t
+       |  JOIN cdf qd ON qd.mm = t.mm AND qd.cid = t.cid
+       |  WHERE qd.id < 10 AND t.id <> qd.id
+       |  GROUP BY 1, 2),
+       |ascore AS (
+       |  SELECT a.query_id, a.neighbor_id,
+       |    CASE WHEN qv.vn * x.xn = 0 THEN NULL
+       |         ELSE CAST(a.dt AS DOUBLE) / (qv.vn * x.xn) END AS approx
+       |  FROM adc a
+       |  JOIN vn qv ON qv.id = a.query_id
+       |  JOIN xhat x ON x.id = a.neighbor_id),
+       |cands AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY approx DESC NULLS LAST, neighbor_id) AS rk
+       |    FROM ascore) WHERE rk <= ${refine * k}),
+       |cdot AS MATERIALIZED (
+       |  SELECT c.query_id, c.neighbor_id, sum(eq.x * en.x) AS dt
+       |  FROM cands c
+       |  JOIN ex eq ON eq.id = c.query_id
+       |  JOIN ex en ON en.id = c.neighbor_id AND en.dim = eq.dim
+       |  GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT d.query_id, d.neighbor_id,
+       |    CASE WHEN qv.vn * nv.vn = 0 THEN NULL
+       |         ELSE CAST(d.dt AS DOUBLE) / (qv.vn * nv.vn) END AS cosine
+       |  FROM cdot d
+       |  JOIN vn qv ON qv.id = d.query_id
+       |  JOIN vn nv ON nv.id = d.neighbor_id),
+       |rnk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rk
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rank, cosine
+       |FROM rnk WHERE rk <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** SemDeDup replica over the shared IVF cells (k=16, the q_ann_ivf
     * parameters): intra-cell exact-cosine edges at eps, min-label
     * connected components via the recursive closure, exemplar =
@@ -3094,6 +3220,9 @@ object OracleSql {
     "q_ann_ivf_joined" -> ivfOracleSql(nCells = 64, nprobe = 16),
 
     "q_semdedup" -> semDedupOracleSql(eps = 0.92),
+
+    "q_ann_pq" -> pqOracleSql(m = 8, ks = 16, sub = 8, refine = 8,
+      k = 5, trainPermille10k = 2500),
 
     "q_ann_brute_force" ->
       """WITH qz AS (

@@ -2080,9 +2080,13 @@ object SparkEntry {
   }
 
   /** Product-quantization ADC top-k with exact re-rank (the compression
-    * scale path: m one-byte codes per vector instead of the raw floats —
-    * rows-only; SimilaritySpec pins recall vs brute force and that
-    * re-ranked scores equal the exact cosines).
+    * scale path: m one-byte codes per vector instead of the raw floats).
+    * Fully hash-oracled since round 11: the codebook training (seeded
+    * sample, strided seeds, two Lloyd iterations with the L2 argmin's
+    * |c|²−2c·x scores, empty-cell re-indexing), the ADC scoring through
+    * reconstruction norms, and the exact re-rank all replay in SQL —
+    * every double is a fixed IEEE expression over exact integers.
+    * SimilaritySpec keeps the recall pins.
     */
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2092,9 +2096,13 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** SemDeDup: cluster-scoped semantic dedup over the embeddings table
-    * (rows-only: k-means clustering is engine-specific; exemplar-election
-    * and recall semantics are pinned by SimilaritySpec).
+  /** SemDeDup: cluster-scoped semantic dedup over the embeddings table,
+    * fully hash-oracled since round 11 — the IVF cells are the same
+    * deterministic construction as q_ann_ivf (shared SQL chain), the
+    * intra-cell edges are exact cosines, components replay as a
+    * recursive closure, and the exemplar election reads the clamped
+    * centroid similarity (csim). SimilaritySpec keeps the semantic
+    * recall pins.
     */
   private def qSemDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",

@@ -79,10 +79,12 @@ class DocsConsistencySpec extends AnyFunSuite {
     // sample, strided seeds, both Lloyd iterations, probe ranking —
     // one parameterized statement serves both paths) since round 11.
     // q_ann_lsh joined them via md5-parity Rademacher hyperplanes
-    // (exact integer sign tests replayed in SQL), and q_semdedup via
-    // the shared IVF cell chain + recursive-closure components.
+    // (exact integer sign tests replayed in SQL), q_semdedup via the
+    // shared IVF cell chain + recursive-closure components, and
+    // q_ann_pq via the full codebook-training/ADC/re-rank replica.
+    // The one structural exception left: the mapPartitions binary
+    // decode, which no SQL engine can replay.
     val rowsOnly = Set(
-      "q_ann_pq",
       "q_multimodal_features")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
