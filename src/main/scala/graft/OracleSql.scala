@@ -3364,6 +3364,44 @@ object OracleSql {
         |  FROM documents WHERE doc_id % 2 = 1)
         |ORDER BY side, doc_id""".stripMargin,
 
+    // FakeDecoder replica: FNV-1a64 of the raw (pure-ASCII, verified)
+    // text bytes in HUGEINT — the simhashFpCtes fold — then the signed
+    // two's-complement view, Scala's arithmetic >> 16 as exact floor
+    // division (hv // 2^16 minus 2^48 when negative), abs, mod, +1.
+    // The mapPartitions execution is engine-specific; the registered
+    // query's ARITHMETIC is not.
+    "q_multimodal_features" ->
+      """WITH hh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |        list_transform(
+        |          list_filter(str_split(text, ''), ch -> ch <> ''),
+        |          ch -> CAST(unicode(ch) AS HUGEINT))),
+        |      (h, b) -> ((h - (h % 256) +
+        |          CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))
+        |            AS HUGEINT))
+        |        * CAST(1099511628211 AS HUGEINT))
+        |        % CAST('18446744073709551616' AS HUGEINT)
+        |    ) AS hv
+        |  FROM documents),
+        |sg AS (
+        |  SELECT doc_id,
+        |    hv - CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN CAST('18446744073709551616' AS HUGEINT)
+        |         ELSE CAST(0 AS HUGEINT) END AS h,
+        |    (hv // 65536)
+        |      - CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN CAST('281474976710656' AS HUGEINT)
+        |        ELSE CAST(0 AS HUGEINT) END AS h16
+        |  FROM hh)
+        |SELECT doc_id,
+        |  CAST((CASE WHEN h < 0 THEN -h ELSE h END) % 1920 + 1
+        |    AS INTEGER) AS width,
+        |  CAST((CASE WHEN h16 < 0 THEN -h16 ELSE h16 END) % 1080 + 1
+        |    AS INTEGER) AS height
+        |FROM sg ORDER BY doc_id""".stripMargin,
+
     "q_data_url" ->
       """SELECT doc_id, 'data:image/png;base64,' || to_base64(CAST(text AS BLOB)) AS data_url
         |FROM documents ORDER BY doc_id""".stripMargin,

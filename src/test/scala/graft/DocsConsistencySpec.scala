@@ -80,12 +80,13 @@ class DocsConsistencySpec extends AnyFunSuite {
     // one parameterized statement serves both paths) since round 11.
     // q_ann_lsh joined them via md5-parity Rademacher hyperplanes
     // (exact integer sign tests replayed in SQL), q_semdedup via the
-    // shared IVF cell chain + recursive-closure components, and
-    // q_ann_pq via the full codebook-training/ADC/re-rank replica.
-    // The one structural exception left: the mapPartitions binary
-    // decode, which no SQL engine can replay.
-    val rowsOnly = Set(
-      "q_multimodal_features")
+    // shared IVF cell chain + recursive-closure components, q_ann_pq
+    // via the full codebook-training/ADC/re-rank replica, and
+    // q_multimodal_features via the FakeDecoder's FNV-1a arithmetic in
+    // HUGEINT (the mapPartitions EXECUTION is engine-specific; the
+    // registered query's arithmetic is not). The set is EMPTY: every
+    // registered query is hash-checked against DuckDB.
+    val rowsOnly = Set.empty[String]
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
       s"rows-only set drifted: unexpected=${unoracled -- rowsOnly} " +
