@@ -44,12 +44,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("minhashLshPairs recalls planted duplicates") {
-    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.6)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((0L, 1L)))
-    assert(pairs.contains((0L, 2L)))
-    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  test("minhashLshPairs recalls planted duplicates (both hash families)") {
+    for (replayable <- Seq(false, true)) {
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          threshold = 0.6, replayable = replayable)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((0L, 1L)), s"replayable=$replayable")
+      assert(pairs.contains((0L, 2L)), s"replayable=$replayable")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+        s"replayable=$replayable")
+    }
   }
 
   test("minhash signature: identical sets → identical signatures") {

@@ -70,16 +70,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("lshTopK achieves reasonable recall@5 vs brute force") {
+  test("lshTopK achieves reasonable recall@5 vs brute force (both families)") {
     val emb = graft.Tables.load(spark, sf001, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id",
-        k = 5, nPlanes = 4)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.4, s"LSH recall@5 too low: $recall")
+    for (replayable <- Seq(false, true)) {
+      val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id",
+          k = 5, nPlanes = 4, replayable = replayable)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      assert(recall >= 0.4,
+        s"LSH recall@5 too low (replayable=$replayable): $recall")
+    }
   }
 
   test("dot_i64 native expression agrees with the HOF formulation") {
