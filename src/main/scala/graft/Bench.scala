@@ -32,7 +32,13 @@ object Bench {
     // Fixed name order: Map iteration order shifts when entries are added,
     // which silently reshuffles which queries pay residual warm-up — sorted
     // execution keeps per-query timings comparable across rounds.
-    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts to named queries — a dev
+    // loop for targeted optimization; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val timings = selected.map { case (name, fn) =>
       var failed = false
       var i = 0
       val ts = scala.collection.mutable.ArrayBuffer.empty[Double]

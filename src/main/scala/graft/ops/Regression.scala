@@ -172,9 +172,15 @@ object Regression {
     * (definitional, same floor() rationale as welchTTest). Guards: an
     * empty arm or an all-tied group (σ = 0) reports NULL z.
     *
-    * Scale: one hash shuffle on the group key serves the rank window,
-    * the tie-count window, and the final aggregation; per-group state is
-    * the sort. Same skew story as any grouped window (AQE splits).
+    * Scale: ONE full-data pass — a hash aggregation (map-side partials)
+    * onto the distinct (group, quantized-value) cells with per-arm
+    * counts; ranks are recovered from a running sum over that CELL
+    * relation (`2·midrank = 2·cumBefore + t + 1`, so
+    * `Σ_A 2·midrank = Σ_v a_v·(2·cumBefore(v) + t_v + 1)` exactly), and
+    * the tie correction is `Σ_v (t³−t)` over the same cells. The raw
+    * rows are never sorted — the only sort is the per-group cell window,
+    * |distinct values| rows, not |rows|. Same skew story as any grouped
+    * aggregation (AQE splits).
     */
   def mannWhitney(df: DataFrame, groupCols: Seq[String], armCol: String,
       yCol: String): DataFrame = {
@@ -184,19 +190,29 @@ object Regression {
     val rows = df.filter(col(yCol).isNotNull && col(armCol).isNotNull)
       .select(g ++ Seq(col(armCol).as("_mw_a"),
         floor(col(yCol) * 10000).cast("long").as("_mw_y")): _*)
-    val rk = rank().over(Window.partitionBy(g: _*).orderBy(col("_mw_y")))
-    val tie = count(lit(1)).over(Window.partitionBy(g :+ col("_mw_y"): _*))
-    val ranked = rows
-      .withColumn("_mw_r2", lit(2L) * rk + tie - lit(1L))
-      .withColumn("_mw_t", tie)
-    val agg = ranked.groupBy(g: _*).agg(
-      sum(when(col("_mw_a"), 1L).otherwise(0L)).as("n_a"),
-      sum(when(!col("_mw_a"), 1L).otherwise(0L)).as("n_b"),
-      sum(when(col("_mw_a"), col("_mw_r2")).otherwise(lit(0L)).cast(dec))
+    val cells = rows
+      .groupBy(g :+ col("_mw_y"): _*)
+      .agg(sum(when(col("_mw_a"), 1L).otherwise(0L)).as("_mw_av"),
+        sum(when(!col("_mw_a"), 1L).otherwise(0L)).as("_mw_bv"))
+      .withColumn("_mw_t", col("_mw_av") + col("_mw_bv"))
+    // Rows strictly below this value in the group — rank_min(v) − 1.
+    val wCum = Window.partitionBy(g: _*).orderBy(col("_mw_y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cells.withColumn("_mw_cum",
+      coalesce(sum(col("_mw_t")).over(wCum), lit(0L)))
+    // Per-row doubled midrank in tie group v is 2·rank_min + t − 1
+    //   = 2·(cumBefore+1) + t − 1 = 2·cumBefore + t + 1, constant within
+    // the group, so arm A's doubled-rank sum is a_v × that — decimal
+    // factors keep t·n and t³ exact past the long range.
+    val agg = cum.groupBy(g: _*).agg(
+      sum(col("_mw_av")).as("n_a"),
+      sum(col("_mw_bv")).as("n_b"),
+      sum(col("_mw_av").cast(dec) *
+        (lit(2L) * col("_mw_cum") + col("_mw_t") + lit(1L)).cast(dec))
         .as("_mw_ra2"),
-      // Σ(t³−t): each member of a t-sized tie group contributes t²−1,
-      // summing to t·(t²−1) = t³−t per group — no distinct pass needed
-      sum((col("_mw_t") * col("_mw_t") - 1L).cast(dec)).as("_mw_ties"))
+      sum(col("_mw_t").cast(dec) * col("_mw_t").cast(dec) *
+          col("_mw_t").cast(dec) - col("_mw_t").cast(dec))
+        .as("_mw_ties"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     val n = col("n_a") + col("n_b")
     val u2a = (lit(2L).cast(dec) * col("n_a").cast(dec) * col("n_b").cast(dec) +
@@ -1096,23 +1112,29 @@ object Regression {
     */
   def bhAdjust(df: DataFrame, pCol: String, tieCols: Seq[String]): DataFrame = {
     require(tieCols.nonEmpty, "bhAdjust needs tie-break columns for a total order")
-    val tested = df.filter(col(pCol).isNotNull)
-    val wRank = Window.orderBy(col(pCol) +: tieCols.map(col): _*)
-    val wRev = Window.orderBy(col("_bh_rank").desc)
+    // ONE pass over the test relation. Null p rows sort LAST under
+    // asc_nulls_last, so the non-null rows get ranks 1..m exactly as a
+    // pre-filtered ranking would, `count(pCol)` excludes nulls from m,
+    // and every null-p output column is guarded by `when(nn, …)`. The
+    // reverse running min ignores the null `_bh_raw` of those trailing
+    // rows (they lead the desc order; `min` skips nulls), so
+    // p_adj(i) = min_{j ≥ i} raw(j) is untouched. The previous
+    // two-branch union referenced `df` twice and re-executed the ENTIRE
+    // upstream test-producing plan (a full-corpus aggregation in the
+    // screening use) once per branch.
+    val nn = col(pCol).isNotNull
+    val wRank = Window.orderBy(col(pCol).asc_nulls_last +: tieCols.map(col): _*)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRev = Window.orderBy(col("_bh_rn").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val adjusted = tested
-      .withColumn("_bh_rank", row_number().over(wRank).cast("long"))
-      .withColumn("_bh_m", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("_bh_raw", expr(s"($pCol * _bh_m) div _bh_rank"))
+    df
+      .withColumn("_bh_rn", row_number().over(wRank).cast("long"))
+      .withColumn("_bh_m", count(col(pCol)).over(wAll))
+      .withColumn("_bh_raw", when(nn, expr(s"($pCol * _bh_m) div _bh_rn")))
       .withColumn("p_adj_micro",
-        least(min(col("_bh_raw")).over(wRev), lit(1000000L)))
-      .withColumn("bh_rank", col("_bh_rank"))
-      .drop("_bh_rank", "_bh_m", "_bh_raw")
-    df.filter(col(pCol).isNull)
-      .withColumn("p_adj_micro", lit(null).cast("long"))
-      .withColumn("bh_rank", lit(null).cast("long"))
-      .unionByName(adjusted)
+        when(nn, least(min(col("_bh_raw")).over(wRev), lit(1000000L))))
+      .withColumn("bh_rank", when(nn, col("_bh_rn")))
+      .drop("_bh_rn", "_bh_m", "_bh_raw")
   }
 
   /** Difference-in-differences estimator — the quasi-experimental
