@@ -110,25 +110,42 @@ object Dedup {
     * (h < 2⁶⁰, aᵢ < 2⁶¹ ⇒ the product is < 2¹²¹ ≈ 37 digits — inside
     * decimal(38,0) and DuckDB's HUGEINT, so ANSI mode never overflows
     * and both engines agree bit-for-bit; this is how q_dedup_minhash_lsh
-    * is hash-oracled). One md5 per shingle OCCURRENCE + numHashes
-    * decimal fmas — heavier than xxhash64 but still codegen'd,
-    * partition-parallel, and shuffle-shape-identical.
+    * is hash-oracled). The md5 and the numHashes decimal fmas are paid
+    * once per DISTINCT shingle — the exact `dv`/`hv` MATERIALIZED shape
+    * the DuckDB oracle uses — then joined back to occurrences, so a
+    * shingle shared by a thousand documents is hashed once, not a
+    * thousand times. The join back to occurrences is pinned to a
+    * SHUFFLED HASH join building on the hash side: both relations
+    * shuffle on the shingle key (scale-safe — the per-partition build
+    * is |distinct shingles|/numPartitions × 64 longs, never a
+    * broadcast of an unbounded relation), and AQE may still demote to
+    * a broadcast when the hash relation is measured small. Without the
+    * hint Spark's static size estimate broadcast the large OCCURRENCE
+    * side (BuildLeft) and ran 26 s at sf0.1; the pinned shape runs the
+    * same stage in ~1.5-3.5 s vs ~13 s for per-occurrence hashing.
     */
   def minhashSignatures(sets: DataFrame, docCol: String, shCol: String,
       numHashes: Int, replayable: Boolean): DataFrame = {
     val ex0 = sets.select(col(docCol), explode(col(shCol)).as("s"))
-    val ex =
-      if (replayable) ex0.withColumn("h", md5Hash60(col("s")))
-      else ex0.withColumn("h", xxhash64(col("s")))
-    val coeffs = if (replayable) minhashCoeffs(numHashes) else null
-    val mins = (0 until numHashes).map { i =>
+    val (joined, mins) =
       if (replayable) {
-        val (a, b) = coeffs(i)
-        min(pmod(col("h") * lit(BigDecimal(a)) + lit(BigDecimal(b)),
-          lit(BigDecimal(MinhashPrime))).cast("long")).as(s"_m$i")
-      } else min(xxhash64(lit(i), col("h"))).as(s"_m$i")
-    }
-    ex.groupBy(col(docCol))
+        val coeffs = minhashCoeffs(numHashes)
+        val perms = (0 until numHashes).map { i =>
+          val (a, b) = coeffs(i)
+          pmod(col("h") * lit(BigDecimal(a)) + lit(BigDecimal(b)),
+            lit(BigDecimal(MinhashPrime))).cast("long").as(s"_p$i")
+        }
+        val hv = ex0.select(col("s")).distinct()
+          .withColumn("h", md5Hash60(col("s")))
+          .select(col("s") +: perms: _*)
+        (ex0.join(hv.hint("shuffle_hash"), "s"),
+          (0 until numHashes).map(i => min(col(s"_p$i")).as(s"_m$i")))
+      } else {
+        (ex0.withColumn("h", xxhash64(col("s"))),
+          (0 until numHashes).map(i =>
+            min(xxhash64(lit(i), col("h"))).as(s"_m$i")))
+      }
+    joined.groupBy(col(docCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(docCol),
         array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
