@@ -59,6 +59,12 @@ object Bench {
         // Drop blocks persisted inside operators (dedup/similarity reuse
         // frames) so runs don't inherit each other's storage pressure.
         spark.catalog.clearCache()
+        // clearCache only empties the CacheManager (DataFrame persists);
+        // eager localCheckpoint frames returned by iterative graph ops
+        // register RDD-level blocks that survive it and accumulate across
+        // 271 queries x 3 runs — the round-11 "run-3 tail" suspect.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         i += 1
       }
       (name, failed, ts.toSeq.sorted)
@@ -76,7 +82,12 @@ object Bench {
       "bench_queries.json")
     try {
       val detail = timings.map { case (name, failed, ts) =>
-        val med = if (ts.isEmpty) -1.0 else ts(ts.size / 2)
+        // True median: average the two middle elements for even run
+        // counts (ts(size/2) alone reports the MAX of a 2-run sample).
+        val med =
+          if (ts.isEmpty) -1.0
+          else if (ts.size % 2 == 1) ts(ts.size / 2)
+          else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
         val mn = if (failed || ts.isEmpty) -1.0 else ts.head
         s""""$name":{"min":$mn,"median":${if (failed) -1.0 else med},"runs":[${ts.mkString(",")}]}"""
       }.mkString("{", ",", "}")

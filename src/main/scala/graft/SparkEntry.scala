@@ -2230,7 +2230,18 @@ object SparkEntry {
     * extraction (mapPartitions — rows-only; semantics in MultimodalSpec).
     */
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    // ASCII-contract guard: FakeDecoder hashes the UTF-8 payload BYTES
+    // while the DuckDB oracle replays Unicode CODE POINTS (and negates
+    // rather than abs()es at Long.MinValue) — equivalent only on a
+    // pure-ASCII corpus. A future non-ASCII document must fail HERE
+    // with this message, not as a bare driver-side hash mismatch.
+    // char length == byte length iff every char is single-byte UTF-8.
     val withPayload = t(s, dir, "documents")
+      .where(coalesce(assert_true(
+        length(col("text")) === octet_length(col("text")),
+        lit("q_multimodal_features requires a pure-ASCII corpus: " +
+          "FakeDecoder (UTF-8 bytes) and its DuckDB oracle (code " +
+          "points) diverge on non-ASCII text")), lit(true)))
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     mm.Multimodal.extractFeatures(withPayload, "payload",
         () => new mm.Multimodal.FakeDecoder(8))

@@ -648,7 +648,17 @@ object Similarity {
         graft.text.CorpusAssembly.seededBucket(col("id"), "ivf-train", 10000)
           < math.round(trainFraction * 10000))
     var n = q.count()
-    if (n < k && (q ne full)) { q = full; n = q.count() }
+    if (n < k && (q ne full)) {
+      // The replayable oracles (q_ann_ivf / q_ann_ivf_joined / q_ann_pq /
+      // q_semdedup) replicate the SAMPLED training path; this fallback
+      // changes which vectors train Lloyd, so a hash mismatch on a new
+      // smaller scale factor starts here — say so loudly.
+      System.err.println(s"[graft] ivfCentroidsLocal: seeded " +
+        s"trainFraction=$trainFraction sample holds $n < k=$k vectors; " +
+        "falling back to FULL-corpus training — replayable oracles that " +
+        "assume the sampled path will hash-mismatch at this scale")
+      q = full; n = q.count()
+    }
     val stride = math.max(1L, n / k)
     def seedFrom(df: DataFrame): Seq[(Int, IndexedSeq[Long])] = df
       .orderBy(col("id")).limit(k)
@@ -658,7 +668,12 @@ object Similarity {
     // Id spacing can miss the stride entirely (e.g. all-odd ids): fall
     // back to the first k vectors; an empty corpus yields Nil and skips
     // Lloyd (callers return empty results).
-    if (cents.isEmpty) cents = seedFrom(q)
+    if (cents.isEmpty) {
+      System.err.println(s"[graft] ivfCentroidsLocal: id stride $stride " +
+        s"hit no rows (n=$n, k=$k); seeding from the first $k vectors — " +
+        "oracles that replay the stride seed will hash-mismatch")
+      cents = seedFrom(q)
+    }
     (0 until iters).foreach { _ => if (cents.nonEmpty) {
       val qn = q.withColumn("_vn", quantizedNorm(col("v")))
       // Lloyd assignment: literal projection for small k, broadcast-join
@@ -985,7 +1000,13 @@ object Similarity {
     // per stage. Released via clearCache (the family-wide contract).
     q = q.persist()
     var n = q.count()
-    if (n < ks && (q ne full)) { q = full.persist(); n = q.count() }
+    if (n < ks && (q ne full)) {
+      System.err.println(s"[graft] pqCodebooksLocal: seeded " +
+        s"trainFraction=$trainFraction sample holds $n < ks=$ks vectors; " +
+        "falling back to FULL-corpus training — the q_ann_pq oracle " +
+        "replays the sampled path and will hash-mismatch at this scale")
+      q = full.persist(); n = q.count()
+    }
     if (n == 0) return IndexedSeq.fill(m)(IndexedSeq.empty)
 
     def slices(df: DataFrame): DataFrame = df
@@ -1006,6 +1027,11 @@ object Similarity {
       .withColumn("_rn", row_number().over(wSeed)).filter(col("_rn") <= ks)
       .select(col("mm"), (col("_rn") - 1).as("cid"), col("sv")).collect()
     val strided = seedRows(q.filter(pmod(col("id"), lit(stride)) === 0))
+    if (strided.isEmpty)
+      System.err.println(s"[graft] pqCodebooksLocal: id stride $stride " +
+        s"hit no rows (n=$n, ks=$ks); seeding from the first $ks " +
+        "vectors per subspace — oracles replaying the stride seed will " +
+        "hash-mismatch")
     var books = toBooks(if (strided.nonEmpty) strided else seedRows(q))
 
     (0 until iters).foreach { _ => if (books.exists(_.nonEmpty)) {

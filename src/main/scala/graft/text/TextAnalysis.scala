@@ -1072,27 +1072,40 @@ object TextAnalysis {
     * non-word → space, collapse, trim) before compiling the automaton —
     * the text side is normalizeText output, so an uppercase or
     * punctuated dictionary entry ("E-mail") would otherwise silently
-    * never match. The output `term` column carries the normalized form;
-    * terms that normalize to the same string dedup into one automaton
-    * entry, and terms that normalize away entirely are rejected.
+    * never match. The output `term` column carries the CALLER'S
+    * spelling — the first original term per normalized key, in
+    * dictionary order, restored via a broadcast join over the
+    * |dictionary|-row mapping — so results join back to the caller's
+    * dictionary strings ("E-mail" comes back as "E-mail", not
+    * "e mail"). Terms that normalize to the same string dedup into one
+    * automaton entry; terms that normalize away entirely are rejected.
     */
   def dictionaryTag(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "dictionaryTag needs a non-empty dictionary")
     // driver-side twin of Dedup.normalizeText (Locale.ROOT: no
     // locale-dependent case surprises; the corpus contract is ASCII)
-    val normed = terms.map(t =>
-      t.toLowerCase(java.util.Locale.ROOT)
+    val firstOrig = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (t <- terms) {
+      val n = t.toLowerCase(java.util.Locale.ROOT)
         .replaceAll("[^\\p{L}\\p{N}_\\s]", " ")
-        .replaceAll("\\s+", " ").trim).filter(_.nonEmpty).distinct
-    require(normed.nonEmpty,
+        .replaceAll("\\s+", " ").trim
+      if (n.nonEmpty && !firstOrig.contains(n)) firstOrig(n) = t
+    }
+    require(firstOrig.nonEmpty,
       s"dictionaryTag: every term normalized to empty: $terms")
+    val normed = firstOrig.keys.toSeq
+    val mapping = df.sparkSession.createDataFrame(
+      firstOrig.toSeq.map { case (n, o) => Tuple2(n, o) })
+      .toDF("_norm", "term")
     df.select(col(idCol).as("doc"),
         explode(graft.GraftFunctions.acFindAll(
           graft.dedup.Dedup.normalizeText(col(textCol)), normed)).as("m"))
-      .groupBy(col("doc"), col("m.term").as("term"))
+      .groupBy(col("doc"), col("m.term").as("_norm"))
       .agg(count(lit(1)).as("n_hits"),
         min(col("m.pos")).cast("long").as("first_pos"))
+      .join(broadcast(mapping), "_norm")
+      .select(col("doc"), col("term"), col("n_hits"), col("first_pos"))
   }
 
   /** Per-document n-gram novelty against a reference corpus — "how much

@@ -56,6 +56,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("replayable and production families agree on planted-dup recall") {
+    // Differential pin: the production xxhash64 family is exercised only
+    // by specs (the registered query runs replayable=true), so an edit
+    // to either family must not silently diverge. Both verify candidates
+    // with EXACT Jaccard, so the output sets differ only through banding
+    // misses — and at the planted pairs' Jaccard (~0.9, one-word edits
+    // of 60-word docs) the per-family miss probability is ~2e-8 with 16
+    // bands of 4. Twelve planted pairs, two thresholds, exact set
+    // equality between families.
+    // Per-doc unique vocabulary: cross-doc Jaccard is exactly 0, so the
+    // only similar pairs are the planted ones — no borderline-Jaccard
+    // cross pairs where banding recall may legitimately differ.
+    // 60 words → a one-word edit flips 3 of ~58 shingles (j ≈ 0.90);
+    // per-band collision 0.9⁴ ≈ 0.66, miss ≈ (1−0.66)¹⁶ ≈ 2e-8.
+    def doc(i: Int): String =
+      (0 until 60).map(j => s"base${i}word$j").mkString(" ")
+    val rows = (0 until 12).flatMap { i =>
+      val d = doc(i)
+      Seq((i * 2L, d), (i * 2L + 1L, d.replace(s"base${i}word7",
+        "swapped" + i)))
+    } ++ (0 until 6).map(i => (100L + i,
+      s"unique standalone document number $i about topic${i} with nothing shared"))
+    val df = rows.toDF("doc_id", "text")
+    for (threshold <- Seq(0.6, 0.8)) {
+      def pairsOf(replayable: Boolean) =
+        Dedup.minhashLshPairs(df, "doc_id", "text", threshold = threshold,
+            replayable = replayable)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val prod = pairsOf(replayable = false)
+      val replay = pairsOf(replayable = true)
+      assert(prod == replay,
+        s"families diverge at threshold=$threshold: prod-only=${prod -- replay}, replay-only=${replay -- prod}")
+      val planted = (0 until 12).map(i => (i * 2L, i * 2L + 1L)).toSet
+      assert(planted.subsetOf(prod),
+        s"missed planted pairs at threshold=$threshold: ${planted -- prod}")
+    }
+  }
+
   test("minhash signature: identical sets → identical signatures") {
     val df = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
       .select(col("doc_id"),

@@ -49,4 +49,15 @@ class AcFindAllSpec extends SparkSpec {
     assert(r == Seq((1L, "an", 2L, 3L), (1L, "scan", 2L, 1L),
       (2L, "not", 1L, 1L)))
   }
+
+  test("dictionaryTag returns the CALLER'S spelling, first per normalized key") {
+    val df = Seq((1L, "send an e mail or an E Mail")).toDF("doc_id", "text")
+    // "E-mail" and "e.mail" both normalize to "e mail"; the first
+    // original spelling wins, and results join back to caller strings.
+    val r = graft.text.TextAnalysis
+      .dictionaryTag(df, "doc_id", "text", Seq("E-mail", "e.mail", "AN"))
+      .orderBy(col("term"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, "AN", 2L, 6L), (1L, "E-mail", 2L, 9L)))
+  }
 }
