@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** ~sf1 smoke for the heavy approximate family: 1× = the sf0.1 tables
+  * (5 000 documents / 2 000 embeddings), 10× = an sf1-sized replication
+  * (50 000 documents ≈ 2.6 M shingle occurrences / 20 000 vectors) built
+  * so each replica is structurally isolated (disjoint token spaces /
+  * sign-flipped embeddings), and the 10× truth is ten disjoint copies of
+  * the 1× truth. Asserts the wall-clock grows FAR under the quadratic
+  * envelope (≤ 30× for 10× data; quadratic would be ~100×) — the
+  * measured form of the 100 TB scale arguments in the operators' docs.
+  * Timings are recorded in SCALE.md per round.
+  */
+class ScaleSf1SmokeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sf01 = "/root/testdata/sf0.1"
+
+  private def docs1: DataFrame =
+    spark.read.parquet(s"$sf01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  /** Per-replica token suffix → disjoint shingle spaces: true near-dup
+    * pairs of the 10× pool are exactly 10 copies of the 1× pairs.
+    */
+  private def docs10: DataFrame =
+    docs1.withColumn("k", explode(sequence(lit(0), lit(9))))
+      .select((col("doc_id") + col("k") * 1000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1x"), col("k")))
+          .as("text"))
+
+  private def emb1: DataFrame =
+    spark.read.parquet(s"$sf01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+  /** Per-replica Rademacher sign flip (diagonal orthogonal transform):
+    * within-replica inner products are identical to 1×, cross-replica
+    * cosines randomize to ~N(0, 1/√dim) — no cross-replica structure.
+    */
+  private def emb10: DataFrame =
+    emb1.withColumn("k", explode(sequence(lit(0), lit(9))))
+      .select((col("vec_id") + col("k") * 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * cast(1 - 2 * pmod(hash(i, k), 2) as float))")
+          .as("embedding"))
+
+  private def timed[A](label: String)(f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    val dt = (System.nanoTime() - t0) / 1e9
+    info(f"$label: $dt%.1f s")
+    (a, dt)
+  }
+
+  test("minhashLshPairs (production family) holds sub-quadratic at sf1") {
+    val (c1, t1) = timed("minhash 1x (sf0.1)")(
+      Dedup.minhashLshPairs(docs1, "doc_id", "text", threshold = 0.8).count())
+    spark.catalog.clearCache()
+    val (c10, t10) = timed("minhash 10x (~sf1)")(
+      Dedup.minhashLshPairs(docs10, "doc_id", "text", threshold = 0.8).count())
+    spark.catalog.clearCache()
+    // pair structure: each replica's verified pairs replicate the 1×
+    // pairs exactly (banding is hash-driven so candidate recall can
+    // wobble per replica; verified pairs at j≥0.8 are stable)
+    assert(c10 >= 9 * c1 && c10 <= 11 * c1 + 20,
+      s"non-linear verified-pair growth: $c1 -> $c10")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
+
+  test("semanticDedup holds sub-quadratic at sf1") {
+    val (k1, t1) = timed("semdedup 1x (sf0.1)")(
+      Similarity.semanticDedup(emb1, "vec_id", "embedding",
+        k = 64, eps = 0.95, trainFraction = 0.5)
+        .filter(col("keep")).count())
+    spark.catalog.clearCache()
+    val (k10, t10) = timed("semdedup 10x (~sf1)")(
+      Similarity.semanticDedup(emb10, "vec_id", "embedding",
+        k = 64, eps = 0.95, trainFraction = 0.5)
+        .filter(col("keep")).count())
+    spark.catalog.clearCache()
+    // keep-count band: cells retrain on the union so borderline pairs may
+    // split differently, but the bulk structure is 10 disjoint copies
+    assert(k10 >= 9L * k1 && k10 <= 11L * k1,
+      s"non-linear keep-count growth: $k1 -> $k10")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
+
+  test("pqTopKWith holds sub-quadratic at sf1") {
+    val q1 = emb1.filter(col("vec_id") < 10)
+    val (n1, t1) = timed("pq 1x (sf0.1)")({
+      val m = Similarity.pqTrain(emb1, "vec_id", "embedding",
+        m = 8, ks = 16, trainFraction = 0.5)
+      Similarity.pqTopKWith(m, emb1, q1, "vec_id", "embedding", "vec_id",
+        k = 5, refine = 4).count()
+    })
+    spark.catalog.clearCache()
+    val q10 = emb10.filter(col("vec_id") < 10) // replica-0 queries
+    val (n10, t10) = timed("pq 10x (~sf1)")({
+      val m = Similarity.pqTrain(emb10, "vec_id", "embedding",
+        m = 8, ks = 16, trainFraction = 0.5)
+      Similarity.pqTopKWith(m, emb10, q10, "vec_id", "embedding", "vec_id",
+        k = 5, refine = 4).count()
+    })
+    spark.catalog.clearCache()
+    assert(n1 == 10 * 5, s"1x PQ row contract broke: $n1")
+    assert(n10 == 10 * 5, s"10x PQ row contract broke: $n10")
+    // train+encode+score is linear in corpus size; queries held constant
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
+}
