@@ -63,8 +63,11 @@ object Bench {
         // eager localCheckpoint frames returned by iterative graph ops
         // register RDD-level blocks that survive it and accumulate across
         // 271 queries x 3 runs — the round-11 "run-3 tail" suspect.
+        // blocking: the async form can leave blocks alive into the next
+        // timed run (the residual run-3 tail after the round-12 fix).
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
+        if (sys.env.contains("SPARK_GRAFT_BENCH_GC")) System.gc()
         i += 1
       }
       (name, failed, ts.toSeq.sorted)
