@@ -555,10 +555,17 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
-  test("round-10 dict tag: one automaton pass — generate + agg, no join") {
+  test("round-10 dict tag: one automaton pass + broadcast spelling restore") {
+    // Round 12: the caller's-spelling restore adds exactly ONE join — a
+    // BroadcastHashJoin whose build side is the |dictionary|-row
+    // normalized→original mapping. The corpus side must still never
+    // shuffle for a join (no sort-merge/shuffled-hash).
     val p = planOf("q_dict_tag")
     assert(p.contains("Generate"), s"lost the explode:\n${p.take(1500)}")
-    assert(!p.contains("Join"), s"dictionary tagging must not join:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"spelling restore should broadcast the mapping:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"dictionary tagging must not shuffle-join the corpus:\n${p.take(1500)}")
     val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
     assert(exchanges <= 2,
       s"scan→generate→agg→sort should shuffle ≤2×, saw $exchanges:\n${p.take(1500)}")
