@@ -223,6 +223,45 @@ class DedupSpec extends SparkSpec {
     assert(cc.size == 40 && cc.values.forall(_ == 0L))
   }
 
+  test("connectedComponents: both paths match a reference on random graphs") {
+    // Seeded random graphs across density regimes (sparse forest →
+    // near-connected): local union-find, distributed pointer jumping,
+    // and a driver-side BFS reference must agree EXACTLY — the dual-mode
+    // switch means the distributed path runs only beyond 1M edges in
+    // production, so only a differential keeps it honest.
+    val rnd = new scala.util.Random(4242)
+    for (nEdges <- Seq(30, 120, 400)) {
+      val n = 100
+      val edges = (0 until nEdges).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val df = edges.toDF("id_a", "id_b")
+      // reference: BFS over the adjacency map, labels = min node id
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      for ((a, b) <- edges) {
+        adj(a) = b :: adj.getOrElse(a, Nil)
+        adj(b) = a :: adj.getOrElse(b, Nil)
+      }
+      val expected = scala.collection.mutable.Map.empty[Long, Long]
+      for (start <- adj.keys.toSeq.sorted if !expected.contains(start)) {
+        var comp = List(start); val seen = scala.collection.mutable.Set(start)
+        var frontier = List(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj(_)).filterNot(seen)
+          frontier.foreach(seen.add); comp = frontier ::: comp
+        }
+        val label = seen.min
+        seen.foreach(v => expected(v) = label)
+      }
+      val local = Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(df, localEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == expected.toMap, s"local path diverged at nEdges=$nEdges")
+      assert(dist == expected.toMap, s"distributed path diverged at nEdges=$nEdges")
+    }
+  }
+
   test("connectedComponents throws instead of returning non-converged labels") {
     val chain = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
