@@ -1086,7 +1086,7 @@ object TextAnalysis {
     // driver-side twin of Dedup.normalizeText (Locale.ROOT: no
     // locale-dependent case surprises; the corpus contract is ASCII)
     val firstOrig = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    for (t <- terms) {
+    for (t <- terms if t != null) {
       val n = t.toLowerCase(java.util.Locale.ROOT)
         .replaceAll("[^\\p{L}\\p{N}_\\s]", " ")
         .replaceAll("\\s+", " ").trim

@@ -60,4 +60,16 @@ class AcFindAllSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(r == Seq((1L, "AN", 2L, 6L), (1L, "E-mail", 2L, 9L)))
   }
+
+  test("dictionaryTag drops null terms; all-null/empty dictionary rejects") {
+    val df = Seq((1L, "an apple")).toDF("doc_id", "text")
+    val r = graft.text.TextAnalysis
+      .dictionaryTag(df, "doc_id", "text", Seq(null, "an", "...."))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, "an", 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.text.TextAnalysis.dictionaryTag(df, "doc_id", "text",
+        Seq(null, "...."))
+    }
+  }
 }
