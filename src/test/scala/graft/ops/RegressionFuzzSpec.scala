@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Seeded random differentials for the tie-heavy rank statistics:
+  * spearmanCorr, kendallTau, and mannWhitney against independent plain-
+  * Scala references. RegressionSpec pins hand-computed cases; random
+  * draws from SMALL value ranges force midrank/tie-correction branch
+  * combinations no hand case enumerates (x-ties × y-ties × arm
+  * imbalance). References mirror the documented floor-micro contracts;
+  * comparisons allow ±1 micro-unit for double last-ulp floor shifts.
+  */
+class RegressionFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def close(a: Option[Long], b: Option[Long], tag: String): Unit =
+    (a, b) match {
+      case (Some(x), Some(y)) =>
+        assert(math.abs(x - y) <= 1L, s"$tag: engine=$x ref=$y")
+      case (x, y) => assert(x == y, s"$tag: engine=$x ref=$y")
+    }
+
+  // doubled midrank per value (2·rank_min + t − 1), the engine's rule
+  private def doubledRanks(vs: Seq[Long]): Map[Long, Long] = {
+    val sorted = vs.sorted
+    vs.distinct.map { v =>
+      val below = sorted.count(_ < v)
+      val t = sorted.count(_ == v)
+      v -> (2L * (below + 1) + t - 1)
+    }.toMap
+  }
+
+  test("spearmanCorr matches a doubled-rank reference on random tied data") {
+    val rnd = new scala.util.Random(7701)
+    for (seed <- 1 to 4) {
+      val n = 40 + rnd.nextInt(30)
+      val xs = Seq.fill(n)(rnd.nextInt(8).toLong)  // heavy ties
+      val ys = Seq.fill(n)(rnd.nextInt(8).toLong)
+      val df = xs.zip(ys).map { case (x, y) => ("g", x, y) }
+        .toDF("grp", "x", "y")
+      val out = Regression.spearmanCorr(df, Seq("grp"), "x", "y").collect()(0)
+      val rx = doubledRanks(xs); val ry = doubledRanks(ys)
+      val rxs = xs.map(rx); val rys = ys.map(ry)
+      val sx = rxs.sum; val sy = rys.sum
+      val sxx = rxs.map(r => r * r).sum; val syy = rys.map(r => r * r).sum
+      val sxy = rxs.zip(rys).map { case (a, b) => a * b }.sum
+      val num = n.toLong * sxy - sx * sy
+      val dx = n.toLong * sxx - sx * sx; val dy = n.toLong * syy - sy * sy
+      val expected =
+        if (dx > 0 && dy > 0)
+          Some(math.floor(num.toDouble * 1e6 /
+            math.sqrt(dx.toDouble * dy.toDouble)).toLong)
+        else None
+      close(Option(out.getAs[java.lang.Long]("rho_micro")).map(_.toLong),
+        expected, s"spearman seed=$seed")
+    }
+  }
+
+  test("kendallTau matches a brute-force tau-b reference on random tied data") {
+    val rnd = new scala.util.Random(7702)
+    for (seed <- 1 to 4) {
+      val n = 30 + rnd.nextInt(20)
+      val rows = (0 until n).map(i =>
+        ("g", i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(6).toLong))
+      val df = rows.toDF("grp", "id", "x", "y")
+      val out = Regression.kendallTau(df, Seq("grp"), "id", "x", "y").collect()(0)
+      var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var np = 0L
+      for (i <- 0 until n; j <- i + 1 until n) {
+        val dx = rows(i)._3 - rows(j)._3; val dy = rows(i)._4 - rows(j)._4
+        np += 1
+        if (dx * dy > 0) c += 1
+        else if (dx * dy < 0) d += 1
+        else { if (dx == 0) tx += 1; if (dy == 0) ty += 1 }
+      }
+      assert(out.getAs[Long]("n_pairs") == np)
+      assert(out.getAs[Long]("concordant") == c, s"seed=$seed")
+      assert(out.getAs[Long]("discordant") == d, s"seed=$seed")
+      val denx = np - tx; val deny = np - ty
+      val expected =
+        if (denx > 0 && deny > 0)
+          Some(math.floor((c - d).toDouble * 1e6 /
+            math.sqrt(denx.toDouble * deny.toDouble)).toLong)
+        else None
+      close(Option(out.getAs[java.lang.Long]("tau_micro")).map(_.toLong),
+        expected, s"kendall seed=$seed")
+    }
+  }
+
+  test("mannWhitney matches a midrank reference on random tied arms") {
+    val rnd = new scala.util.Random(7703)
+    for (seed <- 1 to 4) {
+      val n = 40 + rnd.nextInt(30)
+      val rows = (0 until n).map(_ =>
+        ("g", rnd.nextBoolean(), rnd.nextInt(7).toDouble))
+      val df = rows.toDF("grp", "arm", "y")
+      val out = Regression.mannWhitney(df, Seq("grp"), "arm", "y").collect()(0)
+      val ysQ = rows.map(r => math.floor(r._3 * 10000).toLong)
+      val dr = doubledRanks(ysQ)
+      val aIdx = rows.indices.filter(rows(_)._2)
+      val na = aIdx.size.toLong; val nb = n - na
+      val ra2 = aIdx.map(i => dr(ysQ(i))).sum
+      val u2a = 2L * na * nb + na * (na + 1) - ra2
+      assert(out.getAs[Long]("n_a") == na && out.getAs[Long]("n_b") == nb)
+      assert(out.getAs[Long]("u2_a") == u2a, s"seed=$seed")
+      val ties = ysQ.groupBy(identity).values
+        .map(g => g.size.toLong).map(t => t * t * t - t).sum
+      val nn = n.toLong
+      val sigma = math.sqrt(na.toDouble * nb / 12.0 *
+        ((nn + 1.0) - ties.toDouble / (nn.toDouble * (nn - 1.0))))
+      val expected =
+        if (na > 0 && nb > 0 && sigma > 0.0)
+          Some(math.floor(
+            (u2a.toDouble - na.toDouble * nb) / 2.0 / sigma * 1e6).toLong)
+        else None
+      close(Option(out.getAs[java.lang.Long]("z_micro")).map(_.toLong),
+        expected, s"mw seed=$seed")
+    }
+  }
+}
