@@ -88,6 +88,61 @@ class RegressionFuzzSpec extends SparkSpec {
     }
   }
 
+  test("theilSen matches a brute-force median-slope reference EXACTLY") {
+    // all-long floor-exact slopes (pmod-adjusted division) + lower
+    // median: the reference replays with Math.floorDiv, so equality is
+    // exact — no tolerance.
+    val rnd = new scala.util.Random(7704)
+    for (seed <- 1 to 4) {
+      val n = 25 + rnd.nextInt(15)
+      val rows = (0 until n).map(_ =>
+        ("g", rnd.nextInt(12).toLong, rnd.nextInt(40).toLong - 20))
+      val df = rows.toDF("grp", "x", "y")
+      val out = Regression.theilSen(df, Seq("grp"), "x", "y").collect()(0)
+      val slopes = (for {
+        i <- 0 until n; j <- 0 until n
+        if rows(i)._2 < rows(j)._2 // strict-x pairs only, by value order
+      } yield Math.floorDiv((rows(j)._3 - rows(i)._3) * 1000000L,
+        rows(j)._2 - rows(i)._2)).sorted
+      assert(out.getAs[Long]("n_slopes") == slopes.size, s"seed=$seed")
+      val median = slopes((slopes.size + 1) / 2 - 1) // lower median, 1-based
+      assert(out.getAs[Long]("slope_micro") == median, s"seed=$seed")
+    }
+  }
+
+  test("kruskalWallis matches a midrank reference on random tied arms") {
+    val rnd = new scala.util.Random(7705)
+    for (seed <- 1 to 4) {
+      val n = 40 + rnd.nextInt(30)
+      val rows = (0 until n).map(_ =>
+        ("g", rnd.nextInt(3), rnd.nextInt(7).toDouble))
+      val df = rows.toDF("grp", "arm", "y")
+      val out = Regression.kruskalWallis(df, Seq("grp"), "arm", "y").collect()(0)
+      val ysQ = rows.map(r => math.floor(r._3 * 10000).toLong)
+      val dr = doubledRanks(ysQ)
+      val byArm = rows.indices.groupBy(rows(_)._2)
+      val k = byArm.size
+      // s = Σ_arms floor(Ra2² / (4·ni)) in exact integers (BigInt replay
+      // of the engine's decimal(38,0) integral division)
+      val s = byArm.values.map { idx =>
+        val ra2 = idx.map(i => BigInt(dr(ysQ(i)))).sum
+        (ra2 * ra2) / (4 * BigInt(idx.size))
+      }.sum
+      val ties = ysQ.groupBy(identity).values
+        .map(g => BigInt(g.size)).map(t => t * t * t - t).sum
+      val h = 12.0 * s.toDouble / (n.toDouble * (n + 1.0)) - 3.0 * (n + 1.0)
+      val corr = 1.0 - ties.toDouble / (BigInt(n).pow(3) - n).toDouble
+      assert(out.getAs[Long]("n") == n && out.getAs[Long]("k_arms") == k)
+      val expH = if (n > 1 && k > 1) Some(math.floor(h * 1e6).toLong) else None
+      val expHt = if (n > 1 && k > 1 && corr > 0.0)
+        Some(math.floor(h / corr * 1e6).toLong) else None
+      close(Option(out.getAs[java.lang.Long]("h_micro")).map(_.toLong),
+        expH, s"kw h seed=$seed")
+      close(Option(out.getAs[java.lang.Long]("h_tie_micro")).map(_.toLong),
+        expHt, s"kw ht seed=$seed")
+    }
+  }
+
   test("mannWhitney matches a midrank reference on random tied arms") {
     val rnd = new scala.util.Random(7703)
     for (seed <- 1 to 4) {
