@@ -143,6 +143,48 @@ class RegressionFuzzSpec extends SparkSpec {
     }
   }
 
+  test("isotonicCalibration minimax formulation matches textbook PAVA") {
+    // The engine computes iso(k) = max_{i<=k} min_{j>=k} avg(i..j) via a
+    // triple join over bin cells — the minimax characterization. A
+    // pool-adjacent-violators reference verifies the equivalence on
+    // random bins (pooling order is where hand-rolled PAVAs go wrong).
+    val rnd = new scala.util.Random(7706)
+    for (seed <- 1 to 4) {
+      val n = 120 + rnd.nextInt(80)
+      val rows = (0 until n).map(_ =>
+        ("g", rnd.nextDouble(), rnd.nextInt(3) == 0))
+      val df = rows.toDF("grp", "score", "label")
+      val out = Regression.isotonicCalibration(df, Seq("grp"), "score", "label")
+        .orderBy("bin").collect()
+      // reference: occupied-bin (n, pos) cells in bin order, then PAVA
+      val cells = rows.groupBy(r => math.min(math.max(
+          math.floor(r._2 * 10), 0.0), 9.0).toLong)
+        .toSeq.sortBy(_._1)
+        .map { case (b, rs) => (b, rs.size.toLong, rs.count(_._3).toLong) }
+      case class Block(var n: Long, var pos: Long) {
+        def avg: Double = pos.toDouble / n
+      }
+      val stack = scala.collection.mutable.ArrayBuffer.empty[(Block, Int)]
+      for (((_, cn, cp), _) <- cells.zipWithIndex) {
+        stack += ((Block(cn, cp), 1))
+        while (stack.size > 1 &&
+            stack(stack.size - 2)._1.avg >= stack.last._1.avg) {
+          val (b2, c2) = stack.remove(stack.size - 1)
+          val (b1, c1) = stack.remove(stack.size - 1)
+          stack += ((Block(b1.n + b2.n, b1.pos + b2.pos), c1 + c2))
+        }
+      }
+      val isoRef = stack.flatMap { case (b, c) => Seq.fill(c)(b.avg) }
+      assert(out.length == cells.size, s"seed=$seed bin-cell count")
+      out.zip(isoRef).zipWithIndex.foreach { case ((row, ref), idx) =>
+        val engine = row.getAs[Long]("iso_micro")
+        val expected = math.floor(ref * 1e6).toLong
+        assert(math.abs(engine - expected) <= 1L,
+          s"seed=$seed bin#$idx engine=$engine pava=$expected")
+      }
+    }
+  }
+
   test("mannWhitney matches a midrank reference on random tied arms") {
     val rnd = new scala.util.Random(7703)
     for (seed <- 1 to 4) {
