@@ -363,4 +363,47 @@ class EventOpsSpec extends SparkSpec {
     assert(out(10L).getLong(out(10L).fieldIndex("f_score")) == 5L)
     assert(out(5L).getLong(out(5L).fieldIndex("f_score")) == 3L)
   }
+
+  test("funnel matches a per-user greedy-chain reference on random streams") {
+    // Random event streams (few users, few types, coarse timestamps →
+    // heavy same-timestamp collisions) against the textbook reference:
+    // step k+1 converts at the user's EARLIEST step-(k+1) event at-or-
+    // after their step-k time. Random ties exercise the inclusive
+    // same-timestamp rule beyond the single hand case.
+    val rnd = new scala.util.Random(9901)
+    val steps = Seq("view", "click", "buy")
+    for (seed <- 1 to 4) {
+      val types = Seq("view", "click", "buy", "other")
+      val events = (0 until 300).map { _ =>
+        (rnd.nextInt(12).toLong, types(rnd.nextInt(types.size)),
+          ts(f"2024-01-01 10:00:${rnd.nextInt(30)}%02d"))
+      }
+      val out = EventOps.funnel(events.toDF("user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", steps)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // reference: greedy earliest-chain per user
+      val byUser = events.groupBy(_._1)
+      val survivors = Array.fill(steps.size)(0L)
+      for ((_, evs) <- byUser) {
+        var t: Option[java.sql.Timestamp] = None
+        var k = 0
+        var continue = true
+        while (k < steps.size && continue) {
+          val candidates = evs.filter(e => e._2 == steps(k) &&
+            t.forall(prev => !e._3.before(prev)))
+          if (candidates.isEmpty) continue = false
+          else {
+            t = Some(candidates.map(_._3).min((a: java.sql.Timestamp,
+              b: java.sql.Timestamp) => a.compareTo(b)))
+            survivors(k) += 1
+            k += 1
+          }
+        }
+      }
+      steps.indices.foreach { i =>
+        assert(out(i + 1L) == survivors(i),
+          s"seed=$seed step=${i + 1}: engine=${out(i + 1L)} ref=${survivors(i)}")
+      }
+    }
+  }
 }
