@@ -40,4 +40,37 @@ class WinnowSpec extends SparkSpec {
     assert(byDoc(1L).size <= nGrams1)
     assert(byDoc(2L).size == 1) // shorter than one window → global min
   }
+
+  test("winnow matches a brute-force window-min reference on random text") {
+    // Exact replay of the documented contract: per k-gram key =
+    // md5-60bit(gram)·2²⁰ + pos, sliding min over w grams, window starts
+    // 1..max(ng−w+1, 1), distinct winners. Random single-spaced
+    // lowercase text keeps normalizeText an identity, so the reference
+    // grams equal the engine's.
+    val k = 5; val w = 4
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rnd = new scala.util.Random(5501)
+    val docs = (0 until 8).map { i =>
+      val words = Seq.fill(4 + rnd.nextInt(25))(
+        Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(5)).toChar).mkString)
+      (i.toLong, words.mkString(" "))
+    }
+    val engine = fps(docs.toDF("doc_id", "text"))
+      .map(t => (t._1, t._2, t._3)).toSet
+    val expected = docs.flatMap { case (id, text) =>
+      val ng = math.max(text.length - (k - 1), 1)
+      val keys = (1 to ng).map(p =>
+        BigInt(h60(text.slice(p - 1, p - 1 + k))) * 1048576 + p)
+      val starts = 1 to math.max(ng - (w - 1), 1)
+      starts.map(s => keys.slice(s - 1, math.min(s - 1 + w, ng)).min)
+        .distinct
+        .map(key => (id, (key % 1048576).toLong, (key / 1048576).toLong))
+    }.toSet
+    assert(engine == expected,
+      s"engine-only=${engine -- expected}, ref-only=${expected -- engine}")
+  }
 }
