@@ -77,9 +77,10 @@ class ServiceThroughputSpec extends SparkSpec {
     assert(wallMs >= (n / k) * latMs,
       f"wall $wallMs%.0f ms under the per-partition floor — sleeps not serialized per task?")
     // Parallel-drain ceiling: well under the N*lat serial wall (2400 ms
-    // here); 60% of serial tolerates scheduler noise while still failing
-    // on any serialization of the partition work.
-    assert(wallMs <= 0.6 * n * latMs,
+    // here; measured steady-state ~820 ms). 75% of serial tolerates a
+    // loaded test box while still failing on any serialization of the
+    // partition work (which cannot come in under serial).
+    assert(wallMs <= 0.75 * n * latMs,
       f"wall $wallMs%.0f ms approaches the serial wall ${n * latMs} ms — partitions not draining in parallel")
   }
 }
