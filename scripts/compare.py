@@ -33,7 +33,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         def cell(v):
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 return ""
-            if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
+            # container guard BEFORE pd.isna: parquet list columns come
+            # back as np.ndarray, on which pd.isna raises (ambiguous
+            # truth value) and would kill the whole run instead of
+            # failing one query (oracles are scalar-only by contract —
+            # OracleShapeSpec — but the harness must not crash if not)
+            if isinstance(v, (list, tuple, dict)) or hasattr(v, "__len__") and not isinstance(v, (str, bytes)):
+                return str(v)
+            if pd.isna(v):
                 return ""
             if isinstance(v, float):
                 return repr(v)

@@ -2238,7 +2238,11 @@ object SparkEntry {
     // char length == byte length iff every char is single-byte UTF-8.
     val withPayload = t(s, dir, "documents")
       .where(coalesce(assert_true(
-        length(col("text")) === octet_length(col("text")),
+        // NULL text passes: the decoder maps null payloads to null
+        // features and the oracle agrees — only a PRESENT non-ASCII
+        // value breaks the bytes-vs-code-points equivalence.
+        col("text").isNull ||
+          length(col("text")) === octet_length(col("text")),
         lit("q_multimodal_features requires a pure-ASCII corpus: " +
           "FakeDecoder (UTF-8 bytes) and its DuckDB oracle (code " +
           "points) diverge on non-ASCII text")), lit(true)))

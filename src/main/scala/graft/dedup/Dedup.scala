@@ -126,7 +126,12 @@ object Dedup {
     */
   def minhashSignatures(sets: DataFrame, docCol: String, shCol: String,
       numHashes: Int, replayable: Boolean): DataFrame = {
+    // Null shingle entries drop in BOTH families (wordShingles never
+    // emits them; a caller-supplied array might): without the filter the
+    // replayable inner join would silently lose all-null-shingle docs
+    // while xxhash64 kept them — the families must agree on row count.
     val ex0 = sets.select(col(docCol), explode(col(shCol)).as("s"))
+      .filter(col("s").isNotNull)
     val (joined, mins) =
       if (replayable) {
         val coeffs = minhashCoeffs(numHashes)

@@ -244,11 +244,11 @@ class DedupSpec extends SparkSpec {
       }
       val expected = scala.collection.mutable.Map.empty[Long, Long]
       for (start <- adj.keys.toSeq.sorted if !expected.contains(start)) {
-        var comp = List(start); val seen = scala.collection.mutable.Set(start)
+        val seen = scala.collection.mutable.Set(start)
         var frontier = List(start)
         while (frontier.nonEmpty) {
           frontier = frontier.flatMap(adj(_)).filterNot(seen)
-          frontier.foreach(seen.add); comp = frontier ::: comp
+          frontier.foreach(seen.add)
         }
         val label = seen.min
         seen.foreach(v => expected(v) = label)
