@@ -42,8 +42,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                 return str(v)
             if pd.isna(v):
                 return ""
-            if isinstance(v, float):
-                return repr(v)
+            # Coerce through float() so np.float32 (pandas reading Spark
+            # FloatType parquet) stringifies identically to DuckDB's
+            # float64 — np.float32 is not `float`, fell through to str()
+            # and could hash-differ on equal values (ADVICE r12).
+            import numpy as np
+            if isinstance(v, (float, np.floating)):
+                return repr(float(v))
             if isinstance(v, bytes):
                 return v.hex()
             import datetime
@@ -92,4 +97,10 @@ total = ok + len(bad)
 print(f"{ok}/{total} match")
 for name, why in bad:
     print(f"FAIL {name}: {why}")
+# A typo'd --only name would otherwise yield "0/0 match" + exit 0 — a
+# misspelled query name must not look like a passing run (ADVICE r12).
+if only and total < len(only):
+    missing = sorted(only - set(oracles.keys()))
+    print(f"FAIL only-filter: {len(only) - total} requested name(s) not in oracle_sql.json: {missing}")
+    sys.exit(1)
 sys.exit(1 if bad else 0)

@@ -38,11 +38,35 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Contention/GC sidecar: the r12 driver artifact inflated 12
+    // code-unchanged queries 3-10x and only a three-way git comparison
+    // diagnosed it as host load. Recording the 1-minute loadavg and the
+    // JVM GC-time delta PER RUN makes a loaded-box artifact readable at a
+    // glance (load >> cores, or gc_ms ~ run wall) without touching what
+    // is timed.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    // Blocks persisted BEFORE the timed loop (warm-up state, deliberately
+    // shared caches) are the baseline and survive the per-run sweep — the
+    // sweep must only evict what a query run itself left behind, or a
+    // future shared warm cache would be silently recomputed inside every
+    // timed run (ADVICE r12).
+    val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet
     val timings = selected.map { case (name, fn) =>
       var failed = false
       var i = 0
       val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
       while (i < runs && !failed) {
+        val load0 = loadAvg()
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column —
         // count() alone lets Catalyst prune the projections under test.
@@ -55,7 +79,7 @@ object Bench {
             failed = true
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (!failed) ts += dt
+        if (!failed) { ts += dt; loads += load0; gcs += gcMillis() - gc0 }
         // Drop blocks persisted inside operators (dedup/similarity reuse
         // frames) so runs don't inherit each other's storage pressure.
         spark.catalog.clearCache()
@@ -65,15 +89,18 @@ object Bench {
         // 271 queries x 3 runs — the round-11 "run-3 tail" suspect.
         // blocking: the async form can leave blocks alive into the next
         // timed run (the residual run-3 tail after the round-12 fix).
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!baselineRdds.contains(id)) rdd.unpersist(blocking = true) }
         if (sys.env.contains("SPARK_GRAFT_BENCH_GC")) System.gc()
         i += 1
       }
-      (name, failed, ts.toSeq.sorted)
+      // runs stay sorted for min/median; loads/gcs keep ARRIVAL order (run
+      // i's load/gc pairs with runs_raw[i], not with the sorted runs list)
+      (name, failed, ts.toSeq.sorted, ts.toSeq, loads.toSeq, gcs.toSeq)
     }
     // A crashed query must not look like a fast one: report -1.
-    val results = timings.map { case (name, failed, ts) =>
+    val results = timings.map { case (name, failed, ts, _, _, _) =>
       name -> (if (failed) -1.0 else ts.head)
     }
     // Full per-run detail to a standalone file: the driver keeps only a
@@ -84,7 +111,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES_OUT",
       "bench_queries.json")
     try {
-      val detail = timings.map { case (name, failed, ts) =>
+      val detail = timings.map { case (name, failed, ts, raw, loads, gcs) =>
         // True median: average the two middle elements for even run
         // counts (ts(size/2) alone reports the MAX of a 2-run sample).
         val med =
@@ -92,10 +119,14 @@ object Bench {
           else if (ts.size % 2 == 1) ts(ts.size / 2)
           else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
         val mn = if (failed || ts.isEmpty) -1.0 else ts.head
-        s""""$name":{"min":$mn,"median":${if (failed) -1.0 else med},"runs":[${ts.mkString(",")}]}"""
+        // load = 1-min system loadavg at each run's START (arrival order,
+        // aligned with runs_raw); gc_ms = JVM GC time spent inside that
+        // run. Both diagnose a contaminated artifact without changing it.
+        s""""$name":{"min":$mn,"median":${if (failed) -1.0 else med},"runs":[${ts.mkString(",")}],""" +
+          s""""runs_raw":[${raw.mkString(",")}],"load":[${loads.map(l => f"$l%.2f").mkString(",")}],"gc_ms":[${gcs.mkString(",")}]}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        s"""{"sf":"$sfDir","runs_per_query":$runs,"queries":$detail}""".getBytes("UTF-8"))
+        s"""{"sf":"$sfDir","runs_per_query":$runs,"cpus":"$cpus","queries":$detail}""".getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"BENCH: could not write $outPath: ${e.getMessage}")
     }

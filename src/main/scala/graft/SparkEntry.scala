@@ -578,22 +578,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
 
+  /** Bidirectional (src, dst, w) edge relation off [[supplyPairs]] via a
+    * single explode — ONE scan of the pairs cache emits both directions
+    * (the union form scanned it twice, once per branch). Row set is
+    * identical to the union, so every downstream oracle is unchanged.
+    * The two directions are disjoint (even→odd / odd→even) and pairs is
+    * grouped-distinct, so the result is already a set — callers pass
+    * dedupEdges = false — and every node appears as a src, so the
+    * GraphOps `symmetric` hint applies.
+    */
+  private def supplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = supplyPairs(s, dir)
+    pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("w")),
+        struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"),
+        col("_e.w").as("w"))
+  }
+
   /** Fixed-point PageRank over the part↔supplier supply graph
     * (bidirectional edges off the shared [[supplyPairs]] relation).
     * Exact integer arithmetic end-to-end → hash-oracled against DuckDB's
     * unrolled-iteration replica. Top 20 nodes by rank.
     */
-  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = supplyPairs(s, dir)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    // pairs is grouped-distinct and the two directions are disjoint
-    // (even→odd / odd→even) — the union is already a set, skip the
-    // operator's dedup shuffle (GraphOps hook)
-    graft.graph.GraphOps.pageRank(edges, iters = 10, dedupEdges = false)
+  private def qPageRank(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.pageRank(supplyEdges(s, dir).drop("w"),
+        iters = 10, dedupEdges = false, symmetric = true)
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
-  }
 
   /** Efraimidis–Spirakis weighted sampling without replacement: 5 docs
     * per source drawn proportional to n_chars, via quantized exponential
@@ -682,15 +694,11 @@ object SparkEntry {
     * lineitem count for the pair (out-mass splits proportionally), 6
     * iterations. Same exact-integer arithmetic as q_pagerank.
     */
-  private def qPageRankWeighted(s: SparkSession, dir: String): DataFrame = {
-    val pairs = supplyPairs(s, dir)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
-    graft.graph.GraphOps.pageRank(edges, iters = 6, dedupEdges = false,
-        weightCol = Some("w"))
+  private def qPageRankWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.pageRank(supplyEdges(s, dir), iters = 6,
+        dedupEdges = false, weightCol = Some("w"), symmetric = true)
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
-  }
 
   /** Label-propagation communities over the part↔supplier supply graph
     * (4 deterministic iterations off the shared [[supplyPairs]] edge
@@ -698,14 +706,11 @@ object SparkEntry {
     * sizes — fully hash-oracled against DuckDB's unrolled-iteration
     * replica, the q_pagerank property.
     */
-  private def qLabelProp(s: SparkSession, dir: String): DataFrame = {
-    val pairs = supplyPairs(s, dir)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    graft.graph.GraphOps.labelPropagation(edges, iters = 4, dedupEdges = false)
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.labelPropagation(supplyEdges(s, dir).drop("w"),
+        iters = 4, dedupEdges = false, symmetric = true)
       .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("label"))
-  }
 
   /** Personalized PageRank from every 200th part (node % 400 == 0) —
     * teleport and initial mass concentrate on the seed set, so rank is
@@ -713,13 +718,10 @@ object SparkEntry {
     * exact integer arithmetic, hash-oracled like q_pagerank.
     */
   private def qPersonalizedPageRank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = supplyPairs(s, dir)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val seeds = pairs.select(col("a").as("node"))
+    val seeds = supplyPairs(s, dir).select(col("a").as("node"))
       .filter(col("node") % 400 === 0).distinct()
-    graft.graph.GraphOps.pageRank(edges, iters = 4, dedupEdges = false,
-        seeds = Some(seeds))
+    graft.graph.GraphOps.pageRank(supplyEdges(s, dir).drop("w"), iters = 4,
+        dedupEdges = false, seeds = Some(seeds), symmetric = true)
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
   }
@@ -728,27 +730,20 @@ object SparkEntry {
     * count of the pair (the similarity-weighted cluster-labeling form),
     * 4 iterations, community sizes. Hash-oracled like q_label_prop.
     */
-  private def qLabelPropWeighted(s: SparkSession, dir: String): DataFrame = {
-    val pairs = supplyPairs(s, dir)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
-    graft.graph.GraphOps.labelPropagation(edges, iters = 4,
-        dedupEdges = false, weightCol = Some("w"))
+  private def qLabelPropWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.labelPropagation(supplyEdges(s, dir), iters = 4,
+        dedupEdges = false, weightCol = Some("w"), symmetric = true)
       .groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("label"))
-  }
 
   /** 3-core of the part↔supplier supply graph by 4 peeling rounds off
     * the shared [[supplyPairs]] relation — surviving (node, degree)
     * rows, hash-oracled against DuckDB's unrolled-round replica.
     */
-  private def qKCore(s: SparkSession, dir: String): DataFrame = {
-    val pairs = supplyPairs(s, dir)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    graft.graph.GraphOps.kCore(edges, k = 3, rounds = 4, dedupEdges = false)
+  private def qKCore(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.kCore(supplyEdges(s, dir).drop("w"),
+        k = 3, rounds = 4, dedupEdges = false)
       .orderBy(col("node"))
-  }
 
   /** Frequent co-purchase pair relation (parts co-occurring in an
     * order, support ≥ 2 — the Apriori pair projection), memoized per
@@ -921,13 +916,10 @@ object SparkEntry {
     * unrolled-round replica.
     */
   private def qBfs(s: SparkSession, dir: String): DataFrame = {
-    val pairs = supplyPairs(s, dir)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val seeds = pairs.select(col("a").as("node"))
+    val seeds = supplyPairs(s, dir).select(col("a").as("node"))
       .filter(col("node") % 400 === 0).distinct()
-    graft.graph.GraphOps.bfsDepths(edges, seeds, rounds = 6,
-        dedupEdges = false)
+    graft.graph.GraphOps.bfsDepths(supplyEdges(s, dir).drop("w"), seeds,
+        rounds = 6, dedupEdges = false)
       .orderBy(col("node"))
   }
 
@@ -4025,13 +4017,10 @@ object SparkEntry {
     * hash-oracled against DuckDB's unrolled BFS replica.
     */
   private def qHarmonic(s: SparkSession, dir: String): DataFrame = {
-    val pairs = supplyPairs(s, dir)
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val probes = pairs.select(col("a").as("node"))
+    val probes = supplyPairs(s, dir).select(col("a").as("node"))
       .filter(pmod(col("node"), lit(1600L)) === 0L).distinct()
-    graft.graph.GraphOps.harmonicCentrality(edges, probes, rounds = 4,
-        dedupEdges = false)
+    graft.graph.GraphOps.harmonicCentrality(supplyEdges(s, dir).drop("w"),
+        probes, rounds = 4, dedupEdges = false)
       .orderBy(col("probe"))
   }
 

@@ -57,7 +57,8 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int = 10,
       dedupEdges: Boolean = true,
       weightCol: Option[String] = None,
-      seeds: Option[DataFrame] = None): DataFrame = {
+      seeds: Option[DataFrame] = None,
+      symmetric: Boolean = false): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     // Weighted form: out-mass splits proportionally to integer edge
     // weights — contribution = (rank·w) div W(src). Weights must fit
@@ -76,15 +77,16 @@ object GraphOps {
         e0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       else e0)
       .persist(StorageLevel.MEMORY_AND_DISK) // read 4× below (nodes, loops, allE×2)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
+    // SYMMETRIC hint (caller guarantees every edge has its reverse — the
+    // bidirectional-graph case): every node then appears as a src, so the
+    // node set needs no dst-side union and NO node can dangle — the
+    // self-loop anti-join and its union are dead weight (two jobs and a
+    // persisted relation per call, measured ~0.7 s at sf0.1).
+    val nodes = (if (symmetric) e.select(col("src").as("node")).distinct()
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val selfLoops = nodes
-      .join(e.select(col("src")).distinct(),
-        col("node") === col("src"), "left_anti")
-      .select(col("node").as("src"), col("node").as("dst"),
-        lit(1L).as("w"))
     val n = nodes.count()
     if (n == 0) { // empty edge set → empty ranking, not a division by zero
       e.unpersist(blocking = false)
@@ -108,8 +110,18 @@ object GraphOps {
     // rank⋈edge join lands on this cached partitioning instead of
     // re-shuffling the (big) edge side every pass. The looped union is
     // persisted so the anti-join behind selfLoops runs once, not twice
-    // (it feeds both the edge rows and the degree aggregation).
-    val u = e.union(selfLoops).persist(StorageLevel.MEMORY_AND_DISK)
+    // (it feeds both the edge rows and the degree aggregation). Under the
+    // symmetric hint no node dangles, so u IS e (no loops, no extra cache).
+    val u =
+      if (symmetric) e
+      else {
+        val selfLoops = nodes
+          .join(e.select(col("src")).distinct(),
+            col("node") === col("src"), "left_anti")
+          .select(col("node").as("src"), col("node").as("dst"),
+            lit(1L).as("w"))
+        e.union(selfLoops).persist(StorageLevel.MEMORY_AND_DISK)
+      }
     val allE = u
       .join(u.groupBy(col("src")).agg(sum(col("w")).as("deg")), "src")
       .repartition(parts, col("src"))
@@ -137,7 +149,11 @@ object GraphOps {
       // relation serves both paths and the uniform arithmetic is
       // bit-identical to the literal form it replaces.
       var flagged: Option[DataFrame] = None // outlives nb's materialization
-      val nb = (seeds match {
+      // Uniform nb is a literal projection over the PERSISTED node set —
+      // caching the projection itself would just duplicate those blocks
+      // (the two literal columns cost nothing to recompute per read).
+      // The seeded form keeps its own cache: it embeds the seed join.
+      val nb = seeds match {
         case None =>
           nodes.select(col("node"),
             lit(RankScale / n).as("init"),
@@ -158,7 +174,8 @@ object GraphOps {
             when(col("_seed"), lit(RankScale / m)).otherwise(lit(0L)).as("init"),
             when(col("_seed"), lit(15L * RankScale / (100L * m)))
               .otherwise(lit(0L)).as("base"))
-      }).persist(StorageLevel.MEMORY_AND_DISK)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+      }
       def step(r: DataFrame): DataFrame = r
         .join(allE, col("node") === col("src"))
         .select(col("dst"), expr("(rank * w) div deg").as("c"))
@@ -187,10 +204,10 @@ object GraphOps {
       // longer needed to evaluate it — release them instead of waiting on
       // a session-wide clearCache.
       e.unpersist(blocking = false)
-      u.unpersist(blocking = false)
+      if (!(u eq e)) u.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
       allE.unpersist(blocking = false)
-      nb.unpersist(blocking = false)
+      if (seeds.isDefined) nb.unpersist(blocking = false)
       flagged.foreach(_.unpersist(blocking = false))
       ranks
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
@@ -232,7 +249,8 @@ object GraphOps {
     */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
       dedupEdges: Boolean = true,
-      weightCol: Option[String] = None): DataFrame = {
+      weightCol: Option[String] = None,
+      symmetric: Boolean = false): DataFrame = {
     require(iters >= 1, "labelPropagation needs at least one iteration")
     val wExpr = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e0 = edges
@@ -248,9 +266,12 @@ object GraphOps {
         e0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       else e0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
+    // Symmetric hint as in [[pageRank]]: every node appears as a src, so
+    // the dst-side union before the distinct is redundant work.
+    val nodes = (if (symmetric) e.select(col("src").as("node")).distinct()
+      else e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nE = e.count()
     val spark = edges.sparkSession
@@ -821,6 +842,13 @@ object GraphOps {
             expr(s"cast(case when _h_tot > 0 then (_h_raw * $RankScale)" +
               " div _h_tot else 0 end as bigint)").as(outCol))
       }
+      // Checkpoint each HALF-step. The tempting fusion — leave auth lazy
+      // inside the hub half so each iteration is one job — was measured
+      // this round and is ~45% SLOWER (6.6 s -> 9.5 s solo at sf0.1): the
+      // Σ broadcast references its raw subtree twice, so the lazy auth
+      // half appears 4x in the fused plan, and under AQE those duplicated
+      // shuffle stages re-execute rather than reuse. Two eager jobs per
+      // iteration keep every subtree evaluated exactly once.
       var hub = nodes
         .select(col("node"), lit(RankScale / n).as("hub"))
         .localCheckpoint(true)
