@@ -630,35 +630,37 @@ object SparkEntry {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val src = t(s, dir, "events")
-      .select(col("ts"), col("user_id"))
-      .orderBy(col("ts"), col("user_id"))
-    val n = src.count()
-    val rows = src.toLocalIterator().asScala
-      .map(r => (r.getTimestamp(0), r.getLong(1)))
-    val mem = MemoryStream[(java.sql.Timestamp, Long)]
-    val regs = StreamingOps.streamingWindowedDistinct(
-      mem.toDF().toDF("ts", "user_id"), "ts", "user_id",
-      width = "1 hour", watermark = "2 hours")
-    val sink = "q_stream_distinct_sink"
+    // Width 2 for the WHOLE replay, batch prep included: state commits +
+    // sink writes dominate the stream side (register state is a few
+    // hundred rows per window), and the feed's orderBy at the session's
+    // 32 partitions made toLocalIterator schedule 32 serial fetch jobs —
+    // measured 2.1 s vs 0.6 s at width 2 (r13), pure harness overhead.
     val saved = s.conf.get("spark.sql.shuffle.partitions")
-    // 4 (not the family's 8): complete-mode re-emission makes state
-    // commits + sink writes the cost driver, and the register state is a
-    // few hundred rows per window — partition count buys nothing here.
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try regs.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
-      rows.grouped(math.max(2000, (n / 2 + 1).toInt))
-        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
-    } finally q.stop()
-    graft.sketch.Sketches.hllEstimate(s.table(sink), Seq("window_start"))
-      .select(
-        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("hll_estimate"))
-      .orderBy(col("window_start"))
+      val src = t(s, dir, "events")
+        .select(col("ts"), col("user_id"))
+        .orderBy(col("ts"), col("user_id"))
+      val n = src.count()
+      val rows = src.toLocalIterator().asScala
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+      val mem = MemoryStream[(java.sql.Timestamp, Long)]
+      val regs = StreamingOps.streamingWindowedDistinct(
+        mem.toDF().toDF("ts", "user_id"), "ts", "user_id",
+        width = "1 hour", watermark = "2 hours")
+      val sink = "q_stream_distinct_sink"
+      val q = regs.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        rows.grouped(math.max(2000, (n / 2 + 1).toInt))
+          .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+      } finally q.stop()
+      graft.sketch.Sketches.hllEstimate(s.table(sink), Seq("window_start"))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("hll_estimate"))
+        .orderBy(col("window_start"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** Snapshot-to-snapshot corpus delta: a synthetic "next crawl" (every
@@ -1343,6 +1345,10 @@ object SparkEntry {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // Width 2 around the WHOLE replay (feed prep included — the r13
+    // toLocalIterator finding, see qStreamDistinct).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val ev = t(s, dir, "events")
     def side(typ: String) = ev.filter(col("event_type") === typ)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -1357,12 +1363,8 @@ object SparkEntry {
       .select(col("click_id"), col("purchase_id"),
         round(col("amount"), 2).as("amount"))
     val sink = "q_stream_interval_sink"
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
     try {
       // Both sides enqueue, then ONE processAllAvailable: a stream-stream
       // join buffers both inputs in state, so match results don't depend
@@ -1382,7 +1384,10 @@ object SparkEntry {
         r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
         b => clicks.addData(b: _*))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.table(sink).orderBy(col("click_id"), col("purchase_id"))
   }
 
@@ -1400,6 +1405,10 @@ object SparkEntry {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // Width 2 around the WHOLE replay (feed prep included — the r13
+    // toLocalIterator finding, see qStreamDistinct).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val ev = t(s, dir, "events")
     def side(typ: String) = ev.filter(col("event_type") === typ)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -1416,12 +1425,8 @@ object SparkEntry {
       .select(col("click_id"), col("purchase_id"),
         round(col("amount"), 2).as("amount"))
     val sink = "q_stream_full_outer_sink"
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
     try {
       def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
           add: Seq[T] => Unit): Unit =
@@ -1437,7 +1442,10 @@ object SparkEntry {
       purchases.addData((-1L, -999L, future(100), 0.0))
       clicks.addData((-1L, -998L, future(100)))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.table(sink)
       .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
         coalesce(col("purchase_id"), lit(0L)) >= 0)
@@ -1458,6 +1466,10 @@ object SparkEntry {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // Width 2 around the WHOLE replay (feed prep included — the r13
+    // toLocalIterator finding, see qStreamDistinct).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val ev = t(s, dir, "events")
     def side(typ: String) = ev.filter(col("event_type") === typ)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -1474,20 +1486,16 @@ object SparkEntry {
       .select(col("click_id"), col("purchase_id"),
         round(col("amount"), 2).as("amount"))
     val sink = "q_stream_outer_sink"
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    // 4, not the streaming family's 8: a stream-stream OUTER join keeps
-    // FOUR state stores per side per partition, and commit cycles — not
-    // data volume — dominate this replay. State partition count is fixed
-    // at the first checkpoint; size it to key cardinality, not cores.
+    // Low width, not cores: a stream-stream OUTER join keeps FOUR state
+    // stores per side per partition, and commit cycles — not data
+    // volume — dominate this replay. State partition count is fixed at
+    // the first checkpoint; size it to key cardinality, not cores.
     // RocksDB state store measured here (round 8): 6.2 s vs 5.0 s for the
     // default in-memory provider — JNI + per-batch snapshot overhead on a
     // KB-scale state. RocksDB pays off when per-partition state outgrows
     // the heap (real deployments of THIS join shape), not in this replay.
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
     try {
       // Real data AND the far-future sentinels enqueue before the single
       // processAllAvailable (r9: was three commit cycles — one per side
@@ -1514,7 +1522,10 @@ object SparkEntry {
       purchases.addData((-1L, -999L, future(100), 0.0))
       clicks.addData((-1L, -998L, future(100)))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.table(sink).filter(col("click_id") >= 0)
       .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
   }
@@ -1536,26 +1547,35 @@ object SparkEntry {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val src = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"))
-      .orderBy(col("event_id"))
-    val n = src.count()
-    val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
-    val mem = MemoryStream[(Long, Long)]
-    val enriched = StreamingOps.streamStaticEnrich(
-        mem.toDF().toDF("event_id", "user_id")
-          .withColumn("n_nationkey", col("user_id") % 25),
-        dim, Seq("n_nationkey"))
-      .select(col("event_id"), col("user_id"), col("n_name"))
-    val sink = "q_stream_enrich_sink"
-    val q = enriched.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
+    // The WHOLE replay runs at width 4, batch prep included: the feed's
+    // orderBy otherwise sorts into the session's 32 partitions and
+    // toLocalIterator then schedules one serial fetch job per partition —
+    // pure harness overhead. The stream (started inside this scope)
+    // snapshots the same width for its per-batch exchanges.
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      src.toLocalIterator().asScala.map(r => (r.getLong(0), r.getLong(1)))
-        .grouped(math.max(2000, (n / 2 + 1).toInt))
-        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
-    } finally q.stop()
-    s.table(sink).orderBy(col("event_id"))
+      val src = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+      val n = src.count()
+      val dim = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val mem = MemoryStream[(Long, Long)]
+      val enriched = StreamingOps.streamStaticEnrich(
+          mem.toDF().toDF("event_id", "user_id")
+            .withColumn("n_nationkey", col("user_id") % 25),
+          dim, Seq("n_nationkey"))
+        .select(col("event_id"), col("user_id"), col("n_name"))
+      val sink = "q_stream_enrich_sink"
+      val q = enriched.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        src.toLocalIterator().asScala.map(r => (r.getLong(0), r.getLong(1)))
+          .grouped(math.max(2000, (n / 2 + 1).toInt))
+          .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+      } finally q.stop()
+      s.table(sink).orderBy(col("event_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** Streaming temporal enrichment under the correctness gate: events
@@ -1569,6 +1589,12 @@ object SparkEntry {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // Width 4 around the WHOLE replay: stateless per micro-batch, but the
+    // SCD-2 dim build + feed orderBy otherwise run at the session's 32
+    // partitions and toLocalIterator schedules one serial fetch job per
+    // partition (the r13 finding, see qStreamDistinct).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     val ev = t(s, dir, "events")
     val dim = ops.EventOps.scd2Intervals(
         ev, "user_id", "ts", "event_id", "event_type")
@@ -1592,7 +1618,10 @@ object SparkEntry {
     try {
       rows.grouped(math.max(2000, (n / 2 + 1).toInt))
         .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.table(sink).orderBy(col("event_id"))
   }
 
@@ -1608,6 +1637,13 @@ object SparkEntry {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // Width 2 around the WHOLE replay: state-store task count is pinned
+    // at query start from spark.sql.shuffle.partitions (2 keeps the
+    // per-micro-batch commit overhead minimal for KB-scale state), and
+    // the feed prep at low width avoids the 32 serial toLocalIterator
+    // fetch jobs (the r13 finding, see qStreamDistinct).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val src = t(s, dir, "events")
       .select(col("ts"), col("event_type"), col("value"))
       .orderBy(col("ts"), col("event_type"))
@@ -1618,19 +1654,15 @@ object SparkEntry {
     val agg = StreamingOps.streamingTumblingAgg(
       mem.toDF().toDF("ts", "event_type", "value"), width = "1 hour", watermark = "2 hours")
     val sink = "q_stream_tumbling_sink"
-    // State-store task count is pinned at query start from
-    // spark.sql.shuffle.partitions; 8 is plenty for the replay and keeps
-    // per-micro-batch overhead (32 state commits/batch otherwise) low.
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
     try {
       rows.grouped(math.max(2000, (n / 2 + 1).toInt))
         .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.table(sink)
       .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -1649,6 +1681,10 @@ object SparkEntry {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // Width 2 around the WHOLE replay (feed prep included — the r13
+    // toLocalIterator finding, see qStreamDistinct).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val src = t(s, dir, "events")
       .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
       .orderBy(col("ts"), col("event_id"))
@@ -1660,16 +1696,15 @@ object SparkEntry {
       mem.toDF().toDF("ts", "event_id", "user_id", "event_type"),
       keyCols = Seq("user_id", "event_type"), watermarkDelay = "365 days")
     val sink = "q_stream_dedup_sink"
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
     try {
       rows.grouped(math.max(2000, (n / 2 + 1).toInt))
         .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.table(sink)
       .select(col("user_id"), col("event_type"))
       .orderBy(col("user_id"), col("event_type"))
@@ -1691,6 +1726,10 @@ object SparkEntry {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // Width 2 around the WHOLE replay (feed prep included — the r13
+    // toLocalIterator finding, see qStreamDistinct).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val src = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("value"))
       .orderBy(col("ts"), col("user_id"))
@@ -1701,12 +1740,8 @@ object SparkEntry {
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("_sv"))
     val sink = "q_stream_session_builtin_sink"
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try sess.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val q = sess.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
     try {
       src.toLocalIterator().asScala
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
@@ -1715,7 +1750,10 @@ object SparkEntry {
       mem.addData((-1L,
         new java.sql.Timestamp(maxTs.getTime + 100L * 86400000L), 0.0))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.table(sink).filter(col("user_id") >= 0)
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
@@ -1739,6 +1777,10 @@ object SparkEntry {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val gap = 1800L
+    // Width 2 around the WHOLE replay (feed prep included — the r13
+    // toLocalIterator finding, see qStreamDistinct).
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
     val src = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("value"))
       .orderBy(col("ts"), col("user_id"))
@@ -1754,12 +1796,8 @@ object SparkEntry {
     val sessions = StreamingOps.streamingSessionize(
       mem.toDS(), gapSeconds = gap, watermarkDelay = "30 minutes")
     val sink = "q_stream_sessionize_sink"
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try sessions.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
     try {
       // Three micro-batches: two data halves (state spans the boundary),
       // with a first sentinel riding the second half to advance the
@@ -1776,7 +1814,10 @@ object SparkEntry {
       q.processAllAvailable()
       mem.addData(sentinel(2))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.table(sink)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"),

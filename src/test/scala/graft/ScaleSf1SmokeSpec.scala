@@ -56,7 +56,7 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     (a, dt)
   }
 
-  test("minhashLshPairs (production family) holds sub-quadratic at sf1") {
+  test("minhashLshPairs (production family) holds sub-quadratic at sf1", PerfTag) {
     val (c1, t1) = timed("minhash 1x (sf0.1)")(
       Dedup.minhashLshPairs(docs1, "doc_id", "text", threshold = 0.8).count())
     spark.catalog.clearCache()
@@ -71,7 +71,7 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
   }
 
-  test("semanticDedup holds sub-quadratic at sf1") {
+  test("semanticDedup holds sub-quadratic at sf1", PerfTag) {
     val (k1, t1) = timed("semdedup 1x (sf0.1)")(
       Similarity.semanticDedup(emb1, "vec_id", "embedding",
         k = 64, eps = 0.95, trainFraction = 0.5)
@@ -89,7 +89,54 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
   }
 
-  test("pqTopKWith holds sub-quadratic at sf1") {
+  test("dedupSubstrings holds sub-quadratic at sf1", PerfTag) {
+    // Disjoint token suffixes -> replica window keys never collide, and
+    // the documents corpus is pure space-separated words (no punctuation
+    // to split under the suffix rewrite), so the 10x truth is EXACTLY
+    // ten copies of the 1x truth — the dup-token mass must multiply by
+    // exactly 10 while the wall stays far under the quadratic envelope.
+    val (m1, t1) = timed("dedup_substrings 1x (sf0.1)")(
+      Dedup.dedupSubstrings(docs1, "doc_id", "text", k = 8)
+        .agg(sum(col("n_dup_tokens"))).head().getLong(0))
+    spark.catalog.clearCache()
+    val (m10, t10) = timed("dedup_substrings 10x (~sf1)")(
+      Dedup.dedupSubstrings(docs10, "doc_id", "text", k = 8)
+        .agg(sum(col("n_dup_tokens"))).head().getLong(0))
+    spark.catalog.clearCache()
+    assert(m10 == 10 * m1, s"dup-token mass not 10 exact copies: $m1 -> $m10")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
+
+  test("pageRank holds sub-quadratic at sf1 (10x edges)", PerfTag) {
+    // Supply bipartite graph off sf0.1 lineitem (the q_pagerank shape);
+    // replicas shift node ids by an EVEN stride so the part/supplier
+    // parity encoding survives and the 10 copies stay disjoint. Ranks
+    // rescale (init mass = Scale / (10n)) so the assertion is on the
+    // node-count contract + the runtime envelope.
+    val pairs = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .groupBy((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(count(lit(1)).as("w"))
+    def bidir(p: DataFrame): DataFrame =
+      p.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("_e"))
+        .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+    val p10 = pairs.withColumn("k", explode(sequence(lit(0), lit(9))))
+      .select((col("a") + col("k") * 20000000L).as("a"),
+        (col("b") + col("k") * 20000000L).as("b"))
+    val (n1, t1) = timed("pagerank 1x (sf0.1)")(
+      graft.graph.GraphOps.pageRank(bidir(pairs), iters = 10,
+        dedupEdges = false, symmetric = true).count())
+    spark.catalog.clearCache()
+    val (n10, t10) = timed("pagerank 10x (~sf1 edges)")(
+      graft.graph.GraphOps.pageRank(bidir(p10), iters = 10,
+        dedupEdges = false, symmetric = true).count())
+    spark.catalog.clearCache()
+    assert(n10 == 10 * n1, s"node count not 10 exact copies: $n1 -> $n10")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
+
+  test("pqTopKWith holds sub-quadratic at sf1", PerfTag) {
     val q1 = emb1.filter(col("vec_id") < 10)
     val (n1, t1) = timed("pq 1x (sf0.1)")({
       val m = Similarity.pqTrain(emb1, "vec_id", "embedding",

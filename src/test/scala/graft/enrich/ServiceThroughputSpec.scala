@@ -46,7 +46,7 @@ class LatencyLlmClient(latMs: Long) extends LlmClient {
 class ServiceThroughputSpec extends SparkSpec {
   import spark.implicits._
 
-  test("N rows, K partitions, lat per call -> wall ~ N/K*lat, one client init per task") {
+  test("N rows, K partitions, lat per call -> wall ~ N/K*lat, one client init per task", graft.PerfTag) {
     val n = 48
     val k = 4 // matches local[4]: all K tasks run concurrently
     val latMs = 50L
