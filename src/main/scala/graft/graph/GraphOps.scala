@@ -189,7 +189,12 @@ object GraphOps {
       // Checkpoint every TWO iterations: planning a depth-2 chain costs
       // pennies, but halving the checkpoint jobs halves the per-iteration
       // scheduling/codegen floor (the dominant cost once data is small
-      // relative to the cluster).
+      // relative to the cluster). Span 5 was measured this round (r13)
+      // and is ~55% SLOWER family-wide (21.6 s -> 33.2 s for the 6-query
+      // pagerank/labelProp/bfs set): deeper chained plans lose more to
+      // AQE re-planning + codegen of the larger stages than they save in
+      // job floors, and bfs's `union(d)` self-reference doubles per extra
+      // span step. Two is the sweet spot, not a guess.
       var i = 0
       while (i < iters) {
         val span = math.min(2, iters - i)
