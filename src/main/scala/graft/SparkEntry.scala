@@ -3703,14 +3703,10 @@ object SparkEntry {
     * [[supplyPairs]] relation) — the skew diagnostic run before sizing
     * any graph job. Fully hash-oracled.
     */
-  private def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
-    val pairs = supplyPairs(s, dir)
+  private def qDegreeDist(s: SparkSession, dir: String): DataFrame =
     graft.graph.GraphOps.degreeDistribution(
-        pairs.select(col("a").as("src"), col("b").as("dst"))
-          .union(pairs.select(col("b").as("src"), col("a").as("dst"))),
-        dedupEdges = false)
+        supplyEdges(s, dir).drop("w"), dedupEdges = false)
       .orderBy(col("degree"))
-  }
 
   /** Last-touch attribution: each purchase credits the latest preceding
     * click/view by the same user (the as-of join shape), unattributed

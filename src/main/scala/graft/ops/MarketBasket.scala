@@ -141,9 +141,16 @@ object MarketBasket {
         floor(col("supp").cast("double") * lit(1000000.0) /
           sqrt(col("cnt_a").cast("double") * col("cnt_b").cast("double")))
           .cast("long").as("w_micro"))
-    val sym = pairs.select(col("a").as("src"), col("b").as("dst"), col("w_micro"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"),
-        col("w_micro")))
+    // Both directions via ONE explode: the unionAll form executed the
+    // whole quadratic pairs subtree (self-join + groupBy + two cnt
+    // joins) once per branch — the query's dominant stage paid twice
+    // (measured r13; the supplyEdges lesson). Same rows, same oracle.
+    val sym = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("w_micro").as("w_micro")),
+        struct(col("b").as("src"), col("a").as("dst"), col("w_micro").as("w_micro"))))
+        .as("_rc_e"))
+      .select(col("_rc_e.src").as("src"), col("_rc_e.dst").as("dst"),
+        col("_rc_e.w_micro").as("w_micro"))
     val wn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("w_micro").desc, col("dst"))
     val neighbors = sym
