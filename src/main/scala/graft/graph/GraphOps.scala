@@ -833,6 +833,12 @@ object GraphOps {
       // The Σ broadcast re-references `raw`, but the duplicated subtree
       // re-reads the PERSISTED pre-partitioned edge caches, so an eager
       // checkpoint inside the half buys nothing (measured in r9).
+      // An unpartitioned-window Σ (sum over rowsBetween unbounded) was
+      // measured ~10% faster locally (r13: 6.6 -> 5.9 s solo — one
+      // SinglePartition exchange replaces the agg + BroadcastExchange
+      // stages) and REJECTED: it funnels the whole |V|-row aggregate
+      // through ONE task, a serial stage at web-scale |V|, where the
+      // broadcast form moves exactly one row. Scale shape wins.
       def half(scores: DataFrame, edgeRel: DataFrame, joinKey: String,
           outKey: String, fromCol: String, outCol: String): DataFrame = {
         val raw = scores
