@@ -148,8 +148,14 @@ object Bench {
     // The per-query map outgrew the driver's ~4 KB stdout tail in round 9
     // (255 queries truncated the line's HEAD, so even trailing fields were
     // unparseable). A compact summary line LAST always fits in the tail and
-    // parses on its own.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"value":$total}""")
+    // parses on its own. load_med (median 1-min loadavg across all timed
+    // runs) rides along so a contaminated artifact announces itself in the
+    // headline — r12's was only diagnosed via a three-way git comparison.
+    val allLoads = timings.flatMap(_._5).filter(_ >= 0).sorted
+    val loadMed =
+      if (allLoads.isEmpty) "null"
+      else f"${allLoads(allLoads.size / 2)}%.2f"
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"load_med":$loadMed,"value":$total}""")
     spark.stop()
   }
 }
