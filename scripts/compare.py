@@ -87,6 +87,17 @@ for name, sql in sorted(oracles.items()):
     if sorted(sdf.columns) != sorted(odf.columns):
         bad.append((name, f"schema {sorted(sdf.columns)} vs {sorted(odf.columns)}"))
         continue
+    # Float32 harmonization (ADVICE r13): repr() on a bare-widened
+    # np.float32 emits the exact double expansion, which only matches when
+    # the other side carries the same widened double. When EITHER side is
+    # float32, quantize BOTH sides through float32 before hashing so equal
+    # logical values compare equal; float64-only columns are untouched (a
+    # blanket float32 round-trip would weaken every double comparison).
+    import numpy as np
+    for c in sdf.columns:
+        if sdf[c].dtype == np.float32 or odf[c].dtype == np.float32:
+            sdf[c] = sdf[c].astype(np.float32).astype(np.float64)
+            odf[c] = odf[c].astype(np.float32).astype(np.float64)
     hs, ho = h(sdf), h(odf)
     if hs != ho:
         bad.append((name, "hash mismatch"))

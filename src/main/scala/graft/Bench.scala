@@ -52,11 +52,23 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
-    // Blocks persisted BEFORE the timed loop (warm-up state, deliberately
-    // shared caches) are the baseline and survive the per-run sweep — the
-    // sweep must only evict what a query run itself left behind, or a
-    // future shared warm cache would be silently recomputed inside every
-    // timed run (ADVICE r12).
+    // Locale-pinned 2-decimal format: f"..%.2f" uses the default JVM
+    // locale, which on a comma-decimal locale emits "0,52" — invalid JSON
+    // (ADVICE r13).
+    def fmt2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    // RDD-LEVEL blocks persisted BEFORE the timed loop (localCheckpoint
+    // frames from warm-up) survive the per-run sweep — the sweep must only
+    // evict what a query run itself left behind (ADVICE r12). Scope note
+    // (ADVICE r13): this exemption covers RDD-level persists ONLY; the
+    // clearCache() below still evicts every CacheManager (DataFrame-level)
+    // entry each run, so a shared warm DataFrame cache would be recomputed
+    // inside every timed run — don't rely on it being spared. The memoized
+    // DataFrames that exist today (supplyPairs, coPairs) lose their cache
+    // entry at the first sweep and run UNCACHED from then on; operators
+    // that read such a relation more than once per run persist their own
+    // local copy (e.g. GraphOps persists its edge relation), which is the
+    // measured status quo.
     val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet
     val timings = selected.map { case (name, fn) =>
       var failed = false
@@ -123,7 +135,7 @@ object Bench {
         // aligned with runs_raw); gc_ms = JVM GC time spent inside that
         // run. Both diagnose a contaminated artifact without changing it.
         s""""$name":{"min":$mn,"median":${if (failed) -1.0 else med},"runs":[${ts.mkString(",")}],""" +
-          s""""runs_raw":[${raw.mkString(",")}],"load":[${loads.map(l => f"$l%.2f").mkString(",")}],"gc_ms":[${gcs.mkString(",")}]}"""
+          s""""runs_raw":[${raw.mkString(",")}],"load":[${loads.map(fmt2).mkString(",")}],"gc_ms":[${gcs.mkString(",")}]}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         s"""{"sf":"$sfDir","runs_per_query":$runs,"cpus":"$cpus","queries":$detail}""".getBytes("UTF-8"))
@@ -151,11 +163,17 @@ object Bench {
     // parses on its own. load_med (median 1-min loadavg across all timed
     // runs) rides along so a contaminated artifact announces itself in the
     // headline — r12's was only diagnosed via a three-way git comparison.
+    // load_med / load_max / gc_total_ms land in the driver's `parsed`
+    // block (it keeps this last line verbatim), so every BENCH_r*.json is
+    // self-diagnosing round-over-round without opening bench_queries.json
+    // (verdict r13 item 3): load_max >> cores flags a contaminated pass,
+    // gc_total_ms ~ total wall flags memory pressure.
     val allLoads = timings.flatMap(_._5).filter(_ >= 0).sorted
     val loadMed =
-      if (allLoads.isEmpty) "null"
-      else f"${allLoads(allLoads.size / 2)}%.2f"
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"load_med":$loadMed,"value":$total}""")
+      if (allLoads.isEmpty) "null" else fmt2(allLoads(allLoads.size / 2))
+    val loadMax = if (allLoads.isEmpty) "null" else fmt2(allLoads.last)
+    val gcTotal = timings.flatMap(_._6).sum
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"load_med":$loadMed,"load_max":$loadMax,"gc_total_ms":$gcTotal,"value":$total}""")
     spark.stop()
   }
 }

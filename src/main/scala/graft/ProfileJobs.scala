@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Job-level timeline for one query — the attribution companion to
+  * [[Profile]] (which times whole queries). Iterative operators spend
+  * their budget on many small JOBS (checkpoint materializations, counts,
+  * per-iteration half-steps); knowing which job eats the wall is the
+  * difference between optimizing a prologue and chasing noise.
+  *
+  * Usage: runMain graft.ProfileJobs <sfDir> <queryName> [warmRuns]
+  *
+  * Prints one line per Spark job of the FINAL (timed) run: start offset,
+  * duration, and the job's call site, then the total.
+  */
+object ProfileJobs {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val name = args.lift(1).getOrElse("q_hits")
+    val warm = args.lift(2).map(_.toInt).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    for (_ <- 1 to warm) {
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"warm-up failed: $e") }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        jobs.put(js.jobId, (js.time, site))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobs.remove(je.jobId)).foreach { case (t0, site) =>
+          done.synchronized { done += ((je.jobId, t0, je.time - t0, site)) }
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let the async listener bus drain the last JobEnd
+    val sorted = done.synchronized(done.sortBy(_._2)).toSeq
+    val base = sorted.headOption.map(_._2).getOrElse(0L)
+    sorted.foreach { case (id, st, dur, site) =>
+      println(f"JOB $id%3d +${(st - base) / 1000.0}%7.2fs ${dur / 1000.0}%6.2fs  $site")
+    }
+    println(f"TOTAL jobs=${sorted.size} jobtime=${sorted.map(_._3).sum / 1000.0}%.2fs wall=$wall%.2fs")
+    spark.stop()
+  }
+}

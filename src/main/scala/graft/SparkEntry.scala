@@ -1352,49 +1352,50 @@ object SparkEntry {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // Width 2 around the WHOLE replay (feed prep included — the r13
-    // toLocalIterator finding, see qStreamDistinct).
+    // toLocalIterator finding, see qStreamDistinct). Everything from the
+    // first eager step onward sits inside the restoring try: an exception
+    // anywhere must not leak width 2 into the shared session (ADVICE r13).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
-    val ev = t(s, dir, "events")
-    def side(typ: String) = ev.filter(col("event_type") === typ)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      .orderBy(col("ts"), col("event_id"))
-    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
-    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
-    val joined = StreamingOps.streamingIntervalJoin(
-        clicks.toDF().toDF("click_id", "user_id", "ts"),
-        purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
-        leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
-        lookback = "1 hour", watermarkDelay = "365 days")
-      .select(col("click_id"), col("purchase_id"),
-        round(col("amount"), 2).as("amount"))
-    val sink = "q_stream_interval_sink"
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
     try {
-      // Both sides enqueue, then ONE processAllAvailable: a stream-stream
-      // join buffers both inputs in state, so match results don't depend
-      // on which micro-batch carried which side — and each extra commit
-      // cycle costs ~0.5 s of state-store overhead on the replay harness.
-      // Fine-grained incremental arrival (matches across batch
-      // boundaries) is pinned by StreamStreamJoinSpec.
-      def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
-          add: Seq[T] => Unit): Unit =
-        side(typ).toLocalIterator().asScala.map(conv)
-          .grouped(1 << 20)
-          .foreach(b => add(b.toSeq))
-      replay("purchase",
-        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
-        b => purchases.addData(b: _*))
-      replay("click",
-        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
-        b => clicks.addData(b: _*))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", saved)
-    }
-    s.table(sink).orderBy(col("click_id"), col("purchase_id"))
+      val ev = t(s, dir, "events")
+      def side(typ: String) = ev.filter(col("event_type") === typ)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .orderBy(col("ts"), col("event_id"))
+      val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+      val joined = StreamingOps.streamingIntervalJoin(
+          clicks.toDF().toDF("click_id", "user_id", "ts"),
+          purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
+          leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
+          lookback = "1 hour", watermarkDelay = "365 days")
+        .select(col("click_id"), col("purchase_id"),
+          round(col("amount"), 2).as("amount"))
+      val sink = "q_stream_interval_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // Both sides enqueue, then ONE processAllAvailable: a stream-stream
+        // join buffers both inputs in state, so match results don't depend
+        // on which micro-batch carried which side — and each extra commit
+        // cycle costs ~0.5 s of state-store overhead on the replay harness.
+        // Fine-grained incremental arrival (matches across batch
+        // boundaries) is pinned by StreamStreamJoinSpec.
+        def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
+            add: Seq[T] => Unit): Unit =
+          side(typ).toLocalIterator().asScala.map(conv)
+            .grouped(1 << 20)
+            .foreach(b => add(b.toSeq))
+        replay("purchase",
+          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
+          b => purchases.addData(b: _*))
+        replay("click",
+          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
+          b => clicks.addData(b: _*))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).orderBy(col("click_id"), col("purchase_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** Stream-stream FULL OUTER interval join under the correctness gate —
@@ -1412,50 +1413,51 @@ object SparkEntry {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // Width 2 around the WHOLE replay (feed prep included — the r13
-    // toLocalIterator finding, see qStreamDistinct).
+    // toLocalIterator finding, see qStreamDistinct); the restoring try
+    // opens right after the set so no eager step can leak the width
+    // (ADVICE r13).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
-    val ev = t(s, dir, "events")
-    def side(typ: String) = ev.filter(col("event_type") === typ)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      .orderBy(col("ts"), col("event_id"))
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    def future(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
-    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
-    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
-    val joined = StreamingOps.streamingIntervalJoin(
-        clicks.toDF().toDF("click_id", "user_id", "ts"),
-        purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
-        leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
-        lookback = "1 hour", watermarkDelay = "1 minute", joinType = "fullOuter")
-      .select(col("click_id"), col("purchase_id"),
-        round(col("amount"), 2).as("amount"))
-    val sink = "q_stream_full_outer_sink"
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
     try {
-      def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
-          add: Seq[T] => Unit): Unit =
-        side(typ).toLocalIterator().asScala.map(conv)
-          .grouped(1 << 20)
-          .foreach(b => add(b.toSeq))
-      replay("purchase",
-        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
-        b => purchases.addData(b: _*))
-      replay("click",
-        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
-        b => clicks.addData(b: _*))
-      purchases.addData((-1L, -999L, future(100), 0.0))
-      clicks.addData((-1L, -998L, future(100)))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", saved)
-    }
-    s.table(sink)
-      .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
-        coalesce(col("purchase_id"), lit(0L)) >= 0)
-      .orderBy(col("click_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+      val ev = t(s, dir, "events")
+      def side(typ: String) = ev.filter(col("event_type") === typ)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .orderBy(col("ts"), col("event_id"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def future(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+      val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+      val joined = StreamingOps.streamingIntervalJoin(
+          clicks.toDF().toDF("click_id", "user_id", "ts"),
+          purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
+          leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
+          lookback = "1 hour", watermarkDelay = "1 minute", joinType = "fullOuter")
+        .select(col("click_id"), col("purchase_id"),
+          round(col("amount"), 2).as("amount"))
+      val sink = "q_stream_full_outer_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
+            add: Seq[T] => Unit): Unit =
+          side(typ).toLocalIterator().asScala.map(conv)
+            .grouped(1 << 20)
+            .foreach(b => add(b.toSeq))
+        replay("purchase",
+          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
+          b => purchases.addData(b: _*))
+        replay("click",
+          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
+          b => clicks.addData(b: _*))
+        purchases.addData((-1L, -999L, future(100), 0.0))
+        clicks.addData((-1L, -998L, future(100)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
+          coalesce(col("purchase_id"), lit(0L)) >= 0)
+        .orderBy(col("click_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** Stream-stream LEFT OUTER interval join under the correctness gate:
@@ -1473,67 +1475,67 @@ object SparkEntry {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // Width 2 around the WHOLE replay (feed prep included — the r13
-    // toLocalIterator finding, see qStreamDistinct).
+    // toLocalIterator finding, see qStreamDistinct); restoring try opens
+    // right after the set (ADVICE r13).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
-    val ev = t(s, dir, "events")
-    def side(typ: String) = ev.filter(col("event_type") === typ)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      .orderBy(col("ts"), col("event_id"))
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    def future(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
-    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
-    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
-    val joined = StreamingOps.streamingIntervalJoin(
-        clicks.toDF().toDF("click_id", "user_id", "ts"),
-        purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
-        leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
-        lookback = "1 hour", watermarkDelay = "1 minute", joinType = "leftOuter")
-      .select(col("click_id"), col("purchase_id"),
-        round(col("amount"), 2).as("amount"))
-    val sink = "q_stream_outer_sink"
-    // Low width, not cores: a stream-stream OUTER join keeps FOUR state
-    // stores per side per partition, and commit cycles — not data
-    // volume — dominate this replay. State partition count is fixed at
-    // the first checkpoint; size it to key cardinality, not cores.
-    // RocksDB state store measured here (round 8): 6.2 s vs 5.0 s for the
-    // default in-memory provider — JNI + per-batch snapshot overhead on a
-    // KB-scale state. RocksDB pays off when per-partition state outgrows
-    // the heap (real deployments of THIS join shape), not in this replay.
-    val q = joined.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
     try {
-      // Real data AND the far-future sentinels enqueue before the single
-      // processAllAvailable (r9: was three commit cycles — one per side
-      // plus the sentinel batch — each ~0.5 s of state-store overhead).
-      // Late-row filtering uses the PREVIOUS batch's watermark (still at
-      // the epoch), so sentinels riding the same batch drop nothing; the
-      // watermark takes effect at batch END and the engine's no-data
-      // micro-batch (noDataMicroBatches, on by default) then evicts and
-      // emits the unmatched left state — processAllAvailable blocks
-      // through it. Sentinel keys are negative — they match nothing real
-      // and are filtered from the sink read. Incremental cross-batch
-      // arrival is pinned by StreamStreamJoinSpec.
-      def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
-          add: Seq[T] => Unit): Unit =
-        side(typ).toLocalIterator().asScala.map(conv)
-          .grouped(1 << 20)
-          .foreach(b => add(b.toSeq))
-      replay("purchase",
-        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
-        b => purchases.addData(b: _*))
-      replay("click",
-        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
-        b => clicks.addData(b: _*))
-      purchases.addData((-1L, -999L, future(100), 0.0))
-      clicks.addData((-1L, -998L, future(100)))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", saved)
-    }
-    s.table(sink).filter(col("click_id") >= 0)
-      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+      val ev = t(s, dir, "events")
+      def side(typ: String) = ev.filter(col("event_type") === typ)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .orderBy(col("ts"), col("event_id"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def future(days: Int) = new java.sql.Timestamp(maxTs.getTime + days * 86400000L)
+      val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+      val joined = StreamingOps.streamingIntervalJoin(
+          clicks.toDF().toDF("click_id", "user_id", "ts"),
+          purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
+          leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
+          lookback = "1 hour", watermarkDelay = "1 minute", joinType = "leftOuter")
+        .select(col("click_id"), col("purchase_id"),
+          round(col("amount"), 2).as("amount"))
+      val sink = "q_stream_outer_sink"
+      // Low width, not cores: a stream-stream OUTER join keeps FOUR state
+      // stores per side per partition, and commit cycles — not data
+      // volume — dominate this replay. State partition count is fixed at
+      // the first checkpoint; size it to key cardinality, not cores.
+      // RocksDB state store measured here (round 8): 6.2 s vs 5.0 s for the
+      // default in-memory provider — JNI + per-batch snapshot overhead on a
+      // KB-scale state. RocksDB pays off when per-partition state outgrows
+      // the heap (real deployments of THIS join shape), not in this replay.
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // Real data AND the far-future sentinels enqueue before the single
+        // processAllAvailable (r9: was three commit cycles — one per side
+        // plus the sentinel batch — each ~0.5 s of state-store overhead).
+        // Late-row filtering uses the PREVIOUS batch's watermark (still at
+        // the epoch), so sentinels riding the same batch drop nothing; the
+        // watermark takes effect at batch END and the engine's no-data
+        // micro-batch (noDataMicroBatches, on by default) then evicts and
+        // emits the unmatched left state — processAllAvailable blocks
+        // through it. Sentinel keys are negative — they match nothing real
+        // and are filtered from the sink read. Incremental cross-batch
+        // arrival is pinned by StreamStreamJoinSpec.
+        def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
+            add: Seq[T] => Unit): Unit =
+          side(typ).toLocalIterator().asScala.map(conv)
+            .grouped(1 << 20)
+            .foreach(b => add(b.toSeq))
+        replay("purchase",
+          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
+          b => purchases.addData(b: _*))
+        replay("click",
+          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
+          b => clicks.addData(b: _*))
+        purchases.addData((-1L, -999L, future(100), 0.0))
+        clicks.addData((-1L, -998L, future(100)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter(col("click_id") >= 0)
+        .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** Regex field extraction from the JSON-ish props string. */
@@ -1601,34 +1603,33 @@ object SparkEntry {
     // partition (the r13 finding, see qStreamDistinct).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    val ev = t(s, dir, "events")
-    val dim = ops.EventOps.scd2Intervals(
-        ev, "user_id", "ts", "event_id", "event_type")
-      .select(col("user_id").as("d_user"),
-        col("event_type").as("state_type"),
-        col("valid_from_ts"), col("valid_to_ts"))
-    val src = ev.select(col("event_id"), col("user_id"), col("ts"))
-      .orderBy(col("event_id"))
-    val n = src.count()
-    val rows = src.toLocalIterator().asScala
-      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
-    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
-    val enriched = StreamingOps.streamStaticTemporalEnrich(
-        mem.toDF().toDF("event_id", "user_id", "ts"), dim,
-        Seq("user_id" -> "d_user"), "ts", "valid_from_ts", "valid_to_ts")
-      .select(col("event_id"), col("user_id"), col("state_type"),
-        col("valid_to_ts").isNull.as("is_current"))
-    val sink = "q_stream_asof_sink"
-    val q = enriched.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
     try {
-      rows.grouped(math.max(2000, n.toInt + 1))
-        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", saved)
-    }
-    s.table(sink).orderBy(col("event_id"))
+      val ev = t(s, dir, "events")
+      val dim = ops.EventOps.scd2Intervals(
+          ev, "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id").as("d_user"),
+          col("event_type").as("state_type"),
+          col("valid_from_ts"), col("valid_to_ts"))
+      val src = ev.select(col("event_id"), col("user_id"), col("ts"))
+        .orderBy(col("event_id"))
+      val n = src.count()
+      val rows = src.toLocalIterator().asScala
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val enriched = StreamingOps.streamStaticTemporalEnrich(
+          mem.toDF().toDF("event_id", "user_id", "ts"), dim,
+          Seq("user_id" -> "d_user"), "ts", "valid_from_ts", "valid_to_ts")
+        .select(col("event_id"), col("user_id"), col("state_type"),
+          col("valid_to_ts").isNull.as("is_current"))
+      val sink = "q_stream_asof_sink"
+      val q = enriched.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(2000, n.toInt + 1))
+          .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+      } finally q.stop()
+      s.table(sink).orderBy(col("event_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** Structured Streaming under the correctness gate: the events table is
@@ -1650,29 +1651,28 @@ object SparkEntry {
     // fetch jobs (the r13 finding, see qStreamDistinct).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
-    val src = t(s, dir, "events")
-      .select(col("ts"), col("event_type"), col("value"))
-      .orderBy(col("ts"), col("event_type"))
-    val n = src.count()
-    val rows = src.toLocalIterator().asScala
-      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
-    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
-    val agg = StreamingOps.streamingTumblingAgg(
-      mem.toDF().toDF("ts", "event_type", "value"), width = "1 hour", watermark = "2 hours")
-    val sink = "q_stream_tumbling_sink"
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
     try {
-      rows.grouped(math.max(2000, n.toInt + 1))
-        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", saved)
-    }
-    s.table(sink)
-      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
-      .orderBy(col("window_start"), col("event_type"))
+      val src = t(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_type"))
+      val n = src.count()
+      val rows = src.toLocalIterator().asScala
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val agg = StreamingOps.streamingTumblingAgg(
+        mem.toDF().toDF("ts", "event_type", "value"), width = "1 hour", watermark = "2 hours")
+      val sink = "q_stream_tumbling_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        rows.grouped(math.max(2000, n.toInt + 1))
+          .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+      } finally q.stop()
+      s.table(sink)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** Streaming exact dedup under the correctness gate: one surviving row
@@ -1691,29 +1691,28 @@ object SparkEntry {
     // toLocalIterator finding, see qStreamDistinct).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
-    val src = t(s, dir, "events")
-      .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
-    val n = src.count()
-    val rows = src.toLocalIterator().asScala
-      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
-    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
-    val deduped = StreamingOps.streamingDedup(
-      mem.toDF().toDF("ts", "event_id", "user_id", "event_type"),
-      keyCols = Seq("user_id", "event_type"), watermarkDelay = "365 days")
-    val sink = "q_stream_dedup_sink"
-    val q = deduped.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
     try {
-      rows.grouped(math.max(2000, n.toInt + 1))
-        .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", saved)
-    }
-    s.table(sink)
-      .select(col("user_id"), col("event_type"))
-      .orderBy(col("user_id"), col("event_type"))
+      val src = t(s, dir, "events")
+        .select(col("ts"), col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val n = src.count()
+      val rows = src.toLocalIterator().asScala
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      val mem = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+      val deduped = StreamingOps.streamingDedup(
+        mem.toDF().toDF("ts", "event_id", "user_id", "event_type"),
+        keyCols = Seq("user_id", "event_type"), watermarkDelay = "365 days")
+      val sink = "q_stream_dedup_sink"
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(2000, n.toInt + 1))
+          .foreach(batch => { mem.addData(batch.toSeq: _*); q.processAllAvailable() })
+      } finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** Gap sessionization via Spark's BUILT-IN `session_window` operator —
@@ -1736,36 +1735,35 @@ object SparkEntry {
     // toLocalIterator finding, see qStreamDistinct).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
-    val src = t(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("value"))
-      .orderBy(col("ts"), col("user_id"))
-    val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
-    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
-    val sess = mem.toDF().toDF("user_id", "ts", "value")
-      .withWatermark("ts", "30 minutes")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("_sv"))
-    val sink = "q_stream_session_builtin_sink"
-    val q = sess.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
     try {
-      src.toLocalIterator().asScala
-        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
-        .grouped(1 << 20)
-        .foreach(b => mem.addData(b.toSeq: _*))
-      mem.addData((-1L,
-        new java.sql.Timestamp(maxTs.getTime + 100L * 86400000L), 0.0))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", saved)
-    }
-    s.table(sink).filter(col("user_id") >= 0)
-      .select(col("user_id"),
-        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
-          .as("session_start"),
-        col("n_events"), round(col("_sv"), 2).as("session_value"))
-      .orderBy(col("user_id"), col("session_start"))
+      val src = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+        .orderBy(col("ts"), col("user_id"))
+      val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+      val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val sess = mem.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("_sv"))
+      val sink = "q_stream_session_builtin_sink"
+      val q = sess.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        src.toLocalIterator().asScala
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+          .grouped(1 << 20)
+          .foreach(b => mem.addData(b.toSeq: _*))
+        mem.addData((-1L,
+          new java.sql.Timestamp(maxTs.getTime + 100L * 86400000L), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          col("n_events"), round(col("_sv"), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** Custom stateful streaming under the correctness gate: gap
@@ -1787,49 +1785,47 @@ object SparkEntry {
     // toLocalIterator finding, see qStreamDistinct).
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
-    val src = t(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("value"))
-      .orderBy(col("ts"), col("user_id"))
-    // One aggregate pass for the replay plan (count → batch split, max ts
-    // → sentinel placement); rows then stream through the driver one
-    // partition at a time.
-    val stats = src.agg(count(lit(1)).as("n"), max(col("ts")).as("mx")).head()
-    val n = stats.getLong(0)
-    val maxTs = stats.getTimestamp(1).getTime
-    val rows = src.toLocalIterator().asScala
-      .map(r => StreamingOps.SessionInput(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
-    val mem = MemoryStream[StreamingOps.SessionInput]
-    val sessions = StreamingOps.streamingSessionize(
-      mem.toDS(), gapSeconds = gap, watermarkDelay = "30 minutes")
-    val sink = "q_stream_sessionize_sink"
-    val q = sessions.writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
     try {
-      // Two micro-batches (r13; was three — the two data halves merged,
-      // each dropped commit cycle is ~0.7-1.2 s on this harness): ONE
-      // data batch carrying the first far-future sentinel, which advances
-      // the watermark past every open session's timeout at batch end,
-      // then one sentinel batch in which those timeouts fire and flush.
-      // The ordered-replay timeout-safety argument is unchanged — within
-      // a batch flatMapGroupsWithState sees each user's rows together and
-      // the watermark only moves AT batch end; boundary-spanning state is
-      // covered by StreamingOpsSpec's own multi-batch replay.
-      def sentinel(i: Int) = StreamingOps.SessionInput(-1L,
-        new java.sql.Timestamp(maxTs + (gap + 3600L * i) * 1000), 0.0)
-      mem.addData((rows.toSeq :+ sentinel(1)): _*)
-      q.processAllAvailable()
-      mem.addData(sentinel(2))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      s.conf.set("spark.sql.shuffle.partitions", saved)
-    }
-    s.table(sink)
-      .filter(col("user_id") =!= -1L)
-      .select(col("user_id"),
-        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-        col("n_events"), round(col("session_value"), 2).as("session_value"))
-      .orderBy(col("user_id"), col("session_start"))
+      val src = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+        .orderBy(col("ts"), col("user_id"))
+      // One aggregate pass for the replay plan (count → batch split, max ts
+      // → sentinel placement); rows then stream through the driver one
+      // partition at a time.
+      val stats = src.agg(count(lit(1)).as("n"), max(col("ts")).as("mx")).head()
+      val maxTs = stats.getTimestamp(1).getTime
+      val rows = src.toLocalIterator().asScala
+        .map(r => StreamingOps.SessionInput(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      val mem = MemoryStream[StreamingOps.SessionInput]
+      val sessions = StreamingOps.streamingSessionize(
+        mem.toDS(), gapSeconds = gap, watermarkDelay = "30 minutes")
+      val sink = "q_stream_sessionize_sink"
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // Two micro-batches (r13; was three — the two data halves merged,
+        // each dropped commit cycle is ~0.7-1.2 s on this harness): ONE
+        // data batch carrying the first far-future sentinel, which advances
+        // the watermark past every open session's timeout at batch end,
+        // then one sentinel batch in which those timeouts fire and flush.
+        // The ordered-replay timeout-safety argument is unchanged — within
+        // a batch flatMapGroupsWithState sees each user's rows together and
+        // the watermark only moves AT batch end; boundary-spanning state is
+        // covered by StreamingOpsSpec's own multi-batch replay.
+        def sentinel(i: Int) = StreamingOps.SessionInput(-1L,
+          new java.sql.Timestamp(maxTs + (gap + 3600L * i) * 1000), 0.0)
+        mem.addData((rows.toSeq :+ sentinel(1)): _*)
+        q.processAllAvailable()
+        mem.addData(sentinel(2))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+        .filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), round(col("session_value"), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** As-of backward join: each click matched to the user's latest prior
@@ -3673,9 +3669,12 @@ object SparkEntry {
     // ~13 s; 4 iterations read ~5.5 s with the same top-10 on this
     // graph (GraphOpsSpec pins the 4-vs-6 convergence delta), and the
     // oracle unrolls the same 4 steps.
+    // bipartite: parts sit at 2k, suppliers at 2k+1 (the supplyPairs
+    // parity encoding) — the src/dst node sets are provably disjoint, so
+    // the r14 prologue fast path applies (no union+distinct node build).
     val scores = graft.graph.GraphOps.hits(
       supplyPairs(s, dir).select(col("a").as("src"), col("b").as("dst")),
-      iters = 4, dedupEdges = false)
+      iters = 4, dedupEdges = false, bipartite = true)
     val authTop = scores
       .orderBy(col("auth").desc, col("node")).limit(10)
       .withColumn("side", lit("auth"))

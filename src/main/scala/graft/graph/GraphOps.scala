@@ -792,32 +792,72 @@ object GraphOps {
     * Scale·indeg·Scale ≈ 10³³ at 10⁹ in-degree); lineage truncates via
     * eager localCheckpoint every iteration; the driver holds one scalar
     * (|E| for partition sizing).
+    *
+    * `bipartite = true` is a caller PROMISE that the src and dst node
+    * sets are disjoint (results are wrong if violated — same contract
+    * style as pageRank's `symmetric`): the node-set build then skips the
+    * union+distinct shuffle and the final zero-fill splits per side.
     */
   def hits(edges: DataFrame, iters: Int = 6,
-      dedupEdges: Boolean = true): DataFrame = {
+      dedupEdges: Boolean = true,
+      bipartite: Boolean = false): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
     val e0 = edges.filter(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src").cast("long"), col("dst").cast("long"))
     val e = (if (dedupEdges) e0.distinct() else e0)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
-    if (n == 0) {
-      e.unpersist(blocking = false)
-      return nodes.select(col("node"), lit(0L).as("auth"), lit(0L).as("hub"))
-    }
     val nE = e.count()
     val spark = edges.sparkSession
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
     val eS = e.repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val eD = e.repartition(parts, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // BIPARTITE hint (caller guarantees the src and dst node sets are
+    // DISJOINT — e.g. a parity-encoded part→supplier graph): the node set
+    // is then srcN ⊎ dstN with no cross-side duplicates, so each side's
+    // distinct runs EXCHANGE-FREE on its pre-partitioned edge cache
+    // (alias-aware output partitioning carries hashpartitioning(src)
+    // through the rename) instead of one union+distinct shuffle over
+    // 2|E| rows — the pageRank `symmetric` prologue economics (r13)
+    // applied to the bipartite case. The hub/auth zero-fill in the final
+    // assembly splits per side for the same reason: hub keys ⊆ srcN and
+    // auth keys ⊆ dstN by disjointness.
+    val (nodes, srcN, dstN) =
+      if (bipartite) {
+        val sN = eS.select(col("src").as("node")).distinct()
+        val dN = eD.select(col("dst").as("node")).distinct()
+        (sN.union(dN), sN, dN)
+      } else {
+        val ns = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (ns, ns, ns)
+      }
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist(blocking = false)
+      eS.unpersist(blocking = false)
+      eD.unpersist(blocking = false)
+      if (!bipartite) nodes.unpersist(blocking = false)
+      return nodes.select(col("node"), lit(0L).as("auth"), lit(0L).as("hub"))
+    }
     val dec = "decimal(38,0)"
+    // AQE is DISABLED for the iteration loop (r14, measured: solo q_hits
+    // 8.1 → 5.6 s, 72 → 36 jobs/run): at graph-sized widths every AQE
+    // query stage runs as its own job and the per-job floor dominates
+    // these small half-steps. AQE's benefits don't bind here — the width
+    // is already sized to the graph explicitly, both half-step joins land
+    // on the pre-partitioned eS/eD caches AQE wouldn't re-plan, the power
+    // sums are partial-agg protected against hub skew (map-side combine
+    // collapses hot keys before the shuffle), and the Σ normalizer is a
+    // one-row broadcast either way. The raw-edge dedup scan — where
+    // coalescing and skew handling DO matter at 100 TB — materialized
+    // under the session's AQE setting in the counts above.
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // half-step: push `fromCol` mass along (joinKey → outKey),
       // L1-normalize. The iterate stays SPARSE — only nodes that
@@ -855,14 +895,19 @@ object GraphOps {
       }
       // Checkpoint each HALF-step. The tempting fusion — leave auth lazy
       // inside the hub half so each iteration is one job — was measured
-      // this round and is ~45% SLOWER (6.6 s -> 9.5 s solo at sf0.1): the
+      // in r13 and is ~45% SLOWER (6.6 s -> 9.5 s solo at sf0.1): the
       // Σ broadcast references its raw subtree twice, so the lazy auth
       // half appears 4x in the fused plan, and under AQE those duplicated
       // shuffle stages re-execute rather than reuse. Two eager jobs per
       // iteration keep every subtree evaluated exactly once.
-      var hub = nodes
-        .select(col("node"), lit(RankScale / n).as("hub"))
-        .localCheckpoint(true)
+      // The INITIALIZER, by contrast, is not checkpointed (r14): it is a
+      // literal projection over a cached relation (srcN's exchange-free
+      // distinct under the bipartite hint; the persisted nodes otherwise),
+      // and only nodes WITH out-edges contribute to the first half-step's
+      // join, so initializing over srcN is arithmetic-identical to the
+      // all-nodes form — the init literal cancels exactly in the first L1
+      // normalization either way. One whole checkpoint job saved.
+      var hub = srcN.select(col("node"), lit(RankScale / n).as("hub"))
       var auth: DataFrame = null
       var i = 0
       while (i < iters) {
@@ -876,19 +921,35 @@ object GraphOps {
         hub = nextHub
         i += 1
       }
-      val out = nodes
-        .join(auth, Seq("node"), "left")
-        .join(hub, Seq("node"), "left")
-        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"),
-          coalesce(col("hub"), lit(0L)).as("hub"))
+      // Zero-fill assembly. Bipartite: hub keys ⊆ srcN and auth keys ⊆
+      // dstN (disjoint sides), so each side takes ONE left join against
+      // its half of the node set with the other column a literal zero —
+      // two half-size joins instead of two full-size ones, and no read of
+      // a unioned node relation.
+      val out = (if (bipartite)
+          srcN.join(hub, Seq("node"), "left")
+            .select(col("node"), lit(0L).as("auth"),
+              coalesce(col("hub"), lit(0L)).as("hub"))
+            .union(dstN.join(auth, Seq("node"), "left")
+              .select(col("node"),
+                coalesce(col("auth"), lit(0L)).as("auth"),
+                lit(0L).as("hub")))
+        else nodes
+          .join(auth, Seq("node"), "left")
+          .join(hub, Seq("node"), "left")
+          .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"),
+            coalesce(col("hub"), lit(0L)).as("hub")))
         .localCheckpoint(true)
       auth.unpersist(blocking = false)
       hub.unpersist(blocking = false)
       e.unpersist(blocking = false)
       eS.unpersist(blocking = false)
       eD.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
+      if (!bipartite) nodes.unpersist(blocking = false)
       out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
   }
 }

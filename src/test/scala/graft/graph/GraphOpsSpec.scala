@@ -335,6 +335,31 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("hits: bipartite hint is result-identical to the default path") {
+    // The r14 prologue fast path (per-side exchange-free node distincts,
+    // no init checkpoint, split zero-fill assembly) is a plan-shape
+    // change ONLY — on graphs honoring the disjoint-sides promise the
+    // row set must match the default path exactly, including the
+    // all-nodes zero-fill and the init-literal cancellation argument
+    // (init over srcN ≡ init over all nodes because dst-only nodes never
+    // join the first half-step).
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val pairs = (1 to 120 * trial).map { _ =>
+        (rnd.nextInt(25).toLong * 2, 1L + rnd.nextInt(12).toLong * 2)
+      }.distinct
+      val edges = pairs.toDF("src", "dst")
+      val base = GraphOps.hits(edges, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fast = GraphOps.hits(edges, iters = 3, bipartite = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == base, s"trial $trial: bipartite path diverged")
+    }
+    // empty edge set under the hint: same no-division-error contract
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphOps.hits(none, iters = 2, bipartite = true).count() == 0L)
+  }
+
   test("degreeDistribution: star graph — one hub of degree n, n leaves of 1") {
     val n = 6L
     val edges = (1L to n).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
