@@ -763,9 +763,28 @@ object Similarity {
       nCells: Int = 16,
       nprobe: Int = 4,
       quantScale: Int = 1000,
-      trainFraction: Double = 1.0): DataFrame = {
-    val cents = ivfCentroidsLocal(corpus, idCol, vecCol, nCells,
-      quantScale = quantScale, trainFraction = trainFraction)
+      trainFraction: Double = 1.0): DataFrame =
+    ivfTopKWith(
+      ivfCentroidsLocal(corpus, idCol, vecCol, nCells,
+        quantScale = quantScale, trainFraction = trainFraction),
+      corpus, queries, idCol, vecCol, queryIdCol, k, nprobe, quantScale)
+
+  /** Serving path of [[ivfTopK]] against a pre-trained centroid table —
+    * the IVF analog of [[pqTopKWith]]: at corpus scale the coarse
+    * quantizer is trained once per corpus snapshot (the build-once index
+    * artifact) and reused by every query batch, so the trained
+    * `(cid, cv)` seq is a first-class value like [[PqModel]].
+    */
+  def ivfTopKWith(
+      cents: Seq[(Int, IndexedSeq[Long])],
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      quantScale: Int = 1000): DataFrame = {
     if (cents.isEmpty) { // empty corpus: no cells, no neighbors
       val spark = corpus.sparkSession
       import org.apache.spark.sql.types._
@@ -829,10 +848,26 @@ object Similarity {
       nCells: Int = 64,
       nprobe: Int = 8,
       quantScale: Int = 1000,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0): DataFrame =
+    ivfTopKJoinedWith(
+      ivfCentroidsLocal(corpus, idCol, vecCol, nCells,
+        quantScale = quantScale, trainFraction = trainFraction),
+      corpus, queries, idCol, vecCol, queryIdCol, k, nprobe, quantScale)
+
+  /** Serving path of [[ivfTopKJoined]] against a pre-trained centroid
+    * table — see [[ivfTopKWith]] for the build-once contract.
+    */
+  def ivfTopKJoinedWith(
+      cents: Seq[(Int, IndexedSeq[Long])],
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      nprobe: Int = 8,
+      quantScale: Int = 1000): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = ivfCentroidsLocal(corpus, idCol, vecCol, nCells,
-      quantScale = quantScale, trainFraction = trainFraction)
     if (cents.isEmpty) { // empty corpus: no cells, no neighbors
       import org.apache.spark.sql.types._
       return spark.createDataFrame(
@@ -1260,9 +1295,13 @@ object Similarity {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int = 64, eps: Double = 0.95, iters: Int = 2,
-      quantScale: Int = 1000, trainFraction: Double = 1.0): DataFrame = {
+      quantScale: Int = 1000, trainFraction: Double = 1.0,
+      centroids: Option[Seq[(Int, IndexedSeq[Long])]] = None): DataFrame = {
     require(eps >= -1.0 && eps <= 1.0, s"eps must be a cosine, got $eps")
-    val cents = ivfCentroidsLocal(df, idCol, vecCol, k, iters, quantScale, trainFraction)
+    // `centroids` = pre-trained coarse quantizer (the ivfTopKWith
+    // build-once contract); None trains in place.
+    val cents = centroids.getOrElse(
+      ivfCentroidsLocal(df, idCol, vecCol, k, iters, quantScale, trainFraction))
     val base = df.select(col(idCol).as("id"), quantize(col(vecCol), quantScale).as("v"))
       .withColumn("vn", quantizedNorm(col("v")))
     if (cents.isEmpty)
