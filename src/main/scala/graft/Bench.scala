@@ -16,6 +16,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — extra session confs for A/B
+    // experiments (e.g. spark.graft.iterLoopAqe=session) without a
+    // recompile; the driver never sets it.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // Untimed warm-up, two layers:
     //  (1) a tiny count over EVERY test table — Hadoop-FS init, parquet
     //      footer reads, and scan codegen otherwise land on whichever

@@ -26,6 +26,12 @@ object ProfileJobs {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same A/B conf passthrough as Bench
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     val fn = SparkEntry.queries(name)
     for (_ <- 1 to warm) {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -138,6 +138,15 @@ object GraphOps {
     // every iteration plans in constant time. At cluster scale the same
     // shape holds (reliable checkpoint if executor loss must be
     // survivable).
+    // Loop AQE stays ON here (unlike [[hits]]): an interleaved
+    // fresh-JVM A/B (r14, 3 pairs, best-of-3 per config) measured the
+    // pageRank family 28.4 s WITH session AQE vs 32.6 s without —
+    // worst on the weighted/personalized forms (3.6 vs 5.4, 4.0 vs
+    // 5.7). AQE's runtime join re-planning is load-bearing for this
+    // loop shape (the checkpointed iterate joins nb/allE where static
+    // stats mis-pick the strategy); the per-job stage floor it adds is
+    // cheaper than the mis-planned joins. hits is the opposite — its
+    // measured asymmetry is documented there.
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
@@ -843,17 +852,17 @@ object GraphOps {
       return nodes.select(col("node"), lit(0L).as("auth"), lit(0L).as("hub"))
     }
     val dec = "decimal(38,0)"
-    // AQE is DISABLED for the iteration loop (r14, measured: solo q_hits
-    // 8.1 → 5.6 s, 72 → 36 jobs/run): at graph-sized widths every AQE
-    // query stage runs as its own job and the per-job floor dominates
-    // these small half-steps. AQE's benefits don't bind here — the width
-    // is already sized to the graph explicitly, both half-step joins land
-    // on the pre-partitioned eS/eD caches AQE wouldn't re-plan, the power
-    // sums are partial-agg protected against hub skew (map-side combine
-    // collapses hot keys before the shuffle), and the Σ normalizer is a
-    // one-row broadcast either way. The raw-edge dedup scan — where
-    // coalescing and skew handling DO matter at 100 TB — materialized
-    // under the session's AQE setting in the counts above.
+    // AQE is DISABLED inside the hits loop (r14, measured: solo 8.1 →
+    // 5.6 s, 72 → 36 jobs/run): every AQE query stage runs as its own
+    // job and the per-job floor dominates these small half-steps, while
+    // both half-step joins land on the pre-partitioned eS/eD caches and
+    // the Σ normalizer is a one-row broadcast either way — there is
+    // nothing left for AQE to re-plan. This is OPPOSITE to the pageRank
+    // family, where the same interleaved A/B measured session-AQE 13%
+    // FASTER (28.4 vs 32.6 s) because its loop joins (iterate⋈nb,
+    // iterate⋈allE) need AQE's runtime strategy choice — per-operator
+    // measurement, not a blanket rule. The raw-edge dedup scan
+    // materialized under the session's AQE setting in the counts above.
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)

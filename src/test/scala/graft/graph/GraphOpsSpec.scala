@@ -360,6 +360,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.hits(none, iters = 2, bipartite = true).count() == 0L)
   }
 
+  test("iterative ops are AQE-independent and restore the session setting") {
+    // hits disables AQE inside its loop; the pageRank family keeps it
+    // (both per r14 interleaved measurements) — either way the results
+    // are a pure function of the edge set, so flipping the SESSION AQE
+    // setting must change plans only, and every op must restore the
+    // session value it found (the conf-leak contract).
+    val rnd = new scala.util.Random(29)
+    val pairs = (1 to 300).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val edges = pairs.toDF("src", "dst")
+    val seeds = Seq(0L, 2L, 4L).toDF("node")
+    def all() = (
+      GraphOps.pageRank(edges, iters = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      GraphOps.labelPropagation(edges, iters = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      GraphOps.bfsDepths(edges, seeds, rounds = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      GraphOps.hits(edges, iters = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    val withAqe = all()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == before,
+      "ops must restore the session AQE setting")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val withoutAqe =
+      try all()
+      finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    assert(withAqe == withoutAqe,
+      "session AQE setting must not change any result")
+  }
+
   test("degreeDistribution: star graph — one hub of degree n, n leaves of 1") {
     val n = 6L
     val edges = (1L to n).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
