@@ -31,7 +31,8 @@ object ExplainAudit {
       "q_bpe_encode", "q_dict_tag", "q_interval_overlap", "q_safe_split",
       "q_fuzzy_join", "q_lm_backoff", "q_label_vote",
       "q_skipgram", "q_bleu", "q_heaps",
-      "q_dedup_minhash_lsh", "q_ann_pq", "q_recommend")
+      "q_dedup_minhash_lsh", "q_ann_pq", "q_recommend",
+      "q_hits", "q_harmonic")
     interesting.foreach { name =>
       println(s"########## $name")
       println(SparkEntry.queries(name)(spark, d)

@@ -136,6 +136,32 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
   }
 
+  test("hits holds sub-quadratic at sf1 (10x edges)", PerfTag) {
+    // Directed part→supplier graph off sf0.1 lineitem (the q_hits shape,
+    // bipartite hint on); replicas shift ids by an even stride so the
+    // parity sides stay disjoint and the 10 copies never connect. Scores
+    // rescale per copy, so the assertion is the node-count contract +
+    // the runtime envelope — 10x edges must cost FAR under the quadratic
+    // 100x (each half-step is one keyed join + two aggregations, linear
+    // in |E|).
+    val pairs = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .groupBy((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("w")).drop("w")
+    val p10 = pairs.withColumn("k", explode(sequence(lit(0), lit(9))))
+      .select((col("src") + col("k") * 20000000L).as("src"),
+        (col("dst") + col("k") * 20000000L).as("dst"))
+    val (n1, t1) = timed("hits 1x (sf0.1)")(
+      graft.graph.GraphOps.hits(pairs, iters = 4,
+        dedupEdges = false, bipartite = true).count())
+    spark.catalog.clearCache()
+    val (n10, t10) = timed("hits 10x (~sf1 edges)")(
+      graft.graph.GraphOps.hits(p10, iters = 4,
+        dedupEdges = false, bipartite = true).count())
+    spark.catalog.clearCache()
+    assert(n10 == 10 * n1, s"node count not 10 exact copies: $n1 -> $n10")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
+
   test("pqTopKWith holds sub-quadratic at sf1", PerfTag) {
     val q1 = emb1.filter(col("vec_id") < 10)
     val (n1, t1) = timed("pq 1x (sf0.1)")({

@@ -136,6 +136,60 @@ class StreamBatchTwinSpec extends SparkSpec {
     }
   }
 
+  test("interval join: multi-batch replay equals the batch range join on random events") {
+    // The stream-stream twin: clicks and purchases arrive interleaved
+    // across random batch boundaries (the state store must buffer each
+    // side until the other's matches arrive — exactly what the bench
+    // replay's single-batch enqueue never exercises), and the finished
+    // stream must equal the batch range join p_ts ∈ [ts − 1h, ts].
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(80)
+    for (trial <- 1 to 2) {
+      val clicksRows = randomEvents(rnd, 120).zipWithIndex
+        .map { case (e, i) => (1000L + i, e._2, e._1) } // (click_id, user, ts)
+      val purchRows = randomEvents(rnd, 120).zipWithIndex
+        .map { case (e, i) => (5000L + i, e._2, e._1, e._4) }
+      val expected = clicksRows.flatMap { case (cid, u, ts) =>
+        purchRows.collect {
+          case (pid, pu, pts, amt)
+            if pu == u && pts.getTime <= ts.getTime &&
+              pts.getTime >= ts.getTime - 3600L * 1000 =>
+            (cid, pid, math.round(amt * 100))
+        }
+      }.toSet
+      assert(expected.nonEmpty, s"trial $trial: no matches generated — vacuous")
+      val clicks = MemoryStream[(Long, Long, Timestamp)]
+      val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+      val joined = StreamingOps.streamingIntervalJoin(
+        clicks.toDF().toDF("click_id", "user_id", "ts"),
+        purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
+        leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
+        lookback = "1 hour", watermarkDelay = "365 days")
+      val sink = s"twin_interval_$trial"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // interleave: alternate batches between the two sides so matches
+        // must form across the batch boundary in BOTH directions
+        val cb = randomBatches(rnd, clicksRows)
+        val pb = randomBatches(rnd, purchRows)
+        (0 until math.max(cb.size, pb.size)).foreach { i =>
+          if (i < cb.size) clicks.addData(cb(i): _*)
+          if (i < pb.size) purchases.addData(pb(i): _*)
+          q.processAllAvailable()
+        }
+        val got = spark.table(sink)
+          .select(col("click_id"), col("purchase_id"), col("amount"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+          .toSet
+        assert(got == expected,
+          s"trial $trial: stream ${got.size} vs batch ${expected.size}; " +
+            s"only-stream=${(got -- expected).take(3)} only-batch=${(expected -- got).take(3)}")
+      } finally q.stop()
+    }
+  }
+
   test("dedup: multi-batch replay key set equals the batch distinct on random events") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new Random(79)
