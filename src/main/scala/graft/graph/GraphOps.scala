@@ -77,23 +77,11 @@ object GraphOps {
         e0.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       else e0)
       .persist(StorageLevel.MEMORY_AND_DISK) // read 4× below (nodes, loops, allE×2)
-    // SYMMETRIC hint (caller guarantees every edge has its reverse — the
-    // bidirectional-graph case): every node then appears as a src, so the
-    // node set needs no dst-side union and NO node can dangle — the
-    // self-loop anti-join and its union are dead weight (two jobs and a
-    // persisted relation per call, measured ~0.7 s at sf0.1).
-    val nodes = (if (symmetric) e.select(col("src").as("node")).distinct()
-      else e.select(col("src").as("node"))
-        .union(e.select(col("dst").as("node")))
-        .distinct())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
-    if (n == 0) { // empty edge set → empty ranking, not a division by zero
+    val nE = e.count()
+    if (nE == 0) { // empty edge set → empty ranking, not a division by zero
       e.unpersist(blocking = false)
-      nodes.unpersist(blocking = false)
-      return nodes.select(col("node"), lit(0L).as("rank"))
+      return e.select(col("src").as("node"), lit(0L).as("rank"))
     }
-    val nE = e.count() // cached by the nodes pass — a metadata-cheap job
     // Size iteration parallelism to the GRAPH, not the session default:
     // sharding |V|-row ranks and |E|-row contributions default-wide means
     // every iteration pays (stages × default-parallelism) scheduling for
@@ -105,27 +93,50 @@ object GraphOps {
     val spark = edges.sparkSession
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
-    // Degrees fold the edge+degree join into ONE persisted relation
-    // pre-partitioned on src AT the iteration width: every iteration's
-    // rank⋈edge join lands on this cached partitioning instead of
-    // re-shuffling the (big) edge side every pass. The looped union is
-    // persisted so the anti-join behind selfLoops runs once, not twice
-    // (it feeds both the edge rows and the degree aggregation). Under the
-    // symmetric hint no node dangles, so u IS e (no loops, no extra cache).
-    val u =
-      if (symmetric) e
-      else {
-        val selfLoops = nodes
+    // SYMMETRIC hint (caller guarantees every edge has its reverse — the
+    // bidirectional-graph case): every node then appears as a src and NO
+    // node can dangle, so the dst-side union and the self-loop anti-join
+    // are dead weight — and pre-partitioning the edge relation FIRST
+    // (r14) makes the whole prologue exchange-free: the node distinct,
+    // the degree aggregation, and the edge⋈degree join all run on the
+    // cached hashpartitioning(src) layout (alias-aware propagation), so
+    // the only shuffle left in the symmetric prologue is the repartition
+    // itself. allE inherits that partitioning through the join — no
+    // explicit repartition needed.
+    //
+    // Non-symmetric keeps the original shape: degrees fold the
+    // edge+degree join into ONE persisted relation pre-partitioned on
+    // src AT the iteration width; the looped union is persisted so the
+    // anti-join behind selfLoops runs once, not twice (it feeds both the
+    // edge rows and the degree aggregation).
+    val (nodes, u, allE) =
+      if (symmetric) {
+        val eP = e.repartition(parts, col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nds = eP.select(col("src").as("node")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val aE = eP
+          .join(eP.groupBy(col("src")).agg(sum(col("w")).as("deg")), "src")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (nds, eP, aE)
+      } else {
+        val nds = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node")))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val selfLoops = nds
           .join(e.select(col("src")).distinct(),
             col("node") === col("src"), "left_anti")
           .select(col("node").as("src"), col("node").as("dst"),
             lit(1L).as("w"))
-        e.union(selfLoops).persist(StorageLevel.MEMORY_AND_DISK)
+        val looped = e.union(selfLoops).persist(StorageLevel.MEMORY_AND_DISK)
+        val aE = looped
+          .join(looped.groupBy(col("src")).agg(sum(col("w")).as("deg")), "src")
+          .repartition(parts, col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (nds, looped, aE)
       }
-    val allE = u
-      .join(u.groupBy(col("src")).agg(sum(col("w")).as("deg")), "src")
-      .repartition(parts, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
 
     // Each iteration CHECKPOINTS its rank relation (eager localCheckpoint)
     // and drops the previous one — the mandatory shape for iterative
@@ -281,7 +292,12 @@ object GraphOps {
       else e0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Symmetric hint as in [[pageRank]]: every node appears as a src, so
-    // the dst-side union before the distinct is redundant work.
+    // the dst-side union before the distinct is redundant work. The
+    // pageRank r14 pre-partitioned prologue was A/B-measured HERE and
+    // rejected (3.57/3.15 vs 3.73/3.35 best — noise): the self-vote
+    // union discards partitioning so the repartition survives either
+    // way, making it add-one-shuffle-remove-one-shuffle plus an extra
+    // persisted copy, where pageRank removed two shuffles net.
     val nodes = (if (symmetric) e.select(col("src").as("node")).distinct()
       else e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node")))
