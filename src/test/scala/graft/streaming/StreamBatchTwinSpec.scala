@@ -190,6 +190,51 @@ class StreamBatchTwinSpec extends SparkSpec {
     }
   }
 
+  test("temporal enrich: multi-batch replay equals the batch interval join on a random SCD-2 dim") {
+    // The stream-static as-of twin (q_stream_asof's shape): the SCD-2
+    // validity dim is built from the SAME random events, then the events
+    // replay in random micro-batches and each probes the dim for the
+    // state valid at its timestamp. Stateless per micro-batch, so the
+    // finished stream must equal the batch interval join row-for-row —
+    // here fuzzed over random attribute-change patterns instead of the
+    // bench's fixed table.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new Random(81)
+    for (trial <- 1 to 2) {
+      val rows = randomEvents(rnd, 200).zipWithIndex
+        .map { case (e, i) => (100L + i, e._2, e._1, e._3) } // (event_id, user, ts, type)
+      val ev = rows.toDF("event_id", "user_id", "ts", "event_type")
+      val dim = graft.ops.EventOps.scd2Intervals(
+          ev, "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id").as("d_user"),
+          col("event_type").as("state_type"),
+          col("valid_from_ts"), col("valid_to_ts"))
+      val expected = ev.join(dim,
+          ev("user_id") === dim("d_user") &&
+            ev("ts") >= dim("valid_from_ts") &&
+            (dim("valid_to_ts").isNull || ev("ts") < dim("valid_to_ts")),
+          "left")
+        .select(col("event_id"), col("state_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val mem = MemoryStream[(Long, Long, Timestamp)]
+      val enriched = StreamingOps.streamStaticTemporalEnrich(
+          mem.toDF().toDF("event_id", "user_id", "ts"), dim,
+          Seq("user_id" -> "d_user"), "ts", "valid_from_ts", "valid_to_ts")
+        .select(col("event_id"), col("state_type"))
+      val sink = s"twin_temporal_$trial"
+      val q = enriched.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        randomBatches(rnd, rows.map(r => (r._1, r._2, r._3)))
+          .foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        val got = spark.table(sink).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got == expected,
+          s"trial $trial: stream ${got.size} vs batch ${expected.size}")
+      } finally q.stop()
+    }
+  }
+
   test("dedup: multi-batch replay key set equals the batch distinct on random events") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new Random(79)
