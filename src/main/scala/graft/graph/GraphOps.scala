@@ -859,8 +859,17 @@ object GraphOps {
           .persist(StorageLevel.MEMORY_AND_DISK)
         (ns, ns, ns)
       }
-    val n = nodes.count()
-    if (n == 0) {
+    // NO node count (r14): unlike pageRank — whose additive teleport
+    // base needs N every iteration — HITS' normalization is purely
+    // multiplicative, so the all-equal initializer CANCELS in the first
+    // L1 normalization exactly: floor((c·indeg·S) div (c·Σindeg)) =
+    // floor((indeg·S) div Σindeg) for ANY positive constant c (equal
+    // rationals floor equally), and after that first step the iterate is
+    // identical regardless of c. The job that counted nodes only fed the
+    // RankScale/n literal — deleted; init uses RankScale itself.
+    // Decimal(38,0) headroom with the bigger c: raw·Scale ≈
+    // 10²⁴·indeg ≤ 10³⁸ ⟹ indeg ≤ 10¹⁴ — beyond any real graph.
+    if (nE == 0) {
       e.unpersist(blocking = false)
       eS.unpersist(blocking = false)
       eD.unpersist(blocking = false)
@@ -932,7 +941,7 @@ object GraphOps {
       // join, so initializing over srcN is arithmetic-identical to the
       // all-nodes form — the init literal cancels exactly in the first L1
       // normalization either way. One whole checkpoint job saved.
-      var hub = srcN.select(col("node"), lit(RankScale / n).as("hub"))
+      var hub = srcN.select(col("node"), lit(RankScale).as("hub"))
       var auth: DataFrame = null
       var i = 0
       while (i < iters) {
