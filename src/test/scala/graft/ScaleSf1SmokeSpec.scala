@@ -162,6 +162,35 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
   }
 
+  test("recommendItems holds sub-quadratic at sf1 (10x baskets)", PerfTag) {
+    // Item-item CF off sf0.1 order baskets (the q_recommend shape, the
+    // bench's #2 query): replicas shift BOTH customer and part ids by a
+    // common stride, so the ten copies are disjoint universes whose
+    // pair supports, neighbor caps, and scores are identical — the 10x
+    // recommendation set must be exactly ten shifted copies of the 1x
+    // set (row-count-asserted) while the wall stays linear: the pair
+    // matrix grows 10x with baskets, never baskets².
+    val stride = 20000000L
+    val ui = spark.read.parquet(s"$sf01/orders.parquet")
+      .join(spark.read.parquet(s"$sf01/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    val ui10 = ui.withColumn("k", explode(sequence(lit(0), lit(9))))
+      .select((col("o_custkey") + col("k") * stride).as("o_custkey"),
+        (col("l_partkey") + col("k") * stride).as("l_partkey"))
+    val filt = Some(pmod(col("basket"), lit(stride)) <= 60L)
+    val (n1, t1) = timed("recommend 1x (sf0.1)")(
+      graft.ops.MarketBasket.recommendItems(ui, "o_custkey", "l_partkey",
+        k = 3, minSupport = 2L, neighborCap = 20, basketFilter = filt).count())
+    spark.catalog.clearCache()
+    val (n10, t10) = timed("recommend 10x (~sf1 baskets)")(
+      graft.ops.MarketBasket.recommendItems(ui10, "o_custkey", "l_partkey",
+        k = 3, minSupport = 2L, neighborCap = 20, basketFilter = filt).count())
+    spark.catalog.clearCache()
+    assert(n10 == 10 * n1, s"recommendation set not 10 exact copies: $n1 -> $n10")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
+
   test("pqTopKWith holds sub-quadratic at sf1", PerfTag) {
     val q1 = emb1.filter(col("vec_id") < 10)
     val (n1, t1) = timed("pq 1x (sf0.1)")({
