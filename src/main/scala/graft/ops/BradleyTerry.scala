@@ -74,8 +74,19 @@ object BradleyTerry {
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       nPairs / 200000L + 1L)).toInt
+    // AQE off inside the fixed-point loop — the GraphOps.hits rationale
+    // (r14): one q_bradley_terry run submitted 87 jobs under AQE for
+    // 1.1 s of actual job time (every query stage its own job; the rest
+    // scheduling/planning gaps). Nothing in the loop needs AQE's
+    // re-planning — both per-step joins probe the PERSISTED pair/stats
+    // relations with a tiny checkpointed rating side, the aggregations
+    // are partial-agg protected, and the Σπ' normalizer is a one-row
+    // broadcast either way. The data-sized pair aggregation above ran
+    // under the session's AQE setting.
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // Each step CHECKPOINTS π' before the normalizer reads it: the
       // Σπ' broadcast makes π' appear TWICE in the plan, and a lazy
@@ -122,6 +133,9 @@ object BradleyTerry {
       pairs.unpersist(blocking = false)
       stats.unpersist(blocking = false)
       out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
   }
 }
