@@ -378,6 +378,38 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 4L), (2L, 3L, 2L)))
   }
 
+  test("greedyCoverSelect matches a naive greedy reference on random instances") {
+    // Random doc→feature bipartite instances fuzz the pick/peel loop —
+    // the subtle parts are the tie-break (max gain, ties to the SMALLEST
+    // doc) and the joint removal of the chosen doc AND its covered
+    // features before the next round.
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 4) {
+      val rows = (1 to 120 + 40 * trial).map { _ =>
+        (rnd.nextInt(15).toLong + 1, s"f${rnd.nextInt(25)}") }.distinct
+      val k = 1 + rnd.nextInt(6)
+      var residual = rows.toSet
+      val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var round = 1L
+      var done = false
+      while (round <= k && !done) {
+        if (residual.isEmpty) done = true
+        else {
+          val gains = residual.groupBy(_._1).map { case (d, fs) => d -> fs.size.toLong }
+          val (doc, gain) = gains.toSeq.minBy { case (d, g) => (-g, d) }
+          expected += ((round, doc, gain))
+          val covered = residual.filter(_._1 == doc).map(_._2)
+          residual = residual.filter(e => e._1 != doc && !covered(e._2))
+          round += 1
+        }
+      }
+      val got = CorpusAssembly.greedyCoverSelect(rows.toDF("doc", "feat"), k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(got == expected.toSeq, s"trial $trial (k=$k): greedy cover diverged")
+    }
+  }
+
   test("greedyCoverSelect: gain ties break to the smallest doc id") {
     val df = Seq((9L, "x"), (9L, "y"), (2L, "p"), (2L, "q")).toDF("doc", "feat")
     val out = CorpusAssembly.greedyCoverSelect(df, k = 1)
