@@ -378,6 +378,40 @@ class CorpusAssemblySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 4L), (2L, 3L, 2L)))
   }
 
+  test("budgetWaterfill matches the max-feasible-level reference on random instances") {
+    // The closed-form segment level must equal the LARGEST integer L
+    // with Σ min(tᵢ, L) ≤ budget (or alloc = tᵢ exactly when the budget
+    // covers everything) — the boundary cases live where the candidate
+    // level lands on a segment edge or below the smallest token count,
+    // so fuzz with small token values and budgets around the total.
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 6) {
+      val toks = (1 to 20 + 10 * trial).map(i =>
+        (s"s$i", rnd.nextInt(40).toLong))
+      val total = toks.map(_._2).sum
+      val budget = (rnd.nextDouble() * 1.3 * total).toLong
+      val expected =
+        if (total <= budget) toks.map { case (s, t) => (s, t, t, false) }.toSet
+        else {
+          def used(l: Long) = toks.map(t => math.min(t._2, l)).sum
+          var lo = 0L; var hi = toks.map(_._2).max
+          while (lo < hi) { // max L with used(L) <= budget
+            val mid = (lo + hi + 1) / 2
+            if (used(mid) <= budget) lo = mid else hi = mid - 1
+          }
+          toks.map { case (s, t) => (s, t, math.min(t, lo), t > lo) }.toSet
+        }
+      val got = CorpusAssembly.budgetWaterfill(
+          toks.toDF("source", "tokens"), "source", "tokens", budget)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(got == expected,
+        s"trial $trial (budget=$budget total=$total): waterfill diverged; " +
+          s"only-got=${(got -- expected).take(3)} only-ref=${(expected -- got).take(3)}")
+    }
+  }
+
   test("greedyCoverSelect matches a naive greedy reference on random instances") {
     // Random doc→feature bipartite instances fuzz the pick/peel loop —
     // the subtle parts are the tie-break (max gain, ties to the SMALLEST
