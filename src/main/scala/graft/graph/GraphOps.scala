@@ -316,6 +316,13 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // Loop-AQE: measured and KEPT ON (r15 interleaved fresh-JVM A/B,
+    // 3 alternating pairs, best-per-config: AQE-on 3.32/3.27 s vs
+    // AQE-off 3.49/3.43 s for lp/lp_weighted solo) — labelProp sits in
+    // the pageRank class, not the hits class, despite its loop join
+    // landing on the persisted pre-partitioned allE: the two grouped
+    // aggregations after the join still benefit from AQE's runtime
+    // coalescing. Per-operator measurement, not the signature heuristic.
     try {
       def step(l: DataFrame): DataFrame = l
         .join(allE, col("node") === col("src"))
@@ -652,6 +659,10 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // Loop-AQE: measured and KEPT ON (r15 interleaved fresh-JVM A/B,
+    // best-per-config: AQE-on 2.51 s vs AQE-off 2.85 s solo) — the
+    // min-depth union+agg per round benefits from runtime coalescing,
+    // unlike hits' fixed-shape half-steps.
     try {
       def step(d: DataFrame): DataFrame = d
         .join(allE, col("node") === col("src"))
@@ -722,6 +733,10 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // Loop-AQE: measured and KEPT ON (r15 interleaved fresh-JVM A/B,
+    // best-per-config: AQE-on 3.61 s vs AQE-off 4.11 s solo) — the
+    // anti-join against the growing visited set wants AQE's runtime
+    // strategy choice (it flips to broadcast as the frontier thins).
     try {
       // DELTA BFS: expand only the newest layer. The monolithic form
       // (re-join the WHOLE visited set against the edges every round)
