@@ -191,6 +191,43 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
   }
 
+  test("labelPropagation holds sub-quadratic at sf1 (10x edges)", PerfTag) {
+    // Community detection over the supply graph (the q_label_prop shape):
+    // replicas shift node ids by an even stride, so the ten copies are
+    // disjoint components and every vote stays in-copy. The constant
+    // shift preserves id ORDER within a copy, so the min-label tiebreak
+    // resolves identically in every replica: the 10x labels are EXACTLY
+    // ten shifted copies of the 1x labels. That gives two closed-form
+    // scalar contracts with no 10x-sized collect — the row count is
+    // 10·n1, and Σlabels(10x) = 10·Σlabels(1x) + (0+1+…+9)·stride·n1.
+    val stride = 20000000L
+    val pairs = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .groupBy((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(count(lit(1)).as("w")).drop("w")
+    def bidir(p: DataFrame): DataFrame =
+      p.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("_e"))
+        .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
+    val p10 = pairs.withColumn("k", explode(sequence(lit(0), lit(9))))
+      .select((col("a") + col("k") * stride).as("a"),
+        (col("b") + col("k") * stride).as("b"))
+    def run(e: DataFrame): (Long, Long) = {
+      val out = graft.graph.GraphOps.labelPropagation(e, iters = 5,
+          dedupEdges = false, symmetric = true)
+        .agg(count(lit(1)), sum(col("label"))).head()
+      (out.getLong(0), out.getLong(1))
+    }
+    val ((n1, s1), t1) = timed("label_prop 1x (sf0.1)")(run(bidir(pairs)))
+    spark.catalog.clearCache()
+    val ((n10, s10), t10) = timed("label_prop 10x (~sf1 edges)")(run(bidir(p10)))
+    spark.catalog.clearCache()
+    assert(n10 == 10 * n1, s"node count not 10 exact copies: $n1 -> $n10")
+    assert(s10 == 10 * s1 + 45L * stride * n1,
+      s"label mass not 10 exact shifted copies: $s1 -> $s10 (n1=$n1)")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
+
   test("pqTopKWith holds sub-quadratic at sf1", PerfTag) {
     val q1 = emb1.filter(col("vec_id") < 10)
     val (n1, t1) = timed("pq 1x (sf0.1)")({
