@@ -54,6 +54,62 @@ class CorpusAssemblySpec extends SparkSpec {
     }
   }
 
+  test("fuzz: packSequences conserves tokens and chains offsets on random corpora") {
+    // Random corpora exercise the edges the fixed fixture can't: empty
+    // docs (0 tokens), docs longer than the budget (multi-sequence
+    // spans), and budgets smaller than a word count. The invariants are
+    // the trainer's contract: one output row per doc, n_tokens = the
+    // whitespace count, per-shard (seq_id, seq_pos) re-derive from the
+    // running offset, token mass conserved, and the whole thing
+    // deterministic per seed.
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(5400 + trial)
+      val budget = 8 + rnd.nextInt(57)
+      val nShards = 1 + rnd.nextInt(5)
+      val corpus = (0 until 50 + rnd.nextInt(150)).map { i =>
+        val n = rnd.nextInt(3) match {
+          case 0 => 0                       // empty doc
+          case 1 => budget + rnd.nextInt(3 * budget) // longer than budget
+          case _ => 1 + rnd.nextInt(budget)
+        }
+        (i.toLong, (0 until n).map(w => s"w$w").mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text").repartition(1 + rnd.nextInt(7))
+      val out = CorpusAssembly.packSequences(
+          df, "doc_id", "text", budget, nShards, s"fz$trial")
+        .select("doc_id", "shard", "seq_id", "seq_pos", "n_tokens")
+        .collect()
+      assert(out.length == corpus.size, s"trial $trial: row count drifted")
+      val wantTokens = corpus.map { case (_, t) =>
+        if (t.isEmpty) 0L else t.split(" ").length.toLong }.sum
+      assert(out.map(_.getLong(4)).sum == wantTokens,
+        s"trial $trial: token mass not conserved")
+      out.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+        assert(0 <= shard && shard < nShards)
+        // Zero-token docs share their start offset with the doc that
+        // follows them in the stream; at an equal (seq_id, seq_pos) the
+        // zero-token rows must fold FIRST (they don't advance the
+        // offset) — only one token-bearing doc can sit at any offset.
+        val ordered = rows.sortBy(r =>
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(0)))
+        var offset = 0L
+        ordered.foreach { r =>
+          assert(r.getLong(2) == offset / budget,
+            s"trial $trial shard $shard: seq_id broke at offset $offset")
+          assert(r.getLong(3) == offset % budget,
+            s"trial $trial shard $shard: seq_pos broke at offset $offset")
+          offset += r.getLong(4)
+        }
+      }
+      val again = CorpusAssembly.packSequences(
+          df.repartition(3), "doc_id", "text", budget, nShards, s"fz$trial")
+        .select("doc_id", "shard", "seq_id", "seq_pos", "n_tokens")
+        .collect().map(_.toSeq).toSet
+      assert(again == out.map(_.toSeq).toSet,
+        s"trial $trial: not deterministic under repartitioning")
+    }
+  }
+
   test("packSequences: token counts match the whitespace tokenizer") {
     val out = CorpusAssembly.packSequences(
       docs.select("doc_id", "text"), "doc_id", "text", 512, 2, "p1")
