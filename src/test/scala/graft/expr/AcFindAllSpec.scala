@@ -39,6 +39,32 @@ class AcFindAllSpec extends SparkSpec {
     assert(find("ab", Seq("abc")).isEmpty)
   }
 
+  test("fuzz: matches a naive all-positions scan on random nested dictionaries") {
+    // Terms of length 1-4 over a 3-letter alphabet: nesting ("ab" inside
+    // "abb"), self-overlap ("aa" in "aaa"), and shared prefixes are the
+    // norm, so failure links and output chains are exercised constantly.
+    // The reference is an independent naive scan: every term at every
+    // start position, overlapping occurrences included.
+    for (trial <- 0 until 4) {
+      val rnd = new scala.util.Random(5800 + trial)
+      val alpha = "abc"
+      def word(n: Int): String =
+        (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val dict = (0 until 3 + rnd.nextInt(10))
+        .map(_ => word(1 + rnd.nextInt(4))).distinct
+      for (_ <- 0 until 5) {
+        val text = word(rnd.nextInt(40))
+        val got = find(text, dict).toSet
+        val want = dict.flatMap { t =>
+          Iterator.iterate(text.indexOf(t))(i => text.indexOf(t, i + 1))
+            .takeWhile(_ >= 0).map(i => (t, i + 1)).toSeq // 1-based
+        }.toSet
+        assert(got == want,
+          s"trial $trial text='$text' dict=$dict: got=$got want=$want")
+      }
+    }
+  }
+
   test("dictionaryTag aggregates hits and first positions per doc") {
     val df = Seq((1L, "Scan the scan!"), (2L, "nothing here")).toDF("doc_id", "text")
     val r = graft.text.TextAnalysis

@@ -93,6 +93,77 @@ class BpeSpec extends SparkSpec {
     assert(r0 == Seq("a", "b"))
   }
 
+  test("fuzz: train and encode match an independent local Sennrich trainer") {
+    // Local reference: get_stats with overlap counting, election by
+    // (count desc, lexicographically smallest pair), greedy
+    // left-to-right merge where an overlap consumes the right symbol —
+    // written straight from the paper, sharing no code with the
+    // operator. Corpora over a 3-letter alphabet make ties and
+    // self-overlapping runs ("aaa") the common case.
+    def localMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def localTrain(counts: Map[String, Long], nMerges: Int, minCount: Long)
+        : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+      var state = counts.map { case (w, c) => w -> (w.split("").toVector, c) }
+      val merges = Seq.newBuilder[(String, String, Long)]
+      var k = 0
+      var done = false
+      while (k < nMerges && !done) {
+        val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+        state.values.foreach { case (syms, c) =>
+          (0 until syms.length - 1).foreach { i =>
+            stats((syms(i), syms(i + 1))) =
+              stats.getOrElse((syms(i), syms(i + 1)), 0L) + c
+          }
+        }
+        if (stats.isEmpty) done = true
+        else {
+          val ((l, r), c) = stats.minBy { case ((l, r), c) => (-c, l, r) }
+          if (c < minCount) done = true
+          else {
+            merges += ((l, r, c))
+            state = state.map { case (w, (syms, cnt)) =>
+              w -> (localMerge(syms, l, r), cnt) }
+            k += 1
+          }
+        }
+      }
+      (merges.result(), state.map { case (w, (syms, _)) => w -> syms })
+    }
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(5900 + trial)
+      val alpha = "abc"
+      def word(): String = (0 until 1 + rnd.nextInt(6))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val docs = (0 until 5 + rnd.nextInt(10)).map(i =>
+        (i.toLong, (0 until 1 + rnd.nextInt(12)).map(_ => word()).mkString(" ")))
+      val df = docs.toDF("doc_id", "text").repartition(1 + rnd.nextInt(5))
+      val nMerges = 3 + rnd.nextInt(8)
+      val model = Bpe.train(df, "text", nMerges, minCount = 2L)
+      val wordCounts = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (wantMerges, wantState) = localTrain(wordCounts, nMerges, 2L)
+      assert(model.merges == wantMerges,
+        s"trial $trial: merges ${model.merges} != $wantMerges")
+      // Encoding every corpus word must equal the local final state.
+      val enc = wordCounts.keys.toSeq.toDF("text")
+        .select(col("text"), Bpe.tokens(col("text"), model).as("toks"))
+        .as[(String, Seq[String])].collect().toMap
+      wordCounts.keys.foreach { w =>
+        assert(enc(w) == wantState(w),
+          s"trial $trial: encode($w)=${enc(w)} != ${wantState(w)}")
+      }
+    }
+  }
+
   test("train is repartition-invariant") {
     val docs = (1 to 40).map(i => s"spark scan batch row value key agg c$i")
       .toDF("text")
