@@ -387,6 +387,67 @@ class DedupSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
       .toMap
 
+  test("fuzz: dedupSubstrings matches a local reference on collision-rich corpora") {
+    // Local reference straight from the Lee et al. semantics: every
+    // k-token window with corpus multiplicity > 1 marks a dup span at
+    // every occurrence except the smallest (doc, pos); overlapping and
+    // ADJACENT spans merge into maximal runs. A 2-token vocabulary makes
+    // repeated windows (cross-doc and self-repetition) the common case.
+    def localRef(docs: Seq[(Long, String)], k: Int)
+        : Map[Long, (Long, Long, Long, String)] = {
+      // split("", " ") is [""] in Spark: an empty doc carries ONE empty
+      // token (n_tokens = 1, clean_text = "") — the operator's pinned
+      // short/empty-doc behavior, mirrored here.
+      val toks = docs.map { case (d, t) =>
+        d -> (if (t.isEmpty) Array("") else t.split(" ")) }.toMap
+      val occ = scala.collection.mutable.Map.empty[Seq[String], Vector[(Long, Int)]]
+      toks.foreach { case (d, ts) =>
+        (1 to ts.length - k + 1).foreach { p =>
+          val key = ts.slice(p - 1, p - 1 + k).toSeq
+          occ(key) = occ.getOrElse(key, Vector.empty) :+ (d, p)
+        }
+      }
+      val dupSpans = occ.values.filter(_.size > 1).toSeq.flatMap { os =>
+        val first = os.min
+        os.filterNot(_ == first).map { case (d, p) => (d, p, p + k - 1) }
+      }.groupBy(_._1)
+      toks.map { case (d, ts) =>
+        val spans = dupSpans.getOrElse(d, Seq.empty).map(s => (s._2, s._3))
+          .sortBy(_._1)
+        val islands = spans.foldLeft(Vector.empty[(Int, Int)]) {
+          case (acc, (s, e)) =>
+            if (acc.nonEmpty && s <= acc.last._2 + 1)
+              acc.init :+ (acc.last._1, math.max(acc.last._2, e))
+            else acc :+ (s, e)
+        }
+        val covered = islands.flatMap { case (s, e) => s to e }.toSet
+        val clean = ts.zipWithIndex
+          .collect { case (t, i) if !covered.contains(i + 1) => t }
+          .mkString(" ")
+        d -> ((ts.length.toLong,
+          islands.map { case (s, e) => (e - s + 1).toLong }.sum,
+          islands.size.toLong, clean))
+      }
+    }
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(6000 + trial)
+      val k = 2 + rnd.nextInt(3)
+      val vocab = Array("x", "y")
+      val docs = (0 until 5 + rnd.nextInt(12)).map(i =>
+        (i.toLong, (0 until rnd.nextInt(16))
+          .map(_ => vocab(rnd.nextInt(2))).mkString(" ")))
+      val df = rnd.shuffle(docs).toDF("doc_id", "text")
+        .repartition(1 + rnd.nextInt(5))
+      val got = Dedup.dedupSubstrings(df, "doc_id", "text", k).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      val want = localRef(docs, k)
+      assert(got == want, s"trial $trial k=$k: " +
+        s"diff=${(got.toSet diff want.toSet).take(2)} / ${(want.toSet diff got.toSet).take(2)}")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("dedupSubstrings keeps the corpus-first occurrence, strips the rest") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),       // holds the canonical copy

@@ -168,6 +168,46 @@ class ExpressionsSpec extends SparkSpec {
     assert(wp(v, "abcdef", "") == Seq(Seq("ab", "##cd", "##ef"), Seq()))
   }
 
+  test("fuzz: wordpiece matches a local greedy longest-match tokenizer") {
+    // Independent local reference: per word, repeatedly take the LONGEST
+    // vocab piece at the cursor (word-initial form at position 0, "##"
+    // continuation after), void the whole word to [UNK] on any dead end.
+    // Random vocabs over a 2-letter alphabet make near-miss prefixes and
+    // chain-vs-whole-word choices the common case.
+    def wpLocal(word: String, vocab: Set[String]): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val pick = (word.length to i + 1 by -1).iterator.map { j =>
+          val p = if (i == 0) word.substring(0, j)
+            else "##" + word.substring(i, j)
+          if (vocab.contains(p)) Some((p, j)) else None
+        }.collectFirst { case Some(x) => x }
+        pick match {
+          case Some((p, j)) => out += p; i = j
+          case None => return Seq("[UNK]")
+        }
+      }
+      out.result()
+    }
+    for (trial <- 0 until 4) {
+      val rnd = new scala.util.Random(6100 + trial)
+      val alpha = "ab"
+      def frag(n: Int): String =
+        (0 until n).map(_ => alpha(rnd.nextInt(2))).mkString
+      val vocab = ((0 until 4 + rnd.nextInt(6))
+          .map(_ => frag(1 + rnd.nextInt(3))) ++
+        (0 until 4 + rnd.nextInt(6))
+          .map(_ => "##" + frag(1 + rnd.nextInt(3)))).distinct
+      val vSet = vocab.toSet
+      val words = (0 until 12).map(_ => frag(1 + rnd.nextInt(6)))
+      val text = words.mkString(" ")
+      val got = wp(vocab, text).head
+      val want = words.flatMap(wpLocal(_, vSet))
+      assert(got == want, s"trial $trial vocab=$vocab text='$text'")
+    }
+  }
+
   test("wordpiece null propagates") {
     val r = Seq[(Integer, String)]((1, null)).toDF("id", "x")
       .select(GraftFunctions.wordpiece(col("x"), Seq("a")).as("t")).collect()(0)
