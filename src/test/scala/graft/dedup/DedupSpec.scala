@@ -94,6 +94,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: minhashLshPairs reports no false positives and never misses exact dups") {
+    // The two DETERMINISTIC halves of the LSH contract, on random
+    // corpora: (1) every reported pair's jaccard is the exact shingle-set
+    // jaccard and clears the threshold (verification is exact, so false
+    // positives are impossible); (2) docs with identical shingle sets
+    // have identical signatures, land in every band together, and MUST be
+    // reported (jaccard 1). Probabilistic recall between the two is the
+    // planted-dup tests' business, not this one's.
+    def localShingles(text: String, n: Int): Set[String] = {
+      val toks = text.split(" ")
+      if (toks.length < n) Set(text)
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    for (trial <- 0 until 3) {
+      val rnd = new scala.util.Random(6200 + trial)
+      val pool = Array("alpha", "beta", "gamma", "delta")
+      def doc(): String = (0 until 2 + rnd.nextInt(7))
+        .map(_ => pool(rnd.nextInt(pool.length))).mkString(" ")
+      val base = (0 until 15 + rnd.nextInt(15)).map(i => (i.toLong, doc()))
+      // plant exact duplicates of a few random docs
+      val dups = (0 until 3).map(j =>
+        (1000L + j, base(rnd.nextInt(base.size))._2))
+      val docs = base ++ dups
+      val df = rnd.shuffle(docs).toDF("doc_id", "text")
+        .repartition(1 + rnd.nextInt(5))
+      val t = 0.5
+      val got = Dedup.minhashLshPairs(df, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 8, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val sh = docs.map { case (id, tx) => id -> localShingles(tx, 3) }.toMap
+      got.foreach { case ((a, b), j) =>
+        val inter = (sh(a) intersect sh(b)).size.toDouble
+        val union = (sh(a) union sh(b)).size.toDouble
+        assert(j == inter / union && j >= t,
+          s"trial $trial pair ($a,$b): reported $j vs exact ${inter / union}")
+      }
+      for (Seq((a, sa), (b, sb)) <- sh.toSeq.sortBy(_._1).combinations(2)
+           if sa == sb) {
+        assert(got.contains((math.min(a, b), math.max(a, b))),
+          s"trial $trial: identical-shingle pair ($a,$b) missed")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("minhash signature: identical sets → identical signatures") {
     val df = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
       .select(col("doc_id"),
