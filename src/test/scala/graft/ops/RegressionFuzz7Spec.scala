@@ -161,6 +161,55 @@ class RegressionFuzz7Spec extends SparkSpec {
     }
   }
 
+  test("fuzz: diffInDiff matches a local four-cell fold") {
+    for (trial <- 0 until 4) {
+      val rnd = new Random(16800 + trial)
+      val rows = (0 until 2 + rnd.nextInt(4)).flatMap { g =>
+        val missingCell = g == 0 // no control-post rows -> NULL estimate
+        (0 until 2 + rnd.nextInt(25)).map { _ =>
+          val arm: java.lang.Boolean =
+            if (rnd.nextInt(12) == 0) null else rnd.nextBoolean()
+          val post: java.lang.Boolean =
+            if (rnd.nextInt(12) == 0) null
+            else if (missingCell && arm != null && !arm.booleanValue) false
+            else rnd.nextBoolean()
+          val y: java.lang.Double =
+            if (rnd.nextInt(12) == 0) null
+            else (rnd.nextInt(801) - 400) / 16.0
+          (s"g$g", arm, post, y)
+        }
+      }
+      val df = rnd.shuffle(rows).toDF("g", "arm", "post", "y")
+        .repartition(1 + rnd.nextInt(4))
+      val got = Regression.diffInDiff(df, Seq("g"), "arm", "post", "y")
+        .collect()
+        .map(r => (r.getString(0), (1 to 4).map(r.getLong).toVector,
+          (5 to 9).map(i =>
+            if (r.isNullAt(i)) None else Some(r.getLong(i))).toVector))
+        .toSet
+      val want = rows
+        .filter(r => r._2 != null && r._3 != null && r._4 != null)
+        .groupBy(_._1).map { case (g, rs) =>
+          def cell(t: Boolean, p: Boolean) = rs.filter(r =>
+            r._2.booleanValue == t && r._3.booleanValue == p)
+            .map(r => BigInt(math.floor(r._4.doubleValue * 10000).toLong))
+          def mean(c: Seq[BigInt]): Option[Long] =
+            if (c.nonEmpty) Some(((c.sum * 100) / c.size).toLong) else None
+          val (tPre, tPost) = (cell(true, false), cell(true, true))
+          val (cPre, cPost) = (cell(false, false), cell(false, true))
+          val means = Vector(mean(tPre), mean(tPost), mean(cPre), mean(cPost))
+          val did = for {
+            a <- means(1); b <- means(0); c <- means(3); d <- means(2)
+          } yield (a - b) - (c - d)
+          (g, Vector(tPre.size.toLong, tPost.size.toLong,
+            cPre.size.toLong, cPost.size.toLong),
+            means :+ did)
+        }.toSet
+      assert(got == want, s"trial $trial: " +
+        s"diff=${(got diff want).take(2)} / ${(want diff got).take(2)}")
+    }
+  }
+
   test("fuzz: normalPValueMicro stays within one micro of Simpson " +
     "integration and is symmetric") {
     // reference: 2*(1 - Phi(|z|)) by Simpson's rule on the density —
