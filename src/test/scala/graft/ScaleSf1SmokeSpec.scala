@@ -250,4 +250,28 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     // train+encode+score is linear in corpus size; queries held constant
     assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
   }
+
+  test("crossDocDupNgrams holds sub-quadratic at sf1 (10x docs)", PerfTag) {
+    // the text family's gram-join representative: the corpus gram→doc
+    // equi-join is where a stop-gram could fan out quadratically.
+    // Disjoint replica token spaces make each replica an exact copy of
+    // the 1× corpus, so the 10× result is exactly ten shifted copies:
+    // identical per-doc totals, 10× the corpus mass, unchanged fan-out
+    // per gram.
+    def sums(df: DataFrame): (Long, Long, Long) = {
+      val r = graft.text.TextAnalysis
+        .crossDocDupNgrams(df, "doc_id", "text")
+        .agg(count(lit(1)), sum(col("ng_total")), sum(col("ng_cross_dup")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val ((n1, tot1, dup1), t1) = timed("crossDocDup 1x (sf0.1)")(sums(docs1))
+    spark.catalog.clearCache()
+    val ((n10, tot10, dup10), t10) = timed("crossDocDup 10x (~sf1)")(sums(docs10))
+    spark.catalog.clearCache()
+    assert(n10 == 10 * n1, s"doc count not 10 exact copies: $n1 -> $n10")
+    assert(tot10 == 10 * tot1, s"gram mass not 10x exact: $tot1 -> $tot10")
+    assert(dup10 == 10 * dup1, s"dup mass not 10x exact: $dup1 -> $dup10")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
 }
