@@ -274,4 +274,96 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     assert(dup10 == 10 * dup1, s"dup mass not 10x exact: $dup1 -> $dup10")
     assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
   }
+
+  /** sf0.1 events replicated 10× with disjoint user/event key spaces:
+    * within-replica as-of matches are exactly the 1× matches, and
+    * cross-replica keys never meet, so the 10× truth is ten shifted
+    * copies of the 1× truth.
+    */
+  private def events10: DataFrame =
+    spark.read.parquet(s"$sf01/events.parquet")
+      .withColumn("k", explode(sequence(lit(0), lit(9))))
+      .select((col("event_id") + col("k") * 100000000L).as("event_id"),
+        (col("user_id") + col("k") * 10000000L).as("user_id"),
+        col("event_type"), col("ts"), col("value"))
+
+  test("AsOfJoinExec (custom physical operator) holds sub-quadratic at sf1 (10x events)", PerfTag) {
+    // The custom LogicalPlan/Strategy/Exec path: key-clustered exchange +
+    // within-partition time sort + single merge pass. Disjoint replica
+    // key spaces make the 10× answer exactly ten copies of the 1× answer
+    // (same matches, same values), so both the CONTRACT (row/match/value
+    // mass all exactly 10×) and the EXPONENT (merge is linear in rows per
+    // key; a per-row right-scan would read ~100×) are asserted.
+    def asof(ev: DataFrame): (Long, Long, Double) = {
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_event"), col("value").as("purchase_value"))
+      val r = graft.ops.AsOfJoin.backwardMerge(clicks, purchases,
+          leftKey = "user_id", rightKey = "p_user",
+          leftTs = "ts", rightTs = "p_ts",
+          valueCols = Seq("purchase_event", "purchase_value"))
+        .agg(count(lit(1)), count(col("purchase_event")),
+          sum(coalesce(col("purchase_value"), lit(0.0))))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val ev1 = spark.read.parquet(s"$sf01/events.parquet")
+    val ((n1, m1, s1), t1) = timed("asof 1x (sf0.1)")(asof(ev1))
+    spark.catalog.clearCache()
+    val ((n10, m10, s10), t10) = timed("asof 10x (~sf1)")(asof(events10))
+    spark.catalog.clearCache()
+    assert(n10 == 10 * n1, s"left row mass not 10x exact: $n1 -> $n10")
+    assert(m10 == 10 * m1, s"match mass not 10x exact: $m1 -> $m10")
+    assert(math.abs(s10 - 10 * s1) <= 1e-6 * (math.abs(s10) + 1),
+      s"matched value mass not 10x: $s1 -> $s10")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
+
+  test("intervalOverlap (binned range join) holds sub-quadratic at sf1 (10x intervals)", PerfTag) {
+    // The range-join representative: bin-replicated build + merge-range
+    // probe, keyed by part. Disjoint replica part spaces keep every
+    // overlap pair within its replica, so the 10× pair mass is exactly
+    // 10× — while an unkeyed/unbinned cross product would grow ~100×.
+    // 1× is a ~86k-row slice of lineitem (the full 600k-row base is the
+    // bench query; the smoke only needs the exponent, not the bench
+    // point).
+    def base1 = spark.read.parquet(s"$sf01/lineitem.parquet")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+        col("l_partkey").as("part"),
+        datediff(col("l_shipdate").cast("date"), to_date(lit("1992-01-01")))
+          .cast("long").as("lo"),
+        (col("l_quantity").cast("long") % 30).as("_q"))
+      .select(col("id"), col("part"), col("lo"),
+        (col("lo") + 1 + col("_q")).as("hi"))
+    def rep10(df: DataFrame): DataFrame =
+      df.withColumn("k", explode(sequence(lit(0), lit(9))))
+        .select((col("id") + col("k") * 1000000000L).as("id"),
+          (col("part") + col("k") * 10000000L).as("part"),
+          col("lo"), col("hi"))
+    def pairs(df: DataFrame): (Long, Long) = {
+      val a = df.select(col("id").as("a_id"), col("part").as("a_part"),
+        col("lo").as("a_lo"), col("hi").as("a_hi"))
+      val b = df.select(col("id").as("b_id"), col("part").as("b_part"),
+        col("lo").as("b_lo"), col("hi").as("b_hi"))
+      val r = graft.ops.RangeJoin.intervalOverlap(a, b,
+          "a_lo", "a_hi", "b_lo", "b_hi",
+          binWidth = 16.0, keyL = Seq("a_part"), keyR = Seq("b_part"))
+        .filter(col("a_id") < col("b_id"))
+        .agg(count(lit(1)),
+          sum(least(col("a_hi"), col("b_hi")) - greatest(col("a_lo"), col("b_lo")) + 1))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val ((n1, ov1), t1) = timed("intervalOverlap 1x (~86k rows)")(pairs(base1))
+    spark.catalog.clearCache()
+    val ((n10, ov10), t10) = timed("intervalOverlap 10x (~860k rows)")(pairs(rep10(base1)))
+    spark.catalog.clearCache()
+    assert(n10 == 10 * n1, s"pair mass not 10x exact: $n1 -> $n10")
+    assert(ov10 == 10 * ov1, s"overlap mass not 10x exact: $ov1 -> $ov10")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
 }

@@ -60,6 +60,77 @@ class CheckpointRecoverySpec extends SparkSpec {
       Timestamp.valueOf("2024-01-01 00:00:00"))
   }
 
+  test("tumbling-agg window state survives a restart at a random batch boundary: " +
+      "full output equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // Third state-store shape under restart (sessionize covers
+    // flatMapGroupsWithState, dedup covers the dropDuplicates store):
+    // PARTIAL WINDOW AGGREGATES — counts/sums for windows the watermark
+    // has not yet finalized must be recovered, or post-restart events
+    // landing in a pre-restart window would double-count or reset.
+    // Randomized: random events, random micro-batch cuts, restart at a
+    // random boundary, final answer compared to the batch twin.
+    val rnd = new scala.util.Random(165)
+    val types = Seq("click", "view", "purchase")
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1 to 250).map { _ =>
+      val t = base + rnd.nextInt(5 * 3600) * 1000L + rnd.nextInt(1000)
+      (new Timestamp(t), types(rnd.nextInt(types.length)), rnd.nextInt(1000) / 100.0)
+    }.sortBy(_._1.getTime)
+    // 3..5 batches, restart after a random non-final batch.
+    val k = 3 + rnd.nextInt(3)
+    val cuts = (Seq(0, rows.size) ++ (1 until k).map(_ => rnd.nextInt(rows.size + 1)))
+      .sorted.distinct
+    val batches = cuts.zip(cuts.tail).map { case (a, b) => rows.slice(a, b) }
+      .filter(_.nonEmpty)
+    val restartAfter = // 0-based index of the last pre-restart batch
+      if (batches.size > 1) rnd.nextInt(batches.size - 1) else 0
+
+    val cp = Files.createTempDirectory("graft_cp_tumbling").toString
+    val out = Files.createTempDirectory("graft_out_tumbling").toString
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    def startQuery() =
+      StreamingOps.streamingTumblingAgg(
+          mem.toDF().toDF("ts", "event_type", "value"),
+          width = "1 hour", watermark = "30 minutes")
+        .writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append").start()
+
+    val q1 = startQuery()
+    try {
+      batches.take(restartAfter + 1).foreach { b =>
+        mem.addData(b: _*); q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    val q2 = startQuery()
+    try {
+      batches.drop(restartAfter + 1).foreach { b =>
+        mem.addData(b: _*); q2.processAllAvailable()
+      }
+      // Far-future sentinel flushes every open window; filtered below.
+      mem.addData((new Timestamp(base + 100L * 86400000L), "zz_sentinel", 0.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(out)
+      .filter($"event_type" =!= "zz_sentinel")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toVector.sorted
+    val expected = StreamingOps.tumblingAgg(
+        rows.toDF("ts", "event_type", "value"), width = "1 hour")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .toVector.sorted
+    assert(streamed == expected,
+      s"restart twin mismatch: ${streamed.size} vs ${expected.size} rows " +
+        s"(restart after batch $restartAfter of ${batches.size})")
+  }
+
   test("dedup state survives a stop/restart: resumed output still matches the batch result") {
     implicit val sqlCtx = spark.sqlContext
     val cp = Files.createTempDirectory("graft_cp_dedup").toString
