@@ -617,4 +617,50 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("Generate"), s"lost the gram explode:\n${p.take(1500)}")
     assert(!p.contains("Window"), s"bleu needs no window:\n${p.take(1500)}")
   }
+
+  test("iterative job-count contracts: hits and pageRank stay inside their job budgets") {
+    // r14 attribution: with session AQE re-planning inside the iterate,
+    // ONE q_hits run submitted 72 jobs (every query stage its own job)
+    // vs 36 with AQE off around the loop — the per-job scheduling floor,
+    // not data volume, dominates graph-sized iterates, so the job COUNT
+    // is the observable that regresses first if the AQE-off wrapper, the
+    // bipartite prologue, or an eager-checkpoint cadence is lost. Counts
+    // are a function of code + conf, not of scale (actions: counts,
+    // per-iteration checkpoints, the final collect), so they are pinned
+    // here at sf0.001 with ~1.5x headroom for scheduler drift; suites run
+    // sequentially in the forked test JVM, so no foreign jobs land in the
+    // listener window.
+    val sc = spark.sparkContext
+    def cleanSlate(): Unit = {
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    def runQ(q: String): Unit =
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+    def countJobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      sc.addSparkListener(l)
+      try { f; Thread.sleep(1000) } // let the async listener bus drain
+      finally sc.removeSparkListener(l)
+      n.get
+    }
+    // measured: q_hits 32 jobs, q_pagerank 43 (this harness, r16) —
+    // budgets are ~1.5x so the 2x regression mode fails loudly.
+    for ((q, budget) <- Seq("q_hits" -> 50, "q_pagerank" -> 65)) {
+      runQ(q) // warm-up: one-time memoizer/JIT jobs land outside the count
+      cleanSlate()
+      val jobs = countJobs(runQ(q))
+      info(s"$q submitted $jobs jobs (budget $budget)")
+      assert(jobs <= budget,
+        s"$q submitted $jobs jobs — over its $budget budget; the r14 " +
+          "failure mode is AQE re-planning inside the loop (job count ~2x)")
+      cleanSlate()
+    }
+  }
 }
