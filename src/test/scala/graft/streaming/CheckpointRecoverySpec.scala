@@ -131,6 +131,94 @@ class CheckpointRecoverySpec extends SparkSpec {
         s"(restart after batch $restartAfter of ${batches.size})")
   }
 
+  test("stream-stream join state survives a restart at a random batch boundary: " +
+      "full output equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // Fourth state-store shape under restart: the stream-stream JOIN
+    // buffers — both sides' unmatched rows must survive the stop/start
+    // (a purchase buffered pre-restart must still match a click arriving
+    // post-restart), and the recovered watermark must keep null-padded
+    // full-outer rows correct. Randomized like the tumbling-agg test:
+    // random events, random per-side cuts, restart at a random point in
+    // the interleaved feed, final answer vs the batch full-outer join.
+    val rnd = new scala.util.Random(166)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def randTs() = new Timestamp(base + rnd.nextInt(6 * 3600) * 1000L + rnd.nextInt(1000))
+    val clickRows = (1 to 90).map(i => (i.toLong, rnd.nextInt(6).toLong, randTs()))
+      .sortBy(_._3.getTime)
+    val purchRows = (1 to 110).map(i =>
+        (i.toLong, rnd.nextInt(6).toLong, randTs(), rnd.nextInt(10000) / 100.0))
+      .sortBy(_._3.getTime)
+    def cutBatches[T](rows: Seq[T]): Seq[Seq[T]] = {
+      val k = 2 + rnd.nextInt(3)
+      val cuts = (Seq(0, rows.size) ++ (1 until k).map(_ => rnd.nextInt(rows.size + 1)))
+        .sorted.distinct
+      cuts.zip(cuts.tail).map { case (a, b) => rows.slice(a, b) }.filter(_.nonEmpty)
+    }
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp, Double)]
+    // Interleaved feed plan (purchase batch, click batch, …): per-side
+    // event-time order is preserved, so the MIN-across-inputs watermark
+    // lags every future arrival; alternating sides makes both buffers
+    // hold pre-restart rows that must match post-restart arrivals.
+    val pb = cutBatches(purchRows).map(b => () => { purchases.addData(b: _*); () })
+    val cb = cutBatches(clickRows).map(b => () => { clicks.addData(b: _*); () })
+    val plan: Seq[() => Unit] =
+      (0 until math.max(pb.size, cb.size)).flatMap(i => pb.lift(i).toSeq ++ cb.lift(i).toSeq)
+    val restartAt = 1 + rnd.nextInt(plan.size - 1)
+
+    val cp = Files.createTempDirectory("graft_cp_ssjoin").toString
+    val out = Files.createTempDirectory("graft_out_ssjoin").toString
+    def startQuery() =
+      StreamingOps.streamingIntervalJoin(
+          clicks.toDF().toDF("click_id", "user_id", "ts"),
+          purchases.toDF().toDF("purchase_id", "p_user", "p_ts", "amount"),
+          leftKey = "user_id", rightKey = "p_user", leftTs = "ts", rightTs = "p_ts",
+          lookback = "1 hour", watermarkDelay = "2 hours", joinType = "fullOuter")
+        .select(col("click_id"), col("purchase_id"), col("amount"))
+        .writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append").start()
+
+    val q1 = startQuery()
+    try {
+      plan.take(restartAt).foreach { step => step(); q1.processAllAvailable() }
+    } finally q1.stop()
+    val q2 = startQuery()
+    try {
+      plan.drop(restartAt).foreach { step => step(); q2.processAllAvailable() }
+      val future = new Timestamp(base + 100L * 86400000L)
+      purchases.addData((-1L, -999L, future, 0.0))
+      clicks.addData((-1L, -998L, future))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    def normalize(rows: Array[org.apache.spark.sql.Row]): Vector[String] =
+      rows.map { r =>
+        val c = if (r.isNullAt(0)) "null" else r.getLong(0).toString
+        val p = if (r.isNullAt(1)) "null" else r.getLong(1).toString
+        val a = if (r.isNullAt(2)) "null" else r.getDouble(2).toString
+        s"$c|$p|$a"
+      }.toVector.sorted
+    val streamed = normalize(spark.read.parquet(out)
+      .filter(coalesce($"click_id", lit(0L)) >= 0 &&
+        coalesce($"purchase_id", lit(0L)) >= 0)
+      .collect())
+    val expected = normalize(
+      clickRows.toDF("click_id", "user_id", "ts").join(
+          purchRows.toDF("purchase_id", "p_user", "p_ts", "amount"),
+          expr("p_user = user_id AND p_ts BETWEEN ts - INTERVAL 1 hour AND ts"),
+          "full_outer")
+        .select($"click_id", $"purchase_id", $"amount")
+        .collect())
+    assert(streamed == expected,
+      s"restart join twin mismatch: ${streamed.size} vs ${expected.size} rows " +
+        s"(restart at step $restartAt of ${plan.size}); first diffs: " +
+        s"${(streamed.diff(expected) ++ expected.diff(streamed)).take(5)}")
+  }
+
   test("dedup state survives a stop/restart: resumed output still matches the batch result") {
     implicit val sqlCtx = spark.sqlContext
     val cp = Files.createTempDirectory("graft_cp_dedup").toString
