@@ -112,7 +112,12 @@ object ServiceEnrichment {
         val image = Option(row.getAs[String](imageIdx)).getOrElse("")
 
         val enriched: Seq[Any] = if (excluded) {
-          row.toSeq ++ Seq(null, null, "Да")
+          // Null brand normalizes to "" here too: the plan form's
+          // brand output is coalesce(brand, '') on every branch, and the
+          // reference's downstream stringifies cells as str(v or "") —
+          // found by the EnrichFuzzSpec plan-vs-service differential
+          // (excluded ∧ null-brand rows disagreed, "" vs null).
+          row.toSeq.updated(brandIdx, brand0) ++ Seq(null, null, "Да")
         } else {
           val brand1 =
             if (brand0.isEmpty && image.nonEmpty)
