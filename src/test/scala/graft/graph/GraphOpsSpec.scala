@@ -360,6 +360,41 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.hits(none, iters = 2, bipartite = true).count() == 0L)
   }
 
+  test("pageRank: symmetric hint is result-identical to the default path " +
+      "(unweighted, weighted, seeded) on random bidirectional graphs") {
+    // The r13/r14 prologue fast path (no dst-side node union, no
+    // dangling anti-join, pre-partitioned exchange-free degree build) is
+    // a plan-shape change ONLY — on graphs honoring the
+    // every-edge-has-its-reverse promise the integer-exact rank iterates
+    // must match the default path EXACTLY, for all three forms the bench
+    // queries run under the hint (plain, weighted, personalized).
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val undirected = (1 to 100 * trial).map { _ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, 1L + rnd.nextInt(5).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      // Both directions present; weights per direction independent (the
+      // hint's promise is about the NODE SET, not weight symmetry).
+      val both = undirected ++ undirected.map(e =>
+        (e._2, e._1, 1L + rnd.nextInt(5).toLong))
+      val edges = both.toDF("src", "dst", "w")
+      val seeds = undirected.take(3).map(_._1).distinct.toDF("node")
+      def ranks(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for ((label, base, fast) <- Seq(
+        ("plain",
+          GraphOps.pageRank(edges, iters = 4),
+          GraphOps.pageRank(edges, iters = 4, symmetric = true)),
+        ("weighted",
+          GraphOps.pageRank(edges, iters = 4, weightCol = Some("w")),
+          GraphOps.pageRank(edges, iters = 4, weightCol = Some("w"), symmetric = true)),
+        ("seeded",
+          GraphOps.pageRank(edges, iters = 4, seeds = Some(seeds)),
+          GraphOps.pageRank(edges, iters = 4, seeds = Some(seeds), symmetric = true))))
+        assert(ranks(fast) == ranks(base), s"trial $trial: $label symmetric path diverged")
+    }
+  }
+
   test("iterative ops are AQE-independent and restore the session setting") {
     // hits disables AQE inside its loop; the pageRank family keeps it
     // (both per r14 interleaved measurements) — either way the results
