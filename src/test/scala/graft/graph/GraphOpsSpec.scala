@@ -395,6 +395,34 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: symmetric hint is result-identical to the default path " +
+      "(unweighted, weighted) on random bidirectional graphs") {
+    // Same promise as pageRank's hint: with every edge reversed, no node
+    // is dst-only, so the dst-side union the hint skips is dead weight —
+    // the vote iterates (integer counts, min-label ties) must match the
+    // default path exactly for both forms q_label_prop(_weighted) run.
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val undirected = (1 to 90 * trial).map { _ =>
+        (rnd.nextInt(24).toLong, rnd.nextInt(24).toLong, 1L + rnd.nextInt(4).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      val both = undirected ++ undirected.map(e =>
+        (e._2, e._1, 1L + rnd.nextInt(4).toLong))
+      val edges = both.toDF("src", "dst", "w")
+      def labels(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(
+        labels(GraphOps.labelPropagation(edges, iters = 3, symmetric = true)) ==
+        labels(GraphOps.labelPropagation(edges, iters = 3)),
+        s"trial $trial: unweighted symmetric path diverged")
+      assert(
+        labels(GraphOps.labelPropagation(edges, iters = 3,
+          weightCol = Some("w"), symmetric = true)) ==
+        labels(GraphOps.labelPropagation(edges, iters = 3, weightCol = Some("w"))),
+        s"trial $trial: weighted symmetric path diverged")
+    }
+  }
+
   test("iterative ops are AQE-independent and restore the session setting") {
     // hits disables AQE inside its loop; the pageRank family keeps it
     // (both per r14 interleaved measurements) — either way the results
