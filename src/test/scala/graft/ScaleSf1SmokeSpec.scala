@@ -319,6 +319,21 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     assert(math.abs(s10 - 10 * s1) <= 1e-6 * (math.abs(s10) + 1),
       s"matched value mass not 10x: $s1 -> $s10")
     assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+    // Second decade (100× = 10M events): the only operator cheap enough
+    // to measure two decades in the suite — the exponent claim is much
+    // stronger across 1×→10×→100× than from a single step.
+    val events100 = spark.read.parquet(s"$sf01/events.parquet")
+      .withColumn("k", explode(sequence(lit(0), lit(99))))
+      .select((col("event_id") + col("k") * 100000000L).as("event_id"),
+        (col("user_id") + col("k") * 10000000L).as("user_id"),
+        col("event_type"), col("ts"), col("value"))
+    val ((n100, m100, s100), t100) = timed("asof 100x (10M events)")(asof(events100))
+    spark.catalog.clearCache()
+    assert(n100 == 100 * n1, s"left row mass not 100x exact: $n1 -> $n100")
+    assert(m100 == 100 * m1, s"match mass not 100x exact: $m1 -> $m100")
+    assert(math.abs(s100 - 100 * s1) <= 1e-5 * (math.abs(s100) + 1),
+      s"matched value mass not 100x: $s1 -> $s100")
+    assert(t100 <= 30 * (t10 + 0.5), f"second-decade blowup: $t10%.1fs -> $t100%.1fs")
   }
 
   test("intervalOverlap (binned range join) holds sub-quadratic at sf1 (10x intervals)", PerfTag) {
