@@ -75,11 +75,17 @@ class ShapeTextFuzzSpec extends SparkSpec {
     }
   }
 
+  /** Spark's trim strips ASCII SPACES only — java .trim also strips
+    * \t\n\r and other control chars, a real divergence on inputs with
+    * newline edges, so the folds must use the Spark semantics.
+    */
+  private def sparkTrim(s: String): String = s.replaceAll("^ +| +$", "")
+
   /** The normalizeRegNum chain as plain java.util.regex, rule by rule in
     * the documented order (kyrgyzstan.py:219-236 port).
     */
   private def regNumFold(s0: String): String = {
-    var v = Option(s0).getOrElse("").trim
+    var v = sparkTrim(Option(s0).getOrElse(""))
     v = v.replaceAll("^№\\s*", "")
     v = v.replaceAll("\\s*См\\.\\s*", " См. ")
     v = v.replaceAll("\\s*[–—]\\s*", "-")
@@ -90,7 +96,7 @@ class ShapeTextFuzzSpec extends SparkSpec {
     v = v.replaceAll("(См\\.)\\s*(?=\\S)", "$1 ")
     v = v.replaceAll("-{2,}", "-")
     v = v.replaceAll("\\s+", " ")
-    v.trim
+    sparkTrim(v)
   }
 
   test("fuzz: normalizeRegNum column chain matches the java-regex fold rule-for-rule") {
@@ -107,6 +113,86 @@ class ShapeTextFuzzSpec extends SparkSpec {
       val want = inputs.map(regNumFold)
       val diffs = inputs.zip(got.zip(want)).filter { case (_, (g, w)) => g != w }
       assert(diffs.isEmpty, s"trial $trial: ${diffs.take(3)}")
+    }
+  }
+
+  /** cleanText as plain JVM ops: strip → newline removal → whitespace
+    * collapse → NFKC → Unicode-aware whitelist (Python (?U)\w parity).
+    */
+  private def cleanTextFold(s0: String): String = {
+    var v = sparkTrim(Option(s0).getOrElse(""))
+    v = v.replace("\n", " ").replace("\r", "")
+    v = v.replaceAll("\\s{2,}", " ")
+    v = java.text.Normalizer.normalize(v, java.text.Normalizer.Form.NFKC)
+    v.replaceAll("(?U)[^\\w\\s\\.,;:№\\-]", "")
+  }
+
+  test("fuzz: cleanText column chain matches the JVM fold incl. NFKC") {
+    val rnd = new Random(204)
+    val atoms = Seq("abc", "ДЕФ", "１２３" /* fullwidth */, "ﬁ" /* ligature */,
+      "№5", "a\nb", "x\r\n", "  ", "*", "€", "—", "é", "☂", ".,;:", "_", "")
+    for (trial <- 1 to 4) {
+      val inputs = (1 to 60).map { _ =>
+        (1 to 2 + rnd.nextInt(7)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+      } :+ null
+      val got = inputs.toDF("x")
+        .select(TextOps.cleanText(col("x")).as("n"))
+        .collect().map(_.getString(0)).toSeq
+      val want = inputs.map(cleanTextFold)
+      val diffs = inputs.zip(got.zip(want)).filter { case (_, (g, w)) => g != w }
+      assert(diffs.isEmpty, s"trial $trial: ${diffs.take(3)}")
+    }
+  }
+
+  /** sanitizePrompt as plain JVM ops: digits out, whitespace collapse,
+    * punct-only token drop, maxLen+"..." truncation.
+    */
+  private def sanitizeFold(s0: String, maxLen: Int): String = {
+    val noDigits = Option(s0).getOrElse("").replaceAll("\\d+", "")
+    val collapsed = sparkTrim(noDigits.replaceAll("\\s+", " "))
+    val punctOnly = "^[!\"#$%&'()*+,\\-./:;<=>?@\\[\\]^_`{|}~]+$".r
+    val kept = collapsed.split(" ", -1)
+      .filter(t => t.nonEmpty && punctOnly.findFirstIn(t).isEmpty)
+      .mkString(" ")
+    if (kept.length > maxLen) kept.substring(0, maxLen) + "..." else kept
+  }
+
+  test("fuzz: sanitizePrompt column chain matches the JVM fold incl. truncation") {
+    val rnd = new Random(205)
+    val atoms = Seq("word", "слово", "123", "a1b2", "...", "?!", "-", "(x)",
+      " ", "  ", "№", "", "longtokenlongtoken")
+    for (trial <- 1 to 4) {
+      val maxLen = Seq(10, 25, 2000, 6)(trial - 1) // truncation must bite
+      val inputs = (1 to 50).map { _ =>
+        (1 to 2 + rnd.nextInt(8)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString(" ")
+      } :+ null
+      val got = inputs.toDF("x")
+        .select(TextOps.sanitizePrompt(col("x"), maxLen).as("n"))
+        .collect().map(_.getString(0)).toSeq
+      val want = inputs.map(sanitizeFold(_, maxLen))
+      val diffs = inputs.zip(got.zip(want)).filter { case (_, (g, w)) => g != w }
+      assert(diffs.isEmpty, s"trial $trial (maxLen $maxLen): ${diffs.take(3)}")
+    }
+  }
+
+  /** cleanColumnName as plain JVM ops in the documented rule order. */
+  private def cleanNameFold(s0: String): String = {
+    var n = s0.trim
+    n = n.replaceAll("Наименова\\s*ние", "Наименование")
+    n = n.replace("/", " или ")
+    n = n.replace("\n", " ")
+    n = n.replaceAll("\\s{2,}", " ")
+    n.filter(ch => !Character.isISOControl(ch) && Character.isDefined(ch))
+  }
+
+  test("fuzz: cleanColumnName matches the JVM fold on adversarial names") {
+    val rnd = new Random(206)
+    val atoms = Seq("Наименова ние", "Наименование", "Наименова\nние", "a/b",
+      "x", "\n", "\t", "  ", "№", "col", "", "", "Имя/Фамилия")
+    for (trial <- 1 to 5) {
+      val name = (1 to 1 + rnd.nextInt(6)).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+      assert(ShapeOps.cleanColumnName(name) == cleanNameFold(name),
+        s"trial $trial: '$name'")
     }
   }
 }
