@@ -2008,10 +2008,11 @@ object SparkEntry {
     * value where the exact percentile interpolates), so the HASH-CHECKED
     * contract is `(id, dim, nm_exact, approx_ok)`: the exact normalized
     * value plus an in-plan boolean that the sketched value lands within
-    * the drift bound RobustNormalizeApproxSpec pins (med/MAD drift
-    * ≤ max(2 quant units, 5% of MAD) propagated through the division ⇒
-    * nm drift ≤ max(2·10⁶·2/MAD, ~7%·|nm|); 20 000 micro absorbs the
-    * additive term at the corpus's MAD floor). DuckDB recomputes the
+    * the drift bound RobustNormalizeApproxSpec pins (med/MAD land on
+    * observed central values where the exact stats interpolate ⇒ nm
+    * drift ≤ max(gap·10⁶/MAD, ~7%·|nm|); the additive floor is
+    * MAD-aware — max(20 000, 10⁷/MAD) micro — because a small-MAD
+    * dimension inflates the gap term, r16). DuckDB recomputes the
     * exact column and asserts the boolean all-true — the same
     * exact-twin-plus-bound recipe as q_approx_percentile/_distinct.
     * Production callers use [[Similarity.robustNormalizeApprox]] alone
@@ -2022,10 +2023,32 @@ object SparkEntry {
     val ex = Similarity.robustNormalizeRows(emb, "vec_id", "embedding")
     val ap = Similarity.robustNormalizeApproxRows(emb, "vec_id", "embedding")
       .withColumnRenamed("nm", "nm_ap")
-    ex.join(ap, Seq("id", "dim"))
+    // MAD-aware additive floor (r16): the sketch's med/MAD land on
+    // OBSERVED central values where the exact stats interpolate, so the
+    // additive drift term is ~gap·10⁶/MAD, not a constant — the old
+    // hard-coded 20 000 assumed corpus-scale MAD and broke at sf0.001
+    // (dim 60: MAD 81, central gap 2 → 25 approx_ok=false rows; found by
+    // a sf0.001 verify sweep). 10⁷/MAD budgets ten quant units of
+    // combined med+MAD gap (measured 2× margin at the failure point)
+    // and only WIDENS the bound where MAD is small — the 7% term still
+    // governs the large-|nm| regime the 100 TB contract cares about.
+    val qz = emb.select(posexplode(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
+      .as(Seq("dim0", "q")))
+      .select((col("dim0") + 1).cast("long").as("dim"), col("q"))
+    val medD = qz.groupBy(col("dim"))
+      .agg(percentile(col("q"), lit(0.5)).as("_med"))
+    val madD = qz.join(broadcast(medD), Seq("dim"))
+      .groupBy(col("dim"))
+      .agg(percentile(abs(col("q").cast("double") - col("_med")), lit(0.5))
+        .as("_mad"))
+    ex.join(ap, Seq("id", "dim")).join(broadcast(madD), Seq("dim"))
       .select(col("id"), col("dim"), col("nm"),
         (abs(col("nm_ap") - col("nm")).cast("double") <=
-          greatest(lit(20000.0), abs(col("nm")).cast("double") * 0.07))
+          greatest(lit(20000.0),
+            when(col("_mad") =!= 0.0, lit(1.0e7) / col("_mad"))
+              .otherwise(lit(20000.0)),
+            abs(col("nm")).cast("double") * 0.07))
           .as("approx_ok"))
       .orderBy(col("id"), col("dim"))
   }
