@@ -25,6 +25,34 @@ class JoinOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq("imgA", "imgB imgC", ""))
   }
 
+  test("fuzz: attachImages matches a local fold on random anchors (ties, dups, out-of-range)") {
+    val rnd = new scala.util.Random(207)
+    for (trial <- 1 to 3) {
+      val nRows = 10 + rnd.nextInt(20)
+      val rowOffset = rnd.nextInt(4)
+      val tableRows = (0 until nRows).map(i => (i.toLong, s"v$i"))
+      // anchors spanning in-range, below-range (negative targets), and
+      // above-range; duplicate (row, order) keys exercise the struct
+      // tie-break on payload
+      val images = (1 to 30 + rnd.nextInt(30)).map { _ =>
+        (rnd.nextInt(nRows + 12).toLong - 4, rnd.nextInt(3), s"p${rnd.nextInt(8)}")
+      }
+      val got = JoinOps.attachImages(
+          ShapeOps.withIndex(tableRows.toDF("ord", "v"), col("ord")),
+          images.toDF("excel_row", "ord_img", "b64"),
+          rowCol = "excel_row", payloadCol = "b64",
+          imageOrderCol = "ord_img", rowOffset = rowOffset)
+        .orderBy("_idx").select("Изображение").as[String].collect().toSeq
+      val byTarget = images.groupBy(i => i._1 - rowOffset - 1)
+      val want = (0 until nRows).map { idx =>
+        byTarget.get(idx.toLong)
+          .map(_.map(i => (i._2, i._3)).sorted.map(_._2).mkString(" "))
+          .getOrElse("")
+      }
+      assert(got == want, s"trial $trial (offset $rowOffset): $got vs $want")
+    }
+  }
+
   test("anchorToExcelRow applies the reference's rowOff snap heuristic (base.py:233-239)") {
     val df = Seq((5L, 5000L), (5L, 20000L)).toDF("anchor", "off")
     val r = df.select(JoinOps.anchorToExcelRow(col("anchor"), col("off")).as("er"))
