@@ -2297,7 +2297,7 @@ object OracleSql {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
         |  FROM lineitem WHERE l_orderkey < 100)
-        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
 
     "q_sql_text" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS total_value, count(*) AS n_orders

@@ -1198,7 +1198,13 @@ object SparkEntry {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_discount"), col("l_tax")),
         "measure", "value")
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+      // "value" completes a TOTAL order: the synthetic lineitem carries
+      // duplicate (orderkey, linenumber) pairs, so without it tie rows
+      // ride input encounter order — self-consistent on one partition
+      // but a latent hash flake under repartitioning (caught by the r16
+      // permuted-input sweep: the tie pair swapped, oracle green both
+      // times only because DuckDB read the same file order).
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("value"))
 
   /** SQL-text front end: the same engine through `spark.sql` over
     * registered temp views (queries and SQL share one Catalyst plan
