@@ -369,15 +369,22 @@ object Dedup {
     *
     * Exact (true transitive closure) at every scale, via a two-path hybrid:
     *
-    *  - **Local path** (edge count ≤ `localEdgeLimit`): stream the edge
-    *    list to the driver (`toLocalIterator` — one partition in memory at
-    *    a time, never the whole frame) and run union-find. Near-dup graphs
-    *    are orders of magnitude smaller than the corpus (the expensive
-    *    part — pair generation — stays fully distributed), so even a
-    *    100 TB corpus with ~a million duplicate pairs resolves here in one
-    *    pass. The default limit is sized for a default 1g driver (~tens of
-    *    MB of boxed entries); raise it in step with driver memory, the
-    *    same contract as spark.sql.autoBroadcastJoinThreshold.
+    *  - **Local path** (edge count ≤ `localEdgeLimit`): union-find over
+    *    the whole (small, cached) edge list inside ONE executor task
+    *    (`coalesce(1).mapPartitions`), emitted lazily as the labels frame.
+    *    Near-dup graphs are orders of magnitude smaller than the corpus
+    *    (the expensive part — pair generation — stays fully distributed),
+    *    so even a 100 TB corpus with ~a million duplicate pairs resolves
+    *    in one task. Lazy single-task form (r15): the former
+    *    driver-side `toLocalIterator` loop ran one sequential job per
+    *    fetched partition plus a `parallelize` handoff — ~9 extra jobs
+    *    per call whose scheduling quanta dominated wall under ambient
+    *    load; the fused task submits ZERO jobs of its own (it rides the
+    *    consuming query's job) and its output is small enough that AQE
+    *    broadcasts the downstream joins. The default limit is sized for
+    *    a default 1g executor (~tens of MB of boxed entries); raise it
+    *    in step with executor memory, the same contract as
+    *    spark.sql.autoBroadcastJoinThreshold.
     *  - **Distributed path** (bigger graphs): min-label propagation with
     *    **pointer jumping** iterated to a fixpoint. Each round every node
     *    takes the min of its own and its neighbors' labels, then labels
@@ -409,41 +416,43 @@ object Dedup {
 
     if (edgeCount <= localEdgeLimit) {
       val ord = idOrdering(idType)
-      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
-      def find(x: Any): Any = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      // Partition-at-a-time streaming: peak driver footprint is the
-      // union-find map (nodes), not the edge frame. toLocalIterator runs
-      // one sequential job PER PARTITION — coalesce the (≤ localEdgeLimit,
-      // already-cached) edges first so the scheduling cost is a handful of
-      // jobs, not one per shuffle partition (measured: 16-22 s stalls at
-      // 32 partitions, ~2 s coalesced).
-      directed.coalesce(8).toLocalIterator().forEachRemaining { row =>
-        val u = row.get(0)
-        val v = row.get(1)
-        parent.getOrElseUpdate(u, u)
-        parent.getOrElseUpdate(v, v)
-        val (ru, rv) = (find(u), find(v))
-        if (ru != rv) {
-          if (ord.lt(ru, rv)) parent(rv) = ru else parent(ru) = rv
-        }
-      }
-      directed.unpersist(blocking = false)
-      // One Row per node (not per edge) — the only full driver-side
-      // materialization, bounded by localEdgeLimit.
-      val out = parent.keysIterator
-        .map(d => org.apache.spark.sql.Row(d, find(d))).toSeq
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc", idType),
         org.apache.spark.sql.types.StructField("cluster_id", idType)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out, math.max(1, out.size / 1000000)),
-        schema)
+      // One fused task: coalesce(1) narrows the cached edge partitions
+      // into a single task that runs union-find and emits one row per
+      // node. No job is submitted here — the task executes inside
+      // whichever query consumes the labels, and a retry recomputes
+      // through the persisted edges' lineage. The final root of every
+      // component tree is its minimum id regardless of edge order
+      // (union always keeps the smaller root), and the output is sorted
+      // by doc, so the emitted rows are fully deterministic. NOTE:
+      // `directed` must stay persisted until the caller releases it
+      // (clearCache between corpora, as Bench does) — the labels frame
+      // re-reads it on each consumption.
+      directed.coalesce(1).mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { row =>
+          val u = row.get(0)
+          val v = row.get(1)
+          parent.getOrElseUpdate(u, u)
+          parent.getOrElseUpdate(v, v)
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) {
+            if (ord.lt(ru, rv)) parent(rv) = ru else parent(ru) = rv
+          }
+        }
+        // One Row per node (not per edge), bounded by localEdgeLimit.
+        parent.keysIterator.toArray.sorted(ord).iterator
+          .map(d => org.apache.spark.sql.Row(d, find(d)))
+      }(org.apache.spark.sql.Encoders.row(schema))
     } else {
       // Iterative plans need their LOGICAL PLAN truncated each round (the
       // pointer-jumping self-join would otherwise double the plan tree

@@ -276,8 +276,17 @@ class PlanContractSpec extends SparkSpec {
     val p = planOf("q_golden")
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
       p.take(2000))
-    assert(!p.contains("Window"),
-      s"q_golden must elect modes via min(struct), not row_number:\n${p.take(2000)}")
+    // The lazy local-CC labels (r15) expose the upstream sorted-
+    // neighborhood generator in this plan, and ITS `_sn_pid` rank window
+    // is a contract elsewhere ("sorted-neighborhood: range partitioning
+    // for ranks"). The election contract is that no window runs over the
+    // cluster key — a hot 10⁹-member cluster must collapse in map-side
+    // partials, never land whole on one Window reducer.
+    val clusterWindows = p.linesIterator
+      .filter(l => l.contains("Window") && l.contains("cluster")).toSeq
+    assert(clusterWindows.isEmpty,
+      s"q_golden must elect modes via min(struct), not a window over the " +
+        s"cluster key:\n${clusterWindows.mkString("\n")}")
     assert(!p.contains("CartesianProduct"))
   }
 
