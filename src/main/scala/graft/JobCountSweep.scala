@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Job-count census over the whole registered query surface — the
+  * companion to [[ProfileJobs]] (one query, per-job timeline). Under
+  * ambient load every submitted job pays a scheduling quantum, so the
+  * job COUNT — not idle wall — is what predicts a query's exposure to a
+  * busy host (the r14 lesson: the three most driver-inflated queries
+  * were exactly the highest-job-count ones). This sweep ranks all
+  * queries by jobs-per-run so PlanContractSpec's budgets are pinned
+  * from measurement, not guesses.
+  *
+  * Usage: runMain graft.JobCountSweep [sfDir] [filterPrefix]
+  *
+  * Prints one `name jobs wall_s` line per query, sorted by jobs
+  * descending. Counting is made deterministic without listener-bus
+  * internals: after each query a MARKER job is submitted and the sweep
+  * waits for its JobStart to be delivered — the bus is FIFO, so every
+  * earlier start has been counted by then.
+  */
+object JobCountSweep {
+  val MarkerDesc = "__graft_job_count_marker__"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val prefix = args.lift(1).getOrElse("")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sc = spark.sparkContext
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double)]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if name.startsWith(prefix)) {
+      def run(): Unit =
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try {
+        run() // warm-up: one-time memoizer/JIT jobs land outside the count
+        spark.catalog.clearCache()
+        sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        val n = new java.util.concurrent.atomic.AtomicInteger
+        val marker = new java.util.concurrent.CountDownLatch(1)
+        val l = new SparkListener {
+          override def onJobStart(js: SparkListenerJobStart): Unit = {
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+            if (desc.contains(MarkerDesc)) marker.countDown()
+            else { n.incrementAndGet(); () }
+          }
+        }
+        sc.addSparkListener(l)
+        val t0 = System.nanoTime()
+        try {
+          run()
+          sc.setJobDescription(MarkerDesc)
+          try sc.parallelize(1 to 1, 1).count()
+          finally sc.setJobDescription(null)
+          marker.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        } finally sc.removeSparkListener(l)
+        results += ((name, n.get, (System.nanoTime() - t0) / 1e9))
+        spark.catalog.clearCache()
+        sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      } catch {
+        case e: Throwable => System.err.println(s"SWEEP $name failed: $e")
+      }
+    }
+    results.sortBy(-_._2).foreach { case (name, jobs, wall) =>
+      println(f"$name%-32s $jobs%4d jobs  $wall%6.2fs")
+    }
+    println(s"TOTAL queries=${results.size} jobs=${results.map(_._2).sum}")
+    spark.stop()
+  }
+}

@@ -1378,28 +1378,33 @@ object SparkEntry {
         .select(col("click_id"), col("purchase_id"),
           round(col("amount"), 2).as("amount"))
       val sink = "q_stream_interval_sink"
+      // Both sides enqueue BEFORE the query starts (r15): a stream-stream
+      // join buffers both inputs in state, so match results don't depend
+      // on which micro-batch carried which side — and each extra commit
+      // cycle costs ~0.5 s of state-store overhead on the replay harness.
+      // With a started query the ProcessingTime(0) trigger RACES the
+      // feed: partial-data micro-batches fire while toLocalIterator
+      // drains, so the commit-cycle count depended on host load (the r14
+      // driver pass read 6.5-8.3 s on this query vs 1.97 idle — three
+      // racy batches even on an idle host). Buffered-first, the replay is
+      // exactly one data micro-batch plus the engine's no-data watermark
+      // batch, deterministic by construction (StreamReplayBatchSpec pins
+      // it). Fine-grained incremental arrival (matches across batch
+      // boundaries) is pinned by StreamStreamJoinSpec.
+      def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
+          add: Seq[T] => Unit): Unit =
+        side(typ).toLocalIterator().asScala.map(conv)
+          .grouped(1 << 20)
+          .foreach(b => add(b.toSeq))
+      replay("purchase",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
+        b => purchases.addData(b: _*))
+      replay("click",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
+        b => clicks.addData(b: _*))
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        // Both sides enqueue, then ONE processAllAvailable: a stream-stream
-        // join buffers both inputs in state, so match results don't depend
-        // on which micro-batch carried which side — and each extra commit
-        // cycle costs ~0.5 s of state-store overhead on the replay harness.
-        // Fine-grained incremental arrival (matches across batch
-        // boundaries) is pinned by StreamStreamJoinSpec.
-        def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
-            add: Seq[T] => Unit): Unit =
-          side(typ).toLocalIterator().asScala.map(conv)
-            .grouped(1 << 20)
-            .foreach(b => add(b.toSeq))
-        replay("purchase",
-          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
-          b => purchases.addData(b: _*))
-        replay("click",
-          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
-          b => clicks.addData(b: _*))
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy(col("click_id"), col("purchase_id"))
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
@@ -1441,24 +1446,26 @@ object SparkEntry {
         .select(col("click_id"), col("purchase_id"),
           round(col("amount"), 2).as("amount"))
       val sink = "q_stream_full_outer_sink"
+      // Feed (data + sentinels) enqueues fully BEFORE the query starts —
+      // same determinism rationale as q_stream_interval (r15): no
+      // partial-batch race against the trigger, one data batch + the
+      // no-data watermark batch.
+      def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
+          add: Seq[T] => Unit): Unit =
+        side(typ).toLocalIterator().asScala.map(conv)
+          .grouped(1 << 20)
+          .foreach(b => add(b.toSeq))
+      replay("purchase",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
+        b => purchases.addData(b: _*))
+      replay("click",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
+        b => clicks.addData(b: _*))
+      purchases.addData((-1L, -999L, future(100), 0.0))
+      clicks.addData((-1L, -998L, future(100)))
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
-            add: Seq[T] => Unit): Unit =
-          side(typ).toLocalIterator().asScala.map(conv)
-            .grouped(1 << 20)
-            .foreach(b => add(b.toSeq))
-        replay("purchase",
-          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
-          b => purchases.addData(b: _*))
-        replay("click",
-          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
-          b => clicks.addData(b: _*))
-        purchases.addData((-1L, -999L, future(100), 0.0))
-        clicks.addData((-1L, -998L, future(100)))
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(sink)
         .filter(coalesce(col("click_id"), lit(0L)) >= 0 &&
           coalesce(col("purchase_id"), lit(0L)) >= 0)
@@ -1510,35 +1517,35 @@ object SparkEntry {
       // default in-memory provider — JNI + per-batch snapshot overhead on a
       // KB-scale state. RocksDB pays off when per-partition state outgrows
       // the heap (real deployments of THIS join shape), not in this replay.
+      // Real data AND the far-future sentinels enqueue before the query
+      // starts (r9: was three commit cycles — one per side plus the
+      // sentinel batch — each ~0.5 s of state-store overhead; r15 moved
+      // the start AFTER the feed so the trigger cannot race the
+      // toLocalIterator drain into load-dependent partial batches).
+      // Late-row filtering uses the PREVIOUS batch's watermark (still at
+      // the epoch), so sentinels riding the same batch drop nothing; the
+      // watermark takes effect at batch END and the engine's no-data
+      // micro-batch (noDataMicroBatches, on by default) then evicts and
+      // emits the unmatched left state — processAllAvailable blocks
+      // through it. Sentinel keys are negative — they match nothing real
+      // and are filtered from the sink read. Incremental cross-batch
+      // arrival is pinned by StreamStreamJoinSpec.
+      def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
+          add: Seq[T] => Unit): Unit =
+        side(typ).toLocalIterator().asScala.map(conv)
+          .grouped(1 << 20)
+          .foreach(b => add(b.toSeq))
+      replay("purchase",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
+        b => purchases.addData(b: _*))
+      replay("click",
+        r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
+        b => clicks.addData(b: _*))
+      purchases.addData((-1L, -999L, future(100), 0.0))
+      clicks.addData((-1L, -998L, future(100)))
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        // Real data AND the far-future sentinels enqueue before the single
-        // processAllAvailable (r9: was three commit cycles — one per side
-        // plus the sentinel batch — each ~0.5 s of state-store overhead).
-        // Late-row filtering uses the PREVIOUS batch's watermark (still at
-        // the epoch), so sentinels riding the same batch drop nothing; the
-        // watermark takes effect at batch END and the engine's no-data
-        // micro-batch (noDataMicroBatches, on by default) then evicts and
-        // emits the unmatched left state — processAllAvailable blocks
-        // through it. Sentinel keys are negative — they match nothing real
-        // and are filtered from the sink read. Incremental cross-batch
-        // arrival is pinned by StreamStreamJoinSpec.
-        def replay[T](typ: String, conv: org.apache.spark.sql.Row => T)(
-            add: Seq[T] => Unit): Unit =
-          side(typ).toLocalIterator().asScala.map(conv)
-            .grouped(1 << 20)
-            .foreach(b => add(b.toSeq))
-        replay("purchase",
-          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))(
-          b => purchases.addData(b: _*))
-        replay("click",
-          r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))(
-          b => clicks.addData(b: _*))
-        purchases.addData((-1L, -999L, future(100), 0.0))
-        clicks.addData((-1L, -998L, future(100)))
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(sink).filter(col("click_id") >= 0)
         .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
@@ -1752,17 +1759,18 @@ object SparkEntry {
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"), sum(col("value")).as("_sv"))
       val sink = "q_stream_session_builtin_sink"
+      // Feed (data + closing sentinel) enqueues fully BEFORE the query
+      // starts — same determinism rationale as q_stream_interval (r15):
+      // no partial-batch race against the trigger.
+      src.toLocalIterator().asScala
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+        .grouped(1 << 20)
+        .foreach(b => mem.addData(b.toSeq: _*))
+      mem.addData((-1L,
+        new java.sql.Timestamp(maxTs.getTime + 100L * 86400000L), 0.0))
       val q = sess.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        src.toLocalIterator().asScala
-          .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
-          .grouped(1 << 20)
-          .foreach(b => mem.addData(b.toSeq: _*))
-        mem.addData((-1L,
-          new java.sql.Timestamp(maxTs.getTime + 100L * 86400000L), 0.0))
-        q.processAllAvailable()
-      } finally q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(sink).filter(col("user_id") >= 0)
         .select(col("user_id"),
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
@@ -1806,21 +1814,24 @@ object SparkEntry {
       val sessions = StreamingOps.streamingSessionize(
         mem.toDS(), gapSeconds = gap, watermarkDelay = "30 minutes")
       val sink = "q_stream_sessionize_sink"
+      // Two micro-batches (r13; was three — the two data halves merged,
+      // each dropped commit cycle is ~0.7-1.2 s on this harness): ONE
+      // data batch carrying the first far-future sentinel, which advances
+      // the watermark past every open session's timeout at batch end,
+      // then one sentinel batch in which those timeouts fire and flush.
+      // The ordered-replay timeout-safety argument is unchanged — within
+      // a batch flatMapGroupsWithState sees each user's rows together and
+      // the watermark only moves AT batch end; boundary-spanning state is
+      // covered by StreamingOpsSpec's own multi-batch replay. The heavy
+      // first enqueue (toLocalIterator drain) happens BEFORE the query
+      // starts (r15) so the trigger cannot race the feed into
+      // load-dependent partial batches.
+      def sentinel(i: Int) = StreamingOps.SessionInput(-1L,
+        new java.sql.Timestamp(maxTs + (gap + 3600L * i) * 1000), 0.0)
+      mem.addData((rows.toSeq :+ sentinel(1)): _*)
       val q = sessions.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        // Two micro-batches (r13; was three — the two data halves merged,
-        // each dropped commit cycle is ~0.7-1.2 s on this harness): ONE
-        // data batch carrying the first far-future sentinel, which advances
-        // the watermark past every open session's timeout at batch end,
-        // then one sentinel batch in which those timeouts fire and flush.
-        // The ordered-replay timeout-safety argument is unchanged — within
-        // a batch flatMapGroupsWithState sees each user's rows together and
-        // the watermark only moves AT batch end; boundary-spanning state is
-        // covered by StreamingOpsSpec's own multi-batch replay.
-        def sentinel(i: Int) = StreamingOps.SessionInput(-1L,
-          new java.sql.Timestamp(maxTs + (gap + 3600L * i) * 1000), 0.0)
-        mem.addData((rows.toSeq :+ sentinel(1)): _*)
         q.processAllAvailable()
         mem.addData(sentinel(2))
         q.processAllAvailable()
@@ -2126,13 +2137,22 @@ object SparkEntry {
     * driver round-trips per ANN query run) models the wrong thing.
     * Training is deterministic (seeded sample, strided seeds), so the
     * memoized artifact is bit-identical to an in-place retrain and every
-    * replayable oracle is unchanged. Keyed by dir + a parameter tag; no
-    * session in the key — these are not session-bound objects.
+    * replayable oracle is unchanged. Keyed by a parameter tag + the
+    * corpus SNAPSHOT ID ([[Tables.snapshotId]]: a hash of the backing
+    * files' (path, length, mtime) listing — r15): a dir whose parquet is
+    * rewritten in-process gets a different key, so a stale quantizer can
+    * never silently serve — the build-once contract is structural, not
+    * conventional. No session in the key — these are not session-bound
+    * objects. The listing is one driver-side metadata pass per call
+    * (microseconds on a snapshot dir; never a Spark job).
     */
   private val annModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def annModel[T <: AnyRef](key: String)(train: => T): T =
-    annModelCache.computeIfAbsent(key, _ => train).asInstanceOf[T]
+  private def annModel[T <: AnyRef](s: SparkSession, dir: String, tag: String)(
+      train: => T): T =
+    annModelCache.computeIfAbsent(
+      s"$tag:$dir:${Tables.snapshotId(s, dir, "embeddings")}",
+      _ => train).asInstanceOf[T]
 
   /** IVF-cell approximate top-k (the other scale path — rows-only; the
     * spec measures recall against brute force).
@@ -2143,7 +2163,7 @@ object SparkEntry {
     // Sampled centroid training (the 100 TB path): Lloyd passes scan half
     // the corpus; tiny scale factors fall back to full training inside
     // ivfCentroidsLocal when the sample is smaller than nCells.
-    val cents = annModel(s"ivf:16:$dir")(
+    val cents = annModel(s, dir, "ivf:16")(
       Similarity.ivfCentroidsLocal(emb, "vec_id", "embedding", 16,
         trainFraction = 0.5))
     Similarity.ivfTopKWith(cents, emb, queries, "vec_id", "embedding",
@@ -2158,7 +2178,7 @@ object SparkEntry {
   private def qAnnIvfJoined(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
-    val cents = annModel(s"ivf:64:$dir")(
+    val cents = annModel(s, dir, "ivf:64")(
       Similarity.ivfCentroidsLocal(emb, "vec_id", "embedding", 64,
         trainFraction = 0.5))
     Similarity.ivfTopKJoinedWith(cents, emb, queries, "vec_id", "embedding",
@@ -2178,7 +2198,7 @@ object SparkEntry {
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
-    val model = annModel(s"pq:8:16:$dir")(
+    val model = annModel(s, dir, "pq:8:16")(
       Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ks = 16,
         trainFraction = 0.25))
     Similarity.pqTopKWith(model, emb, queries, "vec_id", "embedding",
@@ -2199,7 +2219,7 @@ object SparkEntry {
     // Identical trainer params to q_ann_ivf (k = 16, iters = 2,
     // trainFraction = 0.5) — the two queries share one trained artifact,
     // exactly as a production pipeline would share its coarse quantizer.
-    val cents = annModel(s"ivf:16:$dir")(
+    val cents = annModel(s, dir, "ivf:16")(
       Similarity.ivfCentroidsLocal(emb, "vec_id", "embedding", 16,
         iters = 2, trainFraction = 0.5))
     Similarity.semanticDedup(emb, "vec_id", "embedding",

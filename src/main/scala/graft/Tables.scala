@@ -45,4 +45,30 @@ object Tables {
       }
     else df
   }
+
+  /** Cheap content snapshot id of a table's backing files: a hash over
+    * the recursive (path, length, mtime) listing — one filesystem
+    * metadata pass, no Spark job, valid for any Hadoop-compatible store.
+    * Used to key build-once artifacts (trained ANN quantizers) by DATA
+    * identity instead of directory name, so an in-place rewrite of the
+    * files can never serve a stale model (the memoizer contract becomes
+    * structural, not conventional).
+    */
+  def snapshotId(spark: SparkSession, sfDir: String, table: String): String = {
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var h = 1125899906842597L // deterministic FNV-ish fold over the listing
+    var files = 0L
+    var bytes = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val st = it.next()
+      files += 1
+      bytes += st.getLen
+      h = h * 31 + st.getPath.getName.hashCode
+      h = h * 31 + st.getLen
+      h = h * 31 + st.getModificationTime
+    }
+    s"$files:$bytes:${java.lang.Long.toHexString(h)}"
+  }
 }

@@ -113,10 +113,15 @@ object ServiceEnrichment {
 
         val enriched: Seq[Any] = if (excluded) {
           // Null brand normalizes to "" here too: the plan form's
-          // brand output is coalesce(brand, '') on every branch, and the
-          // reference's downstream stringifies cells as str(v or "") —
-          // found by the EnrichFuzzSpec plan-vs-service differential
-          // (excluded ∧ null-brand rows disagreed, "" vs null).
+          // brand output is coalesce(brand, '') on every branch — found
+          // by the EnrichFuzzSpec plan-vs-service differential
+          // (excluded ∧ null-brand rows disagreed, "" vs null). The
+          // plan form is the oracle-pinned canon; note the reference's
+          // excluded path stringifies EVERY cell as str(v or "")
+          // (utils/gpt.py:405) — that per-cell normalization is matched
+          // here only under correction=true's coalesce-stringify, while
+          // non-brand cells in non-correction mode keep their values
+          // as-is by design (the plan form does the same).
           row.toSeq.updated(brandIdx, brand0) ++ Seq(null, null, "Да")
         } else {
           val brand1 =

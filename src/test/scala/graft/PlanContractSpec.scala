@@ -648,13 +648,18 @@ class PlanContractSpec extends SparkSpec {
     val offenders = scala.collection.mutable.SortedMap.empty[String, Set[String]]
     for ((name, fn) <- SparkEntry.queries if !name.startsWith("q_stream_")) {
       val analyzed = fn(spark, dir).queryExecution.analyzed
-      val nondet = analyzed.flatMap(node =>
+      // collectWithSubqueries descends into SubqueryExpression plans too
+      // (IN/EXISTS/scalar subqueries) — a plain collect over node
+      // expressions would let a rand() inside a subquery pass silently
+      // (ADVICE r14).
+      val nondet = analyzed.collectWithSubqueries { case node =>
         node.expressions.flatMap(_.collect {
           // root causes only: wrappers (Alias, arithmetic over a
           // nondeterministic child) inherit the flag transitively
           case e if !e.deterministic && e.children.forall(_.deterministic) =>
             e.getClass.getSimpleName
-        })).toSet
+        })
+      }.flatten.toSet
       val extra = nondet -- allowed
       if (extra.nonEmpty) offenders(name) = extra
     }
@@ -681,22 +686,58 @@ class PlanContractSpec extends SparkSpec {
     }
     def runQ(q: String): Unit =
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+    // Deterministic drain without listener-bus internals (ADVICE r14: a
+    // fixed sleep could flake either way on a loaded host): after f, a
+    // MARKER job is submitted and its JobStart awaited — the bus is FIFO
+    // per listener, so every earlier start has been counted by then.
+    val markerDesc = "__graft_plan_contract_marker__"
     def countJobs(f: => Unit): Int = {
       val n = new java.util.concurrent.atomic.AtomicInteger
+      val marker = new java.util.concurrent.CountDownLatch(1)
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          n.incrementAndGet(); ()
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+          if (desc.contains(markerDesc)) marker.countDown()
+          else { n.incrementAndGet(); () }
         }
       }
       sc.addSparkListener(l)
-      try { f; Thread.sleep(1000) } // let the async listener bus drain
-      finally sc.removeSparkListener(l)
+      try {
+        f
+        sc.setJobDescription(markerDesc)
+        try sc.parallelize(1 to 1, 1).count()
+        finally sc.setJobDescription(null)
+        assert(marker.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "listener bus did not deliver the marker job within 30 s")
+      } finally sc.removeSparkListener(l)
       n.get
     }
-    // measured: q_hits 32 jobs, q_pagerank 43 (this harness, r16) —
-    // budgets are ~1.5x so the 2x regression mode fails loudly.
-    for ((q, budget) <- Seq("q_hits" -> 50, "q_pagerank" -> 65)) {
+    // Budgets pinned for the TEN highest-job-count queries of the full
+    // r15 JobCountSweep census (sf0.001, this harness's local[4] conf —
+    // the sweep reproduced this test's q_hits 32 / q_pagerank 43
+    // exactly) plus the three queries the r14 driver pass showed most
+    // ambient-inflated (best_rep/safe_split post the r15 CC fusion;
+    // containment was already lean). Budgets are ~1.5x measured so the
+    // 2x regression mode (AQE re-planning inside a loop, a reintroduced
+    // driver-side CC iterator, a lost eager checkpoint) fails loudly
+    // while scheduler drift does not. Note budgets are conf-pinned to
+    // this spec's local[4] session (shuffle.partitions=4).
+    for ((q, budget) <- Seq(
+        "q_bradley_terry" -> 87, // measured 58
+        "q_orphans" -> 81, // measured 54
+        "q_ktruss" -> 66, // measured 44
+        "q_pagerank" -> 65, // measured 43
+        "q_dedup_against_near" -> 51, // measured 34
+        "q_harmonic" -> 51, // measured 34
+        "q_bfs" -> 50, // measured 33
+        "q_hits" -> 50, // measured 32
+        "q_pagerank_weighted" -> 47, // measured 31
+        "q_ppr" -> 45, // measured 30
+        "q_dedup_best_rep" -> 33, // measured 22 (was 32 pre-fusion)
+        "q_safe_split" -> 29, // measured 19 (was 29 pre-fusion)
+        "q_containment" -> 23)) { // measured 15
       runQ(q) // warm-up: one-time memoizer/JIT jobs land outside the count
       cleanSlate()
       val jobs = countJobs(runQ(q))
