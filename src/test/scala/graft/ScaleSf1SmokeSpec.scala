@@ -190,16 +190,29 @@ class ScaleSf1SmokeSpec extends SparkSpec {
         .select((col("o_custkey") + col("k") * stride).as("o_custkey"),
           (col("l_partkey") + col("k") * stride).as("l_partkey"))
     val filt = Some(pmod(col("basket"), lit(stride)) <= 60L)
-    def run(label: String, df: DataFrame): (Long, Double) = {
-      val r = timed(label)(
-        graft.ops.MarketBasket.recommendItems(df, "o_custkey", "l_partkey",
-          k = 3, minSupport = 2L, neighborCap = 20, basketFilter = filt).count())
-      spark.catalog.clearCache()
-      r
+    // Shuffle width scales with the data (the 100 TB sizing rule: on a
+    // real cluster AQE + a data-sized width does this; the spec pins it
+    // explicitly so the measured exponent can never be a partition-
+    // sizing artifact). A/B measured r15: the 100× point reads ~103 s
+    // at BOTH width 4 and width 64 — per-task volume was not the knee
+    // at this scale; the top decade's cost is the pair pipeline's real
+    // work. Kept because it is the correct configuration for the
+    // volume, not because it moved the number.
+    def run(label: String, df: DataFrame, n: Int): (Long, Double) = {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.min(64, 4 * n).toString)
+      try {
+        val r = timed(label)(
+          graft.ops.MarketBasket.recommendItems(df, "o_custkey", "l_partkey",
+            k = 3, minSupport = 2L, neighborCap = 20, basketFilter = filt).count())
+        spark.catalog.clearCache()
+        r
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     }
-    val (n1, t1) = run("recommend 1x (sf0.01)", ui)
-    val (n10, t10) = run("recommend 10x (~sf0.1 baskets)", replicate(10))
-    val (n100, t100) = run("recommend 100x (~sf1 baskets)", replicate(100))
+    val (n1, t1) = run("recommend 1x (sf0.01)", ui, 1)
+    val (n10, t10) = run("recommend 10x (~sf0.1 baskets)", replicate(10), 10)
+    val (n100, t100) = run("recommend 100x (~sf1 baskets)", replicate(100), 100)
     assert(n10 == 10 * n1, s"10x set not 10 exact copies: $n1 -> $n10")
     assert(n100 == 100 * n1, s"100x set not 100 exact copies: $n1 -> $n100")
     assert(t10 <= 30 * (t1 + 0.5), f"decade-1 blowup: $t1%.1fs -> $t10%.1fs")
