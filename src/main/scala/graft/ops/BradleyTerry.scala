@@ -104,13 +104,21 @@ object BradleyTerry {
               "greatest(_ra_r + _rb_r, 1L)").as("_bt_t"))
           .groupBy(col("a"))
           .agg(sum(col("_bt_t").cast(dec)).as("_bt_d"))
+        // π' is pinned behind an explicit EXCHANGE instead of an eager
+        // checkpoint (r15): the Σπ' broadcast and the normalizer probe
+        // share the identical repartition subtree, so ReuseExchange
+        // computes π' once per step WITHOUT a per-step checkpoint job —
+        // 3 jobs/step (pr ckpt + broadcast + next ckpt) become 2
+        // (broadcast computes the exchange, the step checkpoint reuses
+        // it). Plan growth stays bounded because the STEP output is
+        // still checkpointed below.
         val pr = stats.join(d, col("item") === col("a"))
           .select(col("item"),
             // greatest(·,1): D = 0 needs π_i+π_j > n·10¹² (impossible at
             // sane scales) but ANSI integral division fails loudly on it
             expr(s"(cast(wins as $dec) * 1000000000000) div " +
               "greatest(_bt_d, 1L)").as("_bt_p"))
-          .localCheckpoint(true)
+          .repartition(parts, col("item"))
         val s = pr.agg(sum(col("_bt_p").cast(dec)).as("_bt_s"))
         pr.crossJoin(broadcast(s))
           .select(col("item"), when(col("_bt_s") > 0L,

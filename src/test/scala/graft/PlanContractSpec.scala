@@ -725,7 +725,7 @@ class PlanContractSpec extends SparkSpec {
     // while scheduler drift does not. Note budgets are conf-pinned to
     // this spec's local[4] session (shuffle.partitions=4).
     for ((q, budget) <- Seq(
-        "q_bradley_terry" -> 87, // measured 58
+        "q_bradley_terry" -> 75, // measured 50 (was 58 pre r15 step fusion)
         "q_orphans" -> 81, // measured 54
         "q_ktruss" -> 66, // measured 44
         "q_pagerank" -> 65, // measured 43
