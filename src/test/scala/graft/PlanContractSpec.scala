@@ -737,7 +737,12 @@ class PlanContractSpec extends SparkSpec {
         "q_ppr" -> 45, // measured 30
         "q_dedup_best_rep" -> 33, // measured 22 (was 32 pre-fusion)
         "q_safe_split" -> 29, // measured 19 (was 29 pre-fusion)
-        "q_containment" -> 23)) { // measured 15
+        "q_containment" -> 23, // measured 15
+        // the other fused-CC consumers: a reintroduced driver-side
+        // iterator would push each up by ~9 sequential fetch jobs
+        "q_golden" -> 39, // measured 26
+        "q_er_clusters" -> 26, // measured 17
+        "q_dedup_clusters" -> 24)) { // measured 16
       runQ(q) // warm-up: one-time memoizer/JIT jobs land outside the count
       cleanSlate()
       val jobs = countJobs(runQ(q))
