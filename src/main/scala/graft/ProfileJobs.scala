@@ -41,14 +41,24 @@ object ProfileJobs {
     }
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val done = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, String)]
+    val markerDesc = "__graft_profile_jobs_marker__"
+    val markerId = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val markerEnded = new java.util.concurrent.CountDownLatch(1)
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
-        jobs.put(js.jobId, (js.time, site))
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        if (desc.contains(markerDesc)) { markerId.set(js.jobId); () }
+        else {
+          val site = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          jobs.put(js.jobId, (js.time, site))
+          ()
+        }
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        Option(jobs.remove(je.jobId)).foreach { case (t0, site) =>
+        if (je.jobId == markerId.get) markerEnded.countDown()
+        else Option(jobs.remove(je.jobId)).foreach { case (t0, site) =>
           done.synchronized { done += ((je.jobId, t0, je.time - t0, site)) }
         }
       }
@@ -57,7 +67,13 @@ object ProfileJobs {
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500) // let the async listener bus drain the last JobEnd
+    // Deterministic drain (no fixed sleep): a MARKER job runs after the
+    // timed query; the listener bus is FIFO, so once the marker's
+    // JobEnd is delivered every earlier start/end has been too.
+    spark.sparkContext.setJobDescription(markerDesc)
+    try spark.sparkContext.parallelize(1 to 1, 1).count()
+    finally spark.sparkContext.setJobDescription(null)
+    markerEnded.await(10, java.util.concurrent.TimeUnit.SECONDS)
     val sorted = done.synchronized(done.sortBy(_._2)).toSeq
     val base = sorted.headOption.map(_._2).getOrElse(0L)
     sorted.foreach { case (id, st, dur, site) =>
