@@ -151,15 +151,30 @@ object MarketBasket {
         .as("_rc_e"))
       .select(col("_rc_e.src").as("src"), col("_rc_e.dst").as("dst"),
         col("_rc_e.w_micro").as("w_micro"))
-    val wn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("w_micro").desc, col("dst"))
-    val neighbors = sym
-      .withColumn("_rc_rn", row_number().over(wn))
-      .filter(col("_rc_rn") <= neighborCap)
-      .drop("_rc_rn")
     // scoring-side ownership: basketFilter applies HERE (and only here —
     // itemCnt/capped/pairs above must stay global or similarities drift)
     val served = basketFilter.fold(items)(items.filter)
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("w_micro").desc, col("dst"))
+    // Serving-subset pushdown (r15): the rank is per-src, so restricting
+    // the ranked relation to srcs the SERVED baskets own is EXACT (a
+    // src's top-k never depends on other srcs' rows) while the window's
+    // sort-shuffle shrinks by the subset's item-coverage ratio — the
+    // similarity matrix itself stays global above. No filter → no
+    // change: neighbors rank for every item. Interleaved fresh-JVM A/B
+    // at sf0.1 (60/15000 baskets ≈ 12% item coverage): wall-neutral
+    // (6.35/8.52 s old vs 6.89/8.76 new mins, inside ambient drift) —
+    // kept because it is the correct plan for the serving-subset shape,
+    // where coverage is 0.1-1% and the global rank would dominate: the
+    // window is this operator's only stage whose input does NOT shrink
+    // with the served set otherwise.
+    val symServed = basketFilter.fold(sym)(_ =>
+      sym.join(served.select(col("item").as("src")).distinct(),
+        Seq("src"), "left_semi"))
+    val neighbors = symServed
+      .withColumn("_rc_rn", row_number().over(wn))
+      .filter(col("_rc_rn") <= neighborCap)
+      .drop("_rc_rn")
     val scored = served.select(col("basket"), col("item").as("src"))
       .join(neighbors, "src")
       .groupBy(col("basket"), col("dst"))
