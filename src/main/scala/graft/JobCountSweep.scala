@@ -18,7 +18,16 @@ import org.apache.spark.sql.SparkSession
   * descending. Counting is made deterministic without listener-bus
   * internals: after each query a MARKER job is submitted and the sweep
   * waits for its JobStart to be delivered — the bus is FIFO, so every
-  * earlier start has been counted by then.
+  * earlier start has been counted by then. `wall_s` is captured BEFORE
+  * the marker job (the census times the query, not the drain), and a
+  * marker that fails to arrive within 30 s marks the row INCOMPLETE
+  * instead of silently reporting a possibly-short count (ADVICE r15).
+  *
+  * When `SPARK_GRAFT_JOBS_OUT` is set, the census is also written there
+  * as JSON sorted by query name — a committed, round-over-round diffable
+  * artifact (JOBS.json) for the job-count budgets in PlanContractSpec,
+  * the same role bench_queries.json plays for wall time (verdict r15
+  * item #5).
   */
 object JobCountSweep {
   val MarkerDesc = "__graft_job_count_marker__"
@@ -34,7 +43,8 @@ object JobCountSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sc = spark.sparkContext
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double)]
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Boolean)]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if name.startsWith(prefix)) {
       def run(): Unit =
@@ -55,24 +65,38 @@ object JobCountSweep {
         }
         sc.addSparkListener(l)
         val t0 = System.nanoTime()
+        var drained = false
         try {
           run()
+          val wall = (System.nanoTime() - t0) / 1e9 // before the marker job
           sc.setJobDescription(MarkerDesc)
           try sc.parallelize(1 to 1, 1).count()
           finally sc.setJobDescription(null)
-          marker.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          drained = marker.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          results += ((name, n.get, wall, !drained))
         } finally sc.removeSparkListener(l)
-        results += ((name, n.get, (System.nanoTime() - t0) / 1e9))
         spark.catalog.clearCache()
         sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       } catch {
         case e: Throwable => System.err.println(s"SWEEP $name failed: $e")
       }
     }
-    results.sortBy(-_._2).foreach { case (name, jobs, wall) =>
-      println(f"$name%-32s $jobs%4d jobs  $wall%6.2fs")
+    results.sortBy(-_._2).foreach { case (name, jobs, wall, incomplete) =>
+      val note = if (incomplete) "  INCOMPLETE" else ""
+      println(f"$name%-32s $jobs%4d jobs  $wall%6.2fs$note")
     }
-    println(s"TOTAL queries=${results.size} jobs=${results.map(_._2).sum}")
+    println(s"TOTAL queries=${results.size} jobs=${results.map(_._2).sum}" +
+      (if (results.exists(_._4)) " (INCOMPLETE rows present)" else ""))
+    sys.env.get("SPARK_GRAFT_JOBS_OUT").foreach { out =>
+      val body = results.sortBy(_._1).map { case (name, jobs, _, incomplete) =>
+        s""""$name":{"jobs":$jobs${if (incomplete) ",\"incomplete\":true" else ""}}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (s"""{"sf":"$sfDir","cpus":"$cpus","n_queries":${results.size},""" +
+          s""""total_jobs":${results.map(_._2).sum},"queries":$body}""" + "\n")
+          .getBytes("UTF-8"))
+      ()
+    }
     spark.stop()
   }
 }

@@ -53,22 +53,37 @@ object Tables {
     * identity instead of directory name, so an in-place rewrite of the
     * files can never serve a stale model (the memoizer contract becomes
     * structural, not conventional).
+    *
+    * The listing is collected and SORTED by full URI before folding:
+    * `fs.listFiles` iteration order is not guaranteed stable across
+    * Hadoop stores (a reordered listing of identical files must not
+    * re-key the cache and force a spurious retrain). The full URI — not
+    * just the basename — enters the hash, so a file moved between
+    * subdirectories changes the id. Known caveat (deliberate, same as
+    * every mtime-based cache): an in-place rewrite with IDENTICAL length
+    * landing inside the SAME mtime tick on a coarse-mtime filesystem
+    * (e.g. 1-2 s FAT/NFS granularity) keeps the id; parquet rewrites
+    * virtually never preserve byte length, and the intended stores
+    * (HDFS/S3/local ext4) carry ms-or-finer mtimes.
     */
   def snapshotId(spark: SparkSession, sfDir: String, table: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var h = 1125899906842597L // deterministic FNV-ish fold over the listing
-    var files = 0L
-    var bytes = 0L
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val it = fs.listFiles(path, true)
     while (it.hasNext) {
       val st = it.next()
-      files += 1
-      bytes += st.getLen
-      h = h * 31 + st.getPath.getName.hashCode
-      h = h * 31 + st.getLen
-      h = h * 31 + st.getModificationTime
+      entries += ((st.getPath.toUri.toString, st.getLen, st.getModificationTime))
     }
-    s"$files:$bytes:${java.lang.Long.toHexString(h)}"
+    var h = 1125899906842597L // deterministic FNV-ish fold over the sorted listing
+    var bytes = 0L
+    for ((p, len, mtime) <- entries.sortBy(_._1)) {
+      bytes += len
+      var i = 0
+      while (i < p.length) { h = h * 31 + p.charAt(i); i += 1 }
+      h = h * 31 + len
+      h = h * 31 + mtime
+    }
+    s"${entries.size}:$bytes:${java.lang.Long.toHexString(h)}"
   }
 }

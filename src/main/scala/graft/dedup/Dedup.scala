@@ -396,11 +396,24 @@ object Dedup {
     *    round changes zero labels; if `maxIters` is exhausted first the
     *    operator THROWS rather than return silently-wrong labels.
     *
-    * Materialization uses persist() (not localCheckpoint): lineage is
-    * kept, so lost executor blocks recompute instead of failing the job.
-    * Each round unpersists the previous round's frame once the new one is
-    * materialized; the final labels frame stays cached until the caller
-    * releases it (clearCache between corpora, as Bench does).
+    * Edge materialization (r16): the deduplicated pair pipeline runs
+    * exactly ONCE, into RDD-level `localCheckpoint` blocks — a
+    * STRUCTURAL contract, not a caller convention (ADVICE r15: the
+    * previous CacheManager-level persist meant a caller's early
+    * `spark.catalog.clearCache()` silently recomputed the whole pair
+    * pipeline inside the fused single task, and callers that never
+    * cleared the cache leaked one edge frame per call). Checkpoint
+    * blocks are invisible to `clearCache()` (the cliff is gone by
+    * construction), are released by the ContextCleaner when the labels
+    * frame is garbage-collected (no leak without any caller action),
+    * and a block lost AFTER materialization fails the job loudly
+    * instead of silently re-running pair generation — the explicit
+    * trade of lineage-based recovery for edge blocks, which is correct
+    * here because the edge list is bounded by `localEdgeLimit` and
+    * re-deriving it is the expensive distributed stage this operator
+    * exists to run once. The distributed path's per-round frames keep
+    * lineage (snap() below) — those are the big, cheap-to-recompute
+    * intermediates.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -408,28 +421,30 @@ object Dedup {
       maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema("id_a").dataType
-    val directed = pairs
+    val directedDf = pairs
       .filter(col("id_a").isNotNull && col("id_b").isNotNull)
       .select(col("id_a").as("u"), col("id_b").as("v"))
-      .persist() // pair pipeline runs once; released below / by clearCache
-    val edgeCount = directed.count()
+    // Lazy RDD-level local checkpoint: the count() below materializes the
+    // pair pipeline once and truncates lineage to the stored blocks.
+    val directedRdd = directedDf.rdd
+    directedRdd.localCheckpoint()
+    val edgeCount = directedRdd.count()
+    val directed = spark.createDataFrame(directedRdd, directedDf.schema)
 
     if (edgeCount <= localEdgeLimit) {
       val ord = idOrdering(idType)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc", idType),
         org.apache.spark.sql.types.StructField("cluster_id", idType)))
-      // One fused task: coalesce(1) narrows the cached edge partitions
-      // into a single task that runs union-find and emits one row per
-      // node. No job is submitted here — the task executes inside
-      // whichever query consumes the labels, and a retry recomputes
-      // through the persisted edges' lineage. The final root of every
-      // component tree is its minimum id regardless of edge order
-      // (union always keeps the smaller root), and the output is sorted
-      // by doc, so the emitted rows are fully deterministic. NOTE:
-      // `directed` must stay persisted until the caller releases it
-      // (clearCache between corpora, as Bench does) — the labels frame
-      // re-reads it on each consumption.
+      // One fused task: coalesce(1) narrows the checkpointed edge
+      // partitions into a single task that runs union-find and emits one
+      // row per node. No job is submitted here — the task executes
+      // inside whichever query consumes the labels, re-reading the LOCAL
+      // checkpoint blocks (never the pair pipeline) on each consumption.
+      // The final root of every component tree is its minimum id
+      // regardless of edge order (union always keeps the smaller root),
+      // and the output is sorted by doc, so the emitted rows are fully
+      // deterministic.
       directed.coalesce(1).mapPartitions { it =>
         val parent = scala.collection.mutable.HashMap.empty[Any, Any]
         def find(x: Any): Any = {
@@ -500,7 +515,8 @@ object Dedup {
         round += 1
       }
       edges.unpersist(blocking = false)
-      directed.unpersist(blocking = false)
+      // `directed`'s checkpoint blocks are dropped by the ContextCleaner
+      // once the RDD is unreferenced (nothing below reads it).
       if (changed > 0)
         throw new IllegalStateException(
           s"connectedComponents did not converge after $maxIters rounds " +

@@ -32,10 +32,25 @@ class SnapshotIdSpec extends SparkSpec {
       val id4 = Tables.snapshotId(spark, dir.getPath, "embeddings")
       assert(id4 != id3 && id4 != id1,
         "content change must change the snapshot id")
+
+      // a renamed part file (same length, same mtime) must re-key: the
+      // full URI enters the hash (r16 — the fold is over a SORTED
+      // listing, so store iteration order can't re-key; the path can)
+      val mt = dst.lastModified()
+      val dst2 = new java.io.File(dir, "embeddings.parquet.renamed")
+      assert(dst.renameTo(dst2))
+      val probe = new java.io.File(dir, "embeddings.parquet")
+      probe.mkdir()
+      assert(dst2.renameTo(new java.io.File(probe, "part-00000.parquet")))
+      new java.io.File(probe, "part-00000.parquet").setLastModified(mt)
+      val id5 = Tables.snapshotId(spark, dir.getPath, "embeddings")
+      assert(id5 != id4, "a moved/renamed file must change the snapshot id")
     } finally {
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
-      ()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dir)
     }
   }
 
