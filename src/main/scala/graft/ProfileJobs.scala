@@ -69,11 +69,16 @@ object ProfileJobs {
     val wall = (System.nanoTime() - t0) / 1e9
     // Deterministic drain (no fixed sleep): a MARKER job runs after the
     // timed query; the listener bus is FIFO, so once the marker's
-    // JobEnd is delivered every earlier start/end has been too.
+    // JobEnd is delivered every earlier start/end has been too. A
+    // timed-out drain means the table below may be missing tail jobs —
+    // say so instead of printing a silently-short profile (the same
+    // fix JobCountSweep got, ADVICE r15).
     spark.sparkContext.setJobDescription(markerDesc)
     try spark.sparkContext.parallelize(1 to 1, 1).count()
     finally spark.sparkContext.setJobDescription(null)
-    markerEnded.await(10, java.util.concurrent.TimeUnit.SECONDS)
+    if (!markerEnded.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      println("WARNING: listener bus did not drain within 10 s — " +
+        "the job table below may be INCOMPLETE")
     val sorted = done.synchronized(done.sortBy(_._2)).toSeq
     val base = sorted.headOption.map(_._2).getOrElse(0L)
     sorted.foreach { case (id, st, dur, site) =>
