@@ -2146,22 +2146,16 @@ object SparkEntry {
     * objects. The listing is one driver-side metadata pass per call
     * (microseconds on a snapshot dir; never a Spark job).
     */
-  private val annModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+  private val annModelCache = new SnapshotMemoizer[AnyRef]
   private def annModel[T <: AnyRef](s: SparkSession, dir: String, tag: String)(
-      train: => T): T = {
-    val snap = Tables.snapshotId(s, dir, "embeddings")
-    // Map key is (tag, dir); the snapshot id lives in the VALUE and a
+      train: => T): T =
+    // Logical key is (tag, dir); the snapshot id rides the VALUE and a
     // mismatch retrains IN PLACE — superseded models are evicted rather
-    // than accumulated, so a long-lived session that rewrites a dataset
-    // repeatedly holds exactly one artifact per (tag, dir) (ADVICE r15:
-    // snapshot-keyed entries were append-only). compute() runs the
-    // trainer under the bin lock, the same once-per-key guarantee
-    // computeIfAbsent gave.
-    annModelCache.compute(s"$tag:$dir", (_, prev) =>
-      if (prev != null && prev._1 == snap) prev else (snap, train)
-    )._2.asInstanceOf[T]
-  }
+    // than accumulated (ADVICE r15: snapshot-keyed entries were
+    // append-only). Bound + rebuild semantics pinned in
+    // SnapshotMemoizerSpec.
+    annModelCache.get(s"$tag:$dir",
+      Tables.snapshotId(s, dir, "embeddings"))(train).asInstanceOf[T]
 
   /** IVF-cell approximate top-k (the other scale path — rows-only; the
     * spec measures recall against brute force).
