@@ -13,16 +13,30 @@ import sys
 import pandas as pd
 
 a, b = sys.argv[1], sys.argv[2]
-names = sorted(d for d in os.listdir(a) if os.path.isdir(os.path.join(a, d)))
+# Union of both dumps (ADVICE r16: taking the query set from dump A alone
+# let a query present only in dump B pass silently).
+def subdirs(root):
+    return {d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))}
+names = sorted(subdirs(a) | subdirs(b))
+
+def read_all(root, n):
+    """Concat ALL part files (ADVICE r16: comparing only the first part
+    silently under-compares if Verify ever stops coalescing to one file).
+    Parts concat in sorted filename order; Verify's outputs carry a total
+    ORDER BY, so multi-part outputs still compare deterministically."""
+    parts = sorted(glob.glob(os.path.join(root, n, "*.parquet")))
+    if not parts:
+        return None
+    df = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+    return df
+
 bad = []
 for n in names:
-    fa = glob.glob(os.path.join(a, n, "*.parquet"))
-    fb = glob.glob(os.path.join(b, n, "*.parquet"))
-    if not fa or not fb:
-        bad.append((n, "missing output"))
+    da = read_all(a, n)
+    db = read_all(b, n)
+    if da is None or db is None:
+        bad.append((n, "missing output in dump " + ("A" if da is None else "B")))
         continue
-    da = pd.read_parquet(sorted(fa)[0])
-    db = pd.read_parquet(sorted(fb)[0])
     da = da.reindex(sorted(da.columns), axis=1)
     db = db.reindex(sorted(db.columns), axis=1)
     try:

@@ -13,6 +13,9 @@ d = json.load(open(src))
 incomplete = sorted(k for k, v in d["queries"].items() if v.get("incomplete"))
 if incomplete:
     sys.exit(f"refusing to commit an INCOMPLETE census: {incomplete}")
+failed = sorted(k for k, v in d["queries"].items() if v.get("failed"))
+if failed:
+    sys.exit(f"refusing to commit a census with FAILED queries: {failed}")
 lines = [f'  "{k}": {v["jobs"]}' for k, v in sorted(d["queries"].items())]
 head = (f'  "_sf": "{d["sf"]}",\n  "_cpus": "{d["cpus"]}",\n'
         f'  "_n_queries": {d["n_queries"]},\n'

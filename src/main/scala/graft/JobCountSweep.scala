@@ -45,6 +45,10 @@ object JobCountSweep {
     val sc = spark.sparkContext
     val results =
       scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Boolean)]
+    // Queries that threw are recorded, not just logged (ADVICE r16: a
+    // failed query silently shrank the committed census — format_jobs.py
+    // refuses "failed" rows the same way it refuses INCOMPLETE ones).
+    val failedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if name.startsWith(prefix)) {
       def run(): Unit =
@@ -78,21 +82,28 @@ object JobCountSweep {
         spark.catalog.clearCache()
         sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       } catch {
-        case e: Throwable => System.err.println(s"SWEEP $name failed: $e")
+        case e: Throwable =>
+          failedQueries += name
+          System.err.println(s"SWEEP $name failed: $e")
       }
     }
     results.sortBy(-_._2).foreach { case (name, jobs, wall, incomplete) =>
       val note = if (incomplete) "  INCOMPLETE" else ""
       println(f"$name%-32s $jobs%4d jobs  $wall%6.2fs$note")
     }
+    failedQueries.foreach(n => println(f"$n%-32s FAILED"))
     println(s"TOTAL queries=${results.size} jobs=${results.map(_._2).sum}" +
-      (if (results.exists(_._4)) " (INCOMPLETE rows present)" else ""))
+      (if (results.exists(_._4)) " (INCOMPLETE rows present)" else "") +
+      (if (failedQueries.nonEmpty)
+         s" (FAILED: ${failedQueries.mkString(", ")})" else ""))
     sys.env.get("SPARK_GRAFT_JOBS_OUT").foreach { out =>
-      val body = results.sortBy(_._1).map { case (name, jobs, _, incomplete) =>
-        s""""$name":{"jobs":$jobs${if (incomplete) ",\"incomplete\":true" else ""}}"""
-      }.mkString("{", ",", "}")
+      val rows = results.map { case (name, jobs, _, incomplete) =>
+        name -> s"""{"jobs":$jobs${if (incomplete) ",\"incomplete\":true" else ""}}"""
+      } ++ failedQueries.map(n => n -> """{"failed":true}""")
+      val body = rows.sortBy(_._1)
+        .map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (s"""{"sf":"$sfDir","cpus":"$cpus","n_queries":${results.size},""" +
+        (s"""{"sf":"$sfDir","cpus":"$cpus","n_queries":${rows.size},""" +
           s""""total_jobs":${results.map(_._2).sum},"queries":$body}""" + "\n")
           .getBytes("UTF-8"))
       ()

@@ -11,17 +11,40 @@ package graft
   * [[SnapshotMemoizerSpec]] pins build-once, rebuild-on-move, and the
   * size bound.
   *
-  * `compute` runs the builder under the key's bin lock — the same
-  * once-per-key guarantee `computeIfAbsent` gives (concurrent callers of
-  * the same key never train twice).
+  * Liveness (verdict r16): the map's bin lock is held only long enough to
+  * install a LAZY cell — the builder itself (a multi-second Spark
+  * training job for this codebase) runs under the cell's own monitor, so
+  * a concurrent `get` of a DIFFERENT key that happens to hash to the same
+  * bin proceeds immediately instead of stalling for the whole train.
+  * Concurrent callers of the SAME key still build exactly once (lazy-val
+  * initialization is once-per-cell); a builder that THROWS has its cell
+  * evicted by the observing caller, so the next `get` of that key
+  * installs (and runs) a fresh builder — the same retry semantics
+  * `compute` gave, where a throwing compute left no mapping.
   */
 final class SnapshotMemoizer[V <: AnyRef] {
+  private final class Cell(val snapshot: String, build: () => V) {
+    // The thunk is dropped after a successful build so the cell never
+    // pins whatever the caller captured (frames, sessions) beyond it.
+    private[this] var thunk: () => V = build
+    lazy val value: V = { val v = thunk(); thunk = null; v }
+  }
   private val map =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, V)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Cell]()
 
-  def get(key: String, snapshot: String)(build: => V): V =
-    map.compute(key, (_, prev) =>
-      if (prev != null && prev._1 == snapshot) prev else (snapshot, build))._2
+  def get(key: String, snapshot: String)(build: => V): V = {
+    val cell = map.compute(key, (_, prev) =>
+      if (prev != null && prev.snapshot == snapshot) prev
+      else new Cell(snapshot, () => build))
+    try cell.value // forced OUTSIDE the bin lock
+    catch {
+      case e: Throwable =>
+        // Evict the failed cell (only if still current) so the NEXT get
+        // installs a fresh builder — the retry semantics compute gave.
+        map.remove(key, cell)
+        throw e
+    }
+  }
 
   /** Number of logical keys held (each with exactly one value). */
   def size: Int = map.size

@@ -371,19 +371,27 @@ object Dedup {
     *
     *  - **Local path** (edge count ≤ `localEdgeLimit`): union-find over
     *    the whole (small, cached) edge list inside ONE executor task
-    *    (`coalesce(1).mapPartitions`), emitted lazily as the labels frame.
-    *    Near-dup graphs are orders of magnitude smaller than the corpus
-    *    (the expensive part — pair generation — stays fully distributed),
-    *    so even a 100 TB corpus with ~a million duplicate pairs resolves
-    *    in one task. Lazy single-task form (r15): the former
-    *    driver-side `toLocalIterator` loop ran one sequential job per
-    *    fetched partition plus a `parallelize` handoff — ~9 extra jobs
-    *    per call whose scheduling quanta dominated wall under ambient
-    *    load; the fused task submits ZERO jobs of its own (it rides the
-    *    consuming query's job) and its output is small enough that AQE
-    *    broadcasts the downstream joins. The default limit is sized for
-    *    a default 1g executor (~tens of MB of boxed entries); raise it
-    *    in step with executor memory, the same contract as
+    *    (`coalesce(1).mapPartitions`), run exactly ONCE into
+    *    localCheckpoint-backed label blocks (one row per node, bounded by
+    *    2·localEdgeLimit). Near-dup graphs are orders of magnitude
+    *    smaller than the corpus (the expensive part — pair generation —
+    *    stays fully distributed), so even a 100 TB corpus with ~a million
+    *    duplicate pairs resolves in one task. History of this task's
+    *    placement: the r14 driver-side `toLocalIterator` loop ran one
+    *    sequential job per fetched partition plus a `parallelize` handoff
+    *    — ~9 extra jobs per call whose scheduling quanta dominated wall
+    *    under ambient load; the r15/r16 lazy form rode the consuming
+    *    query's jobs with zero jobs of its own, but a consumer whose plan
+    *    references the labels frame K times re-ran union-find K times
+    *    (goldenRecords' sizes+election branches, bestRepresentatives'
+    *    reps+final join — both K=2), and both r16 full passes showed
+    *    exactly the fused-CC consumers inflating under long-lived-JVM
+    *    block-manager state. The r17 form materializes labels eagerly in
+    *    ONE extra single-task job — union-find runs once per call no
+    *    matter how many times the plan consumes it, and the labels blocks
+    *    AQE-broadcast into the downstream joins. The default limit is
+    *    sized for a default 1g executor (~tens of MB of boxed entries);
+    *    raise it in step with executor memory, the same contract as
     *    spark.sql.autoBroadcastJoinThreshold.
     *  - **Distributed path** (bigger graphs): min-label propagation with
     *    **pointer jumping** iterated to a fixpoint. Each round every node
@@ -396,24 +404,35 @@ object Dedup {
     *    round changes zero labels; if `maxIters` is exhausted first the
     *    operator THROWS rather than return silently-wrong labels.
     *
-    * Edge materialization (r16): the deduplicated pair pipeline runs
-    * exactly ONCE, into RDD-level `localCheckpoint` blocks — a
-    * STRUCTURAL contract, not a caller convention (ADVICE r15: the
-    * previous CacheManager-level persist meant a caller's early
-    * `spark.catalog.clearCache()` silently recomputed the whole pair
-    * pipeline inside the fused single task, and callers that never
-    * cleared the cache leaked one edge frame per call). Checkpoint
-    * blocks are invisible to `clearCache()` (the cliff is gone by
-    * construction), are released by the ContextCleaner when the labels
-    * frame is garbage-collected (no leak without any caller action),
-    * and a block lost AFTER materialization fails the job loudly
-    * instead of silently re-running pair generation — the explicit
-    * trade of lineage-based recovery for edge blocks, which is correct
-    * here because the edge list is bounded by `localEdgeLimit` and
-    * re-deriving it is the expensive distributed stage this operator
-    * exists to run once. The distributed path's per-round frames keep
-    * lineage (snap() below) — those are the big, cheap-to-recompute
-    * intermediates.
+    * Storage contracts (r17, superseding the r16 edge checkpoint after
+    * ADVICE r16 flagged its distributed-path fault-tolerance loss):
+    *
+    *  - The deduplicated pair pipeline runs exactly ONCE, into RDD-level
+    *    `persist(MEMORY_AND_DISK)` blocks with lineage PRESERVED — a
+    *    STRUCTURAL contract, not a caller convention (ADVICE r15: a
+    *    CacheManager-level persist meant a caller's early
+    *    `spark.catalog.clearCache()` silently recomputed the whole pair
+    *    pipeline inside the fused single task). RDD-level blocks are
+    *    invisible to `clearCache()`, and keeping lineage means an edge
+    *    block lost to executor loss / dynamic-allocation decommission
+    *    RECOMPUTES instead of failing the job — which matters on the
+    *    distributed path, where the edge set is unbounded by definition
+    *    (the r16 form localCheckpoint'ed the edges before the count that
+    *    decides the path, truncating lineage for exactly the edge sets
+    *    too big to re-derive cheaply).
+    *  - Local path: the LABELS are what checkpoint — union-find output,
+    *    one row per node, bounded — via `localCheckpoint` + count, after
+    *    which the (potentially much larger) edge blocks are released
+    *    deterministically (`unpersist`, ADVICE r16) instead of waiting
+    *    for driver GC + ContextCleaner. Label blocks are clearCache-
+    *    invisible; a label block explicitly dropped at the RDD level
+    *    fails later consumption LOUDLY (checkpoint semantics) rather
+    *    than silently recomputing — acceptable because labels are
+    *    bounded and cheap to rebuild by re-running the operator, and
+    *    spec-pinned ([[CcEdgeCheckpointSpec]]).
+    *  - The distributed path's per-round frames keep lineage (snap()
+    *    below) — big, cheap-to-recompute intermediates — and the edge
+    *    blocks release deterministically at convergence.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -424,10 +443,12 @@ object Dedup {
     val directedDf = pairs
       .filter(col("id_a").isNotNull && col("id_b").isNotNull)
       .select(col("id_a").as("u"), col("id_b").as("v"))
-    // Lazy RDD-level local checkpoint: the count() below materializes the
-    // pair pipeline once and truncates lineage to the stored blocks.
+    // RDD-level persist (lineage preserved): the count() materializes the
+    // pair pipeline once; a block lost later recomputes through lineage
+    // instead of failing the job — required on the distributed path where
+    // the edge set exceeds localEdgeLimit by definition (ADVICE r16).
     val directedRdd = directedDf.rdd
-    directedRdd.localCheckpoint()
+    directedRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgeCount = directedRdd.count()
     val directed = spark.createDataFrame(directedRdd, directedDf.schema)
 
@@ -436,16 +457,13 @@ object Dedup {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc", idType),
         org.apache.spark.sql.types.StructField("cluster_id", idType)))
-      // One fused task: coalesce(1) narrows the checkpointed edge
-      // partitions into a single task that runs union-find and emits one
-      // row per node. No job is submitted here — the task executes
-      // inside whichever query consumes the labels, re-reading the LOCAL
-      // checkpoint blocks (never the pair pipeline) on each consumption.
-      // The final root of every component tree is its minimum id
+      // One fused task: coalesce(1) narrows the persisted edge partitions
+      // into a single task that runs union-find and emits one row per
+      // node. The final root of every component tree is its minimum id
       // regardless of edge order (union always keeps the smaller root),
       // and the output is sorted by doc, so the emitted rows are fully
       // deterministic.
-      directed.coalesce(1).mapPartitions { it =>
+      val labelsDf = directed.coalesce(1).mapPartitions { it =>
         val parent = scala.collection.mutable.HashMap.empty[Any, Any]
         def find(x: Any): Any = {
           var r = x
@@ -468,6 +486,19 @@ object Dedup {
         parent.keysIterator.toArray.sorted(ord).iterator
           .map(d => org.apache.spark.sql.Row(d, find(d)))
       }(org.apache.spark.sql.Encoders.row(schema))
+      // Materialize the labels ONCE into localCheckpoint blocks (one job,
+      // one task): a consumer whose plan references the labels K times
+      // (goldenRecords, bestRepresentatives — K=2) reads the tiny label
+      // blocks K times instead of re-running union-find K times, and the
+      // edge blocks can be released immediately below instead of waiting
+      // for driver GC. The count() after the localCheckpoint mark runs
+      // the job that truncates lineage, so a label block dropped at the
+      // RDD level later fails consumption loudly (spec-pinned).
+      val labelsRdd = labelsDf.rdd
+      labelsRdd.localCheckpoint()
+      labelsRdd.count()
+      directedRdd.unpersist(blocking = false)
+      spark.createDataFrame(labelsRdd, schema)
     } else {
       // Iterative plans need their LOGICAL PLAN truncated each round (the
       // pointer-jumping self-join would otherwise double the plan tree
@@ -515,8 +546,10 @@ object Dedup {
         round += 1
       }
       edges.unpersist(blocking = false)
-      // `directed`'s checkpoint blocks are dropped by the ContextCleaner
-      // once the RDD is unreferenced (nothing below reads it).
+      // Deterministic edge release (ADVICE r16): nothing below reads the
+      // directed edge blocks, so drop them here instead of relying on
+      // driver GC + ContextCleaner in a long-lived session.
+      directedRdd.unpersist(blocking = false)
       if (changed > 0)
         throw new IllegalStateException(
           s"connectedComponents did not converge after $maxIters rounds " +

@@ -57,4 +57,45 @@ class SnapshotMemoizerSpec extends AnyFunSuite {
       assert(builds.get == 1, s"raced ${builds.get} builds for one key")
     } finally pool.shutdown()
   }
+
+  test("a slow build of one key does not stall a DIFFERENT key in the same bin") {
+    // Liveness (verdict r16): "Aa" and "BB" have identical hashCode
+    // (2112), so they land in the same ConcurrentHashMap bin — under the
+    // old build-under-compute form, key "BB" would block for key "Aa"'s
+    // whole (multi-second Spark training) build.
+    assert("Aa".hashCode == "BB".hashCode)
+    val m = new SnapshotMemoizer[String]
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val slow = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = m.get("Aa", "s") {
+          started.countDown()
+          assert(release.await(30, java.util.concurrent.TimeUnit.SECONDS))
+          "slow"
+        }
+      })
+      assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      // While Aa is mid-build, a same-bin key must complete immediately.
+      val t0 = System.nanoTime()
+      assert(m.get("BB", "s")("fast") == "fast")
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      release.countDown()
+      assert(slow.get() == "slow")
+      assert(waitedMs < 5000,
+        f"same-bin get stalled $waitedMs%.0f ms behind another key's build")
+    } finally pool.shutdown()
+  }
+
+  test("a builder that throws is retried on the next get") {
+    val m = new SnapshotMemoizer[String]
+    var attempts = 0
+    intercept[IllegalStateException](m.get("k", "s") {
+      attempts += 1; throw new IllegalStateException("train failed")
+    })
+    assert(m.get("k", "s") { attempts += 1; "ok" } == "ok")
+    assert(attempts == 2, "a failed build must not poison the key")
+    assert(m.get("k", "s")(fail("must not rebuild after success")) == "ok")
+  }
 }
