@@ -415,4 +415,61 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     assert(ov10 == 10 * ov1, s"overlap mass not 10x exact: $ov1 -> $ov10")
     assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
   }
+
+  test("ER chain linkageScores→linkageClusters→goldenRecords holds sub-quadratic at sf1 (10x records)", PerfTag) {
+    // The entity-resolution representative (verdict r16 item #5 — the one
+    // heavy family without a measured decade; q_golden is the bench's
+    // slowest driver query). Replica isolation: ids shift by a disjoint
+    // stride (edges, cluster labels, golden keys stay in-copy); names
+    // carry a per-replica TWO-char prefix, whose pairwise levenshtein of
+    // 2 exceeds maxDist 1, so c_name can never AGREE across replicas —
+    // and the maximum cross-replica Fellegi–Sunter score (name disagrees,
+    // segment + nation agree) is −1.5M + 1.0M + 0.8M = 0.3M, far under
+    // the 3M match threshold: no cross-replica match is possible even for
+    // otherwise-identical rows. Sorted-neighborhood blocking sorts
+    // prefix-major, so in-copy candidate pairs replicate the 1× pairs
+    // exactly; the few boundary candidates between adjacent replicas all
+    // score below threshold and change nothing downstream. The 10× truth
+    // is therefore EXACTLY ten shifted copies, giving closed-form mass
+    // contracts with no 10×-sized collect.
+    val stride = 1000000L
+    val cust1 = spark.read.parquet(s"$sf01/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_nationkey"))
+    val cust10 = cust1.withColumn("k", explode(sequence(lit(0), lit(9))))
+      .select((col("c_custkey") + col("k") * stride).as("c_custkey"),
+        concat(col("k").cast("string"), col("k").cast("string"), lit("~"),
+          col("c_name")).as("c_name"),
+        col("c_mktsegment"), col("c_nationkey"))
+    // the q_golden composition (SparkEntry.linkageScored weights)
+    def chain(c: DataFrame): (Long, Long, Long, Long, Long) = {
+      val pairs = Dedup.sortedNeighborhoodPairs(c, "c_custkey", "c_name", 3)
+      val scored = Dedup.linkageScores(pairs, c, "c_custkey",
+        Seq(("c_name", 2000000L, -1500000L),
+          ("c_mktsegment", 1000000L, -400000L),
+          ("c_nationkey", 800000L, -200000L)),
+        maxDist = 1, threshold = 3000000L)
+      val clusters = Dedup.linkageClusters(scored, c, "c_custkey")
+      val cl = clusters.agg(count(lit(1)), sum(col("cluster_id"))).head()
+      val golden = Dedup.goldenRecords(c, clusters, "c_custkey",
+        Seq("c_name", "c_mktsegment", "c_nationkey"))
+      val g = golden.agg(count(lit(1)), sum(col("n_members")),
+        sum(col("cluster_id"))).head()
+      (cl.getLong(0), cl.getLong(1), g.getLong(0), g.getLong(1), g.getLong(2))
+    }
+    val ((n1, s1, g1, m1, sg1), t1) = timed("er chain 1x (sf0.1)")(chain(cust1))
+    spark.catalog.clearCache()
+    val ((n10, s10, g10, m10, sg10), t10) =
+      timed("er chain 10x (~sf1 records)")(chain(cust10))
+    spark.catalog.clearCache()
+    assert(g1 < n1, s"1x must have non-trivial clusters (golden $g1 of $n1)")
+    assert(n10 == 10 * n1, s"record mass not 10x exact: $n1 -> $n10")
+    assert(s10 == 10 * s1 + 45L * stride * n1,
+      s"cluster-label mass not 10 exact shifted copies: $s1 -> $s10 (n1=$n1)")
+    assert(g10 == 10 * g1, s"golden row mass not 10x exact: $g1 -> $g10")
+    assert(m10 == 10 * m1, s"member mass not 10x exact: $m1 -> $m10")
+    assert(sg10 == 10 * sg1 + 45L * stride * g1,
+      s"golden-key mass not 10 exact shifted copies: $sg1 -> $sg10 (g1=$g1)")
+    assert(t10 <= 30 * (t1 + 0.5), f"runtime blowup: $t1%.1fs -> $t10%.1fs")
+  }
 }
