@@ -1121,19 +1121,33 @@ object Dedup {
     * hash-partitioned count per (cluster, field, value), a min(struct)
     * election per (cluster, field) (map-side partials, no window), and a
     * static pivot back to columns; k fields cost k× row inflation, never
-    * k separate aggregation passes over the records.
+    * k separate aggregation passes over the records. The member count
+    * rides the SAME unpivot as a sentinel element whose election win
+    * carries its count (r17), and the sentinel pivots out alongside the
+    * real fields — so the whole operator is ONE LINEAR pipeline
+    * (join → explode → count → elect → pivot → project) with no
+    * branch and no final join. The earlier form aggregated `member`
+    * twice (a sizes branch + the election branch) and left-joined them
+    * back: because the branch filters push below every aggregation of
+    * the group key, the two subtrees were NOT exchange-reusable and the
+    * records ⋈ clusters join executed per branch.
     */
   def goldenRecords(
       records: DataFrame, clusters: DataFrame, idCol: String,
       fields: Seq[String]): DataFrame = {
     require(fields.nonEmpty, "goldenRecords needs at least one field")
+    val rowTag = "__graft_member__"
+    require(!fields.contains(rowTag), s"field name $rowTag is reserved")
     val member = records
       .select(Cols.q(idCol).as("id") +:
         fields.map(f => Cols.q(f).cast("string").as(f)): _*)
       .join(clusters, Seq("id"))
-    val sizes = member.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
+    // One sentinel element per member row (v = "", never null, so it
+    // survives the null filter): its (cluster, rowTag, "") count IS the
+    // cluster's member count, and the election's win struct carries the
+    // negated count through to the pivot — no separate sizes branch.
     val stacked = member.select(col("cluster_id"), explode(array(
+        struct(lit(rowTag).as("f"), lit("").as("v")) +:
         fields.map(f => struct(lit(f).as("f"), col(f).as("v"))): _*)).as("fv"))
       .select(col("cluster_id"), col("fv.f").as("f"), col("fv.v").as("v"))
       .filter(col("v").isNotNull)
@@ -1142,11 +1156,14 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("cluster_id"), col("f"))
       .agg(min(struct((-col("cnt")).as("neg"), col("v").as("v"))).as("win"))
-      .select(col("cluster_id"), col("f"), col("win.v").as("v"))
-    sizes.join(
-        elected.groupBy(col("cluster_id")).pivot("f", fields).agg(first(col("v"))),
-        Seq("cluster_id"), "left")
-      .select(col("cluster_id") +: col("n_members") +: fields.map(col): _*)
+    // Exactly one win row per (cluster, f) reaches the pivot, so
+    // first() is deterministic; every cluster has its sentinel row, so
+    // no cluster drops out (the job the sizes LEFT JOIN used to do).
+    elected.groupBy(col("cluster_id")).pivot("f", rowTag +: fields)
+      .agg(first(col("win")))
+      .select(col("cluster_id") +:
+        (-col(s"`$rowTag`").getField("neg")).as("n_members") +:
+        fields.map(f => col(s"`$f`").getField("v").as(f)): _*)
   }
 
   /** Blocking-quality evaluation (Christen's reduction-ratio /

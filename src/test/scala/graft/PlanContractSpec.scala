@@ -786,7 +786,7 @@ class PlanContractSpec extends SparkSpec {
         // materialization re-runs union-find per consumption (the r16
         // q_golden residual) without moving these counts, so the
         // LogicalRDD-leaf contract in CcEdgeCheckpointSpec guards that
-        "q_golden" -> 39, // measured 26
+        "q_golden" -> 39, // measured 23 (single-pass goldenRecords)
         "q_er_clusters" -> 26, // measured 18
         "q_dedup_clusters" -> 24, // measured 17
         "q_dedup_corpus" -> 30, // measured 20 (r16 verdict item #3: the
