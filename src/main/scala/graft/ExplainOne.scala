@@ -13,10 +13,17 @@ object ExplainOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_FINAL=1: execute first, then print the FINAL
+    // adaptive plan — AQE exchange reuse / runtime broadcasts are
+    // invisible in the static explain.
+    val runFinal = sys.env.get("SPARK_GRAFT_EXPLAIN_FINAL").contains("1")
     names.foreach { name =>
       println(s"########## $name")
-      println(SparkEntry.queries(name)(spark, d)
-        .queryExecution.explainString(FormattedMode))
+      val df = SparkEntry.queries(name)(spark, d)
+      // collect() executes THIS Dataset's QueryExecution (df.write would
+      // plan a separate one whose adaptive plan we'd never see)
+      if (runFinal) { df.collect(); () }
+      println(df.queryExecution.explainString(FormattedMode))
     }
     spark.stop()
   }

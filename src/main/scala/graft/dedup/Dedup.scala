@@ -785,11 +785,14 @@ object Dedup {
     * are all duplicates come back with empty text, not dropped — the
     * caller decides the drop policy.
     *
-    * Scale: one explode (segments ≈ rows × segments/doc), one hash
-    * aggregation over the normalized-segment key to elect each segment's
-    * first occurrence, one equi-join to keep winners, one groupBy(doc) to
-    * reassemble. The winner election is min(struct(doc, pos)) — a real
-    * aggregate with map-side partials — NOT row_number over a window: a
+    * Scale: one explode (segments ≈ rows × segments/doc), ONE hash
+    * aggregation over the normalized-segment key that elects each
+    * segment's first occurrence AND carries its text (the winning seg
+    * rides the min struct — no join back to the segment relation, which
+    * previously re-ran the explode+md5 pipeline and shuffled every
+    * segment's text un-combined), one groupBy(doc) to reassemble. The
+    * winner election is min(struct(doc, pos, seg)) — a real aggregate
+    * with map-side partials — NOT row_number over a window: a
     * boilerplate segment repeated 10⁹ times would land every copy on one
     * window reducer, while partial aggregation collapses it to one row
     * per map task before anything moves.
@@ -812,14 +815,21 @@ object Dedup {
       .filter(trim(col("seg")) =!= "")
     // Globally-first occurrence per key: min over the (doc, pos) total
     // order — lexicographic struct min ≡ ORDER BY doc, pos LIMIT 1.
-    val winners = segs.groupBy(col("k"))
-      .agg(min(struct(col("doc"), col("pos"))).as("w"))
-      .select(col("k"), col("w.doc").as("doc"), col("w.pos").as("pos"))
+    // The winning SEGMENT rides the same min struct ((doc, pos) is
+    // unique per exploded row, so seg never participates in the
+    // comparison): one aggregation yields the kept rows directly —
+    // the former winners ⋈ segs join-back consumed the explode+md5
+    // pipeline TWICE (its two consumers shuffled on different keys, so
+    // nothing was exchange-reusable) and shuffled every segment's text
+    // by (k, doc, pos) with no map-side combine; this form shuffles at
+    // most one (doc, pos, seg) triple per key per map task.
     val kept = segs
-      .join(winners, Seq("k", "doc", "pos"))
-      .groupBy(col("doc"))
+      .groupBy(col("k"))
+      .agg(min(struct(col("doc"), col("pos"), col("seg"))).as("w"))
+      .groupBy(col("w.doc").as("doc"))
       .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+        transform(array_sort(collect_list(struct(col("w.pos").as("pos"),
+          col("w.seg").as("seg")))),
           x => x.getField("seg")), joiner).as("dedup_text"))
     df.select(col(idCol).as("doc"))
       .join(kept, "doc", "left")

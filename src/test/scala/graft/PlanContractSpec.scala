@@ -277,6 +277,20 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
       p.take(2000))
     assert(!p.contains("CartesianProduct"))
+    // Single-pass contract (r17): the member-count sentinel rides the
+    // unpivot and its election win carries the count, so the operator is
+    // ONE linear pipeline — the unpivot Generate plans once and the CC
+    // labels leaf scans once. The regressed form (separate sizes +
+    // election branches joined back) duplicates both, because filters on
+    // the unpivot group key push below every aggregation and the branch
+    // subtrees stop being exchange-reusable.
+    def occurrences(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
+    assert(occurrences(p, "Generate") == 1,
+      s"q_golden must unpivot exactly once (sizes and election share the " +
+        s"sentinel pass):\n${p.take(3000)}")
+    assert(occurrences(p, "Scan ExistingRDD") == 1,
+      s"q_golden must scan the CC labels leaf exactly once:\n${p.take(3000)}")
     // The election contract is that no window runs over the cluster key —
     // a hot 10⁹-member cluster must collapse in map-side partials, never
     // land whole on one Window reducer. Checked STRUCTURALLY (ADVICE r15:
