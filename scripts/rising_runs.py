@@ -11,7 +11,12 @@ absolute delta exceeds 0.5 s; annotates whether the cell is strictly
 monotone (every run slower than the previous — the strongest form).
 The common benign shape (run1 slowest = JIT warm-up) can never trip this.
 
-Usage: rising_runs.py <bench_queries.json> [...]   # exit 1 if any flagged
+Also surfaces the artifact's ambient-state calibration (verdict r17 item
+#3: Bench times one fixed cheap query at pass start/middle/end and labels
+the pass high_state when the probe median exceeds 1.5x its known floor).
+
+Usage: rising_runs.py <bench_queries.json> [...]
+Exit code bits: 1 = rising cell(s) flagged, 2 = high-state calibration.
 """
 import json
 import sys
@@ -23,7 +28,14 @@ for path in sys.argv[1:]:
     d = json.load(open(path))
     flagged = []
     for name, cell in sorted(d["queries"].items()):
-        runs = cell.get("runs_raw") or cell.get("runs") or []
+        # Chronological order lives ONLY in runs_raw; the `runs` list is
+        # sorted ascending, so reading it as execution order would make
+        # every >=1.5x-spread cell look rising (ADVICE r17) — refuse
+        # artifacts without it rather than misread them.
+        if "runs_raw" not in cell:
+            sys.exit(f"{path}: cell {name!r} has no runs_raw "
+                     "(artifact too old for this detector)")
+        runs = cell["runs_raw"]
         if len(runs) < 2:
             continue
         first, last = runs[0], runs[-1]
@@ -35,4 +47,12 @@ for path in sys.argv[1:]:
         shape = "monotone" if mono else "rising"
         print(f"  RISING {name:<28} {[round(r, 2) for r in runs]}  [{shape}]")
     rc |= 1 if flagged else 0
+    calib = d.get("calibration")
+    if calib:
+        state = "HIGH-STATE" if calib.get("high_state") else "low-state"
+        print(f"  calibration {calib['query']}: "
+              f"{[round(r, 3) for r in calib['runs']]} "
+              f"median {calib['median']:.3f} vs floor {calib['floor']} "
+              f"-> {state}")
+        rc |= 2 if calib.get("high_state") else 0
 sys.exit(rc)

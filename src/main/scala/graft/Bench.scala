@@ -46,6 +46,34 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Ambient-state calibration probe (verdict r17 item #3): the box
+    // alternates between a ~182-187 s low state and a ~203-210 s high
+    // state on identical code (NOTES r17, eight recorded passes), and
+    // until now the classification lived in narrative. One fixed cheap
+    // query (q_trim_all — one scan + projection, floor 0.116-0.136 s in
+    // the committed width-32 r17 artifact) is timed at pass START,
+    // MIDDLE, and END; the triple rides in both the sidecar and the
+    // headline line, and a pass whose calibration MEDIAN exceeds the
+    // known floor by >1.5x labels ITSELF high_state in the JSON
+    // (rising_runs.py exposes it as an exit-code bit). Median, not min:
+    // min-of-3 is exactly the statistic that hides sustained contention.
+    val calibName = sys.env.getOrElse("SPARK_GRAFT_CALIB_QUERY", "q_trim_all")
+    val calibFloor =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_FLOOR", "0.13").toDouble
+    val calibFn = SparkEntry.queries.get(calibName)
+    val calibRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibProbe(): Unit = calibFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        calibRuns += (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => () }
+    }
+    // untimed warm-up of the calibration plan itself, so probe #1 is not
+    // the one paying its codegen/JIT and flagging a false high state
+    calibFn.foreach(fn =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () })
     // Contention/GC sidecar: the r12 driver artifact inflated 12
     // code-unchanged queries 3-10x and only a three-way git comparison
     // diagnosed it as host load. Recording the 1-minute loadavg and the
@@ -78,7 +106,10 @@ object Bench {
     // local copy (e.g. GraphOps persists its edge relation), which is the
     // measured status quo.
     val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet
-    val timings = selected.map { case (name, fn) =>
+    calibProbe() // pass START
+    val calibMidIdx = selected.size / 2
+    val timings = selected.zipWithIndex.map { case ((name, fn), qIdx) =>
+      if (qIdx == calibMidIdx && qIdx > 0) calibProbe() // pass MIDDLE
       var failed = false
       var i = 0
       val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -119,6 +150,17 @@ object Bench {
       // i's load/gc pairs with runs_raw[i], not with the sorted runs list)
       (name, failed, ts.toSeq.sorted, ts.toSeq, loads.toSeq, gcs.toSeq)
     }
+    calibProbe() // pass END
+    // median of the probe triple vs the known floor; -1 when the probe
+    // query is deselected/failed (never on the driver's full pass)
+    val calibMed =
+      if (calibRuns.isEmpty) -1.0
+      else calibRuns.toSeq.sorted.apply(calibRuns.size / 2)
+    val highState = calibMed > 1.5 * calibFloor
+    val calibJson =
+      s"""{"query":"$calibName","floor":$calibFloor,""" +
+        s""""runs":[${calibRuns.mkString(",")}],"median":$calibMed,""" +
+        s""""high_state":$highState}"""
     // A crashed query must not look like a fast one: report -1.
     val results = timings.map { case (name, failed, ts, _, _, _) =>
       name -> (if (failed) -1.0 else ts.head)
@@ -146,7 +188,7 @@ object Bench {
           s""""runs_raw":[${raw.mkString(",")}],"load":[${loads.map(fmt2).mkString(",")}],"gc_ms":[${gcs.mkString(",")}]}"""
       }.mkString("{", ",", "}")
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        s"""{"sf":"$sfDir","runs_per_query":$runs,"cpus":"$cpus","queries":$detail}""".getBytes("UTF-8"))
+        s"""{"sf":"$sfDir","runs_per_query":$runs,"cpus":"$cpus","calibration":$calibJson,"queries":$detail}""".getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"BENCH: could not write $outPath: ${e.getMessage}")
     }
@@ -181,7 +223,7 @@ object Bench {
       if (allLoads.isEmpty) "null" else fmt2(allLoads(allLoads.size / 2))
     val loadMax = if (allLoads.isEmpty) "null" else fmt2(allLoads.last)
     val gcTotal = timings.flatMap(_._6).sum
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"load_med":$loadMed,"load_max":$loadMax,"gc_total_ms":$gcTotal,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failed,"load_med":$loadMed,"load_max":$loadMax,"gc_total_ms":$gcTotal,"calib_med":${fmt2(calibMed)},"high_state":$highState,"value":$total}""")
     spark.stop()
   }
 }

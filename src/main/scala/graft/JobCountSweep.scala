@@ -53,6 +53,10 @@ object JobCountSweep {
          if name.startsWith(prefix)) {
       def run(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // A query whose MEASUREMENT completed but whose post-run cleanup
+      // threw must not also land in failedQueries (ADVICE r17: it would
+      // emit a duplicate JSON key and double-count n_queries).
+      var measured = false
       try {
         run() // warm-up: one-time memoizer/JIT jobs land outside the count
         spark.catalog.clearCache()
@@ -78,12 +82,13 @@ object JobCountSweep {
           finally sc.setJobDescription(null)
           drained = marker.await(30, java.util.concurrent.TimeUnit.SECONDS)
           results += ((name, n.get, wall, !drained))
+          measured = true
         } finally sc.removeSparkListener(l)
         spark.catalog.clearCache()
         sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       } catch {
         case e: Throwable =>
-          failedQueries += name
+          if (!measured) failedQueries += name
           System.err.println(s"SWEEP $name failed: $e")
       }
     }

@@ -21,6 +21,19 @@ package graft
   * evicted by the observing caller, so the next `get` of that key
   * installs (and runs) a fresh builder — the same retry semantics
   * `compute` gave, where a throwing compute left no mapping.
+  *
+  * Failure-race caveat (ADVICE r17, accepted and documented): after a
+  * build FAILS, "build exactly once per key" weakens to at-most-redundant
+  * work — a second caller already holding the evicted cell re-runs the
+  * builder inside that orphaned cell (Scala lazy vals retry on
+  * exception), and because the orphan is no longer in the map its
+  * successful value is invisible to later `get`s, which install a fresh
+  * cell and build again; likewise a concurrent fresh `get` may build the
+  * same key in parallel with the orphan's retry. Every such build is
+  * correct (builders are pure by contract) and the map still holds at
+  * most one cell per key — the redundancy costs duplicate training work
+  * only on the already-exceptional failure path, which is the right
+  * trade against a coordination protocol on the hot path.
   */
 final class SnapshotMemoizer[V <: AnyRef] {
   private final class Cell(val snapshot: String, build: () => V) {

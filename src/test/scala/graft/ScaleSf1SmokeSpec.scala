@@ -421,8 +421,10 @@ class ScaleSf1SmokeSpec extends SparkSpec {
     // heavy family without a measured decade; q_golden is the bench's
     // slowest driver query). Replica isolation: ids shift by a disjoint
     // stride (edges, cluster labels, golden keys stay in-copy); names
-    // carry a per-replica TWO-char prefix, whose pairwise levenshtein of
-    // 2 exceeds maxDist 1, so c_name can never AGREE across replicas —
+    // carry a per-replica prefix of the replica digit DOUBLED plus a '~'
+    // separator (3 chars; any two replicas' prefixes differ in the two
+    // doubled digits), whose pairwise levenshtein of 2 exceeds maxDist 1,
+    // so c_name can never AGREE across replicas —
     // and the maximum cross-replica Fellegi–Sunter score (name disagrees,
     // segment + nation agree) is −1.5M + 1.0M + 0.8M = 0.3M, far under
     // the 3M match threshold: no cross-replica match is possible even for
