@@ -51,7 +51,11 @@ object ProfileJobs {
         if (desc.contains(markerDesc)) { markerId.set(js.jobId); () }
         else {
           val site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            // callSite is absent under forked runMain; the job's LAST
+            // stage name (the result stage) attributes it instead
+            .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
+            .getOrElse("?")
           jobs.put(js.jobId, (js.time, site))
           ()
         }

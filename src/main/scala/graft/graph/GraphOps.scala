@@ -420,6 +420,21 @@ object GraphOps {
     * round as in the other iterative ops. Input conventions as
     * [[triangleCounts]]: either orientation, self-loops dropped,
     * parallel edges collapse.
+    *
+    * Loop conf (r18, the [[hits]] rationale applied after measurement):
+    * AQE is OFF inside the peeling loop and shuffle parallelism sized to
+    * the GRAPH (one partition per ~200k canonical edges, counted during
+    * the one-job edge materialization — the localCheckpoint'd RDD count
+    * pattern from the CC labels fix). Under AQE every query stage of the
+    * per-round triangle pass ran as its own job (census: 46 jobs for 3
+    * rounds at sf0.001) and the per-job scheduling floor dominated; the
+    * loop's join strategy needs no runtime re-planning because it is
+    * PINNED in-plan: the |V|-row degree relation joins via explicit
+    * `broadcast` (the [[triangleCounts]] size argument — broadcast-sized
+    * for any graph whose edge list warrants a cluster), and the closure
+    * probe builds its hash side from the current edge set via a
+    * shuffle-hash hint (~200k rows per task by construction; a sort
+    * would pay |wedges| log |wedges| for nothing).
     */
   def kTruss(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
     require(k >= 3 && rounds >= 1, "kTruss needs k >= 3 and rounds >= 1")
@@ -434,8 +449,10 @@ object GraphOps {
         .union(cur.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
       val ed = cur
-        .join(deg.select(col("node").as("a"), col("degree").as("da")), "a")
-        .join(deg.select(col("node").as("b"), col("degree").as("db")), "b")
+        .join(broadcast(
+          deg.select(col("node").as("a"), col("degree").as("da"))), "a")
+        .join(broadcast(
+          deg.select(col("node").as("b"), col("degree").as("db"))), "b")
         .select(
           when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
             col("a")).otherwise(col("b")).as("s"),
@@ -445,7 +462,7 @@ object GraphOps {
       val e2 = ed.select(col("s"), col("t").as("t2"))
       e1.join(e2, "s")
         .filter(col("t1") < col("t2"))
-        .join(cur,
+        .join(cur.hint("shuffle_hash"),
           least(col("t1"), col("t2")) === col("a") &&
           greatest(col("t1"), col("t2")) === col("b"))
         // credit each triangle to its three canonical edges
@@ -458,21 +475,53 @@ object GraphOps {
         .select(col("_e.sa").as("sa"), col("_e.sb").as("sb"))
         .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("support"))
     }
-    var e = und0.localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val next = e
-        .join(support(e),
-          col("a") === col("sa") && col("b") === col("sb"), "inner")
-        .filter(col("support") >= k - 2)
-        .select(col("a"), col("b"))
+    val spark = edges.sparkSession
+    // materialize the canonical edge set once AND count it in the same
+    // job (the CC labels RDD pattern); the count sizes the loop's
+    // shuffle width to the graph. A/B note (PLANS.md r18): the eager
+    // Dataset.localCheckpoint variant was re-measured here and is
+    // SLOWER (27 census jobs vs 16, worse solo wall) — unlike harmonic,
+    // this loop is shuffle-join-bound, so the Row-block conversion cost
+    // is invisible while the extra checkpoint machinery jobs are not.
+    var eRdd = und0.rdd
+    eRdd.localCheckpoint()
+    val nE = eRdd.count()
+    var e = spark.createDataFrame(eRdd, und0.schema)
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (_ <- 1 to rounds) {
+        val nextDf = e
+          .join(support(e),
+            col("a") === col("sa") && col("b") === col("sb"), "inner")
+          .filter(col("support") >= k - 2)
+          .select(col("a"), col("b"))
+        val nextRdd = nextDf.rdd
+        nextRdd.localCheckpoint()
+        nextRdd.count()
+        val next = spark.createDataFrame(nextRdd, nextDf.schema)
+        eRdd.unpersist(blocking = false)
+        eRdd = nextRdd
+        e = next
+      }
+      // final support recomputed on the surviving set (honest fixed-round
+      // semantics); checkpointed so it evaluates under the loop conf and
+      // the last edge blocks release deterministically
+      val out = e.join(support(e),
+          col("a") === col("sa") && col("b") === col("sb"), "left")
+        .select(col("a").as("src"), col("b").as("dst"),
+          coalesce(col("support"), lit(0L)).as("support"))
         .localCheckpoint(true)
-      e.unpersist(blocking = false)
-      e = next
+      eRdd.unpersist(blocking = false)
+      out
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
     }
-    e.join(support(e),
-        col("a") === col("sa") && col("b") === col("sb"), "left")
-      .select(col("a").as("src"), col("b").as("dst"),
-        coalesce(col("support"), lit(0L)).as("support"))
   }
 
   /** Per-node triangle counts and local clustering coefficient over an
@@ -742,14 +791,26 @@ object GraphOps {
       // (re-join the WHOLE visited set against the edges every round)
       // multiplies |ball|·avg-degree per round — measured 18 s at sf0.1
       // because dense balls are re-expanded 4×; the frontier form does
-      // the edge fan-out once per node total (18 s → ~4 s). Each round
-      // checkpoints both relations (the pageRank lineage rule).
+      // the edge fan-out once per node total (18 s → ~4 s).
+      //
+      // r18 job-count shape: `visited` is a LAZY union over the per-layer
+      // checkpoint frames (≤ rounds+1 leaves), so the old per-round union
+      // re-checkpoint — which re-copied the whole O(Σ|ball|) visited set
+      // every round just to add a layer — is gone entirely: same blocks,
+      // read in place by the anti-join and the final sums. Layers stay
+      // EAGER Dataset.localCheckpoints (InternalRow blocks — an
+      // RDD[Row]-backed layer was A/B-measured ~4% slower solo because
+      // every downstream scan re-pays the Row→InternalRow conversion),
+      // and the saturation test is a limit-1 `isEmpty` over the
+      // just-materialized layer, pennies next to the removed re-copy.
       var visited = p0
         .select(col("node").as("probe"), col("node"), lit(0L).as("depth"))
         .localCheckpoint(true)
+      val layerFrames = scala.collection.mutable.ArrayBuffer(visited)
       var frontier = visited
+      var live = !frontier.isEmpty
       var r = 0
-      while (r < rounds && !frontier.isEmpty) {
+      while (r < rounds && live) {
         val cand = frontier
           .join(allE, col("node") === col("src"))
           .select(col("probe"), col("dst").as("node"),
@@ -759,11 +820,14 @@ object GraphOps {
         val fresh = cand.join(visited.select(col("probe"), col("node")),
             Seq("probe", "node"), "left_anti")
           .localCheckpoint(true)
-        val nextVisited = visited.union(fresh).localCheckpoint(true)
-        visited.unpersist(blocking = false)
-        if (!(frontier eq visited)) frontier.unpersist(blocking = false)
-        visited = nextVisited
-        frontier = fresh
+        if (fresh.isEmpty) {
+          fresh.unpersist(blocking = false)
+          live = false
+        } else {
+          layerFrames += fresh
+          visited = visited.union(fresh)
+          frontier = fresh
+        }
         r += 1
       }
       val sums = visited.filter(col("depth") > 0L)
@@ -776,8 +840,7 @@ object GraphOps {
           coalesce(col("_hc_n"), lit(0L)).as("reached"),
           coalesce(col("_hc_h"), lit(0L)).as("harmonic_micro"))
         .localCheckpoint(true)
-      visited.unpersist(blocking = false)
-      if (!(frontier eq visited)) frontier.unpersist(blocking = false)
+      layerFrames.foreach(_.unpersist(blocking = false))
       e.unpersist(blocking = false)
       allE.unpersist(blocking = false)
       p0.unpersist(blocking = false)

@@ -125,6 +125,11 @@ object BradleyTerry {
             expr(s"(cast(_bt_p as $dec) * ${nItems}L * 1000000) div _bt_s"))
             .otherwise(col("_bt_p")).as("r"))
       }
+      // Span stays ONE step per checkpoint (re-measured r18, PLANS.md):
+      // a span-2 chain read 54 census jobs and +40% solo wall — the
+      // hoped-for ReuseExchange dedup of the chained π' subtrees does
+      // not materialize across the broadcast/alias boundary, so the
+      // span-2 plan re-executes step 1 inside step 2.
       var r = stats.select(col("item"), lit(1000000L).as("r"))
         .localCheckpoint(true)
       var i = 0

@@ -149,38 +149,85 @@ object Profiler {
     * is reported separately — it breaks inner joins silently rather
     * than loudly).
     *
-    * Exact longs throughout — hash-oracles.
+    * Exact longs throughout — hash-oracles. Key values compare AS
+    * STRINGS (the [[profileColumns]]/[[inclusionDeps]] convention —
+    * exact for the integer/string keys a star schema declares, and what
+    * lets every edge ride one stacked relation).
     *
-    * Scale: per edge, the child is FIRST aggregated to `(fk, count)` —
-    * one hash aggregation with map-side partials — and only that
-    * distinct-key relation (bounded by the PARENT's key cardinality
-    * plus the orphan keys, not the child's row count) anti-joins the
-    * parent's distinct keys. The summary is a single-row agg over the
-    * per-key relation; no full-width child rows ever cross the join.
+    * Scale (r18 — was one independent totals+anti-join subtree PER edge,
+    * which ran the 7-edge census as 54 AQE query-stage jobs and scanned
+    * the child of a 3-FK table six times): ALL edges stack into one
+    * `(edge_id, value)` relation — a table contributing k FK columns is
+    * scanned ONCE reading k columns (explode of a k-literal array;
+    * child/parent DataFrames are grouped by reference identity) — then
+    * ONE hash aggregation folds it to `(edge, key, count)` with map-side
+    * partials, bounded per edge by the parent's key cardinality plus the
+    * orphan keys, never the child's row count. That per-key relation
+    * persists (it feeds both the per-edge totals and the anti-join — a
+    * cache barrier, so the stack is computed once, not once per
+    * consumer) and one anti-join against the stacked distinct parent
+    * keys settles every edge together. Adding edges adds array entries
+    * and reducer keys, not passes.
     */
   def referentialIntegrity(
       edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     require(edges.nonEmpty, "referentialIntegrity needs at least one edge")
-    edges.map { case (label, child, fkCol, parent, pkCol) =>
-      val fk = graft.Cols.q(fkCol)
-      val totals = child.agg(
-        count(lit(1)).as("n_rows"),
-        coalesce(sum(when(fk.isNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_null_fk"))
-      val perKey = child.filter(fk.isNotNull)
-        .groupBy(fk.as("_ri_k")).agg(count(lit(1)).as("_ri_n"))
-      val orphans = perKey.join(
-          parent.select(graft.Cols.q(pkCol).as("_ri_k")).distinct(),
-          Seq("_ri_k"), "left_anti")
-        .agg(coalesce(sum(col("_ri_n")), lit(0L)).as("n_orphans"),
-          count(lit(1)).as("orphan_keys"))
-      totals.crossJoin(orphans).select(
-        lit(label).as("relation"), lit(fkCol).as("fk_col"),
-        col("n_rows"), col("n_null_fk"), col("n_orphans"), col("orphan_keys"),
-        when(col("n_rows") > 0L, expr("n_orphans * 1000000 div n_rows"))
+    import scala.collection.mutable.ArrayBuffer
+    val spark = edges.head._2.sparkSession
+    // group identical DataFrames (reference identity — Dataset does not
+    // override equals) so a shared scan is planned once for all its edges
+    def stack(sides: Seq[(Int, DataFrame, String)]): DataFrame = {
+      val groups = ArrayBuffer.empty[(DataFrame, ArrayBuffer[(Int, String)])]
+      for ((i, df, c) <- sides)
+        groups.find(_._1 eq df) match {
+          case Some((_, buf)) => buf += ((i, c))
+          case None => groups += ((df, ArrayBuffer((i, c))))
+        }
+      groups.map { case (df, cols) =>
+        df.select(explode(array(cols.toSeq.map { case (i, c) =>
+            struct(lit(i).as("e"), graft.Cols.q(c).cast("string").as("v"))
+          }: _*)).as("_ri_s"))
+          .select(col("_ri_s.e").as("_ri_e"), col("_ri_s.v").as("_ri_v"))
+      }.reduce(_ unionAll _)
+    }
+    // child stack keeps nulls (they carry the n_null_fk / n_rows share);
+    // one (edge, key) aggregation serves totals AND the anti-join probe
+    val perKey = stack(edges.zipWithIndex.map { case ((_, c, fk, _, _), i) =>
+        (i, c, fk) })
+      .groupBy(col("_ri_e"), col("_ri_v"))
+      .agg(count(lit(1)).as("_ri_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perKey.groupBy(col("_ri_e")).agg(
+      sum(col("_ri_n")).as("n_rows"),
+      coalesce(sum(when(col("_ri_v").isNull, col("_ri_n"))), lit(0L))
+        .as("n_null_fk"))
+    val parents = stack(edges.zipWithIndex.map { case ((_, _, _, p, pk), i) =>
+        (i, p, pk) })
+      .filter(col("_ri_v").isNotNull)
+      .distinct()
+    val orphans = perKey.filter(col("_ri_v").isNotNull)
+      .join(parents, Seq("_ri_e", "_ri_v"), "left_anti")
+      .groupBy(col("_ri_e"))
+      .agg(sum(col("_ri_n")).as("n_orphans"),
+        count(lit(1)).as("orphan_keys"))
+    // |edges|-row assembly: labels drive (an empty child has no stack
+    // rows, so its edge must still report zeros), both sides broadcast
+    val labels = spark.createDataFrame(
+        edges.zipWithIndex.map { case ((label, _, fk, _, _), i) =>
+          (i, label, fk) })
+      .toDF("_ri_e", "relation", "fk_col")
+    labels.join(totals, Seq("_ri_e"), "left")
+      .join(orphans, Seq("_ri_e"), "left")
+      .select(col("relation"), col("fk_col"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_null_fk"), lit(0L)).as("n_null_fk"),
+        coalesce(col("n_orphans"), lit(0L)).as("n_orphans"),
+        coalesce(col("orphan_keys"), lit(0L)).as("orphan_keys"),
+        when(coalesce(col("n_rows"), lit(0L)) > 0L,
+          expr("coalesce(n_orphans, 0L) * 1000000 div n_rows"))
           .otherwise(lit(0L)).as("orphan_micro"),
-        (col("n_orphans") === 0L && col("n_null_fk") === 0L).as("ok"))
-    }.reduce(_ unionAll _)
+        (coalesce(col("n_orphans"), lit(0L)) === 0L &&
+          coalesce(col("n_null_fk"), lit(0L)) === 0L).as("ok"))
   }
 
   /** Unary inclusion-dependency discovery (the SPIDER question: which

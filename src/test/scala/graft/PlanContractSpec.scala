@@ -783,11 +783,11 @@ class PlanContractSpec extends SparkSpec {
     // unless noted.
     for ((q, budget) <- Seq(
         "q_bradley_terry" -> 75, // measured 50 (was 58 pre r15 step fusion)
-        "q_orphans" -> 81, // measured 54
-        "q_ktruss" -> 66, // measured 45
+        "q_orphans" -> 39, // measured 26 (r18 stacked single-pass)
+        "q_ktruss" -> 24, // measured 16 (r18 AQE-off peeling loop)
         "q_pagerank" -> 65, // measured 43
         "q_dedup_against_near" -> 51, // measured 34
-        "q_harmonic" -> 51, // measured 34
+        "q_harmonic" -> 47, // measured 31 (r18 lazy visited union)
         "q_bfs" -> 50, // measured 33
         "q_hits" -> 50, // measured 32
         "q_pagerank_weighted" -> 47, // measured 31
