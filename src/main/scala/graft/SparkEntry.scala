@@ -3154,23 +3154,34 @@ object SparkEntry {
     * lesson). Exact longs, fully hash-oracled.
     */
   private def qOrphans(s: SparkSession, dir: String): DataFrame = {
-    def dam(name: String, pk: String) =
-      t(s, dir, name).filter(col(pk) % 97 =!= 0L)
+    // ONE DataFrame object per table: referentialIntegrity groups its
+    // child/parent stacks by reference identity (Dataset doesn't
+    // override equals), so lineitem's three FK columns ride one shared
+    // scan and nation's two damaged-parent uses ride another — three
+    // fresh `t(...)` objects per table would defeat the grouping and
+    // re-scan the biggest table once per edge.
+    val lineitem = t(s, dir, "lineitem")
+    val orders   = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val supplier = t(s, dir, "supplier")
+    val nation   = t(s, dir, "nation")
+    def dam(df: DataFrame, pk: String) = df.filter(col(pk) % 97 =!= 0L)
+    val damNation = dam(nation, "n_nationkey")
     sketch.Profiler.referentialIntegrity(Seq(
-        ("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
-          dam("orders", "o_orderkey"), "o_orderkey"),
-        ("lineitem->part", t(s, dir, "lineitem"), "l_partkey",
-          dam("part", "p_partkey"), "p_partkey"),
-        ("lineitem->supplier", t(s, dir, "lineitem"), "l_suppkey",
-          dam("supplier", "s_suppkey"), "s_suppkey"),
-        ("orders->customer", t(s, dir, "orders"), "o_custkey",
-          dam("customer", "c_custkey"), "c_custkey"),
-        ("customer->nation", t(s, dir, "customer"), "c_nationkey",
-          dam("nation", "n_nationkey"), "n_nationkey"),
-        ("supplier->nation", t(s, dir, "supplier"), "s_nationkey",
-          dam("nation", "n_nationkey"), "n_nationkey"),
-        ("nation->region", t(s, dir, "nation"), "n_regionkey",
-          dam("region", "r_regionkey"), "r_regionkey")))
+        ("lineitem->orders", lineitem, "l_orderkey",
+          dam(orders, "o_orderkey"), "o_orderkey"),
+        ("lineitem->part", lineitem, "l_partkey",
+          dam(t(s, dir, "part"), "p_partkey"), "p_partkey"),
+        ("lineitem->supplier", lineitem, "l_suppkey",
+          dam(supplier, "s_suppkey"), "s_suppkey"),
+        ("orders->customer", orders, "o_custkey",
+          dam(customer, "c_custkey"), "c_custkey"),
+        ("customer->nation", customer, "c_nationkey",
+          damNation, "n_nationkey"),
+        ("supplier->nation", supplier, "s_nationkey",
+          damNation, "n_nationkey"),
+        ("nation->region", nation, "n_regionkey",
+          dam(t(s, dir, "region"), "r_regionkey"), "r_regionkey")))
       .orderBy(col("relation"))
   }
 
