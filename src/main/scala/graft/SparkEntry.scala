@@ -3191,18 +3191,26 @@ object SparkEntry {
     * counts. One value-keyed shuffle for all 72 ordered pairs; fully
     * hash-oracled.
     */
-  private def qInclusionDeps(s: SparkSession, dir: String): DataFrame =
+  private def qInclusionDeps(s: SparkSession, dir: String): DataFrame = {
+    // ONE DataFrame object per table (the qOrphans rule): inclusionDeps
+    // groups its attribute stack by reference identity, so customer,
+    // orders, and lineitem each contribute both their attributes from a
+    // single scan instead of one scan per attribute.
+    val customer = t(s, dir, "customer")
+    val orders   = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
     sketch.Profiler.inclusionDeps(Seq(
         ("nation.n_nationkey", t(s, dir, "nation"), "n_nationkey"),
-        ("customer.c_nationkey", t(s, dir, "customer"), "c_nationkey"),
+        ("customer.c_nationkey", customer, "c_nationkey"),
         ("supplier.s_nationkey", t(s, dir, "supplier"), "s_nationkey"),
-        ("customer.c_custkey", t(s, dir, "customer"), "c_custkey"),
-        ("orders.o_custkey", t(s, dir, "orders"), "o_custkey"),
-        ("orders.o_orderkey", t(s, dir, "orders"), "o_orderkey"),
-        ("lineitem.l_orderkey", t(s, dir, "lineitem"), "l_orderkey"),
+        ("customer.c_custkey", customer, "c_custkey"),
+        ("orders.o_custkey", orders, "o_custkey"),
+        ("orders.o_orderkey", orders, "o_orderkey"),
+        ("lineitem.l_orderkey", lineitem, "l_orderkey"),
         ("part.p_partkey", t(s, dir, "part"), "p_partkey"),
-        ("lineitem.l_partkey", t(s, dir, "lineitem"), "l_partkey")))
+        ("lineitem.l_partkey", lineitem, "l_partkey")))
       .orderBy(col("col_a"), col("col_b"))
+  }
 
   /** Top principal component of the embeddings table via exact
     * fixed-point power iteration over the integer scatter matrix — the

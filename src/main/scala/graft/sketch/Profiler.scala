@@ -254,9 +254,24 @@ object Profiler {
   def inclusionDeps(attrs: Seq[(String, DataFrame, String)]): DataFrame = {
     require(attrs.size >= 2, "inclusionDeps needs at least two attributes")
     require(attrs.size <= 62, "inclusionDeps packs attr ids into one long")
-    val stacked = attrs.zipWithIndex.map { case ((_, df, c), i) =>
-      df.select(graft.Cols.q(c).cast("string").as("_id_v"),
-          lit(i).as("_id_a"))
+    // Group attributes by DataFrame reference identity (Dataset does not
+    // override equals) so a table contributing k attributes is scanned
+    // ONCE reading k columns — explode replaces k single-column scans of
+    // the same file (the referentialIntegrity stack shape). Callers must
+    // pass one DataFrame object per table for the grouping to fire.
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, scala.collection.mutable.ArrayBuffer[(Int, String)])]
+    for (((_, df, c), i) <- attrs.zipWithIndex)
+      groups.find(_._1 eq df) match {
+        case Some((_, buf)) => buf += ((i, c))
+        case None => groups +=
+          ((df, scala.collection.mutable.ArrayBuffer((i, c))))
+      }
+    val stacked = groups.map { case (df, cols) =>
+      df.select(explode(array(cols.toSeq.map { case (i, c) =>
+          struct(lit(i).as("a"), graft.Cols.q(c).cast("string").as("v"))
+        }: _*)).as("_id_s"))
+        .select(col("_id_s.v").as("_id_v"), col("_id_s.a").as("_id_a"))
         .filter(col("_id_v").isNotNull)
     }.reduce(_ unionAll _)
     val masks = stacked

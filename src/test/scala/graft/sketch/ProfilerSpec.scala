@@ -138,6 +138,26 @@ class ProfilerSpec extends SparkSpec {
       ("c", "a", 2L, 1L, false), ("c", "b", 2L, 1L, false)))
   }
 
+  test("inclusionDeps: shared-DataFrame attributes match distinct objects") {
+    // r18 shared-scan grouping: two attributes passed as the SAME
+    // DataFrame object (one exploded scan) must produce exactly the
+    // verdicts of the same attributes passed as distinct objects (one
+    // scan each), nulls included.
+    val df = Seq((Some(1L), Some(10L)), (Some(2L), None),
+        (None: Option[Long], Some(10L)), (Some(2L), Some(30L)))
+      .toDF("x", "y")
+    val other = Seq(1L, 2L, 10L).toDF("x")
+    val shared = Profiler.inclusionDeps(
+        Seq(("t.x", df, "x"), ("t.y", df, "y"), ("o", other, "x")))
+      .orderBy("col_a", "col_b").collect().map(_.toSeq).toSeq
+    val distinctObjs = Profiler.inclusionDeps(
+        Seq(("t.x", df.select("x", "y"), "x"),
+          ("t.y", df.select("y"), "y"), ("o", other, "x")))
+      .orderBy("col_a", "col_b").collect().map(_.toSeq).toSeq
+    assert(shared == distinctObjs)
+    assert(shared.nonEmpty)
+  }
+
   test("inclusionDeps: values compare as strings across source types") {
     // int 1 and string "1" are the SAME value under the string contract
     val ti = Seq(1L, 2L).toDF("x")
