@@ -687,8 +687,17 @@ object Dedup {
         sum("_sn_cnt").over(Window.orderBy("_sn_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_sn_pid", "_sn_off")
+    // Persisted (one narrow (id, rank) row per record): the global rank
+    // relation feeds BOTH sides of the block join — unpersisted, each
+    // side re-ran the range-repartition + ranking pipeline from its own
+    // source scan (r18: final plan showed 4 source scans; 2 is the
+    // floor — the ranking pass plus its offset sidecar). Persisting also
+    // makes both sides read the SAME materialized rank assignment
+    // rather than relying on the range partitioner sampling identically
+    // twice. Released via clearCache, the session-wide contract.
     val ranked = ranked0.join(broadcast(offsets), "_sn_pid")
       .select(col("_sn_id"), (col("_sn_off") + col("_sn_rn")).as("_sn_rank"))
+      .persist()
     val lhs = ranked.withColumn("_sn_blk", expr(s"_sn_rank div $window"))
     val rhs = ranked
       .select(col("_sn_id").as("_sn_id_b"), col("_sn_rank").as("_sn_rank_b"))

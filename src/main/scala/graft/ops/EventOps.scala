@@ -25,8 +25,15 @@ object EventOps {
   def funnel(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // Each stage persists (one narrow (user, ts) row per surviving
+    // user): stage k feeds BOTH stage k+1's join and its own count —
+    // unpersisted, counting stage k re-executed every earlier stage's
+    // scan+join chain, so a k-step funnel paid 1+2+…+k source scans
+    // (r18: final plan showed 6 scans for 3 steps; k is the floor, one
+    // filtered pass per step). Released via clearCache.
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t"))
+      .persist()
     val stages = steps.tail.scanLeft(first) { (prev, step) =>
       events.filter(col(typeCol) === step)
         .select(col(userCol).as("_fu"), col(tsCol).as("_fts"))
@@ -34,6 +41,7 @@ object EventOps {
         .groupBy(col("_fu"))
         .agg(min(col("_fts")).as("t"))
         .select(col("_fu").as("u"), col("t"))
+        .persist()
     }
     stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
       df.agg(count(lit(1)).as("n_users"))

@@ -30,12 +30,20 @@ object RobustStats {
       k: Double = 3.0): DataFrame = {
     require(groupCols.nonEmpty, "madOutliers needs group columns")
     val g = groupCols.map(col)
+    // Both threshold relations persist (|groups| rows — tiny): withMed
+    // feeds the MAD aggregation AND the final flag join, so unpersisted
+    // medians re-ran their full percentile pass per consumer (r18: final
+    // plan showed 5 source scans; 3 is the floor — the stream must be
+    // read once per median level plus once to flag). Released via
+    // clearCache, the session-wide contract.
     val med = df.groupBy(g: _*)
       .agg(round(percentile(col(valueCol), lit(0.5)), 4).as("_rs_med"))
+      .persist()
     val withMed = df.join(med, groupCols)
     val mad = withMed.groupBy(g: _*)
       .agg(round(percentile(abs(col(valueCol) - col("_rs_med")), lit(0.5)), 4)
         .as("_rs_mad"))
+      .persist()
     withMed.join(mad, groupCols)
       .withColumn("is_outlier",
         abs(col(valueCol) - col("_rs_med")) > lit(k) * col("_rs_mad"))
@@ -55,13 +63,16 @@ object RobustStats {
       valueCol: String, k: Double = 3.0, accuracy: Int = 10000): DataFrame = {
     require(groupCols.nonEmpty, "madOutliersApprox needs group columns")
     val g = groupCols.map(col)
+    // same persisted threshold relations as the exact twin (see above)
     val med = df.groupBy(g: _*)
       .agg(round(percentile_approx(col(valueCol), lit(0.5), lit(accuracy))
         .cast("double"), 4).as("_rs_med"))
+      .persist()
     val withMed = df.join(med, groupCols)
     val mad = withMed.groupBy(g: _*)
       .agg(round(percentile_approx(abs(col(valueCol) - col("_rs_med")),
         lit(0.5), lit(accuracy)).cast("double"), 4).as("_rs_mad"))
+      .persist()
     withMed.join(mad, groupCols)
       .withColumn("is_outlier",
         abs(col(valueCol) - col("_rs_med")) > lit(k) * col("_rs_mad"))

@@ -131,12 +131,19 @@ object Similarity {
       quantScale: Int = 1000): DataFrame = {
     val qz = df.select(col(idCol).as("id"),
         posexplode(quantize(col(vecCol), quantScale)).as(Seq("dim", "q")))
+    // The |dims|-row stats relations persist (r18): the joined frame
+    // feeds the MAD aggregation AND the final projection, so an
+    // unpersisted median re-ran its full percentile pass per consumer
+    // (final plan showed 4 source scans; 3 is the floor — one per
+    // median level plus the flagging pass). Released via clearCache.
     val med = qz.groupBy(col("dim"))
       .agg(percentile(col("q"), lit(0.5)).as("_med"))
+      .persist()
     val j = qz.join(broadcast(med), Seq("dim"))
     val mad = j.groupBy(col("dim"))
       .agg(percentile(abs(col("q").cast("double") - col("_med")), lit(0.5))
         .as("_mad"))
+      .persist()
     j.join(broadcast(mad), Seq("dim"))
       .withColumn("nm", when(col("_mad") =!= 0.0,
         floor(((col("q").cast("double") - col("_med")) / col("_mad"))
@@ -174,13 +181,16 @@ object Similarity {
       quantScale: Int = 1000, accuracy: Int = 10000): DataFrame = {
     val qz = df.select(col(idCol).as("id"),
         posexplode(quantize(col(vecCol), quantScale)).as(Seq("dim", "q")))
+    // same persisted |dims|-row stats relations as the exact twin
     val med = qz.groupBy(col("dim"))
       .agg(percentile_approx(col("q"), lit(0.5), lit(accuracy))
         .cast("double").as("_med"))
+      .persist()
     val j = qz.join(broadcast(med), Seq("dim"))
     val mad = j.groupBy(col("dim"))
       .agg(percentile_approx(abs(col("q").cast("double") - col("_med")),
         lit(0.5), lit(accuracy)).cast("double").as("_mad"))
+      .persist()
     j.join(broadcast(mad), Seq("dim"))
       .withColumn("nm", when(col("_mad") =!= 0.0,
         floor(((col("q").cast("double") - col("_med")) / col("_mad"))
@@ -1436,6 +1446,12 @@ object Similarity {
     val cross = dims.join(broadcast(sums), Seq("label", "dim"))
       .groupBy(col("id"), col("label"))
       .agg(sum((col("q") * col("_co_s")).cast(dec)).as("_co_b"))
+    // Persisted (one narrow row per vector): d2 feeds the per-label mean
+    // AND the final flag join — unpersisted, the second consumer re-ran
+    // the whole distance pipeline including the cross-term aggregation
+    // from its own corpus scans (r18: final plan showed 7 source scans;
+    // 4 is the floor — sums/cross/count/own-dot are four distinct
+    // aggregation granularities). Released via clearCache.
     val d2 = qz.select(col("id"), col("label"), col("_co_a"))
       .join(cross, Seq("id", "label"))
       .join(broadcast(cByLabel), Seq("label"))
@@ -1443,6 +1459,7 @@ object Similarity {
       .select(col("id"), col("label"),
         expr(s"cast(cast(_co_n as $dec) * _co_n * _co_a " +
           "- 2 * _co_n * _co_b + _co_c as decimal(38,0))").as("_co_d2"))
+      .persist()
     val means = d2.groupBy(col("label"))
       .agg(expr(s"sum(_co_d2) div count(1)").as("_co_mean"))
     d2.join(broadcast(means), Seq("label"))

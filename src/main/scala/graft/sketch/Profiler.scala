@@ -355,6 +355,12 @@ object Profiler {
   def keyCandidates(df: DataFrame,
       candidates: Seq[Seq[String]]): DataFrame = {
     require(candidates.nonEmpty, "keyCandidates needs candidates")
+    // ONE persisted row-count relation for all candidates (r18): the
+    // total was re-counted once per candidate — k near-free count(*)
+    // passes, but passes nonetheless (final plan: 2k source scans for k
+    // candidates; k+1 is the floor, each candidate's grouping pass being
+    // inherent). Released via clearCache, the session-wide contract.
+    val total = df.agg(count(lit(1)).as("n_rows")).persist()
     candidates.map { cs =>
       require(cs.nonEmpty, "empty candidate column set")
       val nonnull = cs.map(col(_).isNotNull).reduce(_ && _)
@@ -363,7 +369,6 @@ object Profiler {
         .agg(count(lit(1)).as("n_distinct"),
           coalesce(sum(col("_kc_n")), lit(0L)).as("n_nonnull"),
           coalesce(max(col("_kc_n")), lit(0L)).as("max_dup"))
-      val total = df.agg(count(lit(1)).as("n_rows"))
       total.crossJoin(broadcast(groups))
         .select(lit(cs.mkString(",")).as("key_cols"), col("n_rows"),
           col("n_nonnull"), col("n_distinct"), col("max_dup"),

@@ -320,13 +320,21 @@ object Sketches {
     * `(a, b, distinct_a, distinct_b, union_est, overlap_est)`.
     */
   def hllOverlap(registers: DataFrame, groupCol: String): DataFrame = {
-    val est = hllEstimate(registers, Seq(groupCol))
+    // Persist the register relation (≤ m = 4096 rows per group — tiny):
+    // this operator consumes it four times (per-group estimates feed two
+    // projections, the group list, and the pairwise merge), and
+    // unpersisted each consumer re-ran the whole upstream register build
+    // — a full corpus scan each (r18: final plan showed 5 source scans
+    // where the scaladoc promises one). Released via clearCache, the
+    // session-wide contract.
+    val regs = registers.persist()
+    val est = hllEstimate(regs, Seq(groupCol))
     val estA = est.select(col(groupCol).as("a"), col("hll_estimate").as("distinct_a"))
     val estB = est.select(col(groupCol).as("b"), col("hll_estimate").as("distinct_b"))
-    val groups = registers.select(col(groupCol).as("g")).distinct()
+    val groups = regs.select(col(groupCol).as("g")).distinct()
     val pairs = groups.select(col("g").as("a"))
       .join(groups.select(col("g").as("b")), col("a") < col("b"))
-    val r = registers.select(col(groupCol).as("g"), col("reg"), col("mreg"))
+    val r = regs.select(col(groupCol).as("g"), col("reg"), col("mreg"))
     val merged = pairs.join(r, col("g") === col("a") || col("g") === col("b"))
       .groupBy(col("a"), col("b"), col("reg"))
       .agg(max(col("mreg")).as("mreg"))

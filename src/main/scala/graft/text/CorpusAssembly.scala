@@ -932,8 +932,18 @@ object CorpusAssembly {
         posexplode(filter(graft.dedup.Dedup.tokensOf(col(textCol)),
           t => t =!= "")))
       .select(col("doc"), col("pos").cast("long").as("p"), col("col").as("w"))
-    val uni = occ.groupBy(col("w")).agg(count(lit(1)).as("uc"))
-    val nTot = occ.agg(count(lit(1)).as("n"))
+    // Persisted (vocab-sized — tiny next to the corpus): the unigram
+    // relation feeds the survivor join AND the total, and Σ uc over it
+    // IS the occurrence total exactly, so deriving n from the persisted
+    // aggregate removes what was a third full explode of the corpus
+    // (r18: final plan showed 3 parquet scans of the text source; the
+    // remaining 2 are the inherent stat-join-back shape — the stream
+    // must be scanned once to aggregate and once to join the stat back).
+    // coalesce guards the empty corpus (sum over no rows is null where
+    // count was 0); kept is empty either way. Released via clearCache,
+    // the session-wide contract noted below.
+    val uni = occ.groupBy(col("w")).agg(count(lit(1)).as("uc")).persist()
+    val nTot = uni.agg(coalesce(sum(col("uc")), lit(0L)).as("n"))
     val tail = conv(substring(md5(concat(lit(seed + ":"),
         col("doc").cast("string"), lit(":"), col("p").cast("string"))),
         1, 10), 16, 10).cast("long") + lit(1L)

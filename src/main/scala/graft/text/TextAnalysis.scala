@@ -190,7 +190,14 @@ object TextAnalysis {
     require(queryTerms.nonEmpty, "empty query")
     val docs = df.select(col(idCol).as("doc"),
       graft.dedup.Dedup.tokensOf(col(textCol)).as("_t"))
+    // Persisted (two narrow columns per doc): lens feeds the corpus
+    // stats AND the per-doc score join, and unpersisted each consumer
+    // re-ran the full tokenize from its own corpus scan (r18: final plan
+    // showed 4 source scans; 2 is the floor — one pass for lengths, one
+    // for the query-term TFs, which need different projections of the
+    // token stream). Released via clearCache, the session contract.
     val lens = docs.select(col("doc"), size(col("_t")).cast("double").as("dl"))
+      .persist()
     val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val tf = docs
@@ -454,9 +461,15 @@ object TextAnalysis {
       minCount: Int = 5, topK: Int = 50): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       filter(graft.dedup.Dedup.tokensOf(col(textCol)), t => t =!= "").as("_t"))
+    // Persisted unigram relation (vocab-sized): it feeds BOTH pmi joins
+    // (uc1/uc2) and the token total is exactly Σ uc over it — the
+    // unpersisted form re-ran the tokenize+explode+aggregate from its
+    // own corpus scan per consumer (r18: final plan showed 4 source
+    // scans; 2 is the floor — one unigram pass, one bigram pass).
+    // Released via clearCache, the session-wide contract.
     val words = toks.select(explode(col("_t")).as("w"))
-    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("uc"))
-    val tot = words.agg(count(lit(1)).as("n_tok"))
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("uc")).persist()
+    val tot = uni.agg(coalesce(sum(col("uc")), lit(0L)).as("n_tok"))
     val big = toks
       .filter(size(col("_t")) >= 2)
       .select(explode(arrays_zip(
@@ -739,8 +752,13 @@ object TextAnalysis {
       .select(col("doc"), explode(arrays_zip(col("a"), col("b"))).as("bg"))
       .select(col("doc"), col("bg.a").as("w1"), col("bg.b").as("w2"))
       .persist()
+    // uni persists too (vocab-sized, r18): it feeds the scoring join AND
+    // the vocabulary count — unpersisted, the second consumer re-ran the
+    // word explode from its own corpus scan (4 source scans → 3, the
+    // floor: unigram pass, bigram cache build, the id-only fill scan).
     val words = toks.select(col("doc"), explode(col("_t")).as("w"))
     val uni = words.groupBy(col("w").as("w1")).agg(count(lit(1)).as("uc"))
+      .persist()
     val big = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
     val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
 
@@ -804,8 +822,19 @@ object TextAnalysis {
       .select(col("doc"), col("tg.a").as("w1"), col("tg.b").as("w2"),
         col("tg.c").as("w3"))
 
+    // The unigram and bigram count relations each feed TWO scoring joins
+    // (uc2/uc3, bc12/bc23) — unpersisted, each consumer re-ran the whole
+    // tokenize+explode+aggregate subtree from its own corpus scan (r18:
+    // final plan showed 9 parquet scans of the source). Both are
+    // aggregate-sized (vocab / bigram types — Zipf-small next to the
+    // corpus), so lazy persists are the right materialization points;
+    // and Σ uc IS the train token count exactly, so n derives from the
+    // persisted unigram relation instead of a further full re-scan.
+    // Train corpus scans: 6 → 3 (one per n-gram order). Released via
+    // spark.catalog.clearCache(), the session-wide contract.
     val trainToks = toks(train).select(col("doc"), explode(col("_t")).as("w"))
     val uni = trainToks.groupBy(col("w")).agg(count(lit(1)).as("uc"))
+      .persist()
     val bi = toks(train).filter(size(col("_t")) >= 2)
       .select(col("doc"),
         slice(col("_t"), lit(1), size(col("_t")) - 1).as("a"),
@@ -813,9 +842,10 @@ object TextAnalysis {
       .select(explode(arrays_zip(col("a"), col("b"))).as("bg"))
       .groupBy(col("bg.a").as("x1"), col("bg.b").as("x2"))
       .agg(count(lit(1)).as("bc"))
+      .persist()
     val tri = trigrams(train)
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("tc"))
-    val n = trainToks.agg(count(lit(1)).cast("double").as("n"))
+    val n = uni.agg(coalesce(sum(col("uc")), lit(0L)).cast("double").as("n"))
 
     val perTri = trigrams(score)
       .join(tri, Seq("w1", "w2", "w3"), "left")
@@ -1236,9 +1266,16 @@ object TextAnalysis {
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
       nCheckpoints: Int = 10): DataFrame = {
     require(nCheckpoints >= 2, "vocabGrowth needs >= 2 checkpoints")
+    // The 1-row bounds and ≤ nCheckpoints-row cumulative relations
+    // persist (r18): bounds feeds both bucket projections and cum feeds
+    // both the Heaps fit and the final assembly — unpersisted, each
+    // consumer re-ran the full token explode from its own corpus scan
+    // (final plan showed 8 source scans; 3 is the floor — the id
+    // min/max pass plus the two aggregation passes). Released via
+    // clearCache, the session-wide contract.
     val ids = df.select(col(idCol).cast("long").as("doc"))
     val bounds = broadcast(ids.agg(min(col("doc")).as("_lo"),
-      (max(col("doc")) - min(col("doc")) + 1L).as("_span")))
+      (max(col("doc")) - min(col("doc")) + 1L).as("_span")).persist())
     def bucket(c: String) = least(lit(nCheckpoints.toLong),
       lit(1L) + expr(s"(($c - _lo) * $nCheckpoints) div _span"))
     val toks = df.select(col(idCol).cast("long").as("doc"),
@@ -1258,6 +1295,7 @@ object TextAnalysis {
       .select(col("ck"), sum(col("nd")).over(w).as("cum_docs"),
         sum(col("nt")).over(w).as("cum_tokens"),
         sum(coalesce(col("nw"), lit(0L))).over(w).as("cum_types"))
+      .persist()
     // Heaps fit: ln-ln OLS over the checkpoint rows with positive
     // counts; moment sums are exact longs (≤ nCheckpoints points).
     val dec = "decimal(38,0)"
@@ -1309,18 +1347,23 @@ object TextAnalysis {
   def bleuCorpus(pairs: DataFrame, groupCol: String, idCol: String,
       candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, "bleuCorpus needs 1 <= maxN <= 8")
-    // Lazy persist, lineage kept: each side's token frame feeds maxN
-    // gram projections + the length aggregation. The blocks stay
-    // registered until spark.catalog.clearCache() — the session-wide
+    // ONE lazy persist holding BOTH sides' token arrays (r18: the two
+    // per-side persists each rebuilt their cache from a separate scan of
+    // the source — final plan showed 2 corpus scans; tokenizing cand and
+    // ref in the same projection halves that to 1, caching the same
+    // bytes). Each side is then a projection over the cached frame,
+    // feeding maxN gram projections + the length aggregation. The blocks
+    // stay registered until spark.catalog.clearCache() — the session-wide
     // release contract (minhashLshPairs/cosinePairs discipline; the
     // Bench harness clears between queries). Callers looping over many
     // corpora should clearCache between calls.
-    def tk(c: String) = pairs.select(col(groupCol).as("grp"),
-        col(idCol).as("pid"),
-        filter(graft.dedup.Dedup.tokensOf(col(c)), t => t =!= "").as("_t"))
+    def toks(c: String) =
+      filter(graft.dedup.Dedup.tokensOf(col(c)), t => t =!= "")
+    val tok = pairs.select(col(groupCol).as("grp"), col(idCol).as("pid"),
+        toks(candCol).as("_tc"), toks(refCol).as("_tr"))
       .persist()
-    val ctk = tk(candCol)
-    val rtk = tk(refCol)
+    val ctk = tok.select(col("grp"), col("pid"), col("_tc").as("_t"))
+    val rtk = tok.select(col("grp"), col("pid"), col("_tr").as("_t"))
     // n-grams WITH multiplicity (wordShingles is distinct-per-doc —
     // wrong tool here): zip n aliased slices, concat_ws in order.
     def gramCounts(side: DataFrame, cntName: String) =
