@@ -27,7 +27,14 @@ rc = 0
 for path in sys.argv[1:]:
     d = json.load(open(path))
     flagged = []
-    for name, cell in sorted(d["queries"].items()):
+    # r19 sidecar shape: "queries" is the flat name->seconds contract map
+    # and the per-run detail lives under "queries_detail"; pre-r19
+    # artifacts keep the detail cells directly under "queries".
+    cells = d.get("queries_detail") or d["queries"]
+    for name, cell in sorted(cells.items()):
+        if not isinstance(cell, dict):
+            sys.exit(f"{path}: cell {name!r} is not a per-run detail "
+                     "object (artifact has no queries_detail block)")
         # Chronological order lives ONLY in runs_raw; the `runs` list is
         # sorted ascending, so reading it as execution order would make
         # every >=1.5x-spread cell look rising (ADVICE r17) — refuse
@@ -42,7 +49,7 @@ for path in sys.argv[1:]:
         if last > RATIO * first and last - first > DELTA:
             mono = all(b > a for a, b in zip(runs, runs[1:]))
             flagged.append((name, runs, mono))
-    print(f"{path}: {len(flagged)} rising cell(s) / {len(d['queries'])} queries")
+    print(f"{path}: {len(flagged)} rising cell(s) / {len(cells)} queries")
     for name, runs, mono in flagged:
         shape = "monotone" if mono else "rising"
         print(f"  RISING {name:<28} {[round(r, 2) for r in runs]}  [{shape}]")

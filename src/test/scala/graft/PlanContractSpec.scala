@@ -763,8 +763,11 @@ class PlanContractSpec extends SparkSpec {
         sc.setJobDescription(markerDesc)
         try sc.parallelize(1 to 1, 1).count()
         finally sc.setJobDescription(null)
-        assert(marker.await(30, java.util.concurrent.TimeUnit.SECONDS),
-          "listener bus did not deliver the marker job within 30 s")
+        // 120 s: listener-bus delivery lags behind a deep event backlog
+        // on a contended box (the r18 driver test pass's failure class) —
+        // the deadline bounds a dead bus, it must not race a busy one.
+        assert(marker.await(120, java.util.concurrent.TimeUnit.SECONDS),
+          "listener bus did not deliver the marker job within 120 s")
       } finally sc.removeSparkListener(l)
       n.get
     }

@@ -67,6 +67,29 @@ class MarketBasketSpec extends SparkSpec {
     assert(!out.exists(_.getLong(0) == 2L))
   }
 
+  test("recommendItems: asymmetric item frequencies survive the carried-cnt " +
+      "pair aggregation (r19 internals)") {
+    // r19 carries cnt_a/cnt_b THROUGH the pair self-join (max() of a
+    // per-item constant) instead of re-joining itemCnt after the
+    // aggregation. Skewed frequencies + a duplicate purchase row pin
+    // that the carried values are the true per-item counts, per side:
+    // cnt: A=4 B=3 C=2; supp: AB=2 AC=1 BC=1
+    // w(AB)=floor(2e6/sqrt(12))=577350, w(AC)=floor(1e6/sqrt(8))=353553,
+    // w(BC)=floor(1e6/sqrt(6))=408248
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"),
+      (3L, "A"), // duplicate row: set semantics, must not inflate cnt
+      (4L, "A"), (4L, "C"), (5L, "B"), (5L, "C")).toDF("u", "i")
+    val out = MarketBasket.recommendItems(df, "u", "i", k = 3,
+        minSupport = 1L, neighborCap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    // u3 owns {A}: B via AB, C via AC
+    assert(out.contains((3L, 1, "B", 577350L)))
+    assert(out.contains((3L, 2, "C", 353553L)))
+    // u1 owns {A,B}: C scores w(AC)+w(BC)
+    assert(out.contains((1L, 1, "C", 353553L + 408248L)))
+  }
+
   test("negativeSamples: never owned, deterministic, ranked in draw order") {
     val df = Seq((1L, "A"), (1L, "B"), (2L, "C"), (2L, "D"), (3L, "E"))
       .toDF("u", "i")

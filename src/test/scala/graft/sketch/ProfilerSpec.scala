@@ -122,6 +122,28 @@ class ProfilerSpec extends SparkSpec {
       out(1).getLong(6) == 0L && out(1).getBoolean(7))
   }
 
+  test("referentialIntegrity: mixed-type keys compare AS STRINGS (pinned)") {
+    // The r18 stacked rewrite compares key values cast to string (the
+    // scaladoc contract). Pinning the consequence for MIXED-type edges:
+    // a double child FK 1.0 renders "1.0" and never matches a long
+    // parent key's "1" — such an edge reports orphans where Spark's
+    // numeric join coercion would have matched. Same-value integer
+    // types agree ("1" == "1"), which is why the declared star-schema
+    // queries are value-identical (oracle-verified r18).
+    val dblChild = Seq(1.0, 2.0).toDF("fk")
+    val lngChild = Seq(1L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = Profiler.referentialIntegrity(Seq(
+        ("dbl", dblChild, "fk", parent, "pk"),
+        ("lng", lngChild, "fk", parent, "pk")))
+      .orderBy("relation").collect()
+    // "1.0"/"2.0" vs "1"/"2": every double key is an orphan by contract
+    assert(out(0).getLong(4) == 2L && out(0).getLong(5) == 2L &&
+      !out(0).getBoolean(7))
+    // long vs long renders identically: clean edge
+    assert(out(1).getLong(4) == 0L && out(1).getBoolean(7))
+  }
+
   test("inclusionDeps: containment verdicts, missing counts, null drop") {
     // a = {1,2}; b = {1,2,3}; c = {2,9}; nulls in a must not count.
     val ta = Seq(Some(1L), Some(2L), Some(2L), None: Option[Long]).toDF("x")

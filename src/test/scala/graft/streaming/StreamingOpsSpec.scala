@@ -104,7 +104,12 @@ class StreamingOpsSpec extends SparkSpec {
     * `processAllAvailable` from ever latching "no new data" — so these
     * cases poll the sink with a deadline instead of blocking.
     */
-  private def pollUntil(cond: => Boolean, timeoutSec: Int = 90): Boolean = {
+  // Deadline 300 s (was 90): sized for a CONTENDED box, not an idle one —
+  // the r18 driver's test pass went red under sustained host load
+  // (VERIFY_r18), and processing-time timeouts fire on engine-scheduled
+  // timer batches whose latency scales with ambient CPU pressure. The
+  // deadline exists to bound a genuine hang, not to race the scheduler.
+  private def pollUntil(cond: => Boolean, timeoutSec: Int = 300): Boolean = {
     val deadline = System.nanoTime() + timeoutSec * 1000L * 1000 * 1000
     while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
     cond
@@ -114,8 +119,14 @@ class StreamingOpsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.SessionInput]
     val counts = StreamingOps.streamingIdleEvictCounter(mem.toDS(), idleTimeout = "2 seconds")
+    // Explicit 250 ms trigger: with the default ProcessingTime(0) trigger
+    // an armed processing-time timeout makes the engine busy-loop empty
+    // timer batches (each a state-store commit cycle) while this test
+    // polls — pure churn that amplifies contention on a loaded box. The
+    // timeout still fires on the next timer batch after 2 s idle.
     val query = counts.writeStream
       .format("memory").queryName("stream_idle_evict")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
       .outputMode("update").start()
     try {
       def running() = spark.sql(
