@@ -23,6 +23,34 @@ object GraphOps {
   /** Rank scale: ranks are fixed-point longs in units of 10⁻¹². */
   val RankScale: Long = 1000000000000L
 
+  /** Partition count for iterate-loop shuffles: one partition per
+    * `spark.graft.loopRowsPerPartition` edge/pair rows, clamped to the
+    * cluster's parallelism (and to ≥ 1). The per-partition row target is
+    * a conf, not a constant, because it is the loops' only
+    * scale-dependent knob and the right value is measured, not derived:
+    * too wide and every iteration pays (stages × width) scheduling for
+    * near-empty tasks; one partition per multi-million-edge relation
+    * serializes the join.
+    *
+    * Default 200,000 rows — the measured sf0.1 optimum (r14, re-measured
+    * r19): interleaved fresh-JVM A/B at sf0.1 width 32 read the
+    * loop-family total 39.7-40.9 s at 200 k vs 47.2-59.4 s at 1 M
+    * (2-partition loops serialize the frontier joins), so the default
+    * stays at the driver-bench scale's optimum. On the derived sf1
+    * (12.7 M supply edges) 1 M was within ambient noise of 200 k
+    * (121-138 s vs 119-166 s totals, interleaved) and 4 M — near-serial
+    * 4-partition loops — was consistently ~45% worse; a 100 TB
+    * deployment tunes this conf to land loop partitions in the §2.2
+    * efficiency band rather than recompiling.
+    */
+  private[graft] def loopParts(
+      spark: org.apache.spark.sql.SparkSession, nRows: Long): Int = {
+    val per = math.max(1L,
+      spark.conf.get("spark.graft.loopRowsPerPartition", "200000").toLong)
+    math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nRows / per + 1L)).toInt
+  }
+
   /** PageRank (Brin & Page '98) with a FIXED iteration count, in exact
     * fixed-point integer arithmetic so the result is deterministic —
     * independent of partitioning, join order, and float summation order —
@@ -86,13 +114,10 @@ object GraphOps {
     // sharding |V|-row ranks and |E|-row contributions default-wide means
     // every iteration pays (stages × default-parallelism) scheduling for
     // near-empty tasks — measured ~0.7 s/iteration of pure overhead on a
-    // 4 k-node graph at 32 partitions; conversely one partition per
-    // million-edge relation serializes the join. One partition per
-    // ~200 k edges (edges dominate nodes in any connected graph),
-    // clamped to the cluster's parallelism.
+    // 4 k-node graph at 32 partitions. The per-partition row target
+    // lives in loopParts (edges dominate nodes in any connected graph).
     val spark = edges.sparkSession
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    val parts = loopParts(spark, nE)
     // SYMMETRIC hint (caller guarantees every edge has its reverse — the
     // bidirectional-graph case): every node then appears as a src and NO
     // node can dangle, so the dst-side union and the self-loop anti-join
@@ -305,8 +330,7 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nE = e.count()
     val spark = edges.sparkSession
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    val parts = loopParts(spark, nE)
     // Self-votes enter as self-loop edges so one persisted relation
     // carries the whole vote flow, pre-partitioned on src at the
     // iteration width (the allE trick from pageRank).
@@ -487,8 +511,7 @@ object GraphOps {
     eRdd.localCheckpoint()
     val nE = eRdd.count()
     var e = spark.createDataFrame(eRdd, und0.schema)
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    val parts = loopParts(spark, nE)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -702,8 +725,7 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nE = e.count()
     val spark = edges.sparkSession
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    val parts = loopParts(spark, nE)
     val allE = e.repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
@@ -774,8 +796,7 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nE = e.count()
     val spark = edges.sparkSession
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    val parts = loopParts(spark, nE)
     val allE = e.repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val p0 = probes.select(col("node").cast("long")).distinct()
@@ -911,8 +932,7 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nE = e.count()
     val spark = edges.sparkSession
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong, nE / 200000L + 1L)).toInt
+    val parts = loopParts(spark, nE)
     val eS = e.repartition(parts, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val eD = e.repartition(parts, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     // BIPARTITE hint (caller guarantees the src and dst node sets are

@@ -71,9 +71,7 @@ object BradleyTerry {
     }
     val nPairs = pairs.count() // cached by the stats pass
     val spark = matches.sparkSession
-    val parts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      nPairs / 200000L + 1L)).toInt
+    val parts = graft.graph.GraphOps.loopParts(spark, nPairs)
     // AQE off inside the fixed-point loop — the GraphOps.hits rationale
     // (r14): one q_bradley_terry run submitted 87 jobs under AQE for
     // 1.1 s of actual job time (every query stage its own job; the rest
